@@ -1,0 +1,97 @@
+"""Public entry points, mirroring the reference API surface.
+
+Reference: ``dtl.run(source, *, importer, exporter, tracer)``
+(/root/reference/src/dtl/eval.py:447-543) and
+``dtl.run_simple(source, *, inputs)`` (eval.py:546-554), exported via
+``__init__.py:1-3``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_dtl_spark.compiler import Engine
+from python_dtl_spark.sources import (
+    Exporter,
+    FileSystemExporter,
+    FileSystemImporter,
+    Importer,
+    InMemoryExporter,
+    InMemoryImporter,
+)
+
+
+def run(
+    source: str,
+    *,
+    spark: SparkSession,
+    importer: Importer,
+    exporter: Exporter,
+    tracer=None,
+    ordered: bool = False,
+) -> None:
+    """Compile and execute a DTL script.
+
+    Each EXPORT statement triggers one Spark action (the write); all
+    transformations stay lazy so Catalyst optimizes each export's full
+    plan end-to-end.  With ``tracer`` set, row-level provenance is
+    recorded (see python_dtl_spark.lineage).
+    """
+    if tracer is not None:
+        from python_dtl_spark.lineage import run_traced
+
+        run_traced(
+            source, spark=spark, importer=importer, exporter=exporter, tracer=tracer
+        )
+        return
+    engine = Engine(spark, importer, ordered=ordered)
+    for location, table in engine.run_script(source):
+        exporter.export_table(location, table.public_df())
+
+
+def run_files(
+    source: str,
+    *,
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    trace_dir: str | None = None,
+    ordered: bool = False,
+) -> None:
+    """File-to-file execution, mirroring the reference CLI
+    (/root/reference/src/dtl/main.py:9-46)."""
+    importer = FileSystemImporter(spark, input_dir)
+    exporter = FileSystemExporter(output_dir)
+    tracer = None
+    if trace_dir is not None:
+        from python_dtl_spark.lineage import FileSystemTracer
+
+        tracer = FileSystemTracer(trace_dir)
+    run(
+        source,
+        spark=spark,
+        importer=importer,
+        exporter=exporter,
+        tracer=tracer,
+        ordered=ordered,
+    )
+
+
+def run_simple(
+    source: str,
+    *,
+    spark: SparkSession,
+    inputs: dict[str, DataFrame],
+    ordered: bool = True,
+) -> dict[str, DataFrame]:
+    """In-memory execution: DataFrames in, DataFrames out.
+
+    This is the API the reference's whole test suite drives
+    (eval.py:546-554, tests/conftest.py:11-36).  Defaults to ordered
+    mode because reference outputs are positional.
+    """
+    engine = Engine(spark, InMemoryImporter(inputs), ordered=ordered)
+    exporter = InMemoryExporter()
+    for location, table in engine.run_script(source):
+        exporter.export_table(location, table.public_df())
+    return exporter.tables

@@ -1,0 +1,99 @@
+"""Importers and exporters — named-table sources and sinks.
+
+Mirrors the reference I/O layer (/root/reference/src/dtl/io.py):
+``FileSystemImporter``/``FileSystemExporter`` bind table names to
+``{root}/{name}.parquet`` (io.py:41,72); ``InMemoryImporter``/
+``InMemoryExporter`` bind by dict key (io.py:20-28,55-64).
+
+Extensions beyond the reference's parquet-only support: CSV and
+JSON-lines formats, partitioned writes, and directory-of-files reads —
+at 100 TB a "table" is a directory of parquet parts, not one file, so
+the importer accepts both layouts.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Protocol
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Importer(Protocol):
+    def import_table(self, name: str) -> DataFrame: ...
+
+
+class Exporter(Protocol):
+    def export_table(self, name: str, df: DataFrame) -> None: ...
+
+
+class FileSystemImporter:
+    """Reads ``{root}/{name}.parquet`` (file or part-directory).
+
+    Unlike the reference's whole-file eager read + cache (io.py:31-42),
+    this returns a *lazy* DataFrame: Catalyst prunes columns and pushes
+    filters into the scan, so importing a 100-column table and selecting
+    two reads two.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        self._spark = spark
+        self._root = root
+        self._fmt = fmt
+
+    def import_table(self, name: str) -> DataFrame:
+        path = os.path.join(self._root, f"{name}.{self._fmt}")
+        if not os.path.exists(path):
+            # directory-of-parts layout: {root}/{name}/part-*.parquet
+            alt = os.path.join(self._root, name)
+            if os.path.exists(alt):
+                path = alt
+        if self._fmt == "parquet":
+            return self._spark.read.parquet(path)
+        if self._fmt == "csv":
+            return self._spark.read.csv(path, header=True, inferSchema=True)
+        if self._fmt == "json":
+            return self._spark.read.json(path)
+        raise ValueError(f"unsupported format {self._fmt!r}")
+
+
+class InMemoryImporter:
+    def __init__(self, tables: dict[str, DataFrame]):
+        self._tables = dict(tables)
+
+    def import_table(self, name: str) -> DataFrame:
+        if name not in self._tables:
+            raise KeyError(f"no such input table {name!r}")
+        return self._tables[name]
+
+
+class FileSystemExporter:
+    """Writes ``{root}/{name}.parquet`` as a parquet part-directory
+    (the scalable layout; the reference writes a single file, io.py:67-72)."""
+
+    def __init__(self, root: str, fmt: str = "parquet", partition_by: list[str] | None = None):
+        self._root = root
+        self._fmt = fmt
+        self._partition_by = partition_by or []
+
+    def export_table(self, name: str, df: DataFrame) -> None:
+        path = os.path.join(self._root, f"{name}.{self._fmt}")
+        writer = df.write.mode("overwrite")
+        if self._partition_by:
+            writer = writer.partitionBy(*self._partition_by)
+        if self._fmt == "parquet":
+            writer.parquet(path)
+        elif self._fmt == "csv":
+            writer.option("header", True).csv(path)
+        elif self._fmt == "json":
+            writer.json(path)
+        else:
+            raise ValueError(f"unsupported format {self._fmt!r}")
+
+
+class InMemoryExporter:
+    def __init__(self) -> None:
+        self.tables: dict[str, DataFrame] = {}
+
+    def export_table(self, name: str, df: DataFrame) -> None:
+        self.tables[name] = df

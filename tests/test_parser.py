@@ -1,0 +1,139 @@
+import pytest
+
+from python_dtl_spark.errors import DtlSyntaxError
+from python_dtl_spark.lang import nodes as n
+from python_dtl_spark.lang.parser import parse
+
+
+def only_stmt(source):
+    script = parse(source)
+    assert len(script.statements) == 1
+    return script.statements[0]
+
+
+def test_import_statement():
+    stmt = only_stmt("WITH t AS IMPORT 'data';")
+    assert stmt == n.WithStatement(name="t", expression=n.ImportExpression(location="data"))
+
+
+def test_export_statement():
+    stmt = only_stmt("EXPORT t TO 'out';")
+    assert stmt == n.ExportStatement(expression=n.TableRef(name="t"), location="out")
+
+
+def test_select_simple():
+    stmt = only_stmt("WITH o AS SELECT a, t.b AS c FROM t;")
+    sel = stmt.expression
+    assert sel.columns == (
+        n.Implicit(expression=n.ColumnRef(namespace=None, name="a")),
+        n.Aliased(expression=n.ColumnRef(namespace="t", name="b"), name="c"),
+    )
+    assert sel.source == n.Source(name="t", alias=None)
+
+
+def test_precedence_mul_over_add():
+    stmt = only_stmt("WITH o AS SELECT a + b * c AS r FROM t;")
+    expr = stmt.expression.columns[0].expression
+    assert expr == n.BinaryOp(
+        op="+",
+        left=n.ColumnRef(namespace=None, name="a"),
+        right=n.BinaryOp(
+            op="*",
+            left=n.ColumnRef(namespace=None, name="b"),
+            right=n.ColumnRef(namespace=None, name="c"),
+        ),
+    )
+
+
+def test_left_associativity():
+    stmt = only_stmt("WITH o AS SELECT a - b - c AS r FROM t;")
+    expr = stmt.expression.columns[0].expression
+    assert expr == n.BinaryOp(
+        op="-",
+        left=n.BinaryOp(
+            op="-",
+            left=n.ColumnRef(namespace=None, name="a"),
+            right=n.ColumnRef(namespace=None, name="b"),
+        ),
+        right=n.ColumnRef(namespace=None, name="c"),
+    )
+
+
+def test_comparison_and_logic_precedence():
+    stmt = only_stmt("WITH o AS SELECT * FROM t WHERE a = 1 & b < 2 | !c;")
+    pred = stmt.expression.where
+    assert pred.op == "|"
+    assert pred.left.op == "&"
+    assert pred.right == n.UnaryOp(op="!", operand=n.ColumnRef(namespace=None, name="c"))
+
+
+def test_join_on():
+    stmt = only_stmt("WITH o AS SELECT * FROM a JOIN b ON a.k = b.k;")
+    (join,) = stmt.expression.joins
+    assert join.how == "inner"
+    assert join.source == n.Source(name="b", alias=None)
+    assert isinstance(join.constraint, n.JoinOn)
+
+
+def test_join_using_and_types():
+    stmt = only_stmt(
+        "WITH o AS SELECT * FROM a LEFT JOIN b USING (k1, k2) CROSS JOIN c;"
+    )
+    j1, j2 = stmt.expression.joins
+    assert j1.how == "left"
+    assert j1.constraint == n.JoinUsing(columns=("k1", "k2"))
+    assert j2.how == "cross"
+    assert j2.constraint is None
+
+
+def test_distinct_variants():
+    assert only_stmt("WITH o AS SELECT DISTINCT a FROM t;").expression.distinct == "all"
+    assert (
+        only_stmt("WITH o AS SELECT DISTINCT CONSECUTIVE a FROM t;").expression.distinct
+        == "consecutive"
+    )
+
+
+def test_group_by():
+    sel = only_stmt(
+        "WITH o AS SELECT k, sum(v) AS s FROM t GROUP BY k HAVING sum(v) > 10 "
+        "ORDER BY s DESC LIMIT 5;"
+    ).expression
+    assert sel.group_by == n.GroupBy(
+        consecutive=False, expressions=(n.ColumnRef(namespace=None, name="k"),)
+    )
+    assert sel.having is not None
+    assert sel.order_by[0].descending is True
+    assert sel.limit == 5
+
+
+def test_group_consecutive_by():
+    sel = only_stmt("WITH o AS SELECT k, count() AS c FROM t GROUP CONSECUTIVE BY k;").expression
+    assert sel.group_by.consecutive is True
+
+
+def test_count_star_sugar():
+    sel = only_stmt("WITH o AS SELECT count(*) AS c FROM t;").expression
+    assert sel.columns[0].expression == n.FunctionCall(name="count", args=())
+
+
+def test_set_operations():
+    stmt = only_stmt("WITH o AS SELECT a FROM t UNION ALL SELECT a FROM u;")
+    assert isinstance(stmt.expression, n.SetExpression)
+    assert stmt.expression.op == "union_all"
+
+
+def test_not_keyword_and_bang_equivalent():
+    a = only_stmt("WITH o AS SELECT * FROM t WHERE NOT x;")
+    b = only_stmt("WITH o AS SELECT * FROM t WHERE !x;")
+    assert a.expression.where == b.expression.where
+
+
+def test_missing_semicolon():
+    with pytest.raises(DtlSyntaxError):
+        parse("WITH t AS IMPORT 'x'")
+
+
+def test_cross_join_rejects_on():
+    with pytest.raises(DtlSyntaxError):
+        parse("WITH o AS SELECT * FROM a CROSS JOIN b ON a.k = b.k;")
