@@ -1,0 +1,874 @@
+"""Query catalog: every implemented operator exposed as a named query
+over the driver test tables, with a matching DuckDB oracle where the
+semantics are ANSI-SQL-expressible.
+
+This is the contract surface consumed by ``__spark_entry__.py``
+(driver correctness gate) and ``bench.py`` (driver benchmark).  Keys
+map 1:1 onto SURVEY.md §2's operator inventory plus the M6 pipeline
+extensions.
+
+Column-name discipline: Spark output and oracle SQL alias every
+computed column identically — the driver's comparator sorts columns by
+name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_dtl_spark.compiler import Engine
+from python_dtl_spark.operators import dedup, multimodal, similarity, text
+from python_dtl_spark.sources import FileSystemImporter
+from python_dtl_spark.streaming import (
+    session_windows,
+    sliding_event_counts,
+    tumbling_event_stats,
+)
+
+
+@dataclass(frozen=True)
+class CatalogQuery:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered table views
+    headline: bool = False  # include in bench.py
+
+
+QUERIES: dict[str, CatalogQuery] = {}
+
+
+def _register(name: str, fn, oracle: str | None, headline: bool = False) -> None:
+    QUERIES[name] = CatalogQuery(name=name, fn=fn, oracle=oracle, headline=headline)
+
+
+def _dtl(script: str, output: str = "output"):
+    """Build a (spark, sf_dir) callable that runs a DTL script through
+    the full engine (lexer → parser → compiler → Catalyst)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        engine = Engine(spark, FileSystemImporter(spark, sf_dir), ordered=False)
+        exports = dict(engine.run_script(script))
+        return exports[output].public_df()
+
+    return fn
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark cannot read natively — read nanos as long (legacy conf) and
+    convert to a microsecond timestamp with integer division (``div``:
+    the values exceed double's 2^53 mantissa, so float division would
+    corrupt them)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Group A — DTL language queries (SURVEY.md §2.1-2.5 inventory)
+# ---------------------------------------------------------------------------
+
+_register(
+    "dtl_project_rename",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT l_orderkey AS order_key, l_partkey AS part_key,
+                   l_quantity AS qty
+            FROM lineitem;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT l_orderkey AS order_key, l_partkey AS part_key, l_quantity AS qty "
+    "FROM lineitem",
+)
+
+_register(
+    "dtl_arithmetic",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1.0 - l_discount) AS net,
+                   l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS gross
+            FROM lineitem;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT l_orderkey, l_linenumber, "
+    "l_extendedprice * (1.0 - l_discount) AS net, "
+    "l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS gross "
+    "FROM lineitem",
+    headline=True,
+)
+
+_register(
+    "dtl_add_builtin",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT l_orderkey, l_linenumber, add(l_extendedprice, l_tax) AS s
+            FROM lineitem;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT l_orderkey, l_linenumber, l_extendedprice + l_tax AS s FROM lineitem",
+)
+
+_register(
+    "dtl_where_compare",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_quantity > 45.0;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "WHERE l_quantity > 45.0",
+)
+
+_register(
+    "dtl_where_logic",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+            FROM lineitem
+            WHERE (l_discount >= 0.05 & l_quantity < 10.0) | l_returnflag = 'R';
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag "
+    "FROM lineitem "
+    "WHERE (l_discount >= 0.05 AND l_quantity < 10.0) OR l_returnflag = 'R'",
+    headline=True,
+)
+
+_register(
+    "dtl_equi_join",
+    _dtl(
+        """
+        WITH nation AS IMPORT 'nation';
+        WITH region AS IMPORT 'region';
+        WITH output AS
+            SELECT n_nationkey, n_name, r_name
+            FROM nation
+            JOIN region ON n_regionkey = r_regionkey;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT n_nationkey, n_name, r_name FROM nation "
+    "JOIN region ON n_regionkey = r_regionkey",
+)
+
+_register(
+    "dtl_theta_join",
+    _dtl(
+        """
+        WITH orders AS IMPORT 'orders';
+        WITH customer AS IMPORT 'customer';
+        WITH output AS
+            SELECT o_orderkey, c_name, o_totalprice, c_acctbal
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey & o_totalprice < c_acctbal;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT o_orderkey, c_name, o_totalprice, c_acctbal FROM orders "
+    "JOIN customer ON o_custkey = c_custkey AND o_totalprice < c_acctbal",
+)
+
+_register(
+    "dtl_join_using",
+    _dtl(
+        """
+        WITH supplier AS IMPORT 'supplier';
+        WITH nation AS IMPORT 'nation';
+        WITH s AS SELECT s_suppkey, s_nationkey AS nationkey FROM supplier;
+        WITH n AS SELECT n_name, n_nationkey AS nationkey FROM nation;
+        WITH output AS SELECT s_suppkey, n_name, nationkey FROM s JOIN n USING (nationkey);
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT s_suppkey, n_name, s_nationkey AS nationkey FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey",
+)
+
+_register(
+    "dtl_left_join",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH orders AS IMPORT 'orders';
+        WITH output AS
+            SELECT c_custkey, o_orderkey
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey & o_totalprice > 300000.0;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT c_custkey, o_orderkey FROM customer "
+    "LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 300000.0",
+)
+
+_register(
+    "dtl_semi_join",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH orders AS IMPORT 'orders';
+        WITH output AS
+            SELECT c_custkey, c_name
+            FROM customer
+            SEMI JOIN orders ON c_custkey = o_custkey;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT c_custkey, c_name FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey)",
+)
+
+_register(
+    "dtl_anti_join",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH orders AS IMPORT 'orders';
+        WITH output AS
+            SELECT c_custkey, c_name
+            FROM customer
+            ANTI JOIN orders ON c_custkey = o_custkey & o_totalprice > 300000.0;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE c.c_custkey = o.o_custkey "
+    "AND o.o_totalprice > 300000.0)",
+)
+
+_register(
+    "dtl_cross_join",
+    _dtl(
+        """
+        WITH region AS IMPORT 'region';
+        WITH output AS
+            SELECT a.r_name AS name_a, b.r_name AS name_b
+            FROM region AS a
+            CROSS JOIN region AS b;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT a.r_name AS name_a, b.r_name AS name_b FROM region a CROSS JOIN region b",
+)
+
+_register(
+    "dtl_distinct",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    headline=True,
+)
+
+_register(
+    "dtl_q1_pricing_summary",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT
+                l_returnflag,
+                l_linestatus,
+                round_to(sum(l_quantity), 2) AS sum_qty,
+                round_to(sum(l_extendedprice), 2) AS sum_base_price,
+                round_to(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                round_to(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+                round_to(avg(l_quantity), 2) AS avg_qty,
+                round_to(avg(l_extendedprice), 2) AS avg_price,
+                round_to(avg(l_discount), 2) AS avg_disc,
+                count() AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp('2000-12-01 00:00:00')
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge, "
+    "round(avg(l_quantity), 2) AS avg_qty, "
+    "round(avg(l_extendedprice), 2) AS avg_price, "
+    "round(avg(l_discount), 2) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+    headline=True,
+)
+
+_register(
+    "dtl_q3_shipping_priority",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH orders AS IMPORT 'orders';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT
+                l_orderkey,
+                round_to(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                o_orderdate,
+                o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+                & o_orderdate < timestamp('1997-06-15 00:00:00')
+                & l_shipdate > timestamp('1997-06-15 00:00:00')
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT l_orderkey, "
+    "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00' "
+    "AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    headline=True,
+)
+
+_register(
+    "dtl_q5_local_supplier",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH orders AS IMPORT 'orders';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH supplier AS IMPORT 'supplier';
+        WITH nation AS IMPORT 'nation';
+        WITH region AS IMPORT 'region';
+        WITH output AS
+            SELECT
+                n_name,
+                round_to(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey & c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+                & o_orderdate >= timestamp('1997-01-01 00:00:00')
+                & o_orderdate < timestamp('1998-01-01 00:00:00')
+            GROUP BY n_name
+            ORDER BY revenue DESC;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT n_name, "
+    "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' "
+    "AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "GROUP BY n_name ORDER BY revenue DESC",
+    headline=True,
+)
+
+_register(
+    "dtl_group_by_having",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT l_suppkey, count() AS n, round_to(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY l_suppkey
+            HAVING count() > 10
+            ORDER BY l_suppkey;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS qty "
+    "FROM lineitem GROUP BY l_suppkey HAVING count(*) > 10",
+)
+
+_register(
+    "dtl_global_agg",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT count() AS n_rows,
+                   round_to(sum(l_extendedprice), 2) AS total_price,
+                   round_to(avg(l_discount), 4) AS avg_disc,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT count(*) AS n_rows, round(sum(l_extendedprice), 2) AS total_price, "
+    "round(avg(l_discount), 4) AS avg_disc, min(l_extendedprice) AS min_price, "
+    "max(l_extendedprice) AS max_price FROM lineitem",
+)
+
+_register(
+    "dtl_order_limit",
+    _dtl(
+        """
+        WITH orders AS IMPORT 'orders';
+        WITH output AS
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 25;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25",
+)
+
+_register(
+    "dtl_union",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH supplier AS IMPORT 'supplier';
+        WITH cn AS SELECT c_nationkey AS nationkey FROM customer;
+        WITH sn AS SELECT s_nationkey AS nationkey FROM supplier;
+        WITH output AS cn UNION sn;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "UNION SELECT s_nationkey AS nationkey FROM supplier",
+)
+
+_register(
+    "dtl_except",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH supplier AS IMPORT 'supplier';
+        WITH cn AS SELECT c_nationkey AS nationkey FROM customer;
+        WITH sn AS SELECT s_nationkey AS nationkey FROM supplier;
+        WITH output AS cn EXCEPT sn;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT c_nationkey AS nationkey FROM customer "
+    "EXCEPT SELECT s_nationkey AS nationkey FROM supplier",
+)
+
+_register(
+    "dtl_scalar_functions",
+    _dtl(
+        """
+        WITH documents AS IMPORT 'documents';
+        WITH output AS
+            SELECT doc_id, upper(lang) AS lang_u, length(text) AS len,
+                   substr(text, 1, 20) AS head,
+                   concat(lang, '-', source) AS tag
+            FROM documents;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT doc_id, upper(lang) AS lang_u, CAST(length(text) AS BIGINT) AS len, "
+    "substr(text, 1, 20) AS head, concat(lang, '-', source) AS tag FROM documents",
+)
+
+_register(
+    "dtl_temporal",
+    _dtl(
+        """
+        WITH orders AS IMPORT 'orders';
+        WITH output AS
+            SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m
+            FROM orders
+            WHERE o_orderdate >= timestamp('1998-01-01 00:00:00')
+                & o_orderdate < timestamp('1999-01-01 00:00:00');
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m "
+    "FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'",
+)
+
+_register(
+    "dtl_conditional",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH output AS
+            SELECT c_custkey,
+                   if(c_acctbal < 0.0, 'negative', 'ok') AS status,
+                   coalesce(c_name, 'unknown') AS name
+            FROM customer;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT c_custkey, CASE WHEN c_acctbal < 0.0 THEN 'negative' ELSE 'ok' END "
+    "AS status, coalesce(c_name, 'unknown') AS name FROM customer",
+)
+
+# ---------------------------------------------------------------------------
+# Group B — training-data pipeline extensions (M6)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+)
+
+
+def _q_token_count(spark, sf_dir):
+    return text.token_count(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+
+
+_register(
+    "doc_token_count",
+    _q_token_count,
+    f"SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents",
+    headline=True,
+)
+
+
+def _q_quality(spark, sf_dir):
+    return text.quality_features(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "n_words",
+        "n_punct",
+        "n_stopwords",
+        "mean_word_len",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_STOPS_SQL = "['" + "', '".join(text.STOPWORDS_EN) + "']"
+
+_register(
+    "doc_quality_score",
+    _q_quality,
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPS_SQL}, lower(t)))) AS BIGINT) AS n_stopwords
+        FROM documents
+    ), ratios AS (
+        SELECT doc_id, n_words, n_punct, n_stopwords,
+               CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END AS mean_word_len,
+               CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_words > 0 THEN n_stopwords / n_words ELSE 0.0 END AS stopword_ratio
+        FROM base
+    )
+    SELECT doc_id, n_words, n_punct, n_stopwords, mean_word_len, punct_ratio,
+           stopword_ratio,
+           least(n_words / 100.0, 1.0) * 0.4
+             + least(stopword_ratio * 5.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score
+    FROM ratios
+    """,
+    headline=True,
+)
+
+
+def _q_lang_id(spark, sf_dir):
+    return text.lang_id(_read(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
+
+
+def _lang_oracle() -> str:
+    score_cols = []
+    for lang in sorted(text.LANG_MARKERS):
+        markers = "['" + "', '".join(text.LANG_MARKERS[lang]) + "']"
+        score_cols.append(
+            f"CAST(len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)), "
+            f"t -> list_contains({markers}, t))) AS BIGINT) AS s_{lang}"
+        )
+    langs = sorted(text.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return (
+        "WITH s AS (SELECT doc_id, "
+        + ", ".join(score_cols)
+        + " FROM documents) SELECT doc_id, "
+        + case
+        + " AS pred_lang FROM s"
+    )
+
+
+_register("doc_lang_id", _q_lang_id, _lang_oracle(), headline=True)
+
+
+def _q_fingerprint(spark, sf_dir):
+    return text.fingerprint_md5(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+_register(
+    "doc_fingerprint_md5",
+    _q_fingerprint,
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) "
+    "AS fingerprint FROM documents",
+)
+
+
+def _q_rolling_fp(spark, sf_dir):
+    return text.rolling_fingerprint(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "rolling_fp"
+    )
+
+
+_register("doc_rolling_fingerprint", _q_rolling_fp, None)  # xxhash64: no SQL oracle
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup_canonical(
+        _read(spark, sf_dir, "documents"), "doc_id", ["text"]
+    ).select("doc_id", "text")
+
+
+_register(
+    "dedup_exact",
+    _q_dedup_exact,
+    "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text FROM documents GROUP BY text",
+    headline=True,
+)
+
+
+def _q_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), n=3, threshold=0.3
+    )
+
+
+_register(
+    "dedup_ngram_jaccard",
+    _q_jaccard,
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                 ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(s) AS f FROM sh
+    ), sz AS (
+        SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM sh
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+           sa.sz AS size_a, sb.sz AS size_b,
+           common / (sa.sz + sb.sz - common) AS jaccard
+    FROM common
+    JOIN sz sa ON common.id_a = sa.doc_id
+    JOIN sz sb ON common.id_b = sb.doc_id
+    WHERE common / (sa.sz + sb.sz - common) >= 0.3
+    """,
+    headline=True,
+)
+
+
+def _q_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _read(spark, sf_dir, "documents"), n=3, num_hashes=64, bands=16, threshold=0.3
+    )
+
+
+_register("dedup_minhash_lsh", _q_minhash, None, headline=True)  # xxhash64-based
+
+
+def _q_simhash(spark, sf_dir):
+    return dedup.simhash_near_pairs(
+        _read(spark, sf_dir, "documents"), max_hamming=8, blocks=4
+    )
+
+
+_register("dedup_simhash", _q_simhash, None)  # xxhash64-based
+
+
+def _q_embed_near_dup(spark, sf_dir):
+    return dedup.embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.42
+    ).select("id_a", "id_b")
+
+
+_register("dedup_embedding_cosine", _q_embed_near_dup, None)  # approximate (LSH)
+
+
+def _q_topk(spark, sf_dir):
+    corpus = _read(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(corpus, queries, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_register(
+    "similarity_topk_cosine",
+    _q_topk,
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+    headline=True,
+)
+
+
+def _q_topk_lsh(spark, sf_dir):
+    corpus = _read(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_bucketed_topk(corpus, queries, k=10).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_register("similarity_topk_lsh", _q_topk_lsh, None)  # approximate by design
+
+
+def _q_tumbling(spark, sf_dir):
+    return tumbling_event_stats(_read_events(spark, sf_dir), "1 hour")
+
+
+_register(
+    "events_tumbling_stats",
+    _q_tumbling,
+    "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+    "count(*) AS n_events, round(sum(value), 2) AS value_sum "
+    "FROM events GROUP BY 1, 2",
+    headline=True,
+)
+
+
+def _q_sliding(spark, sf_dir):
+    return sliding_event_counts(_read_events(spark, sf_dir), "1 hour", "30 minutes")
+
+
+_register(
+    "events_sliding_counts",
+    _q_sliding,
+    """
+    WITH starts AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type FROM events
+    )
+    SELECT window_start, event_type, count(*) AS n_events FROM starts GROUP BY 1, 2
+    """,
+)
+
+
+def _q_sessions(spark, sf_dir):
+    # second-truncated session bounds: the raw parquet timestamps carry
+    # nanosecond precision DuckDB keeps but Spark floors to microseconds;
+    # truncating both sides to seconds makes the comparison resolution-proof
+    return session_windows(_read_events(spark, sf_dir), "30 minutes").select(
+        F.date_trunc("second", F.col("session_start")).alias("session_start_s"),
+        F.date_trunc("second", F.col("session_end")).alias("session_end_s"),
+        "user_id",
+        "n_events",
+    )
+
+
+_register(
+    "events_session_windows",
+    _q_sessions,
+    """
+    WITH o AS (
+        SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ), f AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ), i AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS island
+        FROM f
+    )
+    SELECT date_trunc('second', min(ts)) AS session_start_s,
+           date_trunc('second', max(ts) + INTERVAL '30 minutes') AS session_end_s,
+           user_id, count(*) AS n_events
+    FROM i GROUP BY user_id, island
+    """,
+    headline=True,
+)
+
+
+def _q_multimodal(spark, sf_dir):
+    assets = multimodal.synth_assets(spark, n=256)
+    return multimodal.extract_image_features(assets, fake=True)
+
+
+_register("multimodal_image_features", _q_multimodal, None)  # stubbed decode

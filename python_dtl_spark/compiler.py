@@ -166,9 +166,7 @@ class ExprCompiler:
         builtin = fnlib.SCALARS.get(node.name)
         if builtin is None:
             raise DtlNameError(f"compilation error: unknown function {node.name!r}")
-        compiled = [self.compile(arg) for arg in node.args]
-        result_dtype = builtin.check([dt for _, dt in compiled])
-        return builtin.build(*[c for c, _ in compiled]), result_dtype
+        return build_scalar_call(builtin, node, self.compile)
 
 
 def derive_name(expr: n.Expression) -> str:
@@ -523,9 +521,7 @@ class Engine:
                     raise DtlNameError(
                         f"compilation error: unknown function {expr.name!r}"
                     )
-                compiled_args = [compile_item(a) for a in expr.args]
-                result_dtype = builtin.check([dt for _, dt in compiled_args])
-                return builtin.build(*[c for c, _ in compiled_args]), result_dtype
+                return build_scalar_call(builtin, expr, compile_item)
             if isinstance(expr, n.ColumnRef):
                 raise DtlNameError(
                     f"compilation error: column {expr.name!r} must appear in "
@@ -554,9 +550,20 @@ class Engine:
                 raise DtlTypeError(
                     f"Type error: HAVING predicate is {having_compiled[1]}, not BOOL"
                 )
-        order_compiled = [
-            (compile_item(item.expression), item.descending) for item in node.order_by
-        ]
+        # ORDER BY here resolves output aliases first (SQL semantics),
+        # then arbitrary expressions over keys/aggregates.
+        item_map = {name: compiled for name, compiled in compiled_items}
+        order_compiled: list[tuple[tuple[Column, DType], bool]] = []
+        for item in node.order_by:
+            e = item.expression
+            if (
+                isinstance(e, n.ColumnRef)
+                and e.namespace is None
+                and e.name in item_map
+            ):
+                order_compiled.append((item_map[e.name], item.descending))
+            else:
+                order_compiled.append((compile_item(e), item.descending))
 
         aggs = [col.alias(slot) for slot, col in agg_slots]
         order_col = None
@@ -579,6 +586,20 @@ class Engine:
         if having_compiled is not None:
             agged = agged.filter(having_compiled[0])
 
+        # ORDER BY / LIMIT apply pre-projection so sort expressions can
+        # reference aggregate slots that the projection drops.
+        if order_compiled:
+            sort_cols = [
+                (F.desc(col) if desc else F.asc(col))
+                for (col, _dtype), desc in order_compiled
+            ]
+            agged = agged.orderBy(*sort_cols)
+            if order_col is not None:
+                w = Window.orderBy(*sort_cols)
+                agged = agged.withColumn(ORDER_COL, F.row_number().over(w))
+        if node.limit is not None:
+            agged = agged.limit(node.limit)
+
         dedup: dict[str, tuple[Column, DType]] = {}
         for name, (col, dtype) in compiled_items:
             dedup[name] = (col, dtype)
@@ -590,38 +611,35 @@ class Engine:
             agged = agged.select(*select_list)
 
         result = CompiledTable(df=agged, columns=out_cols, order_col=order_col)
-        result = self._apply_distinct(result, node.distinct)
-        return self._apply_order_limit(result, node, order_compiled)
+        if node.distinct is not None:
+            if order_compiled:
+                raise DtlNameError(
+                    "compilation error: DISTINCT with both GROUP BY and "
+                    "ORDER BY is not supported"
+                )
+            result = self._apply_distinct(result, node.distinct)
+        return result
 
     # -- ORDER BY / LIMIT ---------------------------------------------------
 
     def _apply_order_limit(
-        self,
-        table: CompiledTable,
-        node: n.SelectExpression,
-        precompiled_order: list | None = None,
+        self, table: CompiledTable, node: n.SelectExpression
     ) -> CompiledTable:
         df = table.df
         order_col = table.order_col
         if node.order_by:
-            if precompiled_order is not None:
-                sort_cols = [
-                    (F.desc(col) if desc else F.asc(col))
-                    for (col, _dtype), desc in precompiled_order
-                ]
-            else:
-                # ORDER BY on a plain select refers to output columns
-                out_scope = [
-                    ScopeColumn(
-                        name=name, namespaces=frozenset({None}), phys=name, dtype=dtype
-                    )
-                    for name, dtype in table.columns
-                ]
-                compiler = ExprCompiler(out_scope)
-                sort_cols = []
-                for item in node.order_by:
-                    col, _ = compiler.compile(item.expression)
-                    sort_cols.append(F.desc(col) if item.descending else F.asc(col))
+            # ORDER BY on a plain select refers to output columns
+            out_scope = [
+                ScopeColumn(
+                    name=name, namespaces=frozenset({None}), phys=name, dtype=dtype
+                )
+                for name, dtype in table.columns
+            ]
+            compiler = ExprCompiler(out_scope)
+            sort_cols = []
+            for item in node.order_by:
+                col, _ = compiler.compile(item.expression)
+                sort_cols.append(F.desc(col) if item.descending else F.asc(col))
             df = df.orderBy(*sort_cols)
             if order_col is not None:
                 # ORDER BY redefines row order; re-derive the hidden order
@@ -705,6 +723,36 @@ def build_binary(op: str, lc: Column, lt: DType, rc: Column, rt: DType) -> tuple
             raise DtlTypeError(f"Type error: {lt} {op} {rt}")
         return (lc & rc) if op == "&" else (lc | rc), DType.BOOL
     raise DtlNameError(f"compilation error: unknown operator {op!r}")
+
+
+_LITERAL_DTYPES = {
+    "int": DType.INT64,
+    "float": DType.DOUBLE,
+    "string": DType.TEXT,
+    "bool": DType.BOOL,
+}
+
+
+def build_scalar_call(builtin, node: n.FunctionCall, compile_arg) -> tuple[Column, DType]:
+    """Compile a scalar builtin call; ``literal_args`` positions must be
+    literal constants and are handed to the builder as raw values."""
+    arg_dtypes: list[DType] = []
+    arg_values: list[object] = []
+    for i, arg in enumerate(node.args):
+        if i in builtin.literal_args:
+            if not isinstance(arg, n.Literal):
+                raise DtlTypeError(
+                    f"Type error: argument {i + 1} of {builtin.name} must be "
+                    "a literal constant"
+                )
+            arg_dtypes.append(_LITERAL_DTYPES[arg.kind])
+            arg_values.append(arg.value)
+        else:
+            col, dtype = compile_arg(arg)
+            arg_dtypes.append(dtype)
+            arg_values.append(col)
+    result_dtype = builtin.check(arg_dtypes)
+    return builtin.build(*arg_values), result_dtype
 
 
 def build_unary(op: str, oc: Column, ot: DType) -> tuple[Column, DType]:

@@ -28,14 +28,18 @@ class Builtin:
     name: str
     check: Callable[[list[DType]], DType]  # arg dtypes -> result dtype (raises)
     build: Callable[..., Column]
+    # argument positions that must be literal constants in the source and
+    # are passed to ``build`` as raw Python values (e.g. a round scale,
+    # which Spark requires as a plain int, not a Column)
+    literal_args: frozenset = frozenset()
 
 
 SCALARS: dict[str, Builtin] = {}
 AGGREGATES: dict[str, Builtin] = {}
 
 
-def _scalar(name: str, check, build) -> None:
-    SCALARS[name] = Builtin(name=name, check=check, build=build)
+def _scalar(name: str, check, build, literal_args: frozenset = frozenset()) -> None:
+    SCALARS[name] = Builtin(name=name, check=check, build=build, literal_args=literal_args)
 
 
 def _aggregate(name: str, check, build) -> None:
@@ -112,6 +116,12 @@ _scalar("sign", _check_numeric_unary("sign", DType.DOUBLE), lambda x: F.signum(x
 _scalar("ceil", _check_double_unary("ceil"), lambda x: F.ceil(x).cast("double"))
 _scalar("floor", _check_double_unary("floor"), lambda x: F.floor(x).cast("double"))
 _scalar("round", _check_double_unary("round"), lambda x: F.round(x, 0))
+_scalar(
+    "round_to",
+    _check_exact("round_to", [DType.DOUBLE, DType.INT64], DType.DOUBLE),
+    lambda x, scale: F.round(x, scale),
+    literal_args=frozenset({1}),
+)
 _scalar("sqrt", _check_double_unary("sqrt"), F.sqrt)
 _scalar("exp", _check_double_unary("exp"), F.exp)
 _scalar("ln", _check_double_unary("ln"), F.log)

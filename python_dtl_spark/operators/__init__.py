@@ -1,0 +1,13 @@
+"""Extension operators for large-scale training-data pipelines.
+
+These go beyond the reference's relational core (SURVEY.md §2.5 lists
+them as absent there): deduplication, similarity search, text analysis,
+and multimodal column handling.  All are pure DataFrame transformations
+— JVM-side built-ins wherever possible, Arrow-batched Pandas UDFs only
+where unavoidable — so they scale with partitioning, never collect to
+the driver, and compose with the DTL engine's outputs.
+"""
+
+from python_dtl_spark.operators import dedup, multimodal, similarity, text
+
+__all__ = ["dedup", "multimodal", "similarity", "text"]

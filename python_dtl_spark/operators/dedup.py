@@ -1,0 +1,365 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale design notes (the point of this module — SURVEY.md §6 / M6):
+
+* Exact dedup is a hash aggregation — one shuffle on the dedup key, no
+  driver involvement, AQE handles skew.
+* Candidate generation for near-dup is always *inverted-index shaped*:
+  explode to (feature, doc) pairs, self-join on feature, aggregate.
+  The join key is the feature hash, so Catalyst picks a shuffled hash
+  join; frequency capping (``max_feature_freq``) bounds the quadratic
+  blowup of hot features, which is the classic skew killer at 100 TB.
+* MinHash signatures use xxhash64 (JVM, vectorized), never Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_dtl_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Drop duplicate rows over ``cols`` (all columns when None)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def exact_dedup_canonical(
+    df: DataFrame, key_col: str, content_cols: list[str]
+) -> DataFrame:
+    """Exact dedup keeping the canonical (minimum-key) row per content
+    group — deterministic, unlike ``dropDuplicates``'s arbitrary pick."""
+    return df.groupBy(*[F.col(c) for c in content_cols]).agg(
+        F.min(F.col(key_col)).alias(key_col)
+    )
+
+
+def _shingles(text_col, n: int):
+    """Word n-gram shingles (distinct), built JVM-side."""
+    toks = tokens(F.lower(text_col))
+    if n == 1:
+        return F.array_distinct(toks)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_feature_freq: int | None = None,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    Inverted-index plan: explode shingles → self-join on shingle →
+    count common shingles per pair → Jaccard from exact set sizes.
+    ``max_feature_freq`` drops shingles present in more than that many
+    documents before the join — at scale, hot shingles (boilerplate)
+    otherwise contribute O(freq²) candidate pairs while carrying no
+    discriminating signal.
+
+    Output: (id_a, id_b, common, size_a, size_b, jaccard), id_a < id_b.
+    The Jaccard value is a single division of exact integers, so the
+    DuckDB oracle matches it bit-for-bit.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
+    )
+    sizes = base.select(F.col("__id"), F.size("__sh").cast("long").alias("__sz"))
+    exploded = base.select(F.col("__id"), F.explode("__sh").alias("__f"))
+    if max_feature_freq is not None:
+        freq_ok = (
+            exploded.groupBy("__f")
+            .count()
+            .filter(F.col("count") <= max_feature_freq)
+            .select("__f")
+        )
+        exploded = exploded.join(freq_ok, on="__f", how="inner")
+    left = exploded.select(F.col("__id").alias("id_a"), F.col("__f"))
+    right = exploded.select(F.col("__id").alias("id_b"), F.col("__f"))
+    common = (
+        left.join(right, on="__f", how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("size_a")),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("size_b")),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signatures: per permutation i, min over shingles of
+    xxhash64(shingle, seed=i).  One explode + one groupBy — the agg is
+    ``min`` per permutation, fully map-side combinable."""
+    base = df.select(
+        F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
+    )
+    exploded = base.select(F.col("__id"), F.explode("__sh").alias("__f"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__f"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    shingle → minhash signature → hash each band of rows → bucket-join
+    on (band, bucket) → candidate pairs → verify with exact Jaccard.
+    Candidate generation is a self-join on band buckets, so cost is
+    bounded by bucket occupancy rather than O(N²); the exact-Jaccard
+    verification only runs on candidates.
+
+    Output: (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        members = [
+            F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_cols.append(F.xxhash64(*members).alias(f"band_{b}"))
+    banded = sigs.select(F.col(id_col).alias("__id"), *band_cols)
+    buckets = banded.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        buckets.alias("l")
+        .join(buckets.alias("r"), on=["band", "bucket"], how="inner")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .dropDuplicates()
+    )
+    exact = ngram_jaccard_pairs(
+        df, id_col=id_col, text_col=text_col, n=n, threshold=0.0
+    ).select("id_a", "id_b", "jaccard")
+    return (
+        cand.join(exact, on=["id_a", "id_b"], how="inner")
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens: per bit, sign of the sum of ±1 votes
+    from each token's xxhash64.  Computed JVM-side: explode tokens,
+    aggregate per-bit majority via bitwise arithmetic."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+    ).withColumn("__h", F.xxhash64(F.col("__t")))
+    # vote for bit i: +1 if hash bit set else -1; sum > 0 → bit set
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    votes = toks.groupBy("__id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        # bit 63 is the sign bit of a long: 1<<63 as a Python int overflows
+        # LongType, but its two's-complement value is -(1<<63)
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        sim = sim + F.when(F.col(f"b_{i}") > 0, F.lit(weight).cast("long")).otherwise(0)
+    return votes.select(F.col("__id").alias(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Pigeonhole blocking: split the 64-bit hash into ``blocks`` chunks —
+    any pair within ``max_hamming < blocks`` must agree exactly on at
+    least one chunk, so candidates come from equi-joins on chunk values
+    (shuffle-friendly), then exact Hamming verification via bit_count.
+    """
+    hashed = simhash(df, id_col=id_col, text_col=text_col)
+    width = 64 // blocks
+    chunks = hashed.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select("__id", "simhash", F.col("bc.blk").alias("blk"), F.col("bc.chunk").alias("chunk"))
+    cand = (
+        chunks.alias("l")
+        .join(chunks.alias("r"), on=["blk", "chunk"], how="inner")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicates: cosine ≥ threshold.
+
+    Random-hyperplane LSH bucketing (sign pattern of ``planes`` fixed
+    pseudo-random projections) generates candidates; exact cosine
+    verifies.  High-cosine pairs agree on most hyperplane signs, so one
+    bucket join plus neighbor buckets at Hamming distance 1 catches
+    nearly all true pairs without the O(N²) cross join.
+    """
+    import math
+    import random
+
+    rng = random.Random(seed)
+    dim = len(df.select(vec_col).first()[0])
+    hyperplanes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
+    ]
+
+    def signature(vec):
+        sig = F.lit(0).cast("long")
+        for p, plane in enumerate(hyperplanes):
+            dot = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
+        return sig
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        signature(F.col(vec_col)).alias("__sig"),
+        norm.alias("__n"),
+    )
+    # probe own bucket + all Hamming-1 neighbor buckets
+    probes = base.select(
+        "__id",
+        "__v",
+        "__n",
+        F.explode(
+            F.array(
+                F.col("__sig"),
+                *[F.col("__sig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+            )
+        ).alias("__bucket"),
+    )
+    anchors = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("v_b"),
+        F.col("__n").alias("n_b"),
+        F.col("__sig").alias("__bucket"),
+    )
+    cand = (
+        probes.join(anchors, on="__bucket", how="inner")
+        .filter(F.col("__id") < F.col("id_b"))
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("id_b"),
+            F.col("__v").alias("v_a"),
+            F.col("v_b"),
+            F.col("__n").alias("n_a"),
+            F.col("n_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("v_a"), F.col("v_b"), lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the corpus, dot products via ``zip_with``/``aggregate``
+(JVM-side, no Python), ranking via a window partitioned by query (scales:
+each query's ranking is an independent partition).
+
+Scale path: IVF-style bucketed search — corpus pre-partitioned into
+buckets by random-hyperplane LSH; queries probe only matching buckets.
+At 1000 executors the bucket join shuffles a small fraction of the
+corpus per query instead of all of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _to_double(vec):
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Output: (query_id, neighbor_id, rank, cosine) — rank 1 = best; ties
+    broken by neighbor id for determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("__cv")
+    ).withColumn("__cn", _norm(F.col("__cv")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    joined = c.join(broadcast(q), how="cross")
+    if not include_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine", _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    planes: int = 8,
+    seed: int = 11,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucketing + multiprobe.
+
+    The corpus is hashed once into 2^planes buckets; each query probes
+    its own bucket plus all buckets within Hamming distance
+    ``multiprobe_bits``.  Recall/latency trades off via ``planes`` and
+    ``multiprobe_bits``.  Same output schema as ``cosine_topk``.
+    """
+    import random
+
+    rng = random.Random(seed)
+    dim = len(corpus.select(vec_col).first()[0])
+    hyperplanes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+    def signature(vec):
+        sig = F.lit(0).cast("long")
+        for p, plane in enumerate(hyperplanes):
+            dot = _dot(vec, F.array(*[F.lit(w) for w in plane]))
+            sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
+        return sig
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _to_double(F.col(vec_col)).alias("__cv"),
+        )
+        .withColumn("__cn", _norm(F.col("__cv")))
+        .withColumn("__bucket", signature(F.col("__cv")))
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _to_double(F.col(vec_col)).alias("__qv"),
+        )
+        .withColumn("__qn", _norm(F.col("__qv")))
+        .withColumn("__sig", signature(F.col("__qv")))
+    )
+    probe_buckets = [F.col("__sig")]
+    if multiprobe_bits >= 1:
+        probe_buckets += [F.col("__sig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+    q = q.select(
+        "query_id", "__qv", "__qn", F.explode(F.array(*probe_buckets)).alias("__bucket")
+    )
+    joined = c.join(broadcast(q), on="__bucket", how="inner").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.withColumn(
+        "cosine", _dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

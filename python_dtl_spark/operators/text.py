@@ -1,0 +1,143 @@
+"""Text-analysis operators over document tables.
+
+All operators are built exclusively from ``pyspark.sql.functions`` —
+no Python UDFs — so they run inside whole-stage codegen and scale
+linearly with partitions.  Each has a matching ANSI-SQL oracle in
+``__spark_entry__.oracle_sql`` where the semantics are SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/keyword language-ID
+# heuristic.  Deterministic and intentionally simple: the score is the
+# number of marker-token occurrences; ties break by language code order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "zh": ["de", "shi", "bu", "le", "wo"],
+}
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "from",
+]
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenization → array<string> without empty tokens."""
+    return F.filter(
+        F.split(F.trim(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count per document."""
+    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))).cast("long"))
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word token-count estimate: words (runs of alphanumerics) plus
+    standalone punctuation marks, scaled by the usual ~1.3 BPE fertility
+    factor — a deterministic stand-in for a real BPE tokenizer."""
+    words = F.size(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+        )
+    ).cast("long")
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[a-zA-Z0-9\s]", "")).cast("long")
+    return df.withColumn(
+        "n_tokens_bpe", F.ceil(words.cast("double") * F.lit(1.3)).cast("long") + punct
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality-scoring features: lengths, word stats,
+    punctuation/stopword ratios and a composite score in [0, 1].
+
+    Every feature is exact integer/float arithmetic over counts, so a
+    SQL oracle reproduces it bit-for-bit.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_chars = F.length(text).cast("long")
+    n_words = F.size(toks).cast("long")
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
+    ).cast("long")
+    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
+    # composite: reward stopword presence and moderate length; penalize
+    # heavy punctuation.  Clamped to [0, 1].
+    raw = (
+        F.least(n_words.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("n_punct", n_punct)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", raw)
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language identification via marker-token counting.
+
+    Scores each candidate language by total occurrences of its marker
+    tokens; the argmax wins, ties broken by language-code order, zero
+    evidence → 'und'.  A crude n-gram-free heuristic, but fully
+    deterministic and whole-stage-codegen friendly.
+    """
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        scores.append((lang, score))
+    best_score = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, score in reversed(scores):
+        pred = F.when(score == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
+    return df.withColumn("pred_lang", pred)
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-content fingerprint: md5 over the normalized text
+    (lowercased, whitespace collapsed)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(normalized.cast("binary")))
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling fingerprint over the token stream:
+    polynomial rolling hash mod 2^31-1, base 31, xxhash64 per token.
+
+    The modulus keeps every intermediate below 2^36, so the fold is safe
+    under Spark's default ANSI overflow checking.  Not SQL-portable
+    (xxhash64 is Spark-specific) — correctness is covered by unit tests
+    instead of the DuckDB oracle.
+    """
+    p = F.lit((1 << 31) - 1).cast("long")
+    toks = tokens(F.col(text_col))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), p)) % p,
+    )
+    return df.withColumn("rolling_fp", fp)

@@ -1,0 +1,102 @@
+"""Structured Streaming extension (absent from the reference, which is
+strictly batch — SURVEY.md §2.5; the ``events`` test table anticipates
+this).
+
+Design: every transformation here is written against a plain DataFrame
+and works identically on a batch frame (``spark.read``) and a streaming
+frame (``spark.readStream``) — the standard Spark pattern for testable
+streaming logic.  Batch parity is what the DuckDB oracle checks; the
+streaming path adds watermarks for late data and is exercised by the
+file-source streaming tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_event_stats(
+    df: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per tumbling window × event type: event count and value sum."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col(value_col)), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(type_col),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sliding_event_counts(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    return (
+        df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), F.col(type_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), F.col(type_col), "n_events")
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per user: a session ends after ``gap`` of
+    inactivity (F.session_window — stateful in streaming mode)."""
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(user_col),
+            "n_events",
+        )
+    )
+
+
+def stream_events(
+    spark,
+    path: str,
+    schema,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """File-source streaming read with a watermark for late data."""
+    return (
+        spark.readStream.schema(schema)
+        .parquet(path)
+        .withWatermark(ts_col, watermark)
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str, mode: str = "complete"):
+    """Drive a streaming DataFrame into an in-memory sink (tests/demos).
+
+    Returns the StreamingQuery; caller awaits ``processAllAvailable`` and
+    reads ``spark.table(query_name)``.
+    """
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .start()
+    )

@@ -1,0 +1,368 @@
+"""Tests for features the reference parses-but-never-executes (tier 2/3,
+SURVEY.md §2) promoted to real features, plus engine extensions."""
+
+import pyarrow as pa
+import pytest
+
+from python_dtl_spark.errors import DtlNameError, DtlTypeError
+
+
+def run1(run_dtl, body, data, output="output"):
+    return run_dtl(body, {k: pa.table(v) for k, v in data.items()})[output]
+
+
+def test_comparisons(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS SELECT a FROM input WHERE a >= 2 & a < 5;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"a": [1, 2, 3, 4, 5, 6]}},
+    )
+    assert out == pa.table({"a": [2, 3, 4]})
+
+
+def test_not_equal_and_or_not(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS SELECT a FROM input WHERE !(a != 1) | a = 4;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"a": [1, 2, 3, 4]}},
+    )
+    assert out == pa.table({"a": [1, 4]})
+
+
+def test_distinct(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS SELECT DISTINCT a, b FROM input;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"a": [1, 1, 2, 2, 1], "b": ["x", "x", "y", "y", "z"]}},
+    )
+    # first occurrence kept, import order preserved
+    assert out == pa.table({"a": [1, 2, 1], "b": ["x", "y", "z"]})
+
+
+def test_distinct_consecutive(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS SELECT DISTINCT CONSECUTIVE a FROM input;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"a": [1, 1, 2, 2, 2, 1, 3, 3]}},
+    )
+    assert out == pa.table({"a": [1, 2, 1, 3]})
+
+
+def test_group_by(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS
+            SELECT k, sum(v) AS total, count() AS n
+            FROM input GROUP BY k ORDER BY k;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"k": [1, 2, 1, 2, 3], "v": [10, 20, 30, 40, 50]}},
+    )
+    assert out == pa.table({"k": [1, 2, 3], "total": [40, 60, 50], "n": [2, 2, 1]})
+
+
+def test_group_by_having_order_limit(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS
+            SELECT k, count() AS n FROM input
+            GROUP BY k HAVING count() > 1 ORDER BY n DESC, k LIMIT 2;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"k": [1, 1, 1, 2, 2, 3, 4, 4]}},
+    )
+    assert out == pa.table({"k": [1, 2], "n": [3, 2]})
+
+
+def test_group_by_expression_in_post_agg_arithmetic(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS
+            SELECT k, sum(v) / count() AS mean FROM input GROUP BY k ORDER BY k;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"k": [1, 1, 2], "v": [10, 20, 7]}},
+    )
+    assert out == pa.table({"k": [1, 2], "mean": [15, 7]})
+
+
+def test_global_aggregation_without_group_by(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS SELECT count() AS n, sum(v) AS s, max(v) AS mx FROM input;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"v": [5, 1, 9, 3]}},
+    )
+    assert out == pa.table({"n": [4], "s": [18], "mx": [9]})
+
+
+def test_group_consecutive_by(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS
+            SELECT k, sum(v) AS total FROM input GROUP CONSECUTIVE BY k;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"k": [1, 1, 2, 2, 1, 1], "v": [1, 2, 3, 4, 5, 6]}},
+    )
+    # runs: [1,1] [2,2] [1,1] — adjacency grouping, not global
+    assert out == pa.table({"k": [1, 2, 1], "total": [3, 7, 11]})
+
+
+def test_join_using(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH a AS IMPORT 'a';
+        WITH b AS IMPORT 'b';
+        WITH output AS SELECT k, x, y FROM a JOIN b USING (k);
+        EXPORT output TO 'output';
+        """,
+        {
+            "a": {"k": [1, 2, 3], "x": ["p", "q", "r"]},
+            "b": {"k": [2, 3, 4], "y": ["Q", "R", "S"]},
+        },
+    )
+    assert out == pa.table({"k": [2, 3], "x": ["q", "r"], "y": ["Q", "R"]})
+
+
+def test_left_join(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH a AS IMPORT 'a';
+        WITH b AS IMPORT 'b';
+        WITH output AS SELECT a.k AS k, y FROM a LEFT JOIN b ON a.k = b.k;
+        EXPORT output TO 'output';
+        """,
+        {"a": {"k": [1, 2, 3]}, "b": {"k": [2], "y": ["two"]}},
+    )
+    assert out == pa.table({"k": [1, 2, 3], "y": [None, "two", None]})
+
+
+def test_semi_and_anti_join(run_dtl):
+    data = {"a": {"k": [1, 2, 3, 4]}, "b": {"k": [2, 4, 4]}}
+    semi = run1(
+        run_dtl,
+        """
+        WITH a AS IMPORT 'a';
+        WITH b AS IMPORT 'b';
+        WITH output AS SELECT k FROM a SEMI JOIN b ON a.k = b.k;
+        EXPORT output TO 'output';
+        """,
+        data,
+    )
+    assert semi == pa.table({"k": [2, 4]})
+    anti = run1(
+        run_dtl,
+        """
+        WITH a AS IMPORT 'a';
+        WITH b AS IMPORT 'b';
+        WITH output AS SELECT k FROM a ANTI JOIN b ON a.k = b.k;
+        EXPORT output TO 'output';
+        """,
+        data,
+    )
+    assert anti == pa.table({"k": [1, 3]})
+
+
+def test_cross_join(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH a AS IMPORT 'a';
+        WITH b AS IMPORT 'b';
+        WITH output AS SELECT x, y FROM a CROSS JOIN b;
+        EXPORT output TO 'output';
+        """,
+        {"a": {"x": [1, 2]}, "b": {"y": ["u", "v"]}},
+    )
+    # left-major deterministic order (reference eval.py:168-171)
+    assert out == pa.table({"x": [1, 1, 2, 2], "y": ["u", "v", "u", "v"]})
+
+
+def test_union_all_and_except(run_dtl):
+    src = """
+    WITH a AS IMPORT 'a';
+    WITH b AS IMPORT 'b';
+    WITH u AS SELECT k FROM a UNION ALL SELECT k FROM b;
+    WITH e AS SELECT k FROM a EXCEPT SELECT k FROM b;
+    EXPORT u TO 'u';
+    EXPORT e TO 'e';
+    """
+    outs = run_dtl(
+        src,
+        {
+            "a": pa.table({"k": [1, 2, 3]}),
+            "b": pa.table({"k": [3, 4]}),
+        },
+    )
+    assert sorted(outs["u"]["k"].to_pylist()) == [1, 2, 3, 3, 4]
+    assert sorted(outs["e"]["k"].to_pylist()) == [1, 2]
+
+
+def test_order_by_limit(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS SELECT a FROM input ORDER BY a DESC LIMIT 3;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"a": [5, 1, 9, 3, 7]}},
+    )
+    assert out == pa.table({"a": [9, 7, 5]})
+
+
+def test_duplicate_output_name_last_wins(run_dtl):
+    # reference ast_to_ir.py:622-628: position of first occurrence,
+    # value of last binding
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS SELECT a AS x, b, b AS x FROM input;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"a": [1, 2], "b": [10, 20]}},
+    )
+    assert out == pa.table({"x": [10, 20], "b": [10, 20]})
+
+
+def test_scalar_functions(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS
+            SELECT upper(s) AS u, length(s) AS n, concat(s, '!') AS e,
+                   round_to(d * 1.5, 1) AS r
+            FROM input;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"s": ["ab", "cde"], "d": [1.0, 2.0]}},
+    )
+    assert out == pa.table(
+        {"u": ["AB", "CDE"], "n": [2, 3], "e": ["ab!", "cde!"], "r": [1.5, 3.0]}
+    )
+
+
+def test_strict_type_error_int_plus_double(run_dtl):
+    with pytest.raises(DtlTypeError):
+        run1(
+            run_dtl,
+            """
+            WITH input AS IMPORT 'input';
+            WITH output AS SELECT a + 1.5 AS x FROM input;
+            EXPORT output TO 'output';
+            """,
+            {"input": {"a": [1, 2]}},
+        )
+
+
+def test_strict_type_error_text_compare_int(run_dtl):
+    with pytest.raises(DtlTypeError):
+        run1(
+            run_dtl,
+            """
+            WITH input AS IMPORT 'input';
+            WITH output AS SELECT * FROM input WHERE s = 1;
+            EXPORT output TO 'output';
+            """,
+            {"input": {"s": ["a"]}},
+        )
+
+
+def test_unknown_column_error(run_dtl):
+    with pytest.raises(DtlNameError):
+        run1(
+            run_dtl,
+            """
+            WITH input AS IMPORT 'input';
+            WITH output AS SELECT nope FROM input;
+            EXPORT output TO 'output';
+            """,
+            {"input": {"a": [1]}},
+        )
+
+
+def test_no_derivable_name_error(run_dtl):
+    with pytest.raises(DtlNameError):
+        run1(
+            run_dtl,
+            """
+            WITH input AS IMPORT 'input';
+            WITH output AS SELECT a + a FROM input;
+            EXPORT output TO 'output';
+            """,
+            {"input": {"a": [1]}},
+        )
+
+
+def test_integer_division_truncates(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS SELECT a / b AS q FROM input;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"a": [7, -7, 9], "b": [2, 2, 3]}},
+    )
+    assert out == pa.table({"q": [3, -3, 3]})
+
+
+def test_chained_with_bindings(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH doubled AS SELECT a * 2 AS a FROM input;
+        WITH output AS SELECT a + 1 AS a FROM doubled;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"a": [1, 2, 3]}},
+    )
+    assert out == pa.table({"a": [3, 5, 7]})
+
+
+def test_self_join_with_aliases(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH t AS IMPORT 't';
+        WITH output AS
+            SELECT a.k AS left_k, b.k AS right_k
+            FROM t AS a JOIN t AS b ON a.k + 1 = b.k;
+        EXPORT output TO 'output';
+        """,
+        {"t": {"k": [1, 2, 3]}},
+    )
+    assert out == pa.table({"left_k": [1, 2], "right_k": [2, 3]})
