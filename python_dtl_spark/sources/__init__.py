@@ -48,6 +48,13 @@ class FileSystemImporter:
             alt = os.path.join(self._root, name)
             if os.path.exists(alt):
                 path = alt
+            else:
+                from python_dtl_spark.errors import DtlNameError
+
+                raise DtlNameError(
+                    f"compilation error: no input table {name!r} under "
+                    f"{self._root!r} (looked for {path!r})"
+                )
         if self._fmt == "parquet":
             return self._spark.read.parquet(path)
         if self._fmt == "csv":

@@ -1,0 +1,164 @@
+"""Unit tests for the pipeline extension operators (dedup, similarity,
+text, multimodal) on small synthetic frames with planted structure."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_dtl_spark.operators import dedup, multimodal, similarity, text
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "spark compiles dataframe plans into whole stage generated java code"),
+    (3, "completely different words about cooking pasta with fresh tomato sauce"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_canonical(docs):
+    out = dedup.exact_dedup_canonical(docs, "doc_id", ["text"])
+    rows = {r["text"]: r["doc_id"] for r in out.collect()}
+    assert len(rows) == 4  # 5 docs, one exact dup
+    assert rows[DOCS[0][1]] == 0  # canonical = min doc_id
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert (0, 4) in pairs and pairs[(0, 4)] == 1.0  # exact dup
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0  # near dup
+    assert (1, 4) in pairs
+    assert not any({a, b} & {2, 3} for a, b in pairs)  # unrelated docs clean
+
+
+def test_minhash_lsh_matches_exact_on_planted_dups(docs):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # LSH with 16 bands over 64 hashes has ~certain recall at J>=0.5
+    assert {(0, 4), (0, 1), (1, 4)} <= got
+    assert not any({a, b} & {2, 3} for a, b in got)
+    # verification stage reports the exact jaccard
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert j[(0, 4)] == 1.0
+
+
+def test_simhash_hamming_zero_for_exact_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, max_hamming=10).collect()
+    }
+    assert pairs[(0, 4)] == 0
+    assert (0, 1) in pairs  # near-dup within radius
+    assert (2, 3) not in pairs
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        ["doc_id", "text"],
+    )
+    fps = {r["doc_id"]: r["rolling_fp"] for r in text.rolling_fingerprint(df).collect()}
+    assert fps[0] == fps[1]  # deterministic
+    assert fps[0] != fps[2]  # order matters
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house"),
+            (1, "der hund und die katze und der vogel"),
+            (2, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "und"
+
+
+def test_quality_score_bounds(docs):
+    rows = text.quality_features(docs).collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["n_words"] > 0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "one two  three"), (1, "   "), (2, "a")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["n_tokens"] for r in text.token_count(df).collect()}
+    assert got == {0: 3, 1: 0, 2: 1}
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    # three clusters: ids 0/1 nearly parallel, 2 orthogonal-ish
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.01, 0.0]),
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(embeddings):
+    queries = embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk(embeddings, queries, k=2).collect()
+    ranked = [(r["rank"], r["neighbor_id"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == (1, 1)  # nearest is the near-parallel vector
+    assert ranked[1] == (2, 4)
+
+
+def test_embedding_near_dup(embeddings):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            embeddings, threshold=0.95, planes=6
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (2, 3) in pairs
+    assert (0, 2) not in pairs
+
+
+def test_multimodal_image_features_fake(spark):
+    assets = multimodal.synth_assets(spark, n=16)
+    feats = multimodal.extract_image_features(assets, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 16
+    assert all(64 <= r["width"] <= 319 for r in rows)
+    # deterministic across runs
+    again = multimodal.extract_image_features(assets, fake=True).collect()
+    assert sorted(r["phash"] for r in rows) == sorted(r["phash"] for r in again)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    assets = multimodal.synth_assets(spark, n=2)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        multimodal.extract_image_features(assets, fake=False).collect()
+
+
+def test_frame_sampling_fanout(spark):
+    assets = multimodal.synth_assets(spark, n=8, kind="video")
+    frames = multimodal.sample_frames(assets, every_n=4, fake=True)
+    rows = frames.collect()
+    assert len(rows) >= 8  # at least one frame per asset
+    assert all(r["frame_index"] % 4 == 0 for r in rows)

@@ -1,0 +1,109 @@
+"""Streaming extension tests: batch/stream parity of the shared
+transformations, driven through a real file-source readStream into a
+memory sink."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_dtl_spark.streaming import (
+    run_stream_to_memory,
+    session_windows,
+    sliding_event_counts,
+    stream_events,
+    tumbling_event_stats,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _events(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                base + dt.timedelta(minutes=7 * i),
+                i % 5,
+                ["view", "click", "purchase"][i % 3],
+                float(i % 10),
+            )
+        )
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return _events(spark)
+
+
+def test_tumbling_stats_batch(events):
+    out = tumbling_event_stats(events, "1 hour")
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == 200
+    # window starts align to the hour
+    assert all(r["window_start"].minute == 0 for r in rows)
+
+
+def test_sliding_counts_double_count(events):
+    out = sliding_event_counts(events, "1 hour", "30 minutes")
+    # every event lands in exactly two 1h/30m windows
+    assert sum(r["n_events"] for r in out.collect()) == 400
+
+
+def test_session_windows_gap(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, base, 1, "view", 0.0),
+        (1, base + dt.timedelta(minutes=10), 1, "view", 0.0),
+        (2, base + dt.timedelta(minutes=90), 1, "view", 0.0),  # new session
+        (3, base + dt.timedelta(minutes=5), 2, "view", 0.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = session_windows(df, "30 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 2
+    assert len(per_user[2]) == 1
+    first = min(per_user[1], key=lambda r: r["session_start"])
+    assert first["n_events"] == 2
+    assert first["session_end"] == base + dt.timedelta(minutes=40)  # last + gap
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """Same transformation over readStream (file source → memory sink)
+    must equal the batch result."""
+    events = _events(spark)
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+
+    stream = stream_events(spark, src, SCHEMA, watermark="2 hours")
+    q = run_stream_to_memory(
+        tumbling_event_stats(stream, "1 hour"), "tumbling_test", mode="complete"
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+            for r in spark.table("tumbling_test").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in tumbling_event_stats(events, "1 hour").collect()
+    }
+    assert streamed == batch
