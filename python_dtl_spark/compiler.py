@@ -26,7 +26,7 @@ Semantic fidelity points (SURVEY.md §1.4, §7):
 from __future__ import annotations
 
 import itertools
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -67,12 +67,32 @@ class CompiledTable:
     """A fully-compiled table: a (lazy) DataFrame plus the DTL schema.
 
     ``df`` holds exactly the logical columns by name, plus ``ORDER_COL``
-    when ``order_col`` is set (ordered mode).
+    when ``order_col`` is set (ordered mode), plus hidden row-id columns
+    in traced mode (SURVEY.md §2.7; reference mappings.py/manifest.py):
+
+    * ``uuid`` / ``rid_col`` — set once the table has been *finalized* as
+      a trace snapshot: ``rid_col`` is the physical column holding this
+      table's own row ids.
+    * ``src_rids`` — ``(source_table_uuid, phys_col)`` pairs: row ids of
+      contributing source rows threaded *by construction* through
+      projections/filters/joins (the Spark analogue of the reference's
+      Where/Pick candidate mappings, mappings.py:104-153).
+    * ``pending`` — ``(source_table_uuid, bridge_df, bridge_phys)``
+      deferred mappings for operators that destroy row identity
+      (aggregation/distinct/set ops): ``bridge_df`` has columns
+      ``__src_rid``/``__bridge`` and joins against this table's
+      ``bridge_phys`` column at finalization (many-to-one via group
+      keys — the reference computes these as relational joins on index
+      arrays too, mappings.py:310-322).
     """
 
     df: DataFrame
     columns: tuple[tuple[str, DType], ...]
     order_col: str | None = None
+    uuid: str | None = None
+    rid_col: str | None = None
+    src_rids: tuple[tuple[str, str], ...] = ()
+    pending: tuple[tuple[str, DataFrame, str], ...] = ()
 
     @property
     def column_names(self) -> list[str]:
@@ -102,6 +122,7 @@ class Scope:
     df: DataFrame
     columns: list[ScopeColumn]
     order_cols: list[str]  # physical hidden order columns, major → minor
+    rid_cols: list[tuple[str, str]] = field(default_factory=list)  # traced: (src_uuid, phys)
 
 
 class ExprCompiler:
@@ -198,11 +219,14 @@ class Engine:
     and small data.  ``ordered=False`` (default) is the scale path.
     """
 
-    def __init__(self, spark, importer, ordered: bool = False):
+    def __init__(self, spark, importer, ordered: bool = False, tracer=None):
         self.spark = spark
         self.importer = importer
         self.ordered = ordered
+        self.tracer = tracer
+        self.traced = tracer is not None
         self._ids = itertools.count()
+        self._trace_ids = itertools.count()
 
     # -- public API ---------------------------------------------------------
 
@@ -215,12 +239,75 @@ class Engine:
         exports: list[tuple[str, CompiledTable]] = []
         for stmt in script.statements:
             if isinstance(stmt, n.WithStatement):
-                env[stmt.name] = self.compile_table(stmt.expression, env)
+                table = self.compile_table(stmt.expression, env)
+                if self.traced:
+                    table = self._finalize_trace(stmt.name, table, "STATEMENT")
+                env[stmt.name] = table
             elif isinstance(stmt, n.ExportStatement):
-                exports.append((stmt.location, self.compile_table(stmt.expression, env)))
+                table = self.compile_table(stmt.expression, env)
+                if self.traced:
+                    table = self._finalize_trace(stmt.location, table, "EXPORT")
+                exports.append((stmt.location, table))
             else:
                 raise DtlNameError(f"compilation error: unsupported statement {stmt!r}")
         return exports
+
+    # -- trace finalization ---------------------------------------------------
+
+    def _finalize_trace(self, name: str, table: CompiledTable, level: str) -> CompiledTable:
+        """Snapshot a statement's table and emit its row-level mappings.
+
+        The Spark shape of the reference's tracer (io.py:75-122) +
+        candidate-mapping generation (mappings.py:41-275): assign this
+        table a fresh row id, materialize it once through the tracer
+        (so every downstream mapping/action sees identical ids), then
+        write one ``(src_rid, tgt_rid)`` pairs table per contributing
+        source — by-construction rids become direct projections;
+        deferred bridges become hash joins on the group key, exactly the
+        reference's ManyToMany∘ManyToMany recipe (mappings.py:310-322).
+        """
+        src_rids = list(table.src_rids)
+        if table.uuid is not None:
+            # passthrough of an already-finalized binding (TableRef /
+            # re-EXPORT): identity mapping via its own row ids
+            src_rids = [(table.uuid, table.rid_col)]
+        uid = f"t{next(self._trace_ids):03d}_{name}"
+        rid = self._phys("r")
+        df = table.df.withColumn(rid, F.monotonically_increasing_id())
+        full = self.tracer.materialize(uid, df)
+        self.tracer.record_table(
+            uid, name=name, level=level, columns=table.columns, rid_col=rid
+        )
+        for src_uuid, phys in src_rids:
+            # outer joins leave unmatched-side rids NULL — no source row
+            pairs = (
+                full.filter(F.col(phys).isNotNull())
+                .select(F.col(phys).alias("src_rid"), F.col(rid).alias("tgt_rid"))
+            )
+            self.tracer.record_mapping(src_uuid, uid, kind="by_construction", pairs=pairs)
+        for src_uuid, bridge_df, bridge_phys in table.pending:
+            pairs = (
+                bridge_df.join(
+                    full.select(
+                        F.col(bridge_phys).alias("__bridge2"), F.col(rid)
+                    ),
+                    F.col("__bridge") == F.col("__bridge2"),
+                )
+                .select(F.col("__src_rid").alias("src_rid"), F.col(rid).alias("tgt_rid"))
+                .dropDuplicates(["src_rid", "tgt_rid"])
+            )
+            self.tracer.record_mapping(src_uuid, uid, kind="by_key", pairs=pairs)
+        keep = list(table.column_names)
+        if table.order_col is not None:
+            keep.append(table.order_col)
+        keep.append(rid)
+        return CompiledTable(
+            df=full.select(*keep),
+            columns=table.columns,
+            order_col=table.order_col,
+            uuid=uid,
+            rid_col=rid,
+        )
 
     # -- table expressions --------------------------------------------------
 
@@ -281,7 +368,17 @@ class Engine:
             ophys = self._phys("o")
             selects.append(F.col(binding.order_col).alias(ophys))
             order_cols.append(ophys)
-        return Scope(df=binding.df.select(*selects), columns=columns, order_cols=order_cols)
+        rid_cols: list[tuple[str, str]] = []
+        if self.traced and binding.rid_col is not None:
+            rphys = self._phys("r")
+            selects.append(F.col(binding.rid_col).alias(rphys))
+            rid_cols.append((binding.uuid, rphys))
+        return Scope(
+            df=binding.df.select(*selects),
+            columns=columns,
+            order_cols=order_cols,
+            rid_cols=rid_cols,
+        )
 
     def _apply_join(self, scope: Scope, clause: n.JoinClause, env: dict) -> Scope:
         right = self._scope_from_source(clause.source, env)
@@ -327,13 +424,19 @@ class Engine:
 
         if clause.how in ("semi", "anti"):
             # Right side exists only inside the predicate.
-            return Scope(df=df, columns=list(scope.columns), order_cols=scope.order_cols)
+            return Scope(
+                df=df,
+                columns=list(scope.columns),
+                order_cols=scope.order_cols,
+                rid_cols=scope.rid_cols,
+            )
         # Join output order is left-major deterministic (reference
         # eval.py:168-171): left orders are major keys, right minor.
         return Scope(
             df=df,
             columns=list(combined_cols),
             order_cols=scope.order_cols + right.order_cols,
+            rid_cols=scope.rid_cols + right.rid_cols,
         )
 
     def _combine_orders(self, scope_df: DataFrame, order_cols: list[str]) -> tuple[DataFrame, str | None]:
@@ -399,13 +502,19 @@ class Engine:
         select_list = [col.alias(name) for name, (col, _) in dedup.items()]
 
         df, order_col = self._combine_orders(scope.df, scope.order_cols)
+        hidden = [F.col(p) for _, p in scope.rid_cols]
         if order_col is not None:
-            df = df.select(*select_list, F.col(order_col).alias(ORDER_COL))
+            df = df.select(*select_list, F.col(order_col).alias(ORDER_COL), *hidden)
             order_col = ORDER_COL
         else:
-            df = df.select(*select_list)
+            df = df.select(*select_list, *hidden)
 
-        result = CompiledTable(df=df, columns=out_cols, order_col=order_col)
+        result = CompiledTable(
+            df=df,
+            columns=out_cols,
+            order_col=order_col,
+            src_rids=tuple(scope.rid_cols),
+        )
         result = self._apply_distinct(result, node.distinct)
         return self._apply_order_limit(result, node)
 
@@ -419,13 +528,65 @@ class Engine:
             # SELECT DISTINCT — parsed but silently dropped by the
             # reference compiler (SURVEY.md §2.4); implemented for real
             # here.  First occurrence kept in ordered mode.
+            df = table.df
+            src_rids, pending = table.src_rids, table.pending
+            bphys = None
+            if self.traced and (src_rids or pending):
+                # distinct destroys row identity: convert by-construction
+                # rids (and any earlier bridges) into a content-hash
+                # bridge so ALL duplicate input rows map to the one kept
+                # output row (many-to-one, reference mappings.py:9-38)
+                bphys = self._phys("b")
+                bexpr = F.xxhash64(*[F.col(c) for c in names])
+                df = df.withColumn(bphys, bexpr)
+                new_pending: list[tuple[str, DataFrame, str]] = []
+                for src_uuid, phys in src_rids:
+                    new_pending.append(
+                        (
+                            src_uuid,
+                            df.select(
+                                F.col(phys).alias("__src_rid"),
+                                F.col(bphys).alias("__bridge"),
+                            ),
+                            bphys,
+                        )
+                    )
+                for src_uuid, bdf, old_bphys in pending:
+                    comp = (
+                        bdf.join(
+                            df.select(
+                                F.col(old_bphys).alias("__ob"),
+                                F.col(bphys).alias("__nb"),
+                            ),
+                            F.col("__bridge") == F.col("__ob"),
+                        )
+                        .select(
+                            F.col("__src_rid"), F.col("__nb").alias("__bridge")
+                        )
+                        .dropDuplicates()
+                    )
+                    new_pending.append((src_uuid, comp, bphys))
+                src_rids, pending = (), tuple(new_pending)
             if table.order_col is None:
-                return replace(table, df=table.df.dropDuplicates(names))
-            df = (
-                table.df.groupBy(*[F.col(c) for c in names])
+                return replace(
+                    table,
+                    df=df.dropDuplicates(names),
+                    src_rids=src_rids,
+                    pending=pending,
+                )
+            out = (
+                df.groupBy(*[F.col(c) for c in names])
                 .agg(F.min(F.col(table.order_col)).alias(ORDER_COL))
             )
-            return replace(table, df=df, order_col=ORDER_COL)
+            if bphys is not None:
+                out = out.withColumn(bphys, F.xxhash64(*[F.col(c) for c in names]))
+            return replace(
+                table,
+                df=out,
+                order_col=ORDER_COL,
+                src_rids=src_rids,
+                pending=pending,
+            )
         # DISTINCT CONSECUTIVE: run-length dedup over row order (semantics
         # documented at reference nodes.py:169-173; never implemented
         # there).  Inherently sequential — ordered mode only.
@@ -484,10 +645,20 @@ class Engine:
             )
             island_phys = self._phys("g")
             df = df.withColumn(island_phys, island)
-            scope = Scope(df=df, columns=scope.columns, order_cols=[ocol])
+            scope = Scope(
+                df=df,
+                columns=scope.columns,
+                order_cols=[ocol],
+                rid_cols=scope.rid_cols,
+            )
             grouping_phys = [island_phys] + [phys for _, phys, _ in key_info]
         else:
-            scope = Scope(df=df, columns=scope.columns, order_cols=scope.order_cols)
+            scope = Scope(
+                df=df,
+                columns=scope.columns,
+                order_cols=scope.order_cols,
+                rid_cols=scope.rid_cols,
+            )
             grouping_phys = [phys for _, phys, _ in key_info]
 
         # aggregate collection: walk each select item, turning aggregate
@@ -583,6 +754,31 @@ class Engine:
             aggs = [F.count(F.lit(1)).alias(self._phys("a"))]
         agged = grouped.agg(*aggs)
 
+        # traced: aggregation collapses rows many-to-one; bridge input
+        # rids to output rows via a hash of the grouping keys (the
+        # group itself is the only surviving identity)
+        pending: tuple[tuple[str, DataFrame, str], ...] = ()
+        bridge_phys = None
+        if self.traced and scope.rid_cols:
+            bridge_phys = self._phys("b")
+            if grouping_phys:
+                bexpr = F.xxhash64(*[F.col(p) for p in grouping_phys])
+            else:
+                bexpr = F.lit(0).cast("long")
+            agged = agged.withColumn(bridge_phys, bexpr)
+            bridged_base = base.withColumn(bridge_phys, bexpr)
+            pending = tuple(
+                (
+                    src_uuid,
+                    bridged_base.select(
+                        F.col(phys).alias("__src_rid"),
+                        F.col(bridge_phys).alias("__bridge"),
+                    ),
+                    bridge_phys,
+                )
+                for src_uuid, phys in scope.rid_cols
+            )
+
         if having_compiled is not None:
             agged = agged.filter(having_compiled[0])
 
@@ -605,12 +801,15 @@ class Engine:
             dedup[name] = (col, dtype)
         out_cols = tuple((name, dtype) for name, (_, dtype) in dedup.items())
         select_list = [col.alias(name) for name, (col, _) in dedup.items()]
+        hidden = [F.col(bridge_phys)] if bridge_phys is not None else []
         if order_col is not None:
-            agged = agged.select(*select_list, F.col(ORDER_COL))
+            agged = agged.select(*select_list, F.col(ORDER_COL), *hidden)
         else:
-            agged = agged.select(*select_list)
+            agged = agged.select(*select_list, *hidden)
 
-        result = CompiledTable(df=agged, columns=out_cols, order_col=order_col)
+        result = CompiledTable(
+            df=agged, columns=out_cols, order_col=order_col, pending=pending
+        )
         if node.distinct is not None:
             if order_compiled:
                 raise DtlNameError(
@@ -649,13 +848,22 @@ class Engine:
                 order_col = ORDER_COL
         if node.limit is not None:
             df = df.limit(node.limit)
-        return CompiledTable(df=df, columns=table.columns, order_col=order_col)
+        return replace(table, df=df, order_col=order_col)
 
     # -- set operations ------------------------------------------------------
 
     def _compile_setop(self, node: n.SetExpression, env: dict) -> CompiledTable:
         left = self.compile_table(node.left, env)
         right = self.compile_table(node.right, env)
+        if self.traced:
+            # set ops dedup/compare whole rows, destroying row identity;
+            # finalize each operand as its own trace table (reference
+            # Level.TABLE_EXPRESSION, ir.py:371-403) so we can bridge
+            # output rows back by content hash
+            if left.uuid is None:
+                left = self._finalize_trace("(setop)", left, "TABLE_EXPRESSION")
+            if right.uuid is None:
+                right = self._finalize_trace("(setop)", right, "TABLE_EXPRESSION")
         if [c for c, _ in left.columns] != [c for c, _ in right.columns] or [
             d for _, d in left.columns
         ] != [d for _, d in right.columns]:
@@ -679,11 +887,35 @@ class Engine:
             # Set ops have no reference-order semantics; assign fresh order.
             df = df.withColumn(ORDER_COL, F.monotonically_increasing_id())
             order_col = ORDER_COL
-        return CompiledTable(df=df, columns=left.columns, order_col=order_col)
+        pending: tuple[tuple[str, DataFrame, str], ...] = ()
+        if self.traced:
+            bphys = self._phys("b")
+            content = F.xxhash64(*[F.col(c) for c in names])
+            df = df.withColumn(bphys, content)
+            sides = (left,) if node.op == "except" else (left, right)
+            pending = tuple(
+                (
+                    side.uuid,
+                    side.df.select(
+                        F.col(side.rid_col).alias("__src_rid"),
+                        content.alias("__bridge"),
+                    ),
+                    bphys,
+                )
+                for side in sides
+            )
+        return CompiledTable(
+            df=df, columns=left.columns, order_col=order_col, pending=pending
+        )
 
 
 def replace_df(scope: Scope, df: DataFrame) -> Scope:
-    return Scope(df=df, columns=scope.columns, order_cols=scope.order_cols)
+    return Scope(
+        df=df,
+        columns=scope.columns,
+        order_cols=scope.order_cols,
+        rid_cols=scope.rid_cols,
+    )
 
 
 def build_binary(op: str, lc: Column, lt: DType, rc: Column, rt: DType) -> tuple[Column, DType]:

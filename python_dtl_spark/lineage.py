@@ -1,0 +1,284 @@
+"""Row-level provenance ("trace mode") — the reference's differentiator.
+
+The reference devotes roughly a third of its codebase to explainability
+(/root/reference/src/dtl/mappings.py, manifest.py, the Tracer in
+io.py:75-122): alongside outputs it records a snapshot of every
+intermediate table plus *mappings* relating each row of each snapshot to
+the rows of every other snapshot.
+
+Spark-first re-expression (SURVEY.md §2.7):
+
+* every finalized statement table gets a hidden ``__dtl_r*`` row-id
+  column (``monotonically_increasing_id`` — distributed, no shuffle);
+* the table is **materialized once** through the tracer before any
+  mapping is derived from it, so all actions observe identical ids
+  (the reference materializes every array too, eval.py:534-543 — here
+  it's a distributed parquet write, not driver memory);
+* a mapping is a ``(src_rid, tgt_rid)`` pairs DataFrame.  Operators
+  that preserve row identity (project/filter/join) produce it *by
+  construction* — the source rids are threaded through the plan as
+  hidden columns.  Operators that destroy identity (aggregate/
+  distinct/set ops) produce it *by key*: a hash join between input
+  rids and output rows on the group key — exactly the reference's own
+  composition recipe ("SELECT fst.src_index, snd.tgt_index FROM fst
+  JOIN snd ON fst.tgt_index = snd.src_index", mappings.py:310-322),
+  which Catalyst executes as a broadcast/shuffled hash join;
+* mapping *composition* across statements is the same join, exposed as
+  :func:`compose` and walked transitively by :class:`TraceReader`.
+
+Scale note: trace mode is opt-in and costs one parquet write per
+statement — at 100 TB you enable it for audited runs, or snapshot only
+selected levels.  The mappings themselves are narrow two-column tables
+that partition and join on rid with no skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# trace levels, mirroring reference ir.py:371-403 (Level enum)
+LEVELS = (
+    "EXPORT",
+    "ASSERTION",
+    "STATEMENT",
+    "TABLE_EXPRESSION",
+    "COLUMN_EXPRESSION",
+    "INTERNAL",
+)
+
+
+@dataclass
+class TableRecord:
+    id: str
+    name: str
+    level: str
+    columns: list[dict]
+    row_id: str
+    path: str | None  # None for in-memory tracers
+
+
+@dataclass
+class MappingRecord:
+    id: str
+    src: str
+    tgt: str
+    kind: str  # by_construction | by_key
+    path: str | None
+
+
+class FileSystemTracer:
+    """Writes snapshots + mappings as parquet and a ``trace.json``
+    manifest (reference FileSystemTracer, io.py:96-122; manifest format
+    inspired by manifest.py:10-59)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "tables"), exist_ok=True)
+        os.makedirs(os.path.join(root, "mappings"), exist_ok=True)
+        self.tables: list[TableRecord] = []
+        self.mappings: list[MappingRecord] = []
+
+    # -- engine-facing hooks --------------------------------------------------
+
+    def materialize(self, uid: str, df: DataFrame) -> DataFrame:
+        """Write the working table (data + hidden rid columns) once and
+        hand back the parquet-backed frame: every downstream mapping and
+        the snapshot itself observe the same row ids."""
+        path = os.path.join(self.root, "tables", f"{uid}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    def record_table(self, uid, *, name, level, columns, rid_col) -> None:
+        self.tables.append(
+            TableRecord(
+                id=uid,
+                name=name,
+                level=level,
+                columns=[{"name": c, "dtype": d.name} for c, d in columns],
+                row_id=rid_col,
+                path=f"tables/{uid}.parquet",
+            )
+        )
+
+    def record_mapping(self, src, tgt, *, kind, pairs: DataFrame) -> None:
+        mid = f"m{len(self.mappings):03d}"
+        path = os.path.join(self.root, "mappings", f"{mid}.parquet")
+        pairs.write.mode("overwrite").parquet(path)
+        self.mappings.append(
+            MappingRecord(
+                id=mid, src=src, tgt=tgt, kind=kind, path=f"mappings/{mid}.parquet"
+            )
+        )
+
+    def write_manifest(self) -> None:
+        manifest = {
+            "version": 1,
+            "tables": [vars(t) for t in self.tables],
+            "mappings": [vars(m) for m in self.mappings],
+        }
+        with open(os.path.join(self.root, "trace.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+
+class InMemoryTracer:
+    """Test-scale tracer: snapshots pinned via ``localCheckpoint`` (the
+    in-memory analogue of the parquet round-trip — materializes
+    partitions so row ids are stable across actions)."""
+
+    def __init__(self):
+        self.snapshots: dict[str, DataFrame] = {}
+        self.pairs: dict[str, DataFrame] = {}
+        self.tables: list[TableRecord] = []
+        self.mappings: list[MappingRecord] = []
+
+    def materialize(self, uid: str, df: DataFrame) -> DataFrame:
+        pinned = df.localCheckpoint(eager=True)
+        self.snapshots[uid] = pinned
+        return pinned
+
+    def record_table(self, uid, *, name, level, columns, rid_col) -> None:
+        self.tables.append(
+            TableRecord(
+                id=uid,
+                name=name,
+                level=level,
+                columns=[{"name": c, "dtype": d.name} for c, d in columns],
+                row_id=rid_col,
+                path=None,
+            )
+        )
+
+    def record_mapping(self, src, tgt, *, kind, pairs: DataFrame) -> None:
+        mid = f"m{len(self.mappings):03d}"
+        self.pairs[mid] = pairs.localCheckpoint(eager=True)
+        self.mappings.append(
+            MappingRecord(id=mid, src=src, tgt=tgt, kind=kind, path=None)
+        )
+
+    def write_manifest(self) -> None:
+        pass
+
+
+def run_traced(source, *, spark, importer, exporter, tracer, ordered=False):
+    """Execute a script with provenance recording (the traced variant of
+    runtime.run; reference dtl.run with tracer, eval.py:447-543)."""
+    from python_dtl_spark.compiler import Engine
+
+    engine = Engine(spark, importer, ordered=ordered, tracer=tracer)
+    for location, table in engine.run_script(source):
+        exporter.export_table(location, table.public_df())
+    tracer.write_manifest()
+
+
+# -- mapping algebra ----------------------------------------------------------
+
+
+def compose(ab: DataFrame, bc: DataFrame) -> DataFrame:
+    """Compose two rid mappings: (a→b) ∘ (b→c) = (a→c).
+
+    The reference compiles exactly this as a relational join on index
+    arrays (mappings.py:310-322); here Catalyst picks the physical join.
+    """
+    return (
+        ab.alias("f")
+        .join(bc.alias("s"), F.col("f.tgt_rid") == F.col("s.src_rid"))
+        .select(
+            F.col("f.src_rid").alias("src_rid"), F.col("s.tgt_rid").alias("tgt_rid")
+        )
+        .dropDuplicates(["src_rid", "tgt_rid"])
+    )
+
+
+class TraceReader:
+    """Query a written trace: snapshots, direct mappings, and transitive
+    lineage between any two trace tables (the explainability UX the
+    reference's manifest enables, manifest.py:62-134)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        with open(os.path.join(root, "trace.json")) as f:
+            self.manifest = json.load(f)
+        self._by_id = {t["id"]: t for t in self.manifest["tables"]}
+        self._by_name: dict[str, dict] = {}
+        for t in self.manifest["tables"]:
+            self._by_name[t["name"]] = t  # last statement with the name wins
+
+    def table_id(self, name_or_id: str) -> str:
+        if name_or_id in self._by_id:
+            return name_or_id
+        if name_or_id in self._by_name:
+            return self._by_name[name_or_id]["id"]
+        raise KeyError(f"no trace table {name_or_id!r}")
+
+    def snapshot(self, name_or_id: str) -> DataFrame:
+        """The traced table's data columns plus its ``row_id`` column."""
+        rec = self._by_id[self.table_id(name_or_id)]
+        df = self.spark.read.parquet(os.path.join(self.root, rec["path"]))
+        cols = [c["name"] for c in rec["columns"]] + [rec["row_id"]]
+        return df.select(*cols).withColumnRenamed(rec["row_id"], "__rid")
+
+    def mapping(self, src: str, tgt: str) -> DataFrame | None:
+        """Direct (one-hop) mapping between two trace tables, if any."""
+        src, tgt = self.table_id(src), self.table_id(tgt)
+        out = None
+        for m in self.manifest["mappings"]:
+            if m["src"] == src and m["tgt"] == tgt:
+                pairs = self.spark.read.parquet(os.path.join(self.root, m["path"]))
+                out = pairs if out is None else out.unionByName(pairs)
+        return out
+
+    def lineage(self, src: str, tgt: str) -> DataFrame | None:
+        """Transitive (src_rid, tgt_rid) relation from ``src`` to ``tgt``
+        composed along every mapping path (BFS over the mapping graph,
+        union of path compositions)."""
+        src, tgt = self.table_id(src), self.table_id(tgt)
+        if src == tgt:
+            snap = self.snapshot(src)
+            return snap.select(
+                F.col("__rid").alias("src_rid"), F.col("__rid").alias("tgt_rid")
+            )
+        # reach[t] = composed (src_rid → t rid) mapping
+        reach: dict[str, DataFrame] = {}
+        frontier = [src]
+        while frontier:
+            nxt: list[str] = []
+            for node in frontier:
+                for m in self.manifest["mappings"]:
+                    if m["src"] != node:
+                        continue
+                    pairs = self.spark.read.parquet(
+                        os.path.join(self.root, m["path"])
+                    )
+                    step = pairs if node == src else compose(reach[node], pairs)
+                    if m["tgt"] in reach:
+                        reach[m["tgt"]] = (
+                            reach[m["tgt"]]
+                            .unionByName(step)
+                            .dropDuplicates(["src_rid", "tgt_rid"])
+                        )
+                    else:
+                        reach[m["tgt"]] = step
+                        nxt.append(m["tgt"])
+            frontier = nxt
+        return reach.get(tgt)
+
+    def why(self, tgt_table: str, src_table: str, tgt_rows: DataFrame) -> DataFrame:
+        """Explain: given rows of ``tgt_table`` (must carry ``__rid``),
+        return the contributing rows of ``src_table`` (with ``__rid``)."""
+        pairs = self.lineage(src_table, tgt_table)
+        if pairs is None:
+            raise KeyError(f"no lineage path {src_table!r} → {tgt_table!r}")
+        src_snap = self.snapshot(src_table)
+        wanted = tgt_rows.select(F.col("__rid").alias("tgt_rid")).dropDuplicates()
+        keep = (
+            pairs.join(wanted, on="tgt_rid")
+            .select(F.col("src_rid").alias("__rid"))
+            .dropDuplicates()
+        )
+        return src_snap.join(keep, on="__rid")

@@ -41,7 +41,12 @@ def run(
         from python_dtl_spark.lineage import run_traced
 
         run_traced(
-            source, spark=spark, importer=importer, exporter=exporter, tracer=tracer
+            source,
+            spark=spark,
+            importer=importer,
+            exporter=exporter,
+            tracer=tracer,
+            ordered=ordered,
         )
         return
     engine = Engine(spark, importer, ordered=ordered)

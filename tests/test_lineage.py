@@ -1,0 +1,251 @@
+"""Provenance / trace mode tests.
+
+The reference records a snapshot of every statement table plus row-level
+mappings between them (mappings.py, manifest.py, io.py:75-122).  These
+tests assert the same observable behavior on the Spark engine: snapshot
+contents, mapping cardinalities per operator class, manifest structure,
+and transitive lineage ("which import rows produced this output row").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_dtl_spark.lineage import (
+    FileSystemTracer,
+    InMemoryTracer,
+    TraceReader,
+    compose,
+    run_traced,
+)
+from python_dtl_spark.sources import InMemoryExporter, InMemoryImporter
+
+
+def _run(spark, source, inputs, tracer):
+    importer = InMemoryImporter(
+        {name: spark.createDataFrame(rows, schema) for name, (rows, schema) in inputs.items()}
+    )
+    exporter = InMemoryExporter()
+    run_traced(
+        source, spark=spark, importer=importer, exporter=exporter, tracer=tracer
+    )
+    return exporter.tables
+
+
+def _snap(tracer, name):
+    """Last snapshot with the given statement name (data + rid)."""
+    recs = [t for t in tracer.tables if t.name == name]
+    assert recs, f"no trace table {name}"
+    return tracer.snapshots[recs[-1].id], recs[-1]
+
+
+def _pairs(tracer, src_id, tgt_id):
+    out = None
+    for m in tracer.mappings:
+        if m.src == src_id and m.tgt == tgt_id:
+            p = tracer.pairs[m.id]
+            out = p if out is None else out.unionByName(p)
+    assert out is not None, f"no mapping {src_id} → {tgt_id}"
+    return out
+
+
+NUMS = (
+    [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (6, 60)],
+    "key long, value long",
+)
+
+
+def test_filter_mapping_by_construction(spark):
+    tracer = InMemoryTracer()
+    out = _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH big AS SELECT key, value FROM a WHERE value > 30;
+        EXPORT big TO 'big_out';
+        """,
+        {"a": NUMS},
+        tracer,
+    )
+    assert sorted(r.key for r in out["big_out"].collect()) == [4, 5, 6]
+
+    a_df, a_rec = _snap(tracer, "a")
+    big_df, big_rec = _snap(tracer, "big")
+    pairs = _pairs(tracer, a_rec.id, big_rec.id)
+    assert pairs.count() == 3  # one pair per surviving row
+    # the mapped source rows are exactly the ones passing the predicate
+    src_vals = (
+        pairs.join(a_df, pairs.src_rid == a_df[a_rec.row_id])
+        .select("value")
+        .collect()
+    )
+    assert sorted(r.value for r in src_vals) == [40, 50, 60]
+
+
+def test_join_mapping_both_sides(spark):
+    tracer = InMemoryTracer()
+    _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH b AS IMPORT 'b';
+        WITH j AS SELECT key, a.value AS av, b.value AS bv
+                  FROM a JOIN b ON a.key = b.key;
+        EXPORT j TO 'j_out';
+        """,
+        {
+            "a": NUMS,
+            "b": ([(2, 200), (3, 300), (9, 900)], "key long, value long"),
+        },
+        tracer,
+    )
+    _, a_rec = _snap(tracer, "a")
+    _, b_rec = _snap(tracer, "b")
+    j_df, j_rec = _snap(tracer, "j")
+    n = j_df.count()
+    assert n == 2  # keys 2 and 3 match
+    # every output row maps to exactly one row on each side
+    assert _pairs(tracer, a_rec.id, j_rec.id).count() == n
+    assert _pairs(tracer, b_rec.id, j_rec.id).count() == n
+
+
+def test_aggregate_mapping_many_to_one(spark):
+    tracer = InMemoryTracer()
+    out = _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH g AS SELECT parity, sum(value) AS total
+                  FROM a GROUP BY parity;
+        EXPORT g TO 'g_out';
+        """,
+        {
+            "a": (
+                [(1, 10, 1), (2, 20, 0), (3, 30, 1), (4, 40, 0)],
+                "key long, value long, parity long",
+            )
+        },
+        tracer,
+    )
+    assert {(r.parity, r.total) for r in out["g_out"].collect()} == {(1, 40), (0, 60)}
+    _, a_rec = _snap(tracer, "a")
+    g_df, g_rec = _snap(tracer, "g")
+    pairs = _pairs(tracer, a_rec.id, g_rec.id)
+    # every input row contributes to exactly one group
+    assert pairs.count() == 4
+    assert pairs.select("src_rid").distinct().count() == 4
+    assert pairs.select("tgt_rid").distinct().count() == 2
+
+
+def test_distinct_mapping_all_duplicates(spark):
+    tracer = InMemoryTracer()
+    out = _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH d AS SELECT DISTINCT tag FROM a;
+        EXPORT d TO 'd_out';
+        """,
+        {"a": ([(1, "x"), (2, "x"), (3, "y"), (4, "x")], "key long, tag string")},
+        tracer,
+    )
+    assert sorted(r.tag for r in out["d_out"].collect()) == ["x", "y"]
+    _, a_rec = _snap(tracer, "a")
+    _, d_rec = _snap(tracer, "d")
+    pairs = _pairs(tracer, a_rec.id, d_rec.id)
+    # ALL duplicate source rows map to the kept output row
+    assert pairs.count() == 4
+    assert pairs.select("tgt_rid").distinct().count() == 2
+
+
+def test_setop_mapping(spark):
+    tracer = InMemoryTracer()
+    out = _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH b AS IMPORT 'b';
+        WITH u AS SELECT key FROM a UNION SELECT key FROM b;
+        EXPORT u TO 'u_out';
+        """,
+        {
+            "a": ([(1,), (2,)], "key long"),
+            "b": ([(2,), (3,)], "key long"),
+        },
+        tracer,
+    )
+    assert sorted(r.key for r in out["u_out"].collect()) == [1, 2, 3]
+    _, u_rec = _snap(tracer, "u")
+    # both setop operands were finalized as TABLE_EXPRESSION trace tables
+    operands = [t for t in tracer.tables if t.level == "TABLE_EXPRESSION"]
+    assert len(operands) == 2
+    total = 0
+    for op_rec in operands:
+        total += _pairs(tracer, op_rec.id, u_rec.id).count()
+    # key=2 exists in both operands: 4 source rows map into 3 output rows
+    assert total == 4
+
+
+def test_filesystem_trace_and_reader(spark, tmp_path):
+    trace_dir = os.path.join(str(tmp_path), "trace")
+    tracer = FileSystemTracer(trace_dir)
+    _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH big AS SELECT key, value FROM a WHERE value > 30;
+        WITH doubled AS SELECT key, value * 2 AS v2 FROM big;
+        EXPORT doubled TO 'out';
+        """,
+        {"a": NUMS},
+        tracer,
+    )
+    manifest = json.load(open(os.path.join(trace_dir, "trace.json")))
+    assert manifest["version"] == 1
+    names = [t["name"] for t in manifest["tables"]]
+    assert names == ["a", "big", "doubled", "out"]
+    levels = {t["name"]: t["level"] for t in manifest["tables"]}
+    assert levels["a"] == "STATEMENT" and levels["out"] == "EXPORT"
+    assert all(m["kind"] == "by_construction" for m in manifest["mappings"])
+
+    reader = TraceReader(spark, trace_dir)
+    # transitive lineage: export rows ← import rows
+    pairs = reader.lineage("a", "out")
+    assert pairs.count() == 3
+    # why: pick the exported row with v2=120 (value 60); it must trace
+    # back to exactly the import row (6, 60)
+    out_snap = reader.snapshot("out")
+    row = out_snap.filter(F.col("v2") == 120)
+    origin = reader.why("out", "a", row).collect()
+    assert len(origin) == 1
+    assert (origin[0].key, origin[0].value) == (6, 60)
+
+
+def test_compose_is_reference_recipe(spark):
+    ab = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 30)], "src_rid long, tgt_rid long"
+    )
+    bc = spark.createDataFrame(
+        [(10, 100), (30, 300), (30, 301)], "src_rid long, tgt_rid long"
+    )
+    got = {(r.src_rid, r.tgt_rid) for r in compose(ab, bc).collect()}
+    assert got == {(1, 100), (2, 100), (3, 300), (3, 301)}
+
+
+def test_untraced_run_unaffected(spark):
+    # the rid machinery must stay fully dormant without a tracer
+    from python_dtl_spark import run_simple
+
+    inputs = {"a": spark.createDataFrame(*NUMS)}
+    out = run_simple(
+        "WITH a AS IMPORT 'a'; WITH o AS SELECT key FROM a WHERE value > 30; EXPORT o TO 'o';",
+        spark=spark,
+        inputs=inputs,
+        ordered=False,
+    )
+    assert out["o"].columns == ["key"]
+    assert sorted(r.key for r in out["o"].collect()) == [4, 5, 6]
