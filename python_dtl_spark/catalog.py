@@ -873,3 +873,81 @@ def _q_multimodal(spark, sf_dir):
 
 
 _register("multimodal_image_features", _q_multimodal, None)  # stubbed decode
+
+
+# ---------------------------------------------------------------------------
+# Group F — provenance / trace mode (SURVEY.md §2.7; reference mappings.py,
+# manifest.py, io.py:75-122)
+# ---------------------------------------------------------------------------
+
+_TRACE_SCRIPT = """
+WITH orders AS IMPORT 'orders';
+WITH priced AS
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 100000.0;
+WITH by_cust AS
+    SELECT o_custkey, count(o_orderkey) AS n_orders, sum(o_totalprice) AS total
+    FROM priced
+    GROUP BY o_custkey;
+EXPORT by_cust TO 'by_cust';
+"""
+
+
+def _q_trace_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run a traced script and summarize the resulting trace graph:
+    per snapshot, its level, row count, and how many row-level lineage
+    pairs arrive from its sources.  Deterministic, so fully
+    oracle-checkable — the mapping cardinalities follow from the data
+    (filter: one pair per surviving row; aggregation: one pair per
+    contributing input row; export passthrough: identity)."""
+    import tempfile
+
+    from python_dtl_spark.lineage import FileSystemTracer, TraceReader, run_traced
+    from python_dtl_spark.sources import InMemoryExporter
+
+    trace_dir = tempfile.mkdtemp(prefix="dtl_trace_")
+    run_traced(
+        _TRACE_SCRIPT,
+        spark=spark,
+        importer=FileSystemImporter(spark, sf_dir),
+        exporter=InMemoryExporter(),
+        tracer=FileSystemTracer(trace_dir),
+    )
+    reader = TraceReader(spark, trace_dir)
+    rows = []
+    for t in reader.manifest["tables"]:
+        n_rows = reader.snapshot(t["id"]).count()
+        incoming = 0
+        for m in reader.manifest["mappings"]:
+            if m["tgt"] == t["id"]:
+                incoming += spark.read.parquet(f"{trace_dir}/{m['path']}").count()
+        rows.append((t["name"], t["level"], n_rows, incoming))
+    return spark.createDataFrame(
+        rows, "table_name string, level string, n_rows long, n_lineage_pairs long"
+    )
+
+
+_register(
+    "trace_provenance",
+    _q_trace_provenance,
+    """
+    WITH priced AS (SELECT * FROM orders WHERE o_totalprice > 100000.0),
+         by_cust AS (SELECT o_custkey FROM priced GROUP BY o_custkey)
+    SELECT 'orders' AS table_name, 'STATEMENT' AS level,
+           (SELECT count(*) FROM orders) AS n_rows,
+           0 AS n_lineage_pairs
+    UNION ALL
+    SELECT 'priced', 'STATEMENT',
+           (SELECT count(*) FROM priced),
+           (SELECT count(*) FROM priced)
+    UNION ALL
+    SELECT 'by_cust', 'STATEMENT',
+           (SELECT count(*) FROM by_cust),
+           (SELECT count(*) FROM priced)
+    UNION ALL
+    SELECT 'by_cust', 'EXPORT',
+           (SELECT count(*) FROM by_cust),
+           (SELECT count(*) FROM by_cust)
+    """,
+)

@@ -128,18 +128,32 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """MinHash signatures: per permutation i, min over shingles of
-    xxhash64(shingle, seed=i).  One explode + one groupBy — the agg is
-    ``min`` per permutation, fully map-side combinable."""
+    """MinHash signatures: per permutation i, min over shingles of a
+    derived hash h_i(shingle).
+
+    Classic two-level construction: hash each shingle STRING once
+    (``xxhash64``), then derive the ``num_hashes`` permutations by
+    re-hashing the resulting 8-byte long with the permutation index as
+    seed — long re-hashing is far cheaper than re-hashing a ~300-char
+    string per permutation, and the whole pipeline (explode → hash →
+    N min-aggregates) stays inside whole-stage codegen.  (A per-row
+    ``array_min(transform(...))`` variant avoids the shuffle but
+    higher-order functions are interpreted per element — measured
+    slower end-to-end.)
+
+    Scale shape: the only shuffle carries map-side-combined partial
+    mins — num_docs × num_hashes longs, independent of shingle count."""
     base = df.select(
         F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
     )
-    exploded = base.select(F.col("__id"), F.explode("__sh").alias("__f"))
+    hashed = base.select(F.col("__id"), F.explode("__sh").alias("__f")).select(
+        F.col("__id"), F.xxhash64("__f").alias("__h")
+    )
     aggs = [
-        F.min(F.xxhash64(F.col("__f"), F.lit(i))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return exploded.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
+    return hashed.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
 
 
 def minhash_lsh_pairs(
@@ -162,7 +176,25 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # single persisted shingle projection feeds BOTH signature
+    # generation and the exact-Jaccard verification — shingling (the
+    # priciest per-row step) runs once per pipeline
+    sh = df.select(
+        F.col(id_col).alias("__sid"), _shingles(F.col(text_col), n).alias("__sh")
+    ).persist()
+    hashed = sh.select(F.col("__sid"), F.explode("__sh").alias("__f")).select(
+        F.col("__sid"), F.xxhash64("__f").alias("__h")
+    )
+    sigs = (
+        hashed.groupBy("__sid")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh_{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .withColumnRenamed("__sid", id_col)
+    )
     band_cols = []
     for b in range(bands):
         members = [
@@ -181,6 +213,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # the self-join below references `buckets` twice — persist the narrow
+    # (id, band, bucket) projection so shingling + signatures run once
+    buckets = buckets.persist()
     cand = (
         buckets.alias("l")
         .join(buckets.alias("r"), on=["band", "bucket"], how="inner")
@@ -192,9 +227,6 @@ def minhash_lsh_pairs(
     # sets back onto the (small) candidate pair set and intersect the
     # arrays directly — cost is O(candidates), not the O(Σ df²) of the
     # full all-pairs inverted-index join.
-    sh = df.select(
-        F.col(id_col).alias("__sid"), _shingles(F.col(text_col), n).alias("__sh")
-    )
     verified = (
         cand.join(sh.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("sh_a")), on="id_a")
         .join(sh.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("sh_b")), on="id_b")
