@@ -1,0 +1,48 @@
+"""CLI entry point, mirroring the reference command
+``dtl script.dtl --input-dir D --output-dir D [--trace-dir D]``
+(/root/reference/src/dtl/main.py:9-46)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="python-dtl-spark",
+        description="Run a DTL script on Spark: parquet tables in, "
+        "parquet tables out, optional row-level provenance trace.",
+    )
+    parser.add_argument("script", help="path to the .dtl script")
+    parser.add_argument("--input-dir", required=True)
+    parser.add_argument("--output-dir", required=True)
+    parser.add_argument(
+        "--trace-dir",
+        help="record row-level provenance (snapshots + mappings + trace.json)",
+    )
+    parser.add_argument(
+        "--ordered",
+        action="store_true",
+        help="reproduce the reference's positional row order (test scale only)",
+    )
+    parser.add_argument("--master", default=None, help="Spark master override")
+    args = parser.parse_args(argv)
+
+    from python_dtl_spark.runtime import run_files
+    from python_dtl_spark.session import get_spark
+
+    spark = get_spark("python-dtl-spark-cli", master=args.master)
+    with open(args.script) as f:
+        source = f.read()
+    run_files(
+        source,
+        spark=spark,
+        input_dir=args.input_dir,
+        output_dir=args.output_dir,
+        trace_dir=args.trace_dir,
+        ordered=args.ordered,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -100,3 +100,43 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str, mode: str = "com
         .outputMode(mode)
         .start()
     )
+
+
+def streaming_first_seen(
+    stream_df: DataFrame,
+    key_col: str = "event_id",
+):
+    """Stateful streaming exact-dedup: emit only the FIRST event per key.
+
+    Custom stateful operator via ``applyInPandasWithState`` (the Spark
+    shape for state the built-in operators can't express — here,
+    emit-on-first-arrival semantics rather than windowed aggregation).
+    State per key is a single boolean; Arrow-batched, partitioned by
+    key, nothing on the driver.  The reference engine has no streaming
+    at all (SURVEY.md §2.5) — extension.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = stream_df.schema
+    cols = [f.name for f in out_schema.fields]
+
+    def emit_first(key, pdf_iter, state: GroupState):
+        if state.exists:
+            # key already emitted in an earlier micro-batch
+            yield pd.DataFrame(columns=cols)
+            return
+        state.update((True,))
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                first = pdf.iloc[:1]
+        yield first if first is not None else pd.DataFrame(columns=cols)
+
+    return stream_df.groupBy(F.col(key_col)).applyInPandasWithState(
+        emit_first,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

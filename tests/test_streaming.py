@@ -107,3 +107,62 @@ def test_streaming_matches_batch(spark, tmp_path):
         for r in tumbling_event_stats(events, "1 hour").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState: only the first event per key is emitted,
+    across micro-batches."""
+    import pandas as pd
+
+    from python_dtl_spark.streaming import streaming_first_seen
+
+    src = str(tmp_path / "stream_src")
+    # two files → at least two micro-batches with maxFilesPerTrigger=1
+    base = dt.datetime(2024, 1, 1)
+    batch1 = [(i, base, i % 5, "view", 1.0) for i in (1, 2, 3, 1, 2)]
+    batch2 = [(i, base, i % 5, "view", 1.0) for i in (2, 3, 4, 5)]
+    spark.createDataFrame(batch1, SCHEMA).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(batch2, SCHEMA).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    deduped = streaming_first_seen(stream, key_col="event_id")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.event_id for r in spark.table("first_seen").collect())
+    finally:
+        q.stop()
+    assert got == [1, 2, 3, 4, 5]
+
+
+def test_cli_runs_script(spark, tmp_path):
+    from python_dtl_spark.main import main as cli_main
+
+    script = tmp_path / "job.dtl"
+    script.write_text(
+        "WITH orders AS IMPORT 'orders';\n"
+        "WITH big AS SELECT o_orderkey FROM orders WHERE o_totalprice > 100000.0;\n"
+        "EXPORT big TO 'big';\n"
+    )
+    outdir = str(tmp_path / "out")
+    cli_main(
+        [
+            str(script),
+            "--input-dir",
+            "/root/testdata/sf0.001",
+            "--output-dir",
+            outdir,
+        ]
+    )
+    got = spark.read.parquet(outdir + "/big.parquet")
+    assert got.columns == ["o_orderkey"]
+    assert got.count() == 1190
