@@ -875,6 +875,33 @@ def _q_multimodal(spark, sf_dir):
 _register("multimodal_image_features", _q_multimodal, None)  # stubbed decode
 
 
+_register(
+    "dtl_promo_parts_by_brand",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH part AS IMPORT 'part';
+        WITH output AS
+            SELECT p_brand, count(l_quantity) AS n_items,
+                   round_to(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE starts_with(p_type, 'PROMO')
+            GROUP BY p_brand
+            ORDER BY p_brand;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    SELECT p_brand, count(l_quantity) AS n_items,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type LIKE 'PROMO%'
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Group F — provenance / trace mode (SURVEY.md §2.7; reference mappings.py,
 # manifest.py, io.py:75-122)
