@@ -162,3 +162,29 @@ def test_frame_sampling_fanout(spark):
     rows = frames.collect()
     assert len(rows) >= 8  # at least one frame per asset
     assert all(r["frame_index"] % 4 == 0 for r in rows)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.joins import salted_join
+
+    # heavily skewed left side: 90% of rows share key 0
+    left = spark.range(2000).select(
+        F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("w")
+    )
+    expected = left.join(right, on=["k"], how="inner")
+    got = salted_join(left, right, on=["k"], salt=8)
+    assert sorted(got.columns) == sorted(expected.columns)
+    assert got.count() == expected.count()
+    assert got.select("k", "v", "w").subtract(expected.select("k", "v", "w")).count() == 0
+    assert expected.select("k", "v", "w").subtract(got.select("k", "v", "w")).count() == 0
+
+    # left join keeps unmatched left rows exactly once
+    exp_left = left.join(right, on=["k"], how="left")
+    got_left = salted_join(left, right, on=["k"], how="left", salt=8)
+    assert got_left.count() == exp_left.count()

@@ -1,0 +1,182 @@
+"""Property-based differential testing: random DTL queries on random
+tables, executed by BOTH this engine (ordered mode) and DuckDB; result
+multisets must match exactly.
+
+The generator emits a typed expression grammar (strict DTL typing:
+int64-only and double-only subtrees, no coercion) that renders to both
+DTL and ANSI SQL.  Integer division is excluded — DTL truncates C-style
+(reference eval.py:214-224) while SQL engines differ.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from python_dtl_spark import run_simple
+
+# --- typed expression grammar ----------------------------------------------
+
+INT_COLS = ["key", "a"]
+DBL_COLS = ["b"]
+
+
+def int_expr(depth: int = 2):
+    leaf = st.one_of(
+        st.sampled_from(INT_COLS),
+        st.integers(min_value=-5, max_value=9).map(str),
+    )
+    if depth == 0:
+        return leaf
+    return st.one_of(
+        leaf,
+        st.tuples(
+            int_expr(depth - 1), st.sampled_from(["+", "-", "*"]), int_expr(depth - 1)
+        ).map(lambda t: f"({t[0]} {t[1]} {t[2]})"),
+    )
+
+
+def dbl_expr(depth: int = 1):
+    leaf = st.one_of(
+        st.sampled_from(DBL_COLS),
+        st.floats(min_value=-2.0, max_value=2.0, allow_nan=False).map(
+            lambda v: f"{round(v, 2)}"
+        ),
+    )
+    if depth == 0:
+        return leaf
+    return st.one_of(
+        leaf,
+        st.tuples(
+            dbl_expr(depth - 1), st.sampled_from(["+", "-", "*"]), dbl_expr(depth - 1)
+        ).map(lambda t: f"({t[0]} {t[1]} {t[2]})"),
+    )
+
+
+def comparison():
+    op = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+    return st.one_of(
+        st.tuples(int_expr(), op, int_expr()).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+        st.tuples(dbl_expr(), op, dbl_expr()).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    )
+
+
+def predicate(depth: int = 1):
+    if depth == 0:
+        return comparison()
+    return st.one_of(
+        comparison(),
+        st.tuples(
+            predicate(depth - 1), st.sampled_from(["&", "|"]), predicate(depth - 1)
+        ).map(lambda t: f"({t[0]} {t[1]} {t[2]})"),
+    )
+
+
+def to_sql(expr: str) -> str:
+    return expr.replace("&", "AND").replace("|", "OR").replace("!=", "<>")
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # key
+        st.integers(min_value=-10, max_value=10),  # a
+        st.floats(min_value=-3.0, max_value=3.0, allow_nan=False).map(
+            lambda v: round(v, 3)
+        ),  # b
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    out = []
+    for row in df.itertuples(index=False):
+        out.append(
+            tuple(
+                round(v, 6) if isinstance(v, float) else int(v) for v in row
+            )
+        )
+    return sorted(out)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=rows_strategy, proj_int=int_expr(), proj_dbl=dbl_expr(), pred=predicate())
+def test_select_where_matches_duckdb(spark, rows, proj_int, proj_dbl, pred):
+    pdf = pd.DataFrame(rows, columns=["key", "a", "b"])
+    pdf["key"] = pdf["key"].astype("int64")
+    pdf["a"] = pdf["a"].astype("int64")
+    pdf["b"] = pdf["b"].astype("float64")
+
+    dtl_src = (
+        "WITH t AS IMPORT 't';\n"
+        f"WITH o AS SELECT {proj_int} AS x, {proj_dbl} AS y FROM t WHERE {pred};\n"
+        "EXPORT o TO 'o';"
+    )
+    sql = (
+        f"SELECT {to_sql(proj_int)} AS x, {to_sql(proj_dbl)} AS y "
+        f"FROM t WHERE {to_sql(pred)}"
+    )
+
+    out = run_simple(
+        dtl_src,
+        spark=spark,
+        inputs={"t": spark.createDataFrame(pdf)},
+        ordered=True,
+    )
+    got = _canon(out["o"].toPandas())
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = _canon(con.execute(sql).df())
+    con.close()
+
+    assert got == want, f"\nDTL: {dtl_src}\nSQL: {sql}"
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=rows_strategy, pred=predicate())
+def test_group_by_matches_duckdb(spark, rows, pred):
+    pdf = pd.DataFrame(rows, columns=["key", "a", "b"])
+    pdf["key"] = pdf["key"].astype("int64")
+    pdf["a"] = pdf["a"].astype("int64")
+    pdf["b"] = pdf["b"].astype("float64")
+
+    dtl_src = (
+        "WITH t AS IMPORT 't';\n"
+        "WITH o AS SELECT key, sum(a) AS s, count() AS n, min(b) AS mb\n"
+        f"          FROM t WHERE {pred} GROUP BY key;\n"
+        "EXPORT o TO 'o';"
+    )
+    sql = (
+        "SELECT key, sum(a) AS s, count(*) AS n, min(b) AS mb "
+        f"FROM t WHERE {to_sql(pred)} GROUP BY key"
+    )
+
+    out = run_simple(
+        dtl_src,
+        spark=spark,
+        inputs={"t": spark.createDataFrame(pdf)},
+        ordered=False,
+    )
+    got = _canon(out["o"].toPandas())
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = _canon(con.execute(sql).df())
+    con.close()
+    assert got == want, f"\nDTL: {dtl_src}\nSQL: {sql}"
