@@ -126,7 +126,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
 ) -> DataFrame:
     """MinHash signatures: per permutation i, min over shingles of a
     derived hash h_i(shingle).
@@ -161,7 +161,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
