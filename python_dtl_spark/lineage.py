@@ -209,6 +209,16 @@ class TraceReader:
         for t in self.manifest["tables"]:
             self._by_name[t["name"]] = t  # last statement with the name wins
 
+    def tables(self, level: str | None = None) -> list[dict]:
+        """List trace-table records, optionally filtered by level (the
+        reference's ``filter_tables(level=...)`` is an unimplemented
+        TODO, eval.py:289-297 — real here)."""
+        return [
+            t
+            for t in self.manifest["tables"]
+            if level is None or t["level"] == level
+        ]
+
     def table_id(self, name_or_id: str) -> str:
         if name_or_id in self._by_id:
             return name_or_id

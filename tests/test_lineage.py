@@ -249,3 +249,31 @@ def test_untraced_run_unaffected(spark):
     )
     assert out["o"].columns == ["key"]
     assert sorted(r.key for r in out["o"].collect()) == [4, 5, 6]
+
+
+def test_ordered_mode_with_trace(spark):
+    """Ordered (positional) mode and trace mode compose: output order is
+    the reference's, and lineage still resolves."""
+    tracer = InMemoryTracer()
+    importer = InMemoryImporter(
+        {"a": spark.createDataFrame([(3, 30), (1, 10), (2, 20)], "key long, value long")}
+    )
+    exporter = InMemoryExporter()
+    run_traced(
+        """
+        WITH a AS IMPORT 'a';
+        WITH keep AS SELECT key, value FROM a WHERE value >= 20;
+        EXPORT keep TO 'keep_out';
+        """,
+        spark=spark,
+        importer=importer,
+        exporter=exporter,
+        tracer=tracer,
+        ordered=True,
+    )
+    # import order preserved through the filter: (3,30) then (2,20)
+    got = [(r.key, r.value) for r in exporter.tables["keep_out"].collect()]
+    assert got == [(3, 30), (2, 20)]
+    _, a_rec = _snap(tracer, "a")
+    _, k_rec = _snap(tracer, "keep")
+    assert _pairs(tracer, a_rec.id, k_rec.id).count() == 2

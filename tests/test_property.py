@@ -180,3 +180,69 @@ def test_group_by_matches_duckdb(spark, rows, pred):
     want = _canon(con.execute(sql).df())
     con.close()
     assert got == want, f"\nDTL: {dtl_src}\nSQL: {sql}"
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows_l=rows_strategy,
+    rows_r=rows_strategy,
+    how=st.sampled_from(["JOIN", "LEFT JOIN", "SEMI JOIN", "ANTI JOIN"]),
+    shift=st.integers(min_value=0, max_value=2),
+)
+def test_join_matches_duckdb(spark, rows_l, rows_r, how, shift):
+    """Joins (incl. theta via key arithmetic) against DuckDB."""
+    pl = pd.DataFrame(rows_l, columns=["key", "a", "b"]).astype(
+        {"key": "int64", "a": "int64", "b": "float64"}
+    )
+    pr = pd.DataFrame(rows_r, columns=["key", "c", "d"]).astype(
+        {"key": "int64", "c": "int64", "d": "float64"}
+    )
+
+    if how in ("SEMI JOIN", "ANTI JOIN"):
+        select = "l.key, l.a"
+        sql_select = "l.key, l.a"
+    else:
+        select = "l.key, l.a, r.c"
+        sql_select = "l.key, l.a, r.c"
+    cond = f"l.key + {shift} = r.key" if shift else "l.key = r.key"
+
+    dtl_src = (
+        "WITH l AS IMPORT 'l';\nWITH r AS IMPORT 'r';\n"
+        f"WITH o AS SELECT {select} FROM l {how} r ON {cond};\n"
+        "EXPORT o TO 'o';"
+    )
+    sql_how = {"JOIN": "JOIN", "LEFT JOIN": "LEFT JOIN"}.get(how)
+    if sql_how:
+        sql = f"SELECT {sql_select} FROM l {sql_how} r ON {cond}"
+    elif how == "SEMI JOIN":
+        sql = f"SELECT l.key, l.a FROM l WHERE EXISTS (SELECT 1 FROM r WHERE {cond})"
+    else:
+        sql = f"SELECT l.key, l.a FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE {cond})"
+
+    out = run_simple(
+        dtl_src,
+        spark=spark,
+        inputs={"l": spark.createDataFrame(pl), "r": spark.createDataFrame(pr)},
+        ordered=False,
+    )
+    pdf_out = out["o"].toPandas()
+    # LEFT JOIN null c: canonicalize None/NaN to sentinel
+    got = sorted(
+        tuple(-(10**9) if v is None or (isinstance(v, float) and math.isnan(v)) else int(v) if not isinstance(v, float) else round(v, 6) for v in row)
+        for row in pdf_out.itertuples(index=False)
+    )
+    con = duckdb.connect()
+    con.register("l", pl)
+    con.register("r", pr)
+    wdf = con.execute(sql).df()
+    con.close()
+    want = sorted(
+        tuple(-(10**9) if v is None or (isinstance(v, float) and math.isnan(v)) else int(v) if not isinstance(v, float) else round(v, 6) for v in row)
+        for row in wdf.itertuples(index=False)
+    )
+    assert got == want, f"\nDTL: {dtl_src}\nSQL: {sql}"
