@@ -743,6 +743,13 @@ def _q_simhash(spark, sf_dir):
 _register("dedup_simhash", _q_simhash, None)  # xxhash64-based
 
 
+def _q_lsh_dedup_keep(spark, sf_dir):
+    return dedup.lsh_dedup_keep(_read(spark, sf_dir, "documents")).filter("keep")
+
+
+_register("dedup_lsh_keep", _q_lsh_dedup_keep, None)  # connected components: no SQL oracle
+
+
 def _q_embed_near_dup(spark, sf_dir):
     return dedup.embedding_near_dup_pairs(
         _read(spark, sf_dir, "embeddings"), threshold=0.42

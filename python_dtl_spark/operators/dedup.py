@@ -164,6 +164,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    prefilter_margin: float | None = 0.25,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -172,6 +174,22 @@ def minhash_lsh_pairs(
     Candidate generation is a self-join on band buckets, so cost is
     bounded by bucket occupancy rather than O(N²); the exact-Jaccard
     verification only runs on candidates.
+
+    Scale valves (both measured necessary on a 16× replica stress set
+    where duplicate clusters of ~50 docs produced 10M candidate slots):
+
+    * ``prefilter_margin`` — before the (expensive) exact array
+      intersection, estimate Jaccard from the signatures themselves
+      (fraction of equal minhash positions, 32 long compares) and drop
+      candidates estimated below ``threshold - margin``.  The estimate's
+      std is ~sqrt(J(1-J)/num_hashes) ≈ 0.09, so the default 0.25
+      margin is ~3σ — prunes bucket-collision junk, keeps borderline
+      true pairs.  ``None`` disables.
+    * ``max_bucket_size`` — skip buckets larger than this before the
+      self-join; web-scale mega-buckets are boilerplate clusters whose
+      *pair list* is rarely the artifact you want (use
+      :func:`lsh_dedup_keep` for linear-output clustering instead).
+      ``None`` (default) keeps everything.
 
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
     """
@@ -216,6 +234,14 @@ def minhash_lsh_pairs(
     # the self-join below references `buckets` twice — persist the narrow
     # (id, band, bucket) projection so shingling + signatures run once
     buckets = buckets.persist()
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, on=["band", "bucket"], how="inner")
     cand = (
         buckets.alias("l")
         .join(buckets.alias("r"), on=["band", "bucket"], how="inner")
@@ -223,26 +249,143 @@ def minhash_lsh_pairs(
         .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
         .dropDuplicates()
     )
+    if prefilter_margin is not None:
+        sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)])
+        sa = sigs.select(F.col(id_col).alias("id_a"), sig_arr.alias("__sa"))
+        sb = sigs.select(F.col(id_col).alias("id_b"), sig_arr.alias("__sb"))
+        eq = F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int"))
+        est = F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
+        cand = (
+            cand.join(sa, on="id_a")
+            .join(sb, on="id_b")
+            .filter(est >= F.lit(max(0.0, threshold - prefilter_margin)))
+            .select("id_a", "id_b")
+        )
     # Exact-Jaccard verification on candidates only: join the shingle
     # sets back onto the (small) candidate pair set and intersect the
     # arrays directly — cost is O(candidates), not the O(Σ df²) of the
-    # full all-pairs inverted-index join.
+    # full all-pairs inverted-index join.  The intersection (the
+    # expensive part: a hash set per row) is computed exactly ONCE per
+    # pair; array sizes are O(1) lookups.
     verified = (
         cand.join(sh.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("sh_a")), on="id_a")
         .join(sh.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("sh_b")), on="id_b")
         .withColumn(
+            "__common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+            F.col("__common")
             / (
                 F.size("sh_a").cast("long")
                 + F.size("sh_b").cast("long")
-                - F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+                - F.col("__common")
             ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def lsh_dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Near-dup dedup with LINEAR output: (doc_id, cluster_id, keep).
+
+    The pair-listing operator's output is inherently quadratic in
+    duplicate-cluster size (a 50-doc boilerplate cluster is 1,225
+    pairs); a training-data pipeline usually wants "keep one per
+    cluster".  This computes connected components over the LSH bucket
+    graph by alternating min-label propagation (the large-star/
+    small-star idea specialized to a bipartite doc↔bucket graph):
+    each iteration is two grouped joins — label of a bucket = min label
+    of its members, label of a doc = min label of its buckets — and
+    converges in O(log(cluster diameter)) iterations, checked by a
+    fixpoint count.  No pair list is ever materialized.
+
+    Clustering is candidate-level (bucket co-occurrence, no Jaccard
+    verification) — the aggressive setting appropriate for boilerplate
+    removal; tune bands/rows for precision.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col).alias("__id"), *band_cols)
+    buckets = (
+        banded.select(
+            "__id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select(
+            "__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        .persist()
+    )
+    # iterative label propagation: checkpoint each round to TRUNCATE the
+    # logical plan — persist alone caches data but the plan still grows
+    # exponentially with iterations (on a real cluster use
+    # spark.sparkContext.setCheckpointDir + .checkpoint() for
+    # fault-tolerant truncation)
+    labels = (
+        buckets.select("__id")
+        .distinct()
+        .withColumn("__lbl", F.col("__id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        bucket_min = (
+            buckets.join(labels, on="__id")
+            .groupBy("band", "bucket")
+            .agg(F.min("__lbl").alias("__bmin"))
+        )
+        doc_min = (
+            buckets.join(bucket_min, on=["band", "bucket"])
+            .groupBy("__id")
+            .agg(F.min("__bmin").alias("__new"))
+        )
+        new_labels = (
+            labels.join(doc_min, on="__id", how="left")
+            .select(
+                "__id",
+                F.least(F.col("__lbl"), F.coalesce("__new", "__lbl")).alias("__lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="__id")
+            .filter(F.col("n.__lbl") != F.col("o.__lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("__id").alias(id_col),
+        F.col("__lbl").alias("cluster_id"),
+        (F.col("__id") == F.col("__lbl")).alias("keep"),
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:

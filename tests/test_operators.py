@@ -188,3 +188,32 @@ def test_salted_join_matches_plain_join(spark):
     exp_left = left.join(right, on=["k"], how="left")
     got_left = salted_join(left, right, on=["k"], how="left", salt=8)
     assert got_left.count() == exp_left.count()
+
+
+def test_lsh_dedup_keep_one_per_cluster(spark):
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.dedup import lsh_dedup_keep
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different content about spark adaptive query execution plans",
+        "a third unrelated document mentioning minhash signatures and shingles",
+    ]
+    rows = []
+    for rep in range(4):  # 4 near-identical copies of each base text
+        for i, t in enumerate(texts):
+            rows.append((rep * 10 + i, t + f" v{rep}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lsh_dedup_keep(docs, n=3).collect()
+    assert len(out) == 12
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.cluster_id, []).append(r)
+    # three clusters of four; exactly one keeper per cluster = min doc_id
+    assert len(clusters) == 3
+    for cid, members in clusters.items():
+        assert len(members) == 4
+        keepers = [r.doc_id for r in members if r.keep]
+        assert keepers == [min(r.doc_id for r in members)]
+        assert cid == min(r.doc_id for r in members)
