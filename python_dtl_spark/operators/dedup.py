@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_dtl_spark.operators.partitioning import spread as _spread
 from python_dtl_spark.operators.text import tokens
 
 
@@ -81,7 +82,7 @@ def ngram_jaccard_pairs(
     The Jaccard value is a single division of exact integers, so the
     DuckDB oracle matches it bit-for-bit.
     """
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
     )
     sizes = base.select(F.col("__id"), F.size("__sh").cast("long").alias("__sz"))
@@ -143,7 +144,7 @@ def minhash_signatures(
 
     Scale shape: the only shuffle carries map-side-combined partial
     mins — num_docs × num_hashes longs, independent of shingle count."""
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
     )
     hashed = base.select(F.col("__id"), F.explode("__sh").alias("__f")).select(
@@ -197,12 +198,15 @@ def minhash_lsh_pairs(
     # single persisted shingle projection feeds BOTH signature
     # generation and the exact-Jaccard verification — shingling (the
     # priciest per-row step) runs once per pipeline
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("__sid"), _shingles(F.col(text_col), n).alias("__sh")
     ).persist()
     hashed = sh.select(F.col("__sid"), F.explode("__sh").alias("__f")).select(
         F.col("__sid"), F.xxhash64("__f").alias("__h")
     )
+    # persisted: consumed up to three times (banding + both prefilter
+    # sides), each of which would otherwise replay the explode + hash +
+    # 64-way min aggregation
     sigs = (
         hashed.groupBy("__sid")
         .agg(
@@ -212,6 +216,7 @@ def minhash_lsh_pairs(
             ]
         )
         .withColumnRenamed("__sid", id_col)
+        .persist()
     )
     band_cols = []
     for b in range(bands):
@@ -392,7 +397,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """64-bit SimHash over tokens: per bit, sign of the sum of ±1 votes
     from each token's xxhash64.  Computed JVM-side: explode tokens,
     aggregate per-bit majority via bitwise arithmetic."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
     ).withColumn("__h", F.xxhash64(F.col("__t")))
@@ -528,7 +533,7 @@ def embedding_near_dup_pairs(
             lambda acc, x: acc + x,
         )
     )
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         signature(F.col(vec_col)).alias("__sig"),

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from python_dtl_spark.operators.partitioning import spread as _spread
+
 
 def _to_double(vec):
     return F.transform(vec, lambda x: x.cast("double"))
@@ -46,7 +48,7 @@ def cosine_topk(
     Output: (query_id, neighbor_id, rank, cosine) — rank 1 = best; ties
     broken by neighbor id for determinism.
     """
-    c = corpus.select(
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
     q = queries.select(
@@ -100,7 +102,7 @@ def lsh_bucketed_topk(
         return sig
 
     c = (
-        corpus.select(
+        _spread(corpus).select(
             F.col(id_col).alias("neighbor_id"),
             _to_double(F.col(vec_col)).alias("__cv"),
         )
