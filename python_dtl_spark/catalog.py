@@ -21,7 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_dtl_spark.compiler import Engine
-from python_dtl_spark.operators import dedup, multimodal, similarity, text
+from python_dtl_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    text,
+    windows,
+)
 from python_dtl_spark.sources import FileSystemImporter
 from python_dtl_spark.streaming import (
     session_windows,
@@ -549,6 +556,86 @@ _register(
     "AS status, coalesce(c_name, 'unknown') AS name FROM customer",
 )
 
+_register(
+    "dtl_q6_forecast_revenue",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT round_to(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= timestamp('1997-01-01 00:00:00')
+                & l_shipdate < timestamp('1998-01-01 00:00:00')
+                & l_discount >= 0.05 & l_discount <= 0.07
+                & l_quantity < 24.0;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+    "FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0",
+    headline=True,
+)
+
+_register(
+    "dtl_q4_order_priority",
+    _dtl(
+        """
+        WITH orders AS IMPORT 'orders';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT o_orderpriority, count() AS order_count
+            FROM orders
+            SEMI JOIN lineitem ON o_orderkey = l_orderkey & l_quantity > 45.0
+            WHERE o_orderdate >= timestamp('1997-07-01 00:00:00')
+                & o_orderdate < timestamp('1997-10-01 00:00:00')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+    "WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00' "
+    "AND EXISTS (SELECT 1 FROM lineitem l WHERE o.o_orderkey = l.l_orderkey "
+    "AND l.l_quantity > 45.0) "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+)
+
+_register(
+    "dtl_q12_priority_lines",
+    _dtl(
+        """
+        WITH orders AS IMPORT 'orders';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT l_returnflag,
+                   sum(if(o_orderpriority = '1-URGENT'
+                          | o_orderpriority = '2-HIGH', 1, 0)) AS high_line_count,
+                   sum(if(o_orderpriority = '1-URGENT'
+                          | o_orderpriority = '2-HIGH', 0, 1)) AS low_line_count
+            FROM orders
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= timestamp('1997-01-01 00:00:00')
+                & l_shipdate < timestamp('1998-01-01 00:00:00')
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT l_returnflag, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS high_line_count, "
+    "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) "
+    "AS BIGINT) AS low_line_count "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+    "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+
 # ---------------------------------------------------------------------------
 # Group B — training-data pipeline extensions (M6)
 # ---------------------------------------------------------------------------
@@ -871,6 +958,96 @@ _register(
     FROM i GROUP BY user_id, island
     """,
     headline=True,
+)
+
+
+def _q_asof(spark, sf_dir):
+    """Each error event joined to the latest click at-or-before it per
+    user.  Right side pre-aggregated to unique (user_id, ts) so both
+    engines' tie handling is moot."""
+    events = _read_events(spark, sf_dir)
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    return joins.asof_join(
+        errors, clicks, on="ts", by="user_id", value_cols=["click_value"]
+    ).select("event_id", "user_id", "click_value")
+
+
+_register(
+    "events_asof_join",
+    _q_asof,
+    """
+    WITH errors AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), clicks AS (
+        SELECT user_id, ts, max(value) AS click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, c.click_value
+    FROM errors e
+    ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    headline=True,
+)
+
+
+def _q_topn_per_customer(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    return windows.top_n_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        n=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", F.col("rank").cast("long").alias("rank"))
+
+
+_register(
+    "orders_topn_per_customer",
+    _q_topn_per_customer,
+    """
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+
+
+def _q_running_total(spark, sf_dir):
+    orders = _read(spark, sf_dir, "orders")
+    return windows.running_total(
+        orders,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        "o_totalprice",
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("running_total", 2).alias("running_total"),
+    )
+
+
+_register(
+    "orders_running_total",
+    _q_running_total,
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2)
+             AS running_total
+    FROM orders
+    """,
 )
 
 

@@ -8,6 +8,13 @@ where unavoidable — so they scale with partitioning, never collect to
 the driver, and compose with the DTL engine's outputs.
 """
 
-from python_dtl_spark.operators import dedup, multimodal, similarity, text
+from python_dtl_spark.operators import (
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    text,
+    windows,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "joins", "multimodal", "similarity", "text", "windows"]

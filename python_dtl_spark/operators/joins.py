@@ -11,10 +11,91 @@ strategy at all (always a full cross product, eval.py:163-184).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__dtl_salt"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] | None = None,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: each left row picks the nearest right row at or
+    before (``backward``) / at or after (``forward``) its ``on`` value,
+    within the same ``by`` group.
+
+    Spark-first shape — union + running window, NOT a range join: tag
+    both sides, union them, sort within each ``by`` partition by
+    (``on``, side) and carry the latest right payload forward with
+    ``last(ignorenulls)`` (resp. ``first`` over the following frame).
+    One shuffle on the ``by`` key, linear work per partition, no
+    candidate-pair explosion — the range-join formulation Spark would
+    otherwise pick degenerates to a per-key cross product at scale.
+
+    Rows of ``right`` sharing an (``by``, ``on``) value are not ordered
+    relative to each other; pre-deduplicate the right side if that
+    matters.  Output: all left columns, plus each of ``value_cols`` and
+    the matched right ``on`` value (both suffixed on collision); rows
+    with no match keep nulls.  ``tolerance_seconds`` nulls out matches
+    further than that many seconds (timestamp ``on``) or units (numeric
+    ``on``) away.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, not {direction!r}")
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in by_cols and c != on
+        ]
+    l_tagged = left.select(
+        *[F.col(c).alias(f"__by_{c}") for c in by_cols],
+        F.col(on).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+    )
+    r_tagged = right.select(
+        *[F.col(c).alias(f"__by_{c}") for c in by_cols],
+        F.col(on).alias("__ts"),
+        F.lit(0 if direction == "backward" else 2).alias("__side"),
+        F.struct(
+            F.col(on).alias("__on"), *[F.col(c) for c in value_cols]
+        ).alias("__r"),
+    )
+    u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    base = Window.partitionBy(*[f"__by_{c}" for c in by_cols]).orderBy(
+        "__ts", "__side"
+    )
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        matched = F.last("__r", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        matched = F.first("__r", ignorenulls=True).over(w)
+    out = u.withColumn("__m", matched).filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        ts_l = F.col("__ts").cast("double")
+        ts_r = F.col("__m.__on").cast("double")
+        dist = (ts_l - ts_r) if direction == "backward" else (ts_r - ts_l)
+        out = out.withColumn(
+            "__m", F.when(dist <= tolerance_seconds, F.col("__m"))
+        )
+    taken = set(left.columns)
+
+    def _out_name(c: str) -> str:
+        return c + suffix if c in taken else c
+
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        F.col("__m.__on").alias(_out_name(on)),
+        *[F.col(f"__m.{c}").alias(_out_name(c)) for c in value_cols],
+    )
 
 
 def salted_join(

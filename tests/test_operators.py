@@ -217,3 +217,62 @@ def test_lsh_dedup_keep_one_per_cluster(spark):
         keepers = [r.doc_id for r in members if r.keep]
         assert keepers == [min(r.doc_id for r in members)]
         assert cid == min(r.doc_id for r in members)
+
+
+def test_asof_join_backward(spark):
+    from python_dtl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 15, 150.0), (3, 5, 50.0)],
+        "uid long, t long, lv double",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 12, 2.0), (1, 20, 3.0), (2, 30, 4.0)],
+        "uid long, t long, rv double",
+    )
+    out = {
+        (r.uid, r.t): (r.t_right, r.rv)
+        for r in asof_join(left, right, on="t", by="uid").collect()
+    }
+    assert out[(1, 10)] == (8, 1.0)  # latest right at-or-before t=10
+    assert out[(1, 20)] == (20, 3.0)  # equal timestamps match
+    assert out[(2, 15)] == (None, None)  # right row is after -> no match
+    assert out[(3, 5)] == (None, None)  # no right rows for uid=3
+    assert len(out) == 4  # left rows preserved exactly once
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from python_dtl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10, "a"), (1, 100, "b")], "uid long, t long, k string")
+    right = spark.createDataFrame([(1, 12, 9.0), (1, 300, 8.0)], "uid long, t long, rv double")
+    fwd = {
+        (r.uid, r.t): (r.t_right, r.rv)
+        for r in asof_join(left, right, on="t", by="uid", direction="forward").collect()
+    }
+    assert fwd[(1, 10)] == (12, 9.0)
+    assert fwd[(1, 100)] == (300, 8.0)
+    tol = {
+        (r.uid, r.t): (r.t_right, r.rv)
+        for r in asof_join(
+            left, right, on="t", by="uid", direction="forward", tolerance_seconds=50
+        ).collect()
+    }
+    assert tol[(1, 10)] == (12, 9.0)
+    assert tol[(1, 100)] == (None, None)  # 300 - 100 > 50 -> nulled
+
+
+def test_top_n_per_group_and_running_total(spark):
+    from python_dtl_spark.operators.windows import running_total, top_n_per_group
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 9.0), (1, 3, 9.0), (2, 4, 1.0)],
+        "g long, id long, v double",
+    )
+    top = top_n_per_group(df, ["g"], [F.desc("v"), F.asc("id")], n=2)
+    got = {(r.g, r.rank): r.id for r in top.collect()}
+    assert got == {(1, 1): 2, (1, 2): 3, (2, 1): 4}  # ties broken by id
+
+    rt = running_total(df, ["g"], [F.asc("id")], "v")
+    vals = {r.id: r.running_total for r in rt.collect()}
+    assert vals == {1: 5.0, 2: 14.0, 3: 23.0, 4: 1.0}
