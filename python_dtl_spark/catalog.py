@@ -25,6 +25,7 @@ from python_dtl_spark.operators import (
     dedup,
     joins,
     multimodal,
+    rollup,
     similarity,
     text,
     windows,
@@ -1048,6 +1049,101 @@ _register(
              AS running_total
     FROM orders
     """,
+)
+
+
+def _q_range_join(spark, sf_dir):
+    """Assign every event to its containing session (computed by the
+    session-window operator) via the bucketed range join."""
+    events = _read_events(spark, sf_dir)
+    sess = session_windows(events, "30 minutes").select(
+        "user_id", "session_start", "session_end"
+    )
+    out = joins.range_join_point_in_interval(
+        events.select("event_id", "user_id", "ts"),
+        sess,
+        point_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        by="user_id",
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", F.col("session_start")).alias("session_start_s"),
+    )
+
+
+_register(
+    "events_range_join_sessions",
+    _q_range_join,
+    """
+    WITH o AS (
+        SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ), f AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ), i AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS island
+        FROM f
+    ), sess AS (
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end
+        FROM i GROUP BY user_id, island
+    )
+    SELECT e.event_id, e.user_id,
+           date_trunc('second', s.session_start) AS session_start_s
+    FROM events e JOIN sess s
+      ON e.user_id = s.user_id
+     AND e.ts >= s.session_start AND e.ts <= s.session_end
+    """,
+)
+
+
+def _q_time_rollup(spark, sf_dir):
+    out = rollup.time_rollup(
+        _read_events(spark, sf_dir),
+        "ts",
+        dims=["event_type"],
+        value_cols=["value"],
+        grains=["hour", "day"],
+    )
+    return out.select(
+        "grain",
+        "bucket_start",
+        "event_type",
+        "n_rows",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+    )
+
+
+_register(
+    "events_time_rollup",
+    _q_time_rollup,
+    """
+    WITH fine AS (
+        SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+               count(*) AS n_rows, sum(value) AS sum_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain, bucket_start, event_type,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(sum_value, 2) AS sum_value,
+           round(sum_value / n_rows, 4) AS avg_value
+    FROM fine
+    UNION ALL
+    SELECT 'day', date_trunc('day', bucket_start), event_type,
+           CAST(sum(n_rows) AS BIGINT),
+           round(sum(sum_value), 2),
+           round(sum(sum_value) / sum(n_rows), 4)
+    FROM fine GROUP BY 2, 3
+    """,
+    headline=True,
 )
 
 

@@ -12,9 +12,18 @@ from python_dtl_spark.operators import (
     dedup,
     joins,
     multimodal,
+    rollup,
     similarity,
     text,
     windows,
 )
 
-__all__ = ["dedup", "joins", "multimodal", "similarity", "text", "windows"]
+__all__ = [
+    "dedup",
+    "joins",
+    "multimodal",
+    "rollup",
+    "similarity",
+    "text",
+    "windows",
+]

@@ -131,3 +131,64 @@ def salted_join(
     )
     out = left_s.join(right_s, on=on + [SALT_COL], how=how)
     return out.drop(SALT_COL)
+
+
+def range_join_point_in_interval(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: str | list[str] | None = None,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Join each point row to every interval row containing it
+    (``start <= point <= end``), optionally within ``by`` groups.
+
+    Spark-first shape: Catalyst turns a bare range predicate into a
+    (per-key) BroadcastNestedLoopJoin — quadratic at scale.  Instead,
+    bucketize time: each interval explodes to the ``bucket_seconds``-wide
+    buckets it overlaps, each point maps to exactly one bucket, and the
+    join becomes an equi-join on (by, bucket) followed by the exact
+    containment filter.  Shuffle cost scales with interval length /
+    bucket width, so pick a bucket near the typical interval length.
+    Each (point, interval) pair meets in exactly one bucket (the
+    point's), so no dedup pass is needed.
+
+    Point/start/end may be timestamps or numerics (epoch-seconds are
+    used for timestamps).  Output: all point columns + all interval
+    columns (collisions suffixed ``_ivl``).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+
+    def _epoch(c):
+        return F.col(c).cast("double")
+
+    p = points.select(
+        *[F.col(c).alias(f"__by_{c}") for c in by_cols],
+        F.floor(_epoch(point_col) / bucket_seconds).alias("__bucket"),
+        F.struct(*[F.col(c) for c in points.columns]).alias("__p"),
+    )
+    i = intervals.select(
+        *[F.col(c).alias(f"__by_{c}") for c in by_cols],
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(start_col) / bucket_seconds),
+                F.floor(_epoch(end_col) / bucket_seconds),
+            )
+        ).alias("__bucket"),
+        F.struct(*[F.col(c) for c in intervals.columns]).alias("__i"),
+    )
+    joined = p.join(i, on=[f"__by_{c}" for c in by_cols] + ["__bucket"]).filter(
+        (F.col(f"__p.{point_col}") >= F.col(f"__i.{start_col}"))
+        & (F.col(f"__p.{point_col}") <= F.col(f"__i.{end_col}"))
+    )
+    taken = set(points.columns)
+
+    def _out(c: str) -> str:
+        return c + "_ivl" if c in taken else c
+
+    return joined.select(
+        *[F.col(f"__p.{c}").alias(c) for c in points.columns],
+        *[F.col(f"__i.{c}").alias(_out(c)) for c in intervals.columns],
+    )

@@ -276,3 +276,52 @@ def test_top_n_per_group_and_running_total(spark):
     rt = running_total(df, ["g"], [F.asc("id")], "v")
     vals = {r.id: r.running_total for r in rt.collect()}
     assert vals == {1: 5.0, 2: 14.0, 3: 23.0, 4: 1.0}
+
+
+def test_range_join_point_in_interval(spark):
+    from python_dtl_spark.operators.joins import range_join_point_in_interval
+
+    points = spark.createDataFrame(
+        [(1, 50, "p1"), (1, 150, "p2"), (1, 7200, "p3"), (2, 50, "p4")],
+        "g long, t long, tag string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 100, "i1"), (1, 40, 60, "i2"), (1, 7000, 8000, "i3"), (2, 500, 600, "i4")],
+        "g long, s long, e long, name string",
+    )
+    out = range_join_point_in_interval(
+        points, intervals, point_col="t", start_col="s", end_col="e",
+        by="g", bucket_seconds=100,
+    )
+    got = {(r.tag, r.name) for r in out.collect()}
+    # p1 in both overlapping intervals; p2 in none; p3 spans bucket
+    # boundaries inside i3; p4's group has no covering interval
+    assert got == {("p1", "i1"), ("p1", "i2"), ("p3", "i3")}
+
+
+def test_time_rollup_grains_compose(spark):
+    from python_dtl_spark.operators.rollup import time_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 10:15:00", "a", 1.0),
+            ("2024-01-01 10:45:00", "a", 3.0),
+            ("2024-01-01 11:05:00", "a", 5.0),
+            ("2024-01-02 09:00:00", "b", 7.0),
+        ],
+        "ts string, k string, v double",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "k", "v")
+    out = time_rollup(df, "ts", ["k"], ["v"], ["hour", "day"]).collect()
+    hours = {(str(r.bucket_start), r.k): (r.n_rows, r.sum_v, r.avg_v)
+             for r in out if r.grain == "hour"}
+    days = {(str(r.bucket_start), r.k): (r.n_rows, r.sum_v, r.avg_v)
+            for r in out if r.grain == "day"}
+    assert hours[("2024-01-01 10:00:00", "a")] == (2, 4.0, 2.0)
+    assert hours[("2024-01-01 11:00:00", "a")] == (1, 5.0, 5.0)
+    assert days[("2024-01-01 00:00:00", "a")] == (3, 9.0, 3.0)
+    assert days[("2024-01-02 00:00:00", "b")] == (1, 7.0, 7.0)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        time_rollup(df, "ts", ["k"], ["v"], ["week", "day"])
