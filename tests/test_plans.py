@@ -118,3 +118,52 @@ def test_no_python_udfs_in_dtl_path(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_is_single_shuffle_no_nested_loop(spark):
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.joins import asof_join
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    left = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    right = orders.select("o_custkey", "o_orderdate", F.col("o_totalprice").alias("rv"))
+    plan = _exec_plan(
+        asof_join(left, right, on="o_orderdate", by="o_custkey", value_cols=["rv"])
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no join at all: union + window
+    # exactly one exchange hashed on the by key feeds the window sort
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_avoids_nested_loop(spark):
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.joins import range_join_point_in_interval
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    events = orders.select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("t")
+    )
+    intervals = orders.select(
+        "o_custkey",
+        F.col("o_totalprice").alias("s"),
+        (F.col("o_totalprice") + 10.0).alias("e"),
+    )
+    plan = _exec_plan(
+        range_join_point_in_interval(
+            events, intervals, point_col="t", start_col="s", end_col="e",
+            by="o_custkey", bucket_seconds=10,
+        )
+    )
+    # the whole point of bucketization: a hash join on (key, bucket),
+    # never a nested-loop over the raw range predicate
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
