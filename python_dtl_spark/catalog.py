@@ -26,6 +26,7 @@ from python_dtl_spark.operators import (
     joins,
     multimodal,
     rollup,
+    sampling,
     similarity,
     text,
     windows,
@@ -1144,6 +1145,54 @@ _register(
     FROM fine GROUP BY 2, 3
     """,
     headline=True,
+)
+
+
+def _q_hash_split(spark, sf_dir):
+    return sampling.hash_split(
+        _read(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed="s1",
+    ).select("doc_id", "split")
+
+
+_B = sampling.hash_bucket_sql("doc_id", seed="s1")
+
+_register(
+    "doc_hash_split",
+    _q_hash_split,
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_B} < 8000 THEN 'train'
+                WHEN {_B} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    return sampling.stratified_sample(
+        _read(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 0.5, "de": 0.2},
+        key_col="doc_id",
+        seed="s2",
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
+_B2 = sampling.hash_bucket_sql("doc_id", seed="s2")
+
+_register(
+    "doc_stratified_sample",
+    _q_stratified_sample,
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_B2} < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
+                  ELSE 1000 END
+    """,
 )
 
 

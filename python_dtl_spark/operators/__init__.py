@@ -13,6 +13,7 @@ from python_dtl_spark.operators import (
     joins,
     multimodal,
     rollup,
+    sampling,
     similarity,
     text,
     windows,
@@ -23,6 +24,7 @@ __all__ = [
     "joins",
     "multimodal",
     "rollup",
+    "sampling",
     "similarity",
     "text",
     "windows",

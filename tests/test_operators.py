@@ -325,3 +325,48 @@ def test_time_rollup_grains_compose(spark):
 
     with pytest.raises(ValueError):
         time_rollup(df, "ts", ["k"], ["v"], ["week", "day"])
+
+
+def test_hash_split_deterministic_and_partitioning_invariant(spark):
+    from python_dtl_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k: r.split for r in hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    # same assignment regardless of physical layout
+    b = {r.k: r.split for r in hash_split(df.repartition(13), "k", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+    counts = {}
+    for v in a.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # partitions are exhaustive and disjoint by construction (one label per row)
+    assert sum(counts.values()) == 2000
+    # a different seed reshuffles membership
+    c = {r.k: r.split for r in hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="x").collect()}
+    assert a != c
+
+
+def test_stratified_and_plain_sampling(spark):
+    import pytest
+
+    from python_dtl_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = stratified_sample(df, "lang", {"en": 0.5, "de": 0.1}, key_col="k").collect()
+    en = sum(1 for r in out if r.lang == "en") / 1000
+    de = sum(1 for r in out if r.lang == "de") / 1000
+    assert 0.4 < en < 0.6 and 0.05 < de < 0.16
+
+    samp = deterministic_sample(df, "k", 0.25)
+    n1, n2 = samp.count(), deterministic_sample(df.repartition(7), "k", 0.25).count()
+    assert n1 == n2 and 0.2 < n1 / 2000 < 0.3
+
+    with pytest.raises(ValueError):
+        deterministic_sample(
+            df.selectExpr("CAST(k AS DOUBLE) AS k", "lang"), "k", 0.5
+        )
