@@ -274,7 +274,7 @@ class Engine:
         uid = f"t{next(self._trace_ids):03d}_{name}"
         rid = self._phys("r")
         df = table.df.withColumn(rid, F.monotonically_increasing_id())
-        full = self.tracer.materialize(uid, df)
+        full = self.tracer.materialize(uid, df, level=level)
         self.tracer.record_table(
             uid, name=name, level=level, columns=table.columns, rid_col=rid
         )

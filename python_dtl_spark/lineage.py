@@ -76,8 +76,19 @@ class FileSystemTracer:
     manifest (reference FileSystemTracer, io.py:96-122; manifest format
     inspired by manifest.py:10-59)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, snapshot_levels: list[str] | None = None):
+        """``snapshot_levels`` is the 100 TB valve: when set, only
+        tables at those levels (e.g. ``["EXPORT"]``) are written as full
+        parquet snapshots; everything else runs *mapping-only* — row ids
+        are pinned in executor storage (``localCheckpoint``) so the
+        narrow (src_rid, tgt_rid) mapping tables are still exact, but no
+        table-sized copy hits disk per statement.  ``None`` snapshots
+        every level (reference behavior, io.py:96-122)."""
         self.root = root
+        self.snapshot_levels = (
+            None if snapshot_levels is None else set(snapshot_levels)
+        )
+        self._snapshotted: set[str] = set()
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
         os.makedirs(os.path.join(root, "mappings"), exist_ok=True)
         self.tables: list[TableRecord] = []
@@ -85,12 +96,15 @@ class FileSystemTracer:
 
     # -- engine-facing hooks --------------------------------------------------
 
-    def materialize(self, uid: str, df: DataFrame) -> DataFrame:
-        """Write the working table (data + hidden rid columns) once and
-        hand back the parquet-backed frame: every downstream mapping and
+    def materialize(self, uid: str, df: DataFrame, level: str = "STATEMENT") -> DataFrame:
+        """Pin the working table (data + hidden rid columns) once and
+        hand back the materialized frame: every downstream mapping and
         the snapshot itself observe the same row ids."""
+        if self.snapshot_levels is not None and level not in self.snapshot_levels:
+            return df.localCheckpoint(eager=True)
         path = os.path.join(self.root, "tables", f"{uid}.parquet")
         df.write.mode("overwrite").parquet(path)
+        self._snapshotted.add(uid)
         return df.sparkSession.read.parquet(path)
 
     def record_table(self, uid, *, name, level, columns, rid_col) -> None:
@@ -101,7 +115,11 @@ class FileSystemTracer:
                 level=level,
                 columns=[{"name": c, "dtype": d.name} for c, d in columns],
                 row_id=rid_col,
-                path=f"tables/{uid}.parquet",
+                path=(
+                    f"tables/{uid}.parquet"
+                    if self.snapshot_levels is None or uid in self._snapshotted
+                    else None
+                ),
             )
         )
 
@@ -136,7 +154,7 @@ class InMemoryTracer:
         self.tables: list[TableRecord] = []
         self.mappings: list[MappingRecord] = []
 
-    def materialize(self, uid: str, df: DataFrame) -> DataFrame:
+    def materialize(self, uid: str, df: DataFrame, level: str = "STATEMENT") -> DataFrame:
         pinned = df.localCheckpoint(eager=True)
         self.snapshots[uid] = pinned
         return pinned
@@ -229,6 +247,12 @@ class TraceReader:
     def snapshot(self, name_or_id: str) -> DataFrame:
         """The traced table's data columns plus its ``row_id`` column."""
         rec = self._by_id[self.table_id(name_or_id)]
+        if rec["path"] is None:
+            raise ValueError(
+                f"trace table {rec['name']!r} ran mapping-only (level "
+                f"{rec['level']} excluded from snapshot_levels); its rid "
+                "mappings exist but no data snapshot was written"
+            )
         df = self.spark.read.parquet(os.path.join(self.root, rec["path"]))
         cols = [c["name"] for c in rec["columns"]] + [rec["row_id"]]
         return df.select(*cols).withColumnRenamed(rec["row_id"], "__rid")

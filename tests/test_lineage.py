@@ -277,3 +277,35 @@ def test_ordered_mode_with_trace(spark):
     _, a_rec = _snap(tracer, "a")
     _, k_rec = _snap(tracer, "keep")
     assert _pairs(tracer, a_rec.id, k_rec.id).count() == 2
+
+
+def test_mapping_only_mode_skips_statement_snapshots(spark, tmp_path):
+    import pytest
+
+    trace_dir = os.path.join(str(tmp_path), "trace_mo")
+    tracer = FileSystemTracer(trace_dir, snapshot_levels=["EXPORT"])
+    _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH big AS SELECT key, value FROM a WHERE value > 30;
+        EXPORT big TO 'out';
+        """,
+        {"a": NUMS},
+        tracer,
+    )
+    manifest = json.load(open(os.path.join(trace_dir, "trace.json")))
+    paths = {t["name"]: t["path"] for t in manifest["tables"]}
+    assert paths["out"] is not None  # EXPORT level still snapshotted
+    assert paths["a"] is None and paths["big"] is None  # mapping-only
+    # only the export snapshot hit disk
+    import glob
+
+    assert len(glob.glob(os.path.join(trace_dir, "tables", "*"))) == 1
+
+    reader = TraceReader(spark, trace_dir)
+    # rid mappings remain exact end-to-end
+    assert reader.lineage("a", "out").count() == 3
+    assert reader.snapshot("out").count() == 3
+    with pytest.raises(ValueError, match="mapping-only"):
+        reader.snapshot("big")
