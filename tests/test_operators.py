@@ -370,3 +370,28 @@ def test_stratified_and_plain_sampling(spark):
         deterministic_sample(
             df.selectExpr("CAST(k AS DOUBLE) AS k", "lang"), "k", 0.5
         )
+
+
+def test_ivf_topk_recall_on_clustered_vectors(spark):
+    import math
+    import random
+
+    rng = random.Random(5)
+    # 3 well-separated clusters of 40 vectors in 8-d
+    centers = [[10.0 * (1 if d == c else 0) for d in range(8)] for c in range(3)]
+    rows = []
+    for i in range(120):
+        c = centers[i % 3]
+        rows.append((i, [c[d] + rng.gauss(0, 0.5) for d in range(8)]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(corpus, queries, k=5)
+    approx = similarity.ivf_topk(corpus, queries, k=5, n_centroids=6, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # probing half the centroids on clearly clustered data: full recall
+    assert len(a & e) / len(e) >= 0.9
+    ranks = [r.rank for r in approx.collect() if r.query_id == 0]
+    assert sorted(ranks) == [1, 2, 3, 4, 5]
