@@ -1248,6 +1248,72 @@ _register(
     """,
 )
 
+def _q_clean_corpus(spark, sf_dir):
+    """End-to-end training-corpus prep: quality-gate -> exact dedup
+    (canonical min doc_id per text) -> deterministic train/val/test
+    split -> per-split stats.  Composes text, dedup, and sampling
+    operators; every stage is JVM-side, two shuffles total (dedup
+    groupBy + final stats groupBy)."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = text.quality_features(docs)
+    kept = scored.filter(F.col("quality_score") >= 0.5).select("doc_id", "text")
+    deduped = dedup.exact_dedup_canonical(kept, "doc_id", ["text"])
+    split = sampling.hash_split(
+        deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="corpus"
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("n_chars"),
+        )
+        .select("split", "n_docs", "n_chars")
+    )
+
+
+_CB = sampling.hash_bucket_sql("doc_id", seed="corpus")
+
+_register(
+    "pipeline_clean_corpus",
+    _q_clean_corpus,
+    f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPS_SQL}, lower(t)))) AS BIGINT) AS n_stopwords
+        FROM documents
+    ), ratios AS (
+        SELECT doc_id, text,
+               CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_words > 0 THEN n_stopwords / n_words ELSE 0.0 END AS stopword_ratio,
+               n_words
+        FROM base
+    ), scored AS (
+        SELECT doc_id, text,
+               least(n_words / 100.0, 1.0) * 0.4
+                 + least(stopword_ratio * 5.0, 1.0) * 0.4
+                 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score
+        FROM ratios
+    ), kept AS (
+        SELECT doc_id, text FROM scored WHERE quality_score >= 0.5
+    ), deduped AS (
+        SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text FROM kept GROUP BY text
+    ), split AS (
+        SELECT doc_id, text,
+               CASE WHEN {_CB} < 8000 THEN 'train'
+                    WHEN {_CB} < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM deduped
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM split GROUP BY split
+    """,
+    headline=True,
+)
+
 # ---------------------------------------------------------------------------
 # Group F — provenance / trace mode (SURVEY.md §2.7; reference mappings.py,
 # manifest.py, io.py:75-122)
