@@ -140,3 +140,38 @@ def streaming_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_time_rollup(
+    df: DataFrame,
+    grain: str = "1 hour",
+    dims: list[str] | None = None,
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The streaming half of the hypertable pattern: a continuous
+    aggregate at the finest grain, keyed on a tumbling event-time
+    window so the watermark can evict state (grouping on a bare
+    ``date_trunc`` would accumulate state forever).
+
+    Output schema matches ``operators.rollup.time_rollup``'s per-level
+    shape (bucket_start, dims, n_rows, sum_/avg_<value>), so coarser
+    grains are plain batch re-aggregations of this operator's sink —
+    exactly how the batch rollup derives day from hour.  Works
+    identically on batch frames, which is what the oracle checks.
+    """
+    dims = dims or []
+    return (
+        df.groupBy(F.window(F.col(ts_col), grain).alias("w"), *dims)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(value_col).alias(f"sum_{value_col}"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            *dims,
+            "n_rows",
+            F.col(f"sum_{value_col}"),
+            (F.col(f"sum_{value_col}") / F.col("n_rows")).alias(f"avg_{value_col}"),
+        )
+    )

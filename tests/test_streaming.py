@@ -166,3 +166,58 @@ def test_cli_runs_script(spark, tmp_path):
     got = spark.read.parquet(outdir + "/big.parquet")
     assert got.columns == ["o_orderkey"]
     assert got.count() == 1190
+
+
+def test_streaming_time_rollup_feeds_batch_rollup(spark, tmp_path):
+    """Hypertable pattern end-to-end: the streaming finest-grain
+    continuous aggregate equals the batch hour level, and re-aggregating
+    its sink with the batch rollup yields the day level exactly."""
+    from python_dtl_spark.operators.rollup import time_rollup
+    from python_dtl_spark.streaming import streaming_time_rollup
+
+    events = _events(spark)
+    src = str(tmp_path / "events_rollup_stream")
+    events.write.parquet(src)
+
+    stream = stream_events(spark, src, SCHEMA, watermark="2 hours")
+    q = run_stream_to_memory(
+        streaming_time_rollup(stream, "1 hour", dims=["event_type"]),
+        "rollup_test",
+        mode="complete",
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.table("rollup_test").collect()
+    finally:
+        q.stop()
+
+    batch = {
+        (r["bucket_start"], r["event_type"]): (r["n_rows"], r["sum_value"])
+        for r in time_rollup(
+            events, "ts", ["event_type"], ["value"], ["hour"]
+        ).collect()
+    }
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_rows"], r["sum_value"])
+        for r in streamed
+    }
+    assert got == batch
+
+    # coarser grain from the streaming sink: re-aggregate hour -> day
+    sink = spark.createDataFrame(streamed)
+    daily = (
+        sink.groupBy(
+            F.date_trunc("day", F.col("bucket_start")).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.sum("n_rows").alias("n_rows"), F.sum("sum_value").alias("sum_value"))
+        .collect()
+    )
+    daily_expected = {
+        (r["bucket_start"], r["event_type"]): (r["n_rows"], r["sum_value"])
+        for r in time_rollup(events, "ts", ["event_type"], ["value"], ["day"]).collect()
+    }
+    assert {
+        (r["bucket_start"], r["event_type"]): (r["n_rows"], r["sum_value"])
+        for r in daily
+    } == daily_expected
