@@ -246,3 +246,50 @@ def test_join_matches_duckdb(spark, rows_l, rows_r, how, shift):
         for row in wdf.itertuples(index=False)
     )
     assert got == want, f"\nDTL: {dtl_src}\nSQL: {sql}"
+
+
+# --- as-of join vs brute-force reference ------------------------------------
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # uid
+        st.integers(min_value=0, max_value=50),  # t
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=asof_rows, right=asof_rows)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from python_dtl_spark.operators.joins import asof_join
+
+    # unique (uid, t) on the right: asof output is undefined under right
+    # ties (documented), so the generator dedupes
+    right = sorted({(u, t) for u, t in right})
+    left = [(i, u, t) for i, (u, t) in enumerate(left)]
+    rdf_rows = [(u, t, float(u * 100 + t)) for u, t in right]
+    ldf = spark.createDataFrame(left, "lid long, uid long, t long") if left else None
+    if ldf is None:
+        return
+    rdf = spark.createDataFrame(rdf_rows or [(99, 99, 0.0)], "uid long, t long, rv double")
+    if not rdf_rows:
+        rdf = rdf.filter("uid < 0")  # empty right side, schema kept
+
+    got = {
+        r.lid: (r.t_right, r.rv)
+        for r in asof_join(ldf, rdf, on="t", by="uid", value_cols=["rv"]).collect()
+    }
+    for lid, u, t in left:
+        cands = [(ru, rt, rv) for (ru, rt, rv) in rdf_rows if ru == u and rt <= t]
+        if cands:
+            _, bt, bv = max(cands, key=lambda c: c[1])
+            assert got[lid] == (bt, bv), (lid, u, t)
+        else:
+            assert got[lid] == (None, None), (lid, u, t)
+    assert len(got) == len(left)  # every left row exactly once
