@@ -66,6 +66,21 @@ def _dtl(script: str, output: str = "output"):
     return fn
 
 
+def _dtl_ordered(script: str, output: str = "output"):
+    """Like :func:`_dtl` but with deterministic row-order semantics on —
+    required by the CONSECUTIVE operators, whose meaning depends on
+    adjacency.  Ordered mode threads a hidden order column through every
+    operator (global windows — correctness-gate scale, not a bench
+    path)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        engine = Engine(spark, FileSystemImporter(spark, sf_dir), ordered=True)
+        exports = dict(engine.run_script(script))
+        return exports[output].public_df()
+
+    return fn
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -636,6 +651,60 @@ _register(
     "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
     "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
     "GROUP BY l_returnflag ORDER BY l_returnflag",
+)
+
+_register(
+    "dtl_distinct_consecutive",
+    _dtl_ordered(
+        """
+        WITH orders AS IMPORT 'orders';
+        WITH s AS SELECT o_custkey, o_orderkey FROM orders ORDER BY o_orderkey;
+        WITH output AS SELECT DISTINCT CONSECUTIVE o_custkey FROM s;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH s AS (
+        SELECT o_custkey,
+               lag(o_custkey) OVER (ORDER BY o_orderkey) AS prev
+        FROM orders
+    )
+    SELECT o_custkey FROM s WHERE prev IS NULL OR prev <> o_custkey
+    """,
+)
+
+_register(
+    "dtl_group_consecutive",
+    _dtl_ordered(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH s AS
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber;
+        WITH output AS
+            SELECT l_returnflag, count() AS n, round_to(sum(l_quantity), 2) AS qty
+            FROM s
+            GROUP CONSECUTIVE BY l_returnflag;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH s AS (
+        SELECT l_returnflag, l_quantity,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    ), m AS (
+        SELECT *, CASE WHEN lag(l_returnflag) OVER (ORDER BY rn)
+                        IS DISTINCT FROM l_returnflag THEN 1 ELSE 0 END AS brk
+        FROM s
+    ), i AS (
+        SELECT *, sum(brk) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS island
+        FROM m
+    )
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM i GROUP BY island, l_returnflag
+    """,
 )
 
 # ---------------------------------------------------------------------------
