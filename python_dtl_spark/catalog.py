@@ -1199,13 +1199,17 @@ def _q_time_rollup(spark, sf_dir):
         value_cols=["value"],
         grains=["hour", "day"],
     )
+    # avg derived from the ROUNDED sum in both engines: double summation
+    # order differs between Spark partitions and DuckDB, so rounding the
+    # raw avg can straddle a boundary; round(sum)/n is deterministic
+    # whenever the rounded sums agree
     return out.select(
         "grain",
         "bucket_start",
         "event_type",
         "n_rows",
         F.round("sum_value", 2).alias("sum_value"),
-        F.round("avg_value", 4).alias("avg_value"),
+        F.round(F.round("sum_value", 2) / F.col("n_rows"), 4).alias("avg_value"),
     )
 
 
@@ -1221,13 +1225,13 @@ _register(
     SELECT 'hour' AS grain, bucket_start, event_type,
            CAST(n_rows AS BIGINT) AS n_rows,
            round(sum_value, 2) AS sum_value,
-           round(sum_value / n_rows, 4) AS avg_value
+           round(round(sum_value, 2) / n_rows, 4) AS avg_value
     FROM fine
     UNION ALL
     SELECT 'day', date_trunc('day', bucket_start), event_type,
            CAST(sum(n_rows) AS BIGINT),
            round(sum(sum_value), 2),
-           round(sum(sum_value) / sum(n_rows), 4)
+           round(round(sum(sum_value), 2) / sum(n_rows), 4)
     FROM fine GROUP BY 2, 3
     """,
     headline=True,
