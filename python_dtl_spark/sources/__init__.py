@@ -104,3 +104,29 @@ class InMemoryExporter:
 
     def export_table(self, name: str, df: DataFrame) -> None:
         self.tables[name] = df
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a bucketed (and optionally sorted) table.
+
+    Bucketing is the 100 TB co-location tool Spark offers for repeated
+    equi-joins/aggregations on the same key: both sides pre-hashed into
+    ``num_buckets`` files per partition means Catalyst can plan the join
+    with NO Exchange at all (asserted in tests/test_plans.py).  Pick
+    num_buckets so one bucket of the big table fits an executor task
+    (e.g. 100 TB / 2048 buckets ≈ 50 GB before column pruning).
+
+    Uses ``saveAsTable`` (bucketing metadata lives in the session
+    catalog; plain ``.parquet(path)`` cannot record it).
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

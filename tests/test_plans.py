@@ -167,3 +167,33 @@ def test_range_join_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.sources import write_bucketed
+
+    a = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    b = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+    )
+    write_bucketed(a, "bkt_a", ["k"], num_buckets=8)
+    write_bucketed(b, "bkt_b", ["k"], num_buckets=8)
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_a").join(spark.table("bkt_b"), on="k")
+            plan = _exec_plan(joined)
+            # co-located buckets: sort-merge join with ZERO shuffles
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert joined.count() == 10000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
