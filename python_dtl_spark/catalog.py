@@ -1199,17 +1199,20 @@ def _q_time_rollup(spark, sf_dir):
         value_cols=["value"],
         grains=["hour", "day"],
     )
-    # avg derived from the ROUNDED sum in both engines: double summation
-    # order differs between Spark partitions and DuckDB, so rounding the
-    # raw avg can straddle a boundary; round(sum)/n is deterministic
-    # whenever the rounded sums agree
+    # avg derived from the ROUNDED sum, with NO further rounding: double
+    # summation order differs between Spark partitions and DuckDB, so
+    # rounding the raw avg can straddle a boundary — and re-rounding
+    # round(sum)/n creates exact decimal ties (e.g. 76.75/2) where the
+    # engines' tie-breaking on binary doubles diverges.  The bare
+    # quotient of bit-identical rounded sums by identical counts is
+    # bit-identical.
     return out.select(
         "grain",
         "bucket_start",
         "event_type",
         "n_rows",
         F.round("sum_value", 2).alias("sum_value"),
-        F.round(F.round("sum_value", 2) / F.col("n_rows"), 4).alias("avg_value"),
+        (F.round("sum_value", 2) / F.col("n_rows")).alias("avg_value"),
     )
 
 
@@ -1225,13 +1228,13 @@ _register(
     SELECT 'hour' AS grain, bucket_start, event_type,
            CAST(n_rows AS BIGINT) AS n_rows,
            round(sum_value, 2) AS sum_value,
-           round(round(sum_value, 2) / n_rows, 4) AS avg_value
+           round(sum_value, 2) / n_rows AS avg_value
     FROM fine
     UNION ALL
     SELECT 'day', date_trunc('day', bucket_start), event_type,
            CAST(sum(n_rows) AS BIGINT),
            round(sum(sum_value), 2),
-           round(round(sum(sum_value), 2) / sum(n_rows), 4)
+           round(sum(sum_value), 2) / sum(n_rows)
     FROM fine GROUP BY 2, 3
     """,
     headline=True,
