@@ -654,6 +654,45 @@ _register(
 )
 
 _register(
+    "dtl_q10_returned_items",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH orders AS IMPORT 'orders';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH nation AS IMPORT 'nation';
+        WITH output AS
+            SELECT
+                c_custkey, c_name,
+                round_to(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                c_acctbal, n_name
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= timestamp('1997-10-01 00:00:00')
+                & o_orderdate < timestamp('1998-01-01 00:00:00')
+                & l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT c_custkey, c_name, "
+    "round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
+    "c_acctbal, n_name "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+    "AND l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+)
+
+_register(
     "dtl_distinct_consecutive",
     _dtl_ordered(
         """
@@ -802,6 +841,31 @@ def _lang_oracle() -> str:
 
 
 _register("doc_lang_id", _q_lang_id, _lang_oracle(), headline=True)
+
+
+def _q_top_tokens(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by document frequency —
+    explode + count + orderBy/limit (map-side combine, one shuffle)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(100)
+    )
+
+
+_register(
+    "doc_top_tokens",
+    _q_top_tokens,
+    f"""
+    SELECT token, count(*) AS freq
+    FROM (SELECT unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS token
+          FROM documents)
+    GROUP BY token ORDER BY freq DESC, token LIMIT 100
+    """,
+)
 
 
 def _q_fingerprint(spark, sf_dir):
