@@ -395,3 +395,32 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
     assert len(a & e) / len(e) >= 0.9
     ranks = [r.rank for r in approx.collect() if r.query_id == 0]
     assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_csv_json_round_trip(spark, tmp_path):
+    """Export a DTL result as csv and json, re-import each through the
+    engine, and get the same rows back (formats beyond the reference's
+    parquet-only surface, io.py:41,72)."""
+    from python_dtl_spark.compiler import Engine
+    from python_dtl_spark.sources import FileSystemExporter, FileSystemImporter
+
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, "c", 0.25)], "k long, s string, v double"
+    )
+    root = str(tmp_path)
+    src.write.parquet(f"{root}/input.parquet")
+
+    script = """
+    WITH input AS IMPORT 'input';
+    WITH output AS SELECT k, s, v * 2.0 AS v2 FROM input;
+    EXPORT output TO 'output';
+    """
+    for fmt in ("csv", "json"):
+        out_root = f"{root}/out_{fmt}"
+        engine = Engine(spark, FileSystemImporter(spark, root), ordered=False)
+        exporter = FileSystemExporter(out_root, fmt=fmt)
+        for loc, table in engine.run_script(script):
+            exporter.export_table(loc, table.public_df())
+        back = FileSystemImporter(spark, out_root, fmt=fmt).import_table("output")
+        got = {(r.k, r.s, r.v2) for r in back.collect()}
+        assert got == {(1, "a", 3.0), (2, "b", -4.0), (3, "c", 0.5)}, fmt
