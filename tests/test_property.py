@@ -293,3 +293,49 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         else:
             assert got[lid] == (None, None), (lid, u, t)
     assert len(got) == len(left)  # every left row exactly once
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 400)), min_size=1, max_size=20
+    ),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 400), st.integers(0, 150)),
+        min_size=0,
+        max_size=10,
+    ),
+    bucket=st.sampled_from([7, 60, 100, 500]),
+)
+def test_range_join_matches_bruteforce(spark, points, intervals, bucket):
+    """Bucketized range join must equal the brute-force containment
+    relation for every bucket width (buckets are an execution detail,
+    never a semantics knob)."""
+    from python_dtl_spark.operators.joins import range_join_point_in_interval
+
+    pts = [(i, g, t) for i, (g, t) in enumerate(points)]
+    ivs = [(j, g, s, s + w) for j, (g, s, w) in enumerate(intervals)]
+    pdf = spark.createDataFrame(pts, "pid long, g long, t long")
+    idf = spark.createDataFrame(
+        ivs or [(0, 99, 0, 0)], "iid long, g long, s long, e long"
+    )
+    if not ivs:
+        idf = idf.filter("g < 0")
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_point_in_interval(
+            pdf, idf, point_col="t", start_col="s", end_col="e",
+            by="g", bucket_seconds=bucket,
+        ).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, pg, t in pts
+        for iid, ig, s, e in ivs
+        if pg == ig and s <= t <= e
+    }
+    assert got == want
