@@ -693,6 +693,36 @@ _register(
 )
 
 _register(
+    "dtl_q18_large_orders",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH orders AS IMPORT 'orders';
+        WITH customer AS IMPORT 'customer';
+        WITH big AS
+            SELECT l_orderkey, round_to(sum(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 250.0;
+        WITH output AS
+            SELECT c_name, c_custkey, o_orderkey, o_totalprice, qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 10;
+        EXPORT output TO 'output';
+        """
+    ),
+    "WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS qty "
+    "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250.0) "
+    "SELECT c_name, c_custkey, o_orderkey, o_totalprice, qty "
+    "FROM big JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+
+_register(
     "dtl_distinct_consecutive",
     _dtl_ordered(
         """
