@@ -693,6 +693,24 @@ _register(
 )
 
 _register(
+    "dtl_approx_distinct_parts",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT l_returnflag,
+                   approx_count_distinct(l_partkey) AS approx_parts,
+                   count_distinct(l_partkey) AS exact_parts
+            FROM lineitem
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag;
+        EXPORT output TO 'output';
+        """
+    ),
+    None,  # HLL++ sketch values are engine-specific — rows-only check
+)
+
+_register(
     "dtl_q18_large_orders",
     _dtl(
         """

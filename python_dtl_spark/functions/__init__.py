@@ -335,6 +335,23 @@ _aggregate(
 )
 
 
+def _check_approx_count_distinct(dtypes: list[DType]) -> DType:
+    if len(dtypes) != 1:
+        raise _fail("approx_count_distinct", dtypes)
+    return DType.INT64
+
+
+# HyperLogLog++ sketch: the 100 TB way to count distincts — exact
+# count_distinct forces every distinct value through one shuffle,
+# while the sketch aggregates partial registers map-side (fixed-size
+# state per group regardless of cardinality).
+_aggregate(
+    "approx_count_distinct",
+    _check_approx_count_distinct,
+    lambda c: F.approx_count_distinct(c).cast("long"),
+)
+
+
 def _check_sum(dtypes: list[DType]) -> DType:
     _arity("sum", dtypes, 1)
     if dtypes[0] not in NUMERIC_DTYPES:

@@ -366,3 +366,23 @@ def test_self_join_with_aliases(run_dtl):
         {"t": {"k": [1, 2, 3]}},
     )
     assert out == pa.table({"left_k": [1, 2], "right_k": [2, 3]})
+
+
+def test_approx_count_distinct(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS
+            SELECT k, count_distinct(v) AS exact, approx_count_distinct(v) AS approx
+            FROM input GROUP BY k ORDER BY k;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"k": [1] * 50 + [2] * 50, "v": list(range(50)) + [0] * 50}},
+    )
+    d = out.to_pydict()
+    assert d["k"] == [1, 2]
+    assert d["exact"] == [50, 1]
+    # HLL++ default rsd = 5%: exact at these cardinalities
+    assert d["approx"][1] == 1
+    assert abs(d["approx"][0] - 50) <= 3
