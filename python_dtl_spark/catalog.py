@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_dtl_spark.compiler import Engine
@@ -1397,6 +1397,35 @@ _register(
     SELECT doc_id, lang FROM documents
     WHERE {_B2} < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2000
                   ELSE 1000 END
+    """,
+)
+
+
+def _q_event_deltas(spark, sf_dir):
+    """Inter-arrival gaps per user, in integer microseconds (both
+    engines floor nanos→micros identically, so the delta is exact)."""
+    ev = _read_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    out = windows.event_deltas(ev, ["user_id"], "ts", out_col="__delta_s")
+    return out.select(
+        "event_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("ts"))
+            - F.unix_micros(F.lag("ts").over(
+                Window.partitionBy("user_id").orderBy("ts")
+            ))
+        ).alias("delta_us"),
+    )
+
+
+_register(
+    "events_inter_arrival",
+    _q_event_deltas,
+    """
+    SELECT event_id, user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+             AS delta_us
+    FROM events
     """,
 )
 

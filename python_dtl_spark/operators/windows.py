@@ -44,3 +44,21 @@ def running_total(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def event_deltas(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    out_col: str = "delta_seconds",
+) -> DataFrame:
+    """Seconds since the previous row per group in ``ts_col`` order
+    (null for each group's first row) — the inter-arrival feature used
+    for churn/engagement analysis and session-gap tuning.  One shuffle
+    on the group key."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(ts_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    return df.withColumn(
+        out_col,
+        F.col(ts_col).cast("double") - prev.cast("double"),
+    )

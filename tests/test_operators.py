@@ -424,3 +424,13 @@ def test_csv_json_round_trip(spark, tmp_path):
         back = FileSystemImporter(spark, out_root, fmt=fmt).import_table("output")
         got = {(r.k, r.s, r.v2) for r in back.collect()}
         assert got == {(1, "a", 3.0), (2, "b", -4.0), (3, "c", 0.5)}, fmt
+
+
+def test_event_deltas(spark):
+    from python_dtl_spark.operators.windows import event_deltas
+
+    df = spark.createDataFrame(
+        [(1, 100), (1, 160), (1, 400), (2, 50)], "uid long, ts long"
+    )
+    out = {(r.uid, r.ts): r.delta_seconds for r in event_deltas(df, ["uid"], "ts").collect()}
+    assert out == {(1, 100): None, (1, 160): 60.0, (1, 400): 240.0, (2, 50): None}
