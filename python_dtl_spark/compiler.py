@@ -934,9 +934,13 @@ def build_binary(op: str, lc: Column, lt: DType, rc: Column, rt: DType) -> tuple
             raise DtlTypeError(f"Type error: {lt} {op} {rt}")
         if lt in (DType.INT32, DType.INT64):
             # pyarrow's divide on integers is C-style truncating division
-            # (reference eval.py:214-224); Spark `/` always yields double,
-            # so truncate back to the integral dtype.
-            return (lc / rc).cast(spark_type_for(lt)), lt
+            # (reference eval.py:214-224). Spark's `div` (IntegralDivide)
+            # matches it exactly: truncates toward zero, stays in integer
+            # arithmetic (exact beyond 2^53 where a double round-trip is
+            # not), and under ANSI mode raises on divide-by-zero just as
+            # pyarrow raises. `div` always yields LONG; cast back to the
+            # declared integral dtype.
+            return F.call_function("div", lc, rc).cast(spark_type_for(lt)), lt
         return lc / rc, lt
     if op == "%":
         if lt != rt or lt not in (DType.INT32, DType.INT64):

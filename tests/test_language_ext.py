@@ -339,6 +339,24 @@ def test_integer_division_truncates(run_dtl):
     assert out == pa.table({"q": [3, -3, 3]})
 
 
+def test_integer_division_exact_beyond_double_precision(run_dtl):
+    # 2^60 + 3 is not representable as a double; a double-division round
+    # trip would silently yield the wrong quotient. Spark's IntegralDivide
+    # stays in integer arithmetic, matching pyarrow's exact divide
+    # (reference eval.py:214-224).
+    big = 2**60 + 3
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS SELECT a / b AS q FROM input;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"a": [big, -big], "b": [3, 3]}},
+    )
+    assert out == pa.table({"q": [big // 3, -(big // 3)]})
+
+
 def test_chained_with_bindings(run_dtl):
     out = run1(
         run_dtl,
