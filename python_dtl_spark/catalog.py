@@ -506,19 +506,24 @@ _register(
 )
 
 _register(
+    # Customers who never placed a >300k order: both sides overlap
+    # heavily and the difference is non-empty at every test SF (3 rows
+    # at sf0.001, 30 at sf0.01), so the hash comparison has content —
+    # the previous nationkey EXCEPT was vacuously 0 = 0 rows.
     "dtl_except",
     _dtl(
         """
         WITH customer AS IMPORT 'customer';
-        WITH supplier AS IMPORT 'supplier';
-        WITH cn AS SELECT c_nationkey AS nationkey FROM customer;
-        WITH sn AS SELECT s_nationkey AS nationkey FROM supplier;
-        WITH output AS cn EXCEPT sn;
+        WITH orders AS IMPORT 'orders';
+        WITH ck AS SELECT c_custkey AS custkey FROM customer;
+        WITH bk AS SELECT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > 300000.0;
+        WITH output AS ck EXCEPT bk;
         EXPORT output TO 'output';
         """
     ),
-    "SELECT c_nationkey AS nationkey FROM customer "
-    "EXCEPT SELECT s_nationkey AS nationkey FROM supplier",
+    "SELECT c_custkey AS custkey FROM customer "
+    "EXCEPT SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0",
 )
 
 _register(
@@ -1025,12 +1030,37 @@ _register("dedup_lsh_keep", _q_lsh_dedup_keep, None)  # connected components: no
 
 
 def _q_embed_near_dup(spark, sf_dir):
+    # The synthetic embeddings have no natural near-duplicates (max
+    # pairwise cosine ~0.51 at sf0.01), so an honest high threshold
+    # finds nothing and verifies nothing.  Plant known duplicates:
+    # union the corpus with an exact copy at vec_id+100000.  Identical
+    # vectors hash to identical LSH signatures, so candidate recall on
+    # the planted pairs is exactly 1 and the output — one (i, i+100000)
+    # pair per corpus row — is deterministic and hash-checkable against
+    # an exact-cosine SQL oracle.
+    base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = base.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+    )
     return dedup.embedding_near_dup_pairs(
-        _read(spark, sf_dir, "embeddings"), threshold=0.42
+        base.unionByName(planted), threshold=0.95, dim=64
     ).select("id_a", "id_b")
 
 
-_register("dedup_embedding_cosine", _q_embed_near_dup, None)  # approximate (LSH)
+_register(
+    "dedup_embedding_cosine",
+    _q_embed_near_dup,
+    """
+    WITH aug AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    """,
+)
 
 
 def _q_topk(spark, sf_dir):
@@ -1071,7 +1101,7 @@ def _q_topk_lsh(spark, sf_dir):
     queries = corpus.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_bucketed_topk(corpus, queries, k=10).select(
+    return similarity.lsh_bucketed_topk(corpus, queries, k=10, dim=64).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
@@ -1435,7 +1465,41 @@ def _q_multimodal(spark, sf_dir):
     return multimodal.extract_image_features(assets, fake=True)
 
 
-_register("multimodal_image_features", _q_multimodal, None)  # stubbed decode
+# The fake decoder is deterministic (FNV-1a over the payload bytes,
+# which for synth_assets are the UTF-8 hex of sha256(asset_id)), so the
+# whole mapInPandas pipeline is exactly expressible in DuckDB:
+# list_reduce replays the FNV fold in HUGEINT arithmetic, and the
+# feature fields are bit-slices of the 64-bit state.  This promotes the
+# multimodal plumbing (Arrow batches, schema, 1 row per asset) from a
+# rows-only check to a full value-hash oracle.
+_register(
+    "multimodal_image_features",
+    _q_multimodal,
+    """
+    WITH assets AS (
+        SELECT range::BIGINT AS asset_id,
+               sha256(CAST(range AS VARCHAR)) AS hex
+        FROM range(256)
+    ), fnv AS (
+        SELECT asset_id,
+               list_reduce(
+                   list_prepend(
+                       CAST(14695981039346656037 AS HUGEINT),
+                       [CAST(ord(substr(hex, i, 1)) AS HUGEINT)
+                        FOR i IN range(1, len(hex) + 1)]),
+                   (h, b) -> (xor(h, b) * 1099511628211)
+                             % 18446744073709551616
+               ) AS h
+        FROM assets
+    )
+    SELECT asset_id,
+           CAST(64 + h % 256 AS INTEGER) AS width,
+           CAST(64 + (h // 256) % 256 AS INTEGER) AS height,
+           CAST((h // 65536) % 65536 AS DOUBLE) / 65535.0 AS mean_luma,
+           CAST(h // 2 AS BIGINT) AS phash
+    FROM fnv
+    """,
+)
 
 
 _register(

@@ -493,6 +493,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     planes: int = 12,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine ≥ threshold.
 
@@ -501,12 +502,15 @@ def embedding_near_dup_pairs(
     verifies.  High-cosine pairs agree on most hyperplane signs, so one
     bucket join plus neighbor buckets at Hamming distance 1 catches
     nearly all true pairs without the O(N²) cross join.
+
+    Pass ``dim`` (embedding dimensionality) to keep plan construction
+    action-free; omitting it runs a single-row inference job per call.
     """
-    import math
     import random
 
     rng = random.Random(seed)
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     hyperplanes = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
     ]

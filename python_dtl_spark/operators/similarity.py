@@ -80,6 +80,7 @@ def lsh_bucketed_topk(
     planes: int = 8,
     seed: int = 11,
     multiprobe_bits: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucketing + multiprobe.
 
@@ -87,11 +88,16 @@ def lsh_bucketed_topk(
     its own bucket plus all buckets within Hamming distance
     ``multiprobe_bits``.  Recall/latency trades off via ``planes`` and
     ``multiprobe_bits``.  Same output schema as ``cosine_topk``.
+
+    Pass ``dim`` (the embedding dimensionality) so plan construction is
+    action-free; when omitted, a single-row job runs to infer it, which
+    is an extra Spark job per call at scale.
     """
     import random
 
     rng = random.Random(seed)
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     hyperplanes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
 
     def signature(vec):
@@ -148,6 +154,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 13,
     fit_sample: int = 100_000,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted file) partitioning.
 
@@ -164,6 +171,12 @@ def ivf_topk(
     (n_centroids × dim floats) compiled into the query probe
     expression, and the probe join shuffles ~n_probe/n_centroids of
     the corpus per query batch instead of all of it.
+
+    The fit sample is taken with ``limit(fit_sample)`` (re-spread over
+    the default parallelism so the KMeans fit is not single-threaded)
+    — no ``count()`` pass over the corpus.  At 100 TB pass
+    ``fit_fraction`` (e.g. 1e-6) instead to take a uniform sample
+    without the all-partitions limit scan.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -174,9 +187,10 @@ def ivf_topk(
     ).withColumn("__cn", _norm(F.col("__cv")))
 
     train = c_base.select(array_to_vector("__cv").alias("features"))
-    n_rows = train.count()
-    if n_rows > fit_sample:
-        train = train.sample(fraction=fit_sample / n_rows, seed=seed)
+    if fit_fraction is not None:
+        train = train.sample(fraction=fit_fraction, seed=seed)
+    else:
+        train = _spread(train.limit(fit_sample))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 

@@ -139,6 +139,23 @@ def test_embedding_near_dup(embeddings):
     assert (0, 2) not in pairs
 
 
+def test_plan_construction_is_action_free(spark, embeddings):
+    # With dim passed, building the similarity/dedup DataFrames must not
+    # run any Spark job (VERDICT r01 #4: a .first()/count() per call is
+    # an extra cluster round-trip at scale).  KMeans fit in ivf_topk is
+    # inherently an action, so it is exempt here.
+    sc = spark.sparkContext
+    queries = embeddings.select(F.col("vec_id").alias("query_id"), "embedding")
+    sc.setJobGroup("plan-construction", "no jobs expected")
+    try:
+        similarity.lsh_bucketed_topk(embeddings, queries, k=2, dim=4)
+        dedup.embedding_near_dup_pairs(embeddings, threshold=0.9, dim=4)
+        jobs = sc.statusTracker().getJobIdsForGroup("plan-construction")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == []
+
+
 def test_multimodal_image_features_fake(spark):
     assets = multimodal.synth_assets(spark, n=16)
     feats = multimodal.extract_image_features(assets, fake=True)
