@@ -90,11 +90,25 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark cannot read natively — read nanos as long (legacy conf) and
     convert to a microsecond timestamp with integer division (``div``:
     the values exceed double's 2^53 mantissa, so float division would
-    corrupt them)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] in ("bigint", "long"):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    corrupt them).
+
+    The legacy conf is scoped to this read (saved/restored): the value
+    is captured when the scan is analyzed, so the returned lazy
+    DataFrame stays valid, and later parquet reads in the same session
+    see nanosecond timestamps unchanged rather than silently becoming
+    longs."""
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes)["ts"] in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
     return df
 
 

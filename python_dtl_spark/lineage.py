@@ -269,37 +269,68 @@ class TraceReader:
 
     def lineage(self, src: str, tgt: str) -> DataFrame | None:
         """Transitive (src_rid, tgt_rid) relation from ``src`` to ``tgt``
-        composed along every mapping path (BFS over the mapping graph,
-        union of path compositions)."""
+        composed along every mapping path.
+
+        Nodes are processed in topological order (Kahn over the
+        reachable subgraph), so a node's out-edges expand only after
+        every in-path has been merged into its reach set.  A plain BFS
+        expands a node the first time it is reached; in diamond-shaped
+        graphs with unequal path lengths the late-arriving path's pairs
+        would never reach the node's descendants.  The trace graph is a
+        DAG by construction (mapping targets are always created after
+        their sources), so the topological order always exists.
+        """
         src, tgt = self.table_id(src), self.table_id(tgt)
         if src == tgt:
             snap = self.snapshot(src)
             return snap.select(
                 F.col("__rid").alias("src_rid"), F.col("__rid").alias("tgt_rid")
             )
-        # reach[t] = composed (src_rid → t rid) mapping
+        out_edges: dict[str, list[dict]] = {}
+        for m in self.manifest["mappings"]:
+            out_edges.setdefault(m["src"], []).append(m)
+        # nodes reachable from src
+        reachable = {src}
+        stack = [src]
+        while stack:
+            for m in out_edges.get(stack.pop(), []):
+                if m["tgt"] not in reachable:
+                    reachable.add(m["tgt"])
+                    stack.append(m["tgt"])
+        # Kahn's algorithm over the reachable subgraph (multi-edges
+        # count once per edge)
+        indeg = {n: 0 for n in reachable}
+        for n in reachable:
+            for m in out_edges.get(n, []):
+                if m["tgt"] in reachable:
+                    indeg[m["tgt"]] += 1
+        ready = [src]
+        order: list[str] = []
+        while ready:
+            node = ready.pop()
+            order.append(node)
+            for m in out_edges.get(node, []):
+                t = m["tgt"]
+                indeg[t] -= 1
+                if indeg[t] == 0:
+                    ready.append(t)
+        # reach[t] = composed (src_rid → t rid) mapping, complete by the
+        # time t itself is expanded
         reach: dict[str, DataFrame] = {}
-        frontier = [src]
-        while frontier:
-            nxt: list[str] = []
-            for node in frontier:
-                for m in self.manifest["mappings"]:
-                    if m["src"] != node:
-                        continue
-                    pairs = self.spark.read.parquet(
-                        os.path.join(self.root, m["path"])
+        for node in order:
+            for m in out_edges.get(node, []):
+                pairs = self.spark.read.parquet(
+                    os.path.join(self.root, m["path"])
+                )
+                step = pairs if node == src else compose(reach[node], pairs)
+                if m["tgt"] in reach:
+                    reach[m["tgt"]] = (
+                        reach[m["tgt"]]
+                        .unionByName(step)
+                        .dropDuplicates(["src_rid", "tgt_rid"])
                     )
-                    step = pairs if node == src else compose(reach[node], pairs)
-                    if m["tgt"] in reach:
-                        reach[m["tgt"]] = (
-                            reach[m["tgt"]]
-                            .unionByName(step)
-                            .dropDuplicates(["src_rid", "tgt_rid"])
-                        )
-                    else:
-                        reach[m["tgt"]] = step
-                        nxt.append(m["tgt"])
-            frontier = nxt
+                else:
+                    reach[m["tgt"]] = step
         return reach.get(tgt)
 
     def why(self, tgt_table: str, src_table: str, tgt_rows: DataFrame) -> DataFrame:

@@ -15,11 +15,36 @@ Scale design notes (the point of this module — SURVEY.md §6 / M6):
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_dtl_spark.operators.partitioning import spread as _spread
 from python_dtl_spark.operators.text import tokens
+
+
+def _release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie the lifetime of persisted intermediates to the result.
+
+    The intermediates must stay cached until the caller has run its
+    action(s) on ``result``, so they cannot be unpersisted inside the
+    operator.  Instead the result carries a ``release_cached()`` handle
+    for deterministic cleanup, and a weakref finalizer unpersists them
+    when the result is garbage-collected — so repeated catalog/bench
+    invocations do not accumulate dead blocks in executor storage.
+    """
+
+    def _release():
+        for c in cached:
+            try:
+                c.unpersist()
+            except Exception:
+                pass
+
+    weakref.finalize(result, _release)
+    result.release_cached = _release
+    return result
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -238,7 +263,7 @@ def minhash_lsh_pairs(
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # the self-join below references `buckets` twice — persist the narrow
     # (id, band, bucket) projection so shingling + signatures run once
-    buckets = buckets.persist()
+    buckets = buckets_cached = buckets.persist()
     if max_bucket_size is not None:
         ok = (
             buckets.groupBy("band", "bucket")
@@ -290,7 +315,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    return _release_after(verified, sh, sigs, buckets_cached)
 
 
 def lsh_dedup_keep(
@@ -301,6 +326,7 @@ def lsh_dedup_keep(
     num_hashes: int = 32,
     bands: int = 16,
     max_iter: int = 10,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup dedup with LINEAR output: (doc_id, cluster_id, keep).
 
@@ -318,6 +344,12 @@ def lsh_dedup_keep(
     Clustering is candidate-level (bucket co-occurrence, no Jaccard
     verification) — the aggressive setting appropriate for boilerplate
     removal; tune bands/rows for precision.
+
+    Each iteration truncates the logical plan: with ``checkpoint_dir``
+    set, via fault-tolerant reliable ``checkpoint()`` (survives executor
+    loss — required on a real cluster, where a lost executor invalidates
+    ``localCheckpoint`` blocks mid-iteration and kills the job);
+    otherwise via ``localCheckpoint`` (fine single-node / test scale).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
@@ -349,14 +381,22 @@ def lsh_dedup_keep(
     )
     # iterative label propagation: checkpoint each round to TRUNCATE the
     # logical plan — persist alone caches data but the plan still grows
-    # exponentially with iterations (on a real cluster use
-    # spark.sparkContext.setCheckpointDir + .checkpoint() for
-    # fault-tolerant truncation)
-    labels = (
-        buckets.select("__id")
-        .distinct()
-        .withColumn("__lbl", F.col("__id"))
-        .localCheckpoint(eager=True)
+    # exponentially with iterations
+    if checkpoint_dir is not None:
+        spark = df.sparkSession
+        if spark.sparkContext.getCheckpointDir() is None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(d: DataFrame) -> DataFrame:
+            return d.checkpoint(eager=True)
+
+    else:
+
+        def _truncate(d: DataFrame) -> DataFrame:
+            return d.localCheckpoint(eager=True)
+
+    labels = _truncate(
+        buckets.select("__id").distinct().withColumn("__lbl", F.col("__id"))
     )
     for _ in range(max_iter):
         bucket_min = (
@@ -369,13 +409,11 @@ def lsh_dedup_keep(
             .groupBy("__id")
             .agg(F.min("__bmin").alias("__new"))
         )
-        new_labels = (
-            labels.join(doc_min, on="__id", how="left")
-            .select(
+        new_labels = _truncate(
+            labels.join(doc_min, on="__id", how="left").select(
                 "__id",
                 F.least(F.col("__lbl"), F.coalesce("__new", "__lbl")).alias("__lbl"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -386,11 +424,12 @@ def lsh_dedup_keep(
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
+    out = labels.select(
         F.col("__id").alias(id_col),
         F.col("__lbl").alias("cluster_id"),
         (F.col("__id") == F.col("__lbl")).alias("keep"),
     )
+    return _release_after(out, buckets)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:

@@ -26,6 +26,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    allow_global: bool = False,
 ) -> DataFrame:
     """As-of join: each left row picks the nearest right row at or
     before (``backward``) / at or after (``forward``) its ``on`` value,
@@ -50,6 +51,15 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, not {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
+    if not by_cols and not allow_global:
+        # An empty `by` makes the running window a single global
+        # partition — every row through one task.  Fine for small
+        # inputs, a silent serialization at scale, so it must be
+        # explicitly requested.
+        raise ValueError(
+            "asof_join with by=None sorts everything in ONE partition; "
+            "pass by=<key column(s)> or allow_global=True for small inputs"
+        )
     if value_cols is None:
         value_cols = [
             c for c in right.columns if c not in by_cols and c != on
@@ -108,11 +118,15 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the left (skewed/large) side salted ``salt`` ways.
 
-    The left side gets a uniform random salt per row; the right side is
-    replicated once per salt value (array + explode — no driver loop,
-    no crossJoin).  The hot key's rows then land on ``salt`` different
-    reducers instead of one.  Output columns match ``left.join(right,
-    on, how)``.
+    The left side gets a deterministic per-row salt — xxhash64 of the
+    whole row plus the seed, mod ``salt`` — so a task recomputed after
+    a fetch failure assigns the same salt to the same row (F.rand would
+    re-roll on retry, silently dropping/duplicating join output when
+    upstream partitions are not stably ordered).  Rows of one hot key
+    differ in their other columns, so they still spread across ``salt``
+    reducers.  The right side is replicated once per salt value (array
+    + explode — no driver loop, no crossJoin).  Output columns match
+    ``left.join(right, on, how)``.
 
     Cost model: right side is duplicated ``salt``× through the shuffle —
     use for large-left × modest-right joins where one left key
@@ -124,7 +138,11 @@ def salted_join(
             "(right/full-outer would need the salt on the other side)"
         )
     left_s = left.withColumn(
-        SALT_COL, F.floor(F.rand(seed) * salt).cast("int")
+        SALT_COL,
+        F.pmod(
+            F.xxhash64(F.lit(seed), *[F.col(c) for c in left.columns]),
+            F.lit(salt),
+        ).cast("int"),
     )
     right_s = right.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -225,6 +225,43 @@ def test_filesystem_trace_and_reader(spark, tmp_path):
     assert (origin[0].key, origin[0].value) == (6, 60)
 
 
+def test_lineage_diamond_unequal_path_lengths(spark, tmp_path):
+    # Diamond: a → short (1 hop) and a → l1 → longer (2 hops) merge in
+    # `merged`, whose descendant is `final`.  A naive BFS expands
+    # `merged` when the short path arrives and never replays the longer
+    # path's pairs to `final`, dropping lineage for rows that only
+    # survive the longer branch (keys 1-3 here: value <= 30 fails the
+    # short filter but passes the longer one).
+    trace_dir = os.path.join(str(tmp_path), "trace")
+    tracer = FileSystemTracer(trace_dir)
+    _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH short AS SELECT key, value FROM a WHERE value > 30;
+        WITH l1 AS SELECT key, value FROM a WHERE value > 0;
+        WITH longer AS SELECT key, value FROM l1 WHERE value < 35;
+        WITH merged AS short UNION longer;
+        WITH final AS SELECT key FROM merged;
+        EXPORT final TO 'out';
+        """,
+        {"a": NUMS},
+        tracer,
+    )
+    reader = TraceReader(spark, trace_dir)
+    pairs = reader.lineage("a", "final")
+    a_snap = reader.snapshot("a")
+    traced_keys = {
+        r.key
+        for r in a_snap.join(
+            pairs.select(F.col("src_rid").alias("__rid")).dropDuplicates(),
+            on="__rid",
+        ).collect()
+    }
+    # every import row flows to final: 4-6 via short, 1-3 via longer
+    assert traced_keys == {1, 2, 3, 4, 5, 6}
+
+
 def test_compose_is_reference_recipe(spark):
     ab = spark.createDataFrame(
         [(1, 10), (2, 10), (3, 30)], "src_rid long, tgt_rid long"

@@ -236,6 +236,49 @@ def test_lsh_dedup_keep_one_per_cluster(spark):
         assert cid == min(r.doc_id for r in members)
 
 
+def test_read_events_conf_is_scoped(spark):
+    from python_dtl_spark.catalog import _read_events
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    df = _read_events(spark, "/root/testdata/sf0.001")
+    assert spark.conf.get(key, None) == before  # no session-state leak
+    # the lazy read still executes with the captured conf, and a normal
+    # parquet read in the same session is unaffected
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.limit(1).count() == 1
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    assert nation.limit(1).count() == 1
+
+
+def test_lsh_dedup_keep_reliable_checkpoint(spark, tmp_path):
+    import os
+
+    from python_dtl_spark.operators.dedup import lsh_dedup_keep
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different content about spark adaptive query execution plans",
+    ]
+    rows = []
+    for rep in range(3):
+        for i, t in enumerate(texts):
+            rows.append((rep * 10 + i, t + f" v{rep}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    # max_iter high enough that the fixpoint loop truncates the plan
+    # through the reliable checkpoint at least twice
+    out = lsh_dedup_keep(docs, n=3, checkpoint_dir=ckpt, max_iter=5).collect()
+    assert len(out) == 6
+    keepers = sorted(r.doc_id for r in out if r.keep)
+    assert keepers == [0, 1]
+    # reliable checkpoint files actually landed in the requested dir
+    ckpt_files = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert ckpt_files, "no reliable checkpoint data written"
+
+
 def test_asof_join_backward(spark):
     from python_dtl_spark.operators.joins import asof_join
 
@@ -256,6 +299,17 @@ def test_asof_join_backward(spark):
     assert out[(2, 15)] == (None, None)  # right row is after -> no match
     assert out[(3, 5)] == (None, None)  # no right rows for uid=3
     assert len(out) == 4  # left rows preserved exactly once
+
+
+def test_asof_join_global_requires_opt_in(spark):
+    from python_dtl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], ["t", "lv"])
+    right = spark.createDataFrame([(0, 7)], ["t", "rv"])
+    with pytest.raises(ValueError, match="ONE partition"):
+        asof_join(left, right, on="t")
+    got = asof_join(left, right, on="t", allow_global=True).collect()
+    assert got[0]["rv"] == 7
 
 
 def test_asof_join_forward_and_tolerance(spark):
