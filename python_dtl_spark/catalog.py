@@ -1264,6 +1264,7 @@ _register(
     SELECT o_custkey, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 3
     """,
+    headline=True,
 )
 
 
@@ -1292,6 +1293,7 @@ _register(
              AS running_total
     FROM orders
     """,
+    headline=True,
 )
 
 
@@ -1344,6 +1346,7 @@ _register(
       ON e.user_id = s.user_id
      AND e.ts >= s.session_start AND e.ts <= s.session_end
     """,
+    headline=True,
 )
 
 
@@ -1471,6 +1474,7 @@ _register(
              AS delta_us
     FROM events
     """,
+    headline=True,
 )
 
 
@@ -1649,16 +1653,45 @@ def _q_trace_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracer=FileSystemTracer(trace_dir),
     )
     reader = TraceReader(spark, trace_dir)
-    rows = []
-    for t in reader.manifest["tables"]:
-        n_rows = reader.snapshot(t["id"]).count()
-        incoming = 0
-        for m in reader.manifest["mappings"]:
-            if m["tgt"] == t["id"]:
-                incoming += spark.read.parquet(f"{trace_dir}/{m['path']}").count()
-        rows.append((t["name"], t["level"], n_rows, incoming))
-    return spark.createDataFrame(
-        rows, "table_name string, level string, n_rows long, n_lineage_pairs long"
+    # One lazy plan, zero driver-side actions: tag every snapshot /
+    # mapping scan with its table id, union, and count per id in a
+    # single job when the caller materializes — the per-table
+    # .count() loop this replaces ran O(#statements) Spark jobs.
+    tables = reader.manifest["tables"]
+    meta = spark.createDataFrame(
+        [(t["id"], t["name"], t["level"]) for t in tables],
+        "id string, table_name string, level string",
+    )
+    snaps = None
+    for t in tables:
+        s = reader.snapshot(t["id"]).select(F.lit(t["id"]).alias("id"))
+        snaps = s if snaps is None else snaps.unionByName(s)
+    row_counts = snaps.groupBy("id").agg(F.count("*").alias("n_rows"))
+    pairs = None
+    for m in reader.manifest["mappings"]:
+        p = spark.read.parquet(f"{trace_dir}/{m['path']}").select(
+            F.lit(m["tgt"]).alias("id")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    if pairs is not None:
+        pair_counts = pairs.groupBy("id").agg(
+            F.count("*").alias("n_lineage_pairs")
+        )
+    else:
+        pair_counts = meta.select("id").limit(0).withColumn(
+            "n_lineage_pairs", F.lit(0).cast("long")
+        )
+    return (
+        meta.join(row_counts, on="id", how="left")
+        .join(pair_counts, on="id", how="left")
+        .select(
+            "table_name",
+            "level",
+            F.coalesce("n_rows", F.lit(0)).cast("long").alias("n_rows"),
+            F.coalesce("n_lineage_pairs", F.lit(0))
+            .cast("long")
+            .alias("n_lineage_pairs"),
+        )
     )
 
 

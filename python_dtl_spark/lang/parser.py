@@ -93,6 +93,19 @@ class _Parser:
             self._expect("OP", ";")
             return n.ExportStatement(expression=expr, location=location)
         tok = self._peek()
+        if tok.kind in ("UPDATE", "DELETE", "INSERT", "BEGIN"):
+            # The reference reserves these keywords and declares AST
+            # nodes but never grew parser productions or an evaluator
+            # for them (reference tokens.py:54-59, nodes.py:331-354) —
+            # name the statement instead of emitting a generic syntax
+            # error.
+            raise DtlSyntaxError(
+                f"{tok.kind} statements are not supported by DTL "
+                "(reserved keyword with no defined semantics); "
+                "use WITH/EXPORT statements",
+                lineno=tok.lineno,
+                column=tok.column,
+            )
         raise DtlSyntaxError(
             f"expected statement, found {tok.text or tok.kind!r}",
             lineno=tok.lineno,

@@ -137,3 +137,11 @@ def test_missing_semicolon():
 def test_cross_join_rejects_on():
     with pytest.raises(DtlSyntaxError):
         parse("WITH o AS SELECT * FROM a CROSS JOIN b ON a.k = b.k;")
+
+
+def test_mutation_statements_named_in_diagnostic():
+    # reference reserves UPDATE/DELETE/INSERT/BEGIN but defines no
+    # productions; the error must name the unsupported statement
+    for kw in ("UPDATE", "DELETE", "INSERT", "BEGIN"):
+        with pytest.raises(DtlSyntaxError, match=f"{kw} statements are not supported"):
+            parse(f"{kw} t;")
