@@ -760,6 +760,316 @@ _register(
 )
 
 _register(
+    # TPC-H q7 volume-shipping shape (adapted constants: synthetic
+    # nations are NATION_<k>; no l_shipmode column exists): revenue by
+    # (supplier nation, customer nation, ship year) for a nation pair,
+    # exercising a 5-way join with two roles of the same dimension
+    # table and an OR-of-ANDs predicate.
+    "dtl_q7_volume_shipping",
+    _dtl(
+        """
+        WITH supplier AS IMPORT 'supplier';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH orders AS IMPORT 'orders';
+        WITH customer AS IMPORT 'customer';
+        WITH nation AS IMPORT 'nation';
+        WITH n1 AS SELECT n_nationkey AS s_nk, n_name AS supp_nation FROM nation;
+        WITH n2 AS SELECT n_nationkey AS c_nk, n_name AS cust_nation FROM nation;
+        WITH shipping AS
+            SELECT supp_nation, cust_nation,
+                   year(l_shipdate) AS l_year,
+                   l_extendedprice * (1.0 - l_discount) AS volume
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN n1 ON s_nationkey = s_nk
+            JOIN n2 ON c_nationkey = c_nk
+            WHERE ((supp_nation = 'NATION_3' & cust_nation = 'NATION_7')
+                   | (supp_nation = 'NATION_7' & cust_nation = 'NATION_3'))
+                & l_shipdate >= timestamp('1995-01-01 00:00:00')
+                & l_shipdate < timestamp('1997-01-01 00:00:00');
+        WITH output AS
+            SELECT supp_nation, cust_nation, l_year,
+                   round_to(sum(volume), 2) AS revenue
+            FROM shipping
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH shipping AS (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1.0 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    )
+    SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
+           round(sum(volume), 2) AS revenue
+    FROM shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+_register(
+    # TPC-H q8 national-market-share shape (adapted: p_type values are
+    # single words here; NATION_1 sits in AMERICA): share of one
+    # nation's supplier volume within a region/part-type market per
+    # order year.  The division happens in a second WITH binding over
+    # the two aggregates — DTL expressions never nest arithmetic over
+    # aggregate calls.
+    "dtl_q8_market_share",
+    _dtl(
+        """
+        WITH part AS IMPORT 'part';
+        WITH supplier AS IMPORT 'supplier';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH orders AS IMPORT 'orders';
+        WITH customer AS IMPORT 'customer';
+        WITH nation AS IMPORT 'nation';
+        WITH region AS IMPORT 'region';
+        WITH n1 AS SELECT n_nationkey AS c_nk, n_regionkey AS c_rk FROM nation;
+        WITH n2 AS SELECT n_nationkey AS s_nk, n_name AS supp_nation FROM nation;
+        WITH all_nations AS
+            SELECT year(o_orderdate) AS o_year,
+                   l_extendedprice * (1.0 - l_discount) AS volume,
+                   supp_nation
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN n1 ON c_nationkey = c_nk
+            JOIN region ON c_rk = r_regionkey
+            JOIN n2 ON s_nationkey = s_nk
+            WHERE r_name = 'AMERICA'
+                & p_type = 'ECONOMY'
+                & o_orderdate >= timestamp('1996-01-01 00:00:00')
+                & o_orderdate < timestamp('1998-01-01 00:00:00');
+        WITH sums AS
+            SELECT o_year,
+                   sum(if(supp_nation = 'NATION_1', volume, 0.0)) AS nation_volume,
+                   sum(volume) AS total_volume
+            FROM all_nations
+            GROUP BY o_year;
+        WITH output AS
+            SELECT o_year, round_to(nation_volume / total_volume, 4) AS mkt_share
+            FROM sums
+            ORDER BY o_year;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH all_nations AS (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1.0 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ), sums AS (
+        SELECT o_year,
+               sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0.0 END)
+                 AS nation_volume,
+               sum(volume) AS total_volume
+        FROM all_nations GROUP BY o_year
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           round(nation_volume / total_volume, 4) AS mkt_share
+    FROM sums ORDER BY o_year
+    """,
+)
+
+_register(
+    # TPC-H q13 customer-distribution shape: orders per customer via
+    # LEFT JOIN (count(col) skips nulls), then the distribution of
+    # those counts — a two-level aggregation chain.
+    "dtl_q13_customer_distribution",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH orders AS IMPORT 'orders';
+        WITH c_orders AS
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey;
+        WITH output AS
+            SELECT c_count, count() AS custdist
+            FROM c_orders
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+_register(
+    # TPC-H q14 promo-revenue shape: conditional aggregation
+    # (if/starts_with) with the percentage computed over the two sums
+    # in a follow-up binding.
+    "dtl_q14_promo_revenue",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH part AS IMPORT 'part';
+        WITH flagged AS
+            SELECT if(starts_with(p_type, 'PROMO'),
+                      l_extendedprice * (1.0 - l_discount),
+                      0.0) AS promo,
+                   l_extendedprice * (1.0 - l_discount) AS volume
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= timestamp('1997-09-01 00:00:00')
+                & l_shipdate < timestamp('1997-10-01 00:00:00');
+        WITH sums AS
+            SELECT sum(promo) AS promo_sum, sum(volume) AS total
+            FROM flagged;
+        WITH output AS
+            SELECT round_to(100.0 * promo_sum / total, 2) AS promo_revenue
+            FROM sums;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH flagged AS (
+        SELECT CASE WHEN starts_with(p_type, 'PROMO')
+                    THEN l_extendedprice * (1.0 - l_discount)
+                    ELSE 0.0 END AS promo,
+               l_extendedprice * (1.0 - l_discount) AS volume
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    ), sums AS (
+        SELECT sum(promo) AS promo_sum, sum(volume) AS total FROM flagged
+    )
+    SELECT round(100.0 * promo_sum / total, 2) AS promo_revenue FROM sums
+    """,
+)
+
+_register(
+    # TPC-H q15 top-supplier shape: quarterly revenue per supplier,
+    # global max via a single-row WITH binding, and an equi-join on the
+    # aggregate value to select the winner(s).
+    "dtl_q15_top_supplier",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH supplier AS IMPORT 'supplier';
+        WITH revenue AS
+            SELECT l_suppkey AS supplier_no,
+                   round_to(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                     AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= timestamp('1997-01-01 00:00:00')
+                & l_shipdate < timestamp('1997-04-01 00:00:00')
+            GROUP BY l_suppkey;
+        WITH mx AS SELECT max(total_revenue) AS max_revenue FROM revenue;
+        WITH output AS
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier
+            JOIN revenue ON s_suppkey = supplier_no
+            JOIN mx ON total_revenue = max_revenue
+            ORDER BY s_suppkey;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    ), mx AS (SELECT max(total_revenue) AS max_revenue FROM revenue)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    JOIN mx ON total_revenue = max_revenue
+    ORDER BY s_suppkey
+    """,
+)
+
+_register(
+    # TPC-H q17 small-quantity-order shape (adapted: p_container does
+    # not exist; the brand filter alone selects the part group): the
+    # classic correlated-average rewritten as an aggregate WITH binding
+    # joined back on the part key.
+    "dtl_q17_small_quantity",
+    _dtl(
+        """
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH part AS IMPORT 'part';
+        WITH brand_parts AS
+            SELECT p_partkey FROM part WHERE p_brand = 'Brand#13';
+        WITH avgq AS
+            SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+            FROM lineitem
+            GROUP BY l_partkey;
+        WITH small AS
+            SELECT l_extendedprice
+            FROM lineitem
+            JOIN brand_parts ON l_partkey = p_partkey
+            JOIN avgq ON l_partkey = a_partkey
+            WHERE l_quantity < 0.2 * avg_qty;
+        WITH output AS
+            SELECT round_to(sum(l_extendedprice), 2) AS total_price,
+                   count() AS n_lines
+            FROM small;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH brand_parts AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+    ), avgq AS (
+        SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    ), small AS (
+        SELECT l_extendedprice
+        FROM lineitem
+        JOIN brand_parts ON l_partkey = p_partkey
+        JOIN avgq ON l_partkey = a_partkey
+        WHERE l_quantity < 0.2 * avg_qty
+    )
+    SELECT round(sum(l_extendedprice), 2) AS total_price,
+           count(*) AS n_lines
+    FROM small
+    """,
+)
+
+_register(
     "dtl_distinct_consecutive",
     _dtl_ordered(
         """
