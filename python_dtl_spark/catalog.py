@@ -1245,6 +1245,84 @@ _register(
 )
 
 
+def _q_chunks(spark, sf_dir):
+    """Context-window chunking: fixed-size character chunks with
+    overlap, one output row per chunk (sequence + posexplode +
+    substring, all codegen).  Compared by (start, length, md5) so the
+    oracle result stays compact."""
+    chunks = text.chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_size=400, overlap=50
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_index",
+        "chunk_start",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+_register(
+    "doc_chunks",
+    _q_chunks,
+    """
+    WITH starts AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 50, 1) + 1, 350))
+                 AS chunk_start
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((chunk_start - 1) // 350 AS BIGINT) AS chunk_index,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(chunk_start AS INTEGER), 400)) AS BIGINT)
+             AS chunk_len,
+           md5(substr(text, CAST(chunk_start AS INTEGER), 400)) AS chunk_md5
+    FROM starts
+    """,
+)
+
+
+def _q_tfidf(spark, sf_dir):
+    """Top-5 characteristic terms per document by TF-IDF.  The rank is
+    compared rather than the score: both engines order by the same
+    doubles computed from identical integer inputs, but libm vs JVM
+    log differ by ulps, so the score itself is not hash-stable."""
+    return text.tfidf_top_terms(
+        _read(spark, sf_dir, "documents"), k=5
+    ).select("doc_id", "term", "rank")
+
+
+_register(
+    "doc_tfidf_top_terms",
+    _q_tfidf,
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               tf * ln((n_docs + 1) / (df + 1.0)) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+
+
 def _q_fingerprint(spark, sf_dir):
     return text.fingerprint_md5(_read(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"

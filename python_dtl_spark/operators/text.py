@@ -141,3 +141,92 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, t: (acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), p)) % p,
     )
     return df.withColumn("rolling_fp", fp)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the standard context-window preparation step of a training-data
+    pipeline.
+
+    Chunk starts are ``1, 1+stride, 1+2*stride, ...`` (stride =
+    chunk_size - overlap) up to ``max(len - overlap, 1)``, so every
+    chunk except possibly the last is full-size, consecutive chunks
+    share ``overlap`` characters, and a short (or empty) document still
+    yields exactly one chunk.  Entirely JVM-side: ``sequence`` +
+    ``posexplode`` + ``substring`` — the 1:N fan-out happens inside
+    whole-stage codegen, no Python, no shuffle.
+
+    Output: id, chunk_index (0-based), chunk_start (1-based),
+    chunk_text.
+    """
+    if overlap >= chunk_size:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_size ({chunk_size})"
+        )
+    stride = chunk_size - overlap
+    length = F.length(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(length - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.posexplode(starts).alias("chunk_index", "chunk_start"),
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.substring(
+            F.col("__text"), F.col("chunk_start"), F.lit(chunk_size)
+        ).alias("chunk_text"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    Classic shape: explode tokens → term frequency per (doc, term) →
+    document frequency per term → idf = ln((N+1)/(df+1)) with N joined
+    in as a broadcast single-row aggregate (no driver action) → rank
+    per doc by score with deterministic (score DESC, term ASC)
+    tie-breaking.  Two shuffles (doc-term and term aggregations); the
+    per-doc ranking window re-uses the doc-term partitioning.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("__n")
+    )
+    scored = (
+        tf.join(docfreq, on="term")
+        .join(broadcast(n_docs), how="cross")
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )

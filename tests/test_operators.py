@@ -505,3 +505,39 @@ def test_event_deltas(spark):
     )
     out = {(r.uid, r.ts): r.delta_seconds for r in event_deltas(df, ["uid"], "ts").collect()}
     assert out == {(1, 100): None, (1, 160): 60.0, (1, 400): 240.0, (2, 50): None}
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "xy"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_index): (r.chunk_start, r.chunk_text)
+        for r in text.chunk_documents(docs, chunk_size=5, overlap=2).collect()
+    }
+    # stride 3: starts 1,4,7 for the 10-char doc; full chunks overlap by 2
+    assert out[(0, 0)] == (1, "abcde")
+    assert out[(0, 1)] == (4, "defgh")
+    assert out[(0, 2)] == (7, "ghij")
+    # short and empty docs still yield exactly one chunk
+    assert out[(1, 0)] == (1, "xy")
+    assert out[(2, 0)] == (1, "")
+    assert len(out) == 5
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+def test_tfidf_top_terms_ranks_rare_terms_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "common common unique0"),
+            (1, "common unique1 unique1"),
+            (2, "common plain"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_top_terms(docs, k=2).collect()
+    top = {r.doc_id: r.term for r in out if r.rank == 1}
+    # 'common' appears in every doc (idf ln(4/4)=0) so the doc-specific
+    # terms must outrank it
+    assert top == {0: "unique0", 1: "unique1", 2: "plain"}
