@@ -34,14 +34,27 @@ class FileSystemImporter:
     this returns a *lazy* DataFrame: Catalyst prunes columns and pushes
     filters into the scan, so importing a 100-column table and selecting
     two reads two.
+
+    The DataFrame handle is memoized per table name: ``spark.read``
+    performs file listing and parquet footer schema inference on every
+    call, which repeats for each IMPORT of the same table across a
+    script (or a catalog run).  Local parquet makes that a few tens of
+    ms; against object storage the listing round-trips are the cost.
+    The memo holds lazy plans only — no data is cached.
     """
 
     def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
         self._spark = spark
         self._root = root
         self._fmt = fmt
+        self._memo: dict[str, DataFrame] = {}
 
     def import_table(self, name: str) -> DataFrame:
+        if name not in self._memo:
+            self._memo[name] = self._read(name)
+        return self._memo[name]
+
+    def _read(self, name: str) -> DataFrame:
         path = os.path.join(self._root, f"{name}.{self._fmt}")
         if not os.path.exists(path):
             # directory-of-parts layout: {root}/{name}/part-*.parquet

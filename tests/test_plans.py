@@ -197,3 +197,30 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_q8_all_dimensions_broadcast(spark):
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["dtl_q8_market_share"].fn(spark, SF)
+    plan = _exec_plan(df)
+    # 7-way star join: every dimension must broadcast; a SortMergeJoin
+    # here means a dim crossed the broadcast threshold and the whole
+    # fact table gets shuffled at scale
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_doc_chunks_no_shuffle_no_python(spark):
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_chunks"].fn(spark, SF)
+    plan = _exec_plan(df)
+    # chunk fan-out is generate+explode+substring per row: embarrassingly
+    # parallel, so the plan must contain no Exchange and no Python eval
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan
