@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from python_dtl_spark.compiler import Engine
 from python_dtl_spark.operators import (
     dedup,
+    embeddings as embeddings_ops,
     joins,
     multimodal,
     rollup,
@@ -517,6 +518,29 @@ _register(
     ),
     "SELECT c_nationkey AS nationkey FROM customer "
     "UNION SELECT s_nationkey AS nationkey FROM supplier",
+)
+
+_register(
+    # BUILDING-segment customers who placed a >300k order: non-empty at
+    # every SF (34 rows at sf0.001, 295 at sf0.01) with partial overlap
+    # on both sides, so the INTERSECT semantics (dedup + membership)
+    # actually get exercised.
+    "dtl_intersect",
+    _dtl(
+        """
+        WITH orders AS IMPORT 'orders';
+        WITH customer AS IMPORT 'customer';
+        WITH big AS SELECT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > 300000.0;
+        WITH building AS SELECT c_custkey AS custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING';
+        WITH output AS big INTERSECT building;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0 "
+    "INTERSECT "
+    "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'",
 )
 
 _register(
@@ -1461,6 +1485,75 @@ _register(
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM aug a JOIN aug b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    """,
+)
+
+
+def _q_embed_normalize(spark, sf_dir):
+    """L2 normalization summary: the norm and the largest unit-vector
+    component per embedding — raw doubles, no rounding: Spark's
+    sequential fold and DuckDB's list_sum are bit-identical (measured
+    on this data)."""
+    out = embeddings_ops.l2_normalize(_read(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "l2_norm",
+        F.array_max("embedding_unit").alias("max_unit"),
+    )
+
+
+_register(
+    "embed_l2_normalize",
+    _q_embed_normalize,
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), n AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS l2_norm
+        FROM v
+    )
+    SELECT vec_id, l2_norm,
+           list_max(list_transform(e, x -> x / l2_norm)) AS max_unit
+    FROM n
+    """,
+)
+
+
+def _q_embed_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization summary: scale plus
+    integer stats of the quantized vector (L1 mass, min, max) — the
+    integer outputs are hash-exact across engines."""
+    out = embeddings_ops.quantize_int8(_read(spark, sf_dir, "embeddings"))
+    q_abs = F.transform("embedding_q8", lambda x: F.abs(x).cast("long"))
+    return out.select(
+        "vec_id",
+        "q_scale",
+        F.aggregate(q_abs, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_l1"),
+        F.array_min("embedding_q8").cast("long").alias("q_min"),
+        F.array_max("embedding_q8").cast("long").alias("q_max"),
+    )
+
+
+_register(
+    "embed_quantize_int8",
+    _q_embed_quantize,
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), s AS (
+        SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m
+        FROM v
+    ), q AS (
+        SELECT vec_id, m / 127.0 AS q_scale,
+               list_transform(e, x -> CAST(round(x * 127.0 / m) AS BIGINT)) AS qv
+        FROM s
+    )
+    SELECT vec_id, q_scale,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+           CAST(list_min(qv) AS BIGINT) AS q_min,
+           CAST(list_max(qv) AS BIGINT) AS q_max
+    FROM q
     """,
 )
 

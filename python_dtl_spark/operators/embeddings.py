@@ -1,0 +1,72 @@
+"""Embedding-column utilities: L2 normalization and int8 quantization.
+
+Both are row-local array transforms built purely from
+``pyspark.sql.functions`` higher-order functions — no shuffle, no
+Python, embarrassingly parallel at any scale.  Quantization is the
+standard ANN memory-footprint move: 64 float32 components become 64
+bytes plus one float scale (4x smaller, dot products stay monotone
+enough for re-ranked retrieval).
+
+Float determinism note (measured, not assumed): Spark's sequential
+``aggregate`` fold over a cast-to-double array produces bit-identical
+sums to DuckDB's ``list_sum``, so norms and normalized components are
+exactly comparable across engines without rounding tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_normalize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_unit",
+    norm_col: str = "l2_norm",
+) -> DataFrame:
+    """Unit-normalize each embedding; keeps the norm alongside.
+
+    Zero vectors stay zero (norm 0 emits a zero vector, not NULL/NaN),
+    so downstream cosine code can treat the output uniformly.
+    """
+    norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    unit = F.when(norm == 0.0, F.transform(F.col(vec_col), lambda x: F.lit(0.0))).otherwise(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / norm)
+    )
+    return df.withColumn(norm_col, norm).withColumn(out_col, unit)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q8",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q = round(x * 127 /
+    max|x|), stored with the dequantization scale (max|x| / 127).
+
+    Per-vector scaling needs no global statistics pass — the operator
+    stays a pure row-local map at 100 TB.  A zero vector quantizes to
+    zeros with scale 0.
+    """
+    max_abs = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        max_abs == 0.0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(127.0) / max_abs, 0).cast("int"),
+        )
+    )
+    scale = F.when(max_abs == 0.0, F.lit(0.0)).otherwise(max_abs / F.lit(127.0))
+    return df.withColumn(out_col, q).withColumn(scale_col, scale)

@@ -541,3 +541,19 @@ def test_tfidf_top_terms_ranks_rare_terms_first(spark):
     # 'common' appears in every doc (idf ln(4/4)=0) so the doc-specific
     # terms must outrank it
     assert top == {0: "unique0", 1: "unique1", 2: "plain"}
+
+
+def test_l2_normalize_and_quantize_zero_vector_safe(spark):
+    from python_dtl_spark.operators import embeddings as emb
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    norm = {r.vec_id: (r.l2_norm, r.embedding_unit) for r in emb.l2_normalize(df).collect()}
+    assert norm[0][0] == 5.0 and norm[0][1] == [0.6, 0.8]
+    assert norm[1][0] == 0.0 and norm[1][1] == [0.0, 0.0]  # no NaN/NULL
+
+    q = {r.vec_id: (r.q_scale, r.embedding_q8) for r in emb.quantize_int8(df).collect()}
+    assert q[0][1] == [95, 127]  # round(3*127/4)=95
+    assert q[0][0] == 4.0 / 127.0
+    assert q[1] == (0.0, [0, 0])
