@@ -1426,6 +1426,62 @@ _register(
 )
 
 
+def _q_contamination(spark, sf_dir):
+    """Train/test decontamination over the hash-deterministic split:
+    test documents sharing >= 5 distinct 3-gram shingles with a train
+    document.  The exact pre-training hygiene sweep, composed from
+    hash_split + the inverted-index overlap operator."""
+    docs = _read(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s1"
+    )
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    evals = split.filter(F.col("split") == "test").select("doc_id", "text")
+    return dedup.contamination_pairs(train, evals, n=3, min_common=5)
+
+
+_CONTAM_B = sampling.hash_bucket_sql("doc_id", seed="s1")
+
+_register(
+    "decontaminate_train_test",
+    _q_contamination,
+    f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               CASE WHEN {_CONTAM_B} < 8000 THEN 'train'
+                    WHEN {_CONTAM_B} < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, split,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+        FROM split
+    ), sh AS (
+        SELECT doc_id, split,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                 ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks
+    ), t_ex AS (
+        SELECT doc_id AS train_id, unnest(s) AS f FROM sh WHERE split = 'train'
+    ), e_ex AS (
+        SELECT doc_id AS eval_id, unnest(s) AS f FROM sh WHERE split = 'test'
+    ), e_sz AS (
+        SELECT doc_id AS eval_id, CAST(len(s) AS BIGINT) AS eval_size
+        FROM sh WHERE split = 'test'
+    ), common AS (
+        SELECT train_id, eval_id, count(*) AS common
+        FROM t_ex JOIN e_ex USING (f)
+        GROUP BY train_id, eval_id
+        HAVING count(*) >= 5
+    )
+    SELECT train_id, eval_id, CAST(common AS BIGINT) AS common,
+           eval_size, common / eval_size AS overlap
+    FROM common JOIN e_sz USING (eval_id)
+    """,
+)
+
+
 def _q_minhash(spark, sf_dir):
     # 32 hashes / 16 bands (r=2): at the 0.3 threshold this has HIGHER
     # band-collision recall than 64/16 (r=4) and half the hash compute;

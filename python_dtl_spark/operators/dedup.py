@@ -625,3 +625,61 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    evals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_common: int = 5,
+    max_feature_freq: int | None = None,
+) -> DataFrame:
+    """Train/eval decontamination: eval documents sharing at least
+    ``min_common`` distinct word n-grams with a training document.
+
+    The standard pre-training hygiene check — a benchmark document
+    whose shingles leak into the training split inflates downstream
+    scores.  Same inverted-index shape as :func:`ngram_jaccard_pairs`
+    but asymmetric: shingles explode on both sides, equi-join on the
+    shingle string, count distinct collisions per (train, eval) pair.
+    ``max_feature_freq`` (measured against the train side) drops
+    boilerplate shingles that would contribute O(freq²) candidate rows
+    with no signal — the classic skew valve at corpus scale.
+
+    Output: (train_id, eval_id, common, eval_size, overlap) where
+    overlap = common / eval_size (fraction of the eval doc's shingles
+    found in that train doc) — a single division of exact integers, so
+    an SQL oracle matches bit-for-bit.
+    """
+    t = _spread(train).select(
+        F.col(id_col).alias("train_id"), _shingles(F.col(text_col), n).alias("__sh")
+    )
+    e = _spread(evals).select(
+        F.col(id_col).alias("eval_id"), _shingles(F.col(text_col), n).alias("__sh")
+    )
+    e_sizes = e.select("eval_id", F.size("__sh").cast("long").alias("eval_size"))
+    t_ex = t.select("train_id", F.explode("__sh").alias("__f"))
+    e_ex = e.select("eval_id", F.explode("__sh").alias("__f"))
+    if max_feature_freq is not None:
+        freq_ok = (
+            t_ex.groupBy("__f")
+            .count()
+            .filter(F.col("count") <= max_feature_freq)
+            .select("__f")
+        )
+        t_ex = t_ex.join(freq_ok, on="__f", how="inner")
+    common = (
+        t_ex.join(e_ex, on="__f", how="inner")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return common.join(e_sizes, on="eval_id").select(
+        "train_id",
+        "eval_id",
+        "common",
+        "eval_size",
+        (F.col("common") / F.col("eval_size")).alias("overlap"),
+    )

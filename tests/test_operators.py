@@ -557,3 +557,27 @@ def test_l2_normalize_and_quantize_zero_vector_safe(spark):
     assert q[0][1] == [95, 127]  # round(3*127/4)=95
     assert q[0][0] == 4.0 / 127.0
     assert q[1] == (0.0, [0, 0])
+
+
+def test_contamination_pairs_planted_leak(spark):
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog by the river"),
+            (1, "an entirely unrelated training document about query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog by the sea"),
+            (101, "nothing in common with anything whatsoever here today"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.train_id, r.eval_id): (r.common, r.overlap)
+        for r in dedup.contamination_pairs(train, evals, n=3, min_common=5).collect()
+    }
+    assert set(out) == {(0, 100)}  # only the planted leak
+    common, overlap = out[(0, 100)]
+    assert common >= 5 and 0.5 < overlap <= 1.0
