@@ -34,6 +34,7 @@ from python_dtl_spark.operators import (
 )
 from python_dtl_spark.sources import FileSystemImporter
 from python_dtl_spark.streaming import (
+    interval_join,
     session_windows,
     sliding_event_counts,
     tumbling_event_stats,
@@ -1304,6 +1305,7 @@ _register(
            md5(substr(text, CAST(chunk_start AS INTEGER), 400)) AS chunk_md5
     FROM starts
     """,
+    headline=True,
 )
 
 
@@ -1344,6 +1346,7 @@ _register(
     SELECT doc_id, term, CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5
     """,
+    headline=True,
 )
 
 
@@ -1479,6 +1482,7 @@ _register(
            eval_size, common / eval_size AS overlap
     FROM common JOIN e_sz USING (eval_id)
     """,
+    headline=True,
 )
 
 
@@ -1611,6 +1615,7 @@ _register(
            CAST(list_max(qv) AS BIGINT) AS q_max
     FROM q
     """,
+    headline=True,
 )
 
 
@@ -2010,6 +2015,49 @@ _register(
            epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
              AS delta_us
     FROM events
+    """,
+    headline=True,
+)
+
+
+def _q_interval_join(spark, sf_dir):
+    """Click-to-purchase attribution: each purchase matched to the
+    clicks of the same user within the preceding 4 hours — the
+    stream-stream interval join run on batch frames (batch parity is
+    exactly what streaming correctness rests on for this module).
+    Deltas compared in integer microseconds (both engines floor
+    nanos→micros identically)."""
+    ev = _read_events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        purchases, clicks, by="user_id", ts_col="ts", max_delay="4 hours",
+        right_cols=["event_id"],
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_id_right").alias("click_id"),
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias(
+            "delay_us"
+        ),
+    )
+
+
+_register(
+    "events_interval_join",
+    _q_interval_join,
+    """
+    SELECT a.event_id AS purchase_id, b.event_id AS click_id, a.user_id,
+           epoch_us(a.ts) - epoch_us(b.ts) AS delay_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'click'
+     AND b.ts <= a.ts AND b.ts >= a.ts - INTERVAL '4 hours'
     """,
     headline=True,
 )

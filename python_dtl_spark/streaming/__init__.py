@@ -175,3 +175,50 @@ def streaming_time_rollup(
             (F.col(f"sum_{value_col}") / F.col("n_rows")).alias(f"avg_{value_col}"),
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    max_delay: str = "4 hours",
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Event-time interval join: each left row matched to the right rows
+    of the same key whose timestamp falls in [left.ts - max_delay,
+    left.ts] — the click-to-purchase attribution shape.
+
+    This is the canonical Structured Streaming stream-stream join: in
+    streaming mode both inputs must carry watermarks (see
+    :func:`stream_events`) and the two-sided time bound is exactly what
+    lets Spark evict buffered join state instead of holding both
+    streams forever.  On batch frames the same expression is an
+    ordinary equi-join on the key with a range post-filter, which is
+    what the DuckDB oracle checks (batch parity, like every operator in
+    this module).
+
+    Output: all left columns, plus the right timestamp and
+    ``right_cols`` (suffixed on collision with a left name).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (by, ts_col)]
+    taken = set(left.columns)
+
+    def _name(c: str) -> str:
+        return c + suffix if c in taken else c
+
+    r = right.select(
+        F.col(by).alias("__by_r"),
+        F.col(ts_col).alias(_name(ts_col) if ts_col in taken else ts_col),
+        *[F.col(c).alias(_name(c)) for c in right_cols],
+    )
+    r_ts = _name(ts_col) if ts_col in taken else ts_col
+    delay = F.expr(f"INTERVAL {max_delay}")
+    cond = (
+        (F.col(by) == F.col("__by_r"))
+        & (F.col(r_ts) <= F.col(ts_col))
+        & (F.col(r_ts) >= F.col(ts_col) - delay)
+    )
+    return left.join(r, cond, "inner").drop("__by_r")

@@ -221,3 +221,54 @@ def test_streaming_time_rollup_feeds_batch_rollup(spark, tmp_path):
         (r["bucket_start"], r["event_type"]): (r["n_rows"], r["sum_value"])
         for r in daily
     } == daily_expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (append mode) must equal
+    the batch interval join over the same data."""
+    from python_dtl_spark.streaming import interval_join
+
+    events = _events(spark)
+    purchases_b = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks_b = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    p_src = str(tmp_path / "purchases")
+    c_src = str(tmp_path / "clicks")
+    purchases_b.write.parquet(p_src)
+    clicks_b.write.parquet(c_src)
+
+    side_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    p_stream = stream_events(spark, p_src, side_schema, watermark="2 hours")
+    c_stream = stream_events(spark, c_src, side_schema, watermark="2 hours")
+    joined = interval_join(
+        p_stream, c_stream, by="user_id", ts_col="ts", max_delay="2 hours",
+        right_cols=["event_id"],
+    )
+    q = run_stream_to_memory(joined, "interval_join_test", mode="append")
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["event_id"], r["event_id_right"])
+            for r in spark.table("interval_join_test").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = {
+        (r["event_id"], r["event_id_right"])
+        for r in interval_join(
+            purchases_b, clicks_b, by="user_id", ts_col="ts",
+            max_delay="2 hours", right_cols=["event_id"],
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
