@@ -1350,6 +1350,38 @@ _register(
 )
 
 
+def _q_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing: documents assigned to
+    fixed-budget training sequences within md5 hash groups — pure
+    window arithmetic, replayed exactly by the oracle."""
+    docs = text.token_count(_read(spark, sf_dir, "documents"))
+    return text.pack_token_budget(docs, budget=512, num_groups=8)
+
+
+_register(
+    "doc_pack_sequences",
+    _q_pack,
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                 AS pack_group
+        FROM documents
+    ), c AS (
+        SELECT doc_id, pack_group, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+        FROM t
+    )
+    SELECT doc_id, pack_group,
+           CAST(s // 512 AS BIGINT) AS seq_index,
+           CAST(s % 512 AS BIGINT) AS seq_offset
+    FROM c
+    """,
+)
+
+
 def _q_fingerprint(spark, sf_dir):
     return text.fingerprint_md5(_read(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"

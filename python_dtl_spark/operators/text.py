@@ -8,7 +8,7 @@ linearly with partitions.  Each has a matching ANSI-SQL oracle in
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/keyword language-ID
@@ -229,4 +229,48 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    num_groups: int = 1024,
+) -> DataFrame:
+    """Assign documents to fixed-budget training sequences
+    (concat-and-chunk packing).
+
+    Documents are spread across ``num_groups`` hash groups (the unit of
+    parallelism — at 100 TB each group packs independently on its own
+    partition); within a group they are ordered by id and packed by
+    cumulative token count: a document starting before a budget
+    boundary joins that bin, so bins can overrun by at most one
+    document — exactly the concatenate-then-cut scheme most LLM data
+    pipelines use, and unlike greedy first-fit it is a pure window
+    expression (no sequential state, no Python).
+
+    Deterministic under any input partitioning: group assignment is an
+    md5 hash of the id (engine-portable, same scheme as
+    ``sampling.hash_bucket``), order within the group is by id.
+    Output: id, pack_group, seq_index (bin within group), seq_offset
+    (token offset of this doc within its bin's stream).
+    """
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    grp = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % num_groups
+    ).alias("pack_group")
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    start = (cum - F.col(token_col)).cast("long")
+    return df.select(F.col(id_col), F.col(token_col), grp).select(
+        id_col,
+        "pack_group",
+        F.floor(start / F.lit(budget)).cast("long").alias("seq_index"),
+        F.pmod(start, F.lit(budget)).cast("long").alias("seq_offset"),
     )

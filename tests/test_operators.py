@@ -581,3 +581,23 @@ def test_contamination_pairs_planted_leak(spark):
     assert set(out) == {(0, 100)}  # only the planted leak
     common, overlap = out[(0, 100)]
     assert common >= 5 and 0.5 < overlap <= 1.0
+
+
+def test_pack_token_budget_window_semantics(spark):
+    docs = spark.createDataFrame(
+        [(i, 300) for i in range(8)], "doc_id long, n_tokens long"
+    )
+    out = text.pack_token_budget(docs, budget=1000, num_groups=1)
+    rows = {r.doc_id: (r.seq_index, r.seq_offset) for r in out.collect()}
+    # one group, docs in id order, 300 tokens each, budget 1000:
+    # starts 0,300,600,900,1200,... -> bins 0,0,0,0,1,1,1,2
+    assert [rows[i][0] for i in range(8)] == [0, 0, 0, 0, 1, 1, 1, 2]
+    assert rows[0] == (0, 0) and rows[4] == (1, 200)
+    # deterministic under repartitioning
+    again = {
+        r.doc_id: (r.seq_index, r.seq_offset)
+        for r in text.pack_token_budget(
+            docs.repartition(7), budget=1000, num_groups=1
+        ).collect()
+    }
+    assert again == rows
