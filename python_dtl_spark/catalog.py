@@ -925,6 +925,65 @@ _register(
 )
 
 _register(
+    # TPC-H q9 product-type-profit shape (adapted: no partsupp table
+    # exists, so profit = revenue without the supplycost term; part
+    # names here are '<adj> <noun>' — 'widget' plays q9's '%green%'):
+    # nation × order-year revenue for a part-name substring, via a
+    # 5-way join with contains() and a two-key rollup.
+    "dtl_q9_product_profit",
+    _dtl(
+        """
+        WITH part AS IMPORT 'part';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH supplier AS IMPORT 'supplier';
+        WITH orders AS IMPORT 'orders';
+        WITH nation AS IMPORT 'nation';
+        WITH profit AS
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round_to(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                     AS cents
+            FROM part
+            JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE contains(p_name, 'widget');
+        WITH sums AS
+            SELECT nation, o_year, sum(cents) AS cents_sum
+            FROM profit
+            GROUP BY nation, o_year;
+        WITH output AS
+            SELECT nation, o_year, cents_sum / 100.0 AS sum_profit
+            FROM sums
+            ORDER BY nation, o_year DESC;
+        EXPORT output TO 'output';
+        """
+    ),
+    # Per-row cent rounding before the sum: integer-valued doubles sum
+    # exactly in any order, so the grouped aggregate cannot pick up the
+    # half-cent summation-order flake that round(sum(double), 2) has
+    # (partial-agg order in Spark vs sequential in DuckDB).
+    """
+    WITH profit AS (
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               round(l_extendedprice * (1.0 - l_discount) * 100.0) AS cents
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE contains(p_name, 'widget')
+    ), sums AS (
+        SELECT nation, o_year, sum(cents) AS cents_sum
+        FROM profit GROUP BY nation, o_year
+    )
+    SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+           cents_sum / 100.0 AS sum_profit
+    FROM sums ORDER BY nation, o_year DESC
+    """,
+)
+
+_register(
     # TPC-H q13 customer-distribution shape: orders per customer via
     # LEFT JOIN (count(col) skips nulls), then the distribution of
     # those counts — a two-level aggregation chain.
