@@ -1587,7 +1587,45 @@ def _q_minhash(spark, sf_dir):
     )
 
 
-_register("dedup_minhash_lsh", _q_minhash, None, headline=True)  # xxhash64-based
+# Full-hash oracle despite the LSH candidate stage: the verified output
+# is exact Jaccard >= 0.3 restricted to LSH candidates — a SUBSET of
+# the exact all-pairs set — and on this (fixed xxhash64 seeds, fixed
+# data) fixture the candidate recall is exactly 1 at every test SF
+# (28 = 28 pairs at sf0.001, 25 = 25 at sf0.01, 256/256 at sf0.1 per
+# the property test), so subset + equal count => identical sets and
+# the exact-Jaccard SQL is a sound oracle.  The jaccard value itself
+# is a single division of exact integers — bit-identical.
+_register(
+    "dedup_minhash_lsh",
+    _q_minhash,
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                 ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(s) AS f FROM sh
+    ), sz AS (
+        SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM sh
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common / (sa.sz + sb.sz - common) AS jaccard
+    FROM common
+    JOIN sz sa ON common.id_a = sa.doc_id
+    JOIN sz sb ON common.id_b = sb.doc_id
+    WHERE common / (sa.sz + sb.sz - common) >= 0.3
+    """,
+    headline=True,
+)
 
 
 def _q_simhash(spark, sf_dir):
