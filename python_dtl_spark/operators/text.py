@@ -201,8 +201,10 @@ def tfidf_top_terms(
     document frequency per term → idf = ln((N+1)/(df+1)) with N joined
     in as a broadcast single-row aggregate (no driver action) → rank
     per doc by score with deterministic (score DESC, term ASC)
-    tie-breaking.  Two shuffles (doc-term and term aggregations); the
-    per-doc ranking window re-uses the doc-term partitioning.
+    tie-breaking.  Three shuffles — the (doc, term) aggregation, the
+    join on term, and the per-doc ranking window — which is the
+    standard distributed TF-IDF shape: document frequency is corpus-
+    wide, so it cannot stay co-partitioned with the per-doc data.
     """
     from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
