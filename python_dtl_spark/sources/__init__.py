@@ -89,15 +89,33 @@ class InMemoryImporter:
 
 class FileSystemExporter:
     """Writes ``{root}/{name}.parquet`` as a parquet part-directory
-    (the scalable layout; the reference writes a single file, io.py:67-72)."""
+    (the scalable layout; the reference writes a single file, io.py:67-72).
 
-    def __init__(self, root: str, fmt: str = "parquet", partition_by: list[str] | None = None):
+    ``num_output_files`` controls output compaction: a job whose final
+    stage has thousands of tasks otherwise writes thousands of small
+    parquet parts, and small files are the classic downstream-scan
+    killer at warehouse scale.  Compaction uses ``coalesce`` (narrow —
+    merges partitions without a shuffle); pass a larger number rather
+    than 1 unless the result is known-small, since coalesce(1)
+    serializes the write through one task.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        fmt: str = "parquet",
+        partition_by: list[str] | None = None,
+        num_output_files: int | None = None,
+    ):
         self._root = root
         self._fmt = fmt
         self._partition_by = partition_by or []
+        self._num_output_files = num_output_files
 
     def export_table(self, name: str, df: DataFrame) -> None:
         path = os.path.join(self._root, f"{name}.{self._fmt}")
+        if self._num_output_files is not None:
+            df = df.coalesce(self._num_output_files)
         writer = df.write.mode("overwrite")
         if self._partition_by:
             writer = writer.partitionBy(*self._partition_by)

@@ -601,3 +601,20 @@ def test_pack_token_budget_window_semantics(spark):
         ).collect()
     }
     assert again == rows
+
+
+def test_exporter_output_compaction(spark, tmp_path):
+    import os
+
+    from python_dtl_spark.sources import FileSystemExporter
+
+    df = spark.range(0, 1000).repartition(16)
+    out = str(tmp_path / "compact")
+    FileSystemExporter(out, num_output_files=2).export_table("t", df)
+    parts = [
+        f for f in os.listdir(os.path.join(out, "t.parquet"))
+        if f.startswith("part-")
+    ]
+    assert len(parts) == 2
+    back = spark.read.parquet(os.path.join(out, "t.parquet"))
+    assert back.count() == 1000
