@@ -347,3 +347,23 @@ class TraceReader:
             .dropDuplicates()
         )
         return src_snap.join(keep, on="__rid")
+
+    def where_used(
+        self, src_table: str, tgt_table: str, src_rows: DataFrame
+    ) -> DataFrame:
+        """Forward provenance, symmetric to :meth:`why`: given rows of
+        ``src_table`` (must carry ``__rid``), return the rows of
+        ``tgt_table`` they contributed to — "if I delete/fix these
+        inputs, which outputs change?".  Same transitive pair relation,
+        filtered on the source side."""
+        pairs = self.lineage(src_table, tgt_table)
+        if pairs is None:
+            raise KeyError(f"no lineage path {src_table!r} → {tgt_table!r}")
+        tgt_snap = self.snapshot(tgt_table)
+        wanted = src_rows.select(F.col("__rid").alias("src_rid")).dropDuplicates()
+        keep = (
+            pairs.join(wanted, on="src_rid")
+            .select(F.col("tgt_rid").alias("__rid"))
+            .dropDuplicates()
+        )
+        return tgt_snap.join(keep, on="__rid")

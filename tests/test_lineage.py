@@ -346,3 +346,28 @@ def test_mapping_only_mode_skips_statement_snapshots(spark, tmp_path):
     assert reader.snapshot("out").count() == 3
     with pytest.raises(ValueError, match="mapping-only"):
         reader.snapshot("big")
+
+
+def test_where_used_forward_provenance(spark, tmp_path):
+    trace_dir = os.path.join(str(tmp_path), "trace")
+    tracer = FileSystemTracer(trace_dir)
+    _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH big AS SELECT key, value FROM a WHERE value > 30;
+        WITH doubled AS SELECT key, value * 2 AS v2 FROM big;
+        EXPORT doubled TO 'out';
+        """,
+        {"a": NUMS},
+        tracer,
+    )
+    reader = TraceReader(spark, trace_dir)
+    a_snap = reader.snapshot("a")
+    # forward from import row (6, 60): must reach exactly v2=120 in out
+    src = a_snap.filter(F.col("key") == 6)
+    hits = reader.where_used("a", "out", src).collect()
+    assert len(hits) == 1 and hits[0].v2 == 120
+    # a filtered-out row (1, 10) contributes to nothing
+    dropped = a_snap.filter(F.col("key") == 1)
+    assert reader.where_used("a", "out", dropped).count() == 0

@@ -272,3 +272,37 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_streaming_chunking_matches_batch(spark, tmp_path):
+    """Stateless mapInPandas-free chunking runs identically on a
+    stream: readStream docs -> chunk_documents -> append sink equals
+    the batch result."""
+    from python_dtl_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, "word " * (40 + 13 * i)) for i in range(20)],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_stream_to_memory(
+        chunk_documents(stream, chunk_size=100, overlap=20), "chunk_stream", mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.doc_id, r.chunk_index, r.chunk_start, r.chunk_text)
+            for r in spark.table("chunk_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.doc_id, r.chunk_index, r.chunk_start, r.chunk_text)
+        for r in chunk_documents(docs, chunk_size=100, overlap=20).collect()
+    }
+    assert streamed == batch and len(batch) > 20
