@@ -339,3 +339,75 @@ def test_range_join_matches_bruteforce(spark, points, intervals, bucket):
         if pg == ig and s <= t <= e
     }
     assert got == want
+
+
+# --- stream-stream interval join vs brute force -----------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=asof_rows, right=asof_rows)
+def test_interval_join_matches_bruteforce(spark, left, right):
+    import datetime as dt
+
+    from python_dtl_spark.streaming import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    L = [(i, u, base + dt.timedelta(minutes=t)) for i, (u, t) in enumerate(left)]
+    R = [
+        (1000 + j, u, base + dt.timedelta(minutes=t))
+        for j, (u, t) in enumerate(right)
+    ]
+    if not L or not R:
+        return
+    ldf = spark.createDataFrame(L, "lid long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(R, "rid long, user_id long, ts timestamp")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            ldf, rdf, by="user_id", ts_col="ts", max_delay="10 minutes",
+            right_cols=["rid"],
+        ).collect()
+    }
+    exp = {
+        (lid, rid)
+        for (lid, lu, lt) in L
+        for (rid, ru, rt) in R
+        if lu == ru and rt <= lt and (lt - rt) <= dt.timedelta(minutes=10)
+    }
+    assert got == exp
+
+
+# --- sequence packing invariants --------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tokens=st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=40))
+def test_pack_token_budget_invariants(spark, tokens):
+    from python_dtl_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+    )
+    out = text.pack_token_budget(docs, budget=256, num_groups=4).collect()
+    assert len(out) == len(tokens)  # every doc assigned exactly once
+    assert all(0 <= r.seq_offset < 256 for r in out)
+    # within each group, id-ordered docs occupy a contiguous token
+    # stream: position = exclusive cumsum of the group's token counts
+    by_grp = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        by_grp.setdefault(r.pack_group, []).append(r)
+    for rows in by_grp.values():
+        pos = [r.seq_index * 256 + r.seq_offset for r in rows]
+        acc, starts = 0, []
+        for r in rows:
+            starts.append(acc)
+            acc += tokens[r.doc_id]
+        assert pos == starts
