@@ -26,6 +26,25 @@ def main(argv=None) -> None:
         help="reproduce the reference's positional row order (test scale only)",
     )
     parser.add_argument("--master", default=None, help="Spark master override")
+    parser.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "csv", "json"],
+        help="table format under --input-dir (default parquet)",
+    )
+    parser.add_argument(
+        "--output-format",
+        default="parquet",
+        choices=["parquet", "csv", "json"],
+        help="table format written under --output-dir (default parquet)",
+    )
+    parser.add_argument(
+        "--num-output-files",
+        type=int,
+        default=None,
+        help="coalesce each exported table to this many files "
+        "(small-files compaction; avoid 1 for large outputs)",
+    )
     args = parser.parse_args(argv)
 
     from python_dtl_spark.runtime import run_files
@@ -41,6 +60,9 @@ def main(argv=None) -> None:
         output_dir=args.output_dir,
         trace_dir=args.trace_dir,
         ordered=args.ordered,
+        input_format=args.input_format,
+        output_format=args.output_format,
+        num_output_files=args.num_output_files,
     )
 
 

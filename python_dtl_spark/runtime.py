@@ -62,11 +62,17 @@ def run_files(
     output_dir: str,
     trace_dir: str | None = None,
     ordered: bool = False,
+    input_format: str = "parquet",
+    output_format: str = "parquet",
+    num_output_files: int | None = None,
 ) -> None:
     """File-to-file execution, mirroring the reference CLI
-    (/root/reference/src/dtl/main.py:9-46)."""
-    importer = FileSystemImporter(spark, input_dir)
-    exporter = FileSystemExporter(output_dir)
+    (/root/reference/src/dtl/main.py:9-46).  Format and output
+    compaction pass straight through to the importer/exporter."""
+    importer = FileSystemImporter(spark, input_dir, fmt=input_format)
+    exporter = FileSystemExporter(
+        output_dir, fmt=output_format, num_output_files=num_output_files
+    )
     tracer = None
     if trace_dir is not None:
         from python_dtl_spark.lineage import FileSystemTracer
