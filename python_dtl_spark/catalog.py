@@ -1529,9 +1529,9 @@ def _q_contamination(spark, sf_dir):
     split = sampling.hash_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s1"
     )
-    train = split.filter(F.col("split") == "train").select("doc_id", "text")
-    evals = split.filter(F.col("split") == "test").select("doc_id", "text")
-    return dedup.contamination_pairs(train, evals, n=3, min_common=5)
+    # single-pass variant: the corpus is tokenized + shingled once and
+    # the train/test sides are filters of that one explode
+    return dedup.contamination_pairs_from_split(split, n=3, min_common=5)
 
 
 _CONTAM_B = sampling.hash_bucket_sql("doc_id", seed="s1")

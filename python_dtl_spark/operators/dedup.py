@@ -683,3 +683,63 @@ def contamination_pairs(
         "eval_size",
         (F.col("common") / F.col("eval_size")).alias("overlap"),
     )
+
+
+def contamination_pairs_from_split(
+    df: DataFrame,
+    split_col: str = "split",
+    train_value: str = "train",
+    eval_value: str = "test",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_common: int = 5,
+    max_feature_freq: int | None = None,
+) -> DataFrame:
+    """:func:`contamination_pairs` for the common one-table-with-a-
+    split-column case, shingling the corpus ONCE.
+
+    The two-DataFrame operator shingles each side separately; when both
+    sides are filters of the same table that doubles the tokenize+
+    shingle pass — the dominant per-row cost — over the full corpus.
+    Here the shingle explode runs once and the train/eval sides are
+    cheap filters of it.  Same output contract as
+    :func:`contamination_pairs`.
+    """
+    base = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.col(split_col).alias("__split"),
+        _shingles(F.col(text_col), n).alias("__sh"),
+    )
+    e_sizes = base.filter(F.col("__split") == eval_value).select(
+        F.col("__id").alias("eval_id"),
+        F.size("__sh").cast("long").alias("eval_size"),
+    )
+    ex = base.select("__id", "__split", F.explode("__sh").alias("__f"))
+    t_ex = ex.filter(F.col("__split") == train_value).select(
+        F.col("__id").alias("train_id"), "__f"
+    )
+    e_ex = ex.filter(F.col("__split") == eval_value).select(
+        F.col("__id").alias("eval_id"), "__f"
+    )
+    if max_feature_freq is not None:
+        freq_ok = (
+            t_ex.groupBy("__f")
+            .count()
+            .filter(F.col("count") <= max_feature_freq)
+            .select("__f")
+        )
+        t_ex = t_ex.join(freq_ok, on="__f", how="inner")
+    common = (
+        t_ex.join(e_ex, on="__f", how="inner")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return common.join(e_sizes, on="eval_id").select(
+        "train_id",
+        "eval_id",
+        "common",
+        "eval_size",
+        (F.col("common") / F.col("eval_size")).alias("overlap"),
+    )

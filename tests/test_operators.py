@@ -618,3 +618,28 @@ def test_exporter_output_compaction(spark, tmp_path):
     assert len(parts) == 2
     back = spark.read.parquet(os.path.join(out, "t.parquet"))
     assert back.count() == 1000
+
+
+def test_contamination_from_split_matches_two_frame_variant(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog by the river", "train"),
+        (1, "an entirely unrelated training document about query planning", "train"),
+        (100, "the quick brown fox jumps over the lazy dog by the sea", "test"),
+        (101, "nothing in common with anything whatsoever here today", "test"),
+        (200, "validation doc which must not appear anywhere at all", "val"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    one_pass = {
+        (r.train_id, r.eval_id, r.common, r.eval_size, r.overlap)
+        for r in dedup.contamination_pairs_from_split(df, n=3, min_common=5).collect()
+    }
+    two_frame = {
+        (r.train_id, r.eval_id, r.common, r.eval_size, r.overlap)
+        for r in dedup.contamination_pairs(
+            df.filter("split = 'train'").select("doc_id", "text"),
+            df.filter("split = 'test'").select("doc_id", "text"),
+            n=3,
+            min_common=5,
+        ).collect()
+    }
+    assert one_pass == two_frame and len(one_pass) == 1
