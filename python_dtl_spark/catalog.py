@@ -1028,35 +1028,42 @@ _register(
         WITH part AS IMPORT 'part';
         WITH flagged AS
             SELECT if(starts_with(p_type, 'PROMO'),
-                      l_extendedprice * (1.0 - l_discount),
-                      0.0) AS promo,
-                   l_extendedprice * (1.0 - l_discount) AS volume
+                      round_to(l_extendedprice * (1.0 - l_discount) * 100.0, 0),
+                      0.0) AS promo_cents,
+                   round_to(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                     AS volume_cents
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= timestamp('1997-09-01 00:00:00')
                 & l_shipdate < timestamp('1997-10-01 00:00:00');
         WITH sums AS
-            SELECT sum(promo) AS promo_sum, sum(volume) AS total
+            SELECT sum(promo_cents) AS promo_sum, sum(volume_cents) AS total
             FROM flagged;
         WITH output AS
-            SELECT round_to(100.0 * promo_sum / total, 2) AS promo_revenue
+            SELECT 100.0 * promo_sum / total AS promo_revenue
             FROM sums;
         EXPORT output TO 'output';
         """
     ),
+    # Cent-exact per-row rounding before the sums: integer-valued
+    # doubles add exactly in any aggregation order, and the final
+    # percentage is then a quotient of identical integers in both
+    # engines — no round-of-quotient, no summation-order flake.
     """
     WITH flagged AS (
         SELECT CASE WHEN starts_with(p_type, 'PROMO')
-                    THEN l_extendedprice * (1.0 - l_discount)
-                    ELSE 0.0 END AS promo,
-               l_extendedprice * (1.0 - l_discount) AS volume
+                    THEN round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                    ELSE 0.0 END AS promo_cents,
+               round(l_extendedprice * (1.0 - l_discount) * 100.0)
+                 AS volume_cents
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
     ), sums AS (
-        SELECT sum(promo) AS promo_sum, sum(volume) AS total FROM flagged
+        SELECT sum(promo_cents) AS promo_sum, sum(volume_cents) AS total
+        FROM flagged
     )
-    SELECT round(100.0 * promo_sum / total, 2) AS promo_revenue FROM sums
+    SELECT 100.0 * promo_sum / total AS promo_revenue FROM sums
     """,
 )
 
@@ -1069,13 +1076,16 @@ _register(
         """
         WITH lineitem AS IMPORT 'lineitem';
         WITH supplier AS IMPORT 'supplier';
-        WITH revenue AS
-            SELECT l_suppkey AS supplier_no,
-                   round_to(sum(l_extendedprice * (1.0 - l_discount)), 2)
-                     AS total_revenue
+        WITH lines AS
+            SELECT l_suppkey,
+                   round_to(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                     AS cents
             FROM lineitem
             WHERE l_shipdate >= timestamp('1997-01-01 00:00:00')
-                & l_shipdate < timestamp('1997-04-01 00:00:00')
+                & l_shipdate < timestamp('1997-04-01 00:00:00');
+        WITH revenue AS
+            SELECT l_suppkey AS supplier_no, sum(cents) / 100.0 AS total_revenue
+            FROM lines
             GROUP BY l_suppkey;
         WITH mx AS SELECT max(total_revenue) AS max_revenue FROM revenue;
         WITH output AS
@@ -1087,15 +1097,22 @@ _register(
         EXPORT output TO 'output';
         """
     ),
+    # The winner is selected by equality on total_revenue, so the value
+    # must be identical in both engines: per-row cent rounding before
+    # the sum makes it an exact integer in any aggregation order
+    # (round(sum(double), 2) can differ in the last cent between
+    # Spark's partial-agg order and DuckDB's sequential sum, which
+    # would crown a different supplier).
     """
-    WITH revenue AS (
-        SELECT l_suppkey AS supplier_no,
-               round(sum(l_extendedprice * (1.0 - l_discount)), 2)
-                 AS total_revenue
+    WITH lines AS (
+        SELECT l_suppkey,
+               round(l_extendedprice * (1.0 - l_discount) * 100.0) AS cents
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-        GROUP BY l_suppkey
+    ), revenue AS (
+        SELECT l_suppkey AS supplier_no, sum(cents) / 100.0 AS total_revenue
+        FROM lines GROUP BY l_suppkey
     ), mx AS (SELECT max(total_revenue) AS max_revenue FROM revenue)
     SELECT s_suppkey, s_name, total_revenue
     FROM supplier

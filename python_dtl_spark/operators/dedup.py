@@ -15,7 +15,6 @@ Scale design notes (the point of this module — SURVEY.md §6 / M6):
 
 from __future__ import annotations
 
-import weakref
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -25,14 +24,20 @@ from python_dtl_spark.operators.text import tokens
 
 
 def _release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Tie the lifetime of persisted intermediates to the result.
+    """Attach a ``release_cached()`` handle freeing the operator's
+    persisted intermediates.
 
     The intermediates must stay cached until the caller has run its
     action(s) on ``result``, so they cannot be unpersisted inside the
-    operator.  Instead the result carries a ``release_cached()`` handle
-    for deterministic cleanup, and a weakref finalizer unpersists them
-    when the result is garbage-collected — so repeated catalog/bench
-    invocations do not accumulate dead blocks in executor storage.
+    operator — and no automatic hook is safe either: a GC finalizer on
+    ``result`` fires the moment the caller derives a new DataFrame
+    from it (``op(df).select(...)`` drops the wrapper immediately),
+    unpersisting the cache before the job runs and silently reverting
+    to full recompute.  So cleanup is explicit: long-lived sessions
+    issuing many operator calls should invoke ``release_cached()``
+    after consuming the result.  Unreleased caches are persisted at
+    the default MEMORY_AND_DISK level, so under memory pressure Spark
+    evicts them rather than failing.
     """
 
     def _release():
@@ -42,7 +47,6 @@ def _release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
             except Exception:
                 pass
 
-    weakref.finalize(result, _release)
     result.release_cached = _release
     return result
 
@@ -384,7 +388,10 @@ def lsh_dedup_keep(
     # exponentially with iterations
     if checkpoint_dir is not None:
         spark = df.sparkSession
-        if spark.sparkContext.getCheckpointDir() is None:
+        if spark.sparkContext.getCheckpointDir() != checkpoint_dir:
+            # always honor the caller's directory — silently keeping a
+            # previously-set dir would land these checkpoints in a
+            # location the caller may be about to delete
             spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _truncate(d: DataFrame) -> DataFrame:
@@ -702,15 +709,19 @@ def contamination_pairs_from_split(
     The two-DataFrame operator shingles each side separately; when both
     sides are filters of the same table that doubles the tokenize+
     shingle pass — the dominant per-row cost — over the full corpus.
-    Here the shingle explode runs once and the train/eval sides are
-    cheap filters of it.  Same output contract as
-    :func:`contamination_pairs`.
+    Here the shingled projection is PERSISTED, so at runtime the first
+    side computes it once and every other consumer (the opposite join
+    side, the eval-size projection) reads the cache.  Without the
+    persist, Catalyst would push the split filters below the
+    projection and recompute the shingles per subtree — self-joins
+    duplicate unpersisted plans.  Release via ``release_cached()``.
+    Same output contract as :func:`contamination_pairs`.
     """
     base = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.col(split_col).alias("__split"),
         _shingles(F.col(text_col), n).alias("__sh"),
-    )
+    ).persist()
     e_sizes = base.filter(F.col("__split") == eval_value).select(
         F.col("__id").alias("eval_id"),
         F.size("__sh").cast("long").alias("eval_size"),
@@ -736,10 +747,11 @@ def contamination_pairs_from_split(
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= min_common)
     )
-    return common.join(e_sizes, on="eval_id").select(
+    out = common.join(e_sizes, on="eval_id").select(
         "train_id",
         "eval_id",
         "common",
         "eval_size",
         (F.col("common") / F.col("eval_size")).alias("overlap"),
     )
+    return _release_after(out, base)

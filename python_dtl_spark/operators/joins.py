@@ -119,13 +119,16 @@ def salted_join(
     """Equi-join with the left (skewed/large) side salted ``salt`` ways.
 
     The left side gets a deterministic per-row salt — xxhash64 of the
-    whole row plus the seed, mod ``salt`` — so a task recomputed after
-    a fetch failure assigns the same salt to the same row (F.rand would
-    re-roll on retry, silently dropping/duplicating join output when
-    upstream partitions are not stably ordered).  Rows of one hot key
-    differ in their other columns, so they still spread across ``salt``
-    reducers.  The right side is replicated once per salt value (array
-    + explode — no driver loop, no crossJoin).  Output columns match
+    whole row, the seed, AND ``monotonically_increasing_id()``, mod
+    ``salt``.  The row hash alone would send full-duplicate rows of a
+    hot key (common in logs) to one reducer, recreating the straggler;
+    the monotonic id spreads duplicates while staying reproducible on
+    task retry whenever the upstream partitioning is deterministic (a
+    scan, a shuffle with fixed keys) — the case where F.rand would
+    still re-roll.  For a nondeterministically-ordered upstream no
+    per-row salt can be retry-stable; persist/checkpoint the input
+    first.  The right side is replicated once per salt value (array +
+    explode — no driver loop, no crossJoin).  Output columns match
     ``left.join(right, on, how)``.
 
     Cost model: right side is duplicated ``salt``× through the shuffle —
@@ -140,7 +143,11 @@ def salted_join(
     left_s = left.withColumn(
         SALT_COL,
         F.pmod(
-            F.xxhash64(F.lit(seed), *[F.col(c) for c in left.columns]),
+            F.xxhash64(
+                F.lit(seed),
+                F.monotonically_increasing_id(),
+                *[F.col(c) for c in left.columns],
+            ),
             F.lit(salt),
         ).cast("int"),
     )

@@ -172,11 +172,15 @@ def ivf_topk(
     expression, and the probe join shuffles ~n_probe/n_centroids of
     the corpus per query batch instead of all of it.
 
-    The fit sample is taken with ``limit(fit_sample)`` (re-spread over
-    the default parallelism so the KMeans fit is not single-threaded)
-    — no ``count()`` pass over the corpus.  At 100 TB pass
-    ``fit_fraction`` (e.g. 1e-6) instead to take a uniform sample
-    without the all-partitions limit scan.
+    The default fit sample takes ``fit_sample / num_partitions`` rows
+    from the head of EVERY partition — no ``count()`` pass, and unlike
+    a plain ``limit(fit_sample)`` it is not a physical prefix of the
+    first file(s): data written clustered by category/time/source
+    still contributes vectors from every partition, so the quantizer
+    sees every region of the embedding space.  The per-partition index
+    comes from the low 33 bits of ``monotonically_increasing_id`` —
+    pure JVM filter, no Python workers, no shuffle.  At 100 TB pass
+    ``fit_fraction`` (e.g. 1e-6) for a true uniform sample instead.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -186,11 +190,20 @@ def ivf_topk(
         _to_double(F.col(vec_col)).alias("__cv"),
     ).withColumn("__cn", _norm(F.col("__cv")))
 
-    train = c_base.select(array_to_vector("__cv").alias("features"))
+    train = c_base.select("__cv")
     if fit_fraction is not None:
         train = train.sample(fraction=fit_fraction, seed=seed)
     else:
-        train = _spread(train.limit(fit_sample))
+        n_parts = max(1, train.rdd.getNumPartitions())
+        quota = max(1, fit_sample // n_parts)
+        # monotonically_increasing_id = partitionId * 2^33 + index
+        # within the partition, so the low bits ARE the per-partition
+        # row index
+        row_in_part = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1)
+        )
+        train = train.filter(row_in_part < quota)
+    train = train.select(array_to_vector("__cv").alias("features"))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
 

@@ -206,7 +206,6 @@ def tfidf_top_terms(
     standard distributed TF-IDF shape: document frequency is corpus-
     wide, so it cannot stay co-partitioned with the per-doc data.
     """
-    from pyspark.sql import Window
     from pyspark.sql.functions import broadcast
 
     toks = df.select(

@@ -42,6 +42,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # reliable-checkpoint files (lsh_dedup_keep's iteration
+        # truncation) are reclaimed when their RDD is GC'd instead of
+        # accumulating for the session's lifetime
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
