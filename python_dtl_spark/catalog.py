@@ -1389,7 +1389,11 @@ def _q_tfidf(spark, sf_dir):
     """Top-5 characteristic terms per document by TF-IDF.  The rank is
     compared rather than the score: both engines order by the same
     doubles computed from identical integer inputs, but libm vs JVM
-    log differ by ulps, so the score itself is not hash-stable."""
+    log differ by ulps, so the score itself is not hash-stable.
+    Residual risk, accepted: two DISTINCT (tf, df) pairs whose scores
+    agree to ~1 ulp could rank differently across engines; on the
+    fixed test fixture the comparison is deterministic, and equal
+    (tf, df) ties are safe (identical doubles, term tiebreak)."""
     return text.tfidf_top_terms(
         _read(spark, sf_dir, "documents"), k=5
     ).select("doc_id", "term", "rank")
