@@ -2453,3 +2453,126 @@ _register(
            (SELECT count(*) FROM by_cust)
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering
+# ---------------------------------------------------------------------------
+# The driver's correctness gate checks only the FIRST 50 entries of
+# ``queries()`` (dict insertion order).  Registration order above follows
+# the SURVEY.md §2 inventory, which is the wrong priority for evidence:
+# it left the whole LLM-pipeline stack (positions 51-77) unverified for
+# two rounds.  This explicit list re-orders the exported dict so the
+# least-verified queries occupy the window:
+#
+#   tier 1 — never driver-checked in any round (r1/r2 window misses);
+#   tier 2 — checked only in round 1 (dedup / similarity / streaming);
+#   tier 3 — first green in round 2 (one round of history);
+#   tier 4 — green in rounds 1 AND 2 (rotated behind the window: they
+#            have two rounds of hash-pass history and full unit tests).
+#
+# New queries default to the FRONT of tier 3 (never-checked beats
+# once-checked) unless explicitly placed; listed-but-unregistered names
+# fail loudly.
+
+_DRIVER_ORDER: list[str] = [
+    # -- tier 1: never driver-checked --------------------------------------
+    "decontaminate_train_test",
+    "dedup_embedding_cosine",
+    "embed_l2_normalize",
+    "embed_quantize_int8",
+    "events_asof_join",
+    "events_range_join_sessions",
+    "events_time_rollup",
+    "events_inter_arrival",
+    "events_interval_join",
+    "orders_topn_per_customer",
+    "orders_running_total",
+    "doc_hash_split",
+    "doc_stratified_sample",
+    "multimodal_image_features",
+    "dtl_promo_parts_by_brand",
+    "pipeline_clean_corpus",
+    "trace_provenance",
+    # -- tier 2: checked only in round 1 -----------------------------------
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_lsh_keep",
+    "similarity_topk_cosine",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "events_tumbling_stats",
+    "events_sliding_counts",
+    "events_session_windows",
+    # -- tier 3: first green in round 2 ------------------------------------
+    "dtl_intersect",
+    "dtl_q7_volume_shipping",
+    "dtl_q8_market_share",
+    "dtl_q9_product_profit",
+    "dtl_q13_customer_distribution",
+    "dtl_q14_promo_revenue",
+    "dtl_q15_top_supplier",
+    "dtl_q17_small_quantity",
+    "dtl_distinct_consecutive",
+    "dtl_group_consecutive",
+    "doc_pack_sequences",
+    "doc_tfidf_top_terms",
+    # -- tier 4: green in both prior rounds (window tail first) ------------
+    "dtl_q1_pricing_summary",
+    "dtl_q3_shipping_priority",
+    "dtl_q5_local_supplier",
+    "dedup_exact",
+    "doc_chunks",
+    "dtl_approx_distinct_parts",
+    "doc_rolling_fingerprint",
+    "dtl_scalar_functions",
+    "dtl_temporal",
+    "dtl_except",
+    "dtl_equi_join",
+    # ---- driver window ends near here (first 50 checked) -----------------
+    "dtl_theta_join",
+    "dtl_join_using",
+    "dtl_left_join",
+    "dtl_semi_join",
+    "dtl_anti_join",
+    "dtl_cross_join",
+    "dtl_distinct",
+    "dtl_union",
+    "dtl_conditional",
+    "dtl_project_rename",
+    "dtl_arithmetic",
+    "dtl_add_builtin",
+    "dtl_where_compare",
+    "dtl_where_logic",
+    "dtl_group_by_having",
+    "dtl_global_agg",
+    "dtl_order_limit",
+    "dtl_q4_order_priority",
+    "dtl_q6_forecast_revenue",
+    "dtl_q10_returned_items",
+    "dtl_q12_priority_lines",
+    "dtl_q18_large_orders",
+    "doc_token_count",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_top_tokens",
+    "doc_fingerprint_md5",
+]
+
+
+def _apply_driver_order() -> None:
+    global QUERIES
+    missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
+    if missing:
+        raise KeyError(f"_DRIVER_ORDER lists unregistered queries: {missing}")
+    # Unlisted (newly added) queries slot in after tier 2 — inside the
+    # driver window — so a new operator gets a CORRECTNESS row in its
+    # first round without editing this list.
+    unlisted = [n for n in QUERIES if n not in _DRIVER_ORDER]
+    tier12 = _DRIVER_ORDER[: _DRIVER_ORDER.index("dtl_intersect")]
+    rest = _DRIVER_ORDER[_DRIVER_ORDER.index("dtl_intersect"):]
+    QUERIES = {n: QUERIES[n] for n in [*tier12, *unlisted, *rest]}
+
+
+_apply_driver_order()
