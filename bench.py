@@ -29,13 +29,23 @@ def main() -> None:
     # warm up the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # cold pass = the headline number (comparable round-over-round);
+    # warm pass = same queries re-run in the hot JVM, isolating the
+    # data path from Catalyst planning/codegen, which dominates cold
+    # times at test scale and can mask data-path regressions
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, q in headline.items():
         start = time.perf_counter()
         df = q.fn(spark, sf_dir)
         n = df.count()  # force full execution
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for name, q in headline.items():
+        start = time.perf_counter()
+        q.fn(spark, sf_dir).count()
+        warm[name] = round(time.perf_counter() - start, 3)
+        print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -45,6 +55,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total_sec": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

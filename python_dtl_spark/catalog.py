@@ -803,7 +803,8 @@ _register(
         WITH shipping AS
             SELECT supp_nation, cust_nation,
                    year(l_shipdate) AS l_year,
-                   l_extendedprice * (1.0 - l_discount) AS volume
+                   round_to(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                     AS cents
             FROM supplier
             JOIN lineitem ON s_suppkey = l_suppkey
             JOIN orders ON o_orderkey = l_orderkey
@@ -816,18 +817,22 @@ _register(
                 & l_shipdate < timestamp('1997-01-01 00:00:00');
         WITH output AS
             SELECT supp_nation, cust_nation, l_year,
-                   round_to(sum(volume), 2) AS revenue
+                   sum(cents) / 100.0 AS revenue
             FROM shipping
             GROUP BY supp_nation, cust_nation, l_year
             ORDER BY supp_nation, cust_nation, l_year;
         EXPORT output TO 'output';
         """
     ),
+    # Cent-exact summation (round each row to integer cents before the
+    # sum): integer-valued doubles add exactly in any order, so Spark's
+    # partial-agg tree and DuckDB's sequential fold cannot diverge in
+    # the last cent the way round(sum(double), 2) can.
     """
     WITH shipping AS (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                year(l_shipdate) AS l_year,
-               l_extendedprice * (1.0 - l_discount) AS volume
+               round(l_extendedprice * (1.0 - l_discount) * 100.0) AS cents
         FROM supplier
         JOIN lineitem ON s_suppkey = l_suppkey
         JOIN orders ON o_orderkey = l_orderkey
@@ -840,7 +845,7 @@ _register(
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
     )
     SELECT supp_nation, cust_nation, CAST(l_year AS BIGINT) AS l_year,
-           round(sum(volume), 2) AS revenue
+           sum(cents) / 100.0 AS revenue
     FROM shipping
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -1139,18 +1144,20 @@ _register(
             FROM lineitem
             GROUP BY l_partkey;
         WITH small AS
-            SELECT l_extendedprice
+            SELECT round_to(l_extendedprice * 100.0, 0) AS cents
             FROM lineitem
             JOIN brand_parts ON l_partkey = p_partkey
             JOIN avgq ON l_partkey = a_partkey
             WHERE l_quantity < 0.2 * avg_qty;
         WITH output AS
-            SELECT round_to(sum(l_extendedprice), 2) AS total_price,
+            SELECT sum(cents) / 100.0 AS total_price,
                    count() AS n_lines
             FROM small;
         EXPORT output TO 'output';
         """
     ),
+    # Cent-exact summation — same rationale as the q7/q15 oracles:
+    # integer cents add exactly in any aggregation order.
     """
     WITH brand_parts AS (
         SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
@@ -1158,13 +1165,13 @@ _register(
         SELECT l_partkey AS a_partkey, avg(l_quantity) AS avg_qty
         FROM lineitem GROUP BY l_partkey
     ), small AS (
-        SELECT l_extendedprice
+        SELECT round(l_extendedprice * 100.0) AS cents
         FROM lineitem
         JOIN brand_parts ON l_partkey = p_partkey
         JOIN avgq ON l_partkey = a_partkey
         WHERE l_quantity < 0.2 * avg_qty
     )
-    SELECT round(sum(l_extendedprice), 2) AS total_price,
+    SELECT sum(cents) / 100.0 AS total_price,
            count(*) AS n_lines
     FROM small
     """,

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from python_dtl_spark.operators.partitioning import spread as _spread
 from python_dtl_spark.operators.text import tokens
 
+# last checkpoint dir requested via lsh_dedup_keep, per applicationId —
+# lets repeat calls skip redundant setCheckpointDir (each call mints a
+# fresh UUID subdir) while still honoring a caller's changed dir
+_LAST_CHECKPOINT_DIR: dict[str, str] = {}
+
 
 def _release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Attach a ``release_cached()`` handle freeing the operator's
@@ -388,11 +393,17 @@ def lsh_dedup_keep(
     # exponentially with iterations
     if checkpoint_dir is not None:
         spark = df.sparkSession
-        if spark.sparkContext.getCheckpointDir() != checkpoint_dir:
-            # always honor the caller's directory — silently keeping a
-            # previously-set dir would land these checkpoints in a
-            # location the caller may be about to delete
+        # always honor the caller's directory — silently keeping a
+        # previously-set dir would land these checkpoints in a location
+        # the caller may be about to delete.  Skip the call only when
+        # this exact dir was the last one WE requested: comparing
+        # against getCheckpointDir() never matches, because Spark
+        # stores a fully-qualified path with a random UUID subdir, so
+        # that "guard" would mint a fresh UUID subdir per invocation.
+        ctx_key = spark.sparkContext.applicationId
+        if _LAST_CHECKPOINT_DIR.get(ctx_key) != checkpoint_dir:
             spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            _LAST_CHECKPOINT_DIR[ctx_key] = checkpoint_dir
 
         def _truncate(d: DataFrame) -> DataFrame:
             return d.checkpoint(eager=True)
@@ -551,8 +562,14 @@ def embedding_near_dup_pairs(
 
     Pass ``dim`` (embedding dimensionality) to keep plan construction
     action-free; omitting it runs a single-row inference job per call.
+    A ``dim`` that disagrees with the data raises at execution time
+    (``zip_with`` would otherwise NULL-pad every hyperplane dot and
+    silently collapse all signatures to bucket 0 — correct output, but
+    candidate generation degrades to a near full scan).
     """
     import random
+
+    from python_dtl_spark.operators.similarity import _checked_dim
 
     rng = random.Random(seed)
     if dim is None:
@@ -585,7 +602,7 @@ def embedding_near_dup_pairs(
     )
     base = _spread(df).select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
+        _checked_dim(F.col(vec_col), dim).alias("__v"),
         signature(F.col(vec_col)).alias("__sig"),
         norm.alias("__n"),
     )

@@ -34,6 +34,37 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
+def _checked_dim(vec, dim: int | None):
+    """Fail fast on embedding-dimension mismatch.
+
+    ``zip_with`` pads the shorter array with NULLs, so a wrong ``dim``
+    would silently turn every hyperplane dot product NULL and collapse
+    all LSH signatures into bucket 0 — results stay correct (the exact
+    verify runs on candidates) but candidate generation degrades to a
+    near full scan with no error.  This plan-side guard raises with the
+    observed size instead; it is a JVM ``CASE WHEN`` per row on
+    ``size()``, negligible next to the hashing it protects.
+    """
+    if dim is None:
+        return vec
+    return F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dim mismatch: expected {dim}, got "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
+
+
+#: Above this many query vectors, the broadcast side of the exact scan
+#: stops being "small": the driver must collect and every executor must
+#: hold queries × dim × 8 bytes (1M × 64-dim doubles ≈ 512 MB) — use
+#: :func:`lsh_bucketed_topk` / :func:`ivf_topk` instead, which shuffle
+#: candidates rather than replicating the query set.
+MAX_BROADCAST_QUERIES = 100_000
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -42,12 +73,28 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     include_self: bool = False,
+    num_queries: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each query vector.
 
     Output: (query_id, neighbor_id, rank, cosine) — rank 1 = best; ties
     broken by neighbor id for determinism.
+
+    This is the exact baseline: one full corpus scan per query *batch*
+    (not per query), legal only while the query set broadcasts — every
+    executor holds all query vectors (queries × dim × 8 bytes each).
+    Pass ``num_queries`` when known; beyond ``MAX_BROADCAST_QUERIES``
+    the call refuses (action-free — it will not count a lazy query set)
+    and the caller should switch to :func:`lsh_bucketed_topk` or
+    :func:`ivf_topk`.
     """
+    if num_queries is not None and num_queries > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"cosine_topk broadcasts the query set to every executor; "
+            f"{num_queries} queries exceeds MAX_BROADCAST_QUERIES="
+            f"{MAX_BROADCAST_QUERIES}. Use lsh_bucketed_topk or ivf_topk "
+            f"for large query sets."
+        )
     c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), _to_double(F.col(vec_col)).alias("__cv")
     ).withColumn("__cn", _norm(F.col("__cv")))
@@ -91,7 +138,9 @@ def lsh_bucketed_topk(
 
     Pass ``dim`` (the embedding dimensionality) so plan construction is
     action-free; when omitted, a single-row job runs to infer it, which
-    is an extra Spark job per call at scale.
+    is an extra Spark job per call at scale.  A ``dim`` that disagrees
+    with the data raises at execution time (see :func:`_checked_dim`)
+    instead of silently collapsing every signature to bucket 0.
     """
     import random
 
@@ -110,7 +159,7 @@ def lsh_bucketed_topk(
     c = (
         _spread(corpus).select(
             F.col(id_col).alias("neighbor_id"),
-            _to_double(F.col(vec_col)).alias("__cv"),
+            _checked_dim(_to_double(F.col(vec_col)), dim).alias("__cv"),
         )
         .withColumn("__cn", _norm(F.col("__cv")))
         .withColumn("__bucket", signature(F.col("__cv")))
@@ -118,7 +167,7 @@ def lsh_bucketed_topk(
     q = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
-            _to_double(F.col(vec_col)).alias("__qv"),
+            _checked_dim(_to_double(F.col(vec_col)), dim).alias("__qv"),
         )
         .withColumn("__qn", _norm(F.col("__qv")))
         .withColumn("__sig", signature(F.col("__qv")))
@@ -194,7 +243,11 @@ def ivf_topk(
     if fit_fraction is not None:
         train = train.sample(fraction=fit_fraction, seed=seed)
     else:
-        n_parts = max(1, train.rdd.getNumPartitions())
+        # estimate the partition count from the cluster's parallelism
+        # rather than train.rdd.getNumPartitions(), which would force
+        # physical planning (RDD conversion) during plan construction;
+        # the quota only needs an order-of-magnitude partition estimate
+        n_parts = max(1, corpus.sparkSession.sparkContext.defaultParallelism)
         quota = max(1, fit_sample // n_parts)
         # monotonically_increasing_id = partitionId * 2^33 + index
         # within the partition, so the low bits ARE the per-partition

@@ -50,8 +50,15 @@ def run(
         )
         return
     engine = Engine(spark, importer, ordered=ordered)
+    # invalidate the importer's memoized handle for each exported name:
+    # with input_dir == output_dir round-trips, a later IMPORT of the
+    # overwritten table must re-list files instead of reading the stale
+    # pre-export plan
+    invalidate = getattr(importer, "invalidate", None)
     for location, table in engine.run_script(source):
         exporter.export_table(location, table.public_df())
+        if invalidate is not None:
+            invalidate(location)
 
 
 def run_files(

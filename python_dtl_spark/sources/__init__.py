@@ -41,6 +41,15 @@ class FileSystemImporter:
     script (or a catalog run).  Local parquet makes that a few tens of
     ms; against object storage the listing round-trips are the cost.
     The memo holds lazy plans only — no data is cached.
+
+    Staleness contract: the memoized plan pins the file listing and
+    schema observed at first import.  If a table is rewritten during
+    the importer's lifetime (``input_dir == output_dir`` round-trips,
+    regenerated fixtures, interactive reuse), call
+    :meth:`invalidate` — otherwise later actions can fail on missing
+    files or silently read the pre-rewrite data.  (The reference
+    re-reads eagerly per IMPORT, io.py:31-42, so it cannot go stale —
+    and also cannot prune; this importer trades that for lazy scans.)
     """
 
     def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
@@ -53,6 +62,14 @@ class FileSystemImporter:
         if name not in self._memo:
             self._memo[name] = self._read(name)
         return self._memo[name]
+
+    def invalidate(self, name: str | None = None) -> None:
+        """Drop the memoized handle for ``name`` (all tables when None)
+        so the next import re-lists files and re-reads the schema."""
+        if name is None:
+            self._memo.clear()
+        else:
+            self._memo.pop(name, None)
 
     def _read(self, name: str) -> DataFrame:
         path = os.path.join(self._root, f"{name}.{self._fmt}")

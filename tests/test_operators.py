@@ -643,3 +643,83 @@ def test_contamination_from_split_matches_two_frame_variant(spark):
         ).collect()
     }
     assert one_pass == two_frame and len(one_pass) == 1
+
+
+def test_cosine_topk_refuses_oversized_broadcast_query_set(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="MAX_BROADCAST_QUERIES"):
+        similarity.cosine_topk(
+            corpus,
+            queries,
+            num_queries=similarity.MAX_BROADCAST_QUERIES + 1,
+        )
+    # a truthful hint under the bound still works
+    out = similarity.cosine_topk(corpus, queries, k=1, num_queries=2)
+    assert out.count() == 2
+
+
+def test_lsh_topk_wrong_dim_fails_fast(spark):
+    # zip_with would NULL-pad on a wrong dim, silently collapsing every
+    # signature to bucket 0 — the plan-side guard must raise instead
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(Exception, match="dim mismatch: expected 8, got 3"):
+        similarity.lsh_bucketed_topk(corpus, queries, k=2, dim=8).collect()
+    assert similarity.lsh_bucketed_topk(corpus, queries, k=2, dim=3).count() > 0
+
+
+def test_embedding_near_dup_wrong_dim_fails_fast(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="dim mismatch: expected 5, got 2"):
+        dedup.embedding_near_dup_pairs(df, threshold=0.9, dim=5).collect()
+
+
+def test_plan_construction_touches_no_rdd(spark, monkeypatch):
+    """Building dedup/similarity plans must not force physical planning:
+    DataFrame.rdd conversion during construction defeats lazy-plan reuse
+    (VERDICT r2 #5).  Poison the .rdd property and construct every plan."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("DataFrame.rdd accessed during plan construction")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+    docs = spark.createDataFrame(
+        [(i, f"some text body {i % 4} repeated tokens here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.25, -0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = vecs.select(F.col("vec_id").alias("query_id"), "embedding")
+    # construction only — no actions
+    dedup.minhash_lsh_pairs(docs)
+    dedup.ngram_jaccard_pairs(docs)
+    dedup.simhash_near_pairs(docs)
+    dedup.embedding_near_dup_pairs(vecs, dim=4)
+    dedup.contamination_pairs(docs, docs)
+    similarity.cosine_topk(vecs, queries, num_queries=20)
+    similarity.lsh_bucketed_topk(vecs, queries, dim=4)
+    similarity.ivf_topk(vecs, queries)
+
+
+def test_importer_invalidate_rereads_overwritten_table(spark, tmp_path):
+    from python_dtl_spark.sources import FileSystemImporter
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).write.parquet(p)
+    imp = FileSystemImporter(spark, str(tmp_path))
+    assert imp.import_table("t").count() == 5
+    spark.range(9).write.mode("overwrite").parquet(p)
+    imp.invalidate("t")
+    assert imp.import_table("t").count() == 9
