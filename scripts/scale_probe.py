@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
 
 from python_dtl_spark.operators import dedup  # noqa: E402
 from python_dtl_spark.session import get_spark  # noqa: E402
@@ -50,15 +51,92 @@ def timed(label, df):
     return dt, n
 
 
+def stream_interval_probe(spark, events, factor: int, workdir: str):
+    """Watermarked stream-stream interval join at 1× and ``factor``×.
+
+    Replicas shift user_id/event_id (more keys, same time range), so
+    buffered join state should scale ~linearly with the data while the
+    watermark keeps evicting rows older than the join bound — the two
+    numbers that decide whether the operator survives a 100× stream.
+    Reports wall time plus the state store's numRowsTotal /
+    memoryUsedBytes from the final StreamingQueryProgress.
+    """
+    import shutil
+
+    from python_dtl_spark.streaming import (
+        interval_join,
+        run_stream_to_memory,
+        stream_events,
+    )
+
+    side_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def run_once(ev, tag: str):
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        p_src = os.path.join(workdir, f"purchases_{tag}")
+        c_src = os.path.join(workdir, f"clicks_{tag}")
+        purchases.write.mode("overwrite").parquet(p_src)
+        clicks.write.mode("overwrite").parquet(c_src)
+        joined = interval_join(
+            stream_events(spark, p_src, side_schema, watermark="2 hours"),
+            stream_events(spark, c_src, side_schema, watermark="2 hours"),
+            by="user_id",
+            ts_col="ts",
+            max_delay="2 hours",
+            right_cols=["event_id"],
+        )
+        start = time.perf_counter()
+        q = run_stream_to_memory(joined, f"scale_interval_{tag}", mode="append")
+        try:
+            q.processAllAvailable()
+            dt = time.perf_counter() - start
+            n = spark.table(f"scale_interval_{tag}").count()
+            prog = q.lastProgress or {}
+            state = (prog.get("stateOperators") or [{}])[0]
+        finally:
+            q.stop()
+        shutil.rmtree(p_src, ignore_errors=True)
+        shutil.rmtree(c_src, ignore_errors=True)
+        print(
+            f"# interval_join_stream {tag}: {dt:.2f}s ({n} rows, "
+            f"state {state.get('numRowsTotal')} rows / "
+            f"{state.get('memoryUsedBytes')} B)",
+            file=sys.stderr,
+        )
+        return dt, n, state
+
+    events_n = replicate(events, factor, ["event_id", "user_id"])
+    t1, n1, s1 = run_once(events, f"1x_{factor}")
+    tn, nn, sn = run_once(events_n, f"{factor}x")
+    return (t1, n1, s1, tn, nn, sn)
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [8]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    import tempfile
+
+    from python_dtl_spark.catalog import _read_events
+
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    events = _read_events(spark, SF_DIR)
+    stream_workdir = tempfile.mkdtemp(prefix="scale_probe_stream_")
 
     def q1(li):
         return (
@@ -126,6 +204,24 @@ def main() -> None:
             lines.append(
                 f"| {label} | {t1:.2f}s | {n1:,} | {tn:.2f}s | {nn:,} | {ratio:.1f}× |"
             )
+
+        t1, n1, s1, tn, nn, sn = stream_interval_probe(
+            spark, events, factor, stream_workdir
+        )
+        lines += [
+            "",
+            "Stream-stream interval join (watermarked, append mode; state",
+            "metrics from the final StreamingQueryProgress — linear state",
+            "rows with bounded per-key memory means the watermark evicts",
+            "buffered rows instead of holding both streams forever):",
+            "",
+            f"| probe | time | output rows | state rows | state memory |",
+            "|---|---|---|---|---|",
+            f"| interval_join_stream 1× | {t1:.2f}s | {n1:,} | "
+            f"{s1.get('numRowsTotal', 0):,} | {s1.get('memoryUsedBytes', 0):,} B |",
+            f"| interval_join_stream {factor}× | {tn:.2f}s | {nn:,} | "
+            f"{sn.get('numRowsTotal', 0):,} | {sn.get('memoryUsedBytes', 0):,} B |",
+        ]
     lines.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
         f.write("\n".join(lines))
