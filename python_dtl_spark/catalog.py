@@ -29,6 +29,7 @@ from python_dtl_spark.operators import (
     rollup,
     sampling,
     similarity,
+    stats,
     text,
     windows,
 )
@@ -2463,6 +2464,190 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Group F — grouped statistics / multi-dim aggregation / sessionization
+# ---------------------------------------------------------------------------
+
+
+def _q_sessionize(spark, sf_dir):
+    return windows.sessionize(
+        _read_events(spark, sf_dir).select("user_id", "ts"),
+        key_col="user_id",
+        ts_col="ts",
+        gap_minutes=30,
+    )
+
+
+_register(
+    "events_sessionize",
+    _q_sessionize,
+    # same gaps-and-islands formulation: lag-gap flag, cumulative sum,
+    # aggregate per island.  Boundaries depend only on each key's
+    # sorted timestamp multiset (ties have gap 0), so the result is
+    # deterministic despite ambiguous order among equal timestamps.
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    headline=True,
+)
+
+
+def _q_value_percentiles(spark, sf_dir):
+    return stats.grouped_percentiles(
+        _read_events(spark, sf_dir),
+        value_col="value",
+        by=["event_type"],
+        ps=[0.5, 0.9, 0.99],
+    )
+
+
+_register(
+    "events_value_percentiles",
+    _q_value_percentiles,
+    # percentile_disc = smallest actual value whose cumulative
+    # distribution reaches p; replayed via cume_dist so no engine's
+    # quantile interpolation enters the comparison (outputs are input
+    # elements, hash-exact)
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               cume_dist() OVER (
+                   PARTITION BY event_type ORDER BY value
+               ) AS cd
+        FROM events
+    )
+    SELECT event_type,
+           min(CASE WHEN cd >= 0.5 THEN value END) AS p5,
+           min(CASE WHEN cd >= 0.9 THEN value END) AS p9,
+           min(CASE WHEN cd >= 0.99 THEN value END) AS p99
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+
+
+def _q_status_pivot(spark, sf_dir):
+    return stats.pivot_table(
+        _read(spark, sf_dir, "orders"),
+        row_col="o_orderpriority",
+        pivot_col="o_orderstatus",
+        pivot_values=["F", "O", "P"],
+        value_expr=F.lit(1),
+        agg="count",
+    )
+
+
+_register(
+    "orders_status_pivot",
+    _q_status_pivot,
+    """
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+def _q_lineitem_rollup(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").withColumn(
+        "cents",
+        F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0),
+    )
+    return stats.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            (F.sum("cents") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        ],
+    )
+
+
+_register(
+    "lineitem_rollup",
+    _q_lineitem_rollup,
+    # DuckDB's GROUPING() bitmask matches Spark's grouping_id()
+    # (verified: last rollup column = LSB); cent-exact revenue
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS grouping_id,
+           sum(round(l_extendedprice * (1.0 - l_discount) * 100.0)) / 100.0
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    headline=True,
+)
+
+
+def _q_embed_dedup_keep(spark, sf_dir):
+    # keep-one over the SAME planted-duplicate fixture as
+    # dedup_embedding_cosine: corpus ∪ exact copies at vec_id+100000.
+    # Components are exactly the planted (i, i+100000) pairs (no
+    # natural near-dups at this threshold — max natural cosine ~0.51),
+    # so connected components reduce to min-of-pair, which is what the
+    # single-step SQL oracle computes.
+    base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = base.unionByName(
+        base.select((F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding")
+    )
+    pairs = dedup.embedding_near_dup_pairs(aug, threshold=0.95, dim=64)
+    return dedup.keep_one_from_pairs(aug, pairs, id_col="vec_id")
+
+
+_register(
+    "dedup_embedding_keep",
+    _q_embed_dedup_keep,
+    """
+    WITH aug AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    ), nbr AS (
+        SELECT vec_id, min(partner) AS m
+        FROM (
+            SELECT id_a AS vec_id, id_b AS partner FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        )
+        GROUP BY vec_id
+    )
+    SELECT aug.vec_id,
+           least(aug.vec_id, coalesce(nbr.m, aug.vec_id)) AS cluster_id,
+           aug.vec_id = least(aug.vec_id, coalesce(nbr.m, aug.vec_id)) AS keep
+    FROM aug LEFT JOIN nbr ON aug.vec_id = nbr.vec_id
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks only the FIRST 50 entries of
@@ -2512,6 +2697,12 @@ _DRIVER_ORDER: list[str] = [
     "events_tumbling_stats",
     "events_sliding_counts",
     "events_session_windows",
+    # -- tier 3a: new this round (first driver check) ----------------------
+    "events_sessionize",
+    "events_value_percentiles",
+    "orders_status_pivot",
+    "lineitem_rollup",
+    "dedup_embedding_keep",
     # -- tier 3: first green in round 2 ------------------------------------
     "dtl_intersect",
     "dtl_q7_volume_shipping",
@@ -2577,8 +2768,8 @@ def _apply_driver_order() -> None:
     # driver window — so a new operator gets a CORRECTNESS row in its
     # first round without editing this list.
     unlisted = [n for n in QUERIES if n not in _DRIVER_ORDER]
-    tier12 = _DRIVER_ORDER[: _DRIVER_ORDER.index("dtl_intersect")]
-    rest = _DRIVER_ORDER[_DRIVER_ORDER.index("dtl_intersect"):]
+    tier12 = _DRIVER_ORDER[: _DRIVER_ORDER.index("events_sessionize")]
+    rest = _DRIVER_ORDER[_DRIVER_ORDER.index("events_sessionize"):]
     QUERIES = {n: QUERIES[n] for n in [*tier12, *unlisted, *rest]}
 
 

@@ -327,6 +327,109 @@ def minhash_lsh_pairs(
     return _release_after(verified, sh, sigs, buckets_cached)
 
 
+def _plan_truncator(spark, checkpoint_dir: str | None):
+    """Return a function that truncates a DataFrame's logical plan.
+
+    With ``checkpoint_dir`` set, uses fault-tolerant reliable
+    ``checkpoint()`` (survives executor loss — required on a real
+    cluster, where a lost executor invalidates ``localCheckpoint``
+    blocks mid-iteration and kills the job); otherwise
+    ``localCheckpoint`` (fine single-node / test scale).
+
+    Always honors the caller's directory — silently keeping a
+    previously-set dir would land checkpoints in a location the caller
+    may be about to delete.  The call is skipped only when this exact
+    dir was the last one WE requested: comparing against
+    ``getCheckpointDir()`` never matches, because Spark stores a
+    fully-qualified path with a random UUID subdir, so that "guard"
+    would mint a fresh UUID subdir per invocation.
+    """
+    if checkpoint_dir is not None:
+        ctx_key = spark.sparkContext.applicationId
+        if _LAST_CHECKPOINT_DIR.get(ctx_key) != checkpoint_dir:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+            _LAST_CHECKPOINT_DIR[ctx_key] = checkpoint_dir
+
+        def _truncate(d: DataFrame) -> DataFrame:
+            return d.checkpoint(eager=True)
+
+    else:
+
+        def _truncate(d: DataFrame) -> DataFrame:
+            return d.localCheckpoint(eager=True)
+
+    return _truncate
+
+
+def keep_one_from_pairs(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components over an explicit near-duplicate edge list:
+    (id, cluster_id, keep) with ``keep`` true for each cluster's
+    minimum id.
+
+    Generic keep-one reducer for any pair-producing near-dup operator
+    (:func:`embedding_near_dup_pairs`, :func:`simhash_near_pairs`,
+    :func:`ngram_jaccard_pairs` …): min-label propagation along edges
+    until fixpoint, plan-truncated per round (see
+    :func:`_plan_truncator`).  ``ids`` supplies the full id universe so
+    rows with no near-duplicate come out as singleton keepers.
+
+    Scale shape: each iteration is one grouped join on the edge list
+    (edges ≈ near-dup pairs, a tiny fraction of the corpus) plus a
+    left join back to the labels; converges in O(log diameter)
+    iterations, and near-dup components are overwhelmingly small, so
+    2-3 rounds in practice.  No driver-side graph materializes.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("__src"), F.col(b_col).alias("__dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("__src"), F.col(a_col).alias("__dst"))
+        )
+        .persist()
+    )
+    _truncate = _plan_truncator(ids.sparkSession, checkpoint_dir)
+    labels = _truncate(
+        ids.select(F.col(id_col).alias("__id")).distinct().withColumn(
+            "__lbl", F.col("__id")
+        )
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, on=[edges["__src"] == labels["__id"]])
+            .groupBy("__dst")
+            .agg(F.min("__lbl").alias("__nmin"))
+        )
+        new_labels = _truncate(
+            labels.join(nbr_min, on=[labels["__id"] == nbr_min["__dst"]], how="left")
+            .select(
+                "__id",
+                F.least(F.col("__lbl"), F.coalesce("__nmin", "__lbl")).alias("__lbl"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="__id")
+            .filter(F.col("n.__lbl") != F.col("o.__lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(
+        F.col("__id").alias(id_col),
+        F.col("__lbl").alias("cluster_id"),
+        (F.col("__id") == F.col("__lbl")).alias("keep"),
+    )
+    return _release_after(out, edges)
+
+
 def lsh_dedup_keep(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -391,28 +494,7 @@ def lsh_dedup_keep(
     # iterative label propagation: checkpoint each round to TRUNCATE the
     # logical plan — persist alone caches data but the plan still grows
     # exponentially with iterations
-    if checkpoint_dir is not None:
-        spark = df.sparkSession
-        # always honor the caller's directory — silently keeping a
-        # previously-set dir would land these checkpoints in a location
-        # the caller may be about to delete.  Skip the call only when
-        # this exact dir was the last one WE requested: comparing
-        # against getCheckpointDir() never matches, because Spark
-        # stores a fully-qualified path with a random UUID subdir, so
-        # that "guard" would mint a fresh UUID subdir per invocation.
-        ctx_key = spark.sparkContext.applicationId
-        if _LAST_CHECKPOINT_DIR.get(ctx_key) != checkpoint_dir:
-            spark.sparkContext.setCheckpointDir(checkpoint_dir)
-            _LAST_CHECKPOINT_DIR[ctx_key] = checkpoint_dir
-
-        def _truncate(d: DataFrame) -> DataFrame:
-            return d.checkpoint(eager=True)
-
-    else:
-
-        def _truncate(d: DataFrame) -> DataFrame:
-            return d.localCheckpoint(eager=True)
-
+    _truncate = _plan_truncator(df.sparkSession, checkpoint_dir)
     labels = _truncate(
         buckets.select("__id").distinct().withColumn("__lbl", F.col("__id"))
     )

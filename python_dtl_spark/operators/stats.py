@@ -1,0 +1,89 @@
+"""Grouped statistics operators: exact percentiles, pivot tables, and
+multi-dimensional (ROLLUP) aggregation.
+
+Extensions beyond the reference surface (SURVEY.md §2.4 lists grouping
+sets/cube/rollup as absent there) — these expose the Spark-native
+multi-dim aggregation operators, which Catalyst plans as a single
+Expand + hash aggregate (one scan for all grouping sets, partial
+aggregation before the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    ps: list[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact discrete percentiles of ``value_col`` per group.
+
+    Uses ``percentile_disc`` — the smallest actual value whose
+    cumulative distribution reaches p.  Discrete (no interpolation), so
+    every output is an element of the input: deterministic and
+    hash-comparable across engines, unlike ``percentile``/
+    ``quantile_cont`` whose interpolated quotients can differ in the
+    last ulp.
+
+    Scale shape: one shuffle on the group keys; exact percentile sorts
+    within each group's partition (spillable).  For a global percentile
+    over billions of rows prefer ``approx_percentile``, which is a
+    mergeable sketch with bounded memory.
+    """
+    aggs = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias(f"p{str(p)[2:]}")
+        for p in ps
+    ]
+    return df.groupBy(*by).agg(*aggs)
+
+
+def pivot_table(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    pivot_values: list[str],
+    value_expr,
+    agg: str = "sum",
+) -> DataFrame:
+    """Pivot ``pivot_col`` into one output column per value.
+
+    ``pivot_values`` is REQUIRED: with an explicit value list the pivot
+    is pure plan construction; omitting it would make Spark run a
+    distinct job over ``pivot_col`` before the plan even exists — a
+    driver-blocking action at 100 TB (and nondeterministic column order
+    besides).  Catalyst rewrites the pivot into a single hash aggregate
+    with one conditional aggregate per value — one scan, one shuffle.
+    """
+    agg_fn = getattr(F, agg)
+    return (
+        df.groupBy(row_col)
+        .pivot(pivot_col, pivot_values)
+        .agg(agg_fn(value_expr))
+    )
+
+
+def rollup_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: list,
+    grouping_id_col: str = "grouping_id",
+) -> DataFrame:
+    """ROLLUP aggregation: totals at every prefix level of
+    ``group_cols`` plus the grand total, in ONE scan.
+
+    Catalyst plans this as Expand (one row copy per grouping set) into
+    a single partial+final hash aggregate — versus N separate
+    groupBy/union jobs, it reads the input once and shuffles once.
+    ``grouping_id_col`` carries the standard bitmask (0 = most
+    detailed; bit set = column rolled up) so consumers can tell a real
+    NULL key from a rolled-up one.
+    """
+    return df.rollup(*group_cols).agg(
+        F.grouping_id().alias(grouping_id_col), *aggs
+    )

@@ -46,6 +46,55 @@ def running_total(
     return df.withColumn(out_col, F.sum(value_col).over(w))
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): group each key's events
+    into sessions separated by more than ``gap_minutes`` of inactivity,
+    and aggregate one row per session.
+
+    The batch complement of the streaming session windows in
+    ``python_dtl_spark.streaming.session_windows`` (which uses
+    ``F.session_window`` + watermark): a lag-gap flag followed by a
+    cumulative sum numbers the islands.  Session boundaries depend only
+    on each key's sorted multiset of timestamps — equal timestamps have
+    gap 0 and can never open a session — so the output is deterministic
+    and oracle-checkable even when timestamp ties make the underlying
+    row order ambiguous.
+
+    Scale shape: one shuffle on ``key_col``; both windows share that
+    partitioning (a single Exchange in the plan) and the within-key
+    sort is spillable.  Output: key, session_seq (1-based per key),
+    session_start, session_end, n_events.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    wc = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("__new", new_session)
+        .withColumn("session_seq", F.sum("__new").over(wc))
+        .groupBy(key_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def event_deltas(
     df: DataFrame,
     group_cols: list[str],

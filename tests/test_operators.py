@@ -723,3 +723,78 @@ def test_importer_invalidate_rereads_overwritten_table(spark, tmp_path):
     spark.range(9).write.mode("overwrite").parquet(p)
     imp.invalidate("t")
     assert imp.import_table("t").count() == 9
+
+
+def test_sessionize_gap_boundaries(spark):
+    from datetime import datetime
+
+    from python_dtl_spark.operators import windows as W
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    rows = [
+        # user 1: two sessions split by a 45-min gap; second has 1 event
+        (1, t(0)), (1, t(10)), (1, t(55)),
+        # user 2: equal timestamps never open a session
+        (2, t(0)), (2, t(0)), (2, t(29)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.user_id, r.session_seq): (r.session_start, r.session_end, r.n_events)
+        for r in W.sessionize(df, gap_minutes=30).collect()
+    }
+    assert out[(1, 1)] == (t(0), t(10), 2)
+    assert out[(1, 2)] == (t(55), t(55), 1)
+    assert out[(2, 1)] == (t(0), t(29), 3)
+    # exactly 30 min is NOT a new session (strict > gap)
+    df2 = spark.createDataFrame([(3, t(0)), (3, t(30))], "user_id long, ts timestamp")
+    assert W.sessionize(df2, gap_minutes=30).count() == 1
+
+
+def test_keep_one_from_pairs_transitive_chain(spark):
+    # chain 0-1, 1-2, 2-3 is ONE component -> min-label must propagate
+    # transitively, not just one hop; 4 is a singleton keeper
+    ids = spark.createDataFrame([(i,) for i in range(5)], "vec_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {r.vec_id: (r.cluster_id, r.keep) for r in
+           dedup.keep_one_from_pairs(ids, pairs).collect()}
+    assert out == {0: (0, True), 1: (0, False), 2: (0, False),
+                   3: (0, False), 4: (4, True)}
+
+
+def test_grouped_percentiles_discrete_elements(spark):
+    from python_dtl_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in (0, 1) for v in range(1, 11)], "g int, v double"
+    )
+    out = {r.g: (r.p5, r.p9, r.p99) for r in
+           stats.grouped_percentiles(df, "v", ["g"], [0.5, 0.9, 0.99]).collect()}
+    # discrete: outputs are input elements (5 has cume_dist 0.5 exactly)
+    assert out[0] == (5.0, 9.0, 10.0)
+    assert out[1] == (5.0, 9.0, 10.0)
+
+
+def test_pivot_and_rollup_plan_construction_action_free(spark):
+    from python_dtl_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+        "r string, p string, v double",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("pivot-construction", "no jobs expected")
+    try:
+        pv = stats.pivot_table(df, "r", "p", ["x", "y"], "v", agg="sum")
+        ru = stats.rollup_agg(df, ["r", "p"], [F.sum("v").alias("s")])
+        jobs = sc.statusTracker().getJobIdsForGroup("pivot-construction")
+    finally:
+        sc.setJobGroup(None, None)
+    assert list(jobs) == []
+    assert set(pv.columns) == {"r", "x", "y"}
+    got = {r.r: (r.x, r.y) for r in pv.collect()}
+    assert got == {"a": (1.0, 2.0), "b": (3.0, None)}
+    rows = {(r.r, r.p, r.grouping_id): r.s for r in ru.collect()}
+    assert rows[("a", None, 1)] == 3.0
+    assert rows[(None, None, 3)] == 6.0
