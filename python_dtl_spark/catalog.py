@@ -2603,6 +2603,37 @@ _register(
 )
 
 
+def _q_salted_join(spark, sf_dir):
+    # skew-resilient join: events (large, hot user_ids) salted 16 ways
+    # against the customer dim replicated per salt value.  Salting must
+    # be semantically invisible — the oracle is the PLAIN join — so the
+    # post-join aggregate is what gets hash-compared (cent-exact sum).
+    ev = _read_events(spark, sf_dir).select(
+        "user_id", F.round(F.col("value") * 100.0).alias("cents")
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = joins.salted_join(ev, cust, on=["user_id"], salt=16)
+    return joined.groupBy("c_mktsegment").agg(
+        (F.sum("cents") / 100.0).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_register(
+    "events_salted_join",
+    _q_salted_join,
+    """
+    SELECT c_mktsegment,
+           sum(round(value * 100.0)) / 100.0 AS total_value,
+           count(*) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+
+
 def _q_embed_dedup_keep(spark, sf_dir):
     # keep-one over the SAME planted-duplicate fixture as
     # dedup_embedding_cosine: corpus ∪ exact copies at vec_id+100000.
@@ -2703,6 +2734,7 @@ _DRIVER_ORDER: list[str] = [
     "orders_status_pivot",
     "lineitem_rollup",
     "dedup_embedding_keep",
+    "events_salted_join",
     # -- tier 3: first green in round 2 ------------------------------------
     "dtl_intersect",
     "dtl_q7_volume_shipping",

@@ -224,3 +224,26 @@ def test_doc_chunks_no_shuffle_no_python(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Generate explode" in plan or "Generate posexplode" in plan
+
+
+def test_sessionize_single_exchange(spark):
+    """Both session windows and the per-session aggregate must reuse one
+    hash partitioning on the key: HashPartitioning(user_id) satisfies
+    the (user_id, session_seq) grouping, so exactly one Exchange."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["events_sessionize"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_rollup_is_expand_plus_one_shuffle(spark):
+    """ROLLUP computes every grouping set in one scan: Expand into a
+    partial+final hash aggregate around a single Exchange — not one
+    groupBy job per level."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["lineitem_rollup"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1, plan
