@@ -2603,6 +2603,85 @@ _register(
 )
 
 
+def _q_multimodal_audio(spark, sf_dir):
+    assets = multimodal.synth_assets(spark, n=256, kind="audio")
+    return multimodal.extract_audio_features(assets, fake=True)
+
+
+# Same FNV-1a replay idea as multimodal_image_features: the fake audio
+# decode derives sample_rate/duration/rms from bit-slices of the 64-bit
+# FNV state, so DuckDB reproduces every value exactly (the double
+# divisions have identical operands in both engines — IEEE division is
+# deterministic).
+_register(
+    "multimodal_audio_features",
+    _q_multimodal_audio,
+    """
+    WITH assets AS (
+        SELECT range::BIGINT AS asset_id,
+               sha256(CAST(range AS VARCHAR)) AS hex
+        FROM range(256)
+    ), fnv AS (
+        SELECT asset_id,
+               list_reduce(
+                   list_prepend(
+                       CAST(14695981039346656037 AS HUGEINT),
+                       [CAST(ord(substr(hex, i, 1)) AS HUGEINT)
+                        FOR i IN range(1, len(hex) + 1)]),
+                   (h, b) -> (xor(h, b) * 1099511628211)
+                             % 18446744073709551616
+               ) AS h
+        FROM assets
+    )
+    SELECT asset_id,
+           CAST(8000 * (1 + h % 4) AS INTEGER) AS sample_rate,
+           CAST((h // 4) % 65536 AS DOUBLE) / 1000.0 AS duration_s,
+           CAST((h // 262144) % 65536 AS DOUBLE) / 65535.0 AS rms
+    FROM fnv
+    """,
+)
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    assets = multimodal.synth_assets(spark, n=256, kind="video")
+    return multimodal.sample_frames(assets, every_n=10, fake=True).select(
+        "asset_id", "frame_index"
+    )
+
+
+# The 1:N frame fan-out is the point of this check (mapInPandas rows
+# multiplying per asset): n_frames = 1 + (h & 31), sampled every 10 —
+# the (asset_id, frame_index) structure replays exactly; the frame
+# bytes themselves are sliced payload and are covered by unit tests
+# (blob construction is awkward to replicate portably in SQL).
+_register(
+    "multimodal_frame_sample",
+    _q_multimodal_frames,
+    """
+    WITH assets AS (
+        SELECT range::BIGINT AS asset_id,
+               sha256(CAST(range AS VARCHAR)) AS hex
+        FROM range(256)
+    ), fnv AS (
+        SELECT asset_id,
+               list_reduce(
+                   list_prepend(
+                       CAST(14695981039346656037 AS HUGEINT),
+                       [CAST(ord(substr(hex, i, 1)) AS HUGEINT)
+                        FOR i IN range(1, len(hex) + 1)]),
+                   (h, b) -> (xor(h, b) * 1099511628211)
+                             % 18446744073709551616
+               ) AS h
+        FROM assets
+    )
+    SELECT asset_id,
+           CAST(unnest(range(0, CAST(1 + h % 32 AS BIGINT), 10)) AS INTEGER)
+             AS frame_index
+    FROM fnv
+    """,
+)
+
+
 def _q_salted_join(spark, sf_dir):
     # skew-resilient join: events (large, hot user_ids) salted 16 ways
     # against the customer dim replicated per salt value.  Salting must
@@ -2735,6 +2814,8 @@ _DRIVER_ORDER: list[str] = [
     "lineitem_rollup",
     "dedup_embedding_keep",
     "events_salted_join",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
     # -- tier 3: first green in round 2 ------------------------------------
     "dtl_intersect",
     "dtl_q7_volume_shipping",

@@ -798,3 +798,26 @@ def test_pivot_and_rollup_plan_construction_action_free(spark):
     rows = {(r.r, r.p, r.grouping_id): r.s for r in ru.collect()}
     assert rows[("a", None, 1)] == 3.0
     assert rows[(None, None, 3)] == 6.0
+
+
+def test_multimodal_audio_and_frames_fake(spark):
+    audio = multimodal.synth_assets(spark, n=16, kind="audio")
+    feats = multimodal.extract_audio_features(audio, fake=True).collect()
+    assert len(feats) == 16
+    assert all(r["sample_rate"] in (8000, 16000, 24000, 32000) for r in feats)
+    assert all(0.0 <= r["rms"] <= 1.0 for r in feats)
+    video = multimodal.synth_assets(spark, n=16, kind="video")
+    frames = multimodal.sample_frames(video, every_n=10, fake=True).collect()
+    # 1:N fan-out: n_frames in [1, 32], sampled every 10 -> 1-4 per asset
+    per_asset = {}
+    for r in frames:
+        per_asset.setdefault(r["asset_id"], []).append(r["frame_index"])
+    assert set(per_asset) == set(range(16))
+    for idxs in per_asset.values():
+        assert sorted(idxs) == list(range(0, max(idxs) + 1, 10))
+        assert len(idxs) <= 4
+    # frame payload carries the frame index (deterministic slice)
+    assert all(
+        bytes(r["frame"])[-4:] == int(r["frame_index"]).to_bytes(4, "big")
+        for r in frames
+    )
