@@ -26,8 +26,31 @@ def main() -> None:
 
     headline = {name: q for name, q in QUERIES.items() if q.headline}
 
-    # warm up the JVM + parquet footer caches with a trivial action
+    # Warm up the JVM before the first measured query: parquet footer
+    # caches, whole-stage codegen, exchange/window/explode execution
+    # paths.  Uses synthetic data only — no catalog query gets a head
+    # start — so per-query cold times measure the query, not whichever
+    # query happens to run first after a catalog reordering.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warmup = (
+        spark.range(100_000)
+        .select(
+            (F.col("id") % 97).alias("k"),
+            F.col("id").alias("v"),
+            F.split(F.lit("a b c"), " ").alias("arr"),
+        )
+        .withColumn("tok", F.explode("arr"))
+        .groupBy("k", "tok")
+        .agg(F.sum("v").alias("s"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("tok").orderBy(F.desc("s")))
+        )
+        .join(spark.range(97).select(F.col("id").alias("k")), on="k")
+    )
+    warmup.count()
 
     # cold pass = the headline number (comparable round-over-round);
     # warm pass = same queries re-run in the hot JVM, isolating the
