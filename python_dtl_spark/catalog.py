@@ -2758,6 +2758,432 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Group H — TPC-H completion (q2/q11/q16/q19/q20/q21/q22 shapes)
+# ---------------------------------------------------------------------------
+# The remaining seven TPC-H queries, adapted to the driver schema (no
+# partsupp table — supplier×part relationships route through lineitem;
+# no l_commitdate/l_receiptdate — q21 lateness is l_shipdate vs
+# o_orderdate via datediff_days; no c_phone — q22 selects nation keys
+# directly).  With these, all 22 TPC-H query shapes run through the DTL
+# engine end-to-end.  Money sums follow the cent-exact discipline
+# (round each row to integer cents before summing: integer-valued
+# doubles add exactly in any order, so Spark's partial-agg tree and
+# DuckDB's sequential fold cannot diverge).
+
+_register(
+    # TPC-H q2 minimum-cost-supplier shape: for each LARGE European
+    # part, the supplier(s) with the minimum account balance among
+    # those that have shipped it.  Exercises the correlated-min
+    # pattern: aggregate per group, join back on (group, min) — the
+    # scale-safe decorrelation of q2's scalar subquery (two shuffles on
+    # p_partkey, no per-row subquery execution).
+    "dtl_q2_min_cost_supplier",
+    _dtl(
+        """
+        WITH part AS IMPORT 'part';
+        WITH supplier AS IMPORT 'supplier';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH nation AS IMPORT 'nation';
+        WITH region AS IMPORT 'region';
+        WITH shipped AS
+            SELECT DISTINCT l_partkey AS q_part, l_suppkey AS q_supp
+            FROM lineitem;
+        WITH cand AS
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+            FROM part
+            JOIN shipped ON p_partkey = q_part
+            JOIN supplier ON q_supp = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE' & p_type = 'LARGE'
+                & int64(p_size) >= 25;
+        WITH best AS
+            SELECT p_partkey AS bp, min(s_acctbal) AS min_bal
+            FROM cand
+            GROUP BY p_partkey;
+        WITH output AS
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+            FROM cand
+            JOIN best ON p_partkey = bp & s_acctbal = min_bal
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH shipped AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+        SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+        FROM part
+        JOIN shipped ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_type = 'LARGE' AND p_size >= 25
+    ),
+    best AS (
+        SELECT p_partkey AS bp, min(s_acctbal) AS min_bal
+        FROM cand GROUP BY p_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM cand JOIN best ON p_partkey = bp AND s_acctbal = min_bal
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+
+_register(
+    # TPC-H q11 important-stock shape: per-part value of lineitem
+    # volume shipped by two nations' suppliers, kept where the part's
+    # share exceeds a fraction of the total.  The global total enters
+    # as a broadcast single-row aggregate cross join — the scale-safe
+    # decorrelation of q11's HAVING scalar subquery.
+    "dtl_q11_important_parts",
+    _dtl(
+        """
+        WITH supplier AS IMPORT 'supplier';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH nation AS IMPORT 'nation';
+        WITH natsupp AS
+            SELECT s_suppkey AS nk
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_5' | n_name = 'NATION_6';
+        WITH value_by_part AS
+            SELECT
+                l_partkey,
+                sum(round_to(l_extendedprice * (1.0 - l_discount) * 100.0, 0))
+                    AS part_cents
+            FROM lineitem
+            SEMI JOIN natsupp ON l_suppkey = nk
+            GROUP BY l_partkey;
+        WITH total AS
+            SELECT sum(part_cents) AS total_cents FROM value_by_part;
+        WITH output AS
+            SELECT l_partkey, part_cents / 100.0 AS value
+            FROM value_by_part
+            CROSS JOIN total
+            WHERE part_cents > total_cents * 0.001
+            ORDER BY value DESC, l_partkey;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH natsupp AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_5', 'NATION_6')
+    ),
+    value_by_part AS (
+        SELECT l_partkey,
+               sum(round(l_extendedprice * (1.0 - l_discount) * 100.0))
+                   AS part_cents
+        FROM lineitem
+        WHERE l_suppkey IN (SELECT s_suppkey FROM natsupp)
+        GROUP BY l_partkey
+    ),
+    total AS (SELECT sum(part_cents) AS total_cents FROM value_by_part)
+    SELECT l_partkey, part_cents / 100.0 AS value
+    FROM value_by_part, total
+    WHERE part_cents > total_cents * 0.001
+    ORDER BY value DESC, l_partkey
+    """,
+)
+
+_register(
+    # TPC-H q16 supplier-part-count shape: distinct supplier count per
+    # (brand, type, size) for non-excluded parts, with "complaint"
+    # suppliers (negative balance here) removed by ANTI JOIN — q16's
+    # NOT IN subquery as a broadcastable anti join.
+    "dtl_q16_part_supplier_counts",
+    _dtl(
+        """
+        WITH part AS IMPORT 'part';
+        WITH supplier AS IMPORT 'supplier';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH bad AS
+            SELECT s_suppkey AS bk FROM supplier WHERE s_acctbal < 0.0;
+        WITH shipped AS
+            SELECT DISTINCT l_partkey AS sp_part, l_suppkey AS sp_supp
+            FROM lineitem
+            ANTI JOIN bad ON l_suppkey = bk;
+        WITH output AS
+            SELECT
+                p_brand, p_type, p_size,
+                count_distinct(sp_supp) AS supplier_cnt
+            FROM part
+            JOIN shipped ON p_partkey = sp_part
+            WHERE p_brand != 'Brand#1' & p_type != 'PROMO'
+                & int64(p_size) >= 10
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0),
+    shipped AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    )
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN shipped ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size >= 10
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+_register(
+    # TPC-H q19 discounted-revenue shape: single join with a
+    # disjunction of brand/size/quantity conjunctions.  Catalyst pulls
+    # the common p_partkey = l_partkey out as the join key and keeps
+    # the OR-of-ANDs as a post-join filter; each disjunct's part-side
+    # constraints also push into the part scan.
+    "dtl_q19_discounted_revenue",
+    _dtl(
+        """
+        WITH part AS IMPORT 'part';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH output AS
+            SELECT
+                sum(round_to(l_extendedprice * (1.0 - l_discount) * 100.0, 0))
+                    / 100.0 AS revenue
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#12' & int64(p_size) <= 5
+                   & l_quantity >= 1.0 & l_quantity <= 11.0)
+                | (p_brand = 'Brand#23' & int64(p_size) <= 10
+                   & l_quantity >= 10.0 & l_quantity <= 20.0)
+                | (p_brand = 'Brand#15' & int64(p_size) <= 15
+                   & l_quantity >= 20.0 & l_quantity <= 30.0);
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    SELECT sum(round(l_extendedprice * (1.0 - l_discount) * 100.0)) / 100.0
+               AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size <= 5
+           AND l_quantity BETWEEN 1.0 AND 11.0)
+       OR (p_brand = 'Brand#23' AND p_size <= 10
+           AND l_quantity BETWEEN 10.0 AND 20.0)
+       OR (p_brand = 'Brand#15' AND p_size <= 15
+           AND l_quantity BETWEEN 20.0 AND 30.0)
+    """,
+    headline=True,
+)
+
+_register(
+    # TPC-H q20 promotion-supplier shape: suppliers that moved a large
+    # quantity of PROMO-type parts in the target year.  Two chained
+    # semi joins (lineitem→promo parts, supplier→qualified shippers)
+    # replace q20's nested IN subqueries; the per-(supplier, part)
+    # HAVING does the availqty-threshold role.
+    "dtl_q20_promotion_suppliers",
+    _dtl(
+        """
+        WITH part AS IMPORT 'part';
+        WITH supplier AS IMPORT 'supplier';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH nation AS IMPORT 'nation';
+        WITH promo AS
+            SELECT p_partkey AS pk FROM part WHERE p_type = 'PROMO';
+        WITH sp AS
+            SELECT
+                l_suppkey, l_partkey,
+                sum(round_to(l_quantity * 100.0, 0)) AS qty_cents
+            FROM lineitem
+            SEMI JOIN promo ON l_partkey = pk
+            WHERE l_shipdate >= timestamp('2000-01-01 00:00:00')
+                & l_shipdate < timestamp('2001-01-01 00:00:00')
+            GROUP BY l_suppkey, l_partkey
+            HAVING sum(round_to(l_quantity * 100.0, 0)) > 5000.0;
+        WITH output AS
+            SELECT s_name, s_acctbal, n_name
+            FROM supplier
+            SEMI JOIN sp ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_name;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    sp AS (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM promo)
+          AND l_shipdate >= TIMESTAMP '2000-01-01'
+          AND l_shipdate < TIMESTAMP '2001-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(round(l_quantity * 100.0)) > 5000.0
+    )
+    SELECT s_name, s_acctbal, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (SELECT l_suppkey FROM sp)
+    ORDER BY s_name
+    """,
+)
+
+_register(
+    # TPC-H q21 waiting-supplier shape: suppliers that shipped >120
+    # days after the order date on finalized multi-supplier orders
+    # where they were the ONLY late supplier.  q21's EXISTS becomes a
+    # SEMI JOIN (another supplier in the order) and its NOT EXISTS an
+    # ANTI JOIN (no other LATE supplier) — both equi-keyed on
+    # l_orderkey so they shuffle-partition cleanly, with the != as a
+    # residual condition.
+    "dtl_q21_waiting_suppliers",
+    _dtl(
+        """
+        WITH supplier AS IMPORT 'supplier';
+        WITH lineitem AS IMPORT 'lineitem';
+        WITH orders AS IMPORT 'orders';
+        WITH late AS
+            SELECT DISTINCT l_orderkey AS lo, l_suppkey AS ls
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+                & datediff_days(l_shipdate, o_orderdate) > 120;
+        WITH members AS
+            SELECT DISTINCT l_orderkey AS mo, l_suppkey AS ms
+            FROM lineitem;
+        WITH late_b AS
+            SELECT lo AS lo2, ls AS ls2 FROM late;
+        WITH waiting AS
+            SELECT lo, ls
+            FROM late
+            SEMI JOIN members ON lo = mo & ls != ms;
+        WITH sole AS
+            SELECT lo, ls
+            FROM waiting
+            ANTI JOIN late_b ON lo = lo2 & ls != ls2;
+        WITH output AS
+            SELECT s_name, count() AS numwait
+            FROM sole
+            JOIN supplier ON ls = s_suppkey
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH late AS (
+        SELECT DISTINCT l_orderkey AS lo, l_suppkey AS ls
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+          AND date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) > 120
+    ),
+    members AS (
+        SELECT DISTINCT l_orderkey AS mo, l_suppkey AS ms FROM lineitem
+    ),
+    waiting AS (
+        SELECT lo, ls FROM late
+        WHERE EXISTS (SELECT 1 FROM members WHERE mo = lo AND ms <> ls)
+    ),
+    sole AS (
+        SELECT lo, ls FROM waiting w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM late l2 WHERE l2.lo = w.lo AND l2.ls <> w.ls
+        )
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM sole JOIN supplier ON ls = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    headline=True,
+)
+
+_register(
+    # TPC-H q22 global-sales-opportunity shape: customers from seven
+    # nations with above-average positive balance and no recent orders.
+    # The average enters as an exact cents ratio from a broadcast
+    # single-row aggregate (sum and count are both exact, so the
+    # division is bit-identical across engines); "no recent orders" is
+    # an ANTI JOIN against the date-filtered orders scan.
+    "dtl_q22_global_sales_opportunity",
+    _dtl(
+        """
+        WITH customer AS IMPORT 'customer';
+        WITH orders AS IMPORT 'orders';
+        WITH nation AS IMPORT 'nation';
+        WITH pos AS
+            SELECT
+                sum(round_to(c_acctbal * 100.0, 0)) AS sum_cents,
+                count() AS n_pos
+            FROM customer
+            WHERE c_acctbal > 0.0;
+        WITH avg_bal AS
+            SELECT sum_cents / double(n_pos) AS avg_cents FROM pos;
+        WITH sel AS
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM customer
+            WHERE int64(c_nationkey) = 1 | int64(c_nationkey) = 3
+                | int64(c_nationkey) = 5 | int64(c_nationkey) = 7
+                | int64(c_nationkey) = 9 | int64(c_nationkey) = 11
+                | int64(c_nationkey) = 13;
+        WITH rich AS
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM sel
+            CROSS JOIN avg_bal
+            WHERE round_to(c_acctbal * 100.0, 0) > avg_cents;
+        WITH recent AS
+            SELECT o_custkey
+            FROM orders
+            WHERE o_orderdate >= timestamp('2001-01-01 00:00:00');
+        WITH noorder AS
+            SELECT c_custkey, c_nationkey, c_acctbal
+            FROM rich
+            ANTI JOIN recent ON c_custkey = o_custkey;
+        WITH output AS
+            SELECT
+                n_name,
+                count() AS numcust,
+                sum(round_to(c_acctbal * 100.0, 0)) / 100.0 AS totacctbal
+            FROM noorder
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+            ORDER BY n_name;
+        EXPORT output TO 'output';
+        """
+    ),
+    """
+    WITH pos AS (
+        SELECT sum(round(c_acctbal * 100.0)) AS sum_cents,
+               count(*) AS n_pos
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    sel AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    rich AS (
+        SELECT sel.* FROM sel, pos
+        WHERE round(c_acctbal * 100.0) > sum_cents / n_pos
+    ),
+    noorder AS (
+        SELECT * FROM rich
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+    )
+    SELECT n_name, count(*) AS numcust,
+           sum(round(c_acctbal * 100.0)) / 100.0 AS totacctbal
+    FROM noorder JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks only the FIRST 50 entries of
@@ -2829,6 +3255,20 @@ _DRIVER_ORDER: list[str] = [
     "dtl_group_consecutive",
     "doc_pack_sequences",
     "doc_tfidf_top_terms",
+    # -- tier 3b: TPC-H completion, new this round.  Only three window
+    # slots remain after the unverified backlog; the three most novel
+    # operator shapes (double-correlated semi+anti, correlated-min
+    # join-back, broadcast-average + anti) take them.  The other four
+    # reuse already-verified machinery and queue just past the window
+    # for round 4's rotation. ----------------------------------------------
+    "dtl_q21_waiting_suppliers",
+    "dtl_q2_min_cost_supplier",
+    "dtl_q22_global_sales_opportunity",
+    # ---- driver window ends here (first 50 checked) ----------------------
+    "dtl_q11_important_parts",
+    "dtl_q16_part_supplier_counts",
+    "dtl_q19_discounted_revenue",
+    "dtl_q20_promotion_suppliers",
     # -- tier 4: green in both prior rounds (window tail first) ------------
     "dtl_q1_pricing_summary",
     "dtl_q3_shipping_priority",
@@ -2841,7 +3281,6 @@ _DRIVER_ORDER: list[str] = [
     "dtl_temporal",
     "dtl_except",
     "dtl_equi_join",
-    # ---- driver window ends near here (first 50 checked) -----------------
     "dtl_theta_join",
     "dtl_join_using",
     "dtl_left_join",

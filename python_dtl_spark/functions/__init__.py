@@ -223,6 +223,29 @@ _scalar("day", _check_temporal_part("day"), lambda x: F.day(x).cast("long"))
 _scalar("hour", _check_temporal_part("hour"), lambda x: F.hour(x).cast("long"))
 _scalar("minute", _check_temporal_part("minute"), lambda x: F.minute(x).cast("long"))
 _scalar("second", _check_temporal_part("second"), lambda x: F.second(x).cast("long"))
+
+
+def _check_temporal_pair(name: str):
+    def check(dtypes: list[DType]) -> DType:
+        _arity(name, dtypes, 2)
+        if dtypes[0] != dtypes[1] or dtypes[0] not in (DType.TIMESTAMP, DType.DATE):
+            raise _fail(name, dtypes)
+        return DType.INT64
+
+    return check
+
+
+# Whole calendar days end - start, both truncated to dates first (the
+# SQL DATEDIFF convention, matching DuckDB date_diff('day', ...)) —
+# strict `+`/`-` typing has no timestamp arithmetic, so lateness-window
+# predicates (TPC-H q21 shape) need a named function.
+_scalar(
+    "datediff_days",
+    _check_temporal_pair("datediff_days"),
+    lambda a, b: F.datediff(a, b).cast("long"),
+)
+
+
 def _check_trunc(name: str):
     def check(dtypes: list[DType]) -> DType:
         _arity(name, dtypes, 1)

@@ -404,3 +404,85 @@ def test_approx_count_distinct(run_dtl):
     # HLL++ default rsd = 5%: exact at these cardinalities
     assert d["approx"][1] == 1
     assert abs(d["approx"][0] - 50) <= 3
+
+
+def test_datediff_days(run_dtl):
+    import datetime
+
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS
+            SELECT datediff_days(b, a) AS d FROM input;
+        EXPORT output TO 'output';
+        """,
+        {
+            "input": {
+                "a": [
+                    datetime.datetime(2000, 1, 1, 23, 59),
+                    datetime.datetime(2000, 1, 31, 0, 0),
+                ],
+                "b": [
+                    datetime.datetime(2000, 1, 2, 0, 1),
+                    datetime.datetime(2000, 1, 1, 12, 0),
+                ],
+            }
+        },
+    )
+    # whole calendar days after date truncation (SQL DATEDIFF
+    # convention): times of day never contribute
+    assert out.to_pydict()["d"] == [1, -30]
+
+
+def test_datediff_days_rejects_mixed_types(run_dtl):
+    import datetime
+
+    with pytest.raises(DtlTypeError):
+        run1(
+            run_dtl,
+            """
+            WITH input AS IMPORT 'input';
+            WITH output AS SELECT datediff_days(a, b) AS d FROM input;
+            EXPORT output TO 'output';
+            """,
+            {
+                "input": {
+                    "a": [datetime.datetime(2000, 1, 1)],
+                    "b": [7],
+                }
+            },
+        )
+
+
+def test_semi_anti_self_join_chain(run_dtl):
+    # q21's control shape in miniature: keys late in finalized orders,
+    # kept only when another member exists (SEMI) and no OTHER late
+    # member exists (ANTI against a renamed self-copy).
+    out = run1(
+        run_dtl,
+        """
+        WITH lines AS IMPORT 'lines';
+        WITH late AS
+            SELECT DISTINCT ok AS lo, sk AS ls FROM lines WHERE late = 1;
+        WITH members AS SELECT DISTINCT ok AS mo, sk AS ms FROM lines;
+        WITH late_b AS SELECT lo AS lo2, ls AS ls2 FROM late;
+        WITH waiting AS
+            SELECT lo, ls FROM late SEMI JOIN members ON lo = mo & ls != ms;
+        WITH output AS
+            SELECT lo, ls FROM waiting ANTI JOIN late_b ON lo = lo2 & ls != ls2
+            ORDER BY lo, ls;
+        EXPORT output TO 'output';
+        """,
+        # order 1: supplier 10 late, 11 on time  -> sole late, kept
+        # order 2: suppliers 10 and 11 both late -> neither kept
+        # order 3: single-supplier order, late   -> no other member, dropped
+        {
+            "lines": {
+                "ok": [1, 1, 2, 2, 3],
+                "sk": [10, 11, 10, 11, 12],
+                "late": [1, 0, 1, 1, 1],
+            }
+        },
+    )
+    assert out.to_pydict() == {"lo": [1], "ls": [10]}
