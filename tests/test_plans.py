@@ -247,3 +247,47 @@ def test_rollup_is_expand_plus_one_shuffle(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_q19_disjunction_pushes_into_both_scans(spark):
+    """q19's OR-of-ANDs must split per side: brand/size disjuncts into
+    the part scan, quantity disjuncts into the lineitem scan — a plan
+    that evaluates the whole predicate post-join reads every lineitem
+    row at full width."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["dtl_q19_discounted_revenue"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # part-side constraint visible among the pushed scan filters
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    # lineitem-side constraint likewise
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+
+
+def test_q21_residual_neq_keeps_equi_joins(spark):
+    """The SEMI (other member exists) and ANTI (no other late member)
+    self-joins carry a `!=` residual; it must remain a residual on an
+    equi-keyed join (hash or sort-merge on l_orderkey), never force a
+    nested-loop join — lineitem×lineitem BNLJ is a 100 TB
+    non-starter."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["dtl_q21_waiting_suppliers"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_cross_joins_are_single_row_broadcast(spark):
+    """q11/q22 decorrelate scalar subqueries as CROSS JOIN against a
+    one-row aggregate: exactly one BroadcastNestedLoopJoin (the one-row
+    side broadcast) and no CartesianProduct."""
+    from python_dtl_spark.catalog import QUERIES
+
+    for name in ("dtl_q11_important_parts", "dtl_q22_global_sales_opportunity"):
+        df = QUERIES[name].fn(spark, SF)
+        plan = _exec_plan(df)
+        assert plan.count("BroadcastNestedLoopJoin") == 1, name
+        assert "CartesianProduct" not in plan, name
