@@ -2758,6 +2758,129 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Group G2 — round-3 pipeline additions
+# ---------------------------------------------------------------------------
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_quality_flags(_read(spark, sf_dir, "documents"))
+
+
+_register(
+    # Gopher-style quality rules (word-shape subset): every feature is
+    # an exact int/int ratio so thresholds compare bit-identically in
+    # DuckDB — the whole operator is one codegen'd map stage.
+    "doc_gopher_quality",
+    _q_gopher_quality,
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ), feat AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+                   / greatest(len(tk), 1) AS mean_word_len,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                   / greatest(len(tk), 1) AS type_token_ratio,
+               CAST(list_max(list_transform(
+                       list_distinct(tk),
+                       w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE)
+                   / greatest(len(tk), 1) AS top_word_frac,
+               CAST(len(list_filter(
+                       list_distinct(tk),
+                       t -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is',
+                            'it','for','on','with','as','by','at','from'],
+                           lower(t)))) AS BIGINT) AS stopword_hits
+        FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, type_token_ratio, top_word_frac,
+           stopword_hits,
+           (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_word_len,
+           (type_token_ratio >= 0.3) AS rule_ttr,
+           (top_word_frac <= 0.12) AS rule_top_word,
+           (stopword_hits >= 1) AS rule_stopwords,
+           ((n_words >= 20 AND n_words <= 100000)
+            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+            AND (type_token_ratio >= 0.3)
+            AND (top_word_frac <= 0.12)
+            AND (stopword_hits >= 1)) AS keep
+    FROM feat
+    """,
+    headline=True,
+)
+
+
+def _dup_windows_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ full copies (doc_id%10=0, +10000) ∪ first-half
+    copies (doc_id%10=5, +20000): gives dup_frac exactly 1.0 on full
+    pairs, intermediate on half pairs, plus whatever cross-document
+    repetition the corpus naturally contains."""
+    base = _read(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    full = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    half = base.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))").alias("text"),
+    )
+    return (
+        base.select("doc_id", "text").unionByName(full).unionByName(half)
+    )
+
+
+def _q_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.duplicated_token_windows(
+        _dup_windows_corpus(spark, sf_dir), window_tokens=16
+    )
+
+
+_register(
+    # Exact-substring duplication census (Lee et al. 2022 detection
+    # half): md5-fingerprinted 16-token sliding windows, counted across
+    # documents.  md5 of the space-joined window makes the fingerprint
+    # engine-portable, so DuckDB replays the operator bit-exactly.
+    "doc_dup_windows",
+    _q_dup_windows,
+    """
+    WITH aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 20000, substr(text, 1, CAST(n_chars // 2 AS INT))
+        FROM documents WHERE doc_id % 10 = 5
+    ), toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM aug
+    ), wins AS (
+        SELECT doc_id,
+               md5(array_to_string(tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 16], ' ')) AS w_hash
+        FROM toks, UNNEST(range(0, len(tk) - 16 + 1)) AS u(i)
+    ), counts AS (
+        SELECT w_hash, count(DISTINCT doc_id) AS n_docs
+        FROM wins GROUP BY w_hash
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS dup_frac
+    FROM wins JOIN counts USING (w_hash)
+    GROUP BY doc_id
+    """,
+    headline=True,
+)
+
+
+# ---------------------------------------------------------------------------
 # Group H — TPC-H completion (q2/q11/q16/q19/q20/q21/q22 shapes)
 # ---------------------------------------------------------------------------
 # The remaining seven TPC-H queries, adapted to the driver schema (no
@@ -3242,33 +3365,34 @@ _DRIVER_ORDER: list[str] = [
     "events_salted_join",
     "multimodal_audio_features",
     "multimodal_frame_sample",
-    # -- tier 3: first green in round 2 ------------------------------------
+    # -- tier 3b: new this round (first driver check): the two new
+    # pipeline operators + the TPC-H completion set -------------------------
+    "doc_gopher_quality",
+    "doc_dup_windows",
+    "dtl_q21_waiting_suppliers",
+    "dtl_q2_min_cost_supplier",
+    "dtl_q22_global_sales_opportunity",
+    "dtl_q11_important_parts",
+    "dtl_q16_part_supplier_counts",
+    "dtl_q19_discounted_revenue",
+    "dtl_q20_promotion_suppliers",
+    # -- tier 3: first green in round 2.  Six window slots remain after
+    # the never-checked backlog; the six most operator-distinctive keep
+    # them, the six TPC-H GROUP-BY variants (machinery covered many
+    # times over inside the window) rotate out with r2-green history. ------
+    "dtl_distinct_consecutive",
+    "dtl_group_consecutive",
+    "doc_pack_sequences",
+    "doc_tfidf_top_terms",
     "dtl_intersect",
-    "dtl_q7_volume_shipping",
     "dtl_q8_market_share",
+    # ---- driver window ends here (first 50 checked) ----------------------
+    "dtl_q7_volume_shipping",
     "dtl_q9_product_profit",
     "dtl_q13_customer_distribution",
     "dtl_q14_promo_revenue",
     "dtl_q15_top_supplier",
     "dtl_q17_small_quantity",
-    "dtl_distinct_consecutive",
-    "dtl_group_consecutive",
-    "doc_pack_sequences",
-    "doc_tfidf_top_terms",
-    # -- tier 3b: TPC-H completion, new this round.  Only three window
-    # slots remain after the unverified backlog; the three most novel
-    # operator shapes (double-correlated semi+anti, correlated-min
-    # join-back, broadcast-average + anti) take them.  The other four
-    # reuse already-verified machinery and queue just past the window
-    # for round 4's rotation. ----------------------------------------------
-    "dtl_q21_waiting_suppliers",
-    "dtl_q2_min_cost_supplier",
-    "dtl_q22_global_sales_opportunity",
-    # ---- driver window ends here (first 50 checked) ----------------------
-    "dtl_q11_important_parts",
-    "dtl_q16_part_supplier_counts",
-    "dtl_q19_discounted_revenue",
-    "dtl_q20_promotion_suppliers",
     # -- tier 4: green in both prior rounds (window tail first) ------------
     "dtl_q1_pricing_summary",
     "dtl_q3_shipping_priority",

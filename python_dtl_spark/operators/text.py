@@ -275,3 +275,138 @@ def pack_token_budget(
         F.floor(start / F.lit(budget)).cast("long").alias("seq_index"),
         F.pmod(start, F.lit(budget)).cast("long").alias("seq_offset"),
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_type_token_ratio: float = 0.3,
+    max_top_word_frac: float = 0.12,
+    min_stopword_hits: int = 1,
+) -> DataFrame:
+    """Gopher-style per-document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher" §A1.1), restricted to the word-shape
+    subset that is meaningful for whitespace corpora: word-count bounds,
+    mean word length, type-token ratio, most-frequent-word dominance and
+    stopword presence.  Every feature is an exact integer ratio (int/int
+    in double), so rule thresholds compare bit-identically across
+    engines — no float-summation hazard anywhere.
+
+    All whole-stage-codegen built-ins (split/filter/transform/aggregate
+    over the token array); per-row cost is O(distinct_words x n_words)
+    for the dominance rule, row-local, no shuffle.  At 100 TB this is a
+    pure map stage that pipelines with whatever scan precedes it.
+    """
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks).cast("long")
+    mean_wlen = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        .cast("double")
+        / F.greatest(n_words, F.lit(1)).cast("double")
+    )
+    distinct_toks = F.array_distinct(toks)
+    ttr = F.size(distinct_toks).cast("double") / F.greatest(n_words, F.lit(1)).cast(
+        "double"
+    )
+    top_count = F.array_max(
+        F.transform(
+            distinct_toks,
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    top_frac = top_count.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    stop_hits = F.size(
+        F.filter(distinct_toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
+    ).cast("long")
+
+    rule_words = (n_words >= min_words) & (n_words <= max_words)
+    rule_wlen = (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
+    rule_ttr = ttr >= min_type_token_ratio
+    rule_top = top_frac <= max_top_word_frac
+    rule_stop = stop_hits >= min_stopword_hits
+    return df.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        ttr.alias("type_token_ratio"),
+        top_frac.alias("top_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        rule_words.alias("rule_word_count"),
+        rule_wlen.alias("rule_word_len"),
+        rule_ttr.alias("rule_ttr"),
+        rule_top.alias("rule_top_word"),
+        rule_stop.alias("rule_stopwords"),
+        (rule_words & rule_wlen & rule_ttr & rule_top & rule_stop).alias("keep"),
+    )
+
+
+def duplicated_token_windows(
+    df: DataFrame,
+    window_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication census (the detection half of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every ``window_tokens``-token sliding window is md5
+    fingerprinted; windows whose fingerprint occurs in more than one
+    document are duplicated cross-document content.  Returns per
+    document the total window count, the number of windows shared with
+    another document, and the duplicated fraction — the inputs a
+    pipeline uses to drop or trim documents.
+
+    Scale shape: windows explode to ~n_tokens rows per doc, then ONE
+    hash aggregation on the fingerprint (partial map-side count first)
+    and one grouped rollup back to documents.  Fingerprints are md5 of
+    the space-joined window, so the operator is engine-portable (DuckDB
+    replays it exactly); no all-pairs comparison anywhere.
+    """
+    toks = tokens(F.col(text_col))
+    k = F.lit(window_tokens)
+    # sequence(0, n-k) with n-k clamped to 0, then the i <= n-k filter
+    # drops the spurious 0 for docs shorter than the window.  (A bare
+    # sequence(0, negative) is NOT empty — Spark infers step -1.)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: i <= F.size(toks) - k,
+    )
+    windows = F.transform(
+        starts,
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i + 1, k), " ").cast("binary")
+        ),
+    )
+    per_window = df.select(
+        F.col(id_col), F.explode(windows).alias("w_hash")
+    )
+    # fingerprint -> #distinct docs containing it (two-level agg keeps
+    # the shuffle key narrow: hash string only)
+    counts = (
+        per_window.groupBy("w_hash")
+        .agg(F.count_distinct(id_col).alias("n_docs"))
+    )
+    flagged = per_window.join(counts, on="w_hash", how="inner").select(
+        id_col, (F.col("n_docs") > 1).alias("dup")
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+            (
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

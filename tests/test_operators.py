@@ -821,3 +821,53 @@ def test_multimodal_audio_and_frames_fake(spark):
         bytes(r["frame"])[-4:] == int(r["frame_index"]).to_bytes(4, "big")
         for r in frames
     )
+
+
+def test_gopher_quality_flags_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            # 24 distinct-ish words incl. stopwords: passes everything
+            (0, "the quick brown fox jumps over a lazy dog while many "
+                "other animals watch from nearby hills under bright "
+                "evening skies tonight peacefully"),
+            # heavy repetition: fails top-word dominance and TTR
+            (1, " ".join(["spam"] * 30)),
+            # too short
+            (2, "tiny doc"),
+            # no stopwords
+            (3, " ".join(f"w{i}" for i in range(25))),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in text.gopher_quality_flags(docs).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["rule_top_word"] is False and out[1]["rule_ttr"] is False
+    assert out[2]["rule_word_count"] is False
+    assert out[3]["rule_stopwords"] is False and out[3]["keep"] is False
+    # empty doc: zero words, no crash, all word-dependent rules fail
+    assert out[4]["n_words"] == 0 and out[4]["keep"] is False
+
+
+def test_duplicated_token_windows_cross_doc_only(spark):
+    base = "a b c d e f g h i j"  # 10 tokens -> 7 windows at k=4
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                      # full duplicate of 0
+            (2, "x " * 3 + "y"),            # 4 tokens -> 1 window, unique
+            (3, "p q r"),                   # shorter than window: no rows
+            (4, "m n o p " * 2 + "m n o p"),  # within-doc repeats only
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in text.duplicated_token_windows(docs, window_tokens=4).collect()
+    }
+    assert out[0] == (7, 7) and out[1] == (7, 7)
+    assert out[2] == (1, 0)
+    assert 3 not in out  # 3 tokens < window: contributes no windows
+    # doc 4: 12 tokens -> 9 windows, all repeats are WITHIN one doc, so
+    # none count as duplicated (n_docs == 1 for every fingerprint)
+    assert out[4] == (9, 0)

@@ -291,3 +291,28 @@ def test_scalar_subquery_cross_joins_are_single_row_broadcast(spark):
         plan = _exec_plan(df)
         assert plan.count("BroadcastNestedLoopJoin") == 1, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_gopher_quality_is_pure_map_stage(spark):
+    """Every Gopher rule is a row-local array computation: the plan must
+    be scan → project with zero Exchange and zero Python eval — at
+    100 TB this pipelines into whatever scan precedes it."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_gopher_quality"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_windows_single_fingerprint_aggregation(spark):
+    """Exact-substring census: windows explode then aggregate on the
+    fingerprint — no join strategy may degrade to nested-loop, and the
+    fingerprint aggregation must have a map-side partial."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_dup_windows"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_finalmerge" in plan.lower() or "HashAggregate" in plan
