@@ -22,6 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
 from python_dtl_spark.operators import dedup  # noqa: E402
+from python_dtl_spark.operators import text as text_ops  # noqa: E402
 from python_dtl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
@@ -134,6 +135,7 @@ def main() -> None:
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    supplier = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
     documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     events = _read_events(spark, SF_DIR)
     stream_workdir = tempfile.mkdtemp(prefix="scale_probe_stream_")
@@ -155,6 +157,42 @@ def main() -> None:
             .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
             .groupBy("l_orderkey")
             .agg(F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("rev"))
+        )
+
+    def q21(su, li, od):
+        # the TPC-H q21 semi/anti self-join chain (catalog
+        # dtl_q21_waiting_suppliers), DataFrame form so the probe can
+        # feed replicated inputs.  The hazard probed: the `!=` residual
+        # must stay residual on equi-keyed SMJ joins as the lineitem
+        # self-joins grow — a flip to nested-loop would blow the ratio
+        # far past the data factor.
+        late = (
+            li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(
+                (F.col("o_orderstatus") == "F")
+                & (F.datediff("l_shipdate", "o_orderdate") > 120)
+            )
+            .select(F.col("l_orderkey").alias("lo"), F.col("l_suppkey").alias("ls"))
+            .distinct()
+        )
+        members = li.select(
+            F.col("l_orderkey").alias("mo"), F.col("l_suppkey").alias("ms")
+        )
+        waiting = late.join(
+            members,
+            (F.col("lo") == F.col("mo")) & (F.col("ls") != F.col("ms")),
+            "left_semi",
+        )
+        late_b = late.select(F.col("lo").alias("lo2"), F.col("ls").alias("ls2"))
+        sole = waiting.join(
+            late_b,
+            (F.col("lo") == F.col("lo2")) & (F.col("ls") != F.col("ls2")),
+            "left_anti",
+        )
+        return (
+            sole.join(su, F.col("ls") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
         )
 
     # warm up JVM + scans once
@@ -189,6 +227,27 @@ def main() -> None:
                 "minhash_lsh",
                 dedup.minhash_lsh_pairs(documents, n=3, num_hashes=32, bands=16, threshold=0.3),
                 dedup.minhash_lsh_pairs(documents_n, n=3, num_hashes=32, bands=16, threshold=0.3),
+            ),
+            (
+                "q21_semi_anti",
+                q21(supplier, lineitem, orders),
+                q21(
+                    replicate(supplier, factor, ["s_suppkey"]),
+                    replicate(lineitem, factor, ["l_orderkey", "l_suppkey"]),
+                    replicate(orders, factor, ["o_orderkey"]),
+                ),
+            ),
+            (
+                # replicas keep IDENTICAL text (only doc_id shifts), so
+                # every window is duplicated factor-fold — the worst
+                # case for the fingerprint aggregation.  Linear ratio
+                # here means cross-doc duplication adds no pairwise
+                # blowup (n_docs is a count, not a pair list).
+                "dup_windows_alldup",
+                text_ops.duplicated_token_windows(documents, window_tokens=16),
+                text_ops.duplicated_token_windows(
+                    replicate(documents, factor, ["doc_id"]), window_tokens=16
+                ),
             ),
         ]:
             t1, n1 = timed(f"{label} 1x", one)
