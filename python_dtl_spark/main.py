@@ -29,13 +29,13 @@ def main(argv=None) -> None:
     parser.add_argument(
         "--input-format",
         default="parquet",
-        choices=["parquet", "csv", "json"],
+        choices=["parquet", "orc", "csv", "json"],
         help="table format under --input-dir (default parquet)",
     )
     parser.add_argument(
         "--output-format",
         default="parquet",
-        choices=["parquet", "csv", "json"],
+        choices=["parquet", "orc", "csv", "json"],
         help="table format written under --output-dir (default parquet)",
     )
     parser.add_argument(

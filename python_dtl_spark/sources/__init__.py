@@ -5,7 +5,7 @@ Mirrors the reference I/O layer (/root/reference/src/dtl/io.py):
 ``{root}/{name}.parquet`` (io.py:41,72); ``InMemoryImporter``/
 ``InMemoryExporter`` bind by dict key (io.py:20-28,55-64).
 
-Extensions beyond the reference's parquet-only support: CSV and
+Extensions beyond the reference's parquet-only support: ORC, CSV and
 JSON-lines formats, partitioned writes, and directory-of-files reads —
 at 100 TB a "table" is a directory of parquet parts, not one file, so
 the importer accepts both layouts.
@@ -87,6 +87,8 @@ class FileSystemImporter:
                 )
         if self._fmt == "parquet":
             return self._spark.read.parquet(path)
+        if self._fmt == "orc":
+            return self._spark.read.orc(path)
         if self._fmt == "csv":
             return self._spark.read.csv(path, header=True, inferSchema=True)
         if self._fmt == "json":
@@ -138,6 +140,8 @@ class FileSystemExporter:
             writer = writer.partitionBy(*self._partition_by)
         if self._fmt == "parquet":
             writer.parquet(path)
+        elif self._fmt == "orc":
+            writer.orc(path)
         elif self._fmt == "csv":
             writer.option("header", True).csv(path)
         elif self._fmt == "json":

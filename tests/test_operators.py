@@ -469,7 +469,7 @@ def test_ivf_topk_recall_on_clustered_vectors(spark):
 
 
 def test_csv_json_round_trip(spark, tmp_path):
-    """Export a DTL result as csv and json, re-import each through the
+    """Export a DTL result as csv, json and orc, re-import each through the
     engine, and get the same rows back (formats beyond the reference's
     parquet-only surface, io.py:41,72)."""
     from python_dtl_spark.compiler import Engine
@@ -486,7 +486,7 @@ def test_csv_json_round_trip(spark, tmp_path):
     WITH output AS SELECT k, s, v * 2.0 AS v2 FROM input;
     EXPORT output TO 'output';
     """
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         out_root = f"{root}/out_{fmt}"
         engine = Engine(spark, FileSystemImporter(spark, root), ordered=False)
         exporter = FileSystemExporter(out_root, fmt=fmt)
