@@ -411,3 +411,48 @@ def test_pack_token_budget_invariants(spark, tokens):
             starts.append(acc)
             acc += tokens[r.doc_id]
         assert pos == starts
+
+
+# --- exact-substring duplication census ------------------------------------
+
+doc_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_corpus, k=st.integers(min_value=2, max_value=4))
+def test_duplicated_token_windows_matches_bruteforce(spark, texts, k):
+    from python_dtl_spark.operators.text import duplicated_token_windows
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in duplicated_token_windows(docs, window_tokens=k).collect()
+    }
+
+    # brute-force reference: window -> set of docs containing it
+    windows: dict[int, list[tuple[str, ...]]] = {}
+    owners: dict[tuple[str, ...], set[int]] = {}
+    for i, text in enumerate(texts):
+        toks = text.split()
+        ws = [tuple(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        windows[i] = ws
+        for w in ws:
+            owners.setdefault(w, set()).add(i)
+    expect = {
+        i: (len(ws), sum(1 for w in ws if len(owners[w]) > 1))
+        for i, ws in windows.items()
+        if ws
+    }
+    assert got == expect
