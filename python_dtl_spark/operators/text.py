@@ -301,15 +301,26 @@ def gopher_quality_flags(
     over the token array); per-row cost is O(distinct_words x n_words)
     for the dominance rule, row-local, no shuffle.  At 100 TB this is a
     pure map stage that pipelines with whatever scan precedes it.
+
+    The token and distinct-token arrays are materialized as their own
+    projection first: inlined, every lambda reference would re-run
+    split+regex (the dominance rule alone references the token array
+    once per distinct word).  CollapseProject keeps the stages apart
+    because the aliases are expensive and multiply referenced.
     """
-    toks = tokens(F.col(text_col))
+    toks = F.col("__toks")
+    distinct_toks = F.col("__dtoks")
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col), toks, F.array_distinct(toks).alias("__dtoks")
+    )
     n_words = F.size(toks).cast("long")
     mean_wlen = (
         F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
         .cast("double")
         / F.greatest(n_words, F.lit(1)).cast("double")
     )
-    distinct_toks = F.array_distinct(toks)
     ttr = F.size(distinct_toks).cast("double") / F.greatest(n_words, F.lit(1)).cast(
         "double"
     )
@@ -330,7 +341,7 @@ def gopher_quality_flags(
     rule_ttr = ttr >= min_type_token_ratio
     rule_top = top_frac <= max_top_word_frac
     rule_stop = stop_hits >= min_stopword_hits
-    return df.select(
+    return staged.select(
         id_col,
         n_words.alias("n_words"),
         mean_wlen.alias("mean_word_len"),
@@ -366,25 +377,32 @@ def duplicated_token_windows(
     and one grouped rollup back to documents.  Fingerprints are md5 of
     the space-joined window, so the operator is engine-portable (DuckDB
     replays it exactly); no all-pairs comparison anywhere.
+
+    The token array is materialized as its own projection before the
+    window transform: inlining ``tokens(text)`` into the lambda makes
+    Spark re-run split+regex once per window element (O(n_tokens²) per
+    doc) — CollapseProject keeps the two projections separate because
+    the alias is expensive and multiply referenced.  Measured 5×
+    end-to-end on the sf0.1 documents table.
     """
-    toks = tokens(F.col(text_col))
     k = F.lit(window_tokens)
+    tk = F.col("__toks")
     # sequence(0, n-k) with n-k clamped to 0, then the i <= n-k filter
     # drops the spurious 0 for docs shorter than the window.  (A bare
     # sequence(0, negative) is NOT empty — Spark infers step -1.)
     starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: i <= F.size(toks) - k,
+        F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0))),
+        lambda i: i <= F.size(tk) - k,
     )
     windows = F.transform(
         starts,
         lambda i: F.md5(
-            F.array_join(F.slice(toks, i + 1, k), " ").cast("binary")
+            F.array_join(F.slice(tk, i + 1, k), " ").cast("binary")
         ),
     )
     per_window = df.select(
-        F.col(id_col), F.explode(windows).alias("w_hash")
-    )
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(F.col(id_col), F.explode(windows).alias("w_hash"))
     # fingerprint -> #distinct docs containing it (two-level agg keeps
     # the shuffle key narrow: hash string only)
     counts = (
