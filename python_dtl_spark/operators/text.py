@@ -61,9 +61,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Every feature is exact integer/float arithmetic over counts, so a
     SQL oracle reproduces it bit-for-bit.
+
+    The token array is staged as a temporary column: inlined, every
+    n_words/n_stop reference would re-run the split (once per
+    downstream expression mentioning it).
     """
     text = F.col(text_col)
-    toks = tokens(text)
+    df = df.withColumn("__toks_q", tokens(text))
+    toks = F.col("__toks_q")
     n_chars = F.length(text).cast("long")
     n_words = F.size(toks).cast("long")
     n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("long")
@@ -92,6 +97,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("punct_ratio", punct_ratio)
         .withColumn("stopword_ratio", stop_ratio)
         .withColumn("quality_score", raw)
+        .drop("__toks_q")
     )
 
 
@@ -102,19 +108,31 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     tokens; the argmax wins, ties broken by language-code order, zero
     evidence → 'und'.  A crude n-gram-free heuristic, but fully
     deterministic and whole-stage-codegen friendly.
+
+    Tokens and per-language scores are staged as temporary columns:
+    inlined, the argmax when-chain references each score twice and each
+    score references the token array once, so every row would
+    re-tokenize ~3x per candidate language.
     """
-    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
-    scores = []
-    for lang in sorted(LANG_MARKERS):
+    df = df.withColumn(
+        "__ltoks", F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    )
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        score = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
-        scores.append((lang, score))
+        df = df.withColumn(
+            f"__score_{lang}",
+            F.size(F.filter(F.col("__ltoks"), lambda t: F.array_contains(markers, t))),
+        )
+    scores = [(lang, F.col(f"__score_{lang}")) for lang in langs]
     best_score = F.greatest(*[s for _, s in scores])
     pred = F.lit("und")
     for lang, score in reversed(scores):
         pred = F.when(score == best_score, F.lit(lang)).otherwise(pred)
     pred = F.when(best_score > 0, pred).otherwise(F.lit("und"))
-    return df.withColumn("pred_lang", pred)
+    return df.withColumn("pred_lang", pred).drop(
+        "__ltoks", *[f"__score_{lang}" for lang in langs]
+    )
 
 
 def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
