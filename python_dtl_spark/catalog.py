@@ -2880,6 +2880,108 @@ _register(
 )
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation v2 composing the round-3 operators: Gopher
+    quality rules → exact-substring duplication census (drop docs that
+    are >50% duplicated content) → token counting → fixed-budget
+    sequence packing; summarized per pack group.  Every stage is the
+    same catalog operator the driver checks individually, so this row
+    proves the composition, not new primitives."""
+    docs = _read(spark, sf_dir, "documents")
+    keep_ids = (
+        text.gopher_quality_flags(docs).filter(F.col("keep")).select("doc_id")
+    )
+    kept = docs.join(keep_ids, on="doc_id", how="left_semi")
+    heavy_dup = (
+        text.duplicated_token_windows(
+            kept.select("doc_id", "text"), window_tokens=16
+        )
+        .filter(F.col("dup_frac") > 0.5)
+        .select("doc_id")
+    )
+    curated = kept.join(heavy_dup, on="doc_id", how="left_anti")
+    packed = text.pack_token_budget(
+        text.token_count(curated), budget=512, num_groups=8
+    )
+    return (
+        packed.groupBy("pack_group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.max("seq_index") + 1).cast("long").alias("n_seqs"),
+        )
+        .orderBy("pack_group")
+    )
+
+
+_register(
+    "pipeline_curate_corpus",
+    _q_curate_corpus,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ), feat AS (
+        SELECT doc_id, text, tk,
+               CAST(len(tk) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+                   / greatest(len(tk), 1) AS mean_word_len,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                   / greatest(len(tk), 1) AS ttr,
+               CAST(list_max(list_transform(
+                       list_distinct(tk),
+                       w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE)
+                   / greatest(len(tk), 1) AS top_frac,
+               len(list_filter(
+                       list_distinct(tk),
+                       t -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is',
+                            'it','for','on','with','as','by','at','from'],
+                           lower(t)))) AS stop_hits
+        FROM toks
+    ), kept AS (
+        SELECT doc_id, tk FROM feat
+        WHERE n_words >= 20 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND ttr >= 0.3 AND top_frac <= 0.12 AND stop_hits >= 1
+    ), wins AS (
+        SELECT doc_id,
+               md5(array_to_string(tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 16], ' ')) AS w_hash
+        FROM kept, UNNEST(range(0, len(tk) - 16 + 1)) AS u(i)
+    ), counts AS (
+        SELECT w_hash, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY w_hash
+    ), dupstats AS (
+        SELECT doc_id,
+               count(*) AS n_w,
+               sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS n_d
+        FROM wins JOIN counts USING (w_hash)
+        GROUP BY doc_id
+    ), heavy AS (
+        SELECT doc_id FROM dupstats WHERE CAST(n_d AS DOUBLE) / n_w > 0.5
+    ), curated AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                 AS pack_group
+        FROM kept
+        WHERE doc_id NOT IN (SELECT doc_id FROM heavy)
+    ), c AS (
+        SELECT doc_id, pack_group, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+        FROM curated
+    )
+    SELECT pack_group,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(s // 512) + 1 AS BIGINT) AS n_seqs
+    FROM c
+    GROUP BY pack_group
+    ORDER BY pack_group
+    """,
+    headline=True,
+)
+
+
 # ---------------------------------------------------------------------------
 # Group H — TPC-H completion (q2/q11/q16/q19/q20/q21/q22 shapes)
 # ---------------------------------------------------------------------------
@@ -3372,6 +3474,7 @@ _DRIVER_ORDER: list[str] = [
     # pipeline operators + the TPC-H completion set -------------------------
     "doc_gopher_quality",
     "doc_dup_windows",
+    "pipeline_curate_corpus",
     "dtl_q21_waiting_suppliers",
     "dtl_q2_min_cost_supplier",
     "dtl_q22_global_sales_opportunity",
@@ -3379,17 +3482,17 @@ _DRIVER_ORDER: list[str] = [
     "dtl_q16_part_supplier_counts",
     "dtl_q19_discounted_revenue",
     "dtl_q20_promotion_suppliers",
-    # -- tier 3: first green in round 2.  Six window slots remain after
-    # the never-checked backlog; the six most operator-distinctive keep
-    # them, the six TPC-H GROUP-BY variants (machinery covered many
-    # times over inside the window) rotate out with r2-green history. ------
+    # -- tier 3: first green in round 2.  Five window slots remain after
+    # the never-checked backlog; the five most operator-distinctive keep
+    # them, the TPC-H GROUP-BY variants (machinery covered many times
+    # over inside the window) rotate out with r2-green history. ------------
     "dtl_distinct_consecutive",
     "dtl_group_consecutive",
     "doc_pack_sequences",
     "doc_tfidf_top_terms",
     "dtl_intersect",
-    "dtl_q8_market_share",
     # ---- driver window ends here (first 50 checked) ----------------------
+    "dtl_q8_market_share",
     "dtl_q7_volume_shipping",
     "dtl_q9_product_profit",
     "dtl_q13_customer_distribution",
