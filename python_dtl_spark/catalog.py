@@ -2880,6 +2880,56 @@ _register(
 )
 
 
+def _q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: top-30 adjacent token pairs.
+
+    zip_with over two shifted slices of the materialized token array
+    builds the pair list row-locally (no sequence() — a bare
+    sequence(1, 0) is NOT empty, Spark infers step -1); one hash
+    aggregation then TakeOrderedAndProject for the top-k — no global
+    window, so the ordering cost is O(partitions x k) on the driver,
+    not a single-reducer sort."""
+    tk = F.col("__toks")
+    staged = _read(spark, sf_dir, "documents").select(
+        text.tokens(F.col("text")).alias("__toks")
+    )
+    bigrams = staged.filter(F.size(tk) >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+_register(
+    "doc_bigram_counts",
+    _q_bigram_counts,
+    """
+    WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ), bi AS (
+        SELECT tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS bigram
+        FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+        WHERE len(tk) >= 2
+    ), counts AS (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY bigram
+    )
+    SELECT bigram, n FROM counts ORDER BY n DESC, bigram LIMIT 30
+    """,
+)
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation v2 composing the round-3 operators: Gopher
     quality rules → exact-substring duplication census (drop docs that
@@ -3474,6 +3524,7 @@ _DRIVER_ORDER: list[str] = [
     # pipeline operators + the TPC-H completion set -------------------------
     "doc_gopher_quality",
     "doc_dup_windows",
+    "doc_bigram_counts",
     "pipeline_curate_corpus",
     "dtl_q21_waiting_suppliers",
     "dtl_q2_min_cost_supplier",
@@ -3490,8 +3541,8 @@ _DRIVER_ORDER: list[str] = [
     "dtl_group_consecutive",
     "doc_pack_sequences",
     "doc_tfidf_top_terms",
-    "dtl_intersect",
     # ---- driver window ends here (first 50 checked) ----------------------
+    "dtl_intersect",
     "dtl_q8_market_share",
     "dtl_q7_volume_shipping",
     "dtl_q9_product_profit",
