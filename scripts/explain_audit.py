@@ -98,6 +98,21 @@ AUDITED = {
         "(single BroadcastNestedLoopJoin); anti join against the "
         "date-filtered orders scan with the date pushed down"
     ),
+    "doc_gopher_quality": (
+        "all five quality rules in ONE codegen'd map stage over a "
+        "staged token array — zero Exchange, zero Python; pipelines "
+        "into any upstream scan at 100 TB"
+    ),
+    "doc_dup_windows": (
+        "window census: explode md5 fingerprints once, count-aggregate "
+        "on the fingerprint (map-side partial), 1:1 join-back — no "
+        "per-fingerprint doc lists, flat under boilerplate skew"
+    ),
+    "pipeline_curate_corpus": (
+        "four-operator composition (gopher filter, dup census, token "
+        "count, packing) planned as one lazy DAG — semi/anti joins on "
+        "doc_id, no driver-side staging between stages"
+    ),
 }
 
 
