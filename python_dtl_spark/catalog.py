@@ -14,8 +14,11 @@ name before hashing values.
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -3466,144 +3469,72 @@ _register(
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks only the FIRST 50 entries of
 # ``queries()`` (dict insertion order).  Registration order above follows
-# the SURVEY.md §2 inventory, which is the wrong priority for evidence:
-# it left the whole LLM-pipeline stack (positions 51-77) unverified for
-# two rounds.  This explicit list re-orders the exported dict so the
-# least-verified queries occupy the window:
+# the SURVEY.md §2 inventory, which is the wrong priority for evidence —
+# in rounds 1-2 it left the whole LLM-pipeline stack unverified.  Rounds
+# 2-3 managed the window with a hand-edited rotation list; this derives
+# it from the accumulated driver evidence instead, so the rotation can
+# never drift from reality again.
 #
-#   tier 1 — never driver-checked in any round (r1/r2 window misses);
-#   tier 2 — checked only in round 1 (dedup / similarity / streaming);
-#   tier 3 — first green in round 2 (one round of history);
-#   tier 4 — green in rounds 1 AND 2 (rotated behind the window: they
-#            have two rounds of hash-pass history and full unit tests).
+# Evidence source: ``CORRECTNESS_r{N}.json`` files the driver writes at
+# the repo root each round.  Per query we track the most recent round it
+# was checked at all and the most recent round it hash-passed.  Export
+# order is ascending staleness:
 #
-# New queries default to the FRONT of tier 3 (never-checked beats
-# once-checked) unless explicitly placed; listed-but-unregistered names
-# fail loudly.
+#   1. never-verified queries first (new this round, or never in-window);
+#   2. then by oldest most-recent-verification — "verification" meaning
+#      hash-pass for oracle-backed queries, any driver row for the
+#      oracle-less ones (rows-only is their evidence ceiling);
+#   3. registration order (SURVEY §2 order) breaks ties.
+#
+# A query that regressed (checked recently but last hash-pass older)
+# sorts by its last PASS, pulling it back into the window until green.
 
-_DRIVER_ORDER: list[str] = [
-    # -- tier 1: never driver-checked --------------------------------------
-    "decontaminate_train_test",
-    "dedup_embedding_cosine",
-    "embed_l2_normalize",
-    "embed_quantize_int8",
-    "events_asof_join",
-    "events_range_join_sessions",
-    "events_time_rollup",
-    "events_inter_arrival",
-    "events_interval_join",
-    "orders_topn_per_customer",
-    "orders_running_total",
-    "doc_hash_split",
-    "doc_stratified_sample",
-    "multimodal_image_features",
-    "dtl_promo_parts_by_brand",
-    "pipeline_clean_corpus",
-    "trace_provenance",
-    # -- tier 2: checked only in round 1 -----------------------------------
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_lsh_keep",
-    "similarity_topk_cosine",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "events_tumbling_stats",
-    "events_sliding_counts",
-    "events_session_windows",
-    # -- tier 3a: new this round (first driver check) ----------------------
-    "events_sessionize",
-    "events_value_percentiles",
-    "orders_status_pivot",
-    "lineitem_rollup",
-    "dedup_embedding_keep",
-    "events_salted_join",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    # -- tier 3b: new this round (first driver check): the two new
-    # pipeline operators + the TPC-H completion set -------------------------
-    "doc_gopher_quality",
-    "doc_dup_windows",
-    "doc_bigram_counts",
-    "pipeline_curate_corpus",
-    "dtl_q21_waiting_suppliers",
-    "dtl_q2_min_cost_supplier",
-    "dtl_q22_global_sales_opportunity",
-    "dtl_q11_important_parts",
-    "dtl_q16_part_supplier_counts",
-    "dtl_q19_discounted_revenue",
-    "dtl_q20_promotion_suppliers",
-    # -- tier 3: first green in round 2.  Five window slots remain after
-    # the never-checked backlog; the five most operator-distinctive keep
-    # them, the TPC-H GROUP-BY variants (machinery covered many times
-    # over inside the window) rotate out with r2-green history. ------------
-    "dtl_distinct_consecutive",
-    "dtl_group_consecutive",
-    "doc_pack_sequences",
-    "doc_tfidf_top_terms",
-    # ---- driver window ends here (first 50 checked) ----------------------
-    "dtl_intersect",
-    "dtl_q8_market_share",
-    "dtl_q7_volume_shipping",
-    "dtl_q9_product_profit",
-    "dtl_q13_customer_distribution",
-    "dtl_q14_promo_revenue",
-    "dtl_q15_top_supplier",
-    "dtl_q17_small_quantity",
-    # -- tier 4: green in both prior rounds (window tail first) ------------
-    "dtl_q1_pricing_summary",
-    "dtl_q3_shipping_priority",
-    "dtl_q5_local_supplier",
-    "dedup_exact",
-    "doc_chunks",
-    "dtl_approx_distinct_parts",
-    "doc_rolling_fingerprint",
-    "dtl_scalar_functions",
-    "dtl_temporal",
-    "dtl_except",
-    "dtl_equi_join",
-    "dtl_theta_join",
-    "dtl_join_using",
-    "dtl_left_join",
-    "dtl_semi_join",
-    "dtl_anti_join",
-    "dtl_cross_join",
-    "dtl_distinct",
-    "dtl_union",
-    "dtl_conditional",
-    "dtl_project_rename",
-    "dtl_arithmetic",
-    "dtl_add_builtin",
-    "dtl_where_compare",
-    "dtl_where_logic",
-    "dtl_group_by_having",
-    "dtl_global_agg",
-    "dtl_order_limit",
-    "dtl_q4_order_priority",
-    "dtl_q6_forecast_revenue",
-    "dtl_q10_returned_items",
-    "dtl_q12_priority_lines",
-    "dtl_q18_large_orders",
-    "doc_token_count",
-    "doc_quality_score",
-    "doc_lang_id",
-    "doc_top_tokens",
-    "doc_fingerprint_md5",
-]
+_CORRECTNESS_GLOB = "CORRECTNESS_r*.json"
+
+
+def _correctness_history() -> dict[str, tuple[int, int]]:
+    """Read every driver CORRECTNESS_r{N}.json at the repo root.
+
+    Returns ``{query_name: (last_checked_round, last_hash_pass_round)}``
+    with 0 meaning "never".  Malformed or unreadable files are skipped —
+    ordering degrades gracefully to registration order on a fresh
+    checkout with no driver history.
+    """
+    root = Path(__file__).resolve().parent.parent
+    hist: dict[str, tuple[int, int]] = {}
+    for path in root.glob(_CORRECTNESS_GLOB):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            checked, passed = hist.get(name, (0, 0))
+            checked = max(checked, rnd)
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                passed = max(passed, rnd)
+            hist[name] = (checked, passed)
+    return hist
 
 
 def _apply_driver_order() -> None:
     global QUERIES
-    missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
-    if missing:
-        raise KeyError(f"_DRIVER_ORDER lists unregistered queries: {missing}")
-    # Unlisted (newly added) queries slot in after tier 2 — inside the
-    # driver window — so a new operator gets a CORRECTNESS row in its
-    # first round without editing this list.
-    unlisted = [n for n in QUERIES if n not in _DRIVER_ORDER]
-    tier12 = _DRIVER_ORDER[: _DRIVER_ORDER.index("events_sessionize")]
-    rest = _DRIVER_ORDER[_DRIVER_ORDER.index("events_sessionize"):]
-    QUERIES = {n: QUERIES[n] for n in [*tier12, *unlisted, *rest]}
+    hist = _correctness_history()
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+
+    def staleness(name: str) -> tuple[int, int, int]:
+        checked, passed = hist.get(name, (0, 0))
+        freshness = passed if QUERIES[name].oracle is not None else checked
+        # Secondary ``checked``: among never-hash-passed oracle-backed
+        # queries, brand-new ones outrank ones with rows-only history.
+        return (freshness, checked, reg_pos[name])
+
+    QUERIES = {n: QUERIES[n] for n in sorted(QUERIES, key=staleness)}
 
 
 _apply_driver_order()
