@@ -1,34 +1,68 @@
 """Invariants of the driver-facing catalog contract.
 
 The driver checks exactly the first 50 entries of ``queries()`` — these
-tests keep the ordering machinery honest without running any query.
+tests keep the history-derived ordering machinery honest without running
+any query.
 """
 
 from __future__ import annotations
 
-from python_dtl_spark.catalog import _DRIVER_ORDER, QUERIES
+import json
+from pathlib import Path
+
+from python_dtl_spark.catalog import QUERIES, _correctness_history
+
+REPO = Path(__file__).resolve().parent.parent
 
 
-def test_driver_order_has_no_duplicates():
-    assert len(_DRIVER_ORDER) == len(set(_DRIVER_ORDER))
+def _latest_round() -> int:
+    rounds = [
+        int(p.stem.split("_r")[1]) for p in REPO.glob("CORRECTNESS_r*.json")
+    ]
+    return max(rounds) if rounds else 0
 
 
-def test_driver_order_covers_catalog_exactly():
-    # every listed name registered, every registered name listed (new
-    # queries may legitimately be unlisted — they auto-slot into the
-    # window — but a listed-but-unregistered name would KeyError at
-    # import, and drift in the other direction should be deliberate)
-    assert set(_DRIVER_ORDER) <= set(QUERIES)
+def test_history_reads_every_driver_file():
+    hist = _correctness_history()
+    latest = _latest_round()
+    if latest == 0:
+        return  # fresh checkout: ordering degrades to registration order
+    rows = json.loads((REPO / f"CORRECTNESS_r{latest:02d}.json").read_text())
+    for name in rows:
+        checked, _ = hist.get(name, (0, 0))
+        assert checked >= latest, name
 
 
-def test_window_holds_never_or_least_verified_queries():
-    # The first 50 exported entries are the driver's correctness
-    # window.  Twice-green basics (tier 4) must never occupy window
-    # slots while any newer query sits outside.
-    window = list(QUERIES)[:50]
-    tier4_start = _DRIVER_ORDER.index("dtl_q1_pricing_summary")
-    tier4 = set(_DRIVER_ORDER[tier4_start:])
-    assert not (set(window) & tier4), sorted(set(window) & tier4)
+def test_window_holds_least_verified_queries():
+    # The first 50 exported entries are the driver's correctness window.
+    # No query may sit outside the window while a strictly-fresher one
+    # (more recently verified) occupies a slot inside it.
+    hist = _correctness_history()
+
+    def freshness(name: str) -> int:
+        checked, passed = hist.get(name, (0, 0))
+        return passed if QUERIES[name].oracle is not None else checked
+
+    names = list(QUERIES)
+    window, outside = names[:50], names[50:]
+    if not outside:
+        return
+    max_in = max(freshness(n) for n in window)
+    min_out = min(freshness(n) for n in outside)
+    assert max_in <= min_out, (max_in, min_out)
+
+
+def test_never_verified_queries_lead_the_window():
+    hist = _correctness_history()
+
+    def freshness(name: str) -> int:
+        checked, passed = hist.get(name, (0, 0))
+        return passed if QUERIES[name].oracle is not None else checked
+
+    names = list(QUERIES)
+    fresh = [freshness(n) for n in names]
+    # ordering must be ascending staleness front-to-back
+    assert fresh == sorted(fresh)
 
 
 def test_oracle_keys_subset_of_queries():
