@@ -36,6 +36,7 @@ from python_dtl_spark.operators import (
     text,
     windows,
 )
+from python_dtl_spark.operators.timeutil import epoch_micros
 from python_dtl_spark.sources import FileSystemImporter
 from python_dtl_spark.streaming import (
     interval_join,
@@ -2160,8 +2161,8 @@ def _q_event_deltas(spark, sf_dir):
         "event_id",
         "user_id",
         (
-            F.unix_micros(F.col("ts"))
-            - F.unix_micros(F.lag("ts").over(
+            epoch_micros(F.col("ts"))
+            - epoch_micros(F.lag("ts").over(
                 Window.partitionBy("user_id").orderBy("ts")
             ))
         ).alias("delta_us"),
@@ -2203,7 +2204,7 @@ def _q_interval_join(spark, sf_dir):
         F.col("event_id").alias("purchase_id"),
         F.col("event_id_right").alias("click_id"),
         "user_id",
-        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_right"))).alias(
+        (epoch_micros(F.col("ts")) - epoch_micros(F.col("ts_right"))).alias(
             "delay_us"
         ),
     )

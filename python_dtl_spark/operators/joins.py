@@ -13,6 +13,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_dtl_spark.operators.timeutil import epoch_seconds
 
 SALT_COL = "__dtl_salt"
 
@@ -90,8 +93,15 @@ def asof_join(
         matched = F.first("__r", ignorenulls=True).over(w)
     out = u.withColumn("__m", matched).filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        ts_l = F.col("__ts").cast("double")
-        ts_r = F.col("__m.__on").cast("double")
+        if isinstance(
+            left.schema[on].dataType,
+            (T.TimestampType, T.TimestampNTZType, T.DateType),
+        ):
+            ts_l = epoch_seconds(F.col("__ts"))
+            ts_r = epoch_seconds(F.col("__m.__on"))
+        else:
+            ts_l = F.col("__ts").cast("double")
+            ts_r = F.col("__m.__on").cast("double")
         dist = (ts_l - ts_r) if direction == "backward" else (ts_r - ts_l)
         out = out.withColumn(
             "__m", F.when(dist <= tolerance_seconds, F.col("__m"))
@@ -185,21 +195,24 @@ def range_join_point_in_interval(
     columns (collisions suffixed ``_ivl``).
     """
     by_cols = [by] if isinstance(by, str) else list(by or [])
+    time_types = (T.TimestampType, T.TimestampNTZType, T.DateType)
 
-    def _epoch(c):
+    def _epoch(df, c):
+        if isinstance(df.schema[c].dataType, time_types):
+            return epoch_seconds(F.col(c))
         return F.col(c).cast("double")
 
     p = points.select(
         *[F.col(c).alias(f"__by_{c}") for c in by_cols],
-        F.floor(_epoch(point_col) / bucket_seconds).alias("__bucket"),
+        F.floor(_epoch(points, point_col) / bucket_seconds).alias("__bucket"),
         F.struct(*[F.col(c) for c in points.columns]).alias("__p"),
     )
     i = intervals.select(
         *[F.col(c).alias(f"__by_{c}") for c in by_cols],
         F.explode(
             F.sequence(
-                F.floor(_epoch(start_col) / bucket_seconds),
-                F.floor(_epoch(end_col) / bucket_seconds),
+                F.floor(_epoch(intervals, start_col) / bucket_seconds),
+                F.floor(_epoch(intervals, end_col) / bucket_seconds),
             )
         ).alias("__bucket"),
         F.struct(*[F.col(c) for c in intervals.columns]).alias("__i"),

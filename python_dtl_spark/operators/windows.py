@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_dtl_spark.operators.timeutil import epoch_micros
+
 
 def top_n_per_group(
     df: DataFrame,
@@ -75,7 +77,7 @@ def sessionize(
     prev = F.lag(F.col(ts_col)).over(w)
     new_session = F.when(
         prev.isNull()
-        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+        | (epoch_micros(F.col(ts_col)) - epoch_micros(prev) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     wc = (
@@ -109,5 +111,6 @@ def event_deltas(
     prev = F.lag(F.col(ts_col)).over(w)
     return df.withColumn(
         out_col,
-        F.col(ts_col).cast("double") - prev.cast("double"),
+        (epoch_micros(F.col(ts_col)) - epoch_micros(prev))
+        / F.lit(1_000_000.0),
     )
