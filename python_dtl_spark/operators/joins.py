@@ -13,9 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from python_dtl_spark.operators.timeutil import epoch_seconds
+from python_dtl_spark.operators.timeutil import numeric_axis
 
 SALT_COL = "__dtl_salt"
 
@@ -93,15 +92,11 @@ def asof_join(
         matched = F.first("__r", ignorenulls=True).over(w)
     out = u.withColumn("__m", matched).filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        if isinstance(
-            left.schema[on].dataType,
-            (T.TimestampType, T.TimestampNTZType, T.DateType),
-        ):
-            ts_l = epoch_seconds(F.col("__ts"))
-            ts_r = epoch_seconds(F.col("__m.__on"))
-        else:
-            ts_l = F.col("__ts").cast("double")
-            ts_r = F.col("__m.__on").cast("double")
+        # __ts / __m.__on are staged copies of `on`, so they dispatch on
+        # the left schema's dtype (timeutil.numeric_axis).
+        on_type = left.schema[on].dataType
+        ts_l = numeric_axis(on_type, F.col("__ts"))
+        ts_r = numeric_axis(on_type, F.col("__m.__on"))
         dist = (ts_l - ts_r) if direction == "backward" else (ts_r - ts_l)
         out = out.withColumn(
             "__m", F.when(dist <= tolerance_seconds, F.col("__m"))
@@ -195,12 +190,9 @@ def range_join_point_in_interval(
     columns (collisions suffixed ``_ivl``).
     """
     by_cols = [by] if isinstance(by, str) else list(by or [])
-    time_types = (T.TimestampType, T.TimestampNTZType, T.DateType)
 
     def _epoch(df, c):
-        if isinstance(df.schema[c].dataType, time_types):
-            return epoch_seconds(F.col(c))
-        return F.col(c).cast("double")
+        return numeric_axis(df.schema[c].dataType, F.col(c))
 
     p = points.select(
         *[F.col(c).alias(f"__by_{c}") for c in by_cols],

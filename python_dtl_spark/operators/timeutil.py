@@ -33,10 +33,20 @@ def epoch_seconds(col: Column | str) -> Column:
     return epoch_micros(col) / F.lit(1_000_000.0)
 
 
+def numeric_axis(dtype: T.DataType, col: Column) -> Column:
+    """``col`` (which must carry values of ``dtype``) as a double on a
+    shared axis: timestamps/dates become fractional epoch seconds,
+    numerics cast directly.  The dtype is passed explicitly so staged
+    expressions (struct fields, lagged copies) can reuse the dispatch of
+    the source column they were derived from."""
+    if isinstance(dtype, _TIME_TYPES):
+        return epoch_seconds(col)
+    return col.cast("double")
+
+
 def as_number(df: DataFrame, col_name: str) -> Column:
     """``col_name`` as a double on a shared axis: timestamps/dates become
     fractional epoch seconds, numerics cast directly.  Used by operators
-    (as-of tolerance, range-join bucketing) whose key may be either."""
-    if isinstance(df.schema[col_name].dataType, _TIME_TYPES):
-        return epoch_seconds(col_name)
-    return F.col(col_name).cast("double")
+    (as-of tolerance, range-join bucketing, event deltas) whose key may
+    be either."""
+    return numeric_axis(df.schema[col_name].dataType, F.col(col_name))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from python_dtl_spark.operators.timeutil import epoch_micros
+from python_dtl_spark.operators.timeutil import as_number, epoch_micros
 
 
 def top_n_per_group(
@@ -105,12 +105,13 @@ def event_deltas(
 ) -> DataFrame:
     """Seconds since the previous row per group in ``ts_col`` order
     (null for each group's first row) — the inter-arrival feature used
-    for churn/engagement analysis and session-gap tuning.  One shuffle
-    on the group key."""
+    for churn/engagement analysis and session-gap tuning.  ``ts_col``
+    may be a timestamp/date (delta in fractional seconds) or a numeric
+    axis (delta in its own units), dispatched via ``timeutil.as_number``
+    like the as-of/range joins.  One shuffle on the group key."""
     w = Window.partitionBy(*group_cols).orderBy(F.col(ts_col))
-    prev = F.lag(F.col(ts_col)).over(w)
-    return df.withColumn(
-        out_col,
-        (epoch_micros(F.col(ts_col)) - epoch_micros(prev))
-        / F.lit(1_000_000.0),
-    )
+    staged = df.withColumn("__ts_num", as_number(df, ts_col))
+    prev = F.lag(F.col("__ts_num")).over(w)
+    return staged.withColumn(
+        out_col, F.col("__ts_num") - prev
+    ).drop("__ts_num")

@@ -507,6 +507,35 @@ def test_event_deltas(spark):
     assert out == {(1, 100): None, (1, 160): 60.0, (1, 400): 240.0, (2, 50): None}
 
 
+def test_event_deltas_numeric_epoch_micros_no_overflow(spark):
+    # Numeric ts columns stay on their own axis (plain double subtraction);
+    # values large enough to overflow unix_micros(cast-to-timestamp) must
+    # not be routed through the timestamp branch.
+    from python_dtl_spark.operators.windows import event_deltas
+
+    us = 1_700_000_000_000_000  # epoch micros, would overflow int64 as micros-of-micros
+    df = spark.createDataFrame(
+        [(1, us), (1, us + 2_500_000)], "uid long, ts long"
+    )
+    out = {r.ts: r.delta_seconds for r in event_deltas(df, ["uid"], "ts").collect()}
+    assert out == {us: None, us + 2_500_000: 2_500_000.0}
+
+
+def test_event_deltas_timestamp(spark):
+    from python_dtl_spark.operators.windows import event_deltas
+
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, timestamp'2024-01-01 00:00:00'),"
+        " (1, timestamp'2024-01-01 00:00:01.5') AS t(uid, ts)"
+    )
+    deltas = sorted(
+        r.delta_seconds
+        for r in event_deltas(df, ["uid"], "ts").collect()
+        if r.delta_seconds is not None
+    )
+    assert deltas == [1.5]
+
+
 def test_chunk_documents_overlap_and_short_docs(spark):
     docs = spark.createDataFrame(
         [(0, "abcdefghij"), (1, "xy"), (2, "")], "doc_id long, text string"
