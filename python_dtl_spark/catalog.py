@@ -1661,20 +1661,107 @@ _register(
 )
 
 
-def _q_simhash(spark, sf_dir):
-    return dedup.simhash_near_pairs(
-        _read(spark, sf_dir, "documents"), max_hamming=8
+def _uniquified_docs(spark, sf_dir):
+    """``documents`` with every token prefixed by its ``doc_id``.
+
+    Planted-fixture substrate for the hash-based near-dup operators
+    (simhash / minhash-LSH), whose signatures (xxhash64) no SQL engine
+    can replay: prefixing makes the token sets of distinct docs
+    DISJOINT, so distinct docs share no shingle and their signatures
+    are independent hashes — cross-doc band/block collisions are
+    2^-64-scale events, absent on the fixed test data (asserted by
+    ``tests/test_catalog.py``).  Exact copies keep the original
+    prefix, so copy↔source stay identical-signature: the operator's
+    output is then provably exactly the planted structure, which IS
+    SQL-expressible.  Whitespace-only docs are excluded: their shingle
+    set degenerates to {""} for every such doc, which would link them.
+    """
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.filter(F.trim("text") != "").select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                text.tokens(F.lower(F.col("text"))),
+                lambda t: F.concat(F.col("doc_id").cast("string"), F.lit("_"), t),
+            ),
+            " ",
+        ).alias("text"),
     )
 
 
-_register("dedup_simhash", _q_simhash, None)  # xxhash64-based
+def _plant_copies(uniq):
+    """Union exact copies at ``+100000`` (doc_id % 3 == 0) and
+    ``+200000`` (doc_id % 6 == 0): mixed cluster sizes 1 / 2 / 3."""
+    return uniq.unionByName(
+        uniq.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    ).unionByName(
+        uniq.filter(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        )
+    )
+
+
+_PLANT_DOCS_GUARD = "trim(text) <> ''"
+
+
+def _q_simhash(spark, sf_dir):
+    # Planted fixture (see _uniquified_docs): exact copies are Hamming 0
+    # and pigeonhole blocking recalls radius<=max_hamming pairs with
+    # probability 1, so the output is exactly the planted pairs — the
+    # simhash values themselves (xxhash64 votes) are not SQL-replayable,
+    # making this the strongest oracle the operator admits.  Natural
+    # near-dup behavior is covered by the brute-force property test in
+    # tests/test_dedup.py.
+    aug = _plant_copies(_uniquified_docs(spark, sf_dir))
+    return dedup.simhash_near_pairs(aug, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+_register(
+    "dedup_simhash",
+    _q_simhash,
+    f"""
+    WITH base AS (SELECT doc_id FROM documents WHERE {_PLANT_DOCS_GUARD})
+    SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+    FROM base WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, doc_id + 200000, CAST(0 AS BIGINT)
+    FROM base WHERE doc_id % 6 = 0
+    UNION ALL
+    SELECT doc_id + 100000, doc_id + 200000, CAST(0 AS BIGINT)
+    FROM base WHERE doc_id % 6 = 0
+    """,
+)
 
 
 def _q_lsh_dedup_keep(spark, sf_dir):
-    return dedup.lsh_dedup_keep(_read(spark, sf_dir, "documents")).filter("keep")
+    # Planted fixture: disjoint token sets make cross-doc bucket
+    # collisions vanish (see _uniquified_docs), exact copies share ALL
+    # bands with their source, so the bucket graph's components are
+    # exactly the planted clusters {i}, {i, i+100000} or
+    # {i, i+100000, i+200000} and min-label propagation must converge
+    # to cluster_id = i with keep only on the base doc.  Unlike the
+    # previous rows-only fixture, the full (doc_id, cluster_id, keep)
+    # assignment is value-checked, duplicates included.
+    aug = _plant_copies(_uniquified_docs(spark, sf_dir))
+    return dedup.lsh_dedup_keep(aug)
 
 
-_register("dedup_lsh_keep", _q_lsh_dedup_keep, None)  # connected components: no SQL oracle
+_register(
+    "dedup_lsh_keep",
+    _q_lsh_dedup_keep,
+    f"""
+    WITH base AS (SELECT doc_id FROM documents WHERE {_PLANT_DOCS_GUARD})
+    SELECT doc_id, doc_id AS cluster_id, TRUE AS keep FROM base
+    UNION ALL
+    SELECT doc_id + 100000, doc_id, FALSE FROM base WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 200000, doc_id, FALSE FROM base WHERE doc_id % 6 = 0
+    """,
+)
 
 
 def _q_embed_near_dup(spark, sf_dir):
@@ -1814,30 +1901,82 @@ _register(
 )
 
 
-def _q_topk_lsh(spark, sf_dir):
-    corpus = _read(spark, sf_dir, "embeddings")
-    queries = corpus.filter(F.col("vec_id") < 8).select(
+def _planted_ann_corpus(spark, sf_dir):
+    """Embeddings augmented with 10 exact copies of each query vector
+    (ids ``100000 + query*10 + j``).
+
+    Makes approximate top-k provably EQUAL exact top-k, so the
+    approximate operators get a genuine exact-cosine SQL oracle: the
+    copies score cosine 1.0 against their query (natural max pairwise
+    cosine on this data is ~0.52), filling all k=10 slots, and an
+    identical vector is a guaranteed candidate — same hyperplane signs
+    ⇒ same LSH bucket (the query's first probe), same nearest centroid
+    ⇒ inside any n_probe ≥ 1 IVF probe set, for ANY fitted centroids.
+    Ties among the ten 1.0-cosine copies break by neighbor_id on both
+    engines.  Recall on natural neighbors stays measured separately in
+    SCALING.md / tests/test_similarity.py.
+    """
+    base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (
+        base.filter(F.col("vec_id") < 8)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.array(*[F.lit(j) for j in range(10)])).alias("__j"),
+        )
+        .select(
+            (F.lit(100000) + F.col("vec_id") * 10 + F.col("__j")).alias("vec_id"),
+            "embedding",
+        )
+    )
+    queries = base.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    return base.unionByName(planted), queries
+
+
+_ANN_PLANTED_ORACLE = """
+    WITH aug AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT 100000 + vec_id * 10 + t.j, CAST(embedding AS DOUBLE[])
+        FROM embeddings, range(10) t(j) WHERE vec_id < 8
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM aug WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(e.v, q.qv) AS cos
+        FROM aug e, q WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+def _q_topk_lsh(spark, sf_dir):
+    corpus, queries = _planted_ann_corpus(spark, sf_dir)
     return similarity.lsh_bucketed_topk(corpus, queries, k=10, dim=64).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
 
-_register("similarity_topk_lsh", _q_topk_lsh, None)  # approximate by design
+# exact-cosine oracle: sound because bucketed top-k == exact top-k on
+# the planted corpus (see _planted_ann_corpus)
+_register("similarity_topk_lsh", _q_topk_lsh, _ANN_PLANTED_ORACLE)
 
 
 def _q_topk_ivf(spark, sf_dir):
-    corpus = _read(spark, sf_dir, "embeddings")
-    queries = corpus.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    corpus, queries = _planted_ann_corpus(spark, sf_dir)
     return similarity.ivf_topk(
         corpus, queries, k=10, n_centroids=16, n_probe=8
     ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
-_register("similarity_topk_ivf", _q_topk_ivf, None)  # approximate by design
+_register("similarity_topk_ivf", _q_topk_ivf, _ANN_PLANTED_ORACLE)
 
 
 def _q_tumbling(spark, sf_dir):

@@ -78,3 +78,63 @@ def test_headline_queries_exist_and_have_oracles_where_expected():
     # bench iterates sorted(QUERIES) — names must be stable identifiers
     for n in QUERIES:
         assert n == n.strip() and " " not in n
+
+
+def test_planted_ann_fixture_equals_exact_topk(spark):
+    """Soundness of the similarity_topk_lsh / _ivf oracles: on the
+    planted corpus (10 exact copies per query vector) the approximate
+    top-k must EQUAL exact top-k — the copies are provably candidates
+    and provably fill all k slots."""
+    from python_dtl_spark.catalog import _planted_ann_corpus
+    from python_dtl_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    corpus, queries = _planted_ann_corpus(spark, sf)
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk(corpus, queries, k=10).collect()
+    }
+    assert len(exact) == 80
+    for name in ("similarity_topk_lsh", "similarity_topk_ivf"):
+        got = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in QUERIES[name].fn(spark, sf).collect()
+        }
+        assert got == exact, name
+
+
+def test_planted_hash_dedup_fixtures_exactly_planted(spark):
+    """Soundness of the dedup_simhash / dedup_lsh_keep oracles: on the
+    token-uniquified corpus the only near-dup structure is the planted
+    copies — any extra pair/cluster means a cross-doc hash collision
+    the oracle cannot see."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.trim("text") != "")
+        .select("doc_id")
+        .collect()
+    ]
+    exp_pairs = set()
+    exp_keep = {(i, i, True) for i in ids}
+    for i in ids:
+        if i % 3 == 0:
+            exp_pairs.add((i, i + 100000, 0))
+            exp_keep.add((i + 100000, i, False))
+        if i % 6 == 0:
+            exp_pairs.add((i, i + 200000, 0))
+            exp_pairs.add((i + 100000, i + 200000, 0))
+            exp_keep.add((i + 200000, i, False))
+    got_pairs = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in QUERIES["dedup_simhash"].fn(spark, sf).collect()
+    }
+    assert got_pairs == exp_pairs
+    got_keep = {
+        (r.doc_id, r.cluster_id, r.keep)
+        for r in QUERIES["dedup_lsh_keep"].fn(spark, sf).collect()
+    }
+    assert got_keep == exp_keep
