@@ -3081,22 +3081,40 @@ def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     same catalog operator the driver checks individually, so this row
     proves the composition, not new primitives."""
     docs = _read(spark, sf_dir, "documents")
-    keep_ids = (
-        text.gopher_quality_flags(docs).filter(F.col("keep")).select("doc_id")
+    # ONE tokenization / ONE scan of documents for the whole pipeline:
+    # every downstream stage consumes the staged __toks array.  The
+    # gopher stage appends its keep flag in-line (append=True) so the
+    # kept set is a filter, not a join back into a second scan; kept
+    # (post-filter doc_id + tokens, the pipeline's working set) is
+    # persisted because both the duplication census and the final
+    # anti-join/packing branch consume it — without the cache the
+    # census subtree would recompute the scan+tokenize per branch
+    # (previously 3 full corpus scans; at 100 TB, the difference
+    # between one pass and three).
+    # spread first: a single-file parquet corpus arrives as one split
+    # and would tokenize on one core; at real scale (files >> cores)
+    # this is a no-op
+    from python_dtl_spark.operators.partitioning import spread
+
+    staged = spread(docs).select(
+        "doc_id", text.tokens(F.col("text")).alias("__toks")
     )
-    kept = docs.join(keep_ids, on="doc_id", how="left_semi")
+    kept = (
+        text.gopher_quality_flags(staged, tokens_col="__toks", append=True)
+        .filter(F.col("keep"))
+        .select("doc_id", "__toks")
+        .persist()
+    )
     heavy_dup = (
-        text.duplicated_token_windows(
-            kept.select("doc_id", "text"), window_tokens=16
-        )
+        text.duplicated_token_windows(kept, window_tokens=16, tokens_col="__toks")
         .filter(F.col("dup_frac") > 0.5)
         .select("doc_id")
     )
     curated = kept.join(heavy_dup, on="doc_id", how="left_anti")
     packed = text.pack_token_budget(
-        text.token_count(curated), budget=512, num_groups=8
+        text.token_count(curated, tokens_col="__toks"), budget=512, num_groups=8
     )
-    return (
+    out = (
         packed.groupBy("pack_group")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -3104,6 +3122,7 @@ def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_group")
     )
+    return dedup._release_after(out, kept)
 
 
 _register(

