@@ -293,6 +293,36 @@ def test_scalar_subquery_cross_joins_are_single_row_broadcast(spark):
         assert "CartesianProduct" not in plan, name
 
 
+_TPCH_QUERIES = [f"dtl_q{i}" for i in range(1, 23)]
+# q11/q22 decorrelate a scalar-subquery average into a one-row broadcast:
+# exactly one BroadcastNestedLoopJoin whose build side is a single row.
+_ALLOWED_BNLJ = {"dtl_q11": 1, "dtl_q22": 1}
+
+
+@pytest.mark.parametrize("prefix", _TPCH_QUERIES)
+def test_tpch_plan_invariants(spark, prefix):
+    """Every TPC-H shape must satisfy the three 100 TB invariants:
+    no CartesianProduct, no Python row evaluation, and no
+    BroadcastNestedLoopJoin beyond the sanctioned one-row scalar
+    broadcasts — a fact-fact join degrading to nested-loop at scale
+    is the single worst plan regression this engine can have.  Every
+    plan must also push at least one filter or maintain pruned scans
+    (ReadSchema on every FileScan)."""
+    from python_dtl_spark.catalog import QUERIES
+
+    name = next(n for n in QUERIES if n.startswith(prefix + "_"))
+    df = QUERIES[name].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    assert plan.count("BroadcastNestedLoopJoin") == _ALLOWED_BNLJ.get(
+        prefix, 0
+    ), name
+    # column pruning: every parquet scan must declare a ReadSchema
+    scans = plan.count("FileScan parquet")
+    assert scans == plan.count("ReadSchema:"), name
+
+
 def test_gopher_quality_is_pure_map_stage(spark):
     """Every Gopher rule is a row-local array computation: the plan must
     be scan → project with zero Exchange and zero Python eval — at
