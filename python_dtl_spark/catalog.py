@@ -3073,6 +3073,97 @@ _register(
 )
 
 
+def _q_ngram_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signal: per-document share of bigram instances
+    held by the most frequent bigram (``text.ngram_dominance``, n=2 —
+    the most discriminating n on this corpus).  Two map-side-partial
+    hash aggs keyed on (doc_id, gram); nothing corpus-global, nothing
+    collected."""
+    return text.ngram_dominance(_read(spark, sf_dir, "documents"), n=2)
+
+
+_register(
+    "doc_ngram_dominance",
+    _q_ngram_dominance,
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + 1], ' ') AS g
+        FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+        WHERE len(tk) >= 2
+    ), gc AS (
+        SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+           CAST(max(cnt) AS BIGINT) AS top_count,
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_share
+    FROM gc GROUP BY doc_id
+    """,
+)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with a planted fixture: every document gets a
+    deterministic email + phone appended (the corpus itself contains
+    none), so the oracle proves both the match counts and the exact
+    redacted text (md5), not a vacuous identity pass.  The scrub is
+    row-local regexp work (``text.pii_scrub``) — zero shuffle."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(docs).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5(F.col("text").cast("binary")).alias("scrub_fp"),
+        F.length("text").cast("long").alias("n_chars_scrubbed"),
+    )
+
+
+_register(
+    "doc_pii_scrub",
+    _q_pii_scrub,
+    """
+    WITH planted AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@mail.example.com or call 555-' ||
+               lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    ), scrubbed AS (
+        SELECT doc_id,
+               len(regexp_extract_all(
+                   text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(
+                   text, '\\b555-[0-9]{3,10}\\b')) AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\b555-[0-9]{3,10}\\b', '<PHONE>', 'g') AS text
+        FROM planted
+    )
+    SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           md5(text) AS scrub_fp,
+           CAST(length(text) AS BIGINT) AS n_chars_scrubbed
+    FROM scrubbed
+    """,
+)
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation v2 composing the round-3 operators: Gopher
     quality rules → exact-substring duplication census (drop docs that

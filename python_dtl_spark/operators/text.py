@@ -478,3 +478,98 @@ def duplicated_token_windows(
             ).alias("dup_frac"),
         )
     )
+
+
+def ngram_dominance(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Per-document top n-gram dominance (the Gopher repetition signal,
+    Rae et al. 2021 §A1.1 "fraction of characters in most common
+    n-gram", measured here in n-gram occurrences): the share of a
+    document's n-gram instances held by its single most frequent
+    n-gram.  Boilerplate and machine-generated spam repeat short
+    phrases; a curation pipeline drops documents past a dominance
+    threshold.
+
+    Output: (doc_id, n_grams, top_count, top_share).
+
+    Scale shape: n-grams are built row-locally from a staged token
+    array (same clamp-and-filter sequence idiom as
+    :func:`duplicated_token_windows` — no O(n²) re-tokenization), then
+    TWO hash aggregations, both with map-side partials: (doc, gram) →
+    count, then doc → max/sum.  The shuffle key is (doc_id, gram) so
+    hot grams in ONE document do not skew a global key the way a
+    corpus-wide gram count would; nothing is collected.
+    """
+    k = F.lit(n)
+    tk = F.col("__ng_toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0))),
+        lambda i: i <= F.size(tk) - k,
+    )
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(tk, i + 1, k), " "))
+    toks_src = (
+        F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
+    )
+    per_gram = df.select(F.col(id_col), toks_src.alias("__ng_toks")).select(
+        F.col(id_col), F.explode(grams).alias("__gram")
+    )
+    gram_counts = per_gram.groupBy(id_col, "__gram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return (
+        gram_counts.groupBy(id_col)
+        .agg(
+            F.sum("__cnt").cast("long").alias("n_grams"),
+            F.max("__cnt").cast("long").alias("top_count"),
+        )
+        .withColumn(
+            "top_share",
+            F.col("top_count").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+#: scrub patterns chosen from the common subset of Java regex (Spark)
+#: and RE2 (DuckDB): character classes, alternation, bounded repeats —
+#: no backreferences or lookaround, so the oracle replays them exactly.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{3,10}\b"
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """Redact email addresses and (NANP test-prefix) phone numbers,
+    recording how many of each were found.
+
+    Adds ``n_emails`` / ``n_phones`` (match counts before redaction)
+    and replaces ``text_col`` with the scrubbed text.  Pure
+    ``regexp_extract_all`` + ``regexp_replace`` — JVM-side, row-local,
+    zero shuffle; pipelines into any scan.  Counting from the
+    pre-redaction text keeps the two columns consistent even when a
+    redaction token itself would re-match (it cannot, by construction).
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, email_token),
+        PII_PHONE_RE,
+        phone_token,
+    )
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        scrubbed.alias(text_col),
+    )

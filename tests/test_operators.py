@@ -903,3 +903,42 @@ def test_duplicated_token_windows_cross_doc_only(spark):
     # doc 4: 12 tokens -> 9 windows, all repeats are WITHIN one doc, so
     # none count as duplicated (n_docs == 1 for every fingerprint)
     assert out[4] == (9, 0)
+
+
+def test_ngram_dominance_counts_and_share(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "buy now buy now buy now today"),   # "buy now" dominates
+            (1, "a b c d e"),                        # all bigrams unique
+            (2, "solo"),                             # < n tokens: no row
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.top_count, r.top_share)
+        for r in text.ngram_dominance(docs, n=2).collect()
+    }
+    # doc 0: 6 bigrams; "buy now" occurs 3x
+    assert out[0] == (6, 3, 0.5)
+    assert out[1] == (4, 1, 0.25)
+    assert 2 not in out and 3 not in out
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@corp.example.org or 555-0100 now"),
+            (1, "no pii here"),
+            (2, "two mails a@b.io c@d.net and 555-12345 555-999"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in text.pii_scrub(docs).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 1
+    assert out[0]["text"] == "mail me at <EMAIL> or <PHONE> now"
+    assert out[1]["n_emails"] == 0 and out[1]["n_phones"] == 0
+    assert out[1]["text"] == "no pii here"
+    # 555-999 has only 3 digits — still >= {3,10} lower bound
+    assert out[2]["n_emails"] == 2 and out[2]["n_phones"] == 2
+    assert "<EMAIL>" in out[2]["text"] and "a@b.io" not in out[2]["text"]
