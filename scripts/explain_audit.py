@@ -108,10 +108,23 @@ AUDITED = {
         "on the fingerprint (map-side partial), 1:1 join-back — no "
         "per-fingerprint doc lists, flat under boilerplate skew"
     ),
+    "doc_ngram_dominance": (
+        "repetition signal: row-local n-gram build then two hash "
+        "aggregations, both with map-side partials, keyed on "
+        "(doc_id, gram) — per-document hot grams never concentrate on "
+        "a global shuffle key"
+    ),
+    "doc_pii_scrub": (
+        "redaction is regexp work in ONE codegen'd map stage — zero "
+        "Exchange, zero Python; pipelines into any scan at 100 TB"
+    ),
     "pipeline_curate_corpus": (
         "four-operator composition (gopher filter, dup census, token "
-        "count, packing) planned as one lazy DAG — semi/anti joins on "
-        "doc_id, no driver-side staging between stages"
+        "count, packing) over ONE shared tokenization: documents is "
+        "scanned once into a persisted post-filter working set "
+        "(InMemoryTableScan in every consumer branch, zero direct "
+        "re-scans — plan-asserted in test_plans.py); at 100 TB this is "
+        "one corpus pass where the naive composition took three"
     ),
 }
 

@@ -123,6 +123,178 @@ def stream_interval_probe(spark, events, factor: int, workdir: str):
     return (t1, n1, s1, tn, nn, sn)
 
 
+def rotate_vec(df, positions: int, vec_col: str = "embedding"):
+    """Rotate each embedding array by ``positions`` elements — replicas
+    get distinct but identically-distributed vectors (same norm, same
+    pairwise geometry within a replica), so ANN recall at N× is measured
+    against a genuinely N×-bigger vector population instead of N-fold
+    exact duplicates whose cosine ties make top-k ambiguous."""
+    p = positions % 64 or 1
+    v = F.col(vec_col)
+    return df.withColumn(
+        vec_col, F.concat(F.slice(v, p + 1, 64 - p), F.slice(v, 1, p))
+    )
+
+
+def ann_recall_probe(spark, embeddings, factor: int):
+    """LSH / IVF approximate top-k vs the exact cosine baseline at 1×
+    and ``factor``× corpus, reporting wall time and recall@10.
+
+    Ground truth needs findable structure: the sf embeddings are
+    near-isotropic noise (top-10 cosine ≈ 0.3-0.45), where ANY
+    sublinear ANN has low recall by construction — so each query gets
+    10 planted near-neighbors (cosine ≈ 0.999), which ARE the exact
+    top-10, and the probe measures whether they still surface as the
+    noise population grows ``factor``×.  Runtime scaling shows the
+    bucketed candidate generation stays sub-linear; recall shows
+    denser buckets don't crowd out the true neighbors — the number
+    SCALING.md was missing (runtime alone can look great while recall
+    collapses).
+    """
+    from python_dtl_spark.operators import similarity
+
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def planted_neighbors():
+        parts = []
+        for j in range(10):
+            parts.append(
+                base.filter(F.col("vec_id") < 16).select(
+                    (
+                        F.lit(10_000_000_000) + F.col("vec_id") * 100 + F.lit(j)
+                    ).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x, i: x + ((i + F.lit(j)) % 5 - 2) * F.lit(0.002),
+                    ).alias("embedding"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def corpus_at(n: int):
+        parts = []
+        for i in range(n):
+            part = base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+            )
+            parts.append(rotate_vec(part, i) if i else part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.unionByName(planted_neighbors())
+
+    queries = base.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    rows = []
+    for n in (1, factor):
+        corpus = corpus_at(n)
+        exact = similarity.cosine_topk(corpus, queries, k=10).select(
+            "query_id", "neighbor_id"
+        )
+        exact.persist()
+        n_exact = exact.count()
+        for label, approx_df in (
+            (
+                "lsh_topk",
+                similarity.lsh_bucketed_topk(
+                    corpus, queries, k=10, planes=8, multiprobe_bits=1, dim=64
+                ),
+            ),
+            (
+                "ivf_topk",
+                similarity.ivf_topk(
+                    corpus, queries, k=10, n_centroids=16, n_probe=4
+                ),
+            ),
+        ):
+            start = time.perf_counter()
+            hits = approx_df.select("query_id", "neighbor_id").join(
+                exact, on=["query_id", "neighbor_id"], how="left_semi"
+            )
+            n_hits = hits.count()
+            dt = time.perf_counter() - start
+            recall = n_hits / n_exact if n_exact else float("nan")
+            rows.append((label, n, dt, recall))
+            print(
+                f"# ann {label} {n}x: {dt:.2f}s recall@10={recall:.3f}",
+                file=sys.stderr,
+            )
+        exact.unpersist()
+    return rows
+
+
+def lineage_probe(spark, orders, factor: int, workdir: str):
+    """Traced-run cost at 1× and ``factor``× input, full snapshots vs
+    ``snapshot_levels=["EXPORT"]`` (the 100 TB valve): bytes written to
+    the trace directory and wall time.  Sampled mode's bytes should
+    stay ~flat as data grows — it writes only the narrow rid mappings
+    plus the (fixed-size) export — while full mode re-writes every
+    working table per statement."""
+    import shutil
+    import tempfile
+
+    from python_dtl_spark.lineage import FileSystemTracer, run_traced
+    from python_dtl_spark.sources import FileSystemImporter, InMemoryExporter
+
+    script = (
+        "WITH orders AS IMPORT 'orders';\n"
+        "WITH priced AS\n"
+        "    SELECT o_orderkey, o_custkey, o_totalprice\n"
+        "    FROM orders\n"
+        "    WHERE o_totalprice > 100000.0;\n"
+        "WITH by_cust AS\n"
+        "    SELECT o_custkey, count(o_orderkey) AS n_orders,\n"
+        "           sum(o_totalprice) AS total\n"
+        "    FROM priced\n"
+        "    GROUP BY o_custkey;\n"
+        "EXPORT by_cust TO 'by_cust';\n"
+    )
+
+    def dir_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for name in files:
+                total += os.path.getsize(os.path.join(root, name))
+        return total
+
+    rows = []
+    for n in (1, factor):
+        src_dir = os.path.join(workdir, f"lineage_in_{n}x")
+        ords = orders if n == 1 else replicate(
+            orders, n, ["o_orderkey", "o_custkey"]
+        )
+        ords.write.mode("overwrite").parquet(
+            os.path.join(src_dir, "orders.parquet")
+        )
+        for mode, levels in (("full", None), ("export_only", ["EXPORT"])):
+            trace_dir = tempfile.mkdtemp(prefix=f"scale_trace_{mode}_{n}x_")
+            start = time.perf_counter()
+            run_traced(
+                script,
+                spark=spark,
+                importer=FileSystemImporter(spark, src_dir),
+                exporter=InMemoryExporter(),
+                tracer=FileSystemTracer(trace_dir, snapshot_levels=levels),
+            )
+            dt = time.perf_counter() - start
+            nbytes = dir_bytes(trace_dir)
+            rows.append((mode, n, dt, nbytes))
+            print(
+                f"# lineage {mode} {n}x: {dt:.2f}s {nbytes:,} B",
+                file=sys.stderr,
+            )
+            shutil.rmtree(trace_dir, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+    return rows
+
+
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [8]
     spark = get_spark("scale-probe")
@@ -263,6 +435,36 @@ def main() -> None:
             lines.append(
                 f"| {label} | {t1:.2f}s | {n1:,} | {tn:.2f}s | {nn:,} | {ratio:.1f}× |"
             )
+
+        embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        ann_rows = ann_recall_probe(spark, embeddings, factor)
+        lines += [
+            "",
+            "ANN top-k quality under growth (recall@10 of the bucketed",
+            "candidate generators vs the exact cosine baseline over the",
+            "same corpus — runtime alone can stay flat while recall",
+            "collapses, so both are probed):",
+            "",
+            "| probe | corpus | time | recall@10 |",
+            "|---|---|---|---|",
+        ]
+        for label, n, dt, recall in ann_rows:
+            lines.append(f"| {label} | {n}× | {dt:.2f}s | {recall:.3f} |")
+
+        lin_rows = lineage_probe(spark, orders, factor, stream_workdir)
+        lines += [
+            "",
+            "Traced-run cost (trace-directory bytes + wall time), full",
+            "snapshots vs `snapshot_levels=[\"EXPORT\"]`: sampled mode",
+            "writes only the narrow (src_rid, tgt_rid) mappings plus the",
+            "fixed-size export, so its bytes grow far slower than full",
+            "mode's per-statement table copies:",
+            "",
+            "| mode | data | time | trace bytes |",
+            "|---|---|---|---|",
+        ]
+        for mode, n, dt, nbytes in lin_rows:
+            lines.append(f"| {mode} | {n}× | {dt:.2f}s | {nbytes:,} B |")
 
         t1, n1, s1, tn, nn, sn = stream_interval_probe(
             spark, events, factor, stream_workdir

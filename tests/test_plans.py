@@ -335,6 +335,30 @@ def test_gopher_quality_is_pure_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pii_scrub_is_pure_map_stage(spark):
+    """Redaction must stay a single codegen'd projection: zero
+    Exchange, zero Python eval — at 100 TB it pipelines into the scan."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_pii_scrub"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_dominance_two_partial_aggs(spark):
+    """Both aggregations (gram counts, per-doc max/sum) must have
+    map-side partials and no join at all — the operator is explode +
+    two hash aggs, nothing pairwise."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_ngram_dominance"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_curate_corpus_scans_documents_once(spark):
     """The curation pipeline tokenizes once and persists the kept
     working set, so the gopher filter, duplication census, and packing
