@@ -1494,7 +1494,31 @@ def _q_rolling_fp(spark, sf_dir):
     )
 
 
-_register("doc_rolling_fingerprint", _q_rolling_fp, None)  # xxhash64: no SQL oracle
+_register(
+    "doc_rolling_fingerprint",
+    _q_rolling_fp,
+    # same fold, replayed with list_reduce: prepending the 0 seed makes
+    # DuckDB's first-element-as-accumulator semantics match Spark's
+    # explicit zero-seeded aggregate()
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               list_prepend(CAST(0 AS BIGINT), list_transform(tk,
+                   t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+                        % 2147483647)) AS hs
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(list_reduce(hs, (a, x) -> (a * 31 + x) % 2147483647)
+                AS BIGINT) AS rolling_fp
+    FROM hashed
+    """,
+)
 
 
 def _q_dedup_exact(spark, sf_dir):

@@ -150,19 +150,25 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive rolling fingerprint over the token stream:
-    polynomial rolling hash mod 2^31-1, base 31, xxhash64 per token.
+    polynomial rolling hash mod 2^31-1, base 31; per-token hash is the
+    first 8 hex digits of md5 (< 2^32).
 
-    The modulus keeps every intermediate below 2^36, so the fold is safe
-    under Spark's default ANSI overflow checking.  Not SQL-portable
-    (xxhash64 is Spark-specific) — correctness is covered by unit tests
-    instead of the DuckDB oracle.
+    The modulus keeps every intermediate below 2^36, so the fold is
+    safe under Spark's default ANSI overflow checking.  md5 (rather
+    than the faster xxhash64) makes the whole fingerprint
+    engine-portable: DuckDB replays it exactly with list_reduce over
+    the same per-token hash, so the operator carries a full value
+    oracle instead of a rows-only check.
     """
     p = F.lit((1 << 31) - 1).cast("long")
     toks = tokens(F.col(text_col))
+    tok_hash = lambda t: F.conv(  # noqa: E731
+        F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10
+    ).cast("long") % p
     fp = F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: (acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), p)) % p,
+        lambda acc, t: (acc * F.lit(31).cast("long") + tok_hash(t)) % p,
     )
     return df.withColumn("rolling_fp", fp)
 
