@@ -759,6 +759,44 @@ _register(
     None,  # HLL++ sketch values are engine-specific — rows-only check
 )
 
+
+def _q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verifiable approximate distinct: deterministic KMV sketch
+    (``stats.kmv_distinct``) — unlike the HLL++ row above, every step
+    is elementary (md5 / k-min / max), so DuckDB replays the estimate
+    bit-for-bit and this approximate aggregate gets a full value
+    oracle."""
+    return stats.kmv_distinct(
+        _read(spark, sf_dir, "lineitem"), "l_partkey", ["l_returnflag"], k=256
+    ).orderBy("l_returnflag")
+
+
+_register(
+    "lineitem_kmv_distinct",
+    _q_kmv_distinct,
+    """
+    WITH h AS (
+        SELECT DISTINCT l_returnflag,
+               CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))
+                    AS BIGINT) AS hv
+        FROM lineitem
+    ), r AS (
+        SELECT l_returnflag, hv,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+        FROM h
+    ), kth AS (
+        SELECT l_returnflag, count(*) AS n_kept, max(hv) AS kv
+        FROM r WHERE rn <= 256 GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(CASE WHEN n_kept < 256 THEN n_kept
+                ELSE floor(CAST(255 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                           / CAST(kv AS DOUBLE))
+                END AS BIGINT) AS approx_distinct
+    FROM kth ORDER BY l_returnflag
+    """,
+)
+
 _register(
     "dtl_q18_large_orders",
     _dtl(

@@ -87,3 +87,72 @@ def rollup_agg(
     return df.rollup(*group_cols).agg(
         F.grouping_id().alias(grouping_id_col), *aggs
     )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    by: list[str],
+    k: int = 256,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Approximate distinct count per group via a deterministic KMV
+    (k-minimum-values) sketch (Bar-Yossef et al. 2002): hash every key
+    to a uniform 48-bit value, keep the k smallest DISTINCT hashes per
+    group, and estimate distinct = (k-1) / normalized k-th minimum.
+    Groups with fewer than k distinct hashes report the exact count
+    (the sketch saw everything).
+
+    Unlike HLL++ (``approx_count_distinct``), whose register layout is
+    engine-private, every step here is elementary — md5, sort, max —
+    so DuckDB replays the estimate bit-for-bit and the driver can
+    value-hash it: a *verifiable* approximate aggregate.
+
+    Scale shape: the shuffle carries (group, 48-bit hash) pairs —
+    narrow rows, map-side-deduplicated — and the k-min selection is
+    two-level: per (group, salt) bucket first (parallel across
+    ``salt_buckets`` reducers), then a final k-min over the
+    ≤ salt_buckets×k survivors, so a low-cardinality ``by`` (the
+    common case: 3 return flags over 100 TB of lineitem) never
+    funnels every distinct hash through one reducer.
+    """
+    from pyspark.sql import Window
+
+    two48 = float(1 << 48)
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    hashes = df.select(*by, h.alias("__h")).dropDuplicates([*by, "__h"])
+    w1 = Window.partitionBy(*by, F.pmod(F.col("__h"), salt_buckets)).orderBy(
+        "__h"
+    )
+    survivors = (
+        hashes.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(*by).orderBy("__h")
+    kmin = survivors.withColumn("__rn", F.row_number().over(w2)).filter(
+        F.col("__rn") <= k
+    )
+    return (
+        kmin.groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("__n_kept"),
+            F.max("__h").alias("__kth"),
+        )
+        .select(
+            *by,
+            F.when(F.col("__n_kept") < k, F.col("__n_kept").cast("long"))
+            .otherwise(
+                F.floor(
+                    F.lit(float(k - 1))
+                    * F.lit(two48)
+                    / F.col("__kth").cast("double")
+                ).cast("long")
+            )
+            .alias("approx_distinct"),
+        )
+    )

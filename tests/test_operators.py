@@ -942,3 +942,27 @@ def test_pii_scrub_redacts_and_counts(spark):
     # 555-999 has only 3 digits — still >= {3,10} lower bound
     assert out[2]["n_emails"] == 2 and out[2]["n_phones"] == 2
     assert "<EMAIL>" in out[2]["text"] and "a@b.io" not in out[2]["text"]
+
+
+def test_kmv_distinct_accuracy_and_exact_small(spark):
+    from python_dtl_spark.operators import stats
+
+    # group "big": 5000 distinct keys — estimate within ~3 std errors
+    # (1/sqrt(k) ≈ 6.25% at k=256); group "small": 100 distinct keys
+    # (< k) — exact by the sketch-saw-everything rule
+    df = spark.range(5000).selectExpr("'big' AS g", "id AS key").union(
+        spark.range(100).selectExpr("'small' AS g", "id AS key")
+    )
+    out = {
+        r.g: r.approx_distinct
+        for r in stats.kmv_distinct(df, "key", ["g"], k=256).collect()
+    }
+    assert out["small"] == 100
+    assert abs(out["big"] - 5000) / 5000 < 0.2
+    # duplicate keys must not change the estimate (hash-distinct dedup)
+    doubled = df.union(df)
+    out2 = {
+        r.g: r.approx_distinct
+        for r in stats.kmv_distinct(doubled, "key", ["g"], k=256).collect()
+    }
+    assert out2 == out
