@@ -3066,7 +3066,9 @@ _register(
         FROM aug
     ), wins AS (
         SELECT doc_id,
-               md5(array_to_string(tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 16], ' ')) AS w_hash
+               CAST(concat('0x', substr(md5(array_to_string(
+                   tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 16], ' ')), 1, 15))
+                    AS BIGINT) AS w_hash
         FROM toks, UNNEST(range(0, len(tk) - 16 + 1)) AS u(i)
     ), counts AS (
         SELECT w_hash, count(DISTINCT doc_id) AS n_docs
@@ -3312,7 +3314,9 @@ _register(
           AND ttr >= 0.3 AND top_frac <= 0.12 AND stop_hits >= 1
     ), wins AS (
         SELECT doc_id,
-               md5(array_to_string(tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 16], ' ')) AS w_hash
+               CAST(concat('0x', substr(md5(array_to_string(
+                   tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 16], ' ')), 1, 15))
+                    AS BIGINT) AS w_hash
         FROM kept, UNNEST(range(0, len(tk) - 16 + 1)) AS u(i)
     ), counts AS (
         SELECT w_hash, count(DISTINCT doc_id) AS n_docs FROM wins GROUP BY w_hash

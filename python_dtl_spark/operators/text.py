@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_dtl_spark.operators.partitioning import spread
+
 # Marker stopwords per language for the n-gram/keyword language-ID
 # heuristic.  Deterministic and intentionally simple: the score is the
 # number of marker-token occurrences; ties break by language code order.
@@ -238,7 +240,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql.functions import broadcast
 
-    toks = df.select(
+    toks = spread(df).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
@@ -441,16 +443,32 @@ def duplicated_token_windows(
         F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0))),
         lambda i: i <= F.size(tk) - k,
     )
+    # fingerprint = first 15 hex digits of md5 as a 60-bit long: the
+    # aggregation/join key is 8 bytes instead of a 32-char string —
+    # ~4× narrower shuffle rows for the census, the operator's only
+    # exchange.  Collisions at 2^60 are immaterial for a duplication
+    # census (Lee et al. use 64-bit Rabin-Karp fingerprints the same
+    # way), and DuckDB replays the truncation exactly.
     windows = F.transform(
         starts,
-        lambda i: F.md5(
-            F.array_join(F.slice(tk, i + 1, k), " ").cast("binary")
-        ),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(tk, i + 1, k), " ").cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
     )
     toks_src = (
         F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
     )
-    per_window = df.select(
+    # raw-text path: spread a narrow scan before the CPU-heavy
+    # tokenize+fingerprint map stage (no-op at real scale; a caller
+    # passing tokens_col has already chosen its partitioning)
+    src_df = df if tokens_col is not None else spread(df)
+    per_window = src_df.select(
         F.col(id_col), toks_src.alias("__dw_toks")
     ).select(F.col(id_col), F.explode(windows).alias("w_hash"))
     # fingerprint -> #distinct docs containing it (two-level agg keeps
@@ -521,7 +539,8 @@ def ngram_dominance(
     toks_src = (
         F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
     )
-    per_gram = df.select(F.col(id_col), toks_src.alias("__ng_toks")).select(
+    src_df = df if tokens_col is not None else spread(df)
+    per_gram = src_df.select(F.col(id_col), toks_src.alias("__ng_toks")).select(
         F.col(id_col), F.explode(grams).alias("__gram")
     )
     gram_counts = per_gram.groupBy(id_col, "__gram").agg(
