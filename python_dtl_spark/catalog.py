@@ -795,6 +795,7 @@ _register(
                 END AS BIGINT) AS approx_distinct
     FROM kth ORDER BY l_returnflag
     """,
+    headline=True,
 )
 
 _register(
@@ -3168,6 +3169,7 @@ _register(
            CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_share
     FROM gc GROUP BY doc_id
     """,
+    headline=True,
 )
 
 
@@ -3225,6 +3227,7 @@ _register(
            CAST(length(text) AS BIGINT) AS n_chars_scrubbed
     FROM scrubbed
     """,
+    headline=True,
 )
 
 
