@@ -335,6 +335,21 @@ def test_gopher_quality_is_pure_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_kmv_distinct_partial_window_group_limits(spark):
+    """The KMV k-min selection must prune BEFORE shuffling: Spark plans
+    each row_number()<=k filter as WindowGroupLimit Partial (map-side
+    per-partition top-k) + Final, so no reducer ever receives more than
+    k rows per (group, salt) — with the two-level salt design this
+    bounds every exchange even when `by` has 3 values over 100 TB."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["lineitem_kmv_distinct"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert plan.count("WindowGroupLimit") >= 4  # 2 windows x partial+final
+    assert ", Partial" in plan and ", Final" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pii_scrub_is_pure_map_stage(spark):
     """Redaction must stay a single codegen'd projection: zero
     Exchange, zero Python eval — at 100 TB it pipelines into the scan."""
