@@ -108,6 +108,13 @@ AUDITED = {
         "on the fingerprint (map-side partial), 1:1 join-back — no "
         "per-fingerprint doc lists, flat under boilerplate skew"
     ),
+    "lineitem_kmv_distinct": (
+        "verifiable approximate distinct: every row_number()<=k plans "
+        "as WindowGroupLimit Partial (map-side per-partition top-k) + "
+        "Final, and the two-level salt selection bounds every reducer "
+        "at k rows per (group, salt) — no distinct-hash funnel even "
+        "with 3 groups over 100 TB"
+    ),
     "doc_ngram_dominance": (
         "repetition signal: row-local n-gram build then two hash "
         "aggregations, both with map-side partials, keyed on "
