@@ -22,6 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
 from python_dtl_spark.operators import dedup  # noqa: E402
+from python_dtl_spark.operators import stats as stats_ops  # noqa: E402
 from python_dtl_spark.operators import text as text_ops  # noqa: E402
 from python_dtl_spark.session import get_spark  # noqa: E402
 
@@ -419,6 +420,28 @@ def main() -> None:
                 text_ops.duplicated_token_windows(documents, window_tokens=16),
                 text_ops.duplicated_token_windows(
                     replicate(documents, factor, ["doc_id"]), window_tokens=16
+                ),
+            ),
+            (
+                "ngram_dominance",
+                text_ops.ngram_dominance(documents, n=2),
+                text_ops.ngram_dominance(
+                    replicate(documents, factor, ["doc_id"]), n=2
+                ),
+            ),
+            (
+                # replicas shift l_partkey too, so distinct cardinality
+                # grows with the data; flat-ish time = the sketch's
+                # per-reducer work stays bounded at k rows
+                "kmv_distinct",
+                stats_ops.kmv_distinct(
+                    lineitem, "l_partkey", ["l_returnflag"], k=256
+                ),
+                stats_ops.kmv_distinct(
+                    replicate(lineitem, factor, ["l_orderkey", "l_partkey"]),
+                    "l_partkey",
+                    ["l_returnflag"],
+                    k=256,
                 ),
             ),
         ]:
