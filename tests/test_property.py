@@ -456,3 +456,88 @@ def test_duplicated_token_windows_matches_bruteforce(spark, texts, k):
         if ws
     }
     assert got == expect
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=doc_corpus, n=st.integers(min_value=2, max_value=3))
+def test_ngram_dominance_matches_bruteforce(spark, texts, n):
+    from collections import Counter
+
+    from python_dtl_spark.operators.text import ngram_dominance
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.top_count)
+        for r in ngram_dominance(docs, n=n).collect()
+    }
+    expect = {}
+    for i, text in enumerate(texts):
+        toks = text.split()
+        grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        if grams:
+            c = Counter(grams)
+            expect[i] = (len(grams), max(c.values()))
+    assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=200), min_size=1, max_size=120
+    ),
+    k=st.sampled_from([16, 64]),
+)
+def test_kmv_distinct_exact_below_k_and_bounded_error(spark, keys, k):
+    from python_dtl_spark.operators import stats
+
+    df = spark.createDataFrame([("g", x) for x in keys], "g string, key long")
+    n_true = len(set(keys))
+    [row] = stats.kmv_distinct(df, "key", ["g"], k=k).collect()
+    if n_true < k:
+        # sketch saw every distinct hash: exact by construction
+        assert row.approx_distinct == n_true
+    else:
+        # KMV relative error concentrates around 1/sqrt(k); allow a
+        # generous 6/sqrt(k) so the test never flakes on the
+        # deterministic md5 "draw" for a given key set
+        assert abs(row.approx_distinct - n_true) <= max(3, 6 * n_true / (k ** 0.5))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "x1", "contact", "now"]),
+        min_size=0,
+        max_size=6,
+    ),
+    emails=st.integers(min_value=0, max_value=3),
+    phones=st.integers(min_value=0, max_value=3),
+)
+def test_pii_scrub_counts_match_injections(spark, words, emails, phones):
+    from python_dtl_spark.operators.text import pii_scrub
+
+    parts = list(words)
+    parts += [f"user{i}@host{i}.example.com" for i in range(emails)]
+    parts += [f"555-{1000 + i}" for i in range(phones)]
+    text = " ".join(parts)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    [row] = pii_scrub(df).collect()
+    assert row.n_emails == emails
+    assert row.n_phones == phones
+    assert "@" not in row.text or emails == 0
+    assert row.text.count("<EMAIL>") == emails
+    assert row.text.count("<PHONE>") == phones
