@@ -335,6 +335,21 @@ def test_gopher_quality_is_pure_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ann_topk_is_bucketed_equi_join(spark):
+    """Both approximate top-k paths must join candidates through a
+    bucket/centroid equi-key (hash join), never a nested loop over the
+    corpus — the whole point of LSH/IVF is to avoid the all-pairs
+    scan, and only the equi-join form preserves that at 100 TB."""
+    from python_dtl_spark.catalog import QUERIES
+
+    for name in ("similarity_topk_lsh", "similarity_topk_ivf"):
+        df = QUERIES[name].fn(spark, SF)
+        plan = _exec_plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan, name
+
+
 def test_kmv_distinct_partial_window_group_limits(spark):
     """The KMV k-min selection must prune BEFORE shuffling: Spark plans
     each row_number()<=k filter as WindowGroupLimit Partial (map-side
