@@ -2042,6 +2042,66 @@ def _q_topk_ivf(spark, sf_dir):
 _register("similarity_topk_ivf", _q_topk_ivf, _ANN_PLANTED_ORACLE)
 
 
+def _q_topk_quantized(spark, sf_dir):
+    """Two-stage flat-index ANN (int8 candidate scan + exact rescore,
+    ``similarity.quantized_topk``).  Every stage is deterministic —
+    integer dot products, fixed tie-breaks — so unlike LSH/IVF this
+    approximate path is value-oracled on the REAL corpus, not a
+    planted fixture."""
+    corpus = _read(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.quantized_topk(
+        corpus, queries, k=10, rescore_factor=4
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+_register(
+    "similarity_topk_quantized",
+    _q_topk_quantized,
+    """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), st AS (
+        SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v
+    ), qz AS (
+        SELECT vec_id, e,
+               CASE WHEN m = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(e,
+                        x -> CAST(round(x * 127.0 / m) AS BIGINT))
+               END AS qv,
+               m / 127.0 AS s
+        FROM st
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe, qv AS qqv, s AS qs
+        FROM qz WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.e AS ce, q.qe AS qe2,
+               CAST(list_dot_product(CAST(c.qv AS DOUBLE[]),
+                                     CAST(q.qqv AS DOUBLE[])) AS DOUBLE)
+                   * c.s * q.qs AS approx
+        FROM qz c, q WHERE c.vec_id <> q.query_id
+    ), cand AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY approx DESC, neighbor_id
+        ) AS arank
+        FROM scored
+    ), rescored AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(ce, qe2) DESC, neighbor_id
+               ) AS rank
+        FROM cand WHERE arank <= 40
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM rescored WHERE rank <= 10
+    """,
+    headline=True,
+)
+
+
 def _q_tumbling(spark, sf_dir):
     return tumbling_event_stats(_read_events(spark, sf_dir), "1 hour")
 

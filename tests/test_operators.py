@@ -966,3 +966,28 @@ def test_kmv_distinct_accuracy_and_exact_small(spark):
         for r in stats.kmv_distinct(doubled, "key", ["g"], k=256).collect()
     }
     assert out2 == out
+
+
+def test_quantized_topk_matches_exact_on_fixture(spark, embeddings):
+    queries = embeddings.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk(embeddings, queries, k=3).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.quantized_topk(
+            embeddings, queries, k=3, rescore_factor=2
+        ).collect()
+    }
+    assert got == exact  # int8 candidates + exact rescore recover the truth
+
+
+def test_quantized_topk_broadcast_guard(spark, embeddings):
+    queries = embeddings.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="MAX_BROADCAST_QUERIES"):
+        similarity.quantized_topk(
+            embeddings, queries, num_queries=1_000_000
+        )
