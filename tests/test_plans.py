@@ -350,6 +350,22 @@ def test_ann_topk_is_bucketed_equi_join(spark):
         assert "EvalPython" not in plan, name
 
 
+def test_quantized_topk_broadcast_scan_with_pruned_ranks(spark):
+    """The quantized path is a DELIBERATE broadcast scan (exactly one
+    BroadcastNestedLoopJoin, guarded by MAX_BROADCAST_QUERIES — same
+    contract as cosine_topk), with WindowGroupLimit pruning both rank
+    stages map-side so no reducer sees more than k×factor candidates
+    per query."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["similarity_topk_quantized"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("WindowGroupLimit") >= 2
+
+
 def test_kmv_distinct_partial_window_group_limits(spark):
     """The KMV k-min selection must prune BEFORE shuffling: Spark plans
     each row_number()<=k filter as WindowGroupLimit Partial (map-side
