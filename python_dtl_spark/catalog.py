@@ -2444,6 +2444,56 @@ _register(
 )
 
 
+def _q_resample_ffill(spark, sf_dir):
+    """Daily per-user resample with forward fill (gapfill + locf,
+    ``windows.resample_ffill``): last observation per (user, day)
+    picked deterministically by (event time, event_id); missing days
+    generated and filled from the most recent earlier value.  Values
+    are moved, never recomputed — hash-exact across engines."""
+    return windows.resample_ffill(
+        _read_events(spark, sf_dir),
+        group_cols=["user_id"],
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        step_seconds=86400,
+    )
+
+
+_register(
+    "events_resample_ffill",
+    _q_resample_ffill,
+    """
+    WITH e AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
+                    AS BIGINT) AS bucket
+        FROM events
+    ), p AS (
+        SELECT user_id, bucket,
+               max(struct_pack(t := epoch_us(ts), tb := event_id, v := value))
+                   AS pk
+        FROM e GROUP BY 1, 2
+    ), o AS (
+        SELECT user_id, bucket, pk.v AS obs FROM p
+    ), s AS (
+        SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM o GROUP BY 1
+    ), g AS (
+        SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM s
+    ), j AS (
+        SELECT g.user_id, g.bucket, o.obs FROM g LEFT JOIN o USING (user_id, bucket)
+    )
+    SELECT user_id, make_timestamp(bucket * 86400000000) AS bucket_start,
+           last_value(obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           obs IS NOT NULL AS observed
+    FROM j
+    """,
+    headline=True,
+)
+
+
 def _q_interval_join(spark, sf_dir):
     """Click-to-purchase attribution: each purchase matched to the
     clicks of the same user within the preceding 4 hours — the

@@ -115,3 +115,70 @@ def event_deltas(
     return staged.withColumn(
         out_col, F.col("__ts_num") - prev
     ).drop("__ts_num")
+
+
+def resample_ffill(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    step_seconds: int,
+    max_buckets: int = 1_000_000,
+) -> DataFrame:
+    """Resample each group's series onto a regular ``step_seconds``
+    grid and forward-fill gaps — the hypertable `time_bucket_gapfill +
+    locf` operation.
+
+    Per (group, bucket) the LAST observation wins, chosen
+    deterministically by (event time, ``tiebreak_col``) so engines
+    agree on ties; missing buckets between a group's first and last
+    observation are generated and filled with the most recent earlier
+    value.  Output: group cols, ``bucket_start`` (timestamp), ``value``
+    (forward-filled), ``observed`` (false for gap-filled rows).
+
+    Values are moved, never recomputed — no float arithmetic — so the
+    output is hash-exact across engines.
+
+    Scale shape: one hash aggregation to (group, bucket), a row-local
+    ``sequence`` explode for the grid (bounded by ``max_buckets`` per
+    group — a guard against a stray 1970 timestamp exploding the
+    grid), and one window for the fill: the same single-shuffle
+    pattern as sessionize, partitioned by group.
+    """
+    b = F.floor(epoch_micros(F.col(ts_col)) / F.lit(step_seconds * 1_000_000))
+    picked = F.max(
+        F.struct(
+            epoch_micros(F.col(ts_col)).alias("__t"),
+            F.col(tiebreak_col).alias("__tb"),
+            F.col(value_col).alias("__v"),
+        )
+    )
+    buckets = (
+        df.select(*group_cols, b.alias("__bucket"), F.col(ts_col), F.col(tiebreak_col), F.col(value_col))
+        .groupBy(*group_cols, "__bucket")
+        .agg(picked.alias("__pick"))
+        .select(*group_cols, "__bucket", F.col("__pick.__v").alias("__obs"))
+    )
+    spans = buckets.groupBy(*group_cols).agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    guarded = spans.filter((F.col("__hi") - F.col("__lo")) < max_buckets)
+    grid = guarded.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__bucket"),
+    )
+    joined = grid.join(buckets, on=[*group_cols, "__bucket"], how="left")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        *group_cols,
+        F.timestamp_micros(
+            F.col("__bucket") * F.lit(step_seconds * 1_000_000)
+        ).alias("bucket_start"),
+        F.last("__obs", ignorenulls=True).over(w).alias("value"),
+        F.col("__obs").isNotNull().alias("observed"),
+    )

@@ -991,3 +991,34 @@ def test_quantized_topk_broadcast_guard(spark, embeddings):
         similarity.quantized_topk(
             embeddings, queries, num_queries=1_000_000
         )
+
+
+def test_resample_ffill_gapfill_and_tiebreak(spark):
+    from datetime import datetime
+
+    from python_dtl_spark.operators.windows import resample_ffill
+
+    rows = [
+        # user 1: days 0 and 3 observed -> days 1,2 gap-filled with 10.0
+        (1, datetime(2024, 1, 1, 5), 100, 10.0),
+        (1, datetime(2024, 1, 4, 5), 101, 40.0),
+        # same-bucket tie: later ts wins; equal ts -> higher event_id
+        (2, datetime(2024, 1, 1, 1), 200, 1.0),
+        (2, datetime(2024, 1, 1, 9), 201, 2.0),
+        (2, datetime(2024, 1, 1, 9), 202, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {
+        (r.user_id, r.bucket_start.day): (r.value, r.observed)
+        for r in resample_ffill(
+            df, ["user_id"], "ts", "value", "event_id", 86400
+        ).collect()
+    }
+    assert out[(1, 1)] == (10.0, True)
+    assert out[(1, 2)] == (10.0, False)   # gap-filled
+    assert out[(1, 3)] == (10.0, False)   # gap-filled
+    assert out[(1, 4)] == (40.0, True)
+    assert out[(2, 1)] == (3.0, True)     # latest ts, event_id tiebreak
+    assert len(out) == 5
