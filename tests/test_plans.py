@@ -199,6 +199,41 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_partitioned_import_prunes_partitions(spark, tmp_path):
+    """A DTL WHERE on a hive-partitioned dataset must become a
+    PartitionFilter — at 100 TB partition pruning is the difference
+    between scanning one directory and scanning the lake.  The
+    importer reads <name>.parquet paths, which may be partitioned
+    directories; the pruning must survive the whole DTL pipeline
+    (lexer → compiler → Catalyst)."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("p"), (F.col("id") % 4).cast("string")).alias("part"),
+    )
+    src.write.partitionBy("part").mode("overwrite").parquet(
+        str(tmp_path / "tbl.parquet")
+    )
+    engine = Engine(
+        spark, FileSystemImporter(spark, str(tmp_path)), ordered=False
+    )
+    exports = dict(
+        engine.run_script(
+            """
+            WITH tbl AS IMPORT 'tbl';
+            WITH output AS SELECT k FROM tbl WHERE part = 'p2';
+            EXPORT output TO 'output';
+            """
+        )
+    )
+    df = exports["output"].public_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "part#" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert df.count() == 250
+
+
 def test_q8_all_dimensions_broadcast(spark):
     from python_dtl_spark.catalog import QUERIES
 
