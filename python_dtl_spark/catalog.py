@@ -3464,6 +3464,87 @@ _register(
 )
 
 
+def _q_pipeline_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup deduplication: MinHash-LSH candidate pairs
+    (exact-Jaccard verified) → keep-one connected components → corpus
+    summary of the kept documents per source.  Composes the full M6
+    near-dup stack through one lazy DAG; the oracle replays components
+    with a recursive transitive closure over the exact-Jaccard edge
+    set (sound because LSH pair recall is exactly 1 on this corpus —
+    same subset+equal-count argument as dedup_minhash_lsh)."""
+    docs = _read(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=32, bands=16, threshold=0.3
+    )
+    labeled = dedup.keep_one_from_pairs(
+        docs.select("doc_id"), pairs, id_col="doc_id"
+    )
+    kept = docs.join(
+        labeled.filter(F.col("keep")).select("doc_id"), on="doc_id", how="left_semi"
+    )
+    out = (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("n_chars_kept"),
+        )
+        .orderBy("source")
+    )
+    return dedup._release_after(out, labeled)
+
+
+_register(
+    "pipeline_dedup_corpus",
+    _q_pipeline_dedup,
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]
+                 ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks
+    ), ex AS (
+        SELECT doc_id, unnest(s) AS f FROM sh
+    ), sz AS (
+        SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM sh
+    ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), jac AS (
+        SELECT id_a, id_b
+        FROM common
+        JOIN sz sa ON common.id_a = sa.doc_id
+        JOIN sz sb ON common.id_b = sb.doc_id
+        WHERE common / (sa.sz + sb.sz - common) >= 0.3
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM jac
+        UNION ALL
+        SELECT id_b, id_a FROM jac
+    ), reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+        SELECT a AS doc_id, min(b) AS cl FROM reach GROUP BY a
+    ), keep AS (
+        SELECT doc_id FROM labels WHERE doc_id = cl
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars_kept
+    FROM documents d JOIN keep USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """,
+    headline=True,
+)
+
+
 # ---------------------------------------------------------------------------
 # Group H — TPC-H completion (q2/q11/q16/q19/q20/q21/q22 shapes)
 # ---------------------------------------------------------------------------
