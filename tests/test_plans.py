@@ -477,3 +477,36 @@ def test_dup_windows_single_fingerprint_aggregation(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_finalmerge" in plan.lower() or "HashAggregate" in plan
+
+
+def test_partitioned_export_roundtrip_prunes(spark, tmp_path):
+    """FileSystemExporter(partition_by=...) writes hive layout; a DTL
+    re-import with a WHERE on the partition column prunes at the scan
+    — the write-side half of the partition-pruning contract."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.sources import FileSystemExporter
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("shard"),
+    )
+    FileSystemExporter(str(tmp_path), partition_by=["shard"]).export_table(
+        "tbl", df
+    )
+    engine = Engine(
+        spark, FileSystemImporter(spark, str(tmp_path)), ordered=False
+    )
+    exports = dict(
+        engine.run_script(
+            """
+            WITH tbl AS IMPORT 'tbl';
+            WITH output AS SELECT k FROM tbl WHERE shard = 's1';
+            EXPORT output TO 'output';
+            """
+        )
+    )
+    out = exports["output"].public_df()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert out.count() == 100
