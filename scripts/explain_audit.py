@@ -108,6 +108,24 @@ AUDITED = {
         "on the fingerprint (map-side partial), 1:1 join-back — no "
         "per-fingerprint doc lists, flat under boilerplate skew"
     ),
+    "similarity_topk_quantized": (
+        "two-stage flat-index ANN: deliberate single broadcast scan "
+        "(int8 dots, MAX_BROADCAST_QUERIES-guarded) with "
+        "WindowGroupLimit pruning both rank stages map-side — exact "
+        "double math touches only k*factor candidates per query"
+    ),
+    "events_resample_ffill": (
+        "gapfill+locf: one hash agg to (group, bucket), row-local "
+        "sequence explode for the grid, one fill window — the "
+        "sessionize single-shuffle shape; values moved, never "
+        "recomputed"
+    ),
+    "pipeline_dedup_corpus": (
+        "near-dup stack composed end-to-end: banded LSH candidate "
+        "join, exact-Jaccard verify, iterative min-label components "
+        "(plan-truncated per round), per-source rollup — no all-pairs "
+        "stage anywhere"
+    ),
     "lineitem_kmv_distinct": (
         "verifiable approximate distinct: every row_number()<=k plans "
         "as WindowGroupLimit Partial (map-side per-partition top-k) + "
