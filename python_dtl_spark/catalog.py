@@ -1931,6 +1931,51 @@ _register(
 )
 
 
+def _q_random_projection(spark, sf_dir):
+    """Seeded Rademacher JL projection (``embeddings.random_projection``,
+    Achlioptas 2003): 64 → 16 dims as a pure row-local map with the
+    matrix compiled into the plan.  ±2⁻²-scaled entries keep products
+    exact in double, so the oracle (same literal matrix inlined)
+    hash-matches bit-for-bit."""
+    # scalar projections of the projected vector (the comparator does
+    # not hash array columns): three components + the extrema pin the
+    # whole projection bit-for-bit
+    rp = F.col("embedding_rp")
+    return embeddings_ops.random_projection(
+        _read(spark, sf_dir, "embeddings"), dim=64, out_dim=16, seed=7
+    ).select(
+        "vec_id",
+        rp[0].alias("rp_c0"),
+        rp[7].alias("rp_c7"),
+        rp[15].alias("rp_c15"),
+        F.array_min(rp).alias("rp_min"),
+        F.array_max(rp).alias("rp_max"),
+    )
+
+
+def _rp_oracle() -> str:
+    from python_dtl_spark.operators.embeddings import projection_matrix
+
+    rows = projection_matrix(64, 16, 7)
+    comps = ",\n           ".join(
+        "list_dot_product(e, [" + ", ".join(repr(x) for x in row) + "])"
+        for row in rows
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), p AS (
+        SELECT vec_id, [{comps}] AS rp FROM v
+    )
+    SELECT vec_id, rp[1] AS rp_c0, rp[8] AS rp_c7, rp[16] AS rp_c15,
+           list_min(rp) AS rp_min, list_max(rp) AS rp_max
+    FROM p
+    """
+
+
+_register("embed_random_projection", _q_random_projection, _rp_oracle())
+
+
 def _q_topk(spark, sf_dir):
     corpus = _read(spark, sf_dir, "embeddings")
     queries = corpus.filter(F.col("vec_id") < 8).select(

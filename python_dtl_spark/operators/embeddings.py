@@ -70,3 +70,55 @@ def quantize_int8(
     )
     scale = F.when(max_abs == 0.0, F.lit(0.0)).otherwise(max_abs / F.lit(127.0))
     return df.withColumn(out_col, q).withColumn(scale_col, scale)
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_rp",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a seeded
+    Rademacher (±1/√out_dim) matrix (Achlioptas 2003, "Database-friendly
+    random projections") — the standard cheap projection before ANN
+    when the embedding dimension is larger than the search needs.
+
+    The matrix is generated driver-side from ``seed`` and compiled into
+    the plan as literals (out_dim × dim doubles — a few KB), so the
+    operator is a pure row-local map: no shuffle, no Python, no model
+    state.  ±1-scaled entries keep every product exact in double, and
+    the sequential ``aggregate`` fold is bit-identical to DuckDB's
+    ``list_dot_product``, so projections are hash-exact cross-engine.
+    """
+    rows = projection_matrix(dim, out_dim, seed)
+    v = F.col(vec_col)
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(x) for x in row]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for row in rows
+    ]
+    return df.withColumn(out_col, F.array(*comps))
+
+
+def projection_matrix(
+    dim: int, out_dim: int, seed: int
+) -> list[list[float]]:
+    """The seeded Rademacher projection matrix (shared with the SQL
+    oracle, which inlines the same literals)."""
+    import random
+
+    rng = random.Random(seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    return [
+        [scale if rng.random() < 0.5 else -scale for _ in range(dim)]
+        for _ in range(out_dim)
+    ]

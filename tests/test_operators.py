@@ -1022,3 +1022,37 @@ def test_resample_ffill_gapfill_and_tiebreak(spark):
     assert out[(1, 4)] == (40.0, True)
     assert out[(2, 1)] == (3.0, True)     # latest ts, event_id tiebreak
     assert len(out) == 5
+
+
+def test_random_projection_preserves_distances(spark):
+    import math
+    import random
+
+    from python_dtl_spark.operators.embeddings import random_projection
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.vec_id: r.embedding_rp
+        for r in random_projection(df, dim=64, out_dim=16, seed=7).collect()
+    }
+    assert all(len(v) == 16 for v in out.values())
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    orig = {i: dict(rows)[i] for i in range(20)}
+    # JL with 16 dims is crude; just require every pairwise distance
+    # ratio to stay within a loose [0.4, 1.9] band — catches sign or
+    # scale bugs without flaking on the fixed seed
+    for i in range(0, 6):
+        for j in range(i + 1, 6):
+            ratio = d(out[i], out[j]) / d(orig[i], orig[j])
+            assert 0.4 < ratio < 1.9, (i, j, ratio)
+    # deterministic: same seed, same projection
+    again = {
+        r.vec_id: r.embedding_rp
+        for r in random_projection(df, dim=64, out_dim=16, seed=7).collect()
+    }
+    assert again == out
