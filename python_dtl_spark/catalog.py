@@ -1976,6 +1976,61 @@ def _rp_oracle() -> str:
 _register("embed_random_projection", _q_random_projection, _rp_oracle())
 
 
+def _q_topk_projected(spark, sf_dir):
+    """Coarse search in the JL-projected space + exact full-dim rescore
+    (``similarity.projected_topk``): deterministic end to end, so
+    value-oracled on the real corpus like the quantized path."""
+    corpus = _read(spark, sf_dir, "embeddings")
+    queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.projected_topk(
+        corpus, queries, k=10, rescore_factor=4
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _projected_topk_oracle() -> str:
+    from python_dtl_spark.operators.embeddings import projection_matrix
+
+    rows = projection_matrix(64, 16, 7)
+    comps = ",\n               ".join(
+        "list_dot_product(e, [" + ", ".join(repr(x) for x in row) + "])"
+        for row in rows
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), p AS (
+        SELECT vec_id, e, [{comps}] AS rp FROM v
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe, rp AS qrp FROM p WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.e AS ce, q.qe AS qe2,
+               list_dot_product(c.rp, q.qrp) AS coarse
+        FROM p c, q WHERE c.vec_id <> q.query_id
+    ), cand AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY coarse DESC, neighbor_id
+        ) AS crank
+        FROM scored
+    ), rescored AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(ce, qe2) DESC, neighbor_id
+               ) AS rank
+        FROM cand WHERE crank <= 40
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM rescored WHERE rank <= 10
+    """
+
+
+_register(
+    "similarity_topk_projected", _q_topk_projected, _projected_topk_oracle()
+)
+
+
 def _q_topk(spark, sf_dir):
     corpus = _read(spark, sf_dir, "embeddings")
     queries = corpus.filter(F.col("vec_id") < 8).select(

@@ -403,3 +403,77 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def projected_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rescore_factor: int = 4,
+    proj_dim: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    num_queries: int | None = None,
+) -> DataFrame:
+    """Coarse search in a JL-projected space, exact full-dim rescore.
+
+    The dimension-reduction analogue of :func:`quantized_topk`:
+    stage 1 scores candidates with ``proj_dim``-dim dot products over
+    :func:`~python_dtl_spark.operators.embeddings.random_projection`
+    vectors (4× less arithmetic at 64→16), stage 2 rescores the top
+    ``k × rescore_factor`` with exact full-dimension cosine.  Both the
+    projection (literal seeded matrix) and the tie-breaks are
+    deterministic, so the operator is value-oracled on any corpus.
+    Same broadcast contract and output schema as :func:`cosine_topk`
+    (query_id, neighbor_id, rank).
+    """
+    from python_dtl_spark.operators.embeddings import random_projection
+
+    if num_queries is not None and num_queries > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"projected_topk broadcasts the query set to every executor; "
+            f"{num_queries} queries exceeds MAX_BROADCAST_QUERIES="
+            f"{MAX_BROADCAST_QUERIES}. Use lsh_bucketed_topk or ivf_topk "
+            f"for large query sets."
+        )
+
+    def staged(df, idc, id_alias, prefix):
+        proj = random_projection(
+            df, vec_col=vec_col, out_col="__rp", dim=dim, out_dim=proj_dim,
+            seed=seed,
+        )
+        return proj.select(
+            F.col(idc).alias(id_alias),
+            _to_double(F.col(vec_col)).alias(f"{prefix}v"),
+            F.col("__rp").alias(f"{prefix}p"),
+        )
+
+    c = staged(_spread(corpus), id_col, "neighbor_id", "__c")
+    q = staged(queries, query_id_col, "query_id", "__q")
+    joined = c.join(broadcast(q), how="cross").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    coarse = _dot(F.col("__cp"), F.col("__qp"))
+    w_coarse = Window.partitionBy("query_id").orderBy(
+        F.desc("__coarse"), F.asc("neighbor_id")
+    )
+    candidates = (
+        joined.withColumn("__coarse", coarse)
+        .withColumn("__crank", F.row_number().over(w_coarse))
+        .filter(F.col("__crank") <= k * rescore_factor)
+    )
+    cosine = _dot(F.col("__cv"), F.col("__qv")) / (
+        _norm(F.col("__cv")) * _norm(F.col("__qv"))
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("__cos"), F.asc("neighbor_id")
+    )
+    return (
+        candidates.withColumn("__cos", cosine)
+        .withColumn("rank", F.row_number().over(w_exact))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

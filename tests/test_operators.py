@@ -1056,3 +1056,34 @@ def test_random_projection_preserves_distances(spark):
         for r in random_projection(df, dim=64, out_dim=16, seed=7).collect()
     }
     assert again == out
+
+
+def test_projected_topk_matches_exact_on_fixture(spark):
+    import random
+
+    from python_dtl_spark.operators import similarity
+
+    # clustered corpus: projections preserve the cluster gaps, so
+    # coarse candidates contain the true neighbors and the exact
+    # rescore recovers the exact top-k
+    rng = random.Random(11)
+    centers = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    rows = [
+        (i, [c + rng.gauss(0, 0.05) for c in centers[i % 4]])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.cosine_topk(df, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.projected_topk(
+            df, queries, k=5, rescore_factor=4
+        ).collect()
+    }
+    assert got == exact
