@@ -4132,17 +4132,17 @@ def _correctness_history() -> dict[str, tuple[int, int]]:
     return hist
 
 
-# Queries whose implementation changed materially since their last green
-# driver row: forced to the front of the window (alongside
-# never-verified entries) so the next CORRECTNESS run re-proves them.
-# Prune an entry once a fresh driver row lands.  Current entries are
-# the round-6 changes: census fingerprint narrowed to a 60-bit key
-# (doc_dup_windows + the curate pipeline that embeds it) and the
-# spread() added to the tfidf scan.
-_CHANGED_SINCE_LAST_CHECK = {
-    "doc_dup_windows",
-    "pipeline_curate_corpus",
-    "doc_tfidf_top_terms",
+# Queries whose implementation changed materially, keyed by the round
+# the change landed: forced to the front of the window (alongside
+# never-verified entries) until a driver row from a LATER round goes
+# green, at which point the override expires automatically — no manual
+# pruning.  Current entries are the round-6 changes: census fingerprint
+# narrowed to a 60-bit key (doc_dup_windows + the curate pipeline that
+# embeds it) and the spread() added to the tfidf scan.
+_CHANGED_IN_ROUND = {
+    "doc_dup_windows": 6,
+    "pipeline_curate_corpus": 6,
+    "doc_tfidf_top_terms": 6,
 }
 
 
@@ -4154,9 +4154,10 @@ def _apply_driver_order() -> None:
     def staleness(name: str) -> tuple[int, int, int]:
         checked, passed = hist.get(name, (0, 0))
         freshness = passed if QUERIES[name].oracle is not None else checked
-        if name in _CHANGED_SINCE_LAST_CHECK:
-            # re-verify regardless of history; ``checked`` still ranks
-            # these behind genuinely never-checked queries
+        if passed < _CHANGED_IN_ROUND.get(name, 0):
+            # changed after its last green row: re-verify regardless of
+            # history; ``checked`` still ranks these behind genuinely
+            # never-checked queries
             freshness = 0
         # Secondary ``checked``: among never-hash-passed oracle-backed
         # queries, brand-new ones outrank ones with rows-only history.

@@ -40,11 +40,11 @@ def test_window_holds_least_verified_queries():
     hist = _correctness_history()
 
     def freshness(name: str) -> int:
-        from python_dtl_spark.catalog import _CHANGED_SINCE_LAST_CHECK
+        from python_dtl_spark.catalog import _CHANGED_IN_ROUND
 
-        if name in _CHANGED_SINCE_LAST_CHECK:
-            return 0  # forced re-verification after an implementation change
         checked, passed = hist.get(name, (0, 0))
+        if passed < _CHANGED_IN_ROUND.get(name, 0):
+            return 0  # forced re-verification after an implementation change
         return passed if QUERIES[name].oracle is not None else checked
 
     names = list(QUERIES)
@@ -60,11 +60,11 @@ def test_never_verified_queries_lead_the_window():
     hist = _correctness_history()
 
     def freshness(name: str) -> int:
-        from python_dtl_spark.catalog import _CHANGED_SINCE_LAST_CHECK
+        from python_dtl_spark.catalog import _CHANGED_IN_ROUND
 
-        if name in _CHANGED_SINCE_LAST_CHECK:
-            return 0  # forced re-verification after an implementation change
         checked, passed = hist.get(name, (0, 0))
+        if passed < _CHANGED_IN_ROUND.get(name, 0):
+            return 0  # forced re-verification after an implementation change
         return passed if QUERIES[name].oracle is not None else checked
 
     names = list(QUERIES)
