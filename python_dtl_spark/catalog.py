@@ -2027,7 +2027,10 @@ def _projected_topk_oracle() -> str:
 
 
 _register(
-    "similarity_topk_projected", _q_topk_projected, _projected_topk_oracle()
+    "similarity_topk_projected",
+    _q_topk_projected,
+    _projected_topk_oracle(),
+    headline=True,
 )
 
 
