@@ -780,6 +780,7 @@ _register(
                CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 12))
                     AS BIGINT) AS hv
         FROM lineitem
+        WHERE l_partkey IS NOT NULL
     ), r AS (
         SELECT l_returnflag, hv,
                row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
@@ -2582,7 +2583,14 @@ _register(
     ), s AS (
         SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM o GROUP BY 1
     ), g AS (
-        SELECT user_id, unnest(range(lo, hi + 1)) AS bucket FROM s
+        -- mirror of the max_buckets=1000000 guard: in-span groups get
+        -- the generated grid, over-span groups emit observed buckets
+        -- only (never gap-filled, never dropped)
+        SELECT user_id, unnest(range(lo, hi + 1)) AS bucket
+        FROM s WHERE hi - lo < 1000000
+        UNION ALL
+        SELECT o.user_id, o.bucket
+        FROM o JOIN s USING (user_id) WHERE s.hi - s.lo >= 1000000
     ), j AS (
         SELECT g.user_id, g.bucket, o.obs FROM g LEFT JOIN o USING (user_id, bucket)
     )
@@ -3390,15 +3398,25 @@ def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction with a planted fixture: every document gets a
     deterministic email + phone appended (the corpus itself contains
     none), so the oracle proves both the match counts and the exact
-    redacted text (md5), not a vacuous identity pass.  The scrub is
-    row-local regexp work (``text.pii_scrub``) — zero shuffle."""
+    redacted text (md5), not a vacuous identity pass.  The planted
+    email is MIXED-case (round-7 ADVICE: the patterns are (?i) and the
+    fixture must exercise that) — odd doc_ids get an upper-cased
+    local-part and domain, even ones stay lowercase, so both branches
+    are represented in every run.  The scrub is row-local regexp work
+    (``text.pii_scrub``) — zero shuffle."""
+    local = F.concat(F.lit("user"), F.col("doc_id").cast("string"))
+    domain = F.lit("@mail.example.com")
+    email = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.upper(local), F.lit("@Mail.Example.COM")),
+    ).otherwise(F.concat(local, domain))
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(
             F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@mail.example.com or call 555-"),
+            F.lit(" contact "),
+            email,
+            F.lit(" or call 555-"),
             F.lpad((F.col("doc_id") % 1000).cast("string"), 4, "0"),
         ).alias("text"),
     )
@@ -3417,19 +3435,24 @@ _register(
     """
     WITH planted AS (
         SELECT doc_id,
-               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-               '@mail.example.com or call 555-' ||
+               text || ' contact ' ||
+               CASE WHEN doc_id % 2 = 1
+                    THEN upper('user' || CAST(doc_id AS VARCHAR)) ||
+                         '@Mail.Example.COM'
+                    ELSE 'user' || CAST(doc_id AS VARCHAR) ||
+                         '@mail.example.com' END ||
+               ' or call 555-' ||
                lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') AS text
         FROM documents
     ), scrubbed AS (
         SELECT doc_id,
                len(regexp_extract_all(
-                   text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+                   text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
                len(regexp_extract_all(
                    text, '\\b555-[0-9]{3,10}\\b')) AS n_phones,
                regexp_replace(
                    regexp_replace(
-                       text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                       text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
                        '<EMAIL>', 'g'),
                    '\\b555-[0-9]{3,10}\\b', '<PHONE>', 'g') AS text
         FROM planted
@@ -4139,13 +4162,23 @@ def _correctness_history() -> dict[str, tuple[int, int]]:
 # the change landed: forced to the front of the window (alongside
 # never-verified entries) until a driver row from a LATER round goes
 # green, at which point the override expires automatically — no manual
-# pruning.  Current entries are the round-6 changes: census fingerprint
-# narrowed to a 60-bit key (doc_dup_windows + the curate pipeline that
-# embeds it) and the spread() added to the tfidf scan.
+# pruning.  (A green row from the change round itself does NOT expire
+# the override: it may have been recorded before the change landed —
+# the `passed <= round` comparison below encodes exactly that.)
+# Current entries are the round-7 changes: PII patterns made
+# case-insensitive with a mixed-case fixture, the resample guard now
+# emits observed buckets for over-span groups, KMV filters NULL keys,
+# random_projection gained the dim guard (plan changed, values did
+# not), and both two-stage top-k paths restructured to rejoin full
+# vectors at rescore.
 _CHANGED_IN_ROUND = {
-    "doc_dup_windows": 6,
-    "pipeline_curate_corpus": 6,
-    "doc_tfidf_top_terms": 6,
+    "doc_pii_scrub": 7,
+    "events_resample_ffill": 7,
+    "lineitem_kmv_distinct": 7,
+    "embed_random_projection": 7,
+    "similarity_topk_projected": 7,
+    "similarity_topk_quantized": 7,
+    "doc_tfidf_top_terms": 7,
 }
 
 
@@ -4157,7 +4190,7 @@ def _apply_driver_order() -> None:
     def staleness(name: str) -> tuple[int, int, int]:
         checked, passed = hist.get(name, (0, 0))
         freshness = passed if QUERIES[name].oracle is not None else checked
-        if passed < _CHANGED_IN_ROUND.get(name, 0):
+        if passed <= _CHANGED_IN_ROUND.get(name, -1):
             # changed after its last green row: re-verify regardless of
             # history; ``checked`` still ranks these behind genuinely
             # never-checked queries

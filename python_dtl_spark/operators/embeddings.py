@@ -91,9 +91,17 @@ def random_projection(
     state.  ±1-scaled entries keep every product exact in double, and
     the sequential ``aggregate`` fold is bit-identical to DuckDB's
     ``list_dot_product``, so projections are hash-exact cross-engine.
+
+    A vector whose size disagrees with ``dim`` raises at execution
+    time (same guard as the LSH/IVF paths): ``zip_with`` would
+    otherwise NULL-pad and every projected component would silently
+    come out NULL, degrading any downstream ranking with no error.
     """
+    from python_dtl_spark.operators.similarity import _checked_dim
+
     rows = projection_matrix(dim, out_dim, seed)
-    v = F.col(vec_col)
+    df = df.withColumn("__rp_in", _checked_dim(F.col(vec_col), dim))
+    v = F.col("__rp_in")
     comps = [
         F.aggregate(
             F.zip_with(
@@ -106,7 +114,7 @@ def random_projection(
         )
         for row in rows
     ]
-    return df.withColumn(out_col, F.array(*comps))
+    return df.withColumn(out_col, F.array(*comps)).drop("__rp_in")
 
 
 def projection_matrix(

@@ -124,7 +124,16 @@ def kmv_distinct(
         16,
         10,
     ).cast("long")
-    hashes = df.select(*by, h.alias("__h")).dropDuplicates([*by, "__h"])
+    # NULL keys are not values: count(DISTINCT x) ignores NULL, and an
+    # unfiltered NULL would hash to a NULL __h that Spark's ascending
+    # window sorts NULLS FIRST (stealing a k-slot) while DuckDB sorts
+    # NULLS LAST — filter before sketching so both engines agree and
+    # the estimate matches distinct-count semantics on any input.
+    hashes = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*by, h.alias("__h"))
+        .dropDuplicates([*by, "__h"])
+    )
     w1 = Window.partitionBy(*by, F.pmod(F.col("__h"), salt_buckets)).orderBy(
         "__h"
     )

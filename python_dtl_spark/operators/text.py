@@ -560,9 +560,12 @@ def ngram_dominance(
 
 
 #: scrub patterns chosen from the common subset of Java regex (Spark)
-#: and RE2 (DuckDB): character classes, alternation, bounded repeats —
-#: no backreferences or lookaround, so the oracle replays them exactly.
-PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+#: and RE2 (DuckDB): character classes, alternation, bounded repeats,
+#: and the (?i) case-insensitivity flag — no backreferences or
+#: lookaround, so the oracle replays them exactly.  (?i) rather than
+#: widened character classes so 'John.Doe@Example.COM' redacts the
+#: same as its lowercase form.
+PII_EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_PHONE_RE = r"\b555-[0-9]{3,10}\b"
 
 

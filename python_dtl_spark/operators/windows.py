@@ -140,11 +140,18 @@ def resample_ffill(
     Values are moved, never recomputed — no float arithmetic — so the
     output is hash-exact across engines.
 
+    Groups whose bucket span reaches ``max_buckets`` (a stray 1970
+    timestamp would otherwise explode the gapfill grid to billions of
+    rows) are NOT gap-filled but still emit every OBSERVED bucket —
+    the guard degrades the grid, never the data.  Dropping the whole
+    group (the pre-round-7 behavior) silently vanished real
+    observations exactly when the input was dirty; any SQL oracle must
+    mirror this clamp (the catalog one does).
+
     Scale shape: one hash aggregation to (group, bucket), a row-local
-    ``sequence`` explode for the grid (bounded by ``max_buckets`` per
-    group — a guard against a stray 1970 timestamp exploding the
-    grid), and one window for the fill: the same single-shuffle
-    pattern as sessionize, partitioned by group.
+    ``sequence`` explode for the grid, and one window for the fill:
+    the same single-shuffle pattern as sessionize, partitioned by
+    group.
     """
     b = F.floor(epoch_micros(F.col(ts_col)) / F.lit(step_seconds * 1_000_000))
     picked = F.max(
@@ -164,10 +171,19 @@ def resample_ffill(
         F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
     )
     guarded = spans.filter((F.col("__hi") - F.col("__lo")) < max_buckets)
-    grid = guarded.select(
+    grid_filled = guarded.select(
         *group_cols,
         F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__bucket"),
     )
+    # over-span groups: observed buckets only, no generated grid —
+    # a left_semi against the (tiny) over-limit group list
+    over = spans.filter((F.col("__hi") - F.col("__lo")) >= max_buckets).select(
+        *group_cols
+    )
+    grid_observed = buckets.join(over, on=list(group_cols), how="left_semi").select(
+        *group_cols, "__bucket"
+    )
+    grid = grid_filled.unionByName(grid_observed)
     joined = grid.join(buckets, on=[*group_cols, "__bucket"], how="left")
     w = (
         Window.partitionBy(*group_cols)

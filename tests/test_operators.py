@@ -944,6 +944,24 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "<EMAIL>" in out[2]["text"] and "a@b.io" not in out[2]["text"]
 
 
+def test_pii_scrub_mixed_case(spark):
+    """The patterns are (?i): uppercase/mixed-case emails must count
+    and redact identically to lowercase (round-6 ADVICE — a scrub
+    that leaves 'John.Doe@Example.COM' intact is a PII leak)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "reach John.Doe@Example.COM today"),
+            (1, "CAPS USER@HOST.ORG and lower a@b.io"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in text.pii_scrub(docs).collect()}
+    assert out[0]["n_emails"] == 1
+    assert out[0]["text"] == "reach <EMAIL> today"
+    assert out[1]["n_emails"] == 2
+    assert out[1]["text"] == "CAPS <EMAIL> and lower <EMAIL>"
+
+
 def test_kmv_distinct_accuracy_and_exact_small(spark):
     from python_dtl_spark.operators import stats
 
@@ -966,6 +984,26 @@ def test_kmv_distinct_accuracy_and_exact_small(spark):
         for r in stats.kmv_distinct(doubled, "key", ["g"], k=256).collect()
     }
     assert out2 == out
+
+
+def test_kmv_distinct_ignores_null_keys(spark):
+    """NULL keys are not values (count(DISTINCT x) semantics): a NULL
+    must neither occupy a k-slot nor count toward the estimate
+    (round-6 ADVICE — Spark sorts NULL hashes first, DuckDB last, so
+    an unfiltered NULL also diverges across engines)."""
+    from python_dtl_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("g", x) for x in [1, 2, 3, None, None]], "g string, key long"
+    )
+    [row] = stats.kmv_distinct(df, "key", ["g"], k=16).collect()
+    assert row.approx_distinct == 3
+    # all-NULL group: zero distinct values -> no output row at all
+    # (same as COUNT(DISTINCT) over an empty set grouped away)
+    nulls = spark.createDataFrame(
+        [("n", None)], "g string, key long"
+    )
+    assert stats.kmv_distinct(nulls, "key", ["g"], k=16).count() == 0
 
 
 def test_quantized_topk_matches_exact_on_fixture(spark, embeddings):
@@ -1024,6 +1062,41 @@ def test_resample_ffill_gapfill_and_tiebreak(spark):
     assert len(out) == 5
 
 
+def test_resample_ffill_overspan_guard_keeps_observed(spark):
+    """A group whose bucket span reaches max_buckets (the stray-1970-
+    timestamp case) must NOT be gap-filled but must still emit every
+    observed row — the guard degrades the grid, never the data
+    (round-6 ADVICE: the old behavior dropped the whole group)."""
+    from datetime import datetime
+
+    from python_dtl_spark.operators.windows import resample_ffill
+
+    rows = [
+        # user 1: stray 1970 epoch + 2024 observation -> span ~19k days
+        (1, datetime(1970, 1, 1, 1), 100, 7.0),
+        (1, datetime(2024, 1, 1, 1), 101, 8.0),
+        # user 2: normal 3-day span, gapfilled
+        (2, datetime(2024, 1, 1, 1), 200, 1.0),
+        (2, datetime(2024, 1, 3, 1), 201, 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = resample_ffill(
+        df, ["user_id"], "ts", "value", "event_id", 86400, max_buckets=100
+    ).collect()
+    u1 = sorted(
+        [(r.bucket_start.year, r.value, r.observed) for r in out if r.user_id == 1]
+    )
+    u2 = [(r.value, r.observed) for r in sorted(
+        (r for r in out if r.user_id == 2), key=lambda r: r.bucket_start
+    )]
+    # guarded group: both observed rows survive, zero gap-filled rows
+    assert u1 == [(1970, 7.0, True), (2024, 8.0, True)]
+    # unguarded group untouched: observed, filled, observed
+    assert u2 == [(1.0, True), (1.0, False), (3.0, True)]
+
+
 def test_random_projection_preserves_distances(spark):
     import math
     import random
@@ -1056,6 +1129,22 @@ def test_random_projection_preserves_distances(spark):
         for r in random_projection(df, dim=64, out_dim=16, seed=7).collect()
     }
     assert again == out
+
+
+def test_random_projection_dim_mismatch_raises(spark):
+    """A caller-supplied dim that disagrees with the data must raise at
+    execution (round-6 ADVICE: zip_with would otherwise NULL-pad and
+    silently emit NULL projection components)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from python_dtl_spark.operators.embeddings import random_projection
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="dim mismatch"):
+        random_projection(df, dim=64, out_dim=16, seed=7).collect()
 
 
 def test_projected_topk_matches_exact_on_fixture(spark):

@@ -526,12 +526,19 @@ def test_kmv_distinct_exact_below_k_and_bounded_error(spark, keys, k):
     ),
     emails=st.integers(min_value=0, max_value=3),
     phones=st.integers(min_value=0, max_value=3),
+    upper=st.booleans(),
 )
-def test_pii_scrub_counts_match_injections(spark, words, emails, phones):
+def test_pii_scrub_counts_match_injections(spark, words, emails, phones, upper):
     from python_dtl_spark.operators.text import pii_scrub
 
     parts = list(words)
-    parts += [f"user{i}@host{i}.example.com" for i in range(emails)]
+    # mixed-case branch: the patterns are (?i), so 'John.Doe@Example.COM'
+    # must count and redact the same as its lowercase form
+    parts += [
+        f"User{i}@Host{i}.Example.COM" if upper
+        else f"user{i}@host{i}.example.com"
+        for i in range(emails)
+    ]
     parts += [f"555-{1000 + i}" for i in range(phones)]
     text = " ".join(parts)
     df = spark.createDataFrame([(0, text)], "doc_id long, text string")
