@@ -342,9 +342,15 @@ def quantized_topk(
 
     Scale shape: same broadcast contract as :func:`cosine_topk` (the
     query set replicates to every executor; ``MAX_BROADCAST_QUERIES``
-    guard applies), but the stage-1 scan moves int8 data and the
-    expensive double math touches only ``k × rescore_factor``
-    candidates per query.
+    guard applies), but stage 1 carries ONLY the int8 representation —
+    no full-dimension vector rides the candidate-rank exchange (the
+    partial-top-k rows each map task ships are (id, q8, scale), ~4×
+    narrower than dragging the double vector along).  The exact
+    rescore then joins the surviving ``k × rescore_factor`` candidate
+    ids back to the corpus (candidates broadcast — the corpus-side
+    scan prunes to (id, vec) and at 100 TB benefits from AQE runtime
+    filtering) and to the query set (broadcast).  The full-dim double
+    math touches only candidates.
     """
     if num_queries is not None and num_queries > MAX_BROADCAST_QUERIES:
         raise ValueError(
@@ -367,7 +373,6 @@ def quantized_topk(
         )
         return df.select(
             F.col(idc).alias(id_alias),
-            v.alias(f"{prefix}v"),
             qv.alias(f"{prefix}q"),
             (max_abs / F.lit(127.0)).alias(f"{prefix}s"),
         )
@@ -390,6 +395,41 @@ def quantized_topk(
         joined.withColumn("__approx", approx)
         .withColumn("__arank", F.row_number().over(w_approx))
         .filter(F.col("__arank") <= k * rescore_factor)
+        .select("query_id", "neighbor_id")
+    )
+    return _rescore_exact(
+        candidates, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def _rescore_exact(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared stage 2 of the two-stage top-k paths: join the (tiny)
+    candidate id set back to the full-dimension vectors and rank by
+    exact cosine (DESC, neighbor id ASC).
+
+    ``candidates`` is at most queries × k × rescore_factor rows of two
+    ids — it broadcasts, so the corpus-side lookup is a broadcast hash
+    join over a scan pruned to (id, vec); the query vectors broadcast
+    too.  Stage 1 therefore never needs to carry a full-dim vector.
+    """
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _to_double(F.col(vec_col)).alias("__cv"),
+    )
+    q_full = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _to_double(F.col(vec_col)).alias("__qv"),
+    )
+    rescored = c_full.join(broadcast(candidates), on="neighbor_id").join(
+        broadcast(q_full), on="query_id"
     )
     cosine = _dot(F.col("__cv"), F.col("__qv")) / (
         _norm(F.col("__cv")) * _norm(F.col("__qv"))
@@ -398,7 +438,7 @@ def quantized_topk(
         F.desc("__cos"), F.asc("neighbor_id")
     )
     return (
-        candidates.withColumn("__cos", cosine)
+        rescored.withColumn("__cos", cosine)
         .withColumn("rank", F.row_number().over(w_exact))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
@@ -429,6 +469,12 @@ def projected_topk(
     deterministic, so the operator is value-oracled on any corpus.
     Same broadcast contract and output schema as :func:`cosine_topk`
     (query_id, neighbor_id, rank).
+
+    Like :func:`quantized_topk`, stage 1 carries only (id, 16-dim
+    projection) — 4× narrower per corpus row than dragging the 64-dim
+    vector through the candidate-rank exchange — and
+    :func:`_rescore_exact` joins the surviving candidate ids back to
+    the full vectors.
     """
     from python_dtl_spark.operators.embeddings import random_projection
 
@@ -447,7 +493,6 @@ def projected_topk(
         )
         return proj.select(
             F.col(idc).alias(id_alias),
-            _to_double(F.col(vec_col)).alias(f"{prefix}v"),
             F.col("__rp").alias(f"{prefix}p"),
         )
 
@@ -464,16 +509,8 @@ def projected_topk(
         joined.withColumn("__coarse", coarse)
         .withColumn("__crank", F.row_number().over(w_coarse))
         .filter(F.col("__crank") <= k * rescore_factor)
+        .select("query_id", "neighbor_id")
     )
-    cosine = _dot(F.col("__cv"), F.col("__qv")) / (
-        _norm(F.col("__cv")) * _norm(F.col("__qv"))
-    )
-    w_exact = Window.partitionBy("query_id").orderBy(
-        F.desc("__cos"), F.asc("neighbor_id")
-    )
-    return (
-        candidates.withColumn("__cos", cosine)
-        .withColumn("rank", F.row_number().over(w_exact))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
+    return _rescore_exact(
+        candidates, corpus, queries, k, id_col, vec_col, query_id_col
     )

@@ -385,20 +385,28 @@ def test_ann_topk_is_bucketed_equi_join(spark):
         assert "EvalPython" not in plan, name
 
 
-def test_quantized_topk_broadcast_scan_with_pruned_ranks(spark):
-    """The quantized path is a DELIBERATE broadcast scan (exactly one
-    BroadcastNestedLoopJoin, guarded by MAX_BROADCAST_QUERIES — same
-    contract as cosine_topk), with WindowGroupLimit pruning both rank
-    stages map-side so no reducer sees more than k×factor candidates
-    per query."""
+@pytest.mark.parametrize(
+    "name", ["similarity_topk_quantized", "similarity_topk_projected"]
+)
+def test_two_stage_topk_broadcast_scan_with_pruned_ranks(spark, name):
+    """Both two-stage paths (int8-quantized and JL-projected) are a
+    DELIBERATE broadcast scan (exactly one BroadcastNestedLoopJoin,
+    guarded by MAX_BROADCAST_QUERIES — same contract as cosine_topk),
+    with WindowGroupLimit pruning both rank stages map-side so no
+    reducer sees more than k×factor candidates per query.  The rescore
+    join-back must be hash joins (the candidate id set broadcasts),
+    never a second nested-loop pass, and stage 1 must NOT carry the
+    full 64-dim vector — the only full-vector reads sit behind the
+    rescore joins."""
     from python_dtl_spark.catalog import QUERIES
 
-    df = QUERIES["similarity_topk_quantized"].fn(spark, SF)
+    df = QUERIES[name].fn(spark, SF)
     plan = _exec_plan(df)
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert plan.count("WindowGroupLimit") >= 2
+    assert plan.count("BroadcastHashJoin") >= 2  # rescore id + query joins
 
 
 def test_kmv_distinct_partial_window_group_limits(spark):
