@@ -3467,6 +3467,93 @@ _register(
 )
 
 
+def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (``text.remove_duplicated_
+    spans`` — the cut half of Lee et al. 2022, composing with the
+    ``doc_dup_windows`` census): duplicated >=16-token windows merge
+    into maximal spans and are cut from every document.  The corpus
+    has real cross-doc duplication (45 docs at sf0.01), so the cut is
+    non-vacuous; the oracle replays fingerprinting, island merging and
+    the splice, and compares the post-cut text md5-exactly."""
+    docs = _read(spark, sf_dir, "documents")
+    out = text.remove_duplicated_spans(docs, window_tokens=16)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("clean_fp"),
+        "n_tokens",
+        "n_tokens_kept",
+        "n_spans_removed",
+    )
+
+
+_register(
+    "doc_dedup_spans",
+    _q_dedup_spans,
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ), wins AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               CAST(concat('0x', substr(md5(array_to_string(
+                   tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 16], ' ')), 1, 15))
+                    AS BIGINT) AS h
+        FROM toks, UNNEST(range(0, greatest(len(tk) - 16 + 1, 0))) u(i)
+    ), counts AS (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM wins GROUP BY h
+    ), flagged AS (
+        SELECT doc_id, i, i + 15 AS e
+        FROM wins JOIN counts USING (h) WHERE nd > 1
+    ), isl AS (
+        SELECT doc_id, i, e,
+               CASE WHEN i > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM flagged
+    ), isl2 AS (
+        SELECT doc_id, i, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    ), merged AS (
+        SELECT doc_id, island, min(i) AS lo, max(e) AS hi
+        FROM isl2 GROUP BY doc_id, island
+    ), nspans AS (
+        SELECT doc_id, count(*) AS n_spans FROM merged GROUP BY doc_id
+    ), covered AS (
+        SELECT DISTINCT doc_id, lo + d AS idx
+        FROM merged, UNNEST(range(0, hi - lo + 1)) v(d)
+    ), tokidx AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS idx,
+               tk[CAST(i AS INT) + 1] AS tok
+        FROM toks, UNNEST(range(0, len(tk))) u(i)
+    ), kept AS (
+        SELECT t.doc_id, t.idx, t.tok
+        FROM tokidx t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.idx = c.idx
+        WHERE c.idx IS NULL
+    ), agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS txt,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           md5(coalesce(a.txt, '')) AS clean_fp,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans_removed
+    FROM toks t
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN nspans s USING (doc_id)
+    """,
+    headline=True,
+)
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation v2 composing the round-3 operators: Gopher
     quality rules → exact-substring duplication census (drop docs that

@@ -504,6 +504,137 @@ def duplicated_token_windows(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    window_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate REMOVAL — the cut half of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"),
+    composing with the census (:func:`duplicated_token_windows`, the
+    detection half): every ``window_tokens``-token sliding window whose
+    fingerprint occurs in more than one document marks its token range
+    as duplicated; overlapping/adjacent flagged ranges merge into
+    maximal spans, and the spans are cut from the token stream.  Like
+    the reference tool for the paper, removal is symmetric — EVERY
+    occurrence of duplicated content is cut (a keep-one-copy variant
+    composes by exact-deduping window owners first; symmetric removal
+    needs no canonical-owner election and stays join-free per doc).
+
+    Output: id, ``text_col`` (the cut text, single-space rejoined —
+    original whitespace inside kept spans was already normalized by
+    tokenization), ``n_tokens`` (before), ``n_tokens_kept`` (after),
+    ``n_spans_removed``.  Documents with no duplicated window pass
+    through whole.
+
+    Scale shape: the census's explode + ONE fingerprint count
+    aggregation and skew-safe count-join-back (counts, never
+    collect_list — a boilerplate window shared by millions of docs
+    stays a flat 1:N join), then two linear per-doc stages: a window
+    function merges flagged starts into disjoint islands
+    (gaps-and-islands on running max-end — islands per doc ≤
+    n_tokens / window_tokens because islands are disjoint spans of
+    ≥ window_tokens tokens), and a groupBy collects the island list
+    per doc (bounded by the same ratio, never corpus-wide).  The cut
+    itself is a row-local complement splice: the kept text is the
+    concatenation of the gaps BETWEEN islands — ``O(n_tokens)`` array
+    slices, no per-token join, no Python.
+    """
+    k = F.lit(window_tokens)
+    tk = F.col("__ds_toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0))),
+        lambda i: i <= F.size(tk) - k,
+    )
+    # same 60-bit md5 fingerprint as the census (shared shuffle-width
+    # rationale; DuckDB replays the truncation exactly)
+    windows = F.transform(
+        starts,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(tk, i + 1, k), " ").cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    toks_src = (
+        F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
+    )
+    src_df = df if tokens_col is not None else spread(df)
+    staged = src_df.select(F.col(id_col), toks_src.alias("__ds_toks"))
+    # (doc, window start, fingerprint): posexplode's position IS the
+    # start index because starts are consecutive from 0
+    per_window = staged.select(
+        F.col(id_col), F.posexplode(windows).alias("__i", "__w_hash")
+    )
+    counts = per_window.groupBy("__w_hash").agg(
+        F.count_distinct(id_col).alias("__n_docs")
+    )
+    flagged = (
+        per_window.join(counts, on="__w_hash", how="inner")
+        .filter(F.col("__n_docs") > 1)
+        .select(F.col(id_col), F.col("__i"), (F.col("__i") + k - 1).alias("__end"))
+    )
+    # merge overlapping/contiguous flagged windows into maximal islands:
+    # a window starts a new island iff its start exceeds (running max
+    # end of earlier windows) + 1 — i.e. there is at least one
+    # uncovered token before it
+    w_ord = Window.partitionBy(id_col).orderBy("__i")
+    prev_max_end = F.max("__end").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_isl = flagged.withColumn(
+        "__brk",
+        (F.col("__i") > F.coalesce(prev_max_end, F.lit(-2)) + 1).cast("int"),
+    ).withColumn(
+        "__island",
+        F.sum("__brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = with_isl.groupBy(id_col, "__island").agg(
+        F.min("__i").alias("__lo"), F.max("__end").alias("__hi")
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__lo"), F.col("__hi")))
+        ).alias("__islands"),
+        F.count(F.lit(1)).alias("__n_spans"),
+    )
+    joined = staged.join(per_doc, on=id_col, how="left")
+    isl = F.col("__islands")
+    n = F.size(tk)
+    # complement splice: kept text = concat of the gaps between islands
+    gap_starts = F.concat(
+        F.array(F.lit(0)), F.transform(isl, lambda s: s["__hi"] + 1)
+    )
+    gap_ends = F.concat(
+        F.transform(isl, lambda s: s["__lo"] - 1), F.array(n - 1)
+    )
+    segs = F.filter(
+        F.zip_with(
+            gap_starts, gap_ends, lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+        ),
+        lambda s: s["a"] <= s["b"],
+    )
+    spliced = F.flatten(
+        F.transform(segs, lambda s: F.slice(tk, s["a"] + 1, s["b"] - s["a"] + 1))
+    )
+    kept = F.when(isl.isNull(), tk).otherwise(spliced)
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        n.cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        F.coalesce(F.col("__n_spans"), F.lit(0)).cast("long").alias(
+            "n_spans_removed"
+        ),
+    )
+
+
 def ngram_dominance(
     df: DataFrame,
     n: int = 3,

@@ -944,6 +944,44 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "<EMAIL>" in out[2]["text"] and "a@b.io" not in out[2]["text"]
 
 
+def test_remove_duplicated_spans_cuts_shared_runs(spark):
+    """Planted cross-doc spans must be cut from EVERY occurrence;
+    overlapping flagged windows merge into one island; unaffected and
+    fully-duplicated docs behave at the extremes."""
+    docs = spark.createDataFrame(
+        [
+            (0, "x1 x2 s1 s2 s3 x3 x4"),      # shares [s1 s2 s3] with 1
+            (1, "y1 s1 s2 s3 y2"),
+            (2, "unrelated words only here"),  # untouched
+            (3, "A p q r s t B"),              # 5-token shared run with 4
+            (4, "C p q r s t D"),              #   -> 3 overlapping windows, 1 island
+            (5, "m n o"),                      # whole-doc dup of 6
+            (6, "m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_tokens, r.n_tokens_kept, r.n_spans_removed)
+        for r in text.remove_duplicated_spans(docs, window_tokens=3).collect()
+    }
+    assert out[0] == ("x1 x2 x3 x4", 7, 4, 1)
+    assert out[1] == ("y1 y2", 5, 2, 1)
+    assert out[2] == ("unrelated words only here", 4, 4, 0)
+    assert out[3] == ("A B", 7, 2, 1)   # 3 overlapping windows -> 1 span
+    assert out[4] == ("C D", 7, 2, 1)
+    assert out[5] == ("", 3, 0, 1)      # fully duplicated -> empty
+    assert out[6] == ("", 3, 0, 1)
+
+
+def test_remove_duplicated_spans_composes_with_census(spark, docs):
+    """After removal, a re-census over the cut corpus finds zero
+    duplicated windows — the operator is idempotent at the window
+    size it cut."""
+    cut = text.remove_duplicated_spans(docs, window_tokens=3)
+    recensus = text.duplicated_token_windows(cut, window_tokens=3)
+    assert recensus.filter(F.col("n_dup_windows") > 0).count() == 0
+
+
 def test_pii_scrub_mixed_case(spark):
     """The patterns are (?i): uppercase/mixed-case emails must count
     and redact identically to lowercase (round-6 ADVICE — a scrub

@@ -487,6 +487,22 @@ def test_dup_windows_single_fingerprint_aggregation(spark):
     assert "partial_count" in plan or "partial_finalmerge" in plan.lower() or "HashAggregate" in plan
 
 
+def test_dedup_spans_no_pair_stage_no_python(spark):
+    """Exact-substring REMOVAL: same census shape (explode +
+    fingerprint count + join-back) plus two linear per-doc stages —
+    no nested-loop/cartesian anywhere, the splice is pure codegen (no
+    Python eval), and the island merge must be window functions, not a
+    self-join."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_dedup_spans"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan  # island merge is a window, not a join
+
+
 def test_partitioned_export_roundtrip_prunes(spark, tmp_path):
     """FileSystemExporter(partition_by=...) writes hive layout; a DTL
     re-import with a WHERE on the partition column prunes at the scan
