@@ -1862,6 +1862,56 @@ _register(
 )
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDedup (Abbas et al. 2023) as one verb (``dedup.semdedup``):
+    sampled-KMeans clusters -> within-cluster exact cosine pairs ->
+    keep-one connected components.  Planted fixture: every 5th
+    embedding is copied at vec_id+100000; exact copies get identical
+    KMeans assignments (bit-identical distance computations), and the
+    corpus's natural max pairwise cosine is ~0.51 — far under the 0.9
+    threshold — so no true pair can straddle clusters and the
+    clustering-independent all-pairs oracle replays the output
+    exactly, keep flags included."""
+    base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+    )
+    return dedup.semdedup(
+        base.unionByName(planted), threshold=0.9, n_centroids=8, seed=13
+    ).orderBy("vec_id")
+
+
+_register(
+    "dedup_semdedup",
+    _q_semdedup,
+    """
+    WITH RECURSIVE aug AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+        FROM embeddings WHERE vec_id % 5 = 0
+    ), pr AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    ), edges AS (
+        SELECT ia AS a, ib AS b FROM pr
+        UNION ALL
+        SELECT ib, ia FROM pr
+    ), reach(a, b) AS (
+        SELECT vec_id, vec_id FROM aug
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+        SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT vec_id, cluster_id, vec_id = cluster_id AS keep
+    FROM labels ORDER BY vec_id
+    """,
+    headline=True,
+)
+
+
 def _q_embed_normalize(spark, sf_dir):
     """L2 normalization summary: the norm and the largest unit-vector
     component per embedding — raw doubles, no rounding: Spark's

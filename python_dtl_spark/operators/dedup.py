@@ -854,3 +854,131 @@ def contamination_pairs_from_split(
         (F.col("common") / F.col("eval_size")).alias("overlap"),
     )
     return _release_after(out, base)
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    seed: int = 13,
+    fit_sample: int = 100_000,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """Within-cluster embedding near-duplicate pairs — the candidate
+    stage of SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): a sampled
+    K-Means coarse quantizer (the IVF machinery,
+    ``similarity.fit_centroids``) partitions the corpus into
+    ``n_centroids`` clusters, and exact cosine runs ONLY within each
+    cluster — never across — via a bucket equi-self-join.
+
+    Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+
+    Versus the LSH candidate generator (:func:`embedding_near_dup_pairs`)
+    the clusters adapt to the data distribution — the property SemDedup
+    relies on for catching *semantic* (not just near-identical)
+    duplicates at lower thresholds.
+
+    Scale shape: centroids are a driver-side literal; assignment is a
+    row-local map; the pair stage shuffles on the cluster id
+    (equi-join, plan-asserted no nested loop) so comparisons are
+    n_i²-per-cluster, never corpus².  Size ``n_centroids`` ∝
+    corpus_size / target_cluster_size (SemDedup uses 50k clusters at
+    web scale) so per-cluster work stays bounded; the fit cost is
+    independent of corpus size (bounded sample).
+    """
+    from python_dtl_spark.operators.similarity import (
+        fit_centroids,
+        nearest_centroids,
+    )
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    base = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).withColumn("__n", norm)
+    centroids = fit_centroids(
+        base.select(F.col("__v").alias("__cv")),
+        n_centroids=n_centroids,
+        seed=seed,
+        fit_sample=fit_sample,
+        fit_fraction=fit_fraction,
+    )
+    assigned = base.withColumn(
+        "__bucket", nearest_centroids(F.col("__v"), centroids, 1)[0]["cid"]
+    )
+    a = assigned.select(
+        F.col("__bucket"),
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("v_a"),
+        F.col("__n").alias("n_a"),
+    )
+    b = assigned.select(
+        F.col("__bucket"),
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("v_b"),
+        F.col("__n").alias("n_b"),
+    )
+    cand = a.join(b, on="__bucket", how="inner").filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    seed: int = 13,
+    fit_sample: int = 100_000,
+    fit_fraction: float | None = None,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDedup as one verb: embedding-cluster near-duplicate groups
+    reduced to (id, cluster_id, keep) — keep true for each duplicate
+    group's minimum id, singletons keep themselves.
+
+    Composition of :func:`semdedup_pairs` (K-Means cluster + within-
+    cluster exact cosine) and :func:`keep_one_from_pairs` (min-label
+    connected components, checkpointed per round).  This is the modern
+    embedding-space dedup mode for training corpora — near-duplicate
+    *semantics*, not near-duplicate *bytes* — exposed with the same
+    output contract as :func:`lsh_dedup_keep`.
+    """
+    pairs = semdedup_pairs(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        n_centroids=n_centroids,
+        seed=seed,
+        fit_sample=fit_sample,
+        fit_fraction=fit_fraction,
+    )
+    return keep_one_from_pairs(
+        df.select(F.col(id_col)),
+        pairs,
+        id_col=id_col,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+    )

@@ -231,56 +231,21 @@ def ivf_topk(
     pure JVM filter, no Python workers, no shuffle.  At 100 TB pass
     ``fit_fraction`` (e.g. 1e-6) for a true uniform sample instead.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     c_base = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _to_double(F.col(vec_col)).alias("__cv"),
     ).withColumn("__cn", _norm(F.col("__cv")))
 
-    train = c_base.select("__cv")
-    if fit_fraction is not None:
-        train = train.sample(fraction=fit_fraction, seed=seed)
-    else:
-        # estimate the partition count from the cluster's parallelism
-        # rather than train.rdd.getNumPartitions(), which would force
-        # physical planning (RDD conversion) during plan construction;
-        # the quota only needs an order-of-magnitude partition estimate
-        n_parts = max(1, corpus.sparkSession.sparkContext.defaultParallelism)
-        quota = max(1, fit_sample // n_parts)
-        # monotonically_increasing_id = partitionId * 2^33 + index
-        # within the partition, so the low bits ARE the per-partition
-        # row index
-        row_in_part = F.monotonically_increasing_id().bitwiseAND(
-            F.lit((1 << 33) - 1)
-        )
-        train = train.filter(row_in_part < quota)
-    train = train.select(array_to_vector("__cv").alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    centroids = fit_centroids(
+        c_base.select("__cv"),
+        n_centroids=n_centroids,
+        seed=seed,
+        fit_sample=fit_sample,
+        fit_fraction=fit_fraction,
+    )
 
     def _nearest_buckets(vec, n: int):
-        """array of the n nearest centroid ids, computed JVM-side from
-        centroid literals (sq-distance, sort, slice)."""
-        scored = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            vec,
-                            F.array(*[F.lit(w) for w in cent]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cent in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.array_sort(scored), 1, n)
+        return nearest_centroids(vec, centroids, n)
 
     c = c_base.withColumn(
         "__bucket", _nearest_buckets(F.col("__cv"), 1)[0]["cid"]
@@ -312,6 +277,78 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def fit_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    seed: int,
+    fit_sample: int = 100_000,
+    fit_fraction: float | None = None,
+) -> list[list[float]]:
+    """Fit a K-Means coarse quantizer on a bounded sample and return
+    the centroids as a driver-side literal (n_centroids × dim floats).
+
+    Shared by :func:`ivf_topk` and the SemDedup clustering stage
+    (``dedup.semdedup``).  ``vectors`` is a single-column DataFrame of
+    ``array<double>`` named ``__cv``.
+
+    The default sample takes ``fit_sample / num_partitions`` rows from
+    the head of EVERY partition — no ``count()`` pass, and unlike a
+    plain ``limit(fit_sample)`` it is not a physical prefix of the
+    first file(s): data written clustered by category/time/source
+    still contributes vectors from every partition, so the quantizer
+    sees every region of the embedding space.  The per-partition index
+    comes from the low 33 bits of ``monotonically_increasing_id`` —
+    pure JVM filter, no Python workers, no shuffle.  At 100 TB pass
+    ``fit_fraction`` (e.g. 1e-6) for a true uniform sample instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors
+    if fit_fraction is not None:
+        train = train.sample(fraction=fit_fraction, seed=seed)
+    else:
+        # estimate the partition count from the cluster's parallelism
+        # rather than train.rdd.getNumPartitions(), which would force
+        # physical planning (RDD conversion) during plan construction;
+        # the quota only needs an order-of-magnitude partition estimate
+        n_parts = max(1, vectors.sparkSession.sparkContext.defaultParallelism)
+        quota = max(1, fit_sample // n_parts)
+        # monotonically_increasing_id = partitionId * 2^33 + index
+        # within the partition, so the low bits ARE the per-partition
+        # row index
+        row_in_part = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1)
+        )
+        train = train.filter(row_in_part < quota)
+    train = train.select(array_to_vector("__cv").alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def nearest_centroids(vec, centroids: list[list[float]], n: int):
+    """Column expression: array of the n nearest centroid ids, computed
+    JVM-side from centroid literals (sq-distance, sort, slice)."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(w) for w in cent]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cent in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.array_sort(scored), 1, n)
 
 
 def quantized_topk(

@@ -944,6 +944,46 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "<EMAIL>" in out[2]["text"] and "a@b.io" not in out[2]["text"]
 
 
+def test_semdedup_planted_clusters_keep_one(spark):
+    """Three planted duplicate groups (identical vectors — identical
+    KMeans assignment by construction) reduce to one keeper each; the
+    orthogonal singleton keeps itself; cluster_id is each group's min
+    id."""
+    rows = (
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in (0, 1, 2, 3)]
+        + [(i, [0.0, 1.0, 0.0, 0.0]) for i in (10, 11)]
+        + [(20, [0.0, 0.0, 1.0, 0.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in dedup.semdedup(df, threshold=0.99, n_centroids=3, seed=7).collect()
+    }
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True),
+    }
+
+
+def test_semdedup_pairs_within_cluster_only(spark):
+    """Pair generation must be bounded by the cluster partition: with
+    n_centroids covering the planted groups, only within-group pairs
+    (cosine 1.0) appear — nothing across orthogonal groups."""
+    rows = (
+        [(i, [1.0, 0.0]) for i in (0, 1)]
+        + [(i, [0.0, 1.0]) for i in (10, 11)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.semdedup_pairs(
+            df, threshold=0.9, n_centroids=2, seed=7
+        ).collect()
+    }
+    assert pairs == {(0, 1), (10, 11)}
+
+
 def test_remove_duplicated_spans_cuts_shared_runs(spark):
     """Planted cross-doc spans must be cut from EVERY occurrence;
     overlapping flagged windows merge into one island; unaffected and

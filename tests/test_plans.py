@@ -487,6 +487,26 @@ def test_dup_windows_single_fingerprint_aggregation(spark):
     assert "partial_count" in plan or "partial_finalmerge" in plan.lower() or "HashAggregate" in plan
 
 
+def test_semdedup_pairs_no_cross_cluster_stage(spark):
+    """SemDedup's pair stage must shuffle on the cluster id — a bucket
+    equi-self-join (hash/sort-merge), never a corpus-wide nested loop
+    or cartesian — and stay JVM-side (centroid literals, no Python
+    eval).  This is the plan property that keeps comparisons
+    n_i²-per-cluster at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    df = dedup.semdedup_pairs(emb, threshold=0.9, n_centroids=4, seed=13)
+    plan = _exec_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_dedup_spans_no_pair_stage_no_python(spark):
     """Exact-substring REMOVAL: same census shape (explode +
     fingerprint count + join-back) plus two linear per-doc stages —
