@@ -237,10 +237,19 @@ def tfidf_top_terms(
     join on term, and the per-doc ranking window — which is the
     standard distributed TF-IDF shape: document frequency is corpus-
     wide, so it cannot stay co-partitioned with the per-doc data.
+
+    Deliberately NOT ``spread()`` (round-6 tried it, round-7 probed
+    it): unlike the census, whose md5-per-window map stage dominates
+    and parallelizes 2.6× under spread, tfidf's pre-shuffle work is a
+    light tokenize+explode and the (doc, term) aggregation's own
+    Exchange already redistributes everything after one narrow scan —
+    measured at sf0.1 (1.51s→0.95s) AND 8× (3.40s→1.49s), dropping
+    the spread wins at both.  At real scale (files >> cores) spread
+    is a no-op either way, so this only affects narrow local scans.
     """
     from pyspark.sql.functions import broadcast
 
-    toks = spread(df).select(
+    toks = df.select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))

@@ -757,6 +757,47 @@ def test_importer_invalidate_rereads_overwritten_table(spark, tmp_path):
     assert imp.import_table("t").count() == 9
 
 
+def test_run_auto_invalidates_importer_on_export(spark, tmp_path):
+    """input_dir == output_dir round-trips: run() invalidates the
+    importer's memo for each exported name, so a later IMPORT of an
+    overwritten table re-reads the new data instead of the stale
+    memoized plan — matching the reference's re-read-per-IMPORT
+    semantics (io.py:31-42) without giving up lazy scans."""
+    import os
+
+    from python_dtl_spark.runtime import run
+    from python_dtl_spark.sources import FileSystemExporter, FileSystemImporter
+
+    root = str(tmp_path)
+    spark.range(5).selectExpr("id AS k").write.parquet(
+        os.path.join(root, "u.parquet")
+    )
+    spark.range(3).selectExpr("id + 100 AS k").write.parquet(
+        os.path.join(root, "t.parquet")
+    )
+    imp = FileSystemImporter(spark, root)
+    exp = FileSystemExporter(root)
+    # script A memoizes u (5 rows)
+    run(
+        "WITH u AS IMPORT 'u'; WITH a AS SELECT k FROM u; EXPORT a TO 'probe';",
+        spark=spark, importer=imp, exporter=exp,
+    )
+    # script B overwrites u from t (3 rows) — must drop u's memo
+    run(
+        "WITH t AS IMPORT 't'; WITH b AS SELECT k FROM t; EXPORT b TO 'u';",
+        spark=spark, importer=imp, exporter=exp,
+    )
+    # script C re-imports u: sees the 3 new rows, not the stale 5
+    run(
+        "WITH u AS IMPORT 'u'; WITH c AS SELECT k FROM u; EXPORT c TO 'after';",
+        spark=spark, importer=imp, exporter=exp,
+    )
+    got = sorted(
+        r.k for r in spark.read.parquet(os.path.join(root, "after.parquet")).collect()
+    )
+    assert got == [100, 101, 102]
+
+
 def test_sessionize_gap_boundaries(spark):
     from datetime import datetime
 
