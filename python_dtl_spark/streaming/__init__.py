@@ -114,6 +114,16 @@ def streaming_first_seen(
     State per key is a single boolean; Arrow-batched, partitioned by
     key, nothing on the driver.  The reference engine has no streaming
     at all (SURVEY.md §2.5) — extension.
+
+    State contract (probed in SCALING.md): O(distinct keys) rows, one
+    boolean each — per-key bytes constant as keys grow.  Exact
+    forever-dedup over an UNBOUNDED key domain is inherently unbounded
+    state in ANY engine; when retention-bounded dedup is acceptable,
+    use :func:`streaming_dedup_within_watermark`, whose state the
+    watermark evicts.  (A processing-time-timeout TTL variant was
+    prototyped and dropped: ``GroupStateTimeout.ProcessingTimeTimeout``
+    + ``processAllAvailable`` hangs in this pyspark build, and the
+    built-in watermark path is the right tool anyway.)
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -139,6 +149,30 @@ def streaming_first_seen(
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_dedup_within_watermark(
+    stream_df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+):
+    """Retention-bounded streaming dedup: drop duplicate keys arriving
+    within the watermark horizon, with state the engine EVICTS as the
+    watermark advances (``dropDuplicatesWithinWatermark``).
+
+    The scale tier next to :func:`streaming_first_seen`: first_seen is
+    exact forever (state grows with distinct keys); this bounds state
+    to ~keys-per-``delay``-window at the cost that a key recurring
+    after the horizon is emitted again — the standard trade for
+    at-least-once sources, where duplicates arrive close together.
+    All built-in (no Python state function): the state store, its
+    eviction, and its metrics come from the engine.
+    """
+    keys = key_cols or ["event_id"]
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        keys
     )
 
 

@@ -151,6 +151,28 @@ AUDITED = {
         "re-scans — plan-asserted in test_plans.py); at 100 TB this is "
         "one corpus pass where the naive composition took three"
     ),
+    "similarity_topk_projected": (
+        "two-stage JL-projected ANN: stage 1 broadcasts queries and "
+        "carries only (id, 16-dim projection) through the "
+        "WindowGroupLimit-pruned candidate rank; the full 64-dim "
+        "vectors enter ONLY via the rescore hash joins (candidate ids "
+        "broadcast) — 4x narrower candidate exchange than dragging "
+        "the full vector through stage 1"
+    ),
+    "doc_dedup_spans": (
+        "exact-substring removal: census-shaped fingerprint count + "
+        "skew-safe join-back, then a per-doc WINDOW (not a self-join) "
+        "merges flagged ranges into islands and a row-local "
+        "complement splice cuts them — no pair stage, no Python, "
+        "per-doc island lists bounded by n_tokens/window_tokens"
+    ),
+    "dedup_semdedup": (
+        "SemDedup: sampled-KMeans centroids compiled in as literals "
+        "(row-local assignment), within-cluster pairs via a bucket "
+        "equi-self-join — comparisons are n_i^2-per-cluster, never "
+        "corpus^2 (plan-asserted: no nested loop, no cartesian) — "
+        "then checkpointed min-label components"
+    ),
 }
 
 

@@ -124,6 +124,76 @@ def stream_interval_probe(spark, events, factor: int, workdir: str):
     return (t1, n1, s1, tn, nn, sn)
 
 
+def stream_dedup_probe(spark, events, factor: int, workdir: str):
+    """Streaming dedup state at 1× and ``factor``× distinct keys, both
+    tiers: first-seen (exact forever — state must grow linearly with
+    KEYS, one boolean each, per-key bytes flat) and
+    dedup-within-watermark (retention-bounded — the engine evicts as
+    the watermark advances).  Input duplicates every event 3×, so the
+    operator provably drops rows (output = distinct keys, not input
+    rows)."""
+    import shutil
+
+    from python_dtl_spark.streaming import (
+        stream_events,
+        streaming_dedup_within_watermark,
+        streaming_first_seen,
+        run_stream_to_memory,
+    )
+
+    side_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def run_once(ev, tag: str, variant: str):
+        tripled = ev.unionByName(ev).unionByName(ev)
+        src = os.path.join(workdir, f"dedup_{variant}_{tag}")
+        tripled.select("event_id", "user_id", "ts").write.mode(
+            "overwrite"
+        ).parquet(src)
+        if variant == "first_seen":
+            stream = stream_events(spark, src, side_schema, watermark="2 hours")
+            out = streaming_first_seen(stream, key_col="event_id")
+        else:
+            # the operator sets its own watermark (setting one on the
+            # source too would be a disallowed redefinition)
+            stream = spark.readStream.schema(side_schema).parquet(src)
+            out = streaming_dedup_within_watermark(
+                stream, key_cols=["event_id"], ts_col="ts", delay="2 hours"
+            )
+        start = time.perf_counter()
+        q = run_stream_to_memory(out, f"scale_dedup_{variant}_{tag}", mode="append")
+        try:
+            q.processAllAvailable()
+            dt = time.perf_counter() - start
+            n = spark.table(f"scale_dedup_{variant}_{tag}").count()
+            prog = q.lastProgress or {}
+            state = (prog.get("stateOperators") or [{}])[0]
+        finally:
+            q.stop()
+        shutil.rmtree(src, ignore_errors=True)
+        print(
+            f"# stream_dedup {variant} {tag}: {dt:.2f}s ({n} rows, "
+            f"state {state.get('numRowsTotal')} rows / "
+            f"{state.get('memoryUsedBytes')} B)",
+            file=sys.stderr,
+        )
+        return dt, n, state
+
+    events_n = replicate(events, factor, ["event_id"])
+    rows = []
+    for variant in ("first_seen", "within_watermark"):
+        t1, n1, s1 = run_once(events, f"1x_{factor}", variant)
+        tn, nn, sn = run_once(events_n, f"{factor}x", variant)
+        rows.append((variant, 1, t1, n1, s1))
+        rows.append((variant, factor, tn, nn, sn))
+    return rows
+
+
 def rotate_vec(df, positions: int, vec_col: str = "embedding"):
     """Rotate each embedding array by ``positions`` elements — replicas
     get distinct but identically-distributed vectors (same norm, same
@@ -213,6 +283,19 @@ def ann_recall_probe(spark, embeddings, factor: int):
                 similarity.ivf_topk(
                     corpus, queries, k=10, n_centroids=16, n_probe=4
                 ),
+            ),
+            (
+                # two-stage flat paths (guarded tier): recall loss can
+                # only come from the coarse ranking dropping a true
+                # neighbor out of the k×factor candidate pool — probed
+                # here as the corpus (and thus candidate competition)
+                # grows
+                "projected_topk",
+                similarity.projected_topk(corpus, queries, k=10, dim=64),
+            ),
+            (
+                "quantized_topk",
+                similarity.quantized_topk(corpus, queries, k=10),
             ),
         ):
             start = time.perf_counter()
@@ -310,7 +393,24 @@ def main() -> None:
     customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     supplier = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
     documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     events = _read_events(spark, SF_DIR)
+
+    emb_base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+    def emb_at(n: int):
+        parts = []
+        for i in range(n):
+            part = emb_base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+            )
+            parts.append(rotate_vec(part, i) if i else part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     stream_workdir = tempfile.mkdtemp(prefix="scale_probe_stream_")
 
     def q1(li):
@@ -444,6 +544,37 @@ def main() -> None:
                     k=256,
                 ),
             ),
+            (
+                # identical-text replicas: EVERY window is cross-doc
+                # duplicated, so the removal cuts ~everything — the
+                # worst case for flagged-window volume, island merge,
+                # and the splice.  Linear ratio = no pairwise blowup
+                # in the removal either.
+                "dedup_spans_alldup",
+                text_ops.remove_duplicated_spans(documents, window_tokens=16),
+                text_ops.remove_duplicated_spans(
+                    replicate(documents, factor, ["doc_id"]), window_tokens=16
+                ),
+            ),
+            (
+                # no spread (round-7: measured loss at 1× AND 8× —
+                # the (doc,term) agg Exchange already redistributes)
+                "tfidf_top_terms",
+                text_ops.tfidf_top_terms(documents, k=5),
+                text_ops.tfidf_top_terms(
+                    replicate(documents, factor, ["doc_id"]), k=5
+                ),
+            ),
+            (
+                # rotated replicas (distinct geometry): probes the
+                # cluster-partitioned pair join as clusters fill up —
+                # the within-cluster n_i² term is the scale hazard
+                "semdedup_pairs",
+                dedup.semdedup_pairs(emb_base, threshold=0.9, n_centroids=16),
+                dedup.semdedup_pairs(
+                    emb_at(factor), threshold=0.9, n_centroids=16
+                ),
+            ),
         ]:
             t1, n1 = timed(f"{label} 1x", one)
             tn, nn = timed(f"{label} {factor}x", many)
@@ -459,7 +590,6 @@ def main() -> None:
                 f"| {label} | {t1:.2f}s | {n1:,} | {tn:.2f}s | {nn:,} | {ratio:.1f}× |"
             )
 
-        embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         ann_rows = ann_recall_probe(spark, embeddings, factor)
         lines += [
             "",
@@ -506,6 +636,26 @@ def main() -> None:
             f"| interval_join_stream {factor}× | {tn:.2f}s | {nn:,} | "
             f"{sn.get('numRowsTotal', 0):,} | {sn.get('memoryUsedBytes', 0):,} B |",
         ]
+
+        dedup_rows = stream_dedup_probe(spark, events, factor, stream_workdir)
+        lines += [
+            "",
+            "Streaming dedup state, both tiers (input duplicates every",
+            "event 3×; output = distinct keys).  first_seen is exact",
+            "forever — state rows grow with DISTINCT KEYS (one boolean",
+            "each, per-key bytes flat); dedup-within-watermark bounds",
+            "state to the retention horizon (the engine evicts as the",
+            "watermark advances past the replayed files' event times):",
+            "",
+            "| probe | keys | time | output rows | state rows | state memory |",
+            "|---|---|---|---|---|---|",
+        ]
+        for variant, n, dt, nrows, state in dedup_rows:
+            lines.append(
+                f"| {variant} | {n}× | {dt:.2f}s | {nrows:,} | "
+                f"{state.get('numRowsTotal', 0):,} | "
+                f"{state.get('memoryUsedBytes', 0):,} B |"
+            )
     lines.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
         f.write("\n".join(lines))

@@ -143,6 +143,26 @@ def test_streaming_first_seen_stateful_dedup(spark, tmp_path):
         q.stop()
     assert got == [1, 2, 3, 4, 5]
 
+    # retention-bounded tier: watermark-evicted dedup over the same
+    # source — duplicates inside the horizon drop, state is bounded
+    from python_dtl_spark.streaming import streaming_dedup_within_watermark
+
+    deduped_wm = streaming_dedup_within_watermark(
+        stream, key_cols=["event_id"], ts_col="ts", delay="1 hour"
+    )
+    q2 = (
+        deduped_wm.writeStream.format("memory")
+        .queryName("first_seen_wm")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        got2 = sorted(r.event_id for r in spark.table("first_seen_wm").collect())
+    finally:
+        q2.stop()
+    assert got2 == [1, 2, 3, 4, 5]
+
 
 def test_cli_runs_script(spark, tmp_path):
     from python_dtl_spark.main import main as cli_main
