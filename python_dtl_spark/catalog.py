@@ -2031,8 +2031,9 @@ def _q_topk_projected(spark, sf_dir):
     """Coarse search in the JL-projected space + exact full-dim rescore
     (``similarity.projected_topk``): deterministic end to end, so
     value-oracled on the real corpus like the quantized path.  Uses the
-    round-7 default proj_dim=24 (recall@10 = 1.000 at 8× growth;
-    16 dims measured 0.694 — SCALING.md)."""
+    round-7 default proj_dim=32 (recall@10 = 1.000 at 8× AND 32×
+    growth; 16 dims measured 0.694 at 8×, 24 dims 0.875 at 32× —
+    SCALING.md)."""
     corpus = _read(spark, sf_dir, "embeddings")
     queries = corpus.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -2045,7 +2046,7 @@ def _q_topk_projected(spark, sf_dir):
 def _projected_topk_oracle() -> str:
     from python_dtl_spark.operators.embeddings import projection_matrix
 
-    rows = projection_matrix(64, 24, 7)
+    rows = projection_matrix(64, 32, 7)
     comps = ",\n               ".join(
         "list_dot_product(e, [" + ", ".join(repr(x) for x in row) + "])"
         for row in rows

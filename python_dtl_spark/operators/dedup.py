@@ -881,18 +881,23 @@ def semdedup_pairs(
     relies on for catching *semantic* (not just near-identical)
     duplicates at lower thresholds.
 
-    Scale shape: centroids are a driver-side literal; assignment is a
-    row-local map; the pair stage shuffles on the cluster id
-    (equi-join, plan-asserted no nested loop) so comparisons are
-    n_i²-per-cluster, never corpus².  Size ``n_centroids`` ∝
-    corpus_size / target_cluster_size (SemDedup uses 50k clusters at
-    web scale) so per-cluster work stays bounded; the fit cost is
-    independent of corpus size (bounded sample).
+    Scale shape: cluster assignment is the fitted model's native JVM
+    ``transform`` (centers live in ONE broadcast model object — the
+    IVF-style literal-centroid expression is O(n_centroids × dim) per
+    row in codegen and OOMs the driver near ~500 centroids, while
+    ``transform`` is flat, so SemDedup-scale cluster counts stay
+    cheap); the pair stage shuffles on the cluster id (equi-join,
+    plan-asserted no nested loop) so comparisons are n_i²-per-cluster,
+    never corpus².  Size ``n_centroids`` ∝ corpus_size /
+    target_cluster_size (SemDedup uses 50k clusters at web scale) so
+    per-cluster work stays bounded — probed in SCALING.md: fixed 16
+    centroids at 32× data goes quadratic (229×), scaling to 512
+    restores ~linear; the fit cost is independent of corpus size
+    (bounded sample).
     """
-    from python_dtl_spark.operators.similarity import (
-        fit_centroids,
-        nearest_centroids,
-    )
+    from pyspark.ml.functions import array_to_vector
+
+    from python_dtl_spark.operators.similarity import fit_kmeans
 
     norm = F.sqrt(
         F.aggregate(
@@ -905,15 +910,18 @@ def semdedup_pairs(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     ).withColumn("__n", norm)
-    centroids = fit_centroids(
+    model = fit_kmeans(
         base.select(F.col("__v").alias("__cv")),
         n_centroids=n_centroids,
         seed=seed,
         fit_sample=fit_sample,
         fit_fraction=fit_fraction,
     )
-    assigned = base.withColumn(
-        "__bucket", nearest_centroids(F.col("__v"), centroids, 1)[0]["cid"]
+    assigned = (
+        model.setFeaturesCol("__fv")
+        .setPredictionCol("__bucket")
+        .transform(base.withColumn("__fv", array_to_vector("__v")))
+        .drop("__fv")
     )
     a = assigned.select(
         F.col("__bucket"),

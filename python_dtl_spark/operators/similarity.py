@@ -279,19 +279,24 @@ def ivf_topk(
     )
 
 
-def fit_centroids(
+def fit_kmeans(
     vectors: DataFrame,
     n_centroids: int,
     seed: int,
     fit_sample: int = 100_000,
     fit_fraction: float | None = None,
-) -> list[list[float]]:
+):
     """Fit a K-Means coarse quantizer on a bounded sample and return
-    the centroids as a driver-side literal (n_centroids × dim floats).
+    the fitted ``KMeansModel``.
 
-    Shared by :func:`ivf_topk` and the SemDedup clustering stage
-    (``dedup.semdedup``).  ``vectors`` is a single-column DataFrame of
-    ``array<double>`` named ``__cv``.
+    Shared by :func:`fit_centroids` (IVF's literal-expression path)
+    and the SemDedup clustering stage (``dedup.semdedup``), which
+    assigns clusters via the model's native JVM ``transform`` — the
+    literal-centroid expression is O(n_centroids × dim) PER ROW in
+    codegen and measured to OOM the driver near ~500 centroids × 64
+    dims, while ``transform`` stays flat because the centers live in
+    one broadcast model object.  ``vectors`` is a single-column
+    DataFrame of ``array<double>`` named ``__cv``.
 
     The default sample takes ``fit_sample / num_partitions`` rows from
     the head of EVERY partition — no ``count()`` pass, and unlike a
@@ -324,7 +329,28 @@ def fit_centroids(
         )
         train = train.filter(row_in_part < quota)
     train = train.select(array_to_vector("__cv").alias("features"))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    return KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+
+
+def fit_centroids(
+    vectors: DataFrame,
+    n_centroids: int,
+    seed: int,
+    fit_sample: int = 100_000,
+    fit_fraction: float | None = None,
+) -> list[list[float]]:
+    """Centroids of :func:`fit_kmeans` as a driver-side literal
+    (n_centroids × dim floats) — the form :func:`ivf_topk` compiles
+    into its probe expressions.  Sized for SMALL centroid counts
+    (n_probe-style coarse quantizers); for large n_centroids use the
+    model's ``transform`` directly (see :func:`fit_kmeans`)."""
+    model = fit_kmeans(
+        vectors,
+        n_centroids=n_centroids,
+        seed=seed,
+        fit_sample=fit_sample,
+        fit_fraction=fit_fraction,
+    )
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 
@@ -487,7 +513,7 @@ def projected_topk(
     queries: DataFrame,
     k: int = 10,
     rescore_factor: int = 4,
-    proj_dim: int = 24,
+    proj_dim: int = 32,
     seed: int = 7,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -500,23 +526,26 @@ def projected_topk(
     The dimension-reduction analogue of :func:`quantized_topk`:
     stage 1 scores candidates with ``proj_dim``-dim dot products over
     :func:`~python_dtl_spark.operators.embeddings.random_projection`
-    vectors (2.7× less arithmetic at 64→24), stage 2 rescores the top
+    vectors (2× less arithmetic at 64→32), stage 2 rescores the top
     ``k × rescore_factor`` with exact full-dimension cosine.  Both the
     projection (literal seeded matrix) and the tie-breaks are
     deterministic, so the operator is value-oracled on any corpus.
     Same broadcast contract and output schema as :func:`cosine_topk`
     (query_id, neighbor_id, rank).
 
-    Like :func:`quantized_topk`, stage 1 carries only (id, 24-dim
-    projection) — ~2.7× narrower per corpus row than dragging the
-    64-dim vector through the candidate-rank exchange — and
+    Like :func:`quantized_topk`, stage 1 carries only (id, 32-dim
+    projection) — 2× narrower per corpus row than dragging the 64-dim
+    vector through the candidate-rank exchange — and
     :func:`_rescore_exact` joins the surviving candidate ids back to
     the full vectors.
 
-    ``proj_dim`` defaults to 24, not 16: probed at 8× corpus growth
-    (SCALING.md), 16 dims lose candidates to crowding (recall@10
-    0.694 at rescore_factor=4; still only 0.963 at factor 16) while
-    24 dims hold recall@10 = 1.000 at the same wall time.
+    ``proj_dim`` defaults to 32: the coarse pool crowds as the corpus
+    grows, and the recall@10 ladder measured under replication
+    (SCALING.md) is 16 dims — 0.694 at 8× (0.963 even at
+    rescore_factor 16); 24 dims — 1.000 at 8× but 0.875 at 32×;
+    32 dims — 1.000 at both, at the same wall time.  Widening the
+    projection beats inflating rescore_factor (24-dim at factor 8
+    still only reached 0.988 at 32×).
     """
     from python_dtl_spark.operators.embeddings import random_projection
 

@@ -567,12 +567,15 @@ def main() -> None:
             ),
             (
                 # rotated replicas (distinct geometry): probes the
-                # cluster-partitioned pair join as clusters fill up —
-                # the within-cluster n_i² term is the scale hazard
+                # cluster-partitioned pair join as the corpus grows.
+                # n_centroids scales WITH the data (SemDedup's
+                # constant-cluster-size rule) — a fixed 16 centroids
+                # at 32× measured 229× (within-cluster n_i² is the
+                # hazard); 16×factor restores ~linear
                 "semdedup_pairs",
                 dedup.semdedup_pairs(emb_base, threshold=0.9, n_centroids=16),
                 dedup.semdedup_pairs(
-                    emb_at(factor), threshold=0.9, n_centroids=16
+                    emb_at(factor), threshold=0.9, n_centroids=16 * factor
                 ),
             ),
         ]:
