@@ -1276,6 +1276,80 @@ _register(
     """,
 )
 
+_register(
+    "dtl_update_where",
+    _dtl(
+        """
+        WITH part AS IMPORT 'part';
+        UPDATE part SET p_retailprice = p_retailprice * 1.1
+            WHERE int64(p_size) >= 30;
+        WITH output AS SELECT p_partkey, p_size, p_retailprice FROM part;
+        EXPORT output TO 'output';
+        """
+    ),
+    # UPDATE is copy-on-write (reference reserves the keyword with an
+    # empty stub node, nodes.py:332-334): the post-state is exactly a
+    # CASE WHEN projection, which is also how DuckDB replays it.
+    "SELECT p_partkey, p_size, "
+    "CASE WHEN p_size >= 30 THEN p_retailprice * 1.1 ELSE p_retailprice END "
+    "AS p_retailprice FROM part",
+    headline=True,
+)
+
+_register(
+    "dtl_delete_where",
+    _dtl(
+        """
+        WITH orders AS IMPORT 'orders';
+        DELETE FROM orders WHERE o_orderstatus = 'O';
+        WITH output AS
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "WHERE o_orderstatus IS NULL OR o_orderstatus <> 'O'",
+)
+
+_register(
+    "dtl_insert_select",
+    _dtl(
+        """
+        WITH nation AS IMPORT 'nation';
+        INSERT INTO nation
+            SELECT int32(int64(n_nationkey) + 100) AS n_nationkey,
+                   n_name, n_regionkey
+            FROM nation WHERE int64(n_regionkey) = 1;
+        WITH output AS SELECT n_nationkey, n_name, n_regionkey FROM nation;
+        EXPORT output TO 'output';
+        """
+    ),
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation "
+    "UNION ALL "
+    "SELECT CAST(n_nationkey + 100 AS INTEGER) AS n_nationkey, n_name, "
+    "n_regionkey FROM nation WHERE n_regionkey = 1",
+)
+
+_register(
+    "dtl_transaction_rollback",
+    _dtl(
+        """
+        WITH orders AS IMPORT 'orders';
+        BEGIN 'speculative cleanup, then abandon it';
+        DELETE FROM orders;
+        UPDATE orders SET o_totalprice = 0.0;
+        ROLLBACK;
+        WITH output AS
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > 100000.0;
+        EXPORT output TO 'output';
+        """
+    ),
+    # ROLLBACK restores the binding snapshot: the mutations inside the
+    # block must leave no trace in the result.
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000.0",
+)
+
 # ---------------------------------------------------------------------------
 # Group B — training-data pipeline extensions (M6)
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from python_dtl_spark import functions as fnlib
 from python_dtl_spark.errors import (
     DtlNameError,
     DtlOrderError,
+    DtlTransactionError,
     DtlTypeError,
 )
 from python_dtl_spark.lang import nodes as n
@@ -237,6 +238,12 @@ class Engine:
         script = parse(source) if isinstance(source, str) else source
         env: dict[str, CompiledTable] = {}
         exports: list[tuple[str, CompiledTable]] = []
+        # Open transaction block: (env snapshot, exports length at BEGIN).
+        # Copy-on-write bindings make rollback a dict restore — no data
+        # was materialized, only logical plans discarded.  (In traced
+        # mode, snapshots taken inside a rolled-back block stay in the
+        # trace: an audit trail that hid aborted work would not be one.)
+        txn: tuple[dict[str, CompiledTable], int] | None = None
         for stmt in script.statements:
             if isinstance(stmt, n.WithStatement):
                 table = self.compile_table(stmt.expression, env)
@@ -248,9 +255,171 @@ class Engine:
                 if self.traced:
                     table = self._finalize_trace(stmt.location, table, "EXPORT")
                 exports.append((stmt.location, table))
+            elif isinstance(stmt, n.UpdateStatement):
+                env[stmt.target] = self._exec_mutation(
+                    stmt.target, self._compile_update(stmt, env)
+                )
+            elif isinstance(stmt, n.DeleteStatement):
+                env[stmt.target] = self._exec_mutation(
+                    stmt.target, self._compile_delete(stmt, env)
+                )
+            elif isinstance(stmt, n.InsertStatement):
+                env[stmt.target] = self._exec_mutation(
+                    stmt.target, self._compile_insert(stmt, env)
+                )
+            elif isinstance(stmt, n.BeginStatement):
+                if txn is not None:
+                    raise DtlTransactionError("BEGIN inside an open transaction block")
+                txn = (dict(env), len(exports))
+            elif isinstance(stmt, n.CommitStatement):
+                if txn is None:
+                    raise DtlTransactionError("COMMIT without a matching BEGIN")
+                txn = None
+            elif isinstance(stmt, n.RollbackStatement):
+                if txn is None:
+                    raise DtlTransactionError("ROLLBACK without a matching BEGIN")
+                env, n_exports = txn
+                del exports[n_exports:]
+                txn = None
             else:
                 raise DtlNameError(f"compilation error: unsupported statement {stmt!r}")
+        if txn is not None:
+            raise DtlTransactionError("script ended inside an open BEGIN block")
         return exports
+
+    def _exec_mutation(self, target: str, table: CompiledTable) -> CompiledTable:
+        if self.traced:
+            table = self._finalize_trace(target, table, "STATEMENT")
+        return table
+
+    # -- mutation statements -------------------------------------------------
+    #
+    # UPDATE/DELETE/INSERT are copy-on-write over script bindings: each
+    # rebinds the target name to a new logical plan (a projection with
+    # CASE WHEN, a filter, a union).  Nothing is executed here — Catalyst
+    # fuses consecutive mutations into the downstream plan, so e.g.
+    # UPDATE → SELECT collapses into one scan-project at any scale.  The
+    # reference reserves the keywords with empty stub nodes (reference
+    # nodes.py:331-354, no productions registered at parser.py:310-317);
+    # the semantics below are this repo's extension.
+
+    def _compile_update(self, stmt: n.UpdateStatement, env: dict) -> CompiledTable:
+        binding, scope = self._mutation_scope(stmt.target, env)
+        compiler = ExprCompiler(scope.columns)
+        assigned: dict[str, Column] = {}
+        for name, expr in stmt.assignments:
+            sc = compiler.resolve(n.ColumnRef(namespace=None, name=name))
+            if name in assigned:
+                raise DtlNameError(
+                    f"compilation error: duplicate SET assignment to {name!r}"
+                )
+            val, vt = compiler.compile(expr)
+            if vt != sc.dtype:
+                raise DtlTypeError(
+                    f"Type error: UPDATE SET {name}: {vt} does not match "
+                    f"column dtype {sc.dtype} (no coercion)"
+                )
+            assigned[name] = val
+        pred = None
+        if stmt.where is not None:
+            pred, pt = compiler.compile(stmt.where)
+            if pt != DType.BOOL:
+                raise DtlTypeError(f"Type error: UPDATE WHERE is {pt}, not BOOL")
+        selects = []
+        for sc in scope.columns:
+            if sc.name in assigned:
+                # All SET expressions read the OLD row (simultaneous
+                # assignment); rows not matching WHERE (incl. NULL) keep
+                # their old value.
+                new = assigned[sc.name]
+                col = new if pred is None else F.when(pred, new).otherwise(F.col(sc.phys))
+            else:
+                col = F.col(sc.phys)
+            selects.append(col.alias(sc.name))
+        return self._mutation_table(binding, scope, selects)
+
+    def _compile_delete(self, stmt: n.DeleteStatement, env: dict) -> CompiledTable:
+        binding, scope = self._mutation_scope(stmt.target, env)
+        if stmt.where is None:
+            keep = F.lit(False)  # DELETE FROM t; empties the binding
+        else:
+            pred, pt = ExprCompiler(scope.columns).compile(stmt.where)
+            if pt != DType.BOOL:
+                raise DtlTypeError(f"Type error: DELETE WHERE is {pt}, not BOOL")
+            # SQL DELETE semantics: rows are removed only where the
+            # predicate is TRUE; NULL keeps the row.
+            keep = ~pred.eqNullSafe(F.lit(True))
+        scope = replace_df(scope, scope.df.filter(keep))
+        selects = [F.col(sc.phys).alias(sc.name) for sc in scope.columns]
+        return self._mutation_table(binding, scope, selects)
+
+    def _compile_insert(self, stmt: n.InsertStatement, env: dict) -> CompiledTable:
+        if stmt.target not in env:
+            raise DtlNameError(f"compilation error: unknown table {stmt.target!r}")
+        left = env[stmt.target]
+        right = self.compile_table(stmt.expression, env)
+        if left.columns != right.columns:
+            raise DtlTypeError(
+                f"Type error: INSERT INTO {stmt.target}: schemas differ: "
+                f"{left.columns} vs {right.columns}"
+            )
+        if self.traced and right.uuid is None:
+            right = self._finalize_trace("(insert)", right, "TABLE_EXPRESSION")
+        names = left.column_names
+
+        def _side(table: CompiledTable, side: int) -> DataFrame:
+            cols = [F.col(c) for c in names]
+            if self.ordered:
+                # Normalize each side's order to a dense rank, then a
+                # (side, rank) struct sorts existing rows before inserted
+                # ones.  Global window = ordered mode's documented
+                # small-data parity path (same shape as DISTINCT
+                # CONSECUTIVE); the scale path below is a bare union.
+                w = Window.orderBy(F.col(table.order_col).asc_nulls_last())
+                rnk = F.row_number().over(w).cast("long")
+                cols.append(
+                    F.struct(F.lit(side).alias("s"), rnk.alias("o")).alias(ORDER_COL)
+                )
+            if self.traced:
+                cols.append(F.col(table.rid_col))
+            return table.df.select(*cols)
+
+        df = _side(left, 0).unionByName(_side(right, 1), allowMissingColumns=True)
+        return CompiledTable(
+            df=df,
+            columns=left.columns,
+            order_col=ORDER_COL if self.ordered else None,
+            src_rids=(
+                ((left.uuid, left.rid_col), (right.uuid, right.rid_col))
+                if self.traced
+                else ()
+            ),
+        )
+
+    def _mutation_scope(self, target: str, env: dict) -> tuple[CompiledTable, Scope]:
+        if target not in env:
+            raise DtlNameError(f"compilation error: unknown table {target!r}")
+        binding = env[target]
+        scope = self._scope_from_source(n.Source(name=target, alias=None), env)
+        return binding, scope
+
+    def _mutation_table(
+        self, binding: CompiledTable, scope: Scope, selects: list[Column]
+    ) -> CompiledTable:
+        order_col = None
+        if scope.order_cols:
+            selects = selects + [F.col(scope.order_cols[0]).alias(ORDER_COL)]
+            order_col = ORDER_COL
+        src_rids: tuple[tuple[str, str], ...] = ()
+        if self.traced and scope.rid_cols:
+            selects = selects + [F.col(phys) for _, phys in scope.rid_cols]
+            src_rids = tuple(scope.rid_cols)
+        return CompiledTable(
+            df=scope.df.select(*selects),
+            columns=binding.columns,
+            order_col=order_col,
+            src_rids=src_rids,
+        )
 
     # -- trace finalization ---------------------------------------------------
 

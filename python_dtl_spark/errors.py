@@ -41,6 +41,11 @@ class DtlTypeError(DtlError):
     """
 
 
+class DtlTransactionError(DtlError):
+    """BEGIN/COMMIT/ROLLBACK misuse: nested BEGIN, COMMIT/ROLLBACK with
+    no open block, or a script ending inside an open block."""
+
+
 class DtlOrderError(DtlError):
     """An order-dependent operator (DISTINCT CONSECUTIVE, GROUP CONSECUTIVE
     BY) was used while the engine is running in unordered (scale) mode."""

@@ -58,6 +58,13 @@ KEYWORDS = {
     "UPDATE",
     "DELETE",
     "INSERT",
+    # Mutation-statement grammar (extension: the reference reserves the
+    # four keywords above but defines no productions; these complete the
+    # productions this repo gives them).
+    "SET",
+    "INTO",
+    "COMMIT",
+    "ROLLBACK",
 }
 
 

@@ -188,5 +188,61 @@ class ExportStatement(Statement):
 
 
 @dataclass(frozen=True)
+class UpdateStatement(Statement):
+    """``UPDATE name SET col = expr [, ...] [WHERE pred];``
+
+    The reference reserves the keyword and declares an *empty* stub node
+    (reference nodes.py:332-334, no parser production, no evaluator) —
+    this extension gives it copy-on-write semantics: the binding is
+    replaced by a new table whose SET columns take the new value on rows
+    matching WHERE (all rows when absent).  All SET expressions read the
+    *old* row (SQL simultaneous-assignment semantics).
+    """
+
+    target: str
+    assignments: tuple[tuple[str, Expression], ...]
+    where: Expression | None
+
+
+@dataclass(frozen=True)
+class DeleteStatement(Statement):
+    """``DELETE FROM name [WHERE pred];`` — copy-on-write filter; rows
+    where the predicate is TRUE are removed (NULL keeps the row, like
+    SQL DELETE).  Reference stub: nodes.py:337-339."""
+
+    target: str
+    where: Expression | None
+
+
+@dataclass(frozen=True)
+class InsertStatement(Statement):
+    """``INSERT INTO name <table expression>;`` — appends rows with an
+    exact schema match (same column names and dtypes, same order — the
+    set-operation rule).  Reference stub: nodes.py:342-344."""
+
+    target: str
+    expression: TableExpression
+
+
+@dataclass(frozen=True)
+class BeginStatement(Statement):
+    """``BEGIN ['note'];`` — opens a transaction block closed by
+    ``COMMIT;`` or ``ROLLBACK;``.  The reference's stub carries a text
+    payload (nodes.py:353-354) surfaced here as the optional note."""
+
+    note: str | None
+
+
+@dataclass(frozen=True)
+class CommitStatement(Statement):
+    pass
+
+
+@dataclass(frozen=True)
+class RollbackStatement(Statement):
+    pass
+
+
+@dataclass(frozen=True)
 class Script(Node):
     statements: tuple[Statement, ...] = field(default_factory=tuple)

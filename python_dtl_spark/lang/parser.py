@@ -92,25 +92,63 @@ class _Parser:
             location = self._expect("STRING").text
             self._expect("OP", ";")
             return n.ExportStatement(expression=expr, location=location)
-        tok = self._peek()
-        if tok.kind in ("UPDATE", "DELETE", "INSERT", "BEGIN"):
-            # The reference reserves these keywords and declares AST
-            # nodes but never grew parser productions or an evaluator
-            # for them (reference tokens.py:54-59, nodes.py:331-354) —
-            # name the statement instead of emitting a generic syntax
-            # error.
-            raise DtlSyntaxError(
-                f"{tok.kind} statements are not supported by DTL "
-                "(reserved keyword with no defined semantics); "
-                "use WITH/EXPORT statements",
-                lineno=tok.lineno,
-                column=tok.column,
+        # Mutation statements: the reference reserves these keywords and
+        # declares empty stub AST nodes but never grew parser productions
+        # or an evaluator (reference tokens.py:54-59, nodes.py:331-354).
+        # This extension completes them with copy-on-write semantics over
+        # script bindings (see compiler.Engine.run_script).
+        if self._match("UPDATE"):
+            target = self._name()
+            self._expect("SET")
+            assignments = [self._assignment()]
+            while self._match("OP", ","):
+                assignments.append(self._assignment())
+            where = self.parse_expression() if self._match("WHERE") else None
+            self._expect("OP", ";")
+            return n.UpdateStatement(
+                target=target, assignments=tuple(assignments), where=where
             )
+        if self._match("DELETE"):
+            self._expect("FROM")
+            target = self._name()
+            where = self.parse_expression() if self._match("WHERE") else None
+            self._expect("OP", ";")
+            return n.DeleteStatement(target=target, where=where)
+        if self._match("INSERT"):
+            self._expect("INTO")
+            target = self._name()
+            expr = self.parse_table_expression()
+            self._expect("OP", ";")
+            return n.InsertStatement(target=target, expression=expr)
+        if self._match("BEGIN"):
+            note_tok = self._match("STRING")
+            self._expect("OP", ";")
+            return n.BeginStatement(note=note_tok.text if note_tok else None)
+        if self._match("COMMIT"):
+            self._expect("OP", ";")
+            return n.CommitStatement()
+        if self._match("ROLLBACK"):
+            self._expect("OP", ";")
+            return n.RollbackStatement()
+        tok = self._peek()
         raise DtlSyntaxError(
             f"expected statement, found {tok.text or tok.kind!r}",
             lineno=tok.lineno,
             column=tok.column,
         )
+
+    def _assignment(self) -> tuple[str, "n.Expression"]:
+        """``col = expr`` inside UPDATE ... SET (plain column name only)."""
+        tok = self._peek()
+        if tok.kind != "NAME":
+            raise DtlSyntaxError(
+                f"expected column name in SET, found {tok.text or tok.kind!r}",
+                lineno=tok.lineno,
+                column=tok.column,
+            )
+        name = self._advance().text
+        self._expect("OP", "=")
+        return name, self.parse_expression()
 
     # -- table expressions --------------------------------------------------
 

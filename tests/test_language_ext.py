@@ -486,3 +486,175 @@ def test_semi_anti_self_join_chain(run_dtl):
         },
     )
     assert out.to_pydict() == {"lo": [1], "ls": [10]}
+
+
+# --- mutation statements (UPDATE / DELETE / INSERT / BEGIN) ----------------
+# The reference reserves these keywords with empty stub AST nodes
+# (reference nodes.py:331-354) and registers no productions
+# (parser.py:310-317); this repo completes them with copy-on-write
+# semantics over script bindings.
+
+
+def test_update_simultaneous_assignment_swaps(run_dtl):
+    # SQL UPDATE semantics: every SET expression reads the OLD row, so
+    # SET a = b, b = a swaps.
+    out = run1(
+        run_dtl,
+        """
+        WITH t AS IMPORT 't';
+        UPDATE t SET a = b, b = a;
+        EXPORT t TO 'output';
+        """,
+        {"t": {"a": [1, 2], "b": [10, 20]}},
+    )
+    assert out.to_pydict() == {"a": [10, 20], "b": [1, 2]}
+
+
+def test_update_where_null_predicate_keeps_old_value(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH t AS IMPORT 't';
+        UPDATE t SET v = v * 100 WHERE k < 2.0;
+        EXPORT t TO 'output';
+        """,
+        {"t": {"k": [1.0, None, 3.0], "v": [5, 6, 7]}},
+    )
+    # NULL predicate rows are NOT updated (row 2), like SQL UPDATE
+    assert out.to_pydict() == {"k": [1.0, None, 3.0], "v": [500, 6, 7]}
+
+
+def test_update_strict_typing_and_unknown_column(run_dtl):
+    data = {"t": {"a": [1], "s": ["x"]}}
+    with pytest.raises(DtlTypeError):
+        run1(
+            run_dtl,
+            "WITH t AS IMPORT 't'; UPDATE t SET a = s; EXPORT t TO 'output';",
+            data,
+        )
+    with pytest.raises(DtlNameError):
+        run1(
+            run_dtl,
+            "WITH t AS IMPORT 't'; UPDATE t SET zz = 1; EXPORT t TO 'output';",
+            data,
+        )
+    with pytest.raises(DtlNameError):
+        run1(
+            run_dtl,
+            "WITH t AS IMPORT 't'; UPDATE t SET a = 1, a = 2; EXPORT t TO 'output';",
+            data,
+        )
+
+
+def test_delete_null_predicate_keeps_row(run_dtl):
+    # DELETE removes rows only where the predicate is TRUE; NULL keeps
+    out = run1(
+        run_dtl,
+        """
+        WITH t AS IMPORT 't';
+        DELETE FROM t WHERE k = 1.0;
+        EXPORT t TO 'output';
+        """,
+        {"t": {"k": [1.0, None, 3.0]}},
+    )
+    assert out.to_pydict() == {"k": [None, 3.0]}
+
+
+def test_delete_without_where_empties_binding(run_dtl):
+    out = run1(
+        run_dtl,
+        "WITH t AS IMPORT 't'; DELETE FROM t; EXPORT t TO 'output';",
+        {"t": {"k": [1, 2, 3]}},
+    )
+    assert out.to_pydict() == {"k": []}
+
+
+def test_insert_appends_after_existing_rows(run_dtl):
+    out = run1(
+        run_dtl,
+        """
+        WITH t AS IMPORT 't';
+        WITH extra AS IMPORT 'extra';
+        INSERT INTO t SELECT k + 10 AS k FROM t WHERE k <= 2;
+        INSERT INTO t extra;
+        EXPORT t TO 'output';
+        """,
+        {"t": {"k": [1, 2, 3]}, "extra": {"k": [99]}},
+    )
+    # ordered mode: inserted rows sort after existing, per INSERT
+    assert out.to_pydict() == {"k": [1, 2, 3, 11, 12, 99]}
+
+
+def test_insert_schema_mismatch_raises(run_dtl):
+    with pytest.raises(DtlTypeError):
+        run1(
+            run_dtl,
+            """
+            WITH t AS IMPORT 't';
+            INSERT INTO t SELECT s AS k FROM t;
+            EXPORT t TO 'output';
+            """,
+            {"t": {"k": [1], "s": ["x"]}},
+        )
+
+
+def test_mutations_compose_and_are_copy_on_write(run_dtl):
+    # A binding captured (exported) BEFORE a mutation is unaffected by
+    # it: mutations rebind the name, they do not mutate the old plan.
+    outs = run_dtl(
+        """
+        WITH t AS IMPORT 't';
+        EXPORT t TO 'before';
+        UPDATE t SET v = v + 1 WHERE k = 1;
+        DELETE FROM t WHERE v = 20;
+        EXPORT t TO 'after';
+        """,
+        {"t": pa.table({"k": [1, 2], "v": [10, 20]})},
+    )
+    assert outs["before"].to_pydict() == {"k": [1, 2], "v": [10, 20]}
+    assert outs["after"].to_pydict() == {"k": [1], "v": [11]}
+
+
+def test_transaction_rollback_restores_bindings_and_exports(run_dtl):
+    outs = run_dtl(
+        """
+        WITH t AS IMPORT 't';
+        BEGIN 'speculative cleanup';
+        DELETE FROM t;
+        EXPORT t TO 'staged';
+        ROLLBACK;
+        UPDATE t SET v = v * 2;
+        EXPORT t TO 'output';
+        """,
+        {"t": pa.table({"v": [1, 2]})},
+    )
+    assert "staged" not in outs  # rolled-back export discarded
+    assert outs["output"].to_pydict() == {"v": [2, 4]}
+
+
+def test_transaction_commit_applies(run_dtl):
+    outs = run_dtl(
+        """
+        WITH t AS IMPORT 't';
+        BEGIN;
+        UPDATE t SET v = v * 2;
+        COMMIT;
+        EXPORT t TO 'output';
+        """,
+        {"t": pa.table({"v": [3]})},
+    )
+    assert outs["output"].to_pydict() == {"v": [6]}
+
+
+def test_transaction_misuse_raises(run_dtl):
+    from python_dtl_spark.errors import DtlTransactionError
+
+    cases = [
+        "WITH t AS IMPORT 't'; COMMIT;",
+        "WITH t AS IMPORT 't'; ROLLBACK;",
+        "WITH t AS IMPORT 't'; BEGIN; BEGIN;",
+        "WITH t AS IMPORT 't'; BEGIN;",  # unterminated
+    ]
+    for src in cases:
+        with pytest.raises(DtlTransactionError):
+            run_dtl(src, {"t": pa.table({"v": [1]})})

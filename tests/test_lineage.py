@@ -371,3 +371,39 @@ def test_where_used_forward_provenance(spark, tmp_path):
     # a filtered-out row (1, 10) contributes to nothing
     dropped = a_snap.filter(F.col("key") == 1)
     assert reader.where_used("a", "out", dropped).count() == 0
+
+
+def test_mutation_statements_trace(spark):
+    # UPDATE/DELETE are row-preserving (by-construction mappings from the
+    # prior binding); INSERT maps surviving rows from BOTH the prior
+    # binding and the inserted expression.
+    tracer = InMemoryTracer()
+    out = _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        UPDATE a SET value = value + 1 WHERE key <= 2;
+        DELETE FROM a WHERE value > 50;
+        INSERT INTO a SELECT key + 100 AS key, value FROM a WHERE key = 3;
+        EXPORT a TO 'a_out';
+        """,
+        {"a": NUMS},
+        tracer,
+    )
+    rows = {r.key: r.value for r in out["a_out"].collect()}
+    # update: 10→11, 20→21; delete removes (6,60); insert adds (103,30)
+    assert rows == {1: 11, 2: 21, 3: 30, 4: 40, 5: 50, 103: 30}
+
+    # four trace snapshots named "a": import, update, delete, insert
+    recs = [t for t in tracer.tables if t.name == "a"]
+    assert len(recs) == 4
+    imp, upd, dele, ins = recs
+    # update preserves cardinality 1:1
+    assert _pairs(tracer, imp.id, upd.id).count() == 6
+    # delete keeps 5 of 6
+    assert _pairs(tracer, upd.id, dele.id).count() == 5
+    # insert maps 5 prior rows + 1 inserted-expression row
+    assert _pairs(tracer, dele.id, ins.id).count() == 5
+    setop_recs = [t for t in tracer.tables if t.name == "(insert)"]
+    assert len(setop_recs) == 1
+    assert _pairs(tracer, setop_recs[0].id, ins.id).count() == 1

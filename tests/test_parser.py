@@ -139,9 +139,44 @@ def test_cross_join_rejects_on():
         parse("WITH o AS SELECT * FROM a CROSS JOIN b ON a.k = b.k;")
 
 
-def test_mutation_statements_named_in_diagnostic():
-    # reference reserves UPDATE/DELETE/INSERT/BEGIN but defines no
-    # productions; the error must name the unsupported statement
-    for kw in ("UPDATE", "DELETE", "INSERT", "BEGIN"):
-        with pytest.raises(DtlSyntaxError, match=f"{kw} statements are not supported"):
-            parse(f"{kw} t;")
+def test_mutation_statement_productions():
+    # reference reserves UPDATE/DELETE/INSERT/BEGIN with empty stub AST
+    # nodes (reference nodes.py:331-354) and no productions; this repo
+    # completes them as an extension (copy-on-write semantics)
+    s = parse(
+        "UPDATE t SET a = a + 1, b = 2 WHERE a < 5;"
+        "DELETE FROM t WHERE a = 1;"
+        "DELETE FROM t;"
+        "INSERT INTO t SELECT a, b FROM u;"
+        "BEGIN 'note'; COMMIT; BEGIN; ROLLBACK;"
+    )
+    kinds = [type(st).__name__ for st in s.statements]
+    assert kinds == [
+        "UpdateStatement",
+        "DeleteStatement",
+        "DeleteStatement",
+        "InsertStatement",
+        "BeginStatement",
+        "CommitStatement",
+        "BeginStatement",
+        "RollbackStatement",
+    ]
+    upd = s.statements[0]
+    assert upd.target == "t"
+    assert [name for name, _ in upd.assignments] == ["a", "b"]
+    assert upd.where is not None
+    assert s.statements[2].where is None
+    assert s.statements[4].note == "note"
+    assert s.statements[6].note is None
+
+
+def test_mutation_statement_syntax_errors():
+    for bad in (
+        "UPDATE t a = 1;",  # missing SET
+        "UPDATE t SET 1 = a;",  # assignment target must be a name
+        "DELETE t WHERE a = 1;",  # missing FROM
+        "INSERT t SELECT a FROM u;",  # missing INTO
+        "BEGIN",  # missing semicolon
+    ):
+        with pytest.raises(DtlSyntaxError):
+            parse(bad)
