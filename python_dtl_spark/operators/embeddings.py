@@ -101,20 +101,24 @@ def random_projection(
 
     rows = projection_matrix(dim, out_dim, seed)
     df = df.withColumn("__rp_in", _checked_dim(F.col(vec_col), dim))
-    v = F.col("__rp_in")
-    comps = [
-        F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(x) for x in row]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # The whole projection is ONE F.expr SQL string rather than
+    # out_dim × dim Column-API literal calls: building the expression
+    # tree through the Python↔JVM bridge dominated the operator's wall
+    # time (~3.5 s of driver-side construction per call at out_dim 32;
+    # the JVM parses the equivalent ~50 KB SQL text in ~0.1 s).  The
+    # math is term-for-term identical — same zip_with/aggregate fold,
+    # same literal values via repr round-trip — so projections remain
+    # bit-exact against the SQL oracle (asserted by the
+    # embed_random_projection value hash and the operator unit tests).
+    def arr(row: list[float]) -> str:
+        return "array(" + ",".join(f"{x!r}D" for x in row) + ")"
+
+    comps = ",".join(
+        f"aggregate(zip_with(__rp_in, {arr(row)}, "
+        "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
         for row in rows
-    ]
-    return df.withColumn(out_col, F.array(*comps)).drop("__rp_in")
+    )
+    return df.withColumn(out_col, F.expr(f"array({comps})")).drop("__rp_in")
 
 
 def projection_matrix(
