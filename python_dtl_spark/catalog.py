@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from python_dtl_spark.compiler import Engine
 from python_dtl_spark.operators import (
+    cdc,
     dedup,
     embeddings as embeddings_ops,
     joins,
@@ -4310,6 +4311,242 @@ _register(
     FROM noorder JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     ORDER BY n_name
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Group I — round-7: CDC changeset application, SCD2 history, key-skew
+# profiling, z-score anomaly gate, Bloom-style decontamination prefilter
+# ---------------------------------------------------------------------------
+
+
+def _q_apply_changes(spark, sf_dir):
+    """CDC merge: the orders snapshot updated by a changeset derived
+    deterministically from lineitem (each line = one change to its
+    order, sequenced by line number; returned lines are deletes).
+    Covers all three paths: update (latest upsert wins), delete, and
+    insert (synthetic keys beyond the snapshot's range)."""
+    snap = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    base_ch = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_linenumber").cast("long").alias("seq"),
+        F.when(F.col("l_returnflag") == "R", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("l_partkey").alias("o_custkey"),
+        F.col("l_linestatus").alias("o_orderstatus"),
+        F.col("l_extendedprice").alias("o_totalprice"),
+    )
+    inserts = base_ch.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(3000000)
+    )
+    return cdc.apply_changes(
+        snap,
+        base_ch.unionByName(inserts),
+        keys=["o_orderkey"],
+        seq_col="seq",
+        op_col="op",
+    )
+
+
+_register(
+    "orders_apply_changes",
+    _q_apply_changes,
+    """
+    WITH base_ch AS (
+        SELECT l_orderkey AS o_orderkey,
+               CAST(l_linenumber AS BIGINT) AS seq,
+               CASE WHEN l_returnflag = 'R' THEN 'delete' ELSE 'upsert' END AS op,
+               l_partkey AS o_custkey,
+               l_linestatus AS o_orderstatus,
+               l_extendedprice AS o_totalprice
+        FROM lineitem
+    ), ch AS (
+        SELECT * FROM base_ch
+        UNION ALL
+        SELECT o_orderkey + 3000000, seq, op, o_custkey, o_orderstatus,
+               o_totalprice
+        FROM base_ch WHERE o_orderkey % 7 = 0
+    ), latest AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey
+            ORDER BY seq DESC, CASE WHEN op = 'delete' THEN 0 ELSE 1 END ASC,
+                     o_custkey ASC NULLS LAST,
+                     o_orderstatus ASC NULLS LAST,
+                     o_totalprice ASC NULLS LAST
+        ) AS rn
+        FROM ch
+    ), l1 AS (
+        SELECT * FROM latest WHERE rn = 1
+    )
+    SELECT COALESCE(s.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN c.op = 'upsert' THEN c.o_custkey
+                ELSE s.o_custkey END AS o_custkey,
+           CASE WHEN c.op = 'upsert' THEN c.o_orderstatus
+                ELSE s.o_orderstatus END AS o_orderstatus,
+           CASE WHEN c.op = 'upsert' THEN c.o_totalprice
+                ELSE s.o_totalprice END AS o_totalprice
+    FROM orders s FULL OUTER JOIN l1 c ON s.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'delete'
+    """,
+    headline=True,
+)
+
+
+def _q_scd2(spark, sf_dir):
+    """Type-2 dimension history: each order's lineitem change log as
+    validity intervals (valid_from = line number, closed by the next
+    line, open interval = current)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("seq"),
+        F.col("l_linestatus").alias("status"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return cdc.scd2_history(li, keys=["l_orderkey"], seq_col="seq")
+
+
+_register(
+    "orders_scd2_history",
+    _q_scd2,
+    """
+    WITH d AS (
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS seq,
+               max(l_linestatus) AS status, max(l_extendedprice) AS price
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_orderkey, status, price, seq AS valid_from,
+           lead(seq) OVER (PARTITION BY l_orderkey ORDER BY seq) AS valid_to,
+           lead(seq) OVER (PARTITION BY l_orderkey ORDER BY seq) IS NULL
+               AS is_current
+    FROM d
+    """,
+)
+
+
+def _q_key_profile(spark, sf_dir):
+    """Heavy-hitter profile of orders.o_custkey — the pre-flight skew
+    report run before keying a shuffle on a column."""
+    return stats.key_profile(
+        _read(spark, sf_dir, "orders"), ["o_custkey"], top_n=25
+    )
+
+
+_register(
+    "orders_key_profile",
+    _q_key_profile,
+    """
+    WITH c AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ), t AS (
+        SELECT CAST(count(*) AS BIGINT) AS total FROM orders
+    ), top AS (
+        SELECT * FROM c ORDER BY cnt DESC, o_custkey ASC LIMIT 25
+    )
+    SELECT row_number() OVER (ORDER BY cnt DESC, o_custkey ASC) AS rank,
+           o_custkey, cnt,
+           CAST(cnt AS DOUBLE) / total AS share,
+           CAST(sum(cnt) OVER (ORDER BY cnt DESC, o_custkey ASC
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total AS cum_share
+    FROM top, t
+    """,
+    headline=True,
+)
+
+
+def _q_zscore(spark, sf_dir):
+    """Per-event-type z-score anomaly gate over the events stream.
+    Emits row identity + the z statistic (rounded to 6dp); margins
+    between every |z| and the 3.0 threshold are >= 3e-4 at this corpus
+    (measured at sf0.01 and sf0.1), orders of magnitude above
+    cross-engine double-summation ulp noise, so the oracle is a full
+    value hash."""
+    ev = _read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = stats.zscore_outliers(ev, "value", ["event_type"], z=3.0)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("zscore", 6).alias("zscore_r"),
+    )
+
+
+_register(
+    "events_zscore_outliers",
+    _q_zscore,
+    """
+    WITH s AS (
+        SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+        FROM events GROUP BY 1
+    ), j AS (
+        SELECT e.event_id, e.event_type, e.value,
+               CASE WHEN sd > 0.0 THEN (value - m) / sd ELSE 0.0 END AS z
+        FROM events e JOIN s USING (event_type)
+    )
+    SELECT event_id, event_type, value, round(z, 6) AS zscore_r
+    FROM j WHERE abs(z) > 3.0
+    """,
+)
+
+
+def _q_decontaminate_prefiltered(spark, sf_dir):
+    """decontaminate_train_test's exact output through the Bloom-style
+    train-side prefilter (broadcast semi join on xxhash64 % m bucket
+    ids — a single-hash Bloom expressed relationally).  Same oracle
+    SQL as the unfiltered query: the prefilter is lossless because
+    false positives die in the exact equi-join."""
+    docs = _read(spark, sf_dir, "documents")
+    split = sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="s1"
+    )
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    evals = split.filter(F.col("split") == "test").select("doc_id", "text")
+    return dedup.contamination_pairs(
+        train, evals, n=3, min_common=5, prefilter_buckets=1 << 22
+    )
+
+
+_register(
+    "decontaminate_prefiltered",
+    _q_decontaminate_prefiltered,
+    f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               CASE WHEN {_CONTAM_B} < 8000 THEN 'train'
+                    WHEN {_CONTAM_B} < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, split,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t
+        FROM split
+    ), sh AS (
+        SELECT doc_id, split,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+                 ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks
+    ), t_ex AS (
+        SELECT doc_id AS train_id, unnest(s) AS f FROM sh WHERE split = 'train'
+    ), e_ex AS (
+        SELECT doc_id AS eval_id, unnest(s) AS f FROM sh WHERE split = 'test'
+    ), e_sz AS (
+        SELECT doc_id AS eval_id, CAST(len(s) AS BIGINT) AS eval_size
+        FROM sh WHERE split = 'test'
+    ), common AS (
+        SELECT train_id, eval_id, count(*) AS common
+        FROM t_ex JOIN e_ex USING (f)
+        GROUP BY train_id, eval_id
+        HAVING count(*) >= 5
+    )
+    SELECT train_id, eval_id, CAST(common AS BIGINT) AS common,
+           eval_size, common / eval_size AS overlap
+    FROM common JOIN e_sz USING (eval_id)
     """,
 )
 

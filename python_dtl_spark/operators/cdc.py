@@ -1,0 +1,151 @@
+"""Change-data-capture operators: changeset application (merge/upsert)
+and slowly-changing-dimension history construction.
+
+The reference reserves UPDATE/DELETE/INSERT keywords without semantics
+(/root/reference/src/dtl/nodes.py:331-344); the language layer gives
+them per-statement copy-on-write meaning (compiler.py), and this module
+is the *set-at-a-time* counterpart a data pipeline actually runs at
+scale: apply a whole changeset (CDC feed, upsert batch) to a snapshot
+in one pass, or turn a change log into validity-interval history.
+
+Both operators are single-shuffle shapes: latest-change selection is a
+partial+final window (WindowGroupLimit prunes per partition before the
+exchange), and the snapshot merge is one equi-join on the key — the
+exact plan a MERGE INTO compiles to in lakehouse engines, minus the
+table-format commit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Changeset operation values understood by :func:`apply_changes`.
+OP_UPSERT = "upsert"
+OP_DELETE = "delete"
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+) -> DataFrame:
+    """One row per key: the change with the highest ``seq_col``.
+
+    Ties on ``seq_col`` are broken deterministically: deletes beat
+    upserts (a delete and an upsert carrying the same sequence number
+    is a malformed feed; biasing to delete makes replays idempotent),
+    and remaining ties resolve by the change's other columns ascending
+    (name order) — an engine that kept "whichever row arrived last"
+    would not be reproducible run to run.
+
+    Plan shape: ``row_number`` over (keys) ordered by seq DESC plans
+    as partial WindowGroupLimit before the exchange + final after, so
+    a 100 TB change log ships at most one candidate row per key per
+    map task.
+    """
+    op = F.col("__op") if "__op" in changes.columns else F.lit(OP_UPSERT)
+    tie_cols = sorted(
+        c
+        for c in changes.columns
+        if c not in keys and c != seq_col and c != "__op"
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        # delete-first tie-break (0 sorts before 1 under asc)
+        F.when(op == OP_DELETE, 0).otherwise(1).asc(),
+        *[F.col(c).asc_nulls_last() for c in tie_cols],
+    )
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str | None = None,
+) -> DataFrame:
+    """Apply a CDC changeset to a snapshot — distributed MERGE INTO.
+
+    ``changes`` carries the key columns, a monotone ``seq_col``
+    (version / commit timestamp), optionally ``op_col`` with values
+    ``'upsert'`` / ``'delete'`` (absent column = all upserts), and the
+    same value columns as ``snapshot``.  Semantics per key:
+
+    * no change row            → snapshot row unchanged
+    * latest change = upsert   → change's values (insert if the key
+      was absent from the snapshot)
+    * latest change = delete   → key dropped
+
+    Output schema = snapshot schema.  Deterministic: the latest change
+    is selected by (seq DESC, delete-before-upsert) — see
+    :func:`latest_changes`.
+
+    Scale shape: one window over the changeset (partial-limit pruned)
+    + one full-outer equi-join on the key.  Both sides shuffle on the
+    same key so AQE can plan a skew-aware join; nothing is collected,
+    no per-row Python.  This is the batch-set counterpart of the DTL
+    UPDATE/DELETE/INSERT statements (compiler.py), which rewrite one
+    binding per statement.
+    """
+    value_cols = [c for c in snapshot.columns if c not in keys]
+    ch = changes
+    if op_col is None:
+        ch = ch.withColumn("__op", F.lit(OP_UPSERT))
+    else:
+        ch = ch.withColumn("__op", F.col(op_col)).drop(op_col)
+    latest = latest_changes(ch, keys, seq_col).select(
+        *keys,
+        F.col("__op"),
+        *[F.col(c).alias(f"__ch_{c}") for c in value_cols],
+    )
+    merged = snapshot.alias("s").join(latest, on=keys, how="full_outer")
+    kept = merged.filter(
+        F.col("__op").isNull() | (F.col("__op") != OP_DELETE)
+    )
+    out_cols = [F.col(k) for k in keys] + [
+        F.when(F.col("__op") == OP_UPSERT, F.col(f"__ch_{c}"))
+        .otherwise(F.col(f"s.{c}"))
+        .alias(c)
+        for c in value_cols
+    ]
+    return kept.select(*out_cols)
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    attr_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log: one
+    validity interval per change, closed by the next change to the
+    same key.
+
+    Output: key columns + attribute columns + ``valid_from`` (the
+    change's ``seq_col``), ``valid_to`` (next change's seq, NULL while
+    current) and ``is_current``.  Duplicate (key, seq) rows are
+    collapsed to one deterministically (max over attributes) first —
+    an interval with zero width would make history unreadable.
+
+    One shuffle: everything is a window over (keys) ordered by seq.
+    """
+    if attr_cols is None:
+        attr_cols = [
+            c for c in changes.columns if c not in keys and c != seq_col
+        ]
+    dedup = changes.groupBy(*keys, seq_col).agg(
+        *[F.max(c).alias(c) for c in attr_cols]
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).asc())
+    return dedup.select(
+        *keys,
+        *attr_cols,
+        F.col(seq_col).alias("valid_from"),
+        F.lead(seq_col).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -10,7 +10,7 @@ aggregation before the exchange).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -164,4 +164,86 @@ def kmv_distinct(
             )
             .alias("approx_distinct"),
         )
+    )
+
+
+def key_profile(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Heavy-hitter / skew profile of a prospective join or groupBy key:
+    the ``top_n`` most frequent key values with their absolute count,
+    share of all rows, and cumulative share.
+
+    The operational pre-flight for every shuffle in this module — a
+    key whose top value holds 30% of 100 TB needs salting
+    (``joins.salted_join``) or the AQE skew valve *before* the job
+    runs, and this report is how you find out for the cost of one
+    count aggregation.  NULL keys are profiled too (they hash-collide
+    into one reducer like any other hot value).
+
+    Plan shape: one partial+final count agg on the keys, a global
+    ``top_n`` limit (partial TakeOrdered per partition — no single
+    reducer sees more than ``top_n`` rows), one single-row total
+    broadcast, and a width-``top_n`` window for the cumulative share.
+    """
+    total = df.groupBy().agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    counts = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), *[F.col(k).asc_nulls_last() for k in keys])
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(k).asc_nulls_last() for k in keys])
+    return (
+        counts.join(total.hint("broadcast"), how="cross")
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            *keys,
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("__total")).alias("share"),
+            (
+                F.sum("cnt").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ).cast("double")
+                / F.col("__total")
+            ).alias("cum_share"),
+        )
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    z: float = 3.0,
+) -> DataFrame:
+    """Rows whose ``value_col`` deviates more than ``z`` population
+    standard deviations from their group's mean.
+
+    The cheap distributional anomaly gate for event/metric pipelines.
+    Population stddev (not sample) so a one-row group is well-defined
+    (stddev 0 → never an outlier rather than NULL-division).  Output:
+    the input row plus ``group_mean``, ``group_std``, ``zscore``.
+
+    Plan shape: one partial+final agg on the group keys + one equi-join
+    back (broadcast when the group dimension is small); the input is
+    scanned twice unless persisted by the caller — at 100 TB prefer a
+    window formulation ONLY if the group count is too high to hold the
+    aggregate side, since the window variant must sort all rows while
+    the join-back streams them.
+    """
+    stats = df.groupBy(*by).agg(
+        F.avg(value_col).alias("group_mean"),
+        F.stddev_pop(value_col).alias("group_std"),
+    )
+    joined = df.join(stats, on=by, how="inner")
+    zexpr = F.when(
+        F.col("group_std") > 0.0,
+        (F.col(value_col) - F.col("group_mean")) / F.col("group_std"),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("zscore", zexpr).filter(
+        F.abs(F.col("zscore")) > z
     )

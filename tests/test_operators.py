@@ -1295,3 +1295,131 @@ def test_projected_topk_matches_exact_on_fixture(spark):
         ).collect()
     }
     assert got == exact
+
+
+# --- CDC: changeset application + SCD2 history ------------------------------
+
+
+def test_apply_changes_upsert_delete_insert(spark):
+    from python_dtl_spark.operators import cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=1: two upserts, seq 2 wins
+            (1, 1, "upsert", "a1", 11.0),
+            (1, 2, "upsert", "a2", 12.0),
+            # k=2: upsert then delete (delete latest)
+            (2, 1, "upsert", "b1", 21.0),
+            (2, 2, "delete", None, None),
+            # k=9: insert (absent from snapshot)
+            (9, 1, "upsert", "z", 90.0),
+        ],
+        "k long, seq long, op string, s string, v double",
+    )
+    out = {
+        r.k: (r.s, r.v)
+        for r in cdc.apply_changes(
+            snap, changes, keys=["k"], seq_col="seq", op_col="op"
+        ).collect()
+    }
+    assert out == {1: ("a2", 12.0), 3: ("c", 30.0), 9: ("z", 90.0)}
+
+
+def test_apply_changes_tie_prefers_delete_and_no_op_col(spark):
+    from python_dtl_spark.operators import cdc
+
+    snap = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    # same seq: delete must win deterministically
+    changes = spark.createDataFrame(
+        [(1, 5, "upsert", 99.0), (1, 5, "delete", None)],
+        "k long, seq long, op string, v double",
+    )
+    assert (
+        cdc.apply_changes(snap, changes, ["k"], "seq", op_col="op").count() == 0
+    )
+    # no op column = all upserts
+    ch2 = spark.createDataFrame([(1, 1, 42.0)], "k long, seq long, v double")
+    out = cdc.apply_changes(snap, ch2, ["k"], "seq").collect()
+    assert out[0].v == 42.0
+
+
+def test_scd2_history_intervals(spark):
+    from python_dtl_spark.operators import cdc
+
+    changes = spark.createDataFrame(
+        [(1, 10, "x"), (1, 20, "y"), (1, 30, "z"), (2, 5, "q")],
+        "k long, seq long, attr string",
+    )
+    rows = {
+        (r.k, r.valid_from): (r.attr, r.valid_to, r.is_current)
+        for r in cdc.scd2_history(changes, ["k"], "seq").collect()
+    }
+    assert rows == {
+        (1, 10): ("x", 20, False),
+        (1, 20): ("y", 30, False),
+        (1, 30): ("z", None, True),
+        (2, 5): ("q", None, True),
+    }
+
+
+# --- key profile / z-score outliers ----------------------------------------
+
+
+def test_key_profile_shares_and_ranks(spark):
+    from python_dtl_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    rows = stats.key_profile(df, ["k"], top_n=2).collect()
+    assert [(r.rank, r.k, r.cnt) for r in rows] == [(1, "a", 6), (2, "b", 3)]
+    assert rows[0].share == 0.6 and rows[0].cum_share == 0.6
+    assert rows[1].share == 0.3 and rows[1].cum_share == 0.9
+
+
+def test_zscore_outliers_flags_extremes(spark):
+    from python_dtl_spark.operators import stats
+
+    data = [("g", float(v)) for v in [10, 10, 10, 10, 10, 10, 10, 10, 10, 100]]
+    data += [("h", 5.0)]  # single-row group: stddev 0, never an outlier
+    df = spark.createDataFrame(data, "g string, v double")
+    out = stats.zscore_outliers(df, "v", ["g"], z=2.0).collect()
+    assert [(r.g, r.v) for r in out] == [("g", 100.0)]
+    assert out[0].zscore > 2.0
+
+
+# --- decontamination prefilter ---------------------------------------------
+
+
+def test_contamination_prefilter_is_lossless(spark):
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "unrelated words entirely different from anything else"),
+    ]
+    evals = [(100, "alpha beta gamma delta epsilon zeta eta theta iota")]
+    train = spark.createDataFrame(texts, "doc_id long, text string")
+    ev = spark.createDataFrame(evals, "doc_id long, text string")
+    base = {
+        (r.train_id, r.eval_id, r.common)
+        for r in dedup.contamination_pairs(train, ev, min_common=3).collect()
+    }
+    pref = {
+        (r.train_id, r.eval_id, r.common)
+        for r in dedup.contamination_pairs(
+            train, ev, min_common=3, prefilter_buckets=1 << 20
+        ).collect()
+    }
+    assert base == pref and base  # identical and non-empty
+    # tiny bucket space = every bucket collides: still lossless
+    tiny = {
+        (r.train_id, r.eval_id, r.common)
+        for r in dedup.contamination_pairs(
+            train, ev, min_common=3, prefilter_buckets=4
+        ).collect()
+    }
+    assert tiny == base

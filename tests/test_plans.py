@@ -554,3 +554,49 @@ def test_partitioned_export_roundtrip_prunes(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert out.count() == 100
+
+
+def test_apply_changes_window_prunes_and_joins_hash(spark):
+    """The CDC merge's latest-change selection must plan as a
+    partial+final WindowGroupLimit (a 100 TB change log ships at most
+    one candidate row per key per map task before the exchange), and
+    the snapshot merge must be an equi-join — never a nested loop —
+    with no Python evaluation anywhere."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["orders_apply_changes"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_contamination_prefilter_is_broadcast_semi_join(spark):
+    """The Bloom-style prefilter must reach the plan as a broadcast
+    LeftSemi hash join on the bucket id (the train side never
+    shuffles rows the eval bloom rejects), leaving the exact
+    verification join intact downstream."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["decontaminate_prefiltered"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_key_profile_takeordered_no_global_sort(spark):
+    """The heavy-hitter report must plan its top-n as TakeOrdered
+    (partial per-partition top + driver merge of top_n rows), not a
+    full global sort of the key-count aggregate, and the total must
+    arrive as a single-row broadcast."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["orders_key_profile"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total cross join
+    assert "EvalPython" not in plan
