@@ -4551,6 +4551,94 @@ _register(
 )
 
 
+def _q_domain_quota(spark, sf_dir):
+    """Per-domain contribution cap: at most 15 documents per source,
+    selected by hashed-doc_id order — deterministic across retries and
+    engines, rank-limit pruned map-side (WindowGroupLimit)."""
+    return sampling.domain_quota(
+        _read(spark, sf_dir, "documents"), "source", "doc_id", quota=15, seed="q1"
+    ).select("doc_id", "source")
+
+
+_register(
+    "doc_domain_quota",
+    _q_domain_quota,
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('q1' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS r
+        FROM documents
+    ) WHERE r <= 15
+    """,
+    headline=True,
+)
+
+
+def _q_temperature_mix(spark, sf_dir):
+    """Temperature-based language rebalancing (alpha = 1/2): every lang
+    keeps fraction (n_min/n_lang)^(1/2), decided by an exact integer
+    comparison — no floating pow anywhere, so the oracle replays the
+    boundary bit-for-bit."""
+    from fractions import Fraction
+
+    return sampling.temperature_resample(
+        _read(spark, sf_dir, "documents"),
+        "lang",
+        "doc_id",
+        alpha=Fraction(1, 2),
+        seed="t1",
+    ).select("doc_id", "lang")
+
+
+_register(
+    "doc_temperature_mix",
+    _q_temperature_mix,
+    "SELECT doc_id, lang FROM ("
+    + sampling.temperature_thresholds_sql(
+        "documents", "lang", "doc_id", __import__("fractions").Fraction(1, 2), seed="t1"
+    )
+    + ")",
+    headline=True,
+)
+
+
+def _q_vocabulary(spark, sf_dir):
+    """Tokenizer-vocab fit: top-200 tokens with >= 5 occurrences, dense
+    ids by (freq DESC, token ASC), cumulative corpus-coverage share."""
+    return text.vocabulary(
+        _read(spark, sf_dir, "documents"), min_count=5, max_size=200
+    )
+
+
+_register(
+    "doc_vocabulary",
+    _q_vocabulary,
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_transform({_TOKS_SQL}, x -> lower(x))) AS token
+        FROM documents
+    ), c AS (
+        SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+        FROM tok GROUP BY token HAVING count(*) >= 5
+    ), tot AS (SELECT count(*) AS total FROM tok),
+    r AS (
+        SELECT token, freq, doc_freq,
+               row_number() OVER (ORDER BY freq DESC, token) AS rn
+        FROM c
+    )
+    SELECT token, freq, doc_freq, CAST(rn - 1 AS BIGINT) AS token_id,
+           (sum(freq) OVER (ORDER BY rn)) / total AS cum_share
+    FROM r CROSS JOIN tot
+    WHERE rn <= 200
+    """,
+    headline=True,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -15,7 +15,9 @@ rejected: their string rendering differs across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from fractions import Fraction
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 10_000
@@ -84,6 +86,137 @@ def deterministic_sample(
     return df.filter(
         hash_bucket(F.col(key_col), seed) < int(fraction * _BUCKETS)
     )
+
+
+def domain_quota(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    quota: int,
+    seed: str = "",
+) -> DataFrame:
+    """Keep at most ``quota`` rows per stratum (domain / source / lang),
+    chosen deterministically by hashed-key order — the "cap any one
+    domain's contribution" verb every web-corpus mix uses (e.g. C4 and
+    The Pile cap per-domain page counts so no crawl dominates).
+
+    Selection order is md5(seed || key) with the key as tie-break, so
+    membership is a pure function of (key, seed, quota): re-runs,
+    retries, and repartitions cannot change which rows survive, and the
+    same expression replays exactly in ANSI SQL.
+
+    Scale shape: the ``row_number() <= quota`` filter plans as a
+    partial+final WindowGroupLimit (the same rank-limit pruning shape
+    plan-asserted for ``kmv_distinct``), so every map task prunes to at
+    most ``quota`` rows per stratum BEFORE the shuffle — a 100 TB
+    domain funnels at most quota × n_map_partitions rows, never its
+    full row count, through the per-stratum reducer.
+    """
+    _check_key_type(df, key_col)
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    h = F.md5(
+        F.concat(F.lit(seed), F.col(key_col).cast("string")).cast("binary")
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__quota_rank", F.row_number().over(w))
+        .filter(F.col("__quota_rank") <= quota)
+        .drop("__quota_rank")
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float | Fraction,
+    seed: str = "",
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-sampling
+    rule of XLM-R / mT5): target mix ``q_i ∝ p_i^alpha`` where ``p_i``
+    is stratum *i*'s share of rows.  Realized as downsample-only —
+    every stratum keeps fraction ``f_i = (n_min / n_i)^(1-alpha)``, so
+    the smallest stratum keeps everything and larger strata shrink
+    toward the flattened mix (``alpha=1`` keeps all rows, ``alpha=0``
+    equalizes all strata to ``n_min``).
+
+    Exactness: membership is decided by the INTEGER comparison
+
+        bucket^b · n_i^(b-a)  <  10000^b · n_min^(b-a)
+
+    (``alpha = a/b`` reduced) in decimal/int128 arithmetic — never a
+    floating ``pow`` — so Spark and any SQL oracle agree bit-for-bit
+    even at threshold boundaries where libm implementations differ by
+    an ulp.  ``alpha`` must reduce to denominator <= 3 (0, 1/3, 1/2,
+    2/3, 1 — the values used in practice); larger denominators would
+    overflow the 38-digit integer range at trillion-row strata and are
+    rejected rather than silently approximated.
+
+    Scale shape: one map-side-partial count per stratum (tiny result,
+    broadcast back), a single-row global min (broadcast scalar), then a
+    pure map-stage filter — no shuffle of the data itself beyond the
+    count agg's.
+    """
+    _check_key_type(df, key_col)
+    frac = Fraction(alpha).limit_denominator(1000) if not isinstance(
+        alpha, Fraction
+    ) else alpha
+    if not 0 <= frac <= 1:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if frac.denominator > 3:
+        raise ValueError(
+            f"alpha={alpha} does not reduce to denominator <= 3; "
+            "cross-engine exactness is only guaranteed for "
+            "alpha in {0, 1/3, 1/2, 2/3, 1}"
+        )
+    a, b = frac.numerator, frac.denominator
+    if a == b:  # alpha = 1: identity mix
+        return df
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")
+    )
+    ref = counts.agg(F.min("__n").alias("__nmin"))
+    dec = "decimal(38,0)"
+    bucket = hash_bucket(F.col(key_col), seed).cast(dec)
+    lhs = bucket
+    for _ in range(b - 1):
+        lhs = (lhs * bucket).cast(dec)
+    rhs = F.lit(_BUCKETS**b).cast(dec)
+    for _ in range(b - a):
+        lhs = (lhs * F.col("__n")).cast(dec)
+        rhs = (rhs * F.col("__nmin")).cast(dec)
+    out_cols = df.columns
+    return (
+        df.join(F.broadcast(counts), on=strata_col, how="inner")
+        .join(F.broadcast(ref))
+        .filter(lhs < rhs)
+        .select(*out_cols)
+    )
+
+
+def temperature_thresholds_sql(
+    table: str, strata_col: str, key_expr: str, alpha: Fraction, seed: str = ""
+) -> str:
+    """DuckDB replay of :func:`temperature_resample` (same integer
+    comparison, HUGEINT arithmetic), returning the key + stratum of
+    surviving rows; used by the catalog oracle."""
+    frac = Fraction(alpha)
+    a, b = frac.numerator, frac.denominator
+    bucket = hash_bucket_sql(key_expr, seed=seed)
+    lhs = f"CAST({bucket} AS HUGEINT)" + f" * {bucket}" * (b - 1)
+    rhs = f"CAST({_BUCKETS ** b} AS HUGEINT)"
+    lhs += " * c.__n" * (b - a)
+    rhs += " * r.__nmin" * (b - a)
+    return f"""
+    WITH c AS (
+      SELECT {strata_col}, CAST(count(*) AS HUGEINT) AS __n
+      FROM {table} GROUP BY {strata_col}
+    ), r AS (SELECT min(__n) AS __nmin FROM c)
+    SELECT t.* FROM {table} t
+    JOIN c USING ({strata_col}) CROSS JOIN r
+    WHERE {lhs} < {rhs}
+    """
 
 
 def stratified_sample(

@@ -741,3 +741,61 @@ def pii_scrub(
         .alias("n_phones"),
         scrubbed.alias(text_col),
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    max_size: int = 10_000,
+) -> DataFrame:
+    """Corpus vocabulary builder: the top-``max_size`` tokens with at
+    least ``min_count`` occurrences, assigned dense ids by (frequency
+    DESC, token ASC) — the deterministic word-level analogue of a
+    tokenizer-vocab fit, plus the coverage statistic every vocab-size
+    decision is made from.
+
+    Output per token: ``freq`` (corpus occurrences), ``doc_freq``
+    (documents containing it), ``token_id`` (0-based dense rank), and
+    ``cum_share`` (cumulative fraction of ALL corpus tokens — including
+    out-of-vocab ones — covered by ids 0..token_id, i.e. the
+    "top-32k tokens cover 97.3% of the stream" curve).
+
+    Scale shape: one explode + one (token) aggregation with map-side
+    partials; corpus-total tokens join in as a broadcast single-row
+    aggregate (no driver action, same pattern as
+    :func:`tfidf_top_terms`).  The global ``row_number() <= max_size``
+    rank prunes map-side as a partial WindowGroupLimit — each task
+    forwards at most ``max_size`` candidate tokens, so the final
+    single-partition sort sees ≤ max_size × n_partitions rows, never
+    the full vocabulary.  The cumulative sum runs AFTER that filter, on
+    ≤ max_size rows — ordering it before the filter would force a full
+    un-pruned global sort of every distinct token.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.countDistinct(F.col(id_col)).alias("doc_freq"),
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    top = (
+        counts.filter(F.col("freq") >= min_count)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_size)
+    )
+    wc = Window.orderBy("__rn").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.join(F.broadcast(total), how="cross")
+        .withColumn("cum_share", F.sum("freq").over(wc) / F.col("__total"))
+        .select(
+            "token",
+            "freq",
+            "doc_freq",
+            (F.col("__rn") - 1).cast("long").alias("token_id"),
+            "cum_share",
+        )
+    )

@@ -1423,3 +1423,82 @@ def test_contamination_prefilter_is_lossless(spark):
         ).collect()
     }
     assert tiny == base
+
+
+def test_domain_quota_caps_and_is_layout_invariant(spark):
+    from python_dtl_spark.operators.sampling import domain_quota
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = domain_quota(df, "dom", "k", quota=50).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.dom, set()).add(r.k)
+    assert len(by_dom["big"]) == 50  # capped
+    assert len(by_dom["small"]) == 50  # 100 rows capped to 50
+    # survivors are a pure function of (key, seed): physical layout irrelevant
+    out2 = domain_quota(df.repartition(17), "dom", "k", quota=50).collect()
+    assert {(r.dom, r.k) for r in out2} == {(r.dom, r.k) for r in out}
+    # different seed picks a different subset of the big domain
+    out3 = domain_quota(df, "dom", "k", quota=50, seed="other").collect()
+    assert {r.k for r in out3 if r.dom == "big"} != by_dom["big"]
+    with pytest.raises(ValueError):
+        domain_quota(df, "dom", "k", quota=0)
+
+
+def test_temperature_resample_flattens_mix(spark):
+    from fractions import Fraction
+
+    from python_dtl_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 3000 else ("mid" if i < 3500 else "small"))
+            for i in range(3600)]  # 3000 / 500 / 100
+    df = spark.createDataFrame(rows, "k long, dom string")
+    # alpha=1: identity (same plan object, all rows)
+    assert temperature_resample(df, "dom", "k", alpha=1).count() == 3600
+    # alpha=0: every domain downsamples to ~n_min
+    eq = temperature_resample(df, "dom", "k", alpha=0).groupBy("dom").count()
+    counts0 = {r.dom: r["count"] for r in eq.collect()}
+    assert counts0["small"] == 100  # smallest keeps everything
+    assert 60 < counts0["big"] < 140 and 60 < counts0["mid"] < 140
+    # alpha=1/2: between identity and flat, ordered big > mid > small
+    half = temperature_resample(df, "dom", "k", alpha=Fraction(1, 2))
+    counts = {r.dom: r["count"] for r in half.groupBy("dom").count().collect()}
+    assert counts["small"] == 100
+    # expected keep fraction sqrt(100/3000) ~ 0.183 -> ~548 of big
+    assert 400 < counts["big"] < 700
+    assert counts["big"] > counts["mid"] > counts["small"]
+    # layout invariance
+    again = temperature_resample(
+        df.repartition(13), "dom", "k", alpha=Fraction(1, 2)
+    )
+    assert {r.k for r in again.collect()} == {
+        r.k for r in half.collect()
+    }
+    # irrational / fine-grained alpha is rejected, not approximated
+    with pytest.raises(ValueError):
+        temperature_resample(df, "dom", "k", alpha=0.55)
+    with pytest.raises(ValueError):
+        temperature_resample(df, "dom", "k", alpha=1.5)
+
+
+def test_vocabulary_ids_counts_and_coverage(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a a a b b c"),
+            (1, "a b d"),
+            (2, "a e"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.token: r for r in text.vocabulary(df, min_count=2, max_size=10).collect()}
+    # e and d appear once -> dropped by min_count; c appears once -> dropped
+    assert set(out) == {"a", "b"}
+    assert out["a"].freq == 5 and out["a"].doc_freq == 3 and out["a"].token_id == 0
+    assert out["b"].freq == 3 and out["b"].doc_freq == 2 and out["b"].token_id == 1
+    # coverage is over ALL 11 corpus tokens, including out-of-vocab ones
+    assert abs(out["a"].cum_share - 5 / 11) < 1e-12
+    assert abs(out["b"].cum_share - 8 / 11) < 1e-12
+    # max_size truncates by rank: only the most frequent survives
+    top1 = text.vocabulary(df, min_count=1, max_size=1).collect()
+    assert len(top1) == 1 and top1[0].token == "a"

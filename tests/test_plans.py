@@ -600,3 +600,53 @@ def test_key_profile_takeordered_no_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total cross join
     assert "EvalPython" not in plan
+
+
+def test_domain_quota_prunes_rank_map_side(spark):
+    """The per-domain cap must plan as partial+final WindowGroupLimit:
+    every map task forwards at most `quota` rows per stratum, so a
+    100 TB domain never funnels its full row count through the
+    per-stratum reducer."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_domain_quota"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert ", Partial" in plan and ", Final" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_temperature_mix_is_broadcast_filter_no_data_shuffle(spark):
+    """Temperature rebalancing must not shuffle the corpus: the
+    per-stratum counts and the single-row min arrive as broadcasts and
+    the membership decision is a map-stage filter.  The only Exchange
+    allowed is inside the tiny count aggregate itself."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_temperature_mix"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BroadcastHashJoin" in plan  # per-stratum counts
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row min
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # corpus never shuffles for the join
+    assert "EvalPython" not in plan
+
+
+def test_vocabulary_rank_prunes_and_total_broadcasts(spark):
+    """The vocab fit's global row_number()<=max_size must prune
+    map-side so the single-partition final sort never sees the full
+    distinct-token set: Catalyst rewrites the bounded global rank into
+    TakeOrderedAndProject(limit=max_size) — per-partition partial
+    top-k, driver-side merge of <= max_size rows per task — with the
+    row_number window running only on the surviving <= max_size rows.
+    The corpus-total token count must arrive as a 1-row broadcast,
+    never a driver action."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_vocabulary"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "TakeOrderedAndProject(limit=200" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
