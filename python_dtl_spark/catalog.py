@@ -4639,6 +4639,31 @@ _register(
 )
 
 
+def _q_blocklist(spark, sf_dir):
+    """C4-style bad-words screening: per-doc count of blocklisted token
+    instances + a blocked flag, exact token match (never substring),
+    zero shuffle."""
+    return text.blocklist_flags(
+        _read(spark, sf_dir, "documents"), ["dup", "skew"]
+    ).select("doc_id", "n_blocked", "blocked")
+
+
+_register(
+    "doc_blocklist",
+    _q_blocklist,
+    f"""
+    SELECT doc_id,
+           CAST(len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                x -> list_contains(['dup', 'skew'], x)))
+                AS BIGINT) AS n_blocked,
+           len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                           x -> list_contains(['dup', 'skew'], x))) > 0
+               AS blocked
+    FROM documents
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -799,3 +799,48 @@ def vocabulary(
             "cum_share",
         )
     )
+
+
+def blocklist_flags(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    max_terms: int = 4096,
+) -> DataFrame:
+    """Blocklisted-term screening (the C4 "bad words" filter): per
+    document, how many token instances match a curated term list, and
+    whether any did.
+
+    Matching is exact on lowercased whitespace tokens — the same
+    tokenization every other text operator here uses — so "class"
+    never matches a blocklisted "ass" (the classic substring-filter
+    false positive this design avoids).
+
+    Adds ``n_blocked`` (matching token instances) and ``blocked``
+    (any match); callers drop or route flagged docs themselves, the
+    flags stay inspectable for audit.
+
+    Scale shape: the term list compiles into the plan as a literal
+    array and matching is a row-local ``filter``/``array_contains``
+    pass — zero shuffle, pipelines into the scan.  Cost is
+    O(|terms|) per token with no index, so the list is capped at
+    ``max_terms`` (real badword lists are a few hundred entries per
+    language); a list beyond that belongs in a broadcast-join
+    pipeline, and the guard says so rather than silently degrading
+    the scan.
+    """
+    if not terms:
+        raise ValueError("blocklist is empty")
+    if len(terms) > max_terms:
+        raise ValueError(
+            f"blocklist has {len(terms)} terms (> {max_terms}); at that "
+            "size use an explode + broadcast-join pipeline instead of a "
+            "literal in-plan array"
+        )
+    lowered = sorted({t.lower() for t in terms})
+    blk = F.array(*[F.lit(t) for t in lowered])
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(F.filter(toks, lambda t: F.array_contains(blk, t))).cast("long")
+    return df.withColumn("n_blocked", n).withColumn(
+        "blocked", F.col("n_blocked") > 0
+    )

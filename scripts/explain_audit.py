@@ -173,6 +173,29 @@ AUDITED = {
         "corpus^2 (plan-asserted: no nested loop, no cartesian) — "
         "then checkpointed min-label components"
     ),
+    "doc_domain_quota": (
+        "per-domain cap: row_number()<=quota plans as partial+final "
+        "WindowGroupLimit — each map task forwards at most quota rows "
+        "per stratum, so a mega-domain never funnels its full row "
+        "count through the per-stratum reducer"
+    ),
+    "doc_temperature_mix": (
+        "temperature mix: per-stratum counts broadcast back, 1-row "
+        "global min broadcast, membership is an exact decimal integer "
+        "comparison in a map-stage filter — the corpus itself never "
+        "shuffles (no SortMergeJoin in plan)"
+    ),
+    "doc_vocabulary": (
+        "vocab fit: bounded global rank rewritten by Catalyst to "
+        "TakeOrderedAndProject(limit=max_size) — per-partition partial "
+        "top-k, never a full sort of the distinct-token set; corpus "
+        "total rides in as a 1-row broadcast"
+    ),
+    "doc_blocklist": (
+        "bad-words screening: literal term array in the plan, one "
+        "codegen'd filter/array_contains projection — zero Exchange, "
+        "pipelines into the scan"
+    ),
 }
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
 from python_dtl_spark.operators import dedup  # noqa: E402
+from python_dtl_spark.operators import sampling  # noqa: E402
 from python_dtl_spark.operators import stats as stats_ops  # noqa: E402
 from python_dtl_spark.operators import text as text_ops  # noqa: E402
 from python_dtl_spark.session import get_spark  # noqa: E402
@@ -576,6 +577,50 @@ def main() -> None:
                 dedup.semdedup_pairs(emb_base, threshold=0.9, n_centroids=16),
                 dedup.semdedup_pairs(
                     emb_at(factor), threshold=0.9, n_centroids=16 * factor
+                ),
+            ),
+            (
+                # doc_id shifts, source values stay: rows-per-domain
+                # grow ×factor while the cap stays 15, so output is
+                # CONSTANT — flat-ish time proves the rank limit prunes
+                # map-side (WindowGroupLimit) instead of sorting each
+                # domain's full row set on one reducer.
+                "domain_quota",
+                sampling.domain_quota(documents, "source", "doc_id", quota=15),
+                sampling.domain_quota(
+                    replicate(documents, factor, ["doc_id"]),
+                    "source",
+                    "doc_id",
+                    quota=15,
+                ),
+            ),
+            (
+                # uniform replication keeps every lang's SHARE fixed, so
+                # keep fractions are identical and output grows ×factor;
+                # near-linear time = the count agg + broadcast filter
+                # shape holds (corpus itself never shuffles).
+                "temperature_mix",
+                sampling.temperature_resample(
+                    documents, "lang", "doc_id", alpha=0.5
+                ),
+                sampling.temperature_resample(
+                    replicate(documents, factor, ["doc_id"]),
+                    "lang",
+                    "doc_id",
+                    alpha=0.5,
+                ),
+            ),
+            (
+                # identical text replicated: distinct-token set is
+                # constant while token instances grow ×factor — the
+                # aggregation's map-side partials absorb the growth and
+                # the bounded rank stays TakeOrdered-pruned.
+                "vocabulary",
+                text_ops.vocabulary(documents, min_count=5, max_size=200),
+                text_ops.vocabulary(
+                    replicate(documents, factor, ["doc_id"]),
+                    min_count=5,
+                    max_size=200,
                 ),
             ),
         ]:

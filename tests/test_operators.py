@@ -1502,3 +1502,22 @@ def test_vocabulary_ids_counts_and_coverage(spark):
     # max_size truncates by rank: only the most frequent survives
     top1 = text.vocabulary(df, min_count=1, max_size=1).collect()
     assert len(top1) == 1 and top1[0].token == "a"
+
+
+def test_blocklist_flags_exact_token_match(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the Bad word appears bad twice"),
+            (1, "badge and badly are not matches"),  # substring traps
+            (2, "totally clean document"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.blocklist_flags(df, ["BAD"]).collect()}
+    assert out[0].n_blocked == 2 and out[0].blocked  # case-insensitive, instances
+    assert out[1].n_blocked == 0 and not out[1].blocked  # no substring match
+    assert out[2].n_blocked == 0 and not out[2].blocked
+    with pytest.raises(ValueError):
+        text.blocklist_flags(df, [])
+    with pytest.raises(ValueError):
+        text.blocklist_flags(df, [str(i) for i in range(5000)])

@@ -650,3 +650,15 @@ def test_vocabulary_rank_prunes_and_total_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_blocklist_is_pure_map_stage(spark):
+    """Bad-words screening must stay a single codegen'd projection over
+    the scan: zero Exchange, zero Python eval — the literal term array
+    rides in the plan."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_blocklist"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

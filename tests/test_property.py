@@ -548,3 +548,76 @@ def test_pii_scrub_counts_match_injections(spark, words, emails, phones, upper):
     assert "@" not in row.text or emails == 0
     assert row.text.count("<EMAIL>") == emails
     assert row.text.count("<PHONE>") == phones
+
+
+# --- deterministic corpus-mix sampling -------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=4),
+    quota=st.integers(min_value=1, max_value=30),
+)
+def test_domain_quota_invariants(spark, sizes, quota):
+    from python_dtl_spark.operators.sampling import domain_quota
+
+    rows, k = [], 0
+    for d, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((k, f"dom{d}"))
+            k += 1
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = domain_quota(df, "dom", "k", quota=quota).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.dom, set()).add(r.k)
+    # exactly min(quota, n_i) survivors per domain, all from that domain
+    for d, n in enumerate(sizes):
+        assert len(got.get(f"dom{d}", set())) == min(quota, n)
+    all_keys = {r.k for r in out}
+    assert len(all_keys) == sum(min(quota, n) for n in sizes)  # no dup rows
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=5, max_value=400), min_size=2, max_size=4),
+    alpha_num=st.sampled_from([(0, 1), (1, 3), (1, 2), (2, 3), (1, 1)]),
+)
+def test_temperature_resample_invariants(spark, sizes, alpha_num):
+    from fractions import Fraction
+
+    from python_dtl_spark.operators.sampling import temperature_resample
+
+    a, b = alpha_num
+    alpha = Fraction(a, b)
+    rows, k = [], 0
+    for d, n in enumerate(sizes):
+        for _ in range(n):
+            rows.append((k, f"dom{d}"))
+            k += 1
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = temperature_resample(df, "dom", "k", alpha=alpha).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.dom, 0)
+        kept[r.dom] += 1
+    n_min = min(sizes)
+    smallest = f"dom{sizes.index(n_min)}"
+    # the smallest stratum always keeps everything (f = 1 exactly)
+    assert kept.get(smallest, 0) == n_min
+    if alpha == 1:
+        assert len(out) == sum(sizes)  # identity mix
+    # survivors never exceed the stratum and keep counts are
+    # monotone in the target fraction: bigger domains keep a
+    # smaller SHARE of their rows (within hash noise this is only
+    # asserted as a hard bound, not distributional)
+    for d, n in enumerate(sizes):
+        assert kept.get(f"dom{d}", 0) <= n
