@@ -187,8 +187,20 @@ def temperature_resample(
         lhs = (lhs * F.col("__n")).cast(dec)
         rhs = (rhs * F.col("__nmin")).cast(dec)
     out_cols = df.columns
+    # null-SAFE join on the stratum: groupBy collects NULL strata into
+    # one group, so a plain equi-join would silently drop those rows
+    # (null never equals null) while the counts still included them —
+    # NULL is a stratum like any other here, as in the SQL oracle's
+    # IS NOT DISTINCT FROM.  The counts side renames its key first:
+    # it descends from ``df``, so joining on same-named columns trips
+    # Spark's ambiguous-self-join detection.
+    counts = counts.withColumnRenamed(strata_col, "__strata")
     return (
-        df.join(F.broadcast(counts), on=strata_col, how="inner")
+        df.join(
+            F.broadcast(counts),
+            F.col(strata_col).eqNullSafe(F.col("__strata")),
+            "inner",
+        )
         .join(F.broadcast(ref))
         .filter(lhs < rhs)
         .select(*out_cols)
@@ -214,7 +226,8 @@ def temperature_thresholds_sql(
       FROM {table} GROUP BY {strata_col}
     ), r AS (SELECT min(__n) AS __nmin FROM c)
     SELECT t.* FROM {table} t
-    JOIN c USING ({strata_col}) CROSS JOIN r
+    JOIN c ON t.{strata_col} IS NOT DISTINCT FROM c.{strata_col}
+    CROSS JOIN r
     WHERE {lhs} < {rhs}
     """
 

@@ -841,6 +841,10 @@ def blocklist_flags(
     blk = F.array(*[F.lit(t) for t in lowered])
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(F.filter(toks, lambda t: F.array_contains(blk, t))).cast("long")
+    # NULL text carries nothing blockable: report 0/false rather than
+    # letting the null propagate into the flags (a null `blocked`
+    # silently slips through a `WHERE NOT blocked` curation filter)
+    n = F.coalesce(n, F.lit(0).cast("long"))
     return df.withColumn("n_blocked", n).withColumn(
         "blocked", F.col("n_blocked") > 0
     )

@@ -1521,3 +1521,33 @@ def test_blocklist_flags_exact_token_match(spark):
         text.blocklist_flags(df, [])
     with pytest.raises(ValueError):
         text.blocklist_flags(df, [str(i) for i in range(5000)])
+
+
+def test_temperature_resample_null_stratum_is_a_stratum(spark):
+    from python_dtl_spark.operators.sampling import temperature_resample
+
+    rows = [(i, "big" if i < 500 else None) for i in range(520)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = temperature_resample(df, "dom", "k", alpha=0).collect()
+    null_kept = sum(1 for r in out if r.dom is None)
+    # the 20-row NULL stratum is the smallest: keeps everything
+    assert null_kept == 20
+    # and the big stratum downsampled toward n_min rather than the
+    # null rows silently vanishing in a non-null-safe join
+    big_kept = sum(1 for r in out if r.dom == "big")
+    assert 0 < big_kept < 500
+
+
+def test_blocklist_null_text_reports_clean(spark):
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(0, "bad stuff"), (1, None)],
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]),
+    )
+    out = {r.doc_id: r for r in text.blocklist_flags(df, ["bad"]).collect()}
+    assert out[0].n_blocked == 1 and out[0].blocked
+    assert out[1].n_blocked == 0 and out[1].blocked is False  # not NULL
