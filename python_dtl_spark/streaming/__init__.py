@@ -256,3 +256,42 @@ def interval_join(
         & (F.col(r_ts) >= F.col(ts_col) - delay)
     )
     return left.join(r, cond, "inner").drop("__by_r")
+
+
+def stream_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming parquet sink — the production EXPORT path
+    for a continuously-ingesting pipeline.
+
+    Spark's file sink is transactional: every committed micro-batch
+    records its files in the sink's ``_spark_metadata`` log, and the
+    source offsets live in ``checkpoint_dir``.  A crash or restart
+    resumes from the last committed batch — already-ingested input is
+    never reprocessed, half-written files are never exposed to readers
+    (downstream ``spark.read.parquet`` consults the metadata log).
+    That end-to-end exactly-once property is what lets a 100 TB
+    ingestion run for months and be restarted freely.
+
+    ``available_now=True`` drains everything currently available and
+    stops (incremental batch — the "run the pipeline every hour from
+    cron, process only new files" mode); ``False`` runs continuously.
+
+    Returns the started ``StreamingQuery``; callers await it.  Works on
+    any append-safe streaming frame — including every stateless text
+    operator in this package (``blocklist_flags``, ``pii_scrub``,
+    quality features): they are pure column expressions, so the same
+    call chain runs identically over ``readStream`` and ``read``.
+    """
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -326,3 +326,58 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
         for r in chunk_documents(docs, chunk_size=100, overlap=20).collect()
     }
     assert streamed == batch and len(batch) > 20
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_stream_curation_to_parquet_exactly_once(spark, tmp_path):
+    """The streaming EXPORT path: a stateless curation transform
+    (blocklist screening) over a file-source stream into the
+    transactional parquet sink.  Restarting with the same checkpoint
+    after new input arrives must process ONLY the new files — no row
+    from the first run is ever re-emitted (exactly-once resume), and
+    the batch reader sees a consistent table via _spark_metadata."""
+    from python_dtl_spark.operators.text import blocklist_flags
+    from python_dtl_spark.streaming import stream_to_parquet
+
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    batch1 = spark.createDataFrame(
+        [(0, "clean words only"), (1, "some bad words")], DOC_SCHEMA
+    )
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(str(src))
+    q = stream_to_parquet(blocklist_flags(stream, ["bad"]), out, ckpt)
+    q.awaitTermination(120)
+
+    got1 = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got1) == {0, 1}
+    assert not got1[0].blocked and got1[1].blocked
+
+    # second arrival: one new file; same checkpoint resumes past batch 1
+    batch2 = spark.createDataFrame([(2, "bad again")], DOC_SCHEMA)
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+
+    q2 = stream_to_parquet(
+        blocklist_flags(
+            spark.readStream.schema(DOC_SCHEMA).parquet(str(src)), ["bad"]
+        ),
+        out,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.doc_id for r in rows) == [0, 1, 2]  # no duplicates
+    got2 = {r.doc_id: r for r in rows}
+    assert got2[2].blocked and got2[2].n_blocked == 1
