@@ -52,10 +52,23 @@ class FileSystemImporter:
     and also cannot prune; this importer trades that for lazy scans.)
     """
 
-    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        fmt: str = "parquet",
+        merge_schema: bool = False,
+    ):
+        """``merge_schema=True`` unions parquet/ORC footer schemas
+        across a table's part files instead of trusting the first one —
+        the schema-evolution read mode: a long-lived 100 TB table whose
+        later partitions gained columns still imports as one table
+        (missing columns read as NULL).  Off by default because the
+        footer sweep touches every file at import time."""
         self._spark = spark
         self._root = root
         self._fmt = fmt
+        self._merge_schema = merge_schema
         self._memo: dict[str, DataFrame] = {}
 
     def import_table(self, name: str) -> DataFrame:
@@ -86,9 +99,15 @@ class FileSystemImporter:
                     f"{self._root!r} (looked for {path!r})"
                 )
         if self._fmt == "parquet":
-            return self._spark.read.parquet(path)
+            reader = self._spark.read
+            if self._merge_schema:
+                reader = reader.option("mergeSchema", True)
+            return reader.parquet(path)
         if self._fmt == "orc":
-            return self._spark.read.orc(path)
+            reader = self._spark.read
+            if self._merge_schema:
+                reader = reader.option("mergeSchema", True)
+            return reader.orc(path)
         if self._fmt == "csv":
             return self._spark.read.csv(path, header=True, inferSchema=True)
         if self._fmt == "json":
@@ -125,16 +144,29 @@ class FileSystemExporter:
         fmt: str = "parquet",
         partition_by: list[str] | None = None,
         num_output_files: int | None = None,
+        sort_within_partitions: list[str] | None = None,
     ):
+        """``sort_within_partitions`` orders rows inside each output
+        task before writing (a narrow, spill-safe per-partition sort —
+        NOT a global orderBy).  Parquet then records tight min/max
+        row-group statistics on those columns, so later scans with
+        pushed-down predicates on them skip whole row groups — the
+        poor man's Z-order, and at 100 TB the difference between
+        reading a slice and reading the table.  Compose with
+        ``partition_by`` for the classic layout: directory pruning on
+        the partition column, row-group skipping within it."""
         self._root = root
         self._fmt = fmt
         self._partition_by = partition_by or []
         self._num_output_files = num_output_files
+        self._sort_within = sort_within_partitions or []
 
     def export_table(self, name: str, df: DataFrame) -> None:
         path = os.path.join(self._root, f"{name}.{self._fmt}")
         if self._num_output_files is not None:
             df = df.coalesce(self._num_output_files)
+        if self._sort_within:
+            df = df.sortWithinPartitions(*self._sort_within)
         writer = df.write.mode("overwrite")
         if self._partition_by:
             writer = writer.partitionBy(*self._partition_by)

@@ -1551,3 +1551,61 @@ def test_blocklist_null_text_reports_clean(spark):
     out = {r.doc_id: r for r in text.blocklist_flags(df, ["bad"]).collect()}
     assert out[0].n_blocked == 1 and out[0].blocked
     assert out[1].n_blocked == 0 and out[1].blocked is False  # not NULL
+
+
+def test_importer_merge_schema_unions_evolved_parts(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from python_dtl_spark.sources import FileSystemImporter
+
+    root = str(tmp_path)
+    tbl = f"{root}/evolving.parquet"
+    spark.createDataFrame([(1, "a")], "k long, v string").write.mode(
+        "append"
+    ).parquet(tbl)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "k long, v string, score double"
+    ).write.mode("append").parquet(tbl)
+
+    merged = FileSystemImporter(spark, root, merge_schema=True).import_table(
+        "evolving"
+    )
+    assert set(merged.columns) == {"k", "v", "score"}
+    rows = {r.k: r for r in merged.collect()}
+    assert rows[1].score is None  # pre-evolution rows read NULL
+    assert rows[2].score == 9.5
+
+
+def test_exporter_sorted_write_enables_rowgroup_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from python_dtl_spark.sources import FileSystemExporter, FileSystemImporter
+
+    root = str(tmp_path)
+    df = spark.range(0, 100000).selectExpr(
+        "cast(id * 2654435761 % 100000 as long) as k",  # scrambled order
+        "id as payload",
+    )
+    FileSystemExporter(
+        root, num_output_files=2, sort_within_partitions=["k"]
+    ).export_table("sorted", df)
+
+    # every row group's min/max on k must be tight (sorted within file)
+    import glob
+
+    parts = glob.glob(f"{root}/sorted.parquet/part-*.parquet")
+    assert parts
+    for p in parts:
+        f = pq.ParquetFile(p)
+        prev_max = None
+        for rg in range(f.metadata.num_row_groups):
+            col = f.metadata.row_group(rg).column(0)  # k
+            st = col.statistics
+            assert st is not None and st.has_min_max
+            if prev_max is not None:
+                assert st.min >= prev_max  # non-overlapping row groups
+            prev_max = st.max
+
+    # and a pushed-down point predicate still reads correct data
+    back = FileSystemImporter(spark, root).import_table("sorted")
+    assert back.filter("k = 12345").count() == df.filter("k = 12345").count()
