@@ -45,6 +45,19 @@ def main(argv=None) -> None:
         help="coalesce each exported table to this many files "
         "(small-files compaction; avoid 1 for large outputs)",
     )
+    parser.add_argument(
+        "--merge-schema",
+        action="store_true",
+        help="union parquet/ORC schemas across each input table's part "
+        "files (schema-evolution reads; missing columns become NULL)",
+    )
+    parser.add_argument(
+        "--sort-output-by",
+        default=None,
+        help="comma-separated columns: sort rows within each output "
+        "task before writing, so parquet row-group min/max stats allow "
+        "data skipping on later scans",
+    )
     args = parser.parse_args(argv)
 
     from python_dtl_spark.runtime import run_files
@@ -63,6 +76,10 @@ def main(argv=None) -> None:
         input_format=args.input_format,
         output_format=args.output_format,
         num_output_files=args.num_output_files,
+        merge_schema=args.merge_schema,
+        sort_within_partitions=(
+            args.sort_output_by.split(",") if args.sort_output_by else None
+        ),
     )
 
 

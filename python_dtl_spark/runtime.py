@@ -72,13 +72,21 @@ def run_files(
     input_format: str = "parquet",
     output_format: str = "parquet",
     num_output_files: int | None = None,
+    merge_schema: bool = False,
+    sort_within_partitions: list[str] | None = None,
 ) -> None:
     """File-to-file execution, mirroring the reference CLI
-    (/root/reference/src/dtl/main.py:9-46).  Format and output
-    compaction pass straight through to the importer/exporter."""
-    importer = FileSystemImporter(spark, input_dir, fmt=input_format)
+    (/root/reference/src/dtl/main.py:9-46).  Format, compaction,
+    schema-evolution reads and sorted data-skipping writes pass
+    straight through to the importer/exporter."""
+    importer = FileSystemImporter(
+        spark, input_dir, fmt=input_format, merge_schema=merge_schema
+    )
     exporter = FileSystemExporter(
-        output_dir, fmt=output_format, num_output_files=num_output_files
+        output_dir,
+        fmt=output_format,
+        num_output_files=num_output_files,
+        sort_within_partitions=sort_within_partitions,
     )
     tracer = None
     if trace_dir is not None:

@@ -381,3 +381,72 @@ def test_stream_curation_to_parquet_exactly_once(spark, tmp_path):
     assert sorted(r.doc_id for r in rows) == [0, 1, 2]  # no duplicates
     got2 = {r.doc_id: r for r in rows}
     assert got2[2].blocked and got2[2].n_blocked == 1
+
+
+def test_cli_sorted_export_and_merge_schema_flags(spark, tmp_path):
+    """--sort-output-by produces tight per-row-group min/max stats on
+    the sort column (the data-skipping contract); --merge-schema reads
+    an evolved table whole."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from python_dtl_spark.main import main as cli_main
+
+    script = tmp_path / "job.dtl"
+    script.write_text(
+        "WITH orders AS IMPORT 'orders';\n"
+        "WITH o AS SELECT o_orderkey, o_custkey FROM orders;\n"
+        "EXPORT o TO 'o_sorted';\n"
+    )
+    outdir = str(tmp_path / "out")
+    cli_main(
+        [
+            str(script),
+            "--input-dir",
+            "/root/testdata/sf0.001",
+            "--output-dir",
+            outdir,
+            "--num-output-files",
+            "2",
+            "--sort-output-by",
+            "o_custkey",
+        ]
+    )
+    parts = glob.glob(f"{outdir}/o_sorted.parquet/part-*.parquet")
+    assert parts
+    for p in parts:
+        f = pq.ParquetFile(p)
+        idx = [c.name for c in f.schema_arrow].index("o_custkey")
+        prev = None
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            if prev is not None:
+                assert st.min >= prev
+            prev = st.max
+
+    # evolve the exported table, then re-import via --merge-schema
+    spark.createDataFrame(
+        [(999999, 1, "late")], "o_orderkey long, o_custkey long, note string"
+    ).write.mode("append").parquet(f"{outdir}/o_sorted.parquet")
+    script2 = tmp_path / "job2.dtl"
+    script2.write_text(
+        "WITH o_sorted AS IMPORT 'o_sorted';\n"
+        "WITH all_cols AS SELECT o_orderkey, note FROM o_sorted;\n"
+        "EXPORT all_cols TO 'all_cols';\n"
+    )
+    cli_main(
+        [
+            str(script2),
+            "--input-dir",
+            outdir,
+            "--output-dir",
+            str(tmp_path / "out2"),
+            "--merge-schema",
+        ]
+    )
+    back = spark.read.parquet(str(tmp_path / "out2" / "all_cols.parquet"))
+    assert set(back.columns) == {"o_orderkey", "note"}
+    notes = [r.note for r in back.collect() if r.note is not None]
+    assert notes == ["late"]  # evolved column visible, old rows NULL
