@@ -4664,6 +4664,48 @@ _register(
 )
 
 
+def _q_pack_emit(spark, sf_dir):
+    """The emission half of concat-and-chunk packing: one row per
+    packed training sequence with member texts concatenated in id
+    order (compared by md5 so oracle rows stay compact)."""
+    docs = text.token_count(_read(spark, sf_dir, "documents"))
+    seqs = text.pack_emit(docs, budget=512, num_groups=8, sep="\n")
+    return seqs.select(
+        "pack_group",
+        "seq_index",
+        "n_docs",
+        "seq_tokens",
+        F.md5(F.col("seq_text").cast("binary")).alias("seq_md5"),
+    )
+
+
+_register(
+    "doc_pack_emit",
+    _q_pack_emit,
+    f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                 AS pack_group
+        FROM documents
+    ), c AS (
+        SELECT doc_id, text, pack_group, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+        FROM t
+    )
+    SELECT pack_group,
+           CAST(s // 512 AS BIGINT) AS seq_index,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5
+    FROM c GROUP BY 1, 2
+    """,
+    headline=True,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

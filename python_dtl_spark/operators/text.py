@@ -280,6 +280,7 @@ def pack_token_budget(
     token_col: str = "n_tokens",
     budget: int = 2048,
     num_groups: int = 1024,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-budget training sequences
     (concat-and-chunk packing).
@@ -297,8 +298,14 @@ def pack_token_budget(
     md5 hash of the id (engine-portable, same scheme as
     ``sampling.hash_bucket``), order within the group is by id.
     Output: id, pack_group, seq_index (bin within group), seq_offset
-    (token offset of this doc within its bin's stream).
+    (token offset of this doc within its bin's stream), plus any
+    ``keep_cols`` threaded through unchanged (so emission can carry
+    the text without a re-join against the source — a join back would
+    trip Spark's ambiguous-self-join detection and re-shuffle).
     """
+    # keep_cols also re-exposes token_col (emission sums it); with no
+    # keeps the output schema is unchanged from the original contract
+    extra = [token_col, *keep_cols] if keep_cols else []
     h = F.md5(F.col(id_col).cast("string").cast("binary"))
     grp = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % num_groups
@@ -310,11 +317,17 @@ def pack_token_budget(
     )
     cum = F.sum(F.col(token_col)).over(w)
     start = (cum - F.col(token_col)).cast("long")
-    return df.select(F.col(id_col), F.col(token_col), grp).select(
+    return df.select(
+        F.col(id_col),
+        F.col(token_col),
+        grp,
+        *[F.col(c) for c in (keep_cols or [])],
+    ).select(
         id_col,
         "pack_group",
         F.floor(start / F.lit(budget)).cast("long").alias("seq_index"),
         F.pmod(start, F.lit(budget)).cast("long").alias("seq_offset"),
+        *[F.col(c) for c in extra],
     )
 
 
@@ -847,4 +860,61 @@ def blocklist_flags(
     n = F.coalesce(n, F.lit(0).cast("long"))
     return df.withColumn("n_blocked", n).withColumn(
         "blocked", F.col("n_blocked") > 0
+    )
+
+
+def pack_emit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    num_groups: int = 1024,
+    sep: str = "\n",
+) -> DataFrame:
+    """Materialize the packed training sequences that
+    :func:`pack_token_budget` assigns: one row per (pack_group,
+    seq_index) with the member documents' text concatenated in id
+    order — the emission half of concat-and-chunk packing, the actual
+    "write the training shards" step.
+
+    Output: pack_group, seq_index, n_docs, seq_tokens (sum of member
+    token counts — can overrun ``budget`` by at most one document, by
+    the packing rule), and seq_text (members joined with ``sep``).
+
+    Determinism: member order inside a sequence is id order, enforced
+    with ``array_sort`` over (id, text) structs — ``collect_list``
+    alone is arrival-ordered and not reproducible across retries, the
+    classic silent nondeterminism in packing jobs.
+
+    Scale shape: the assignment window and this aggregation share the
+    pack_group partitioning (one shuffle total); per-sequence state is
+    bounded by ``budget`` tokens plus one overrun document, so no
+    group ever accumulates unbounded text.
+    """
+    a = pack_token_budget(
+        df,
+        id_col=id_col,
+        token_col=token_col,
+        budget=budget,
+        num_groups=num_groups,
+        keep_cols=[text_col],
+    )
+    seqs = a.groupBy("pack_group", "seq_index").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("seq_tokens"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("k"), F.col(text_col).alias("t"))
+            )
+        ).alias("__members"),
+    )
+    return seqs.select(
+        "pack_group",
+        "seq_index",
+        "n_docs",
+        "seq_tokens",
+        F.array_join(
+            F.transform(F.col("__members"), lambda s: s["t"]), sep
+        ).alias("seq_text"),
     )

@@ -1609,3 +1609,33 @@ def test_exporter_sorted_write_enables_rowgroup_stats(spark, tmp_path):
     # and a pushed-down point predicate still reads correct data
     back = FileSystemImporter(spark, root).import_table("sorted")
     assert back.filter("k = 12345").count() == df.filter("k = 12345").count()
+
+
+def test_pack_emit_concats_members_in_id_order(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha", 3), (1, "beta", 3), (2, "gamma", 3), (3, "delta", 3)],
+        ["doc_id", "text", "n_tokens"],
+    )
+    out = text.pack_emit(
+        df, budget=6, num_groups=1, sep=" | "
+    ).collect()
+    # budget 6, 3 tokens each -> two docs per sequence, id order
+    by_seq = {r.seq_index: r for r in out}
+    assert by_seq[0].seq_text == "alpha | beta"
+    assert by_seq[0].n_docs == 2 and by_seq[0].seq_tokens == 6
+    assert by_seq[1].seq_text == "gamma | delta"
+    # assignment matches pack_token_budget exactly
+    assign = text.pack_token_budget(
+        df, budget=6, num_groups=1, keep_cols=["text"]
+    ).collect()
+    assert {(r.doc_id, r.seq_index) for r in assign} == {
+        (0, 0), (1, 0), (2, 1), (3, 1)
+    }
+
+
+def test_pack_token_budget_schema_unchanged_without_keep_cols(spark):
+    df = spark.createDataFrame(
+        [(0, 5)], ["doc_id", "n_tokens"]
+    )
+    out = text.pack_token_budget(df, budget=8, num_groups=2)
+    assert out.columns == ["doc_id", "pack_group", "seq_index", "seq_offset"]
