@@ -4706,6 +4706,44 @@ _register(
 )
 
 
+def _q_value_histogram(spark, sf_dir):
+    """Equi-depth histogram of event values: percentile_disc edges
+    (actual data values — engine-exact), row-local bucket assignment,
+    map-side-combined counts."""
+    ev = _read_events(spark, sf_dir).select("value")
+    return stats.equi_depth_histogram(ev, "value", n_buckets=10)
+
+
+_register(
+    "events_value_histogram",
+    _q_value_histogram,
+    """
+    WITH ranked AS (
+        SELECT value, cume_dist() OVER (ORDER BY value) AS cd FROM events
+    ), b AS (
+        SELECT """
+    + ", ".join(
+        f"min(CASE WHEN cd >= {i / 10!r} THEN value END) AS e{i}"
+        for i in range(1, 10)
+    )
+    + """
+        FROM ranked
+    ), t AS (
+        SELECT value, CAST("""
+    + " + ".join(
+        f"(CASE WHEN value > e{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
+    )
+    + """ AS BIGINT) AS bucket
+        FROM events CROSS JOIN b
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           min(value) AS lo, max(value) AS hi
+    FROM t GROUP BY bucket
+    """,
+    headline=True,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -1639,3 +1639,25 @@ def test_pack_token_budget_schema_unchanged_without_keep_cols(spark):
     )
     out = text.pack_token_budget(df, budget=8, num_groups=2)
     assert out.columns == ["doc_id", "pack_group", "seq_index", "seq_offset"]
+
+
+def test_equi_depth_histogram_buckets_and_edges(spark):
+    from python_dtl_spark.operators.stats import equi_depth_histogram
+
+    # 0..99: 4 buckets of exactly 25 rows, edges at 24/49/74
+    df = spark.range(0, 100).selectExpr("cast(id as double) as v")
+    out = {r.bucket: r for r in equi_depth_histogram(df, "v", 4).collect()}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert all(out[b].n == 25 for b in out)
+    assert out[0].lo == 0.0 and out[0].hi == 24.0  # edge value stays low
+    assert out[1].lo == 25.0 and out[3].hi == 99.0
+    # heavy ties: one dominant value collapses buckets rather than
+    # splitting a value across them
+    tied = spark.createDataFrame(
+        [(1.0,)] * 90 + [(2.0,)] * 10, "v double"
+    )
+    hist = {r.bucket: r for r in equi_depth_histogram(tied, "v", 4).collect()}
+    assert hist[0].n == 90 and hist[0].lo == hist[0].hi == 1.0
+    assert sum(r.n for r in hist.values()) == 100
+    with pytest.raises(ValueError):
+        equi_depth_histogram(df, "v", 1)
