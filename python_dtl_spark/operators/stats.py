@@ -305,3 +305,49 @@ def equi_depth_histogram(
             F.max(v).alias("hi"),
         )
     )
+
+
+def table_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column table profile — the ANALYZE/data-quality sweep run
+    before committing a 100 TB ingest: row count, null count and
+    distinct cardinality for each requested column, one output row per
+    column.
+
+    ``exact_distinct=True`` uses ``count(DISTINCT col)`` (Spark plans
+    the multi-distinct aggregate with Expand — one pass over the data,
+    partial aggregation per column); for very wide or very hot tables
+    pass ``False`` for HLL++ ``approx_count_distinct`` (single pass,
+    no Expand blowup, ±2% — and no value oracle, matching the
+    engine-private-sketch caveat of ``dtl_approx_distinct_parts``).
+
+    Output: column (name), n_rows, n_nulls, n_distinct (NULL excluded,
+    matching SQL COUNT(DISTINCT) semantics).
+    """
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    distinct = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.count(F.col(c)).alias(f"__nn{i}"))
+        aggs.append(distinct(c).alias(f"__nd{i}"))
+    wide = df.agg(*aggs)
+    stack_args = []
+    for i, c in enumerate(cols):
+        stack_args.append(F.lit(c))
+        stack_args.append((F.col("__n") - F.col(f"__nn{i}")).cast("long"))
+        stack_args.append(F.col(f"__nd{i}").cast("long"))
+    return wide.select(
+        F.col("__n").cast("long").alias("n_rows"),
+        F.stack(
+            F.lit(len(cols)), *stack_args
+        ).alias("column", "n_nulls", "n_distinct"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct")

@@ -1661,3 +1661,26 @@ def test_equi_depth_histogram_buckets_and_edges(spark):
     assert sum(r.n for r in hist.values()) == 100
     with pytest.raises(ValueError):
         equi_depth_histogram(df, "v", 1)
+
+
+def test_table_profile_counts(spark):
+    from python_dtl_spark.operators.stats import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, None), (2, "b", None)],
+        "k long, v string, empty string",
+    )
+    out = {r.column: r for r in table_profile(df).collect()}
+    assert out["k"].n_rows == 3 and out["k"].n_nulls == 0
+    assert out["k"].n_distinct == 2
+    assert out["v"].n_nulls == 1 and out["v"].n_distinct == 2
+    assert out["empty"].n_nulls == 3 and out["empty"].n_distinct == 0
+    # approximate tier still returns every column, sane bounds
+    approx = {
+        r.column: r
+        for r in table_profile(df, exact_distinct=False).collect()
+    }
+    assert set(approx) == {"k", "v", "empty"}
+    assert approx["empty"].n_distinct == 0
+    with pytest.raises(ValueError):
+        table_profile(df.select())
