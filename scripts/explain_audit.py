@@ -196,6 +196,22 @@ AUDITED = {
         "codegen'd filter/array_contains projection — zero Exchange, "
         "pipelines into the scan"
     ),
+    "doc_pack_emit": (
+        "pack emission: assignment window and the member-collect "
+        "aggregation share the pack_group hash partitioning (one "
+        "shuffle); member order enforced by array_sort, per-sequence "
+        "state bounded by the token budget"
+    ),
+    "events_value_histogram": (
+        "equi-depth histogram: percentile_disc edge agg reduced to one "
+        "row and broadcast back; bucket assignment is a row-local edge-"
+        "array filter; count/min/max per bucket map-side-combine"
+    ),
+    "orders_table_profile": (
+        "ANALYZE sweep: one FileScan, multi-distinct planned via "
+        "Expand with per-column partial aggregates — never one scan "
+        "per column"
+    ),
 }
 
 

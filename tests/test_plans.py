@@ -662,3 +662,30 @@ def test_blocklist_is_pure_map_stage(spark):
     plan = _exec_plan(df)
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_histogram_broadcasts_edges_no_data_shuffle_for_join(spark):
+    """The bucket edges must arrive as a 1-row broadcast (never a
+    driver action or a shuffled join); the per-bucket count/min/max
+    aggregates map-side-combine."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["events_value_histogram"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the 1-row edges
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ", partial" in plan.lower() or "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_table_profile_single_pass_expand(spark):
+    """The multi-distinct profile must plan as ONE scan with Expand —
+    per-column distinct partials — not one scan per column."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["orders_table_profile"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+    assert "EvalPython" not in plan
