@@ -4780,6 +4780,72 @@ _register(
 )
 
 
+def _q_ohlc(spark, sf_dir):
+    """OHLC bucket rollup of event values per type per hour: first/
+    last by (ts, event_id) struct order — deterministic under ties —
+    plus min/max/count, one hash aggregation."""
+    ev = _read_events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    return windows.ohlc_resample(
+        ev, ["event_type"], "ts", "value", "event_id", step_seconds=3600
+    )
+
+
+_register(
+    "events_ohlc",
+    _q_ohlc,
+    """
+    WITH t AS (
+        SELECT event_type, value,
+               epoch_us(ts) // 3600000000 AS b,
+               row_number() OVER (
+                   PARTITION BY event_type, epoch_us(ts) // 3600000000
+                   ORDER BY epoch_us(ts), event_id
+               ) AS rf,
+               row_number() OVER (
+                   PARTITION BY event_type, epoch_us(ts) // 3600000000
+                   ORDER BY epoch_us(ts) DESC, event_id DESC
+               ) AS rl
+        FROM events
+    )
+    SELECT event_type,
+           make_timestamp(b * 3600000000) AS bucket_start,
+           min(CASE WHEN rf = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           min(CASE WHEN rl = 1 THEN value END) AS close,
+           CAST(count(*) AS BIGINT) AS n
+    FROM t GROUP BY event_type, b
+    """,
+    headline=True,
+)
+
+
+def _q_winsorize(spark, sf_dir):
+    """p1/p99 winsorization of event values: percentile_disc bounds
+    broadcast as one row, row-local clamp — values moved, never
+    computed, so the clipped column hashes exactly."""
+    ev = _read_events(spark, sf_dir).select("event_id", "value")
+    return stats.winsorize(ev, "value", lower=0.01, upper=0.99)
+
+
+_register(
+    "events_winsorized",
+    _q_winsorize,
+    """
+    WITH ranked AS (
+        SELECT value, cume_dist() OVER (ORDER BY value) AS cd FROM events
+    ), b AS (
+        SELECT min(CASE WHEN cd >= 0.01 THEN value END) AS lo,
+               min(CASE WHEN cd >= 0.99 THEN value END) AS hi
+        FROM ranked
+    )
+    SELECT event_id, value,
+           least(greatest(value, lo), hi) AS value_winsorized
+    FROM events CROSS JOIN b
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

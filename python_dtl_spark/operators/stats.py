@@ -351,3 +351,45 @@ def table_profile(
             F.lit(len(cols)), *stack_args
         ).alias("column", "n_nulls", "n_distinct"),
     ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Percentile winsorization: clip ``value_col`` to its
+    [``lower``, ``upper``] quantile bounds — the standard outlier tamer
+    before aggregates that a single corrupt reading would wreck.
+
+    Bounds use ``percentile_disc`` (actual data values, no
+    interpolation) so both the bounds and the clipped output are
+    engine-exact.  Values are MOVED, never computed: every output
+    value is an input value.
+
+    Scale shape: one single-row bound aggregate broadcast back, then a
+    row-local ``greatest``/``least`` clamp; same caveat as
+    ``equi_depth_histogram`` — the exact percentile sorts the column
+    inside the aggregate, fine to ~10^8 rows per executor.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
+    out = out_col or f"{value_col}_winsorized"
+    bounds = df.agg(
+        F.expr(
+            f"percentile_disc({lower!r}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("__wlo"),
+        F.expr(
+            f"percentile_disc({upper!r}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("__whi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("__wlo")), F.col("__whi")
+    )
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(out, clipped)
+        .drop("__wlo", "__whi")
+    )

@@ -198,3 +198,59 @@ def resample_ffill(
         F.last("__obs", ignorenulls=True).over(w).alias("value"),
         F.col("__obs").isNotNull().alias("observed"),
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    step_seconds: int,
+) -> DataFrame:
+    """Open/high/low/close resampling — the classic financial bucket
+    rollup, equally the "first/last reading per sensor per interval"
+    verb for any time series: per (group, bucket) the first value,
+    last value, min, max and count.
+
+    First/last are chosen by (event time, ``tiebreak_col``) struct
+    min/max — ``min_by``/``max_by`` leave ties engine-arbitrary, the
+    silent nondeterminism that breaks replays; the struct ordering
+    makes both engines pick the same row, so the output carries a full
+    value oracle (replayed with row_number windows in SQL).
+
+    Scale shape: ONE hash aggregation keyed (group, bucket), map-side
+    partials for every field — the same single-shuffle shape as
+    ``resample_ffill``'s bucket stage.
+    """
+    b = F.floor(
+        epoch_micros(F.col(ts_col)) / F.lit(step_seconds * 1_000_000)
+    )
+    tagged = F.struct(
+        epoch_micros(F.col(ts_col)).alias("__t"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(value_col).alias("__v"),
+    )
+    return (
+        df.select(*group_cols, b.alias("__bucket"), tagged.alias("__s"),
+                  F.col(value_col).alias("__v"))
+        .groupBy(*group_cols, "__bucket")
+        .agg(
+            F.min("__s").getField("__v").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max("__s").getField("__v").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            *group_cols,
+            F.timestamp_micros(
+                F.col("__bucket") * F.lit(step_seconds * 1_000_000)
+            ).alias("bucket_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )

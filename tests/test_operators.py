@@ -1684,3 +1684,50 @@ def test_table_profile_counts(spark):
     assert approx["empty"].n_distinct == 0
     with pytest.raises(ValueError):
         table_profile(df.select())
+
+
+def test_ohlc_resample_deterministic_open_close(spark):
+    import datetime as dt
+
+    from python_dtl_spark.operators.windows import ohlc_resample
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # bucket 0: ties on ts at both ends -> tiebreak by event_id
+        (1, base, "a", 10.0),
+        (0, base, "a", 5.0),            # same ts, lower id -> open
+        (2, base + dt.timedelta(minutes=30), "a", 99.0),
+        (3, base + dt.timedelta(minutes=59), "a", 7.0),
+        (4, base + dt.timedelta(minutes=59), "a", 8.0),  # higher id -> close
+        # bucket 1
+        (5, base + dt.timedelta(hours=1), "a", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = sorted(
+        ohlc_resample(df, ["event_type"], "ts", "value", "event_id", 3600).collect(),
+        key=lambda r: r.bucket_start,
+    )
+    b0, b1 = out
+    assert b0.open == 5.0 and b0.close == 8.0  # tie-broken by id
+    assert b0.high == 99.0 and b0.low == 5.0 and b0.n == 5
+    assert b1.open == b1.close == 1.0 and b1.n == 1
+
+
+def test_winsorize_clips_to_actual_values(spark):
+    from python_dtl_spark.operators.stats import winsorize
+
+    df = spark.range(0, 1000).selectExpr(
+        "id as event_id", "cast(id as double) as value"
+    )
+    out = winsorize(df, "value", lower=0.1, upper=0.9).collect()
+    vals = {r.event_id: r.value_winsorized for r in out}
+    assert len(vals) == 1000
+    lo = min(vals.values())
+    hi = max(vals.values())
+    # bounds are actual data values at the 10th/90th percentile
+    assert lo == 99.0 and hi == 899.0
+    assert vals[0] == 99.0 and vals[500] == 500.0 and vals[999] == 899.0
+    with pytest.raises(ValueError):
+        winsorize(df, "value", lower=0.5, upper=0.5)
