@@ -4846,6 +4846,37 @@ _register(
 )
 
 
+def _q_embed_sim_join(spark, sf_dir):
+    """Cross-corpus embedding similarity join
+    (``dedup.embedding_similarity_join``): the corpus joined against an
+    id-shifted copy of itself.  Every vector matches exactly its copy
+    (cosine 1.0; identical vectors hash to identical hyperplane
+    signatures, so the bucket join provably catches them) and the
+    corpus's natural max pairwise cosine ~0.51 sits far under the 0.95
+    threshold — so the all-pairs cross-cosine oracle replays the LSH
+    output exactly."""
+    base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    right = base.select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+    )
+    return dedup.embedding_similarity_join(
+        base, right, threshold=0.95, dim=64
+    ).select("id_l", "id_r")
+
+
+_register(
+    "embed_similarity_join",
+    _q_embed_sim_join,
+    """
+    SELECT a.vec_id AS id_l, b.vec_id + 100000 AS id_r
+    FROM embeddings a JOIN embeddings b
+      ON list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) >= 0.95
+    """,
+    headline=True,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -625,6 +625,31 @@ def simhash_near_pairs(
     )
 
 
+def _plane_signature(hyperplanes):
+    """Column builder: sign pattern of the fixed random hyperplanes
+    packed into a long — the LSH bucket id shared by
+    :func:`embedding_near_dup_pairs` and
+    :func:`embedding_similarity_join` (both sides of a join MUST hash
+    with the same planes, which is why the planes are seeded data)."""
+
+    def signature(vec):
+        sig = F.lit(0).cast("long")
+        for p, plane in enumerate(hyperplanes):
+            dot = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
+        return sig
+
+    return signature
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -659,21 +684,7 @@ def embedding_near_dup_pairs(
     hyperplanes = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
     ]
-
-    def signature(vec):
-        sig = F.lit(0).cast("long")
-        for p, plane in enumerate(hyperplanes):
-            dot = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(w) for w in plane]),
-                    lambda a, b: a.cast("double") * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
-        return sig
+    signature = _plane_signature(hyperplanes)
 
     norm = F.sqrt(
         F.aggregate(
@@ -1013,4 +1024,99 @@ def semdedup(
         id_col=id_col,
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
+    )
+
+
+def embedding_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cross-corpus embedding similarity join: every (left, right) pair
+    with cosine ≥ threshold — the dataset-alignment / retrieval-overlap
+    verb (match a new crawl against an existing corpus, find eval
+    questions already answered in the training set, align two
+    embedding spaces row-to-row).
+
+    Same random-hyperplane LSH shape as
+    :func:`embedding_near_dup_pairs` but asymmetric: BOTH corpora hash
+    with the SAME seeded planes (bucket ids are only comparable under
+    identical planes), left probes its own bucket plus all Hamming-1
+    neighbors, right anchors at its exact signature, and exact cosine
+    verifies every candidate — never an all-pairs stage.  Unlike the
+    self-join there is no ``id < id`` dedup: a left row may match many
+    right rows and vice versa.
+
+    Output: (id_l, id_r, cosine).
+
+    Scale shape: one bucket equi-join (shuffle keyed on the signature);
+    candidates per bucket are n_l × n_r PER BUCKET, never corpus²;
+    raise ``planes`` to shrink buckets as the corpora grow (the same
+    bucket-occupancy rule the self-join probes in SCALING.md).
+    """
+    import random
+
+    from python_dtl_spark.operators.similarity import _checked_dim
+
+    rng = random.Random(seed)
+    if dim is None:
+        dim = len(left.select(vec_col).first()[0])
+    hyperplanes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
+    ]
+    signature = _plane_signature(hyperplanes)
+
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    l_base = _spread(left).select(
+        F.col(id_col).alias("id_l"),
+        _checked_dim(F.col(vec_col), dim).alias("v_l"),
+        signature(F.col(vec_col)).alias("__sig"),
+        norm(F.col(vec_col)).alias("n_l"),
+    )
+    probes = l_base.select(
+        "id_l",
+        "v_l",
+        "n_l",
+        F.explode(
+            F.array(
+                F.col("__sig"),
+                *[F.col("__sig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+            )
+        ).alias("__bucket"),
+    )
+    anchors = _spread(right).select(
+        F.col(id_col).alias("id_r"),
+        _checked_dim(F.col(vec_col), dim).alias("v_r"),
+        signature(F.col(vec_col)).alias("__bucket"),
+        norm(F.col(vec_col)).alias("n_r"),
+    )
+    cand = (
+        probes.join(anchors, on="__bucket", how="inner")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("v_l"), F.col("v_r"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("cosine", dot / (F.col("n_l") * F.col("n_r")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_l", "id_r", "cosine")
     )

@@ -1731,3 +1731,38 @@ def test_winsorize_clips_to_actual_values(spark):
     assert vals[0] == 99.0 and vals[500] == 500.0 and vals[999] == 899.0
     with pytest.raises(ValueError):
         winsorize(df, "value", lower=0.5, upper=0.5)
+
+
+def test_embedding_similarity_join_cross_corpus(spark):
+    import math
+
+    from python_dtl_spark.operators.dedup import embedding_similarity_join
+
+    # left: unit basis-ish vectors; right: copies + one rotated-away vector
+    def unit(i, d=8):
+        v = [0.0] * d
+        v[i % d] = 1.0
+        return v
+
+    left = spark.createDataFrame(
+        [(i, unit(i)) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    near = [math.cos(0.1), math.sin(0.1)] + [0.0] * 6  # cosine ~0.995 vs unit(0)
+    right = spark.createDataFrame(
+        [(100, unit(0)), (101, unit(1)), (102, near), (103, unit(5))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        (r.id_l, r.id_r): r.cosine
+        for r in embedding_similarity_join(
+            left, right, threshold=0.9, planes=8, dim=8
+        ).collect()
+    }
+    assert (0, 100) in out and abs(out[(0, 100)] - 1.0) < 1e-12
+    assert (1, 101) in out
+    assert (0, 102) in out and out[(0, 102)] > 0.99
+    # orthogonal pairs never pass the exact-cosine verify
+    assert all(c >= 0.9 for c in out.values())
+    assert (0, 101) not in out and (2, 100) not in out
+    # many-to-many allowed: left 0 matched two right rows
+    assert len([k for k in out if k[0] == 0]) == 2

@@ -689,3 +689,17 @@ def test_table_profile_single_pass_expand(spark):
     assert plan.count("FileScan parquet") == 1
     assert "Expand" in plan
     assert "EvalPython" not in plan
+
+
+def test_embedding_similarity_join_is_bucketed_no_all_pairs(spark):
+    """The cross-corpus similarity join must stay bucket-equi-joined on
+    the hyperplane signature — never a nested loop or cartesian over
+    the two corpora."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["embed_similarity_join"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
