@@ -212,6 +212,17 @@ AUDITED = {
         "Expand with per-column partial aggregates — never one scan "
         "per column"
     ),
+    "events_ohlc": (
+        "OHLC rollup: one hash aggregation keyed (group, bucket), "
+        "struct min/max pick first/last deterministically, all fields "
+        "map-side-combine — single shuffle"
+    ),
+    "embed_similarity_join": (
+        "cross-corpus similarity join: both sides hash with the same "
+        "seeded hyperplanes, bucket equi-join on the signature "
+        "(probes at Hamming-1, anchors exact) — no all-pairs stage, "
+        "no nested loop"
+    ),
 }
 
 
