@@ -623,6 +623,35 @@ def main() -> None:
                     max_size=200,
                 ),
             ),
+            (
+                # cross-corpus join of the corpus against an id-shifted
+                # copy: output = identity pairs, linear in the data.
+                # planes scale with log2(factor) (2^k more buckets for
+                # k more planes) — the docstring's bucket-occupancy
+                # rule: FIXED planes at ×N data grow every bucket ×N on
+                # BOTH sides, so candidates grow ×N² per bucket.
+                "embed_sim_join",
+                dedup.embedding_similarity_join(
+                    emb_base,
+                    emb_base.select(
+                        (F.col("vec_id") + 50_000_000).alias("vec_id"),
+                        "embedding",
+                    ),
+                    threshold=0.9,
+                    planes=12,
+                    dim=64,
+                ),
+                dedup.embedding_similarity_join(
+                    emb_at(factor),
+                    emb_at(factor).select(
+                        (F.col("vec_id") + 50_000_000).alias("vec_id"),
+                        "embedding",
+                    ),
+                    threshold=0.9,
+                    planes=12 + max(1, factor.bit_length() - 1),
+                    dim=64,
+                ),
+            ),
         ]:
             t1, n1 = timed(f"{label} 1x", one)
             tn, nn = timed(f"{label} {factor}x", many)
