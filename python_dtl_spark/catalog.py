@@ -4653,12 +4653,12 @@ _register(
     _q_blocklist,
     f"""
     SELECT doc_id,
-           CAST(len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+           COALESCE(CAST(len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
                                 x -> list_contains(['dup', 'skew'], x)))
-                AS BIGINT) AS n_blocked,
-           len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
-                           x -> list_contains(['dup', 'skew'], x))) > 0
-               AS blocked
+                AS BIGINT), 0) AS n_blocked,
+           COALESCE(len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                           x -> list_contains(['dup', 'skew'], x))) > 0,
+                    FALSE) AS blocked
     FROM documents
     """,
 )
@@ -4840,7 +4840,8 @@ _register(
         FROM ranked
     )
     SELECT event_id, value,
-           least(greatest(value, lo), hi) AS value_winsorized
+           CASE WHEN value IS NULL THEN NULL
+                ELSE least(greatest(value, lo), hi) END AS value_winsorized
     FROM events CROSS JOIN b
     """,
 )

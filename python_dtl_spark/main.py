@@ -78,7 +78,9 @@ def main(argv=None) -> None:
         num_output_files=args.num_output_files,
         merge_schema=args.merge_schema,
         sort_within_partitions=(
-            args.sort_output_by.split(",") if args.sort_output_by else None
+            [c.strip() for c in args.sort_output_by.split(",") if c.strip()]
+            if args.sort_output_by
+            else None
         ),
     )
 

@@ -625,6 +625,27 @@ def simhash_near_pairs(
     )
 
 
+def _vec_norm(col):
+    """L2 norm of an array column (cast to double), shared by every
+    cosine-verifying operator here."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _vec_dot(a, b):
+    """Dot product of two array columns (cast to double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _plane_signature(hyperplanes):
     """Column builder: sign pattern of the fixed random hyperplanes
     packed into a long — the LSH bucket id shared by
@@ -686,18 +707,11 @@ def embedding_near_dup_pairs(
     ]
     signature = _plane_signature(hyperplanes)
 
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     base = _spread(df).select(
         F.col(id_col).alias("__id"),
         _checked_dim(F.col(vec_col), dim).alias("__v"),
         signature(F.col(vec_col)).alias("__sig"),
-        norm.alias("__n"),
+        _vec_norm(F.col(vec_col)).alias("__n"),
     )
     # probe own bucket + all Hamming-1 neighbor buckets
     probes = base.select(
@@ -730,15 +744,17 @@ def embedding_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("v_a"), F.col("v_b"), lambda a, b: a.cast("double") * b.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # zero-norm guard: cosine would be NaN and Spark evaluates
+    # NaN >= threshold as TRUE, so an unguarded filter emits garbage
+    # matches for dead/padding embeddings — a zero vector has no
+    # direction and matches nothing
     return (
-        cand.withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        cand.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .withColumn(
+            "cosine",
+            _vec_dot(F.col("v_a"), F.col("v_b"))
+            / (F.col("n_a") * F.col("n_b")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -978,8 +994,11 @@ def semdedup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # zero-norm guard: NaN >= threshold is TRUE in Spark (see
+    # embedding_near_dup_pairs) — zero vectors match nothing
     return (
-        cand.withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
+        cand.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .withColumn("cosine", dot / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1071,20 +1090,11 @@ def embedding_similarity_join(
     ]
     signature = _plane_signature(hyperplanes)
 
-    def norm(col):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
     l_base = _spread(left).select(
         F.col(id_col).alias("id_l"),
         _checked_dim(F.col(vec_col), dim).alias("v_l"),
         signature(F.col(vec_col)).alias("__sig"),
-        norm(F.col(vec_col)).alias("n_l"),
+        _vec_norm(F.col(vec_col)).alias("n_l"),
     )
     probes = l_base.select(
         "id_l",
@@ -1101,22 +1111,22 @@ def embedding_similarity_join(
         F.col(id_col).alias("id_r"),
         _checked_dim(F.col(vec_col), dim).alias("v_r"),
         signature(F.col(vec_col)).alias("__bucket"),
-        norm(F.col(vec_col)).alias("n_r"),
+        _vec_norm(F.col(vec_col)).alias("n_r"),
     )
     cand = (
         probes.join(anchors, on="__bucket", how="inner")
         .dropDuplicates(["id_l", "id_r"])
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("v_l"), F.col("v_r"),
-            lambda a, b: a.cast("double") * b.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    # zero-norm guard: NaN >= threshold is TRUE in Spark — a zero
+    # vector (dead embedding, padding row) would otherwise "match"
+    # every bucket-mate with cosine NaN
     return (
-        cand.withColumn("cosine", dot / (F.col("n_l") * F.col("n_r")))
+        cand.filter((F.col("n_l") > 0) & (F.col("n_r") > 0))
+        .withColumn(
+            "cosine",
+            _vec_dot(F.col("v_l"), F.col("v_r"))
+            / (F.col("n_l") * F.col("n_r")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_l", "id_r", "cosine")
     )

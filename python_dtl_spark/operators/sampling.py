@@ -10,7 +10,10 @@ makes every operator exactly reproducible in ANSI SQL (md5 is shared
 with DuckDB), so the driver can hash-check them.
 
 Keys should be stable identifiers (ints / strings).  Floats are
-rejected: their string rendering differs across engines.
+rejected: their string rendering differs across engines.  NULL keys
+have no deterministic identity (they all hash to NULL), so every
+operator here excludes NULL-keyed rows from selection — assign
+surrogate ids upstream if such rows must participate.
 """
 
 from __future__ import annotations
@@ -115,12 +118,20 @@ def domain_quota(
     _check_key_type(df, key_col)
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")
+    # NULL keys have no deterministic identity: they all hash to NULL,
+    # tie in the selection order, and which of them survive would
+    # depend on partition arrival — breaking the pure-function contract
+    # (and Spark sorts NULLS FIRST while SQL oracles default NULLS
+    # LAST, so the engines would also disagree).  They are excluded,
+    # like every hash-keyed sampler in this module; assign surrogate
+    # ids upstream if NULL-keyed rows must participate.
     h = F.md5(
         F.concat(F.lit(seed), F.col(key_col).cast("string")).cast("binary")
     )
     w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
-        df.withColumn("__quota_rank", F.row_number().over(w))
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__quota_rank", F.row_number().over(w))
         .filter(F.col("__quota_rank") <= quota)
         .drop("__quota_rank")
     )
@@ -173,6 +184,11 @@ def temperature_resample(
     a, b = frac.numerator, frac.denominator
     if a == b:  # alpha = 1: identity mix
         return df
+    # NULL keys: hash_bucket(NULL) is NULL and NULL < rhs filters
+    # false, so such rows could never survive anyway — filtering them
+    # FIRST keeps the per-stratum counts (and thus every keep
+    # fraction) consistent with the population actually being sampled
+    df = df.filter(F.col(key_col).isNotNull())
     counts = df.groupBy(strata_col).agg(
         F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")
     )

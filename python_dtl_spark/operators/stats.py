@@ -296,8 +296,13 @@ def equi_depth_histogram(
     )
     v = F.col(value_col)
     bucket = F.size(F.filter(F.col("__edges"), lambda e: e < v)).cast("long")
+    # NULL values are excluded, matching the percentile edges (which
+    # ignore them): unfiltered, `e < NULL` is NULL so F.filter drops
+    # every edge and every NULL row lands in bucket 0, inflating its
+    # count while lo/hi silently exclude them
     return (
-        df.join(F.broadcast(edges))
+        df.filter(v.isNotNull())
+        .join(F.broadcast(edges))
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -385,8 +390,12 @@ def winsorize(
             f"percentile_disc({upper!r}) WITHIN GROUP (ORDER BY {value_col})"
         ).alias("__whi"),
     )
-    clipped = F.least(
-        F.greatest(F.col(value_col), F.col("__wlo")), F.col("__whi")
+    # greatest/least SKIP nulls, so an unguarded clamp would turn a
+    # NULL reading into the lower bound — fabricating a 1st-percentile
+    # observation from missing data.  NULL stays NULL.
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("__wlo")), F.col("__whi")),
     )
     return (
         df.join(F.broadcast(bounds))

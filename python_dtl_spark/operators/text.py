@@ -304,7 +304,18 @@ def pack_token_budget(
     trip Spark's ambiguous-self-join detection and re-shuffle).
     """
     # keep_cols also re-exposes token_col (emission sums it); with no
-    # keeps the output schema is unchanged from the original contract
+    # keeps the output schema is unchanged from the original contract.
+    # id_col/token_col are already in the output, so listing them again
+    # would emit duplicate columns and make every downstream by-name
+    # reference AMBIGUOUS_REFERENCE — reject rather than dedupe
+    # silently.
+    if keep_cols:
+        overlap = {id_col, token_col} & set(keep_cols)
+        if overlap:
+            raise ValueError(
+                f"keep_cols {sorted(overlap)} already in the output "
+                "(id/token columns are always emitted)"
+            )
     extra = [token_col, *keep_cols] if keep_cols else []
     h = F.md5(F.col(id_col).cast("string").cast("binary"))
     grp = (

@@ -1766,3 +1766,75 @@ def test_embedding_similarity_join_cross_corpus(spark):
     assert (0, 101) not in out and (2, 100) not in out
     # many-to-many allowed: left 0 matched two right rows
     assert len([k for k in out if k[0] == 0]) == 2
+
+
+def test_winsorize_preserves_nulls(spark):
+    from python_dtl_spark.operators.stats import winsorize
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)] + [(99, None)],
+        "event_id long, value double",
+    )
+    out = {r.event_id: r.value_winsorized for r in winsorize(
+        df, "value", lower=0.1, upper=0.9
+    ).collect()}
+    assert out[99] is None  # NULL stays NULL, never becomes the bound
+    assert out[1] == 1.0 and out[10] == 9.0
+
+
+def test_histogram_excludes_null_values(spark):
+    from python_dtl_spark.operators.stats import equi_depth_histogram
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)] + [(None,)] * 5, "v double"
+    )
+    out = equi_depth_histogram(df, "v", 5).collect()
+    assert sum(r.n for r in out) == 10  # NULLs not counted anywhere
+    b0 = min(out, key=lambda r: r.bucket)
+    assert b0.n == 2 and b0.lo == 1.0 and b0.hi == 2.0
+
+
+def test_similarity_join_zero_vector_matches_nothing(spark):
+    from python_dtl_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_similarity_join,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),  # dead embedding
+        (2, [1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, planes=4, dim=4
+        ).collect()
+    }
+    assert pairs == {(0, 2)}  # no NaN "matches" involving the zero vector
+    cross = {
+        (r.id_l, r.id_r)
+        for r in embedding_similarity_join(
+            df, df, threshold=0.9, planes=4, dim=4
+        ).collect()
+    }
+    assert 1 not in {i for i, _ in cross} and 1 not in {j for _, j in cross}
+
+
+def test_domain_quota_excludes_null_keys(spark):
+    from python_dtl_spark.operators.sampling import domain_quota
+
+    rows = [(i if i % 3 else None, "d") for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = domain_quota(df, "dom", "k", quota=100).collect()
+    # NULL keys excluded (no deterministic identity); non-null all kept
+    assert sorted(r.k for r in out) == sorted(i for i in range(30) if i % 3)
+
+
+def test_pack_token_budget_rejects_overlapping_keep_cols(spark):
+    df = spark.createDataFrame([(0, 3, "x")], ["doc_id", "n_tokens", "text"])
+    with pytest.raises(ValueError):
+        text.pack_token_budget(df, keep_cols=["n_tokens"])
+    with pytest.raises(ValueError):
+        text.pack_token_budget(df, keep_cols=["doc_id", "text"])
