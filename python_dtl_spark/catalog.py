@@ -4878,6 +4878,75 @@ _register(
 )
 
 
+def _q_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user: earliest step
+    times in order (min — tie-free), chained user-keyed aggs sharing
+    one partitioning."""
+    from python_dtl_spark.operators import analytics
+
+    ev = _read_events(spark, sf_dir).select("user_id", "ts", "event_type")
+    return analytics.funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+_register(
+    "events_funnel",
+    _q_funnel,
+    """
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ), s0 AS (
+        SELECT user_id, min(us) AS t_view FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+        SELECT e.user_id, min(us) AS t_click FROM e JOIN s0 USING (user_id)
+        WHERE event_type = 'click' AND us > t_view GROUP BY e.user_id
+    ), s2 AS (
+        SELECT e.user_id, min(us) AS t_purchase FROM e JOIN s1 USING (user_id)
+        WHERE event_type = 'purchase' AND us > t_click GROUP BY e.user_id
+    )
+    SELECT s0.user_id, t_view, t_click, t_purchase,
+           CAST(CAST(t_view IS NOT NULL AS INT)
+                + CAST(t_click IS NOT NULL AS INT)
+                + CAST(t_purchase IS NOT NULL AS INT) AS BIGINT)
+               AS steps_completed
+    FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    """,
+    headline=True,
+)
+
+
+def _q_retention(spark, sf_dir):
+    """Weekly cohort retention: first-seen week cohorts, distinct
+    active users per (cohort, week offset), exact retention share."""
+    from python_dtl_spark.operators import analytics
+
+    ev = _read_events(spark, sf_dir).select("user_id", "ts")
+    return analytics.cohort_retention(ev, period_seconds=7 * 24 * 3600)
+
+
+_register(
+    "events_retention",
+    _q_retention,
+    """
+    WITH a AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS p FROM events
+    ), f AS (
+        SELECT user_id, min(p) AS cohort FROM a GROUP BY user_id
+    ), sz AS (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM f GROUP BY cohort
+    ), c AS (
+        SELECT cohort, CAST(p - cohort AS BIGINT) AS "offset",
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM a JOIN f USING (user_id) GROUP BY cohort, p - cohort
+    )
+    SELECT make_timestamp(cohort * 604800000000) AS cohort_start, "offset",
+           n_users, cohort_size, n_users / cohort_size AS retention
+    FROM c JOIN sz USING (cohort)
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

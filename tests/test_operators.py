@@ -1838,3 +1838,68 @@ def test_pack_token_budget_rejects_overlapping_keep_cols(spark):
         text.pack_token_budget(df, keep_cols=["n_tokens"])
     with pytest.raises(ValueError):
         text.pack_token_budget(df, keep_cols=["doc_id", "text"])
+
+
+def test_funnel_conversion_order_and_window(spark):
+    import datetime as dt
+
+    from python_dtl_spark.operators.analytics import funnel_conversion
+
+    base = dt.datetime(2024, 1, 1)
+
+    def t(m):
+        return base + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1: full funnel in order
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(10), "purchase"),
+        # user 2: purchase BEFORE click -> chain breaks at click? no:
+        # view(0), purchase(2), click(5) -> click after view ok, but no
+        # purchase after click -> 2 steps
+        (2, t(0), "view"), (2, t(2), "purchase"), (2, t(5), "click"),
+        # user 3: never viewed -> not in output
+        (3, t(0), "click"), (3, t(1), "purchase"),
+        # user 4: view only
+        (4, t(0), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in funnel_conversion(
+        df, ["view", "click", "purchase"]
+    ).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1].steps_completed == 3
+    assert out[2].steps_completed == 2 and out[2].t_purchase is None
+    assert out[4].steps_completed == 1 and out[4].t_click is None
+    # within_seconds: user 1's click is 5 min after view; a 60s window
+    # breaks the chain (and everything downstream)
+    tight = {r.user_id: r for r in funnel_conversion(
+        df, ["view", "click", "purchase"], within_seconds=60
+    ).collect()}
+    assert tight[1].steps_completed == 1
+    with pytest.raises(ValueError):
+        funnel_conversion(df, ["view"])
+
+
+def test_cohort_retention_counts(spark):
+    import datetime as dt
+
+    from python_dtl_spark.operators.analytics import cohort_retention
+
+    day = 24 * 3600
+    base = dt.datetime(2024, 1, 4)  # period boundary irrelevant: per-day periods
+
+    rows = []
+    # cohort A: users 1,2 first active day 0; user 1 returns day 1
+    rows += [(1, base), (2, base), (1, base + dt.timedelta(days=1))]
+    # cohort B: user 3 first active day 1
+    rows += [(3, base + dt.timedelta(days=1))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort_start, r.offset): r for r in cohort_retention(
+        df, period_seconds=day
+    ).collect()}
+    cohorts = sorted({c for c, _ in out})
+    a, b = cohorts
+    assert out[(a, 0)].n_users == 2 and out[(a, 0)].cohort_size == 2
+    assert out[(a, 1)].n_users == 1 and abs(out[(a, 1)].retention - 0.5) < 1e-12
+    assert out[(b, 0)].n_users == 1 and out[(b, 0)].cohort_size == 1
+    assert (b, 1) not in out

@@ -703,3 +703,19 @@ def test_embedding_similarity_join_is_bucketed_no_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    """A k-step funnel is chained user-keyed aggs and joins: every
+    Exchange hashes on the user column (Catalyst reuses the
+    partitioning), with no nested loop and no Python."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["events_funnel"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "user_id" in ln
