@@ -223,6 +223,11 @@ AUDITED = {
         "(probes at Hamming-1, anchors exact) — no all-pairs stage, "
         "no nested loop"
     ),
+    "events_funnel": (
+        "ordered funnel: chained user-keyed aggs + joins, every "
+        "Exchange hashes user_id (partitioning reused across the "
+        "chain) — no full-stream window, no per-user collection"
+    ),
 }
 
 
