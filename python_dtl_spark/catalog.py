@@ -4947,6 +4947,48 @@ _register(
 )
 
 
+def _q_weighted_sample(spark, sf_dir):
+    """Quality-weighted downsampling: keep probability = quality_score
+    / max score, decided by one IEEE multiplication per side — exact
+    cross-engine, no summation or libm dependence."""
+    scored = text.quality_features(_read(spark, sf_dir, "documents"))
+    return sampling.weighted_sample(
+        scored, "quality_score", "doc_id", seed="w1"
+    ).select("doc_id", F.col("quality_score").alias("weight"))
+
+
+_WB = sampling.hash_bucket_sql("doc_id", seed="w1")
+
+_register(
+    "doc_weighted_sample",
+    _q_weighted_sample,
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPS_SQL}, lower(t)))) AS BIGINT) AS n_stopwords
+        FROM documents
+    ), ratios AS (
+        SELECT doc_id, n_words, n_punct, n_chars, n_stopwords,
+               CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_words > 0 THEN n_stopwords / n_words ELSE 0.0 END AS stopword_ratio
+        FROM base
+    ), q AS (
+        SELECT doc_id,
+               least(n_words / 100.0, 1.0) * 0.4
+                 + least(stopword_ratio * 5.0, 1.0) * 0.4
+                 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS w
+        FROM ratios
+    ), m AS (SELECT max(w) AS wmax FROM q)
+    SELECT doc_id, w AS weight
+    FROM q CROSS JOIN m
+    WHERE CAST({_WB} AS DOUBLE) * wmax < w * 10000.0
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -273,3 +273,37 @@ def stratified_sample(
         else thresh.otherwise(int(default_fraction * _BUCKETS))
     )
     return df.filter(b < thresh)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    seed: str = "",
+) -> DataFrame:
+    """Weight-proportional deterministic sampling: keep each row with
+    probability ``w_i / w_max`` — the quality-weighted downsampling
+    verb (keep high-quality documents more often) with the same
+    hash-deterministic membership contract as everything in this
+    module.
+
+    Exactness: membership is ``bucket · w_max < w_i · 10000`` — each
+    side one IEEE multiplication of the same doubles, so Spark and a
+    SQL oracle agree bit-for-bit (no summation-order or libm
+    dependence).  The max weight arrives as a broadcast single-row
+    aggregate, never a driver action.
+
+    Rows with NULL, zero or negative weight are never kept (the
+    comparison is false for all of them); NULL keys are excluded per
+    the module contract.
+    """
+    _check_key_type(df, key_col)
+    wmax = df.agg(F.max(F.col(weight_col)).alias("__wmax"))
+    b = hash_bucket(F.col(key_col), seed).cast("double")
+    out_cols = df.columns
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .join(F.broadcast(wmax))
+        .filter(b * F.col("__wmax") < F.col(weight_col) * F.lit(float(_BUCKETS)))
+        .select(*out_cols)
+    )

@@ -1903,3 +1903,24 @@ def test_cohort_retention_counts(spark):
     assert out[(a, 1)].n_users == 1 and abs(out[(a, 1)].retention - 0.5) < 1e-12
     assert out[(b, 0)].n_users == 1 and out[(b, 0)].cohort_size == 1
     assert (b, 1) not in out
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from python_dtl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i < 4000 else 0.25) for i in range(8000)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    out = weighted_sample(df, "w", "k").collect()
+    hi = sum(1 for r in out if r.w == 1.0)
+    lo = sum(1 for r in out if r.w == 0.25)
+    assert hi == 4000  # weight == max -> bucket < 10000 always true
+    assert 800 < lo < 1200  # ~25% of 4000
+    # layout invariance
+    again = weighted_sample(df.repartition(11), "w", "k").collect()
+    assert {r.k for r in again} == {r.k for r in out}
+    # NULL / zero / negative weights never kept
+    edge = spark.createDataFrame(
+        [(1, None), (2, 0.0), (3, -5.0), (4, 2.0)], "k long, w double"
+    )
+    kept = {r.k for r in weighted_sample(edge, "w", "k").collect()}
+    assert kept == {4}
