@@ -1389,29 +1389,45 @@ def _q_quality(spark, sf_dir):
 
 _STOPS_SQL = "['" + "', '".join(text.STOPWORDS_EN) + "']"
 
-_register(
-    "doc_quality_score",
-    _q_quality,
-    f"""
-    WITH base AS (
-        SELECT doc_id,
+
+def _quality_sql_ctes(passthrough: str = "") -> str:
+    """Shared CTE fragment (`base`, `ratios`) replaying
+    ``text.quality_features`` — the ONE place the quality-score inputs
+    are spelled in SQL; doc_quality_score, pipeline_clean_corpus and
+    doc_weighted_sample all compose it so the three oracles cannot
+    silently diverge from each other when the formula changes.
+    ``passthrough`` threads extra source columns (e.g. ``text``)."""
+    pt = (", " + passthrough) if passthrough else ""
+    return f"""base AS (
+        SELECT doc_id{pt},
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
                CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
                CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPS_SQL}, lower(t)))) AS BIGINT) AS n_stopwords
         FROM documents
     ), ratios AS (
-        SELECT doc_id, n_words, n_punct, n_stopwords,
+        SELECT doc_id{pt}, n_chars, n_words, n_punct, n_stopwords,
                CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END AS mean_word_len,
                CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
                CASE WHEN n_words > 0 THEN n_stopwords / n_words ELSE 0.0 END AS stopword_ratio
         FROM base
-    )
+    )"""
+
+
+_QUALITY_SCORE_EXPR = (
+    "least(n_words / 100.0, 1.0) * 0.4"
+    " + least(stopword_ratio * 5.0, 1.0) * 0.4"
+    " + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2"
+)
+
+_register(
+    "doc_quality_score",
+    _q_quality,
+    f"""
+    WITH {_quality_sql_ctes()}
     SELECT doc_id, n_words, n_punct, n_stopwords, mean_word_len, punct_ratio,
            stopword_ratio,
-           least(n_words / 100.0, 1.0) * 0.4
-             + least(stopword_ratio * 5.0, 1.0) * 0.4
-             + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score
+           {_QUALITY_SCORE_EXPR} AS quality_score
     FROM ratios
     """,
     headline=True,
@@ -2874,24 +2890,8 @@ _register(
     "pipeline_clean_corpus",
     _q_clean_corpus,
     f"""
-    WITH base AS (
-        SELECT doc_id, text,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
-               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-               CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPS_SQL}, lower(t)))) AS BIGINT) AS n_stopwords
-        FROM documents
-    ), ratios AS (
-        SELECT doc_id, text,
-               CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
-               CASE WHEN n_words > 0 THEN n_stopwords / n_words ELSE 0.0 END AS stopword_ratio,
-               n_words
-        FROM base
-    ), scored AS (
-        SELECT doc_id, text,
-               least(n_words / 100.0, 1.0) * 0.4
-                 + least(stopword_ratio * 5.0, 1.0) * 0.4
-                 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS quality_score
+    WITH {_quality_sql_ctes("text")}, scored AS (
+        SELECT doc_id, text, {_QUALITY_SCORE_EXPR} AS quality_score
         FROM ratios
     ), kept AS (
         SELECT doc_id, text FROM scored WHERE quality_score >= 0.5
@@ -4929,18 +4929,24 @@ _register(
     _q_retention,
     """
     WITH a AS (
-        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS p FROM events
+        -- period start in exact LONG micros (pmod form, mirroring the
+        -- engine): float floor(x/step) would mis-bucket >2^53 us
+        SELECT DISTINCT user_id,
+               epoch_us(ts)
+                 - ((epoch_us(ts) % 604800000000 + 604800000000)
+                    % 604800000000) AS p
+        FROM events
     ), f AS (
         SELECT user_id, min(p) AS cohort FROM a GROUP BY user_id
     ), sz AS (
         SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
         FROM f GROUP BY cohort
     ), c AS (
-        SELECT cohort, CAST(p - cohort AS BIGINT) AS "offset",
-               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        SELECT cohort, CAST((p - cohort) // 604800000000 AS BIGINT) AS "offset",
+               CAST(count(*) AS BIGINT) AS n_users
         FROM a JOIN f USING (user_id) GROUP BY cohort, p - cohort
     )
-    SELECT make_timestamp(cohort * 604800000000) AS cohort_start, "offset",
+    SELECT make_timestamp(cohort) AS cohort_start, "offset",
            n_users, cohort_size, n_users / cohort_size AS retention
     FROM c JOIN sz USING (cohort)
     """,
@@ -4963,23 +4969,8 @@ _register(
     "doc_weighted_sample",
     _q_weighted_sample,
     f"""
-    WITH base AS (
-        SELECT doc_id,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
-               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-               CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPS_SQL}, lower(t)))) AS BIGINT) AS n_stopwords
-        FROM documents
-    ), ratios AS (
-        SELECT doc_id, n_words, n_punct, n_chars, n_stopwords,
-               CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
-               CASE WHEN n_words > 0 THEN n_stopwords / n_words ELSE 0.0 END AS stopword_ratio
-        FROM base
-    ), q AS (
-        SELECT doc_id,
-               least(n_words / 100.0, 1.0) * 0.4
-                 + least(stopword_ratio * 5.0, 1.0) * 0.4
-                 + (1.0 - least(punct_ratio * 10.0, 1.0)) * 0.2 AS w
+    WITH {_quality_sql_ctes()}, q AS (
+        SELECT doc_id, {_QUALITY_SCORE_EXPR} AS w
         FROM ratios
     ), m AS (SELECT max(w) AS wmax FROM q)
     SELECT doc_id, w AS weight

@@ -43,6 +43,14 @@ def funnel_conversion(
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    if len(set(steps)) != len(steps):
+        # each step names a t_<step> output column; a repeated step
+        # (re-engagement funnels) would alias the same column twice and
+        # crash with AMBIGUOUS_REFERENCE deep in the join chain
+        raise ValueError(
+            f"funnel steps must be unique, got {steps}; model repeated "
+            "steps with distinct labels and a derived type column"
+        )
     us = F.col(user_col)
     ev = df.select(
         us, F.col(type_col).alias("__t"), epoch_micros(F.col(ts_col)).alias("__us")
@@ -93,11 +101,20 @@ def cohort_retention(
 
     Scale shape: a distinct over (user, period) with map-side partials,
     a min-aggregate for the cohort, one join on the user column, and a
-    final count-distinct keyed (cohort, offset); cohort sizes ride a
-    broadcast (#cohorts rows).
+    final count keyed (cohort, offset) — a plain count, not a
+    count-distinct: the input is already distinct (user, period) pairs
+    and the cohort is functionally determined by the user, so every
+    row in a (cohort, offset) group carries a unique user.  Cohort
+    sizes ride a broadcast (#cohorts rows).
     """
-    step = F.lit(period_seconds * 1_000_000)
-    p = F.floor(epoch_micros(F.col(ts_col)) / step)
+    step_us = period_seconds * 1_000_000
+    us = epoch_micros(F.col(ts_col))
+    # period start in exact LONG microseconds (us - us mod step) —
+    # float division (floor(long/long) goes through double) would
+    # mis-bucket sentinel timestamps beyond 2^53 us; long subtraction
+    # cannot.  Offsets divide an exact step-multiple difference, which
+    # stays under 2^53 for any sane retention horizon.
+    p = us - F.pmod(us, F.lit(step_us))
     active = df.select(F.col(user_col), p.alias("__p")).distinct()
     first = active.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
     sizes = first.groupBy("__cohort").agg(
@@ -105,12 +122,15 @@ def cohort_retention(
     )
     joined = active.join(first, on=user_col)
     counts = joined.groupBy(
-        "__cohort", (F.col("__p") - F.col("__cohort")).cast("long").alias("offset")
-    ).agg(F.count_distinct(F.col(user_col)).cast("long").alias("n_users"))
+        "__cohort",
+        ((F.col("__p") - F.col("__cohort")) / F.lit(step_us))
+        .cast("long")
+        .alias("offset"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     return (
         counts.join(F.broadcast(sizes), on="__cohort")
         .select(
-            F.timestamp_micros(F.col("__cohort") * step).alias("cohort_start"),
+            F.timestamp_micros(F.col("__cohort")).alias("cohort_start"),
             "offset",
             "n_users",
             "cohort_size",

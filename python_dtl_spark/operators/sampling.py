@@ -298,12 +298,15 @@ def weighted_sample(
     the module contract.
     """
     _check_key_type(df, key_col)
+    # filter NULL keys FIRST: they are excluded from selection, so they
+    # must not set w_max either — an excluded outlier weight would
+    # silently rescale every other row's keep probability
+    df = df.filter(F.col(key_col).isNotNull())
     wmax = df.agg(F.max(F.col(weight_col)).alias("__wmax"))
     b = hash_bucket(F.col(key_col), seed).cast("double")
     out_cols = df.columns
     return (
-        df.filter(F.col(key_col).isNotNull())
-        .join(F.broadcast(wmax))
+        df.join(F.broadcast(wmax))
         .filter(b * F.col("__wmax") < F.col(weight_col) * F.lit(float(_BUCKETS)))
         .select(*out_cols)
     )

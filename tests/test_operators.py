@@ -1924,3 +1924,24 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     )
     kept = {r.k for r in weighted_sample(edge, "w", "k").collect()}
     assert kept == {4}
+
+
+def test_weighted_sample_null_key_does_not_set_wmax(spark):
+    from python_dtl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0) for i in range(100)] + [(None, 100.0)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    out = weighted_sample(df, "w", "k").collect()
+    # all valid rows have w == max over VALID rows -> all kept; the
+    # excluded NULL-key outlier must not shrink the sample 100x
+    assert len(out) == 100
+
+
+def test_funnel_rejects_duplicate_steps(spark):
+    from python_dtl_spark.operators.analytics import funnel_conversion
+
+    df = spark.createDataFrame(
+        [(1, None, "view")], "user_id long, ts timestamp, event_type string"
+    )
+    with pytest.raises(ValueError):
+        funnel_conversion(df, ["view", "click", "view"])
