@@ -401,6 +401,14 @@ def main() -> None:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
 
+    def _funnel(ev):
+        from python_dtl_spark.operators import analytics
+
+        return analytics.funnel_conversion(
+            ev.select("user_id", "ts", "event_type"),
+            ["view", "click", "purchase"],
+        )
+
     def emb_at(n: int):
         parts = []
         for i in range(n):
@@ -622,6 +630,15 @@ def main() -> None:
                     min_count=5,
                     max_size=200,
                 ),
+            ),
+            (
+                # replicated users (distinct ids, same event shapes):
+                # output rows scale with users; flat-ish ratio = the
+                # chained user-keyed aggs reuse one partitioning and
+                # never collect per-user event lists
+                "events_funnel",
+                _funnel(events),
+                _funnel(replicate(events, factor, ["event_id", "user_id"])),
             ),
             (
                 # cross-corpus join of the corpus against an id-shifted
