@@ -58,13 +58,13 @@ KEYWORDS = {
     "UPDATE",
     "DELETE",
     "INSERT",
-    # Mutation-statement grammar (extension: the reference reserves the
-    # four keywords above but defines no productions; these complete the
-    # productions this repo gives them).
-    "SET",
-    "INTO",
-    "COMMIT",
-    "ROLLBACK",
+    # NOTE: the mutation-statement grammar also uses SET, INTO, COMMIT
+    # and ROLLBACK, but those are SOFT keywords — recognized by value
+    # at their grammar positions in the parser, lexed as plain NAMEs —
+    # because unlike the four above (reserved by the reference,
+    # tokens.py:54-59) they were never reserved words in DTL, and
+    # reserving them here would break existing scripts using them as
+    # column or table names (e.g. ``SELECT set, commit FROM audit``).
 }
 
 

@@ -48,6 +48,28 @@ class _Parser:
             return self._advance()
         return None
 
+    def _check_soft(self, word: str) -> bool:
+        """A SOFT keyword: a plain NAME token whose value matches
+        case-insensitively (SET/INTO/COMMIT/ROLLBACK are not reserved —
+        see lexer.py — so they stay usable as column/table names)."""
+        tok = self._peek()
+        return tok.kind == "NAME" and tok.text.lower() == word
+
+    def _match_soft(self, word: str) -> Token | None:
+        if self._check_soft(word):
+            return self._advance()
+        return None
+
+    def _expect_soft(self, word: str) -> Token:
+        tok = self._peek()
+        if not self._check_soft(word):
+            raise DtlSyntaxError(
+                f"expected {word.upper()!r}, found {tok.text or tok.kind!r}",
+                lineno=tok.lineno,
+                column=tok.column,
+            )
+        return self._advance()
+
     def _expect(self, kind: str, text: str | None = None) -> Token:
         tok = self._peek()
         if not self._check(kind, text):
@@ -99,7 +121,7 @@ class _Parser:
         # script bindings (see compiler.Engine.run_script).
         if self._match("UPDATE"):
             target = self._name()
-            self._expect("SET")
+            self._expect_soft("set")
             assignments = [self._assignment()]
             while self._match("OP", ","):
                 assignments.append(self._assignment())
@@ -115,7 +137,7 @@ class _Parser:
             self._expect("OP", ";")
             return n.DeleteStatement(target=target, where=where)
         if self._match("INSERT"):
-            self._expect("INTO")
+            self._expect_soft("into")
             target = self._name()
             expr = self.parse_table_expression()
             self._expect("OP", ";")
@@ -124,10 +146,10 @@ class _Parser:
             note_tok = self._match("STRING")
             self._expect("OP", ";")
             return n.BeginStatement(note=note_tok.text if note_tok else None)
-        if self._match("COMMIT"):
+        if self._match_soft("commit"):
             self._expect("OP", ";")
             return n.CommitStatement()
-        if self._match("ROLLBACK"):
+        if self._match_soft("rollback"):
             self._expect("OP", ";")
             return n.RollbackStatement()
         tok = self._peek()

@@ -29,6 +29,7 @@ def latest_changes(
     changes: DataFrame,
     keys: list[str],
     seq_col: str,
+    op_col: str | None = None,
 ) -> DataFrame:
     """One row per key: the change with the highest ``seq_col``.
 
@@ -39,16 +40,25 @@ def latest_changes(
     (name order) — an engine that kept "whichever row arrived last"
     would not be reproducible run to run.
 
+    Pass ``op_col`` to name the operation column; without it the
+    column ``__op`` is used if present (the :func:`apply_changes`
+    internal convention) and otherwise every change counts as an
+    upsert.  Callers with a differently-named op column MUST pass it —
+    the delete-wins tie-break cannot apply to a column it does not
+    know about.
+
     Plan shape: ``row_number`` over (keys) ordered by seq DESC plans
     as partial WindowGroupLimit before the exchange + final after, so
     a 100 TB change log ships at most one candidate row per key per
     map task.
     """
-    op = F.col("__op") if "__op" in changes.columns else F.lit(OP_UPSERT)
+    if op_col is None and "__op" in changes.columns:
+        op_col = "__op"
+    op = F.col(op_col) if op_col is not None else F.lit(OP_UPSERT)
     tie_cols = sorted(
         c
         for c in changes.columns
-        if c not in keys and c != seq_col and c != "__op"
+        if c not in keys and c != seq_col and c != op_col
     )
     w = Window.partitionBy(*keys).orderBy(
         F.col(seq_col).desc(),
@@ -98,7 +108,21 @@ def apply_changes(
     if op_col is None:
         ch = ch.withColumn("__op", F.lit(OP_UPSERT))
     else:
-        ch = ch.withColumn("__op", F.col(op_col)).drop(op_col)
+        # validate at execution: an op outside {'upsert','delete'}
+        # (incl. NULL — a dirty CDC feed) would otherwise be KEPT as a
+        # non-delete whose values are silently discarded, emitting
+        # ghost (key, NULL, ...) rows for snapshot-absent keys.  Fail
+        # the task with a clear message instead.
+        valid = F.when(
+            F.col(op_col).isin(OP_UPSERT, OP_DELETE), F.col(op_col)
+        ).otherwise(
+            F.expr(
+                "raise_error(concat("
+                f"'apply_changes: op must be {OP_UPSERT} or {OP_DELETE},"
+                f" got: ', coalesce(cast(`{op_col}` as string), 'NULL')))"
+            )
+        )
+        ch = ch.withColumn("__op", valid).drop(op_col)
     latest = latest_changes(ch, keys, seq_col).select(
         *keys,
         F.col("__op"),

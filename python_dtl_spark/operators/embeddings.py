@@ -100,7 +100,13 @@ def random_projection(
     from python_dtl_spark.operators.similarity import _checked_dim
 
     rows = projection_matrix(dim, out_dim, seed)
-    df = df.withColumn("__rp_in", _checked_dim(F.col(vec_col), dim))
+    # pick a staging name absent from the input: withColumn would
+    # silently OVERWRITE (and the trailing drop delete) a caller
+    # column that happens to be named the same
+    stage = "__rp_in"
+    while stage in df.columns:
+        stage += "_"
+    df = df.withColumn(stage, _checked_dim(F.col(vec_col), dim))
     # The whole projection is ONE F.expr SQL string rather than
     # out_dim × dim Column-API literal calls: building the expression
     # tree through the Python↔JVM bridge dominated the operator's wall
@@ -114,11 +120,11 @@ def random_projection(
         return "array(" + ",".join(f"{x!r}D" for x in row) + ")"
 
     comps = ",".join(
-        f"aggregate(zip_with(__rp_in, {arr(row)}, "
+        f"aggregate(zip_with({stage}, {arr(row)}, "
         "(a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
         for row in rows
     )
-    return df.withColumn(out_col, F.expr(f"array({comps})")).drop("__rp_in")
+    return df.withColumn(out_col, F.expr(f"array({comps})")).drop(stage)
 
 
 def projection_matrix(

@@ -292,8 +292,16 @@ _KMEANS_MEMO_MAX = 32
 
 def clear_kmeans_memo() -> None:
     """Drop all memoized quantizer models (e.g. after overwriting the
-    corpus a model was trained on)."""
+    corpus a model was trained on).  Registered with
+    ``sources.INVALIDATION_HOOKS``, so ``FileSystemImporter.
+    invalidate()`` clears stale quantizers along with stale plans —
+    the one call sites already make after rewriting a table."""
     _KMEANS_MEMO.clear()
+
+
+from python_dtl_spark import sources as _sources  # noqa: E402
+
+_sources.INVALIDATION_HOOKS.append(clear_kmeans_memo)
 
 
 def fit_kmeans(
@@ -337,6 +345,10 @@ def fit_kmeans(
     if memo:
         try:
             key = (
+                # applicationId scopes the memo to the live session: a
+                # JVM-backed model from a stopped SparkSession is dead
+                # (transform() fails), so a restarted session re-fits
+                vectors.sparkSession.sparkContext.applicationId,
                 vectors.semanticHash(),
                 tuple(vectors.columns),
                 n_centroids,
@@ -375,9 +387,14 @@ def fit_kmeans(
     # 4.97 s → 1.36 s at 32 partitions → 1).  ~25k vectors per task
     # keeps iteration tasks busy but bounded; repartition (a real
     # shuffle of ≤ tens of MB) rather than coalesce, which would fuse
-    # upward and throttle the sampling scan itself.
-    n_fit_parts = max(1, min(64, fit_sample // 25_000))
-    train = train.repartition(n_fit_parts)
+    # upward and throttle the sampling scan itself.  ONLY on the
+    # bounded quota path: a fit_fraction sample has no size bound
+    # (1e-3 of 10^10 rows is 10^7 vectors), and squeezing it into
+    # fit_sample-derived width would serialize the fit — there the
+    # sample keeps its natural partitioning.
+    if fit_fraction is None:
+        n_fit_parts = max(1, min(64, fit_sample // 25_000))
+        train = train.repartition(n_fit_parts)
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
     if key is not None:
         if len(_KMEANS_MEMO) >= _KMEANS_MEMO_MAX:

@@ -239,7 +239,23 @@ def zscore_outliers(
         F.avg(value_col).alias("group_mean"),
         F.stddev_pop(value_col).alias("group_std"),
     )
-    joined = df.join(stats, on=by, how="inner")
+    # null-SAFE join-back: groupBy collects NULL-keyed rows into their
+    # own group, but a plain equi-join can never match them (NULL !=
+    # NULL) — their genuine outliers would silently vanish.  NULL is a
+    # group like any other here (key_profile in this module already
+    # treats it so).  The stats side renames its keys first: it
+    # descends from ``df``, so joining on same-named columns trips
+    # Spark's ambiguous-self-join detection.
+    stats = stats.select(
+        *[F.col(k).alias(f"__st_{k}") for k in by], "group_mean", "group_std"
+    )
+    cond = None
+    for k in by:
+        c = F.col(k).eqNullSafe(F.col(f"__st_{k}"))
+        cond = c if cond is None else cond & c
+    joined = df.join(stats, cond, "inner").drop(
+        *[f"__st_{k}" for k in by]
+    )
     zexpr = F.when(
         F.col("group_std") > 0.0,
         (F.col(value_col) - F.col("group_mean")) / F.col("group_std"),

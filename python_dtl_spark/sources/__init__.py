@@ -19,6 +19,14 @@ from typing import Protocol
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: Callables run by :meth:`FileSystemImporter.invalidate` — modules
+#: holding caches DERIVED from imported data (e.g. the fitted-KMeans
+#: model memo in ``operators.similarity``) append their clear function
+#: here at import time, so the one invalidation call sites already
+#: make after rewriting a table also drops every derived cache.
+INVALIDATION_HOOKS: list = []
+
+
 class Importer(Protocol):
     def import_table(self, name: str) -> DataFrame: ...
 
@@ -78,11 +86,19 @@ class FileSystemImporter:
 
     def invalidate(self, name: str | None = None) -> None:
         """Drop the memoized handle for ``name`` (all tables when None)
-        so the next import re-lists files and re-reads the schema."""
+        so the next import re-lists files and re-reads the schema.
+        Also runs every registered ``INVALIDATION_HOOKS`` entry, so
+        caches derived from the (now stale) data — fitted quantizer
+        models, etc. — are dropped in the same call."""
         if name is None:
             self._memo.clear()
         else:
             self._memo.pop(name, None)
+        for hook in INVALIDATION_HOOKS:
+            try:
+                hook()
+            except Exception:
+                pass
 
     def _read(self, name: str) -> DataFrame:
         path = os.path.join(self._root, f"{name}.{self._fmt}")

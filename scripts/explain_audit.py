@@ -153,11 +153,12 @@ AUDITED = {
     ),
     "similarity_topk_projected": (
         "two-stage JL-projected ANN: stage 1 broadcasts queries and "
-        "carries only (id, 16-dim projection) through the "
+        "carries only (id, 32-dim projection) through the "
         "WindowGroupLimit-pruned candidate rank; the full 64-dim "
         "vectors enter ONLY via the rescore hash joins (candidate ids "
-        "broadcast) — 4x narrower candidate exchange than dragging "
-        "the full vector through stage 1"
+        "broadcast) — 2x narrower candidate exchange than dragging "
+        "the full vector through stage 1 (32 dims: 24 lost recall "
+        "under 32x growth, probed in SCALING.md)"
     ),
     "doc_dedup_spans": (
         "exact-substring removal: census-shaped fingerprint count + "
@@ -167,11 +168,13 @@ AUDITED = {
         "per-doc island lists bounded by n_tokens/window_tokens"
     ),
     "dedup_semdedup": (
-        "SemDedup: sampled-KMeans centroids compiled in as literals "
-        "(row-local assignment), within-cluster pairs via a bucket "
-        "equi-self-join — comparisons are n_i^2-per-cluster, never "
-        "corpus^2 (plan-asserted: no nested loop, no cartesian) — "
-        "then checkpointed min-label components"
+        "SemDedup: cluster assignment via the fitted KMeansModel's "
+        "native JVM transform (centers in ONE broadcast model object — "
+        "the literal-centroid expression OOMs the driver near ~500 "
+        "centroids), within-cluster pairs via a bucket equi-self-join "
+        "— comparisons are n_i^2-per-cluster, never corpus^2 "
+        "(plan-asserted: no nested loop, no cartesian) — then "
+        "checkpointed min-label components"
     ),
     "doc_domain_quota": (
         "per-domain cap: row_number()<=quota plans as partial+final "

@@ -1945,3 +1945,83 @@ def test_funnel_rejects_duplicate_steps(spark):
     )
     with pytest.raises(ValueError):
         funnel_conversion(df, ["view", "click", "view"])
+
+
+def test_latest_changes_delete_wins_with_named_op_col(spark):
+    from python_dtl_spark.operators.cdc import latest_changes
+
+    df = spark.createDataFrame(
+        [(1, 5, "upsert", 10.0), (1, 5, "delete", 99.0)],
+        "k long, seq long, op string, v double",
+    )
+    # same seq: delete must win via the documented tie-break, not by
+    # accident of attribute ordering — requires naming the op column
+    win = latest_changes(df, ["k"], "seq", op_col="op").collect()
+    assert len(win) == 1 and win[0].op == "delete"
+
+
+def test_apply_changes_rejects_invalid_op_values(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from python_dtl_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    bad = spark.createDataFrame(
+        [(1, 1, "UPSERT", 11.0)], "k long, seq long, op string, v double"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)) as exc:
+        apply_changes(snap, bad, ["k"], "seq", op_col="op").collect()
+    assert "apply_changes: op must be" in str(exc.value)
+    nulled = spark.createDataFrame(
+        [(1, 1, None, 11.0)], "k long, seq long, op string, v double"
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        apply_changes(snap, nulled, ["k"], "seq", op_col="op").collect()
+
+
+def test_zscore_outliers_reports_null_group(spark):
+    from python_dtl_spark.operators.stats import zscore_outliers
+
+    rows = [(i, None, 1.0) for i in range(50)] + [(99, None, 1000.0)]
+    rows += [(100 + i, "a", 1.0) for i in range(50)] + [(199, "a", 1000.0)]
+    df = spark.createDataFrame(rows, "event_id long, g string, v double")
+    out = zscore_outliers(df, "v", ["g"], z=3.0).collect()
+    flagged = {(r.g, r.event_id) for r in out}
+    assert (None, 99) in flagged  # NULL group's outlier is reported
+    assert ("a", 199) in flagged
+
+
+def test_kmeans_memo_cleared_by_importer_invalidate(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.similarity import (
+        _KMEANS_MEMO,
+        fit_kmeans,
+    )
+    from python_dtl_spark.sources import FileSystemImporter
+
+    vecs = spark.range(0, 200).select(
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 3).cast("double")
+        ).alias("__cv")
+    )
+    fit_kmeans(vecs, n_centroids=2, seed=1, fit_sample=100)
+    assert len(_KMEANS_MEMO) > 0
+    FileSystemImporter(spark, str(tmp_path)).invalidate()
+    assert len(_KMEANS_MEMO) == 0  # derived cache dropped with the memo
+
+
+def test_random_projection_survives_colliding_column(spark):
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.embeddings import random_projection
+
+    df = spark.range(0, 3).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+        F.lit("keep-me").alias("__rp_in"),  # collides with the old temp name
+    )
+    out = random_projection(df, dim=2, out_dim=2, seed=5)
+    assert "__rp_in" in out.columns  # caller's column untouched
+    assert out.select("__rp_in").first()[0] == "keep-me"

@@ -180,3 +180,27 @@ def test_mutation_statement_syntax_errors():
     ):
         with pytest.raises(DtlSyntaxError):
             parse(bad)
+
+
+def test_soft_keywords_usable_as_names():
+    """SET/INTO/COMMIT/ROLLBACK are soft keywords: reserved only at
+    their mutation-grammar positions, still valid column/table names
+    (the reference never reserved them; a hard reservation would break
+    existing scripts)."""
+    from python_dtl_spark.lang.parser import parse
+
+    stmts = parse(
+        "WITH into AS IMPORT 'into';\n"
+        "WITH o AS SELECT set, commit, rollback FROM into;\n"
+        "EXPORT o TO 'o';\n"
+    )
+    assert len(stmts.statements) == 3
+
+    # and the mutation grammar still recognizes them positionally
+    stmts2 = parse(
+        "UPDATE t SET a = 1 WHERE b = 2;\n"
+        "INSERT INTO t SELECT a, b FROM u;\n"
+        "BEGIN; COMMIT;\n"
+        "BEGIN; ROLLBACK;\n"
+    )
+    assert len(stmts2.statements) == 6
