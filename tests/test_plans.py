@@ -719,3 +719,17 @@ def test_funnel_reuses_user_partitioning(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "user_id" in ln
+
+
+def test_zscore_null_safe_join_is_still_hash_join(spark):
+    """The null-safe stats join-back (EqualNullSafe is an equi-join
+    condition) must keep planning as a broadcast/shuffled HASH join —
+    never a nested loop."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["events_zscore_outliers"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+    assert "EvalPython" not in plan

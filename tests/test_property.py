@@ -621,3 +621,71 @@ def test_temperature_resample_invariants(spark, sizes, alpha_num):
     # asserted as a hard bound, not distributional)
     for d, n in enumerate(sizes):
         assert kept.get(f"dom{d}", 0) <= n
+
+
+# --- profiling operators ---------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.integers(min_value=-50, max_value=50).map(float), st.none()
+        ),
+        min_size=2,
+        max_size=120,
+    ),
+    k=st.integers(min_value=2, max_value=8),
+)
+def test_equi_depth_histogram_invariants(spark, vals, k):
+    from python_dtl_spark.operators.stats import equi_depth_histogram
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    non_null = [v for v in vals if v is not None]
+    out = sorted(
+        equi_depth_histogram(df, "v", k).collect(), key=lambda r: r.bucket
+    )
+    if not non_null:
+        assert out == []
+        return
+    # counts cover exactly the non-null rows
+    assert sum(r.n for r in out) == len(non_null)
+    # buckets are ordered, non-overlapping ranges of actual values
+    for a, b in zip(out, out[1:]):
+        assert a.bucket < b.bucket
+        assert a.hi <= b.lo
+    for r in out:
+        assert r.lo in non_null and r.hi in non_null and r.lo <= r.hi
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000).map(float),
+        min_size=3,
+        max_size=100,
+    )
+)
+def test_winsorize_output_values_are_input_values(spark, vals):
+    from python_dtl_spark.operators.stats import winsorize
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, value double"
+    )
+    out = winsorize(df, "value", lower=0.1, upper=0.9).collect()
+    assert len(out) == len(vals)
+    pool = set(vals)
+    for r in out:
+        # clipped value is always an actual input value, order kept
+        assert r.value_winsorized in pool
+        lo = min(x.value_winsorized for x in out)
+        hi = max(x.value_winsorized for x in out)
+        assert lo <= r.value_winsorized <= hi
