@@ -9,23 +9,31 @@ the driver, and compose with the DTL engine's outputs.
 """
 
 from python_dtl_spark.operators import (
+    analytics,
+    cdc,
     dedup,
+    embeddings,
     joins,
     multimodal,
     rollup,
     sampling,
     similarity,
+    stats,
     text,
     windows,
 )
 
 __all__ = [
+    "analytics",
+    "cdc",
     "dedup",
+    "embeddings",
     "joins",
     "multimodal",
     "rollup",
     "sampling",
     "similarity",
+    "stats",
     "text",
     "windows",
 ]
