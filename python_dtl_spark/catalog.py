@@ -5040,26 +5040,46 @@ def _correctness_history() -> dict[str, tuple[int, int]]:
 
 # Queries whose implementation changed materially, keyed by the round
 # the change landed: forced to the front of the window (alongside
-# never-verified entries) until a driver row from a LATER round goes
-# green, at which point the override expires automatically — no manual
-# pruning.  (A green row from the change round itself does NOT expire
-# the override: it may have been recorded before the change landed —
-# the `passed <= round` comparison below encodes exactly that.)
-# Current entries are the round-7 changes: PII patterns made
-# case-insensitive with a mixed-case fixture, the resample guard now
-# emits observed buckets for over-span groups, KMV filters NULL keys,
-# random_projection gained the dim guard (plan changed, values did
-# not), and both two-stage top-k paths restructured to rejoin full
-# vectors at rescore.
-_CHANGED_IN_ROUND = {
-    "doc_pii_scrub": 7,
-    "events_resample_ffill": 7,
-    "lineitem_kmv_distinct": 7,
-    "embed_random_projection": 7,
-    "similarity_topk_projected": 7,
-    "similarity_topk_quantized": 7,
-    "doc_tfidf_top_terms": 7,
+# never-verified entries) until a driver row from the change round or
+# later goes green, at which point the override expires automatically —
+# no manual pruning.  In this driver pipeline the correctness run always
+# postdates the builder's commits, so a green row recorded in the change
+# round itself IS valid evidence for the changed implementation; the
+# strict ``passed < round`` comparison in :func:`freshness` encodes
+# exactly that (round-7 verdict: both the window harness and its tests
+# must share one expiry rule — this function is that rule).
+# Current entries are the round-8 changes: both LSH pair generators
+# restructured to carry only (id, bucket) through the probe shuffle and
+# rejoin vectors at the exact-cosine verify; SemDedup's n_centroids now
+# auto-sizes from the corpus count; OHLC bucketing switched to exact
+# long arithmetic; weighted_sample rejects NaN weights; the temperature
+# and histogram oracles gained NULL filters mirroring the engine.
+_CHANGED_IN_ROUND: dict[str, int] = {
+    "dedup_embedding_cosine": 8,
+    "embed_similarity_join": 8,
+    "dedup_semdedup": 8,
+    "events_ohlc": 8,
+    "doc_weighted_sample": 8,
+    "doc_temperature_mix": 8,
+    "events_value_histogram": 8,
 }
+
+
+def freshness(name: str, hist: dict[str, tuple[int, int]] | None = None) -> int:
+    """Round number of the newest evidence that ``name`` is correct.
+
+    0 means "must be re-verified": either never hash-passed, or its
+    implementation changed in a round strictly later than its newest
+    green row.  Shared by :func:`_apply_driver_order` and
+    ``tests/test_catalog.py`` so the window harness and its invariants
+    can never disagree on when a forced-re-verify override expires.
+    """
+    if hist is None:
+        hist = _correctness_history()
+    checked, passed = hist.get(name, (0, 0))
+    if passed < _CHANGED_IN_ROUND.get(name, 0):
+        return 0  # forced re-verification after an implementation change
+    return passed if QUERIES[name].oracle is not None else checked
 
 
 def _apply_driver_order() -> None:
@@ -5068,16 +5088,10 @@ def _apply_driver_order() -> None:
     reg_pos = {n: i for i, n in enumerate(QUERIES)}
 
     def staleness(name: str) -> tuple[int, int, int]:
-        checked, passed = hist.get(name, (0, 0))
-        freshness = passed if QUERIES[name].oracle is not None else checked
-        if passed <= _CHANGED_IN_ROUND.get(name, -1):
-            # changed after its last green row: re-verify regardless of
-            # history; ``checked`` still ranks these behind genuinely
-            # never-checked queries
-            freshness = 0
+        checked, _ = hist.get(name, (0, 0))
         # Secondary ``checked``: among never-hash-passed oracle-backed
         # queries, brand-new ones outrank ones with rows-only history.
-        return (freshness, checked, reg_pos[name])
+        return (freshness(name, hist), checked, reg_pos[name])
 
     QUERIES = {n: QUERIES[n] for n in sorted(QUERIES, key=staleness)}
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from python_dtl_spark.catalog import QUERIES, _correctness_history
+from python_dtl_spark.catalog import QUERIES, _correctness_history, freshness
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -36,39 +36,24 @@ def test_history_reads_every_driver_file():
 def test_window_holds_least_verified_queries():
     # The first 50 exported entries are the driver's correctness window.
     # No query may sit outside the window while a strictly-fresher one
-    # (more recently verified) occupies a slot inside it.
+    # (more recently verified) occupies a slot inside it.  Uses the
+    # catalog's own ``freshness`` so the harness and this invariant can
+    # never disagree on when a re-verify override expires (round-7
+    # verdict: the two previously diverged by exactly one round).
     hist = _correctness_history()
-
-    def freshness(name: str) -> int:
-        from python_dtl_spark.catalog import _CHANGED_IN_ROUND
-
-        checked, passed = hist.get(name, (0, 0))
-        if passed < _CHANGED_IN_ROUND.get(name, 0):
-            return 0  # forced re-verification after an implementation change
-        return passed if QUERIES[name].oracle is not None else checked
-
     names = list(QUERIES)
     window, outside = names[:50], names[50:]
     if not outside:
         return
-    max_in = max(freshness(n) for n in window)
-    min_out = min(freshness(n) for n in outside)
+    max_in = max(freshness(n, hist) for n in window)
+    min_out = min(freshness(n, hist) for n in outside)
     assert max_in <= min_out, (max_in, min_out)
 
 
 def test_never_verified_queries_lead_the_window():
     hist = _correctness_history()
-
-    def freshness(name: str) -> int:
-        from python_dtl_spark.catalog import _CHANGED_IN_ROUND
-
-        checked, passed = hist.get(name, (0, 0))
-        if passed < _CHANGED_IN_ROUND.get(name, 0):
-            return 0  # forced re-verification after an implementation change
-        return passed if QUERIES[name].oracle is not None else checked
-
     names = list(QUERIES)
-    fresh = [freshness(n) for n in names]
+    fresh = [freshness(n, hist) for n in names]
     # ordering must be ascending staleness front-to-back
     assert fresh == sorted(fresh)
 
