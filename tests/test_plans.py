@@ -691,18 +691,29 @@ def test_table_profile_single_pass_expand(spark):
     assert "EvalPython" not in plan
 
 
-def test_embedding_similarity_join_is_bucketed_no_all_pairs(spark):
-    """The cross-corpus similarity join must stay bucket-equi-joined on
-    the hyperplane signature — never a nested loop or cartesian over
-    the two corpora."""
+@pytest.mark.parametrize(
+    "name", ["embed_similarity_join", "dedup_embedding_cosine"]
+)
+def test_lsh_pair_generators_bucketed_with_coarse_stage1(spark, name):
+    """Both hyperplane-LSH pair generators (cross-corpus join and
+    self-join) must stay bucket-equi-joined on the signature — never a
+    nested loop or cartesian — AND their Hamming-probe explode must
+    carry ONLY (id, signature): the explode replicates rows planes+1
+    times, so a full 64-dim vector there pays 13x its bandwidth through
+    the bucket exchange.  Vectors may only enter the plan at the
+    exact-cosine verify joins after candidate dedup."""
     from python_dtl_spark.catalog import QUERIES
 
-    df = QUERIES["embed_similarity_join"].fn(spark, SF)
+    df = QUERIES[name].fn(spark, SF)
     plan = _exec_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+    gen = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen, plan
+    for ln in gen:
+        assert "embedding" not in ln and "v_l" not in ln and "__v" not in ln, ln
 
 
 def test_funnel_reuses_user_partitioning(spark):
