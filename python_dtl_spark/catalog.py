@@ -1967,8 +1967,12 @@ def _q_semdedup(spark, sf_dir):
     planted = base.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
     )
+    # n_centroids intentionally omitted: exercises the corpus-derived
+    # default (corpus_size / target_cluster_size — the SCALING.md
+    # sizing rule), which the clustering-independent oracle replays
+    # regardless of granularity
     return dedup.semdedup(
-        base.unionByName(planted), threshold=0.9, n_centroids=8, seed=13
+        base.unionByName(planted), threshold=0.9, seed=13
     ).orderBy("vec_id")
 
 

@@ -929,15 +929,31 @@ def contamination_pairs_from_split(
     return _release_after(out, base)
 
 
+def _auto_centroids(
+    corpus_size: int, target_cluster_size: int, fit_sample: int
+) -> int:
+    """Cluster count ∝ corpus_size / target_cluster_size — the sizing
+    rule SCALING.md measured (fixed 16 centroids at 32× data goes
+    quadratic, 229×; scaling the count with the corpus restores
+    ~linear).  Capped so KMeans always has ≥4 sample points per
+    centroid and the broadcast model stays small."""
+    import math
+
+    want = math.ceil(max(1, corpus_size) / max(1, target_cluster_size))
+    return max(2, min(want, fit_sample // 4, 65_536))
+
+
 def semdedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     seed: int = 13,
     fit_sample: int = 100_000,
     fit_fraction: float | None = None,
+    target_cluster_size: int = 128,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Within-cluster embedding near-duplicate pairs — the candidate
     stage of SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient
@@ -961,16 +977,23 @@ def semdedup_pairs(
     ``transform`` is flat, so SemDedup-scale cluster counts stay
     cheap); the pair stage shuffles on the cluster id (equi-join,
     plan-asserted no nested loop) so comparisons are n_i²-per-cluster,
-    never corpus².  Size ``n_centroids`` ∝ corpus_size /
-    target_cluster_size (SemDedup uses 50k clusters at web scale) so
-    per-cluster work stays bounded — probed in SCALING.md: fixed 16
-    centroids at 32× data goes quadratic (229×), scaling to 512
-    restores ~linear; the fit cost is independent of corpus size
-    (bounded sample).
+    never corpus².  ``n_centroids`` defaults to corpus_size /
+    ``target_cluster_size`` (SemDedup uses 50k clusters at web scale)
+    so per-cluster work stays bounded — probed in SCALING.md: fixed 16
+    centroids at 32× data goes quadratic (229×), scaling the count with
+    the corpus restores ~linear.  The derived default needs the corpus
+    size: pass ``corpus_size`` (e.g. from table stats) to stay
+    action-free, else ONE ``df.count()`` runs at plan-construction time
+    — a column-less scan, cheap next to the pair stage, and the fit
+    cost itself is independent of corpus size (bounded sample).
     """
     from pyspark.ml.functions import array_to_vector
 
     from python_dtl_spark.operators.similarity import fit_kmeans
+
+    if n_centroids is None:
+        size = corpus_size if corpus_size is not None else df.count()
+        n_centroids = _auto_centroids(size, target_cluster_size, fit_sample)
 
     norm = F.sqrt(
         F.aggregate(
@@ -1031,12 +1054,14 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     seed: int = 13,
     fit_sample: int = 100_000,
     fit_fraction: float | None = None,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    target_cluster_size: int = 128,
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """SemDedup as one verb: embedding-cluster near-duplicate groups
     reduced to (id, cluster_id, keep) — keep true for each duplicate
@@ -1058,6 +1083,8 @@ def semdedup(
         seed=seed,
         fit_sample=fit_sample,
         fit_fraction=fit_fraction,
+        target_cluster_size=target_cluster_size,
+        corpus_size=corpus_size,
     )
     return keep_one_from_pairs(
         df.select(F.col(id_col)),

@@ -577,15 +577,14 @@ def main() -> None:
             (
                 # rotated replicas (distinct geometry): probes the
                 # cluster-partitioned pair join as the corpus grows.
-                # n_centroids scales WITH the data (SemDedup's
-                # constant-cluster-size rule) — a fixed 16 centroids
-                # at 32× measured 229× (within-cluster n_i² is the
-                # hazard); 16×factor restores ~linear
+                # n_centroids DERIVED (corpus_size/target_cluster_size,
+                # the round-8 auto-default) with no count hint — a fixed
+                # 16 centroids at 32× measured 229× (within-cluster n_i²
+                # is the hazard); the derived count restores ~linear
+                # without the caller doing anything
                 "semdedup_pairs",
-                dedup.semdedup_pairs(emb_base, threshold=0.9, n_centroids=16),
-                dedup.semdedup_pairs(
-                    emb_at(factor), threshold=0.9, n_centroids=16 * factor
-                ),
+                dedup.semdedup_pairs(emb_base, threshold=0.9),
+                dedup.semdedup_pairs(emb_at(factor), threshold=0.9),
             ),
             (
                 # doc_id shifts, source values stay: rows-per-domain

@@ -1025,6 +1025,47 @@ def test_semdedup_pairs_within_cluster_only(spark):
     assert pairs == {(0, 1), (10, 11)}
 
 
+def test_semdedup_auto_centroids_scale_with_corpus():
+    """The derived n_centroids default must grow ~linearly with the
+    corpus (constant target cluster size) — the SCALING.md rule that
+    keeps the within-cluster n_i² pair stage sub-quadratic at 32×
+    without the caller passing a count — and respect the fit-sample
+    and absolute caps."""
+    one = dedup._auto_centroids(2_000, 128, 100_000)
+    eight = dedup._auto_centroids(16_000, 128, 100_000)
+    thirty_two = dedup._auto_centroids(64_000, 128, 100_000)
+    assert one == 16 and eight == 125 and thirty_two == 500
+    # per-cluster size stays constant => pair work stays ~linear
+    assert abs(thirty_two / one - 32) < 2
+    # caps: never more centroids than the fit sample supports, hard max
+    assert dedup._auto_centroids(10**12, 128, 100_000) == 25_000
+    assert dedup._auto_centroids(10**12, 1, 10**9) == 65_536
+    # floors: tiny corpora still cluster (KMeans needs k >= 2)
+    assert dedup._auto_centroids(5, 128, 100_000) == 2
+    assert dedup._auto_centroids(0, 128, 100_000) == 2
+
+
+def test_semdedup_derived_default_matches_explicit(spark):
+    """With n_centroids omitted, semdedup derives the count from one
+    df.count() and produces the same keep/cluster output as an explicit
+    setting on a planted fixture (granularity-independent oracle)."""
+    rows = (
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in (0, 1, 2, 3)]
+        + [(i, [0.0, 1.0, 0.0, 0.0]) for i in (10, 11)]
+        + [(20, [0.0, 0.0, 1.0, 0.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in dedup.semdedup(df, threshold=0.99, seed=7).collect()
+    }
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False), 3: (0, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True),
+    }
+
+
 def test_remove_duplicated_spans_cuts_shared_runs(spark):
     """Planted cross-doc spans must be cut from EVERY occurrence;
     overlapping flagged windows merge into one island; unaffected and
