@@ -4724,6 +4724,7 @@ _register(
     """
     WITH ranked AS (
         SELECT value, cume_dist() OVER (ORDER BY value) AS cd FROM events
+        WHERE value IS NOT NULL
     ), b AS (
         SELECT """
     + ", ".join(
@@ -4739,6 +4740,7 @@ _register(
     )
     + """ AS BIGINT) AS bucket
         FROM events CROSS JOIN b
+        WHERE value IS NOT NULL
     )
     SELECT bucket, CAST(count(*) AS BIGINT) AS n,
            min(value) AS lo, max(value) AS hi
@@ -4838,6 +4840,7 @@ _register(
     """
     WITH ranked AS (
         SELECT value, cume_dist() OVER (ORDER BY value) AS cd FROM events
+        WHERE value IS NOT NULL
     ), b AS (
         SELECT min(CASE WHEN cd >= 0.01 THEN value END) AS lo,
                min(CASE WHEN cd >= 0.99 THEN value END) AS hi

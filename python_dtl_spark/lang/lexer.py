@@ -56,15 +56,14 @@ KEYWORDS = {
     "NOT",
     "BEGIN",
     "UPDATE",
-    "DELETE",
-    "INSERT",
-    # NOTE: the mutation-statement grammar also uses SET, INTO, COMMIT
-    # and ROLLBACK, but those are SOFT keywords — recognized by value
-    # at their grammar positions in the parser, lexed as plain NAMEs —
-    # because unlike the four above (reserved by the reference,
-    # tokens.py:54-59) they were never reserved words in DTL, and
+    # NOTE: the mutation-statement grammar also uses DELETE, INSERT,
+    # SET, INTO, COMMIT and ROLLBACK, but those are SOFT keywords —
+    # recognized by value at their grammar positions in the parser,
+    # lexed as plain NAMEs.  Only BEGIN and UPDATE are reserved by the
+    # reference (tokens.py:54-59 defines exactly the Begin and Update
+    # token classes); the rest were never reserved words in DTL, and
     # reserving them here would break existing scripts using them as
-    # column or table names (e.g. ``SELECT set, commit FROM audit``).
+    # column or table names (e.g. ``SELECT set, delete FROM audit``).
 }
 
 

@@ -130,13 +130,16 @@ class _Parser:
             return n.UpdateStatement(
                 target=target, assignments=tuple(assignments), where=where
             )
-        if self._match("DELETE"):
+        # DELETE/INSERT are soft (statement position is unambiguous — a
+        # statement never starts with a bare NAME — so they stay usable
+        # as column/table names; only BEGIN/UPDATE are reference-reserved)
+        if self._match_soft("delete"):
             self._expect("FROM")
             target = self._name()
             where = self.parse_expression() if self._match("WHERE") else None
             self._expect("OP", ";")
             return n.DeleteStatement(target=target, where=where)
-        if self._match("INSERT"):
+        if self._match_soft("insert"):
             self._expect_soft("into")
             target = self._name()
             expr = self.parse_table_expression()

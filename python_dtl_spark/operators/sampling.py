@@ -236,15 +236,19 @@ def temperature_thresholds_sql(
     rhs = f"CAST({_BUCKETS ** b} AS HUGEINT)"
     lhs += " * c.__n" * (b - a)
     rhs += " * r.__nmin" * (b - a)
+    # NULL-key rows are filtered BEFORE counting, mirroring the
+    # engine's pre-count filter: they can never survive the membership
+    # comparison, so including them in __n would skew every stratum's
+    # keep fraction relative to the population actually being sampled
     return f"""
     WITH c AS (
       SELECT {strata_col}, CAST(count(*) AS HUGEINT) AS __n
-      FROM {table} GROUP BY {strata_col}
+      FROM {table} WHERE ({key_expr}) IS NOT NULL GROUP BY {strata_col}
     ), r AS (SELECT min(__n) AS __nmin FROM c)
     SELECT t.* FROM {table} t
     JOIN c ON t.{strata_col} IS NOT DISTINCT FROM c.{strata_col}
     CROSS JOIN r
-    WHERE {lhs} < {rhs}
+    WHERE ({key_expr}) IS NOT NULL AND {lhs} < {rhs}
     """
 
 
@@ -293,7 +297,7 @@ def weighted_sample(
     dependence).  The max weight arrives as a broadcast single-row
     aggregate, never a driver action.
 
-    Rows with NULL, zero or negative weight are never kept (the
+    Rows with NULL, NaN, zero or negative weight are never kept (the
     comparison is false for all of them); NULL keys are excluded per
     the module contract.
     """
@@ -302,7 +306,21 @@ def weighted_sample(
     # must not set w_max either — an excluded outlier weight would
     # silently rescale every other row's keep probability
     df = df.filter(F.col(key_col).isNotNull())
-    wmax = df.agg(F.max(F.col(weight_col)).alias("__wmax"))
+    # NaN weights are likewise excluded from the max: NaN sorts ABOVE
+    # every double in Spark's ordering, so one corrupt weight would
+    # make w_max NaN and silently empty the whole sample (b·NaN < x is
+    # false for every row).  The NaN rows themselves are never kept —
+    # NaN·10000 compares false — so dropping them from the aggregate
+    # only restores everyone else's keep probability.
+    w = F.col(weight_col)
+    wtype = dict(df.dtypes).get(weight_col)
+    not_nan = ~F.isnan(w) if wtype in ("double", "float") else F.lit(True)
+    # ...and NaN rows are dropped from membership OUTRIGHT, not left to
+    # the comparison: Spark orders NaN ABOVE every double, so
+    # ``b·w_max < NaN·10000`` would evaluate TRUE and keep every
+    # corrupt-weight row
+    df = df.filter(not_nan)
+    wmax = df.agg(F.max(w).alias("__wmax"))
     b = hash_bucket(F.col(key_col), seed).cast("double")
     out_cols = df.columns
     return (

@@ -223,9 +223,13 @@ def ohlc_resample(
     partials for every field — the same single-shuffle shape as
     ``resample_ffill``'s bucket stage.
     """
-    b = F.floor(
-        epoch_micros(F.col(ts_col)) / F.lit(step_seconds * 1_000_000)
-    )
+    # bucket start in exact LONG microseconds (us - us mod step):
+    # floor(long/long) goes through double and mis-buckets sentinel
+    # timestamps beyond 2^53 us — the same exact-integer form as
+    # cohort_retention, and what the DuckDB oracle's integer // does
+    us = epoch_micros(F.col(ts_col))
+    step_us = step_seconds * 1_000_000
+    b = us - F.pmod(us, F.lit(step_us))
     tagged = F.struct(
         epoch_micros(F.col(ts_col)).alias("__t"),
         F.col(tiebreak_col).alias("__tb"),
@@ -244,9 +248,7 @@ def ohlc_resample(
         )
         .select(
             *group_cols,
-            F.timestamp_micros(
-                F.col("__bucket") * F.lit(step_seconds * 1_000_000)
-            ).alias("bucket_start"),
+            F.timestamp_micros(F.col("__bucket")).alias("bucket_start"),
             "open",
             "high",
             "low",

@@ -1978,6 +1978,60 @@ def test_weighted_sample_null_key_does_not_set_wmax(spark):
     assert len(out) == 100
 
 
+def test_weighted_sample_nan_weight_does_not_poison_wmax(spark):
+    from python_dtl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0) for i in range(100)] + [(1000, float("nan"))]
+    df = spark.createDataFrame(rows, "k long, w double")
+    out = {r.k for r in weighted_sample(df, "w", "k").collect()}
+    # NaN sorts above every double in Spark: without the pre-max filter
+    # w_max would be NaN and b*NaN < w*10000 false for EVERY row,
+    # silently emptying the sample.  The NaN row itself is never kept.
+    assert out == set(range(100))
+
+
+def test_temperature_thresholds_sql_counts_exclude_null_keys(spark):
+    """Engine and oracle must count the SAME population per stratum:
+    NULL-keyed rows can never survive membership, so they are filtered
+    before counting on both sides — a stratum padded with NULL keys
+    must not get a deflated keep fraction in either engine."""
+    import duckdb
+    import pyarrow as pa
+
+    from python_dtl_spark.operators.sampling import (
+        temperature_resample,
+        temperature_thresholds_sql,
+    )
+
+    rows = (
+        [(i, "big") for i in range(4000)]
+        + [(i + 10_000, "small") for i in range(500)]
+        # NULL-key padding concentrated in one stratum: with the old
+        # oracle this inflated small's __n from 500 to 1500
+        + [(None, "small")] * 1000
+    )
+    df = spark.createDataFrame(rows, "k long, s string")
+    from fractions import Fraction
+
+    engine = {
+        r.k
+        for r in temperature_resample(df, "s", "k", Fraction(1, 2)).collect()
+    }
+    # arrow keeps k a nullable int64 (pandas would coerce to double,
+    # changing every hash)
+    tbl = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], type=pa.int64()),
+            "s": pa.array([r[1] for r in rows]),
+        }
+    )
+    con = duckdb.connect()
+    con.register("t", tbl)
+    sql = temperature_thresholds_sql("t", "s", "k", Fraction(1, 2))
+    oracle = {r[0] for r in con.execute(sql).fetchall()}
+    assert engine == oracle
+
+
 def test_funnel_rejects_duplicate_steps(spark):
     from python_dtl_spark.operators.analytics import funnel_conversion
 

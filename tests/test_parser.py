@@ -204,3 +204,20 @@ def test_soft_keywords_usable_as_names():
         "BEGIN; ROLLBACK;\n"
     )
     assert len(stmts2.statements) == 6
+
+
+def test_delete_insert_soft_keywords_usable_as_names():
+    """DELETE/INSERT are soft too: the reference reserves only Begin
+    and Update (tokens.py:54-59), and a statement never starts with a
+    bare NAME, so recognizing them by value at statement position keeps
+    them available as column/table names."""
+    from python_dtl_spark.lang.parser import parse
+
+    stmts = parse(
+        "WITH delete AS IMPORT 'audit';\n"
+        "WITH o AS SELECT delete, insert FROM delete;\n"
+        "EXPORT o TO 'o';\n"
+        "DELETE FROM o WHERE insert = 1;\n"
+        "INSERT INTO o SELECT delete FROM delete;\n"
+    )
+    assert len(stmts.statements) == 5
