@@ -15,6 +15,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from python_dtl_spark.catalog import QUERIES
+from python_dtl_spark.operators.dedup import release_all_cached
 from python_dtl_spark.session import get_spark
 
 
@@ -83,6 +84,11 @@ def main() -> None:
     # warm pass = same queries re-run in the hot JVM, isolating the
     # data path from Catalyst planning/codegen, which dominates cold
     # times at test scale and can mask data-path regressions
+    # release_all_cached(): operators that persist intermediates
+    # register them per-session (dedup._release_after) — a loop over
+    # all headline queries would otherwise accumulate MEMORY_AND_DISK
+    # caches for the whole run and measure later queries under
+    # eviction pressure instead of on their own plan
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name, q in headline.items():
@@ -90,11 +96,14 @@ def main() -> None:
         df = q.fn(spark, sf_dir)
         n = df.count()  # force full execution
         timings[name] = round(time.perf_counter() - start, 3)
+        release_all_cached(spark)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     for name, q in headline.items():
         start = time.perf_counter()
-        q.fn(spark, sf_dir).count()
+        df = q.fn(spark, sf_dir)
+        df.count()
         warm[name] = round(time.perf_counter() - start, 3)
+        release_all_cached(spark)
         print(f"# warm {name}: {warm[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

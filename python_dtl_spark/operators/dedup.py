@@ -28,6 +28,12 @@ from python_dtl_spark.operators.text import tokens
 _LAST_CHECKPOINT_DIR: dict[str, str] = {}
 
 
+# every persisted intermediate registered by _release_after, keyed by
+# applicationId — the bulk-release valve for long-lived sessions (see
+# release_all_cached)
+_SESSION_CACHES: dict[str, list[DataFrame]] = {}
+
+
 def _release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Attach a ``release_cached()`` handle freeing the operator's
     persisted intermediates.
@@ -40,10 +46,17 @@ def _release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
     unpersisting the cache before the job runs and silently reverting
     to full recompute.  So cleanup is explicit: long-lived sessions
     issuing many operator calls should invoke ``release_cached()``
-    after consuming the result.  Unreleased caches are persisted at
-    the default MEMORY_AND_DISK level, so under memory pressure Spark
-    evicts them rather than failing.
+    after consuming the result — or, since deriving a new DataFrame
+    drops the handle, call :func:`release_all_cached` between queries
+    (the bench and oracle harnesses do).  Unreleased caches are
+    persisted at the default MEMORY_AND_DISK level, so under memory
+    pressure Spark evicts them rather than failing.
     """
+    try:
+        app = result.sparkSession.sparkContext.applicationId
+        _SESSION_CACHES.setdefault(app, []).extend(cached)
+    except Exception:
+        pass
 
     def _release():
         for c in cached:
@@ -54,6 +67,35 @@ def _release_after(result: DataFrame, *cached: DataFrame) -> DataFrame:
 
     result.release_cached = _release
     return result
+
+
+def release_all_cached(spark=None) -> int:
+    """Unpersist every operator-persisted intermediate registered in
+    this process — scoped to one session when ``spark`` is given.
+
+    The per-result ``release_cached()`` handle disappears as soon as a
+    caller derives a new DataFrame from the result, so a harness
+    looping many catalog queries in one session (bench, the oracle
+    gate, a notebook) calls this between queries instead.  Safe at any
+    point AFTER the query's action: unpersist on an already-released
+    or evicted cache is a no-op.  Returns the number of frames
+    released.
+    """
+    n = 0
+    for app in list(_SESSION_CACHES):
+        if spark is not None:
+            try:
+                if app != spark.sparkContext.applicationId:
+                    continue
+            except Exception:
+                continue
+        for c in _SESSION_CACHES.pop(app, []):
+            try:
+                c.unpersist()
+                n += 1
+            except Exception:
+                pass
+    return n
 
 
 def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

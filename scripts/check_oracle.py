@@ -18,6 +18,7 @@ import duckdb
 import pandas as pd
 
 from python_dtl_spark.catalog import QUERIES
+from python_dtl_spark.operators.dedup import release_all_cached
 from python_dtl_spark.session import get_spark
 
 TABLES = [
@@ -102,6 +103,10 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             sdf = q.fn(spark, sf_dir).toPandas()
+            # free operator-persisted intermediates: a 128-query loop
+            # in one session otherwise accumulates MEMORY_AND_DISK
+            # caches until eviction
+            release_all_cached(spark)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1

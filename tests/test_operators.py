@@ -1025,6 +1025,21 @@ def test_semdedup_pairs_within_cluster_only(spark):
     assert pairs == {(0, 1), (10, 11)}
 
 
+def test_release_all_cached_frees_registered_intermediates(spark):
+    """Operators register persisted intermediates per session;
+    release_all_cached drains the registry (returns the count) and a
+    second call is a no-op — the valve a 128-query loop needs because
+    deriving from a result drops the per-result handle."""
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} shared common words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_lsh_pairs(df)
+    out.count()
+    assert dedup.release_all_cached(spark) > 0
+    assert dedup.release_all_cached(spark) == 0
+
+
 def test_semdedup_auto_centroids_scale_with_corpus():
     """The derived n_centroids default must grow ~linearly with the
     corpus (constant target cluster size) — the SCALING.md rule that
