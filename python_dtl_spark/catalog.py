@@ -5066,6 +5066,7 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "embed_similarity_join": 8,
     "dedup_semdedup": 8,
     "events_ohlc": 8,
+    "events_funnel": 8,
     "doc_weighted_sample": 8,
     "doc_temperature_mix": 8,
     "events_value_histogram": 8,

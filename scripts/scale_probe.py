@@ -401,13 +401,18 @@ def main() -> None:
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
 
-    def _funnel(ev):
+    def _funnel(ev, steps=("view", "click", "purchase")):
         from python_dtl_spark.operators import analytics
 
         return analytics.funnel_conversion(
-            ev.select("user_id", "ts", "event_type"),
-            ["view", "click", "purchase"],
+            ev.select("user_id", "ts", "event_type"), list(steps)
         )
+
+    # k=7 funnel: steps 4-7 never occur, so output values match k=3 —
+    # but the plan carries 7 chained window aggregates, probing that
+    # the single-exchange window chain stays linear in k (the old
+    # join-chain shape measured 27 exchanges here)
+    _K7 = ("view", "click", "purchase", "s4", "s5", "s6", "s7")
 
     def emb_at(n: int):
         parts = []
@@ -638,6 +643,11 @@ def main() -> None:
                 "events_funnel",
                 _funnel(events),
                 _funnel(replicate(events, factor, ["event_id", "user_id"])),
+            ),
+            (
+                "events_funnel_k7",
+                _funnel(events, _K7),
+                _funnel(replicate(events, factor, ["event_id", "user_id"]), _K7),
             ),
             (
                 # cross-corpus join of the corpus against an id-shifted

@@ -717,19 +717,33 @@ def test_lsh_pair_generators_bucketed_with_coarse_stage1(spark, name):
 
 
 def test_funnel_reuses_user_partitioning(spark):
-    """A k-step funnel is chained user-keyed aggs and joins: every
-    Exchange hashes on the user column (Catalyst reuses the
-    partitioning), with no nested loop and no Python."""
-    from python_dtl_spark.catalog import QUERIES
+    """A k-step funnel is one shuffle on the user key + k chained
+    window aggregates + a partitioning-reusing final agg: exactly ONE
+    Exchange, one scan, a linear plan — the join-chain alternative
+    duplicated the whole prior chain inside every step's candidate
+    join (measured 27 exchanges at k=7).  Asserted at the catalog's
+    k=3 AND at k=7, where the old shape blew up."""
+    from python_dtl_spark.catalog import QUERIES, _read_events
+    from python_dtl_spark.operators import analytics
 
     df = QUERIES["events_funnel"].fn(spark, SF)
     plan = _exec_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "user_id" in ln
+
+    ev = _read_events(spark, SF).select("user_id", "ts", "event_type")
+    df7 = analytics.funnel_conversion(
+        ev, ["view", "click", "purchase", "s4", "s5", "s6", "s7"]
+    )
+    plan7 = _exec_plan(df7)
+    assert plan7.count("Exchange hashpartitioning") == 1
+    assert plan7.count("FileScan") == 1
+    assert plan7.count("Window") >= 7
 
 
 def test_zscore_null_safe_join_is_still_hash_join(spark):
