@@ -4750,6 +4750,45 @@ _register(
 )
 
 
+def _q_value_histogram_sketch(spark, sf_dir):
+    """The 100 TB tier of the same histogram: t-digest
+    ``approx_percentile`` edges (constant memory per executor, sketch
+    merge instead of a per-group column sort).  The sketch is
+    engine-private, so — like the HLL++ query — this registers
+    rows-only; the exact twin above carries the full value oracle, and
+    unit tests pin the sum-of-counts == non-null-rows invariant."""
+    ev = _read_events(spark, sf_dir).select("value")
+    return stats.equi_depth_histogram(ev, "value", n_buckets=10, exact=False)
+
+
+_register("events_value_histogram_sketch", _q_value_histogram_sketch, None)
+
+
+def _q_winsorize_sketch(spark, sf_dir):
+    """Sketch-tier winsorization: approx_percentile bounds.  Output is
+    still values-moved-not-computed, but which rows clip depends on the
+    sketch's rank error — rows-only, with the exact twin oracle-checked
+    above."""
+    ev = _read_events(spark, sf_dir).select("event_id", "value")
+    return stats.winsorize(ev, "value", lower=0.01, upper=0.99, exact=False)
+
+
+_register("events_winsorized_sketch", _q_winsorize_sketch, None)
+
+
+def _q_table_profile_sketch(spark, sf_dir):
+    """Sketch-tier profile: HLL++ approx_count_distinct per column —
+    one pass, no Expand blowup, +/-2%; engine-private sketch, so
+    rows-only (the exact twin above is the value-checked one)."""
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    return stats.table_profile(o, exact_distinct=False)
+
+
+_register("orders_table_profile_sketch", _q_table_profile_sketch, None)
+
+
 def _q_table_profile(spark, sf_dir):
     """ANALYZE-style per-column profile of orders: row/null/distinct
     counts in one Expand-planned pass."""

@@ -380,6 +380,7 @@ def winsorize(
     lower: float = 0.01,
     upper: float = 0.99,
     out_col: str | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Percentile winsorization: clip ``value_col`` to its
     [``lower``, ``upper``] quantile bounds — the standard outlier tamer
@@ -393,19 +394,26 @@ def winsorize(
     Scale shape: one single-row bound aggregate broadcast back, then a
     row-local ``greatest``/``least`` clamp; same caveat as
     ``equi_depth_histogram`` — the exact percentile sorts the column
-    inside the aggregate, fine to ~10^8 rows per executor.
+    inside the aggregate, fine to ~10^8 rows per executor; at 100 TB
+    pass ``exact=False`` for t-digest ``approx_percentile`` bounds
+    (sketch-merged, constant memory; the output is still values-moved-
+    not-computed, but the bounds — hence which rows clip — carry the
+    sketch's rank error, so no cross-engine value oracle).
     """
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError(f"need 0 <= lower < upper <= 1, got {lower}, {upper}")
     out = out_col or f"{value_col}_winsorized"
-    bounds = df.agg(
-        F.expr(
+    if exact:
+        lo_expr = F.expr(
             f"percentile_disc({lower!r}) WITHIN GROUP (ORDER BY {value_col})"
-        ).alias("__wlo"),
-        F.expr(
+        )
+        hi_expr = F.expr(
             f"percentile_disc({upper!r}) WITHIN GROUP (ORDER BY {value_col})"
-        ).alias("__whi"),
-    )
+        )
+    else:
+        lo_expr = F.expr(f"approx_percentile({value_col}, {lower!r})")
+        hi_expr = F.expr(f"approx_percentile({value_col}, {upper!r})")
+    bounds = df.agg(lo_expr.alias("__wlo"), hi_expr.alias("__whi"))
     # greatest/least SKIP nulls, so an unguarded clamp would turn a
     # NULL reading into the lower bound — fabricating a 1st-percentile
     # observation from missing data.  NULL stays NULL.

@@ -559,6 +559,36 @@ def main() -> None:
                 ),
             ),
             (
+                # exact tier: percentile_disc buffers the whole column
+                # in ONE single-group aggregate — the documented bend
+                # (the sketch tier below is the 100 TB valve)
+                "histogram_exact",
+                stats_ops.equi_depth_histogram(
+                    events.select("value"), "value", n_buckets=10, exact=True
+                ),
+                stats_ops.equi_depth_histogram(
+                    replicate(events, factor, ["event_id"]).select("value"),
+                    "value",
+                    n_buckets=10,
+                    exact=True,
+                ),
+            ),
+            (
+                # sketch tier: t-digest approx_percentile edges merge
+                # map-side — memory constant per executor, ratio should
+                # stay sub-linear where the exact tier bends
+                "histogram_sketch",
+                stats_ops.equi_depth_histogram(
+                    events.select("value"), "value", n_buckets=10, exact=False
+                ),
+                stats_ops.equi_depth_histogram(
+                    replicate(events, factor, ["event_id"]).select("value"),
+                    "value",
+                    n_buckets=10,
+                    exact=False,
+                ),
+            ),
+            (
                 # identical-text replicas: EVERY window is cross-doc
                 # duplicated, so the removal cuts ~everything — the
                 # worst case for flagged-window volume, island merge,

@@ -1025,6 +1025,23 @@ def test_semdedup_pairs_within_cluster_only(spark):
     assert pairs == {(0, 1), (10, 11)}
 
 
+def test_table_profile_sketch_tier_counts_exact_distinct_close(spark):
+    """exact_distinct=False swaps count(DISTINCT) for HLL++: n_rows and
+    n_nulls stay exact; n_distinct must land within the sketch's
+    documented ~2% band (wide margin here for tiny data)."""
+    from python_dtl_spark.operators.stats import table_profile
+
+    df = spark.createDataFrame(
+        [(i % 500, None if i % 10 == 0 else i) for i in range(2000)],
+        "a long, b long",
+    )
+    rows = {r.column: r for r in table_profile(df, exact_distinct=False).collect()}
+    assert rows["a"].n_rows == 2000 and rows["a"].n_nulls == 0
+    assert rows["b"].n_nulls == 200
+    assert abs(rows["a"].n_distinct - 500) <= 25
+    assert abs(rows["b"].n_distinct - 1800) <= 90
+
+
 def test_release_all_cached_frees_registered_intermediates(spark):
     """Operators register persisted intermediates per session;
     release_all_cached drains the registry (returns the count) and a

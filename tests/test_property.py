@@ -640,14 +640,21 @@ def test_temperature_resample_invariants(spark, sizes, alpha_num):
         max_size=120,
     ),
     k=st.integers(min_value=2, max_value=8),
+    exact=st.booleans(),
 )
-def test_equi_depth_histogram_invariants(spark, vals, k):
+def test_equi_depth_histogram_invariants(spark, vals, k, exact):
+    """Both tiers: exact percentile_disc edges AND the t-digest
+    approx_percentile 100 TB valve — counts always cover exactly the
+    non-null rows, buckets stay ordered/non-overlapping, and lo/hi are
+    actual input values (min/max over bucket members, whatever the edge
+    method)."""
     from python_dtl_spark.operators.stats import equi_depth_histogram
 
     df = spark.createDataFrame([(v,) for v in vals], "v double")
     non_null = [v for v in vals if v is not None]
     out = sorted(
-        equi_depth_histogram(df, "v", k).collect(), key=lambda r: r.bucket
+        equi_depth_histogram(df, "v", k, exact=exact).collect(),
+        key=lambda r: r.bucket,
     )
     if not non_null:
         assert out == []
@@ -672,15 +679,16 @@ def test_equi_depth_histogram_invariants(spark, vals, k):
         st.integers(min_value=-1000, max_value=1000).map(float),
         min_size=3,
         max_size=100,
-    )
+    ),
+    exact=st.booleans(),
 )
-def test_winsorize_output_values_are_input_values(spark, vals):
+def test_winsorize_output_values_are_input_values(spark, vals, exact):
     from python_dtl_spark.operators.stats import winsorize
 
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vals)], "k long, value double"
     )
-    out = winsorize(df, "value", lower=0.1, upper=0.9).collect()
+    out = winsorize(df, "value", lower=0.1, upper=0.9, exact=exact).collect()
     assert len(out) == len(vals)
     pool = set(vals)
     for r in out:
