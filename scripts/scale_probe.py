@@ -315,6 +315,101 @@ def ann_recall_probe(spark, embeddings, factor: int):
     return rows
 
 
+def sim_join_recall_probe(spark, embeddings, factor: int):
+    """Match-recall of the asymmetric cross-corpus LSH similarity join
+    (``dedup.embedding_similarity_join``) vs an exact cosine baseline,
+    at 1× and ``factor``× corpora.
+
+    The self-join's recall curve does not transfer: here the LEFT
+    probes Hamming-1 neighbors while the RIGHT anchors at its exact
+    signature, so a true pair is missed whenever perturbation flips
+    ≥2 hyperplane signs — and the planes count grows with the corpus
+    (bucket-occupancy rule), adding sign-flip opportunities.  Identity
+    copies hash identically (recall 1.0 by construction), so the
+    planted truth is PERTURBED copies (cosine ≈ 0.999) of 64 probe
+    rows hidden in a noise right corpus; exact truth comes from a
+    64-row broadcast brute-force against the full right side.
+    """
+    from python_dtl_spark.operators import dedup
+
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    probe_rows = base.filter(F.col("vec_id") < 64)
+    perturbed = probe_rows.select(
+        (F.lit(20_000_000_000) + F.col("vec_id")).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + ((i + F.col("vec_id") % 7) % 5 - 2) * F.lit(0.002),
+        ).alias("embedding"),
+    )
+
+    def left_at(n: int):
+        parts = []
+        for i in range(n):
+            part = base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+            )
+            parts.append(rotate_vec(part, i) if i else part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def right_at(n: int):
+        # disjoint id space, same geometry (noise), plus the planted
+        # perturbed matches
+        return left_at(n).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(40_000_000_000)
+        ).unionByName(perturbed)
+
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda v: F.sqrt(dot(v, v))  # noqa: E731
+
+    rows = []
+    threshold = 0.95
+    for n in (1, factor):
+        right = right_at(n)
+        planes = 12 + (max(1, n.bit_length() - 1) if n > 1 else 0)
+        # exact truth for the 64 probe rows: broadcast brute force
+        q = probe_rows.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        exact = (
+            right.join(F.broadcast(q))
+            .withColumn(
+                "cosine",
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm(F.col("embedding")) * norm(F.col("qv"))),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("qid", F.col("vec_id").alias("rid"))
+        )
+        exact.persist()
+        n_exact = exact.count()
+        start = time.perf_counter()
+        found = (
+            dedup.embedding_similarity_join(
+                left_at(n), right, threshold=threshold, planes=planes, dim=64
+            )
+            .filter(F.col("id_l") < 64)
+            .select(F.col("id_l").alias("qid"), F.col("id_r").alias("rid"))
+        )
+        n_hits = found.join(exact, on=["qid", "rid"], how="left_semi").count()
+        dt = time.perf_counter() - start
+        exact.unpersist()
+        recall = n_hits / n_exact if n_exact else float("nan")
+        rows.append((f"sim_join planes={planes}", n, dt, recall))
+        print(
+            f"# sim_join {n}x planes={planes}: {dt:.2f}s "
+            f"match-recall={recall:.3f} ({n_hits}/{n_exact})",
+            file=sys.stderr,
+        )
+    return rows
+
+
 def lineage_probe(spark, orders, factor: int, workdir: str):
     """Traced-run cost at 1× and ``factor``× input, full snapshots vs
     ``snapshot_levels=["EXPORT"]`` (the 100 TB valve): bytes written to
@@ -724,6 +819,7 @@ def main() -> None:
             )
 
         ann_rows = ann_recall_probe(spark, embeddings, factor)
+        ann_rows += sim_join_recall_probe(spark, embeddings, factor)
         lines += [
             "",
             "ANN top-k quality under growth (recall@10 of the bucketed",
@@ -731,7 +827,7 @@ def main() -> None:
             "same corpus — runtime alone can stay flat while recall",
             "collapses, so both are probed):",
             "",
-            "| probe | corpus | time | recall@10 |",
+            "| probe | corpus | time | recall (@10 / match) |",
             "|---|---|---|---|",
         ]
         for label, n, dt, recall in ann_rows:
