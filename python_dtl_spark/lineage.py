@@ -76,18 +76,40 @@ class FileSystemTracer:
     manifest (reference FileSystemTracer, io.py:96-122; manifest format
     inspired by manifest.py:10-59)."""
 
-    def __init__(self, root: str, snapshot_levels: list[str] | None = None):
+    def __init__(
+        self,
+        root: str,
+        snapshot_levels: list[str] | None = None,
+        mapping_sample: int | None = None,
+    ):
         """``snapshot_levels`` is the 100 TB valve: when set, only
         tables at those levels (e.g. ``["EXPORT"]``) are written as full
         parquet snapshots; everything else runs *mapping-only* — row ids
         are pinned in executor storage (``localCheckpoint``) so the
         narrow (src_rid, tgt_rid) mapping tables are still exact, but no
         table-sized copy hits disk per statement.  ``None`` snapshots
-        every level (reference behavior, io.py:96-122)."""
+        every level (reference behavior, io.py:96-122).
+
+        ``mapping_sample=m`` is the second valve, for when even the
+        narrow mappings (linear in rows) are too much at 100 TB: each
+        mapping keeps only pairs whose ``xxhash64(src_rid) % m == 0``.
+        Confidence contract — deterministic, not statistical: the kept
+        subset is an EXACT, replayable forward lineage ("which outputs
+        did this input row produce") for a fixed pseudo-random ~1/m of
+        each mapping's source rows; an auditor re-derives the same
+        subset from the rids alone.  Because the hash is over each
+        mapping's own source rid, a k-hop transitive walk through
+        ``TraceReader`` retains a chain with probability ~(1/m)^(k-1)
+        — cross-statement audits should use ``m=None`` (exact) or walk
+        single hops between snapshot levels.  The manifest records the
+        sampling so readers can tell exact from sampled mappings."""
         self.root = root
         self.snapshot_levels = (
             None if snapshot_levels is None else set(snapshot_levels)
         )
+        if mapping_sample is not None and mapping_sample < 2:
+            raise ValueError(f"mapping_sample must be >= 2, got {mapping_sample}")
+        self.mapping_sample = mapping_sample
         self._snapshotted: set[str] = set()
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
         os.makedirs(os.path.join(root, "mappings"), exist_ok=True)
@@ -126,6 +148,13 @@ class FileSystemTracer:
     def record_mapping(self, src, tgt, *, kind, pairs: DataFrame) -> None:
         mid = f"m{len(self.mappings):03d}"
         path = os.path.join(self.root, "mappings", f"{mid}.parquet")
+        if self.mapping_sample is not None:
+            # deterministic rid-hash sample — the same source rows are
+            # kept on every run/retry, and an auditor can re-derive the
+            # kept set from the rids alone (see __init__ contract)
+            pairs = pairs.filter(
+                F.pmod(F.xxhash64(F.col("src_rid")), self.mapping_sample) == 0
+            )
         pairs.write.mode("overwrite").parquet(path)
         self.mappings.append(
             MappingRecord(
@@ -139,6 +168,8 @@ class FileSystemTracer:
             "tables": [vars(t) for t in self.tables],
             "mappings": [vars(m) for m in self.mappings],
         }
+        if self.mapping_sample is not None:
+            manifest["mapping_sample"] = self.mapping_sample
         with open(os.path.join(self.root, "trace.json"), "w") as f:
             json.dump(manifest, f, indent=2)
 

@@ -453,7 +453,14 @@ def lineage_probe(spark, orders, factor: int, workdir: str):
         ords.write.mode("overwrite").parquet(
             os.path.join(src_dir, "orders.parquet")
         )
-        for mode, levels in (("full", None), ("export_only", ["EXPORT"])):
+        for mode, levels, sample in (
+            ("full", None, None),
+            ("export_only", ["EXPORT"], None),
+            # second valve: mappings rid-hash-sampled 1-in-16 — bytes
+            # should drop ~16x below export_only's mapping share and
+            # grow sub-linearly in the data
+            ("export_sampled16", ["EXPORT"], 16),
+        ):
             trace_dir = tempfile.mkdtemp(prefix=f"scale_trace_{mode}_{n}x_")
             start = time.perf_counter()
             run_traced(
@@ -461,7 +468,9 @@ def lineage_probe(spark, orders, factor: int, workdir: str):
                 spark=spark,
                 importer=FileSystemImporter(spark, src_dir),
                 exporter=InMemoryExporter(),
-                tracer=FileSystemTracer(trace_dir, snapshot_levels=levels),
+                tracer=FileSystemTracer(
+                    trace_dir, snapshot_levels=levels, mapping_sample=sample
+                ),
             )
             dt = time.perf_counter() - start
             nbytes = dir_bytes(trace_dir)

@@ -348,6 +348,54 @@ def test_mapping_only_mode_skips_statement_snapshots(spark, tmp_path):
         reader.snapshot("big")
 
 
+def test_mapping_sample_mode_deterministic_subset(spark, tmp_path):
+    """mapping_sample=m keeps exactly the pairs whose
+    xxhash64(src_rid) % m == 0 — a deterministic, replayable subset
+    (same rows on a re-run), recorded in the manifest, with every kept
+    source row's lineage complete."""
+    import pyspark.sql.functions as SF
+
+    exact_dir = os.path.join(str(tmp_path), "trace_exact")
+    script = """
+        WITH a AS IMPORT 'a';
+        WITH big AS SELECT key, value FROM a WHERE value > 0;
+        EXPORT big TO 'out';
+        """
+    data = {"a": ([(i, i + 1) for i in range(200)], "key long, value long")}
+    _run(spark, script, data, FileSystemTracer(exact_dir))
+
+    sampled_dirs = []
+    for tag in ("s1", "s2"):
+        d = os.path.join(str(tmp_path), f"trace_{tag}")
+        _run(
+            spark,
+            script,
+            data,
+            FileSystemTracer(d, mapping_sample=4),
+        )
+        sampled_dirs.append(d)
+
+    manifest = json.load(open(os.path.join(sampled_dirs[0], "trace.json")))
+    assert manifest["mapping_sample"] == 4
+
+    def pairs(root, mid="m000"):
+        df = spark.read.parquet(os.path.join(root, "mappings", f"{mid}.parquet"))
+        return {(r.src_rid, r.tgt_rid) for r in df.collect()}
+
+    exact = pairs(exact_dir)
+    s1, s2 = pairs(sampled_dirs[0]), pairs(sampled_dirs[1])
+    # replayable: two independent traced runs keep the same subset
+    assert s1 == s2
+    # a real subset (~1/4), never empty at this size
+    assert 0 < len(s1) < len(exact)
+    assert s1 <= exact
+    # the rule is exactly the documented hash predicate
+    edf = spark.createDataFrame(
+        sorted(exact), "src_rid long, tgt_rid long"
+    ).filter(SF.pmod(SF.xxhash64("src_rid"), SF.lit(4)) == 0)
+    assert s1 == {(r.src_rid, r.tgt_rid) for r in edf.collect()}
+
+
 def test_where_used_forward_provenance(spark, tmp_path):
     trace_dir = os.path.join(str(tmp_path), "trace")
     tracer = FileSystemTracer(trace_dir)
