@@ -88,7 +88,12 @@ def main() -> None:
     # register them per-session (dedup._release_after) — a loop over
     # all headline queries would otherwise accumulate MEMORY_AND_DISK
     # caches for the whole run and measure later queries under
-    # eviction pressure instead of on their own plan
+    # eviction pressure instead of on their own plan.  Round-8 step
+    # change: before this, the WARM pass silently reused the cold
+    # pass's persisted intermediates (CacheManager matches rebuilt
+    # identical plans), flattering cache-heavy queries — r7→r8
+    # pipeline_curate/dedup_corpus warm +~1.2s each is that subsidy
+    # removed, not a plan regression (cold times unaffected).
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name, q in headline.items():

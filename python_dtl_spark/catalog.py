@@ -5109,6 +5109,7 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "doc_weighted_sample": 8,
     "doc_temperature_mix": 8,
     "events_value_histogram": 8,
+    "events_winsorized": 8,
 }
 
 

@@ -291,7 +291,11 @@ def equi_depth_histogram(
     aggregates map-side-combine.  ``exact=True`` sorts the full column
     inside the percentile aggregate — fine to ~10^8 rows per executor;
     at 100 TB pass ``exact=False`` for t-digest ``approx_percentile``
-    edges (same shape, sketch-merged, no value oracle)."""
+    edges (same shape, sketch-merged, no value oracle).  Measured
+    (SCALING.md, 32× = 3.2M values): exact 3.6 s vs sketch 5.9 s — the
+    sketch's per-row digest updates cost MORE cpu while the column
+    still fits the reducer, so it is the constant-MEMORY valve for
+    when it doesn't, not a local speed win."""
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     fracs = [i / n_buckets for i in range(1, n_buckets)]
