@@ -4840,20 +4840,31 @@ _register(
     _q_ohlc,
     """
     WITH t AS (
+        -- bucket start in exact LONG micros via the positive-mod form
+        -- (mirrors the engine's pmod): DuckDB's // truncates toward
+        -- zero, so it would bucket pre-1970 timestamps differently
         SELECT event_type, value,
-               epoch_us(ts) // 3600000000 AS b,
+               epoch_us(ts)
+                 - ((epoch_us(ts) % 3600000000 + 3600000000)
+                    % 3600000000) AS b,
                row_number() OVER (
-                   PARTITION BY event_type, epoch_us(ts) // 3600000000
+                   PARTITION BY event_type,
+                       epoch_us(ts)
+                         - ((epoch_us(ts) % 3600000000 + 3600000000)
+                            % 3600000000)
                    ORDER BY epoch_us(ts), event_id
                ) AS rf,
                row_number() OVER (
-                   PARTITION BY event_type, epoch_us(ts) // 3600000000
+                   PARTITION BY event_type,
+                       epoch_us(ts)
+                         - ((epoch_us(ts) % 3600000000 + 3600000000)
+                            % 3600000000)
                    ORDER BY epoch_us(ts) DESC, event_id DESC
                ) AS rl
         FROM events
     )
     SELECT event_type,
-           make_timestamp(b * 3600000000) AS bucket_start,
+           make_timestamp(b) AS bucket_start,
            min(CASE WHEN rf = 1 THEN value END) AS open,
            max(value) AS high,
            min(value) AS low,
@@ -5016,8 +5027,11 @@ _register(
     _q_weighted_sample,
     f"""
     WITH {_quality_sql_ctes()}, q AS (
+        -- NaN weights filtered BEFORE the max, mirroring the engine:
+        -- one NaN would otherwise poison wmax and empty the sample
         SELECT doc_id, {_QUALITY_SCORE_EXPR} AS w
         FROM ratios
+        WHERE NOT isnan({_QUALITY_SCORE_EXPR})
     ), m AS (SELECT max(w) AS wmax FROM q)
     SELECT doc_id, w AS weight
     FROM q CROSS JOIN m

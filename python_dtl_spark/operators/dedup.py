@@ -782,12 +782,17 @@ def embedding_near_dup_pairs(
     # exact-cosine verify: full vectors enter the plan here, once per
     # side, keyed by id — bandwidth 1x regardless of planes.  No
     # _spread: the hash join shuffles this branch on id anyway, and the
-    # per-row work (one norm) is trivial.
+    # per-row work (one norm) is trivial.  dropDuplicates on the id:
+    # with duplicate input ids the deduplicated PAIR would otherwise
+    # re-expand through the join (one output row per duplicate); the
+    # id-keyed dedup shares the join's hash partitioning, and which
+    # duplicate's vector wins matches the old pre-dedup arbitrariness
+    # (duplicate ids should carry identical vectors anyway).
     vecs = df.select(
         F.col(id_col).alias("__vid"),
         _checked_dim(F.col(vec_col), dim).alias("__v"),
         _vec_norm(F.col(vec_col)).alias("__n"),
-    )
+    ).dropDuplicates(["__vid"])
     cand = (
         cand.join(
             vecs.select(
@@ -977,12 +982,14 @@ def _auto_centroids(
     """Cluster count ∝ corpus_size / target_cluster_size — the sizing
     rule SCALING.md measured (fixed 16 centroids at 32× data goes
     quadratic, 229×; scaling the count with the corpus restores
-    ~linear).  Capped so KMeans always has ≥4 sample points per
-    centroid and the broadcast model stays small."""
+    ~linear).  Capped so KMeans always has ≥4 ACTUAL sample points per
+    centroid — the fit sample is bounded by the corpus, not just
+    ``fit_sample`` — and the broadcast model stays small."""
     import math
 
     want = math.ceil(max(1, corpus_size) / max(1, target_cluster_size))
-    return max(2, min(want, fit_sample // 4, 65_536))
+    points = min(fit_sample, max(0, corpus_size))
+    return max(2, min(want, points // 4, 65_536))
 
 
 def semdedup_pairs(
@@ -1214,12 +1221,15 @@ def embedding_similarity_join(
         .dropDuplicates(["id_l", "id_r"])
         .join(
             # no _spread on the verify branches: the hash join shuffles
-            # them on id anyway, and per-row work is one norm
+            # them on id anyway, and per-row work is one norm.
+            # dropDuplicates on the id keeps deduplicated PAIRS from
+            # re-expanding through the join when an input carries
+            # duplicate ids (shares the join's partitioning)
             left.select(
                 F.col(id_col).alias("id_l"),
                 _checked_dim(F.col(vec_col), dim).alias("v_l"),
                 _vec_norm(F.col(vec_col)).alias("n_l"),
-            ),
+            ).dropDuplicates(["id_l"]),
             on="id_l",
             how="inner",
         )
@@ -1228,7 +1238,7 @@ def embedding_similarity_join(
                 F.col(id_col).alias("id_r"),
                 _checked_dim(F.col(vec_col), dim).alias("v_r"),
                 _vec_norm(F.col(vec_col)).alias("n_r"),
-            ),
+            ).dropDuplicates(["id_r"]),
             on="id_r",
             how="inner",
         )

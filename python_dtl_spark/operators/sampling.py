@@ -297,21 +297,24 @@ def weighted_sample(
     dependence).  The max weight arrives as a broadcast single-row
     aggregate, never a driver action.
 
-    Rows with NULL, NaN, zero or negative weight are never kept (the
-    comparison is false for all of them); NULL keys are excluded per
-    the module contract.
+    Rows with NULL, zero or negative weight are never kept (the
+    comparison is false for them); NaN-weight rows are filtered out
+    explicitly — Spark orders NaN ABOVE every double, so their
+    comparison would otherwise be TRUE; NULL keys are excluded per the
+    module contract.
     """
     _check_key_type(df, key_col)
     # filter NULL keys FIRST: they are excluded from selection, so they
     # must not set w_max either — an excluded outlier weight would
     # silently rescale every other row's keep probability
     df = df.filter(F.col(key_col).isNotNull())
-    # NaN weights are likewise excluded from the max: NaN sorts ABOVE
-    # every double in Spark's ordering, so one corrupt weight would
-    # make w_max NaN and silently empty the whole sample (b·NaN < x is
-    # false for every row).  The NaN rows themselves are never kept —
-    # NaN·10000 compares false — so dropping them from the aggregate
-    # only restores everyone else's keep probability.
+    # NaN weights are excluded from the max AND from membership (the
+    # df.filter below): NaN sorts ABOVE every double in Spark's
+    # ordering, so one corrupt weight would make w_max NaN and
+    # silently empty the whole sample (b·NaN < x is false for every
+    # row) — while the NaN row ITSELF would pass its own comparison
+    # (x < NaN is TRUE).  Both effects need the explicit filter; do
+    # not fold it away as redundant.
     w = F.col(weight_col)
     wtype = dict(df.dtypes).get(weight_col)
     not_nan = ~F.isnan(w) if wtype in ("double", "float") else F.lit(True)

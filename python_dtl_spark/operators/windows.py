@@ -223,10 +223,12 @@ def ohlc_resample(
     partials for every field — the same single-shuffle shape as
     ``resample_ffill``'s bucket stage.
     """
-    # bucket start in exact LONG microseconds (us - us mod step):
-    # floor(long/long) goes through double and mis-buckets sentinel
-    # timestamps beyond 2^53 us — the same exact-integer form as
-    # cohort_retention, and what the DuckDB oracle's integer // does
+    # bucket start in exact LONG microseconds (us - pmod(us, step) —
+    # FLOOR semantics): floor(long/long) goes through double and
+    # mis-buckets sentinel timestamps beyond 2^53 us.  Same form as
+    # cohort_retention; the DuckDB oracle mirrors it with the explicit
+    # positive-mod expression (DuckDB's // truncates toward zero, which
+    # would diverge on pre-1970 timestamps)
     us = epoch_micros(F.col(ts_col))
     step_us = step_seconds * 1_000_000
     b = us - F.pmod(us, F.lit(step_us))

@@ -103,14 +103,15 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             sdf = q.fn(spark, sf_dir).toPandas()
-            # free operator-persisted intermediates: a 128-query loop
-            # in one session otherwise accumulates MEMORY_AND_DISK
-            # caches until eviction
-            release_all_cached(spark)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # free operator-persisted intermediates even when the query
+            # fails — a leaked cache would pressure every later query
+            # in the 128-query loop
+            release_all_cached(spark)
         elapsed = time.perf_counter() - t0
         if q.oracle is None:
             print(f"rows-only {name}: {len(sdf)} rows ({elapsed:.1f}s)")

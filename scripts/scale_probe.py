@@ -377,8 +377,18 @@ def sim_join_recall_probe(spark, embeddings, factor: int):
         q = probe_rows.select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
         )
+        # truth restricted to the PERTURBED targets (rid in the 20e9
+        # block): the noise corpus at +40e9 contains bit-identical
+        # copies of the probe vectors, which hash to identical
+        # signatures and are found by construction — counting them
+        # would put a ~0.5 floor under the recall and mask exactly the
+        # sign-flip loss this probe exists to measure
         exact = (
-            right.join(F.broadcast(q))
+            right.filter(
+                (F.col("vec_id") >= 20_000_000_000)
+                & (F.col("vec_id") < 40_000_000_000)
+            )
+            .join(F.broadcast(q))
             .withColumn(
                 "cosine",
                 dot(F.col("embedding"), F.col("qv"))

@@ -1025,6 +1025,26 @@ def test_semdedup_pairs_within_cluster_only(spark):
     assert pairs == {(0, 1), (10, 11)}
 
 
+def test_embedding_pairs_duplicate_ids_do_not_reexpand(spark):
+    """With the coarse stage 1, candidate pairs dedupe BEFORE the
+    vector rejoin — a duplicated input id must not multiply the pair
+    back out through the verify joins (vecs dedupe by id)."""
+    rows = [(3, [1.0, 0.0]), (7, [1.0, 0.0]), (7, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_dup_pairs(
+        df, threshold=0.9, planes=4, dim=2
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in out) == [(3, 7)]
+
+    right = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (10, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    pairs = dedup.embedding_similarity_join(
+        df, right, threshold=0.9, planes=4, dim=2
+    ).collect()
+    assert sorted((r.id_l, r.id_r) for r in pairs) == [(3, 10), (7, 10)]
+
+
 def test_table_profile_sketch_tier_counts_exact_distinct_close(spark):
     """exact_distinct=False swaps count(DISTINCT) for HLL++: n_rows and
     n_nulls stay exact; n_distinct must land within the sketch's
