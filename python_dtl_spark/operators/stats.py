@@ -19,27 +19,38 @@ def grouped_percentiles(
     value_col: str,
     by: list[str],
     ps: list[float] = (0.5, 0.9, 0.99),
+    exact: bool = True,
 ) -> DataFrame:
-    """Exact discrete percentiles of ``value_col`` per group.
+    """Discrete percentiles of ``value_col`` per group.
 
-    Uses ``percentile_disc`` — the smallest actual value whose
-    cumulative distribution reaches p.  Discrete (no interpolation), so
-    every output is an element of the input: deterministic and
-    hash-comparable across engines, unlike ``percentile``/
-    ``quantile_cont`` whose interpolated quotients can differ in the
-    last ulp.
+    ``exact=True`` uses ``percentile_disc`` — the smallest actual value
+    whose cumulative distribution reaches p.  Discrete (no
+    interpolation), so every output is an element of the input:
+    deterministic and hash-comparable across engines, unlike
+    ``percentile``/``quantile_cont`` whose interpolated quotients can
+    differ in the last ulp.
 
-    Scale shape: one shuffle on the group keys; exact percentile sorts
-    within each group's partition (spillable).  For a global percentile
-    over billions of rows prefer ``approx_percentile``, which is a
-    mergeable sketch with bounded memory.
+    Scale shape: one shuffle on the group keys; the exact percentile
+    buffers each group's column inside the aggregate (spillable).  For
+    huge groups pass ``exact=False`` for t-digest ``approx_percentile``
+    — a mergeable sketch with bounded memory and map-side partials
+    (same valve as ``equi_depth_histogram``/``winsorize``; sketch
+    results carry no cross-engine value oracle).
     """
-    aggs = [
-        F.expr(
-            f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
-        ).alias(f"p{str(p)[2:]}")
-        for p in ps
-    ]
+    if exact:
+        aggs = [
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias(f"p{str(p)[2:]}")
+            for p in ps
+        ]
+    else:
+        aggs = [
+            F.expr(f"approx_percentile({value_col}, {p!r})").alias(
+                f"p{str(p)[2:]}"
+            )
+            for p in ps
+        ]
     return df.groupBy(*by).agg(*aggs)
 
 
