@@ -1403,11 +1403,12 @@ def _quality_sql_ctes(passthrough: str = "") -> str:
                CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
                CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-               CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPS_SQL}, lower(t)))) AS BIGINT) AS n_stopwords
+               CAST(len(list_filter({_TOKS_SQL}, t -> list_contains({_STOPS_SQL}, lower(t)))) AS BIGINT) AS n_stopwords,
+               CAST(coalesce(list_sum(list_transform({_TOKS_SQL}, t -> length(t))), 0) AS BIGINT) AS sum_wlen
         FROM documents
     ), ratios AS (
         SELECT doc_id{pt}, n_chars, n_words, n_punct, n_stopwords,
-               CASE WHEN n_words > 0 THEN (n_chars - (n_words - 1)) / n_words ELSE 0.0 END AS mean_word_len,
+               CASE WHEN n_words > 0 THEN sum_wlen / n_words ELSE 0.0 END AS mean_word_len,
                CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
                CASE WHEN n_words > 0 THEN n_stopwords / n_words ELSE 0.0 END AS stopword_ratio
         FROM base
@@ -3358,16 +3359,18 @@ _register(
     )
     SELECT doc_id, n_words, mean_word_len, type_token_ratio, top_word_frac,
            stopword_hits,
-           (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
-           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_word_len,
-           (type_token_ratio >= 0.3) AS rule_ttr,
-           (top_word_frac <= 0.12) AS rule_top_word,
-           (stopword_hits >= 1) AS rule_stopwords,
-           ((n_words >= 20 AND n_words <= 100000)
-            AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-            AND (type_token_ratio >= 0.3)
-            AND (top_word_frac <= 0.12)
-            AND (stopword_hits >= 1)) AS keep
+           coalesce(n_words >= 20 AND n_words <= 100000, false)
+               AS rule_word_count,
+           coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false)
+               AS rule_word_len,
+           coalesce(type_token_ratio >= 0.3, false) AS rule_ttr,
+           coalesce(top_word_frac <= 0.12, false) AS rule_top_word,
+           coalesce(stopword_hits >= 1, false) AS rule_stopwords,
+           (coalesce(n_words >= 20 AND n_words <= 100000, false)
+            AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false)
+            AND coalesce(type_token_ratio >= 0.3, false)
+            AND coalesce(top_word_frac <= 0.12, false)
+            AND coalesce(stopword_hits >= 1, false)) AS keep
     FROM feat
     """,
     headline=True,
@@ -3427,15 +3430,22 @@ _register(
     ), counts AS (
         SELECT w_hash, count(DISTINCT doc_id) AS n_docs
         FROM wins GROUP BY w_hash
+    ), per AS (
+        SELECT doc_id,
+               count(*) AS nw,
+               sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS nd
+        FROM wins JOIN counts USING (w_hash)
+        GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_windows,
-           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dup_windows,
-           CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-               / count(*) AS dup_frac
-    FROM wins JOIN counts USING (w_hash)
-    GROUP BY doc_id
+    -- LEFT JOIN from the doc list: short docs (no windows) keep an
+    -- n_windows=0 row instead of vanishing, mirroring the engine's
+    -- explode_outer
+    SELECT t.doc_id,
+           CAST(coalesce(nw, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_windows,
+           CASE WHEN coalesce(nw, 0) > 0
+                THEN CAST(nd AS DOUBLE) / nw ELSE 0.0 END AS dup_frac
+    FROM toks t LEFT JOIN per USING (doc_id)
     """,
     headline=True,
 )
@@ -3516,11 +3526,20 @@ _register(
         WHERE len(tk) >= 2
     ), gc AS (
         SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g
+    ), per AS (
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+               CAST(max(cnt) AS BIGINT) AS top_count
+        FROM gc GROUP BY doc_id
     )
-    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
-           CAST(max(cnt) AS BIGINT) AS top_count,
-           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_share
-    FROM gc GROUP BY doc_id
+    -- LEFT JOIN from the doc list: docs shorter than n keep an
+    -- n_grams=0 row (engine explode_outer contract)
+    SELECT t.doc_id,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(top_count, 0) AS top_count,
+           CASE WHEN coalesce(n_grams, 0) > 0
+                THEN CAST(top_count AS DOUBLE) / n_grams ELSE 0.0 END
+               AS top_share
+    FROM toks t LEFT JOIN per USING (doc_id)
     """,
     headline=True,
 )
@@ -3576,18 +3595,24 @@ _register(
                ' or call 555-' ||
                lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0') AS text
         FROM documents
-    ), scrubbed AS (
+    ), em AS (
         SELECT doc_id,
                len(regexp_extract_all(
                    text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+               regexp_replace(
+                   text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
+                   '<EMAIL>', 'g') AS text
+        FROM planted
+    ), scrubbed AS (
+        -- phones counted on the EMAIL-REDACTED text, mirroring the
+        -- engine: a phone-shaped run inside an email local part is
+        -- swallowed by <EMAIL> and must not count
+        SELECT doc_id, n_emails,
                len(regexp_extract_all(
                    text, '\\b555-[0-9]{3,10}\\b')) AS n_phones,
                regexp_replace(
-                   regexp_replace(
-                       text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}',
-                       '<EMAIL>', 'g'),
-                   '\\b555-[0-9]{3,10}\\b', '<PHONE>', 'g') AS text
-        FROM planted
+                   text, '\\b555-[0-9]{3,10}\\b', '<PHONE>', 'g') AS text
+        FROM em
     )
     SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
            CAST(n_phones AS BIGINT) AS n_phones,
@@ -4394,7 +4419,8 @@ _register(
                 ELSE s.o_orderstatus END AS o_orderstatus,
            CASE WHEN c.op = 'upsert' THEN c.o_totalprice
                 ELSE s.o_totalprice END AS o_totalprice
-    FROM orders s FULL OUTER JOIN l1 c ON s.o_orderkey = c.o_orderkey
+    FROM orders s FULL OUTER JOIN l1 c
+        ON s.o_orderkey IS NOT DISTINCT FROM c.o_orderkey
     WHERE c.op IS NULL OR c.op <> 'delete'
     """,
     headline=True,
@@ -4485,11 +4511,16 @@ _register(
     _q_zscore,
     """
     WITH s AS (
-        SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+        -- NaN masked from the aggregates, mirroring the engine: one
+        -- corrupt reading would otherwise poison the group's stats
+        SELECT event_type,
+               avg(CASE WHEN NOT isnan(value) THEN value END) AS m,
+               stddev_pop(CASE WHEN NOT isnan(value) THEN value END) AS sd
         FROM events GROUP BY 1
     ), j AS (
         SELECT e.event_id, e.event_type, e.value,
-               CASE WHEN sd > 0.0 THEN (value - m) / sd ELSE 0.0 END AS z
+               CASE WHEN sd > 0.0 AND NOT isnan(value)
+                    THEN (value - m) / sd ELSE 0.0 END AS z
         FROM events e JOIN s USING (event_type)
     )
     SELECT event_id, event_type, value, round(z, 6) AS zscore_r
@@ -5124,6 +5155,20 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "doc_temperature_mix": 8,
     "events_value_histogram": 8,
     "events_winsorized": 8,
+    # round-8 review-fix wave: exact mean_word_len (quality CTE),
+    # coalesced gopher rules, short-doc rows in census/dominance,
+    # post-email phone counts, NaN-masked zscore stats, null-safe CDC
+    # merge with literal-__op support
+    "doc_quality_score": 8,
+    "doc_gopher_quality": 8,
+    "doc_dup_windows": 8,
+    "doc_ngram_dominance": 8,
+    "doc_pii_scrub": 8,
+    "events_zscore_outliers": 8,
+    "orders_apply_changes": 8,
+    "pipeline_clean_corpus": 8,
+    "pipeline_dedup_corpus": 8,
+    "pipeline_curate_corpus": 8,
 }
 
 

@@ -105,6 +105,11 @@ def apply_changes(
     """
     value_cols = [c for c in snapshot.columns if c not in keys]
     ch = changes
+    if op_col is None and "__op" in ch.columns:
+        # the latest_changes docstring blesses a column literally named
+        # __op as the implicit op column; overwriting it with 'upsert'
+        # here would silently turn deletes into upserts
+        op_col = "__op"
     if op_col is None:
         ch = ch.withColumn("__op", F.lit(OP_UPSERT))
     else:
@@ -122,17 +127,32 @@ def apply_changes(
                 f" got: ', coalesce(cast(`{op_col}` as string), 'NULL')))"
             )
         )
-        ch = ch.withColumn("__op", valid).drop(op_col)
+        ch = ch.withColumn("__op", valid)
+        if op_col != "__op":
+            ch = ch.drop(op_col)
     latest = latest_changes(ch, keys, seq_col).select(
-        *keys,
+        *[F.col(k).alias(f"__ch_k_{k}") for k in keys],
         F.col("__op"),
         *[F.col(c).alias(f"__ch_{c}") for c in value_cols],
     )
-    merged = snapshot.alias("s").join(latest, on=keys, how="full_outer")
+    # null-SAFE equi-join: a change targeting a NULL key must match the
+    # snapshot's NULL-key row (latest_changes already groups NULL keys
+    # together) — plain equality would silently no-op the delete and
+    # duplicate the upsert.  EqualNullSafe stays hash-joinable.
+    cond = None
+    for k in keys:
+        c = F.col(f"s.{k}").eqNullSafe(F.col(f"__ch_k_{k}"))
+        cond = c if cond is None else cond & c
+    merged = snapshot.alias("s").join(latest, cond, "full_outer")
     kept = merged.filter(
         F.col("__op").isNull() | (F.col("__op") != OP_DELETE)
     )
-    out_cols = [F.col(k) for k in keys] + [
+    out_cols = [
+        # when BOTH sides' key is NULL (null-safe match) the result key
+        # is NULL either way; otherwise exactly one side carries it
+        F.coalesce(F.col(f"s.{k}"), F.col(f"__ch_k_{k}")).alias(k)
+        for k in keys
+    ] + [
         F.when(F.col("__op") == OP_UPSERT, F.col(f"__ch_{c}"))
         .otherwise(F.col(f"s.{c}"))
         .alias(c)

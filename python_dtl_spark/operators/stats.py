@@ -37,19 +37,31 @@ def grouped_percentiles(
     (same valve as ``equi_depth_histogram``/``winsorize``; sketch
     results carry no cross-engine value oracle).
     """
+    names = []
+    for p in ps:
+        if not 0.0 < p < 1.0:
+            # str-slicing names would label p=1.0 as "p0" (colliding
+            # with p=0.0) — endpoints are just min/max, use those
+            raise ValueError(
+                f"percentiles must be in (0, 1), got {p}; use min/max "
+                "aggregates for the endpoints"
+            )
+        # decimal rendering, never scientific: 0.5 -> p5, 0.99 -> p99,
+        # 0.00001 -> p00001
+        names.append("p" + f"{p:.10f}".rstrip("0").split(".")[1])
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate percentile labels from ps={list(ps)}")
     if exact:
         aggs = [
             F.expr(
                 f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
-            ).alias(f"p{str(p)[2:]}")
-            for p in ps
+            ).alias(name)
+            for p, name in zip(ps, names)
         ]
     else:
         aggs = [
-            F.expr(f"approx_percentile({value_col}, {p!r})").alias(
-                f"p{str(p)[2:]}"
-            )
-            for p in ps
+            F.expr(f"approx_percentile({value_col}, {p!r})").alias(name)
+            for p, name in zip(ps, names)
         ]
     return df.groupBy(*by).agg(*aggs)
 
@@ -246,9 +258,19 @@ def zscore_outliers(
     aggregate side, since the window variant must sort all rows while
     the join-back streams them.
     """
+    # NaN values are masked out of the aggregates: one corrupt reading
+    # would make the group's mean/std NaN, and under Spark's
+    # NaN-is-largest ordering `NaN > 0.0` is TRUE — every row of the
+    # group would then get zscore NaN and `abs(NaN) > z` (also TRUE)
+    # would flag the whole group as outliers.  The NaN row itself is
+    # excluded from outlier candidacy below for the same reason.
+    v = F.col(value_col)
+    vtype = dict(df.dtypes).get(value_col)
+    is_float = vtype in ("double", "float")
+    clean = F.when(~F.isnan(v), v) if is_float else v
     stats = df.groupBy(*by).agg(
-        F.avg(value_col).alias("group_mean"),
-        F.stddev_pop(value_col).alias("group_std"),
+        F.avg(clean).alias("group_mean"),
+        F.stddev_pop(clean).alias("group_std"),
     )
     # null-SAFE join-back: groupBy collects NULL-keyed rows into their
     # own group, but a plain equi-join can never match them (NULL !=
@@ -267,8 +289,11 @@ def zscore_outliers(
     joined = df.join(stats, cond, "inner").drop(
         *[f"__st_{k}" for k in by]
     )
+    candidate = F.col("group_std") > 0.0
+    if is_float:
+        candidate = candidate & ~F.isnan(F.col(value_col))
     zexpr = F.when(
-        F.col("group_std") > 0.0,
+        candidate,
         (F.col(value_col) - F.col("group_mean")) / F.col("group_std"),
     ).otherwise(F.lit(0.0))
     return joined.withColumn("zscore", zexpr).filter(

@@ -84,9 +84,15 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_stop = F.size(
         F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
     ).cast("long")
-    mean_word_len = F.when(n_words > 0, (n_chars - (n_words - 1)) / n_words).otherwise(
-        F.lit(0.0)
+    # exact mean token length (sum of token lengths / count): the
+    # closed form (n_chars - (n_words-1)) / n_words assumes single-
+    # space-joined trimmed text and inflates on ragged whitespace
+    # ('  hi  ' would read 6.0 instead of 2.0); gopher_quality_flags
+    # computes the same-named column exactly, so this must too
+    sum_wlen = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
+    mean_word_len = F.when(n_words > 0, sum_wlen / n_words).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))
     # composite: reward stopword presence and moderate length; penalize
@@ -197,9 +203,13 @@ def chunk_documents(
     Output: id, chunk_index (0-based), chunk_start (1-based),
     chunk_text.
     """
-    if overlap >= chunk_size:
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        # a negative overlap would silently skip stride-chunk_size
+        # characters between consecutive chunks
         raise ValueError(
-            f"overlap ({overlap}) must be smaller than chunk_size ({chunk_size})"
+            f"overlap ({overlap}) must be in [0, chunk_size ({chunk_size}))"
         )
     stride = chunk_size - overlap
     length = F.length(F.col(text_col))
@@ -415,11 +425,21 @@ def gopher_quality_flags(
         F.filter(distinct_toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
     ).cast("long")
 
-    rule_words = (n_words >= min_words) & (n_words <= max_words)
-    rule_wlen = (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len)
-    rule_ttr = ttr >= min_type_token_ratio
-    rule_top = top_frac <= max_top_word_frac
-    rule_stop = stop_hits >= min_stopword_hits
+    # every rule coalesces to false for NULL text: size(NULL)=NULL
+    # would otherwise make every feature, rule and ``keep`` NULL, and a
+    # pipeline splitting on filter(keep) / filter(NOT keep) would lose
+    # the doc from BOTH branches (the same hazard blocklist_flags
+    # guards).  A NULL doc is REJECTED, auditable, never invisible.
+    rule_words = F.coalesce(
+        (n_words >= min_words) & (n_words <= max_words), F.lit(False)
+    )
+    rule_wlen = F.coalesce(
+        (mean_wlen >= min_mean_word_len) & (mean_wlen <= max_mean_word_len),
+        F.lit(False),
+    )
+    rule_ttr = F.coalesce(ttr >= min_type_token_ratio, F.lit(False))
+    rule_top = F.coalesce(top_frac <= max_top_word_frac, F.lit(False))
+    rule_stop = F.coalesce(stop_hits >= min_stopword_hits, F.lit(False))
     return staged.select(
         *base_cols,
         n_words.alias("n_words"),
@@ -433,6 +453,42 @@ def gopher_quality_flags(
         rule_top.alias("rule_top_word"),
         rule_stop.alias("rule_stopwords"),
         (rule_words & rule_wlen & rule_ttr & rule_top & rule_stop).alias("keep"),
+    )
+
+
+def _window_fingerprints(tk: Column, k: Column) -> Column:
+    """Array of 60-bit fingerprints, one per ``k``-token sliding window
+    of the token array ``tk``: md5 of the space-joined window, first 15
+    hex digits as a long.
+
+    The aggregation/join key is 8 bytes instead of a 32-char string —
+    ~4x narrower shuffle rows; collisions at 2^60 are immaterial for a
+    duplication census (Lee et al. 2022 use 64-bit Rabin-Karp the same
+    way) and DuckDB replays the truncation exactly.  sequence(0, n-k)
+    with n-k clamped to 0, then the i <= n-k filter drops the spurious
+    0 for docs shorter than the window (a bare sequence(0, negative)
+    is NOT empty — Spark infers step -1).
+
+    ONE shared definition for both halves of the Lee et al. scheme —
+    the census (:func:`duplicated_token_windows`) and the cutter
+    (:func:`remove_duplicated_spans`) silently disagree about which
+    windows are duplicated if their fingerprints ever diverge.
+    """
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0))),
+        lambda i: i <= F.size(tk) - k,
+    )
+    return F.transform(
+        starts,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice(tk, i + 1, k), " ").cast("binary")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
     )
 
 
@@ -469,31 +525,7 @@ def duplicated_token_windows(
     """
     k = F.lit(window_tokens)
     tk = F.col("__dw_toks")
-    # sequence(0, n-k) with n-k clamped to 0, then the i <= n-k filter
-    # drops the spurious 0 for docs shorter than the window.  (A bare
-    # sequence(0, negative) is NOT empty — Spark infers step -1.)
-    starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0))),
-        lambda i: i <= F.size(tk) - k,
-    )
-    # fingerprint = first 15 hex digits of md5 as a 60-bit long: the
-    # aggregation/join key is 8 bytes instead of a 32-char string —
-    # ~4× narrower shuffle rows for the census, the operator's only
-    # exchange.  Collisions at 2^60 are immaterial for a duplication
-    # census (Lee et al. use 64-bit Rabin-Karp fingerprints the same
-    # way), and DuckDB replays the truncation exactly.
-    windows = F.transform(
-        starts,
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice(tk, i + 1, k), " ").cast("binary")),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
+    windows = _window_fingerprints(tk, k)
     toks_src = (
         F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
     )
@@ -501,9 +533,14 @@ def duplicated_token_windows(
     # tokenize+fingerprint map stage (no-op at real scale; a caller
     # passing tokens_col has already chosen its partitioning)
     src_df = df if tokens_col is not None else spread(df)
+    # explode_OUTER: a doc with fewer tokens than the window (or NULL
+    # text) has an empty window array — a plain explode would drop it
+    # from the census entirely, and a consumer inner-joining the
+    # census back (or averaging dup_frac) would silently lose every
+    # short doc.  The NULL w_hash row becomes an n_windows=0 record.
     per_window = src_df.select(
         F.col(id_col), toks_src.alias("__dw_toks")
-    ).select(F.col(id_col), F.explode(windows).alias("w_hash"))
+    ).select(F.col(id_col), F.explode_outer(windows).alias("w_hash"))
     # fingerprint -> #distinct docs containing it (two-level agg keeps
     # the shuffle key narrow: hash string only).  Deliberately a
     # count-aggregate + join-back rather than a single-scan
@@ -513,26 +550,33 @@ def duplicated_token_windows(
     # lists on single keys, while counts and 1:1 join rows stay flat
     # under any skew.
     counts = (
-        per_window.groupBy("w_hash")
+        per_window.filter(F.col("w_hash").isNotNull())
+        .groupBy("w_hash")
         .agg(F.count_distinct(id_col).alias("n_docs"))
     )
-    flagged = per_window.join(counts, on="w_hash", how="inner").select(
-        id_col, (F.col("n_docs") > 1).alias("dup")
+    flagged = per_window.join(counts, on="w_hash", how="left").select(
+        id_col,
+        F.col("w_hash"),
+        F.coalesce(F.col("n_docs") > 1, F.lit(False)).alias("dup"),
     )
     return (
         flagged.groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
+            # count(w_hash) skips the NULL sentinel row: 0 for short docs
+            F.count(F.col("w_hash")).alias("n_windows"),
             F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup_windows"),
         )
         .select(
             id_col,
             F.col("n_windows").cast("long").alias("n_windows"),
             F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
-            (
+            F.when(
+                F.col("n_windows") > 0,
                 F.col("n_dup_windows").cast("double")
-                / F.col("n_windows").cast("double")
-            ).alias("dup_frac"),
+                / F.col("n_windows").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
         )
     )
 
@@ -577,24 +621,7 @@ def remove_duplicated_spans(
     """
     k = F.lit(window_tokens)
     tk = F.col("__ds_toks")
-    starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0))),
-        lambda i: i <= F.size(tk) - k,
-    )
-    # same 60-bit md5 fingerprint as the census (shared shuffle-width
-    # rationale; DuckDB replays the truncation exactly)
-    windows = F.transform(
-        starts,
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.array_join(F.slice(tk, i + 1, k), " ").cast("binary")),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
+    windows = _window_fingerprints(tk, k)
     toks_src = (
         F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
     )
@@ -704,11 +731,15 @@ def ngram_dominance(
         F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
     )
     src_df = df if tokens_col is not None else spread(df)
+    # explode_outer: docs with fewer than n tokens (or NULL text) keep
+    # an n_grams=0 row instead of vanishing from the report — same
+    # short-doc contract as duplicated_token_windows
     per_gram = src_df.select(F.col(id_col), toks_src.alias("__ng_toks")).select(
-        F.col(id_col), F.explode(grams).alias("__gram")
+        F.col(id_col), F.explode_outer(grams).alias("__gram")
     )
     gram_counts = per_gram.groupBy(id_col, "__gram").agg(
-        F.count(F.lit(1)).alias("__cnt")
+        # count(__gram) is 0 for the NULL sentinel row
+        F.count(F.col("__gram")).alias("__cnt")
     )
     return (
         gram_counts.groupBy(id_col)
@@ -718,7 +749,10 @@ def ngram_dominance(
         )
         .withColumn(
             "top_share",
-            F.col("top_count").cast("double") / F.col("n_grams").cast("double"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("top_count").cast("double") / F.col("n_grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
         )
     )
 
@@ -742,25 +776,28 @@ def pii_scrub(
     """Redact email addresses and (NANP test-prefix) phone numbers,
     recording how many of each were found.
 
-    Adds ``n_emails`` / ``n_phones`` (match counts before redaction)
-    and replaces ``text_col`` with the scrubbed text.  Pure
-    ``regexp_extract_all`` + ``regexp_replace`` — JVM-side, row-local,
-    zero shuffle; pipelines into any scan.  Counting from the
-    pre-redaction text keeps the two columns consistent even when a
-    redaction token itself would re-match (it cannot, by construction).
+    Adds ``n_emails`` / ``n_phones`` and replaces ``text_col`` with the
+    scrubbed text.  Pure ``regexp_extract_all`` + ``regexp_replace`` —
+    JVM-side, row-local, zero shuffle; pipelines into any scan.
+
+    Counts mirror the redaction ORDER (emails first, then phones on
+    the email-redacted text): a phone-shaped run inside an email local
+    part ('555-1234@example.com') is redacted as part of the <EMAIL>
+    token, so counting phones on the original would report a phone
+    with no <PHONE> token in the output.  Each count equals exactly
+    the number of tokens of its kind inserted.
     """
     t = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(t, PII_EMAIL_RE, email_token),
-        PII_PHONE_RE,
-        phone_token,
-    )
+    email_scrubbed = F.regexp_replace(t, PII_EMAIL_RE, email_token)
+    scrubbed = F.regexp_replace(email_scrubbed, PII_PHONE_RE, phone_token)
     return df.select(
         *[c for c in df.columns if c != text_col],
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
         .cast("long")
         .alias("n_emails"),
-        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0)))
+        F.size(
+            F.regexp_extract_all(email_scrubbed, F.lit(PII_PHONE_RE), F.lit(0))
+        )
         .cast("long")
         .alias("n_phones"),
         scrubbed.alias(text_col),

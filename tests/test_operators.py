@@ -940,7 +940,9 @@ def test_duplicated_token_windows_cross_doc_only(spark):
     }
     assert out[0] == (7, 7) and out[1] == (7, 7)
     assert out[2] == (1, 0)
-    assert 3 not in out  # 3 tokens < window: contributes no windows
+    # 3 tokens < window: an explicit n_windows=0 row (explode_outer) —
+    # short docs must stay visible to census consumers, not vanish
+    assert out[3] == (0, 0)
     # doc 4: 12 tokens -> 9 windows, all repeats are WITHIN one doc, so
     # none count as duplicated (n_docs == 1 for every fingerprint)
     assert out[4] == (9, 0)
@@ -963,7 +965,9 @@ def test_ngram_dominance_counts_and_share(spark):
     # doc 0: 6 bigrams; "buy now" occurs 3x
     assert out[0] == (6, 3, 0.5)
     assert out[1] == (4, 1, 0.25)
-    assert 2 not in out and 3 not in out
+    # short/empty docs keep an n_grams=0 row (same contract as the
+    # duplication census)
+    assert out[2] == (0, 0, 0.0) and out[3] == (0, 0, 0.0)
 
 
 def test_pii_scrub_redacts_and_counts(spark):
@@ -2092,6 +2096,57 @@ def test_funnel_rejects_duplicate_steps(spark):
     )
     with pytest.raises(ValueError):
         funnel_conversion(df, ["view", "click", "view"])
+
+
+def test_apply_changes_respects_literal_dunder_op_column(spark):
+    """A changes frame whose op column is literally named __op (the
+    latest_changes convention) must have its deletes honored — with
+    op_col=None it was silently overwritten with 'upsert', and with
+    op_col='__op' the validation dropped the column and crashed."""
+    from python_dtl_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    ch = spark.createDataFrame(
+        [(1, 5, "delete", None), (3, 5, "upsert", 30.0)],
+        "k long, seq long, __op string, v double",
+    )
+    for kwargs in ({}, {"op_col": "__op"}):
+        out = {r.k: r.v for r in apply_changes(snap, ch, ["k"], "seq", **kwargs).collect()}
+        assert out == {2: 20.0, 3: 30.0}, kwargs
+
+
+def test_apply_changes_null_key_matches_null_snapshot_row(spark):
+    """NULL is a key value: a delete targeting the NULL key must remove
+    the snapshot's NULL-key row (null-safe join), and an upsert must
+    replace it rather than duplicating it."""
+    from python_dtl_spark.operators.cdc import apply_changes
+
+    snap = spark.createDataFrame([(None, 10.0), (2, 20.0)], "k long, v double")
+    deletes = spark.createDataFrame(
+        [(None, 5, "delete", None)], "k long, seq long, op string, v double"
+    )
+    out = {r.k: r.v for r in apply_changes(snap, deletes, ["k"], "seq", op_col="op").collect()}
+    assert out == {2: 20.0}
+    upserts = spark.createDataFrame(
+        [(None, 5, "upsert", 99.0)], "k long, seq long, op string, v double"
+    )
+    rows = apply_changes(snap, upserts, ["k"], "seq", op_col="op").collect()
+    assert {r.k: r.v for r in rows} == {None: 99.0, 2: 20.0}
+    assert len(rows) == 2  # replaced, not duplicated
+
+
+def test_zscore_outliers_nan_does_not_poison_group(spark):
+    """One NaN reading must not make the whole group outliers: NaN is
+    masked from the mean/std aggregates and the NaN row itself is never
+    a candidate (NaN compares greater than any number in Spark)."""
+    from python_dtl_spark.operators.stats import zscore_outliers
+
+    rows = [("g", float(v)) for v in (10, 10, 10, 10, 10, 10, 10, 100)] + [
+        ("g", float("nan"))
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = zscore_outliers(df, "value", ["grp"], z=2.0).collect()
+    assert [r.value for r in out] == [100.0]
 
 
 def test_latest_changes_delete_wins_with_named_op_col(spark):

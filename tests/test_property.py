@@ -450,10 +450,10 @@ def test_duplicated_token_windows_matches_bruteforce(spark, texts, k):
         windows[i] = ws
         for w in ws:
             owners.setdefault(w, set()).add(i)
+    # short docs (no windows) keep an explicit (0, 0) row
     expect = {
         i: (len(ws), sum(1 for w in ws if len(owners[w]) > 1))
         for i, ws in windows.items()
-        if ws
     }
     assert got == expect
 
@@ -480,9 +480,9 @@ def test_ngram_dominance_matches_bruteforce(spark, texts, n):
     for i, text in enumerate(texts):
         toks = text.split()
         grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
-        if grams:
-            c = Counter(grams)
-            expect[i] = (len(grams), max(c.values()))
+        c = Counter(grams)
+        # short docs keep an explicit (0, 0) row
+        expect[i] = (len(grams), max(c.values()) if grams else 0)
     assert got == expect
 
 
