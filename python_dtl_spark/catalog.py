@@ -2718,9 +2718,13 @@ _register(
     _q_resample_ffill,
     """
     WITH e AS (
+        -- exact integer bucket index (us - us mod step) / step: the
+        -- numerator is an exact multiple so // has no remainder to
+        -- truncate; the old float floor diverges beyond 2^53 us
         SELECT user_id, ts, event_id, value,
-               CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0)
-                    AS BIGINT) AS bucket
+               CAST((epoch_us(ts)
+                     - ((epoch_us(ts) % 86400000000 + 86400000000)
+                        % 86400000000)) // 86400000000 AS BIGINT) AS bucket
         FROM events
     ), p AS (
         SELECT user_id, bucket,
@@ -5058,11 +5062,13 @@ _register(
     _q_weighted_sample,
     f"""
     WITH {_quality_sql_ctes()}, q AS (
-        -- NaN weights filtered BEFORE the max, mirroring the engine:
-        -- one NaN would otherwise poison wmax and empty the sample
+        -- non-finite weights filtered BEFORE the max, mirroring the
+        -- engine: NaN or +inf would poison wmax and empty the sample
+        -- (w < 'infinity' is false for both — DuckDB orders NaN above
+        -- every double, like Spark)
         SELECT doc_id, {_QUALITY_SCORE_EXPR} AS w
         FROM ratios
-        WHERE NOT isnan({_QUALITY_SCORE_EXPR})
+        WHERE {_QUALITY_SCORE_EXPR} < CAST('infinity' AS DOUBLE)
     ), m AS (SELECT max(w) AS wmax FROM q)
     SELECT doc_id, w AS weight
     FROM q CROSS JOIN m
@@ -5169,6 +5175,18 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "pipeline_clean_corpus": 8,
     "pipeline_dedup_corpus": 8,
     "pipeline_curate_corpus": 8,
+    # round-8 second review wave: exact resample bucket index +
+    # null-safe group join-back, asof NULL-ts right filter, hash_split
+    # NULL-split + rounded thresholds, finite-weight filter, multiprobe
+    # implemented, lsh/ivf broadcast hint removed, int8 arrays
+    "events_resample_ffill": 8,
+    "events_asof_join": 8,
+    "events_range_join_sessions": 8,
+    "doc_hash_split": 8,
+    "doc_stratified_sample": 8,
+    "similarity_topk_lsh": 8,
+    "similarity_topk_ivf": 8,
+    "similarity_topk_quantized": 8,
 }
 
 

@@ -72,7 +72,13 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
-    r_tagged = right.select(
+    # NULL `on` on the right is a row with no position on the axis: the
+    # window orders ASC NULLS FIRST, so such a row would sort before
+    # every real row and last(ignorenulls) would hand its payload to
+    # any left row with no genuine earlier match — a spurious match
+    # from a dirty timestamp.  (A NULL left `on` sorts first too, sees
+    # no prior right row, and correctly emits no match.)
+    r_tagged = right.filter(F.col(on).isNotNull()).select(
         *[F.col(c).alias(f"__by_{c}") for c in by_cols],
         F.col(on).alias("__ts"),
         F.lit(0 if direction == "backward" else 2).alias("__side"),
@@ -171,6 +177,7 @@ def range_join_point_in_interval(
     end_col: str,
     by: str | list[str] | None = None,
     bucket_seconds: int = 3600,
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Join each point row to every interval row containing it
     (``start <= point <= end``), optionally within ``by`` groups.
@@ -188,6 +195,15 @@ def range_join_point_in_interval(
     Point/start/end may be timestamps or numerics (epoch-seconds are
     used for timestamps).  Output: all point columns + all interval
     columns (collisions suffixed ``_ivl``).
+
+    ``max_buckets_per_interval`` fails the job LOUDLY (execution-time
+    ``raise_error``) when one interval would explode into more than
+    that many buckets — a single dirty row (stray 1970 start, year-9999
+    end) would otherwise generate millions-to-billions of bucket rows
+    and OOM an executor.  Unlike ``resample_ffill``'s degrade-the-grid
+    guard, silently skipping an interval here would silently DROP
+    matches, so the correct response is an error naming the fix
+    (clean the row, or widen ``bucket_seconds``).
     """
     by_cols = [by] if isinstance(by, str) else list(by or [])
 
@@ -199,14 +215,26 @@ def range_join_point_in_interval(
         F.floor(_epoch(points, point_col) / bucket_seconds).alias("__bucket"),
         F.struct(*[F.col(c) for c in points.columns]).alias("__p"),
     )
+    lo_b = F.floor(_epoch(intervals, start_col) / bucket_seconds)
+    hi_b = F.floor(_epoch(intervals, end_col) / bucket_seconds)
+    n_b = hi_b - lo_b + 1
+    guarded_hi = F.when(n_b <= max_buckets_per_interval, hi_b).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("range_join_point_in_interval: one interval spans "),
+                n_b.cast("string"),
+                F.lit(
+                    f" buckets (> max_buckets_per_interval="
+                    f"{max_buckets_per_interval}) at bucket_seconds="
+                    f"{bucket_seconds}; clean the interval or widen "
+                    "bucket_seconds"
+                ),
+            )
+        )
+    )
     i = intervals.select(
         *[F.col(c).alias(f"__by_{c}") for c in by_cols],
-        F.explode(
-            F.sequence(
-                F.floor(_epoch(intervals, start_col) / bucket_seconds),
-                F.floor(_epoch(intervals, end_col) / bucket_seconds),
-            )
-        ).alias("__bucket"),
+        F.explode(F.sequence(lo_b, guarded_hi)).alias("__bucket"),
         F.struct(*[F.col(c) for c in intervals.columns]).alias("__i"),
     )
     joined = p.join(i, on=[f"__by_{c}" for c in by_cols] + ["__bucket"]).filter(

@@ -64,7 +64,16 @@ def hash_split(
     """Assign each row to a named split (train/val/test/...) by hashed
     key.  ``splits`` maps name → weight; weights are normalized.  Order
     of dict insertion defines the bucket ranges, so the same dict always
-    produces the same assignment."""
+    produces the same assignment.
+
+    NULL keys get a NULL split (excluded from every split but still
+    visible/auditable): hash_bucket(NULL) is NULL, so every range
+    comparison is unknown — without the guard the when-chain's
+    otherwise() would silently funnel ALL NULL-key rows into the
+    LAST-named split, contaminating exactly the split (usually test)
+    that can least afford it.  Thresholds round rather than truncate:
+    int(0.29 * 10000) is 2899 in IEEE doubles.
+    """
     _check_key_type(df, key_col)
     total = sum(splits.values())
     expr = None
@@ -73,21 +82,24 @@ def hash_split(
     names = list(splits)
     for name in names[:-1]:
         acc += splits[name] / total
-        cond = b < int(acc * _BUCKETS)
+        cond = b < round(acc * _BUCKETS)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = (
         F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     )
-    return df.withColumn(split_col, expr)
+    return df.withColumn(
+        split_col, F.when(F.col(key_col).isNotNull(), expr)
+    )
 
 
 def deterministic_sample(
     df: DataFrame, key_col: str, fraction: float, seed: str = ""
 ) -> DataFrame:
-    """Keep a hash-deterministic ``fraction`` of rows by key."""
+    """Keep a hash-deterministic ``fraction`` of rows by key.  The
+    threshold rounds (int() would truncate 0.29 * 10000 to 2899)."""
     _check_key_type(df, key_col)
     return df.filter(
-        hash_bucket(F.col(key_col), seed) < int(fraction * _BUCKETS)
+        hash_bucket(F.col(key_col), seed) < round(fraction * _BUCKETS)
     )
 
 
@@ -269,12 +281,12 @@ def stratified_sample(
     thresh = None
     for value, frac in fractions.items():
         cond = F.col(strata_col) == value
-        lim = F.lit(int(frac * _BUCKETS))
+        lim = F.lit(round(frac * _BUCKETS))
         thresh = F.when(cond, lim) if thresh is None else thresh.when(cond, lim)
     thresh = (
-        F.lit(int(default_fraction * _BUCKETS))
+        F.lit(round(default_fraction * _BUCKETS))
         if thresh is None
-        else thresh.otherwise(int(default_fraction * _BUCKETS))
+        else thresh.otherwise(round(default_fraction * _BUCKETS))
     )
     return df.filter(b < thresh)
 
@@ -298,9 +310,10 @@ def weighted_sample(
     aggregate, never a driver action.
 
     Rows with NULL, zero or negative weight are never kept (the
-    comparison is false for them); NaN-weight rows are filtered out
-    explicitly — Spark orders NaN ABOVE every double, so their
-    comparison would otherwise be TRUE; NULL keys are excluded per the
+    comparison is false for them); NaN and +Infinity weights are
+    filtered out explicitly — Spark orders NaN ABOVE every double (so
+    a NaN row's own comparison would be TRUE), and either one as w_max
+    silently empties the whole sample; NULL keys are excluded per the
     module contract.
     """
     _check_key_type(df, key_col)
@@ -308,21 +321,20 @@ def weighted_sample(
     # must not set w_max either — an excluded outlier weight would
     # silently rescale every other row's keep probability
     df = df.filter(F.col(key_col).isNotNull())
-    # NaN weights are excluded from the max AND from membership (the
-    # df.filter below): NaN sorts ABOVE every double in Spark's
-    # ordering, so one corrupt weight would make w_max NaN and
-    # silently empty the whole sample (b·NaN < x is false for every
-    # row) — while the NaN row ITSELF would pass its own comparison
-    # (x < NaN is TRUE).  Both effects need the explicit filter; do
-    # not fold it away as redundant.
+    # Non-finite weights are excluded from the max AND from membership
+    # (the df.filter below).  ``w < +inf`` is false for BOTH NaN (Spark
+    # orders NaN above every double) and +inf itself, so one predicate
+    # covers both corruptions — and both matter: a NaN/inf w_max makes
+    # ``b·w_max < w·10000`` false for every finite row (silently
+    # emptying the sample), while a NaN row's OWN comparison
+    # (``x < NaN``) would be TRUE and keep it.  Do not fold this
+    # filter away as redundant.
     w = F.col(weight_col)
     wtype = dict(df.dtypes).get(weight_col)
-    not_nan = ~F.isnan(w) if wtype in ("double", "float") else F.lit(True)
-    # ...and NaN rows are dropped from membership OUTRIGHT, not left to
-    # the comparison: Spark orders NaN ABOVE every double, so
-    # ``b·w_max < NaN·10000`` would evaluate TRUE and keep every
-    # corrupt-weight row
-    df = df.filter(not_nan)
+    finite = (
+        w < F.lit(float("inf")) if wtype in ("double", "float") else F.lit(True)
+    )
+    df = df.filter(finite)
     wmax = df.agg(F.max(w).alias("__wmax"))
     b = hash_bucket(F.col(key_col), seed).cast("double")
     out_cols = df.columns

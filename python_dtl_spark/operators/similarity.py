@@ -172,13 +172,38 @@ def lsh_bucketed_topk(
         .withColumn("__qn", _norm(F.col("__qv")))
         .withColumn("__sig", signature(F.col("__qv")))
     )
-    probe_buckets = [F.col("__sig")]
-    if multiprobe_bits >= 1:
-        probe_buckets += [F.col("__sig").bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+    # ALL buckets within Hamming distance multiprobe_bits, as the
+    # docstring promises (previously only single-bit flips were probed
+    # whatever the setting): XOR masks for every <=multiprobe_bits
+    # subset of planes.  Probe count is sum(C(planes, r)) — guarded,
+    # since it grows combinatorially.
+    import itertools
+
+    masks = [0]
+    for r in range(1, multiprobe_bits + 1):
+        for combo in itertools.combinations(range(planes), r):
+            m = 0
+            for pl in combo:
+                m |= 1 << pl
+            masks.append(m)
+    if len(masks) > 4096:
+        raise ValueError(
+            f"multiprobe_bits={multiprobe_bits} over {planes} planes "
+            f"means {len(masks)} probe buckets per query; lower one of "
+            "them (or raise planes instead of probing wider)"
+        )
+    probe_buckets = [
+        F.col("__sig") if m == 0 else F.col("__sig").bitwiseXOR(F.lit(m))
+        for m in masks
+    ]
     q = q.select(
         "query_id", "__qv", "__qn", F.explode(F.array(*probe_buckets)).alias("__bucket")
     )
-    joined = c.join(broadcast(q), on="__bucket", how="inner").filter(
+    # no forced broadcast: the bucket join is a plain equi-join, so
+    # Catalyst/AQE broadcast a small query set and SHUFFLE a large one
+    # — this is the path the MAX_BROADCAST_QUERIES guard routes
+    # oversized query sets to, so it must not replicate them itself
+    joined = c.join(q, on="__bucket", how="inner").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.withColumn(
@@ -263,7 +288,9 @@ def ivf_topk(
             ),
         )
     )
-    joined = c.join(broadcast(q), on="__bucket", how="inner").filter(
+    # plain equi-join (no broadcast hint): AQE broadcasts small query
+    # sets at runtime and shuffles large ones — see lsh_bucketed_topk
+    joined = c.join(q, on="__bucket", how="inner").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.withColumn(
@@ -499,12 +526,17 @@ def quantized_topk(
     def staged(df, idc, id_alias, prefix):
         v = _to_double(F.col(vec_col))
         max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+        # int (4 B), not long (8 B): values are in [-127, 127], and an
+        # array<bigint> would be exactly as wide as the double vectors
+        # the quantized stage exists to avoid shipping; the dot-product
+        # accumulator below is still long (int*int products are
+        # promoted), so no overflow
         qv = F.when(
             max_abs == 0.0,
-            F.transform(v, lambda x: F.lit(0).cast("long")),
+            F.transform(v, lambda x: F.lit(0).cast("int")),
         ).otherwise(
             F.transform(
-                v, lambda x: F.round(x * F.lit(127.0) / max_abs, 0).cast("long")
+                v, lambda x: F.round(x * F.lit(127.0) / max_abs, 0).cast("int")
             )
         )
         return df.select(

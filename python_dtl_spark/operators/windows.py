@@ -153,7 +153,14 @@ def resample_ffill(
     the same single-shuffle pattern as sessionize, partitioned by
     group.
     """
-    b = F.floor(epoch_micros(F.col(ts_col)) / F.lit(step_seconds * 1_000_000))
+    # exact bucket index: (us - us mod step) / step — the subtraction
+    # is exact long arithmetic and the quotient (= whole seconds /
+    # step) stays far below 2^53, so the double division is exact;
+    # floor(long/long) directly would mis-bucket beyond 2^53 us (same
+    # fix as ohlc_resample / cohort_retention)
+    step_us = step_seconds * 1_000_000
+    us = epoch_micros(F.col(ts_col))
+    b = ((us - F.pmod(us, F.lit(step_us))) / F.lit(step_us)).cast("long")
     picked = F.max(
         F.struct(
             epoch_micros(F.col(ts_col)).alias("__t"),
@@ -180,11 +187,31 @@ def resample_ffill(
     over = spans.filter((F.col("__hi") - F.col("__lo")) >= max_buckets).select(
         *group_cols
     )
-    grid_observed = buckets.join(over, on=list(group_cols), how="left_semi").select(
+    over_r = over.select(
+        *[F.col(c).alias(f"__ov_{c}") for c in group_cols]
+    )
+    over_cond = None
+    for c in group_cols:
+        oc = F.col(c).eqNullSafe(F.col(f"__ov_{c}"))
+        over_cond = oc if over_cond is None else over_cond & oc
+    grid_observed = buckets.join(over_r, over_cond, how="left_semi").select(
         *group_cols, "__bucket"
     )
     grid = grid_filled.unionByName(grid_observed)
-    joined = grid.join(buckets, on=[*group_cols, "__bucket"], how="left")
+    # null-SAFE join back: groupBy keeps a NULL group key as a real
+    # group (spans and grid are generated for it), but a plain
+    # name-based equi-join can never match it — the NULL group's every
+    # observation would silently emit as value=NULL/observed=false.
+    # The buckets side renames first (same-lineage self-join).
+    bk = buckets.select(
+        *[F.col(c).alias(f"__bk_{c}") for c in group_cols],
+        F.col("__bucket").alias("__bk_bucket"),
+        "__obs",
+    )
+    cond = F.col("__bucket").eqNullSafe(F.col("__bk_bucket"))
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__bk_{c}"))
+    joined = grid.join(bk, cond, how="left")
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("__bucket")

@@ -2034,6 +2034,133 @@ def test_weighted_sample_null_key_does_not_set_wmax(spark):
     assert len(out) == 100
 
 
+def test_asof_join_ignores_null_right_timestamps(spark):
+    """A right row with a NULL 'on' value has no position on the axis:
+    the window sorts NULLS FIRST, so without the filter it would hand
+    its payload to any left row with no genuine earlier match."""
+    from python_dtl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, None, 42.0), (1, 100, 7.0)], "k long, ts long, v double"
+    )
+    [row] = asof_join(left, right, on="ts", by="k", value_cols=["v"]).collect()
+    assert row.v is None  # no right row at or before ts=5
+
+
+def test_hash_split_null_keys_get_null_split(spark):
+    """NULL keys must not silently land in the last-named split (the
+    eval split, usually) — they get a NULL split: excluded from every
+    branch but still visible."""
+    from python_dtl_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k long"
+    )
+    out = {r.k: r.split for r in hash_split(
+        df, "k", {"train": 0.9, "test": 0.1}
+    ).collect()}
+    assert out[None] is None
+    assert out[1] in ("train", "test") and out[2] in ("train", "test")
+
+
+def test_weighted_sample_infinite_weight_does_not_poison_wmax(spark):
+    from python_dtl_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0) for i in range(100)] + [(1000, float("inf"))]
+    df = spark.createDataFrame(rows, "k long, w double")
+    out = {r.k for r in weighted_sample(df, "w", "k").collect()}
+    # one +inf weight would make w_max infinite and empty the sample
+    assert out == set(range(100))
+
+
+def test_lsh_multiprobe_bits_widen_probing(spark):
+    """multiprobe_bits=2 must probe all Hamming<=2 buckets — previously
+    it silently probed the same distance-1 set as bits=1."""
+    from python_dtl_spark.operators import similarity
+
+    # corpus vector and query differ in sign on exactly 2 hyperplanes
+    # with high probability under a fixed seed: search for a pair of
+    # vectors whose signatures differ by 2 bits, then require that
+    # bits=2 finds it and bits=1 does not.
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    dim = 8
+    hyperplanes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(8)]
+
+    def sig(v):
+        s = 0
+        for p, plane in enumerate(hyperplanes):
+            if sum(a * b for a, b in zip(v, plane)) > 0:
+                s |= 1 << p
+        return s
+
+    base = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+    other = None
+    for _ in range(2000):
+        cand = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        if bin(sig(base) ^ sig(cand)).count("1") == 2:
+            other = cand
+            break
+    assert other is not None
+    corpus = spark.createDataFrame([(1, other)], "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame([(100, base)], "query_id long, embedding array<double>")
+    near1 = similarity.lsh_bucketed_topk(
+        corpus, queries, k=5, planes=8, multiprobe_bits=1, dim=dim
+    ).count()
+    near2 = similarity.lsh_bucketed_topk(
+        corpus, queries, k=5, planes=8, multiprobe_bits=2, dim=dim
+    ).count()
+    assert near1 == 0 and near2 == 1
+
+
+def test_range_join_guards_runaway_interval(spark):
+    """A dirty interval spanning more buckets than the guard must fail
+    loudly (silently skipping it would silently drop matches)."""
+    import pytest as _pytest
+
+    from python_dtl_spark.operators.joins import range_join_point_in_interval
+
+    points = spark.createDataFrame([(50,)], "t long")
+    dirty = spark.createDataFrame([(0, 10_000_000)], "s long, e long")
+    df = range_join_point_in_interval(
+        points, dirty, "t", "s", "e", bucket_seconds=1,
+        max_buckets_per_interval=1000,
+    )
+    with _pytest.raises(Exception, match="max_buckets_per_interval"):
+        df.collect()
+    # clean intervals still join
+    clean = spark.createDataFrame([(0, 100)], "s long, e long")
+    out = range_join_point_in_interval(
+        points, clean, "t", "s", "e", bucket_seconds=1,
+        max_buckets_per_interval=1000,
+    ).collect()
+    assert len(out) == 1
+
+
+def test_resample_ffill_null_group_key_keeps_observations(spark):
+    """groupBy keeps NULL as a real group; the null-safe join back must
+    too — previously every NULL-group bucket emitted value=NULL,
+    observed=false."""
+    import datetime
+
+    from python_dtl_spark.operators.windows import resample_ffill
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(None, t0, 1, 5.0), (7, t0, 2, 9.0)],
+        "g long, ts timestamp, tb long, v double",
+    )
+    out = {
+        r.g: (r.value, r.observed)
+        for r in resample_ffill(df, ["g"], "ts", "v", "tb", 3600).collect()
+    }
+    assert out[None] == (5.0, True)
+    assert out[7] == (9.0, True)
+
+
 def test_weighted_sample_nan_weight_does_not_poison_wmax(spark):
     from python_dtl_spark.operators.sampling import weighted_sample
 
