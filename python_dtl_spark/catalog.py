@@ -5187,6 +5187,14 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "similarity_topk_lsh": 8,
     "similarity_topk_ivf": 8,
     "similarity_topk_quantized": 8,
+    # round-8 third review wave (dedup/streaming): convergence raise,
+    # empty-doc retention in simhash/shingles, duplicate-id dedupe in
+    # minhash/jaccard, consolidated dot/norm fold
+    "dedup_minhash_lsh": 8,
+    "dedup_ngram_jaccard": 8,
+    "dedup_simhash": 8,
+    "dedup_lsh_keep": 8,
+    "events_interval_join": 8,
 }
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_dtl_spark.operators.embeddings import _dot as _vec_dot
 from python_dtl_spark.operators.partitioning import spread as _spread
 from python_dtl_spark.operators.text import tokens
 
@@ -122,7 +123,13 @@ def _shingles(text_col, n: int):
     """
     toks = tokens(F.lower(text_col))
     if n == 1:
-        return F.array_distinct(toks)
+        # same empty-doc fallback as the n>=2 path: an empty/NULL text
+        # yields the [""] shingle rather than an empty array, so such
+        # docs survive the explode (all empty docs are mutual
+        # duplicates, which is what byte-identical means here)
+        return F.array_distinct(
+            F.when(F.size(toks) >= 1, toks).otherwise(F.array(F.lit("")))
+        )
     sz = F.size(toks)
     window_len = F.greatest(sz - (n - 1), F.lit(0))
     shifted = [
@@ -158,9 +165,11 @@ def ngram_jaccard_pairs(
     The Jaccard value is a single division of exact integers, so the
     DuckDB oracle matches it bit-for-bit.
     """
+    # one row per id (see minhash_lsh_pairs): duplicate ids would
+    # re-expand every output pair through the sizes join-backs
     base = _spread(df).select(
         F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
-    )
+    ).dropDuplicates(["__id"])
     sizes = base.select(F.col("__id"), F.size("__sh").cast("long").alias("__sz"))
     exploded = base.select(F.col("__id"), F.explode("__sh").alias("__f"))
     if max_feature_freq is not None:
@@ -274,9 +283,14 @@ def minhash_lsh_pairs(
     # single persisted shingle projection feeds BOTH signature
     # generation and the exact-Jaccard verification — shingling (the
     # priciest per-row step) runs once per pipeline
+    # dropDuplicates on the id: a duplicated doc_id would otherwise
+    # blend BOTH rows' shingles into one chimera signature (min over
+    # the union) at the groupBy AND re-expand every verified pair
+    # through the shingle join-backs below.  One deterministic-enough
+    # row per id feeds signature and verify alike.
     sh = _spread(df).select(
         F.col(id_col).alias("__sid"), _shingles(F.col(text_col), n).alias("__sh")
-    ).persist()
+    ).dropDuplicates(["__sid"]).persist()
     hashed = sh.select(F.col("__sid"), F.explode("__sh").alias("__f")).select(
         F.col("__sid"), F.xxhash64("__f").alias("__h")
     )
@@ -425,9 +439,12 @@ def keep_one_from_pairs(
 
     Scale shape: each iteration is one grouped join on the edge list
     (edges ≈ near-dup pairs, a tiny fraction of the corpus) plus a
-    left join back to the labels; converges in O(log diameter)
-    iterations, and near-dup components are overwhelmingly small, so
-    2-3 rounds in practice.  No driver-side graph materializes.
+    left join back to the labels.  The min label travels ONE hop per
+    round (O(component diameter) rounds to fixpoint); near-dup
+    components are overwhelmingly small and dense, so 2-3 rounds in
+    practice — but a chain longer than ``max_iter`` raises rather than
+    silently emitting inconsistent clusters (labels that are not any
+    keeper's id).  No driver-side graph materializes.
     """
     edges = (
         pairs.select(F.col(a_col).alias("__src"), F.col(b_col).alias("__dst"))
@@ -464,6 +481,14 @@ def keep_one_from_pairs(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        edges.unpersist()
+        raise RuntimeError(
+            f"keep_one_from_pairs did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): a duplicate chain is "
+            "longer than max_iter hops — raise max_iter (labels move one "
+            "hop per round)"
+        )
     out = labels.select(
         F.col("__id").alias(id_col),
         F.col("__lbl").alias("cluster_id"),
@@ -566,6 +591,13 @@ def lsh_dedup_keep(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        buckets.unpersist()
+        raise RuntimeError(
+            f"lsh_dedup_keep did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): a duplicate chain is "
+            "longer than max_iter bucket hops — raise max_iter"
+        )
     out = labels.select(
         F.col("__id").alias(id_col),
         F.col("__lbl").alias("cluster_id"),
@@ -578,9 +610,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """64-bit SimHash over tokens: per bit, sign of the sum of ±1 votes
     from each token's xxhash64.  Computed JVM-side: explode tokens,
     aggregate per-bit majority via bitwise arithmetic."""
+    # explode_OUTER: an empty/NULL doc keeps one NULL-token row (all
+    # such docs get the same deterministic signature and stay visible
+    # to join-backs) instead of vanishing from the output
     toks = _spread(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+        F.explode_outer(tokens(F.lower(F.col(text_col)))).alias("__t"),
     ).withColumn("__h", F.xxhash64(F.col("__t")))
     # vote for bit i: +1 if hash bit set else -1; sum > 0 → bit set
     aggs = [
@@ -616,7 +651,16 @@ def simhash_near_pairs(
     Hamming verification via bit_count.
     """
     if blocks is None:
-        blocks = min(max_hamming + 1, 16)
+        # smallest feasible count > max_hamming, up to one block per
+        # bit of the 64-bit hash (the old cap of 16 made the derived
+        # default reject its own max_hamming >= 16)
+        blocks = max_hamming + 1
+    if not 1 <= blocks <= 64:
+        raise ValueError(
+            f"blocks must be in [1, 64] over a 64-bit simhash, got "
+            f"{blocks} (max_hamming={max_hamming} needs blocks > "
+            "max_hamming, so radii >= 64 cannot be pigeonhole-blocked)"
+        )
     if blocks <= max_hamming:
         raise ValueError(
             f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) "
@@ -668,24 +712,10 @@ def simhash_near_pairs(
 
 
 def _vec_norm(col):
-    """L2 norm of an array column (cast to double), shared by every
-    cosine-verifying operator here."""
-    return F.sqrt(
-        F.aggregate(
-            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-
-
-def _vec_dot(a, b):
-    """Dot product of two array columns (cast to double)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    """L2 norm of an array column — sqrt of the ONE shared dot-product
+    fold (embeddings._dot); every cosine-verifying operator must use
+    the same fold for the cross-engine determinism contract."""
+    return F.sqrt(_vec_dot(col, col))
 
 
 def _plane_signature(hyperplanes):
@@ -739,11 +769,11 @@ def embedding_near_dup_pairs(
     """
     import random
 
-    from python_dtl_spark.operators.similarity import _checked_dim
+    from python_dtl_spark.operators.similarity import _checked_dim, _infer_dim
 
     rng = random.Random(seed)
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = _infer_dim(df, vec_col)
     hyperplanes = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
     ]
@@ -1044,17 +1074,10 @@ def semdedup_pairs(
         size = corpus_size if corpus_size is not None else df.count()
         n_centroids = _auto_centroids(size, target_cluster_size, fit_sample)
 
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("__v"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     base = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
-    ).withColumn("__n", norm)
+    ).withColumn("__n", _vec_norm(F.col("__v")))
     model = fit_kmeans(
         base.select(F.col("__v").alias("__cv")),
         n_centroids=n_centroids,
@@ -1184,11 +1207,11 @@ def embedding_similarity_join(
     """
     import random
 
-    from python_dtl_spark.operators.similarity import _checked_dim
+    from python_dtl_spark.operators.similarity import _checked_dim, _infer_dim
 
     rng = random.Random(seed)
     if dim is None:
-        dim = len(left.select(vec_col).first()[0])
+        dim = _infer_dim(left, vec_col)
     hyperplanes = [
         [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
     ]

@@ -57,6 +57,21 @@ def _checked_dim(vec, dim: int | None):
     )
 
 
+def _infer_dim(df, vec_col: str) -> int:
+    """Embedding dimensionality from the first row, with a clear error
+    for the two cases where ``len(first()[0])`` raises an opaque
+    TypeError: an empty frame (first() is None) and a NULL first
+    embedding.  Callers avoid the inference job entirely by passing
+    ``dim=`` explicitly."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim: first {vec_col!r} row is "
+            "missing or NULL (empty input?) — pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 #: Above this many query vectors, the broadcast side of the exact scan
 #: stops being "small": the driver must collect and every executor must
 #: hold queries × dim × 8 bytes (1M × 64-dim doubles ≈ 512 MB) — use
@@ -146,7 +161,7 @@ def lsh_bucketed_topk(
 
     rng = random.Random(seed)
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
     hyperplanes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
 
     def signature(vec):

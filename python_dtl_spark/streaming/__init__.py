@@ -137,11 +137,27 @@ def streaming_first_seen(
             yield pd.DataFrame(columns=cols)
             return
         state.update((True,))
-        first = None
+        # deterministic representative WITHIN the micro-batch: the
+        # lexicographic minimum over all columns (stable mergesort) —
+        # taking the first row of the first Arrow chunk would make the
+        # surviving duplicate depend on partition/batch read order, so
+        # a recovery replay could emit a different row than the
+        # original run.  (Across batches, first-batch-wins is the
+        # operator's contract.)
+        best = None
         for pdf in pdf_iter:
-            if len(pdf) and first is None:
-                first = pdf.iloc[:1]
-        yield first if first is not None else pd.DataFrame(columns=cols)
+            if not len(pdf):
+                continue
+            cand = pdf.sort_values(by=cols, kind="mergesort").iloc[:1]
+            if best is None:
+                best = cand
+            else:
+                best = (
+                    pd.concat([best, cand])
+                    .sort_values(by=cols, kind="mergesort")
+                    .iloc[:1]
+                )
+        yield best if best is not None else pd.DataFrame(columns=cols)
 
     return stream_df.groupBy(F.col(key_col)).applyInPandasWithState(
         emit_first,
@@ -236,6 +252,17 @@ def interval_join(
     Output: all left columns, plus the right timestamp and
     ``right_cols`` (suffixed on collision with a left name).
     """
+    for side, frame in (("left", left), ("right", right)):
+        missing = [c for c in (by, ts_col) if c not in frame.columns]
+        if missing:
+            # without this check a ts_col absent from the LEFT frame
+            # makes both range bounds reference the right-side column
+            # (trivially true) — a silent pure key equi-join with
+            # unbounded streaming state
+            raise ValueError(
+                f"interval_join: {side} frame lacks column(s) {missing}; "
+                f"have {frame.columns}"
+            )
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (by, ts_col)]
     taken = set(left.columns)

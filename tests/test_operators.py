@@ -2034,6 +2034,90 @@ def test_weighted_sample_null_key_does_not_set_wmax(spark):
     assert len(out) == 100
 
 
+def test_keep_one_raises_on_nonconvergence_instead_of_wrong_clusters(spark):
+    """A duplicate chain longer than max_iter hops must raise: falling
+    through silently emitted clusters whose cluster_id was not any
+    keeper's id."""
+    ids = spark.createDataFrame([(i,) for i in range(6)], "vec_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.keep_one_from_pairs(ids, chain, max_iter=2).collect()
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in dedup.keep_one_from_pairs(ids, chain, max_iter=10).collect()
+    }
+    assert all(c == 0 for c, _ in out.values())
+    assert [k for k, (_, keep) in sorted(out.items()) if keep] == [0]
+
+
+def test_simhash_and_shingles_keep_empty_docs(spark):
+    """Empty/NULL docs must stay visible: simhash emits a row (all
+    empty docs share one deterministic signature) and n=1 shingles fall
+    back to [\"\"] like the n>=2 path, so lsh_dedup_keep(n=1) clusters
+    empty docs together instead of dropping them."""
+    docs = spark.createDataFrame(
+        [(0, "real words here"), (1, ""), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert set(sh) == {0, 1, 2, 3}
+    assert sh[1] == sh[2] == sh[3]
+    out = {
+        r.doc_id: r.keep
+        for r in dedup.lsh_dedup_keep(docs, n=1, num_hashes=8, bands=4).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    # the empty docs form one cluster with a single keeper
+    assert sum(1 for d in (1, 2, 3) if out[d]) == 1
+
+
+def test_minhash_duplicate_ids_one_row_per_pair(spark):
+    """A duplicated doc_id must not blend a chimera signature or
+    re-expand verified pairs through the shingle join-backs."""
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (2, base)], "doc_id long, text string"
+    )
+    out = dedup.minhash_lsh_pairs(docs, n=2, threshold=0.5).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+
+def test_simhash_near_pairs_default_blocks_accepts_large_radius(spark):
+    """max_hamming=16 must derive blocks=17, not reject its own
+    default (the old cap of 16 made blocks <= max_hamming)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = dedup.simhash_near_pairs(docs, max_hamming=16).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+
+def test_embedding_dim_inference_clear_errors(spark):
+    from python_dtl_spark.operators.similarity import _infer_dim
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="pass dim="):
+        _infer_dim(empty, "embedding")
+    null_first = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="pass dim="):
+        _infer_dim(null_first, "embedding")
+
+
+def test_interval_join_rejects_missing_ts_col(spark):
+    """ts_col absent from the left frame previously made both range
+    bounds reference the right column — a silent unbounded key join."""
+    from python_dtl_spark.streaming import interval_join
+
+    left = spark.createDataFrame([(1, 5)], "user_id long, event_ts long")
+    right = spark.createDataFrame([(1, 3)], "user_id long, ts long")
+    with pytest.raises(ValueError, match="left frame lacks"):
+        interval_join(left, right, by="user_id", ts_col="ts")
+
+
 def test_asof_join_ignores_null_right_timestamps(spark):
     """A right row with a NULL 'on' value has no position on the axis:
     the window sorts NULLS FIRST, so without the filter it would hand
