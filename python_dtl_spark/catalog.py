@@ -5195,6 +5195,16 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "dedup_simhash": 8,
     "dedup_lsh_keep": 8,
     "events_interval_join": 8,
+    # round-8 fourth review wave (engine core): LIMIT-after-DISTINCT in
+    # the aggregate path, ordered-mode LIMIT by hidden order, round()
+    # double cast, float-normalized + by-construction trace bridges
+    "dtl_distinct": 8,
+    "dtl_order_limit": 8,
+    "dtl_union": 8,
+    "dtl_intersect": 8,
+    "dtl_except": 8,
+    "dtl_scalar_functions": 8,
+    "trace_provenance": 8,
 }
 
 

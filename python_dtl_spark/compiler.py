@@ -518,6 +518,28 @@ class Engine:
     def _phys(self, prefix: str = "c") -> str:
         return f"_{prefix}{next(self._ids)}"
 
+    @staticmethod
+    def _content_hash(df: DataFrame, names: list[str]) -> Column:
+        """xxhash64 over row content with float columns normalized the
+        way Spark's NormalizeFloatingNumbers does before grouping:
+        -0.0 folds into 0.0 and every NaN bit pattern into the
+        canonical NaN.  groupBy/dropDuplicates/set ops merge such rows
+        into one group, so a trace bridge hashed over RAW bits would
+        leave the -0.0/odd-NaN input rows matching no output bridge —
+        silently missing from by_key lineage mappings."""
+        from pyspark.sql import types as T
+
+        kinds = {f.name: f.dataType for f in df.schema.fields}
+        parts = []
+        for c in names:
+            col = F.col(c)
+            if isinstance(kinds.get(c), (T.FloatType, T.DoubleType)):
+                col = F.when(F.isnan(col), F.lit(float("nan"))).otherwise(
+                    F.when(col == F.lit(0.0), F.lit(0.0)).otherwise(col)
+                )
+            parts.append(col)
+        return F.xxhash64(*parts)
+
     def _scope_from_source(self, source: n.Source, env: dict) -> Scope:
         if source.name not in env:
             raise DtlNameError(f"compilation error: unknown table {source.name!r}")
@@ -706,7 +728,7 @@ class Engine:
                 # bridge so ALL duplicate input rows map to the one kept
                 # output row (many-to-one, reference mappings.py:9-38)
                 bphys = self._phys("b")
-                bexpr = F.xxhash64(*[F.col(c) for c in names])
+                bexpr = self._content_hash(df, names)
                 df = df.withColumn(bphys, bexpr)
                 new_pending: list[tuple[str, DataFrame, str]] = []
                 for src_uuid, phys in src_rids:
@@ -748,7 +770,7 @@ class Engine:
                 .agg(F.min(F.col(table.order_col)).alias(ORDER_COL))
             )
             if bphys is not None:
-                out = out.withColumn(bphys, F.xxhash64(*[F.col(c) for c in names]))
+                out = out.withColumn(bphys, self._content_hash(out, names))
             return replace(
                 table,
                 df=out,
@@ -931,7 +953,7 @@ class Engine:
         if self.traced and scope.rid_cols:
             bridge_phys = self._phys("b")
             if grouping_phys:
-                bexpr = F.xxhash64(*[F.col(p) for p in grouping_phys])
+                bexpr = self._content_hash(base, list(grouping_phys))
             else:
                 bexpr = F.lit(0).cast("long")
             agged = agged.withColumn(bridge_phys, bexpr)
@@ -962,7 +984,12 @@ class Engine:
             if order_col is not None:
                 w = Window.orderBy(*sort_cols)
                 agged = agged.withColumn(ORDER_COL, F.row_number().over(w))
-        if node.limit is not None:
+        if node.limit is not None and node.distinct is None:
+            if not order_compiled and order_col is not None:
+                # ordered mode, LIMIT without ORDER BY: the first n rows
+                # by the hidden order — a bare .limit() would grab n
+                # arbitrary rows from whichever partitions respond first
+                agged = agged.orderBy(F.col(ORDER_COL))
             agged = agged.limit(node.limit)
 
         dedup: dict[str, tuple[Column, DType]] = {}
@@ -986,6 +1013,14 @@ class Engine:
                     "ORDER BY is not supported"
                 )
             result = self._apply_distinct(result, node.distinct)
+            if node.limit is not None:
+                # LIMIT applies AFTER the dedup (SQL semantics and the
+                # plain-select path agree): limiting first could collapse
+                # below n even when n distinct rows exist
+                ldf = result.df
+                if result.order_col is not None:
+                    ldf = ldf.orderBy(F.col(result.order_col))
+                result = replace(result, df=ldf.limit(node.limit))
         return result
 
     # -- ORDER BY / LIMIT ---------------------------------------------------
@@ -1016,6 +1051,11 @@ class Engine:
                 df = df.withColumn(ORDER_COL, F.row_number().over(w))
                 order_col = ORDER_COL
         if node.limit is not None:
+            if not node.order_by and order_col is not None:
+                # ordered mode, LIMIT without ORDER BY: first n by the
+                # hidden order column (reference positional semantics),
+                # not n partition-arbitrary rows
+                df = df.orderBy(F.col(order_col))
             df = df.limit(node.limit)
         return replace(table, df=df, order_col=order_col)
 
@@ -1041,9 +1081,56 @@ class Engine:
                 f"{left.columns} vs {right.columns}"
             )
         names = left.column_names
+        # NOTE: the operand sort (public_df) in ordered mode is
+        # load-bearing, not waste: the fresh monotonically_increasing_id
+        # below numbers rows by partition sequence, and only globally
+        # sorted operands make that numbering deterministic across
+        # partition layouts (ordered mode is test-scale by contract).
         ldf = left.public_df() if left.order_col else left.df.select(*names)
         rdf = right.public_df() if right.order_col else right.df.select(*names)
-        if node.op == "union_all":
+        pending: tuple[tuple[str, DataFrame, str], ...] = ()
+        bphys = None
+        if node.op == "union_all" and self.traced:
+            # union-all PRESERVES row identity, so the bridge is the
+            # source rid itself (salted by side) — exact by-construction
+            # lineage; a content hash here would cross-attribute
+            # identical rows between operands (a row present in both
+            # sides would trace to BOTH sources)
+            bphys = self._phys("b")
+            # ordered mode: sort each operand first so the fresh
+            # monotonic order below stays deterministic (same contract
+            # as the untraced branch's public_df)
+            lsrc = (
+                left.df.orderBy(left.order_col) if left.order_col else left.df
+            )
+            rsrc = (
+                right.df.orderBy(right.order_col)
+                if right.order_col
+                else right.df
+            )
+            lb = lsrc.select(
+                *names,
+                F.xxhash64(F.lit(0), F.col(left.rid_col)).alias(bphys),
+            )
+            rb = rsrc.select(
+                *names,
+                F.xxhash64(F.lit(1), F.col(right.rid_col)).alias(bphys),
+            )
+            df = lb.unionByName(rb)
+            pending = tuple(
+                (
+                    side.uuid,
+                    side.df.select(
+                        F.col(side.rid_col).alias("__src_rid"),
+                        F.xxhash64(
+                            F.lit(tag), F.col(side.rid_col)
+                        ).alias("__bridge"),
+                    ),
+                    bphys,
+                )
+                for tag, side in ((0, left), (1, right))
+            )
+        elif node.op == "union_all":
             df = ldf.unionByName(rdf)
         elif node.op == "union":
             df = ldf.unionByName(rdf).dropDuplicates(names)
@@ -1056,18 +1143,18 @@ class Engine:
             # Set ops have no reference-order semantics; assign fresh order.
             df = df.withColumn(ORDER_COL, F.monotonically_increasing_id())
             order_col = ORDER_COL
-        pending: tuple[tuple[str, DataFrame, str], ...] = ()
-        if self.traced:
+        if self.traced and bphys is None:
+            # dedup/compare ops genuinely destroy identity: bridge by
+            # (float-normalized) content hash, many-to-one
             bphys = self._phys("b")
-            content = F.xxhash64(*[F.col(c) for c in names])
-            df = df.withColumn(bphys, content)
+            df = df.withColumn(bphys, self._content_hash(df, names))
             sides = (left,) if node.op == "except" else (left, right)
             pending = tuple(
                 (
                     side.uuid,
                     side.df.select(
                         F.col(side.rid_col).alias("__src_rid"),
-                        content.alias("__bridge"),
+                        self._content_hash(side.df, names).alias("__bridge"),
                     ),
                     bphys,
                 )

@@ -115,7 +115,10 @@ _scalar("abs", _check_numeric_unary("abs"), F.abs)
 _scalar("sign", _check_numeric_unary("sign", DType.DOUBLE), lambda x: F.signum(x))
 _scalar("ceil", _check_double_unary("ceil"), lambda x: F.ceil(x).cast("double"))
 _scalar("floor", _check_double_unary("floor"), lambda x: F.floor(x).cast("double"))
-_scalar("round", _check_double_unary("round"), lambda x: F.round(x, 0))
+# .cast("double"): Spark's round(x, 0) returns the INPUT type for
+# integral columns, which would silently diverge from the declared
+# DOUBLE result dtype (ceil/floor cast for the same reason)
+_scalar("round", _check_double_unary("round"), lambda x: F.round(x, 0).cast("double"))
 _scalar(
     "round_to",
     _check_exact("round_to", [DType.DOUBLE, DType.INT64], DType.DOUBLE),

@@ -81,6 +81,7 @@ class FileSystemTracer:
         root: str,
         snapshot_levels: list[str] | None = None,
         mapping_sample: int | None = None,
+        pin: str = "local",
     ):
         """``snapshot_levels`` is the 100 TB valve: when set, only
         tables at those levels (e.g. ``["EXPORT"]``) are written as full
@@ -102,7 +103,17 @@ class FileSystemTracer:
         ``TraceReader`` retains a chain with probability ~(1/m)^(k-1)
         — cross-statement audits should use ``m=None`` (exact) or walk
         single hops between snapshot levels.  The manifest records the
-        sampling so readers can tell exact from sampled mappings."""
+        sampling so readers can tell exact from sampled mappings.
+
+        ``pin`` controls how mapping-only tables are pinned:
+        ``"local"`` (default) uses ``localCheckpoint`` — free of disk
+        writes but stored in executor-local blocks, so a LOST EXECUTOR
+        makes the pinned rids unrecoverable (monotonically_increasing_id
+        cannot be replayed) and aborts the audited run; ``"parquet"``
+        writes a pin file under ``{root}/pins/`` — survives executor
+        loss at the cost of one narrow-table write per statement (still
+        far below full snapshots, which copy every column at every
+        level).  On a real preemptible cluster use ``"parquet"``."""
         self.root = root
         self.snapshot_levels = (
             None if snapshot_levels is None else set(snapshot_levels)
@@ -110,6 +121,9 @@ class FileSystemTracer:
         if mapping_sample is not None and mapping_sample < 2:
             raise ValueError(f"mapping_sample must be >= 2, got {mapping_sample}")
         self.mapping_sample = mapping_sample
+        if pin not in ("local", "parquet"):
+            raise ValueError(f"pin must be 'local' or 'parquet', got {pin!r}")
+        self.pin = pin
         self._snapshotted: set[str] = set()
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
         os.makedirs(os.path.join(root, "mappings"), exist_ok=True)
@@ -123,6 +137,11 @@ class FileSystemTracer:
         hand back the materialized frame: every downstream mapping and
         the snapshot itself observe the same row ids."""
         if self.snapshot_levels is not None and level not in self.snapshot_levels:
+            if self.pin == "parquet":
+                path = os.path.join(self.root, "pins", f"{uid}.parquet")
+                os.makedirs(os.path.join(self.root, "pins"), exist_ok=True)
+                df.write.mode("overwrite").parquet(path)
+                return df.sparkSession.read.parquet(path)
             return df.localCheckpoint(eager=True)
         path = os.path.join(self.root, "tables", f"{uid}.parquet")
         df.write.mode("overwrite").parquet(path)
@@ -219,8 +238,15 @@ def run_traced(source, *, spark, importer, exporter, tracer, ordered=False):
     from python_dtl_spark.compiler import Engine
 
     engine = Engine(spark, importer, ordered=ordered, tracer=tracer)
+    # same post-export invalidation as the untraced runtime.run: with
+    # input_dir == output_dir round-trips, a later IMPORT of the
+    # overwritten table must re-list files, not reuse the stale
+    # memoized plan
+    invalidate = getattr(importer, "invalidate", None)
     for location, table in engine.run_script(source):
         exporter.export_table(location, table.public_df())
+        if invalidate is not None:
+            invalidate(location)
     tracer.write_manifest()
 
 

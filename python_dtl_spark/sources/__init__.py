@@ -102,7 +102,14 @@ class FileSystemImporter:
 
     def _read(self, name: str) -> DataFrame:
         path = os.path.join(self._root, f"{name}.{self._fmt}")
-        if not os.path.exists(path):
+        # local roots: cheap driver-side existence probe (including the
+        # directory-of-parts layout {root}/{name}/part-*).  Schemed
+        # roots (s3a://, hdfs://, ...) cannot be probed with
+        # os.path.exists — it is always False there — so they go
+        # straight to the Spark reader, whose PATH_NOT_FOUND is
+        # translated to the same DtlNameError below.
+        remote = "://" in self._root or self._root.startswith("file:")
+        if not remote and not os.path.exists(path):
             # directory-of-parts layout: {root}/{name}/part-*.parquet
             alt = os.path.join(self._root, name)
             if os.path.exists(alt):
@@ -114,20 +121,35 @@ class FileSystemImporter:
                     f"compilation error: no input table {name!r} under "
                     f"{self._root!r} (looked for {path!r})"
                 )
+        def _load(fn):
+            try:
+                return fn()
+            except Exception as e:  # AnalysisException PATH_NOT_FOUND etc.
+                if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                    from python_dtl_spark.errors import DtlNameError
+
+                    raise DtlNameError(
+                        f"compilation error: no input table {name!r} under "
+                        f"{self._root!r} (looked for {path!r})"
+                    ) from e
+                raise
+
         if self._fmt == "parquet":
             reader = self._spark.read
             if self._merge_schema:
                 reader = reader.option("mergeSchema", True)
-            return reader.parquet(path)
+            return _load(lambda: reader.parquet(path))
         if self._fmt == "orc":
             reader = self._spark.read
             if self._merge_schema:
                 reader = reader.option("mergeSchema", True)
-            return reader.orc(path)
+            return _load(lambda: reader.orc(path))
         if self._fmt == "csv":
-            return self._spark.read.csv(path, header=True, inferSchema=True)
+            return _load(
+                lambda: self._spark.read.csv(path, header=True, inferSchema=True)
+            )
         if self._fmt == "json":
-            return self._spark.read.json(path)
+            return _load(lambda: self._spark.read.json(path))
         raise ValueError(f"unsupported format {self._fmt!r}")
 
 

@@ -658,3 +658,59 @@ def test_transaction_misuse_raises(run_dtl):
     for src in cases:
         with pytest.raises(DtlTransactionError):
             run_dtl(src, {"t": pa.table({"v": [1]})})
+
+
+def test_limit_after_distinct_in_aggregate_path(run_dtl):
+    """SELECT DISTINCT ... GROUP BY ... LIMIT n must dedup BEFORE
+    limiting (SQL semantics; the plain-select path already did) — the
+    old order could return fewer than n distinct rows although n
+    exist."""
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS
+            SELECT DISTINCT x FROM input GROUP BY x, y LIMIT 3;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"x": [1, 1, 2, 2, 3, 3], "y": [1, 2, 3, 4, 5, 6]}},
+    )
+    assert sorted(out["x"].to_pylist()) == [1, 2, 3]
+
+
+def test_ordered_limit_without_order_by_takes_first_rows(run_dtl):
+    """In ordered mode LIMIT means the FIRST n rows by the reference
+    row order, even after an order-scrambling join shuffle."""
+    out = run1(
+        run_dtl,
+        """
+        WITH a AS IMPORT 'a';
+        WITH b AS IMPORT 'b';
+        WITH j AS SELECT a.k AS k, v FROM a JOIN b ON a.k = b.k;
+        WITH output AS SELECT k, v FROM j LIMIT 3;
+        EXPORT output TO 'output';
+        """,
+        {
+            "a": {"k": list(range(20))},
+            "b": {"k": list(range(20)), "v": [i * 10 for i in range(20)]},
+        },
+    )
+    assert out["k"].to_pylist() == [0, 1, 2]
+
+
+def test_round_returns_double_for_integer_input(run_dtl):
+    """round() declares DOUBLE; Spark's round(int, 0) returns the input
+    type, so the engine must cast — otherwise the physical schema
+    silently diverges from the declared one."""
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS SELECT round(a) + 0.5 AS r FROM input;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"a": [1, 2]}},
+    )
+    import pyarrow as pa
+    assert out["r"].type == pa.float64()
+    assert out["r"].to_pylist() == [1.5, 2.5]

@@ -455,3 +455,81 @@ def test_mutation_statements_trace(spark):
     setop_recs = [t for t in tracer.tables if t.name == "(insert)"]
     assert len(setop_recs) == 1
     assert _pairs(tracer, setop_recs[0].id, ins.id).count() == 1
+
+
+def test_union_all_lineage_is_exact_no_cross_attribution(spark):
+    """UNION ALL preserves row identity: an identical row present in
+    both operands must trace each output copy to exactly ITS source,
+    not both (the content-hash bridge cross-attributed them)."""
+    tracer = InMemoryTracer()
+    _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH b AS IMPORT 'b';
+        WITH u AS SELECT k, v FROM a UNION ALL SELECT k, v FROM b;
+        EXPORT u TO 'out';
+        """,
+        {
+            "a": ([(1, 10)], "k long, v long"),
+            "b": ([(1, 10)], "k long, v long"),  # identical row
+        },
+        tracer,
+    )
+    u_rec = [t for t in tracer.tables if t.name == "u"][-1]
+    operands = [t for t in tracer.tables if t.level == "TABLE_EXPRESSION"]
+    assert len(operands) == 2
+    total = 0
+    for op_rec in operands:
+        p = _pairs(tracer, op_rec.id, u_rec.id)
+        # each operand's single row maps to exactly ONE output copy —
+        # the content-hash bridge mapped it to BOTH copies (count 2)
+        assert p.count() == 1
+        total += p.count()
+    assert total == 2
+
+
+def test_traced_group_by_negative_zero_key_not_lost(spark):
+    """groupBy normalizes -0.0 into 0.0; the trace bridge must hash the
+    normalized value or the -0.0 input rows vanish from the by_key
+    mapping."""
+    tracer = InMemoryTracer()
+    _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH g AS SELECT k, count() AS n FROM a GROUP BY k;
+        EXPORT g TO 'out';
+        """,
+        {"a": ([(0.0, 1), (-0.0, 2)], "k double, i long")},
+        tracer,
+    )
+    a_rec = [t for t in tracer.tables if t.name == "a"][-1]
+    g_rec = [t for t in tracer.tables if t.name == "g"][-1]
+    pairs = _pairs(tracer, a_rec.id, g_rec.id)
+    # both input rows (0.0 and -0.0) map to the single merged group
+    assert pairs.count() == 2
+
+
+def test_filesystem_tracer_parquet_pin_mode(spark, tmp_path):
+    """pin='parquet' writes mapping-only tables under pins/ (survives
+    executor loss) and lineage stays exact."""
+    import glob
+
+    trace_dir = os.path.join(str(tmp_path), "trace_pin")
+    tracer = FileSystemTracer(
+        trace_dir, snapshot_levels=["EXPORT"], pin="parquet"
+    )
+    _run(
+        spark,
+        """
+        WITH a AS IMPORT 'a';
+        WITH big AS SELECT key, value FROM a WHERE value > 30;
+        EXPORT big TO 'out';
+        """,
+        {"a": NUMS},
+        tracer,
+    )
+    assert glob.glob(os.path.join(trace_dir, "pins", "*"))
+    reader = TraceReader(spark, trace_dir)
+    assert reader.lineage("a", "out").count() == 3
