@@ -151,6 +151,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_feature_freq: int | None = None,
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
@@ -166,10 +167,14 @@ def ngram_jaccard_pairs(
     DuckDB oracle matches it bit-for-bit.
     """
     # one row per id (see minhash_lsh_pairs): duplicate ids would
-    # re-expand every output pair through the sizes join-backs
+    # re-expand every output pair through the sizes join-backs.  The
+    # dedupe is one extra exchange; callers who guarantee unique ids
+    # (the common case at scale) skip it with assume_unique_ids=True.
     base = _spread(df).select(
         F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
-    ).dropDuplicates(["__id"])
+    )
+    if not assume_unique_ids:
+        base = base.dropDuplicates(["__id"])
     sizes = base.select(F.col("__id"), F.size("__sh").cast("long").alias("__sz"))
     exploded = base.select(F.col("__id"), F.explode("__sh").alias("__f"))
     if max_feature_freq is not None:
@@ -252,6 +257,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     prefilter_margin: float | None = 0.25,
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -287,10 +293,15 @@ def minhash_lsh_pairs(
     # blend BOTH rows' shingles into one chimera signature (min over
     # the union) at the groupBy AND re-expand every verified pair
     # through the shingle join-backs below.  One deterministic-enough
-    # row per id feeds signature and verify alike.
+    # row per id feeds signature and verify alike.  The dedupe costs
+    # one exchange of (id, shingles) rows; callers who guarantee
+    # unique ids skip it with assume_unique_ids=True.
     sh = _spread(df).select(
         F.col(id_col).alias("__sid"), _shingles(F.col(text_col), n).alias("__sh")
-    ).dropDuplicates(["__sid"]).persist()
+    )
+    if not assume_unique_ids:
+        sh = sh.dropDuplicates(["__sid"])
+    sh = sh.persist()
     hashed = sh.select(F.col("__sid"), F.explode("__sh").alias("__f")).select(
         F.col("__sid"), F.xxhash64("__f").alias("__h")
     )
