@@ -5028,6 +5028,7 @@ _register(
                  - ((epoch_us(ts) % 604800000000 + 604800000000)
                     % 604800000000) AS p
         FROM events
+        WHERE user_id IS NOT NULL
     ), f AS (
         SELECT user_id, min(p) AS cohort FROM a GROUP BY user_id
     ), sz AS (
@@ -5205,6 +5206,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "dtl_except": 8,
     "dtl_scalar_functions": 8,
     "trace_provenance": 8,
+    # round-8 fifth review wave: SQL-AVG rollup denominators, NULL-user
+    # retention exclusion, dotted-name-safe funnel/rollup internals
+    "events_time_rollup": 8,
+    "events_retention": 8,
 }
 
 

@@ -122,6 +122,16 @@ def tokenize(source: str) -> list[Token]:
     line_start = 0
     n = len(source)
     while pos < n:
+        if source.startswith("/*", pos) and "*/" not in source[pos:]:
+            # without this check the opener lexes as '/' '*' operator
+            # tokens and the comment BODY parses as code — the user
+            # gets a syntax error pointing somewhere inside their own
+            # comment instead of at the unterminated opener
+            raise DtlSyntaxError(
+                "unterminated block comment",
+                lineno=lineno,
+                column=pos - line_start + 1,
+            )
         m = _TOKEN_RE.match(source, pos)
         if m is None:
             raise DtlSyntaxError(

@@ -294,6 +294,17 @@ class _Parser:
                 )
             constraint = n.JoinOn(predicate=self.parse_expression())
         elif self._match("USING"):
+            if how == "cross":
+                tok = self._peek()
+                # a USING here was previously parsed and then silently
+                # DISCARDED by the compiler — the query returned the
+                # full cross product instead of the equi-join the user
+                # wrote.  Reject it like the ON guard above.
+                raise DtlSyntaxError(
+                    "CROSS JOIN takes no USING clause",
+                    lineno=tok.lineno,
+                    column=tok.column,
+                )
             self._expect("OP", "(")
             cols = [self._name()]
             while self._match("OP", ","):

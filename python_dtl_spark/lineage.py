@@ -237,11 +237,14 @@ def run_traced(source, *, spark, importer, exporter, tracer, ordered=False):
     runtime.run; reference dtl.run with tracer, eval.py:447-543)."""
     from python_dtl_spark.compiler import Engine
 
+    from python_dtl_spark.runtime import _check_self_overwrite
+
     engine = Engine(spark, importer, ordered=ordered, tracer=tracer)
-    # same post-export invalidation as the untraced runtime.run: with
-    # input_dir == output_dir round-trips, a later IMPORT of the
-    # overwritten table must re-list files, not reuse the stale
-    # memoized plan
+    # same contract as the untraced runtime.run: the post-export
+    # invalidation protects the NEXT run with a reused importer, and a
+    # within-script import-of-an-exported-location is rejected up front
+    # (compilation pins file listings before any write)
+    _check_self_overwrite(source, importer, exporter)
     invalidate = getattr(importer, "invalidate", None)
     for location, table in engine.run_script(source):
         exporter.export_table(location, table.public_df())

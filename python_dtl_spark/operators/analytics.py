@@ -71,11 +71,15 @@ def funnel_conversion(
     ).filter(F.col("__s").isNotNull())
     w = Window.partitionBy(user_col)
     cur = ev
+    # internal columns are INDEX-named (__t0..) so step names carrying
+    # dots/backticks (common in analytics taxonomies, 'page.view')
+    # never hit F.col's struct-field parsing; the user-facing t_<step>
+    # names appear only as final aliases
     for i, step in enumerate(steps):
         if i == 0:
             cond = F.col("__s") == 0
         else:
-            prev = f"t_{steps[i - 1]}"
+            prev = f"__t{i - 1}"
             # NULL-user rows keep only their first-step time: a NULL
             # key never matched the join-back in the previous
             # formulation (or the SQL oracle's USING join), and the
@@ -91,21 +95,22 @@ def funnel_conversion(
                     F.col("__us") - F.col(prev) <= within_seconds * 1_000_000
                 )
         cur = cur.withColumn(
-            f"t_{step}", F.min(F.when(cond, F.col("__us"))).over(w)
+            f"__t{i}", F.min(F.when(cond, F.col("__us"))).over(w)
         )
-    step_cols = [F.col(f"t_{s}") for s in steps]
+    step_idx = range(len(steps))
     completed = sum(
-        (s.isNotNull().cast("long") for s in step_cols), F.lit(0).cast("long")
+        (F.col(f"__t{i}").isNotNull().cast("long") for i in step_idx),
+        F.lit(0).cast("long"),
     )
     # one row per user (the window columns are constant within a
     # partition; min == that constant) — same partitioning, no exchange
     return (
-        cur.filter(F.col(f"t_{steps[0]}").isNotNull())
+        cur.filter(F.col("__t0").isNotNull())
         .groupBy(user_col)
-        .agg(*[F.min(f"t_{s}").alias(f"t_{s}") for s in steps])
+        .agg(*[F.min(f"__t{i}").alias(f"__t{i}") for i in step_idx])
         .select(
             user_col,
-            *[f"t_{s}" for s in steps],
+            *[F.col(f"__t{i}").alias(f"t_{s}") for i, s in zip(step_idx, steps)],
             completed.alias("steps_completed"),
         )
     )
@@ -143,7 +148,16 @@ def cohort_retention(
     # cannot.  Offsets divide an exact step-multiple difference, which
     # stays under 2^53 for any sane retention horizon.
     p = us - F.pmod(us, F.lit(step_us))
-    active = df.select(F.col(user_col), p.alias("__p")).distinct()
+    # NULL users are excluded OUTRIGHT: groupBy would give them a
+    # cohort (inflating cohort_size) while the plain equi-join back
+    # drops them from every n_users count — offset-0 retention would
+    # read < 1 for the affected cohort.  A user id is an identity;
+    # NULL has none (same contract as the samplers).
+    active = (
+        df.filter(F.col(user_col).isNotNull())
+        .select(F.col(user_col), p.alias("__p"))
+        .distinct()
+    )
     first = active.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
     sizes = first.groupBy("__cohort").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_size")

@@ -4,8 +4,11 @@ nothing comparable; this is an M6 pipeline extension).
 
 Scale design: the raw input is scanned and shuffled ONCE, at the finest
 grain; every coarser grain re-aggregates the (much smaller) next-finer
-result.  Counts and sums compose exactly; averages are derived at the
-end as sum/count, so they stay exact at every grain.
+result.  Counts, sums and per-column non-null counts compose exactly;
+averages are derived at the end as sum / non-null count, so they equal
+SQL ``AVG`` at every grain (NULL values stay out of the denominator —
+dividing by ``n_rows`` would silently deflate the average of any column
+with NULLs).
 """
 
 from __future__ import annotations
@@ -15,6 +18,12 @@ from pyspark.sql import functions as F
 
 # strict containment chain — every grain's buckets nest inside the next
 _GRAIN_CHAIN = ["minute", "hour", "day", "month", "year"]
+
+
+def _qcol(name: str):
+    """Column reference with dots/backticks in the NAME treated
+    literally (F.col and df[...] both parse dots as struct access)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def time_rollup(
@@ -28,18 +37,27 @@ def time_rollup(
     ``dims`` at each time grain in ``grains``.
 
     Output: (grain, bucket_start, *dims, n_rows, sum_<v>..., avg_<v>...)
-    with one row-group per grain level, stacked.
+    with one row-group per grain level, stacked.  ``avg_<v>`` is SQL
+    AVG: sum over the count of NON-NULL values (NULL when a group has
+    none).
 
     ``grains`` must come from minute/hour/day/month/year (a strict
     nesting chain — weeks don't nest in months and are deliberately
     excluded).  Order given doesn't matter; aggregation always runs
     finest → coarsest.
+
+    Internal aggregate columns are index-named (``__s0`` …), so value
+    columns whose names contain dots or backticks work unchanged; only
+    the OUTPUT aliases carry the user's names.
     """
     bad = [g for g in grains if g not in _GRAIN_CHAIN]
     if bad:
         raise ValueError(f"unsupported grains {bad}; pick from {_GRAIN_CHAIN}")
+    if not grains:
+        raise ValueError(f"grains must not be empty; pick from {_GRAIN_CHAIN}")
     ordered = sorted(set(grains), key=_GRAIN_CHAIN.index)
 
+    idx = list(range(len(value_cols)))
     finest = ordered[0]
     fine = (
         df.groupBy(
@@ -48,7 +66,10 @@ def time_rollup(
         )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            *[F.sum(v).alias(f"sum_{v}") for v in value_cols],
+            *[F.sum(_qcol(v)).alias(f"__s{i}") for i, v in zip(idx, value_cols)],
+            # per-column non-null counts: the exact-composability carrier
+            # for SQL-AVG semantics at every grain
+            *[F.count(_qcol(v)).alias(f"__c{i}") for i, v in zip(idx, value_cols)],
         )
     )
     levels = {finest: fine}
@@ -61,7 +82,8 @@ def time_rollup(
             )
             .agg(
                 F.sum("n_rows").alias("n_rows"),
-                *[F.sum(f"sum_{v}").alias(f"sum_{v}") for v in value_cols],
+                *[F.sum(f"__s{i}").alias(f"__s{i}") for i in idx],
+                *[F.sum(f"__c{i}").alias(f"__c{i}") for i in idx],
             )
         )
         levels[grain] = prev
@@ -73,10 +95,10 @@ def time_rollup(
             "bucket_start",
             *dims,
             "n_rows",
-            *[F.col(f"sum_{v}") for v in value_cols],
+            *[F.col(f"__s{i}").alias(f"sum_{v}") for i, v in zip(idx, value_cols)],
             *[
-                (F.col(f"sum_{v}") / F.col("n_rows")).alias(f"avg_{v}")
-                for v in value_cols
+                (F.col(f"__s{i}") / F.col(f"__c{i}")).alias(f"avg_{v}")
+                for i, v in zip(idx, value_cols)
             ],
         )
         out = level if out is None else out.unionByName(level)

@@ -10,7 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+import os
+
 from python_dtl_spark.compiler import Engine
+from python_dtl_spark.lang import nodes as n
 from python_dtl_spark.sources import (
     Exporter,
     FileSystemExporter,
@@ -19,6 +22,49 @@ from python_dtl_spark.sources import (
     InMemoryExporter,
     InMemoryImporter,
 )
+
+
+
+
+def _check_self_overwrite(source: str, importer, exporter) -> None:
+    """Reject a script that IMPORTs a table it also EXPORTs when the
+    importer and exporter share a filesystem root.
+
+    Exports run AFTER the whole script compiles, so every import plan
+    pins the pre-script file listing; an overwrite of an imported
+    location then deletes part files a compiled plan references — the
+    read either fails with FileNotFoundException mid-action or silently
+    returns pre-export data.  Neither is acceptable; write to a
+    different location (or directory) and rotate afterwards.
+    """
+    in_root = getattr(importer, "_root", None)
+    out_root = getattr(exporter, "_root", None)
+    if in_root is None or out_root is None:
+        return
+    if os.path.abspath(in_root) != os.path.abspath(out_root):
+        return
+    from python_dtl_spark.lang.parser import parse
+
+    script = parse(source)
+    imports = {
+        st.expression.location
+        for st in script.statements
+        if isinstance(st, n.WithStatement)
+        and isinstance(st.expression, n.ImportExpression)
+    }
+    exports = {
+        st.location
+        for st in script.statements
+        if isinstance(st, n.ExportStatement)
+    }
+    clash = sorted(imports & exports)
+    if clash:
+        raise ValueError(
+            f"script imports AND exports {clash} under the same root "
+            f"{in_root!r}: exports overwrite files the compiled import "
+            "plans still reference (runs after full compilation). "
+            "Export to a different location and rotate afterwards."
+        )
 
 
 def run(
@@ -50,10 +96,14 @@ def run(
         )
         return
     engine = Engine(spark, importer, ordered=ordered)
-    # invalidate the importer's memoized handle for each exported name:
-    # with input_dir == output_dir round-trips, a later IMPORT of the
-    # overwritten table must re-list files instead of reading the stale
-    # pre-export plan
+    # invalidate the importer's memoized handle for each exported name.
+    # Scope: this protects the NEXT run() against a reused importer
+    # (input_dir == output_dir round-trips across calls).  It cannot
+    # protect a WITHIN-script IMPORT of a location the same script
+    # exports — run_script compiles every statement (pinning file
+    # listings) before the first write happens — so that conflict is
+    # rejected up front instead of failing later mid-write.
+    _check_self_overwrite(source, importer, exporter)
     invalidate = getattr(importer, "invalidate", None)
     for location, table in engine.run_script(source):
         exporter.export_table(location, table.public_df())

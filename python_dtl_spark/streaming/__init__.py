@@ -215,14 +215,17 @@ def streaming_time_rollup(
         df.groupBy(F.window(F.col(ts_col), grain).alias("w"), *dims)
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(value_col).alias(f"sum_{value_col}"),
+            F.sum(F.col("`" + value_col.replace("`", "``") + "`")).alias("__sum"),
+            # SQL-AVG denominator: non-null values only, matching the
+            # batch rollup (dividing by n_rows deflates NULL-y columns)
+            F.count(F.col("`" + value_col.replace("`", "``") + "`")).alias("__cnt"),
         )
         .select(
             F.col("w.start").alias("bucket_start"),
             *dims,
             "n_rows",
-            F.col(f"sum_{value_col}"),
-            (F.col(f"sum_{value_col}") / F.col("n_rows")).alias(f"avg_{value_col}"),
+            F.col("__sum").alias(f"sum_{value_col}"),
+            (F.col("__sum") / F.col("__cnt")).alias(f"avg_{value_col}"),
         )
     )
 

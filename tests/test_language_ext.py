@@ -714,3 +714,44 @@ def test_round_returns_double_for_integer_input(run_dtl):
     import pyarrow as pa
     assert out["r"].type == pa.float64()
     assert out["r"].to_pylist() == [1.5, 2.5]
+
+
+def test_cross_join_rejects_using(run_dtl):
+    """CROSS JOIN ... USING previously parsed and silently discarded the
+    USING, returning the full cross product."""
+    import pytest as _pytest
+
+    from python_dtl_spark.errors import DtlSyntaxError
+    from python_dtl_spark.lang.parser import parse
+
+    with _pytest.raises(DtlSyntaxError, match="CROSS JOIN takes no USING"):
+        parse("WITH o AS SELECT a FROM t CROSS JOIN u USING (k);")
+
+
+def test_unterminated_block_comment_clear_error():
+    import pytest as _pytest
+
+    from python_dtl_spark.errors import DtlSyntaxError
+    from python_dtl_spark.lang.lexer import tokenize
+
+    with _pytest.raises(DtlSyntaxError, match="unterminated block comment"):
+        tokenize("WITH x AS SELECT a FROM t; /* oops")
+
+
+def test_same_root_import_export_overlap_rejected(spark, tmp_path):
+    """A script importing AND exporting the same location under one
+    root is rejected up front: exports run after full compilation, so
+    the overwrite would delete files the compiled import plan pins."""
+    import pytest as _pytest
+
+    from python_dtl_spark import run_files
+
+    root = str(tmp_path)
+    spark.range(5).toDF("a").write.parquet(f"{root}/t.parquet")
+    with _pytest.raises(ValueError, match="imports AND exports"):
+        run_files(
+            "WITH t AS IMPORT 't';\nEXPORT t TO 't';\n",
+            spark=spark,
+            input_dir=root,
+            output_dir=root,
+        )

@@ -2438,3 +2438,55 @@ def test_random_projection_survives_colliding_column(spark):
     out = random_projection(df, dim=2, out_dim=2, seed=5)
     assert "__rp_in" in out.columns  # caller's column untouched
     assert out.select("__rp_in").first()[0] == "keep-me"
+
+
+def test_time_rollup_avg_is_sql_avg_with_nulls(spark):
+    """avg_<v> divides by the NON-NULL count (SQL AVG): dividing by
+    n_rows deflated any column with NULLs; empty grains raise a clear
+    ValueError; dotted value-column names resolve (index-named internal
+    aggregates)."""
+    import datetime
+
+    from python_dtl_spark.operators.rollup import time_rollup
+
+    t0 = datetime.datetime(2024, 1, 1, 10, 0)
+    df = spark.createDataFrame(
+        [("a", t0, 10.0), ("a", t0, None)],
+        "dim string, ts timestamp, `v.x` double",
+    )
+    [row] = time_rollup(df, "ts", ["dim"], ["v.x"], ["hour"]).collect()
+    assert row["n_rows"] == 2
+    assert row["avg_v.x"] == 10.0  # sum 10 / non-null count 1, NOT /2
+
+    with pytest.raises(ValueError, match="grains must not be empty"):
+        time_rollup(df, "ts", ["dim"], ["v.x"], [])
+
+
+def test_funnel_dotted_step_names(spark):
+    import datetime
+
+    from python_dtl_spark.operators.analytics import funnel_conversion
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t, "page.view"),
+        (1, t + datetime.timedelta(minutes=1), "page.click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    [r] = funnel_conversion(df, ["page.view", "page.click"]).collect()
+    assert r["steps_completed"] == 2
+    assert r["t_page.view"] is not None and r["t_page.click"] is not None
+
+
+def test_cohort_retention_null_users_excluded(spark):
+    """NULL users previously inflated cohort_size while never appearing
+    in n_users — offset-0 retention read < 1."""
+    import datetime
+
+    from python_dtl_spark.operators.analytics import cohort_retention
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [(1, t), (2, t), (None, t)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    [r] = cohort_retention(df).collect()
+    assert r.cohort_size == 2 and r.n_users == 2 and r.retention == 1.0
