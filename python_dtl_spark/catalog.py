@@ -32,6 +32,7 @@ from python_dtl_spark.operators import (
     multimodal,
     rollup,
     sampling,
+    semistructured,
     similarity,
     stats,
     text,
@@ -5075,6 +5076,200 @@ _register(
     FROM q CROSS JOIN m
     WHERE CAST({_WB} AS DOUBLE) * wmax < w * 10000.0
     """,
+)
+
+
+def _q_props_extract(spark, sf_dir):
+    """Schema-on-read JSON extraction from the events ``props`` sidecar
+    (one from_json parse per row, codegen'd) followed by a typed
+    aggregate over the extracted field."""
+    ev = _read_events(spark, sf_dir)
+    ex = semistructured.json_extract_fields(ev, "props", {"k": "bigint"})
+    return ex.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+_register(
+    "events_props_extract",
+    _q_props_extract,
+    """
+    WITH ex AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k
+    FROM ex GROUP BY event_type
+    """,
+    headline=True,
+)
+
+
+def _q_knn_classify(spark, sf_dir):
+    """Leave-one-out kNN majority-vote labeling over the embeddings
+    corpus (exact tier — full oracle; the lsh tier shares everything
+    after the neighbor stage and is covered by the planted-copy ANN
+    oracles)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.knn_classify(emb, k=10).select(
+        "vec_id", "predicted_label", "votes"
+    )
+
+
+_register(
+    "embed_knn_classify",
+    _q_knn_classify,
+    """
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(c.e, q.e) DESC, c.vec_id
+               ) AS rank
+        FROM v c, v q WHERE c.vec_id <> q.vec_id
+    ), votes AS (
+        SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes,
+               min(rank) AS best
+        FROM scored WHERE rank <= 10 GROUP BY 1, 2
+    ), win AS (
+        SELECT query_id, nl, votes,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY votes DESC, best ASC, nl ASC
+               ) AS rn
+        FROM votes
+    )
+    SELECT query_id AS vec_id, nl AS predicted_label, votes
+    FROM win WHERE rn = 1
+    """,
+    headline=True,
+)
+
+
+def _q_mad_outliers(spark, sf_dir):
+    """Robust median/MAD outlier gate per event type — the
+    heavy-tail-safe sibling of events_zscore_outliers; percentile_disc
+    statistics, so the oracle replays them exactly via cume_dist."""
+    ev = _read_events(spark, sf_dir).select("event_id", "event_type", "value")
+    out = stats.mad_outliers(ev, "value", ["event_type"], z=3.5)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("robust_z", 6).alias("robust_z_r"),
+    )
+
+
+_register(
+    "events_mad_outliers",
+    _q_mad_outliers,
+    """
+    WITH ranked AS (
+        SELECT event_type, value,
+               cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        FROM events WHERE NOT isnan(value)
+    ), med AS (
+        SELECT event_type, min(CASE WHEN cd >= 0.5 THEN value END) AS m
+        FROM ranked GROUP BY 1
+    ), dev AS (
+        SELECT e.event_id, e.event_type, e.value, med.m,
+               abs(e.value - med.m) AS ad
+        FROM events e JOIN med USING (event_type)
+        WHERE NOT isnan(e.value)
+    ), dranked AS (
+        SELECT *, cume_dist() OVER (
+                   PARTITION BY event_type ORDER BY ad
+               ) AS cd
+        FROM dev
+    ), mad AS (
+        SELECT event_type, min(CASE WHEN cd >= 0.5 THEN ad END) AS mad
+        FROM dranked GROUP BY 1
+    ), j AS (
+        SELECT d.event_id, d.event_type, d.value,
+               CASE WHEN mad.mad > 0.0
+                    THEN 0.6745 * (d.value - d.m) / mad.mad
+                    ELSE 0.0 END AS rz
+        FROM dev d JOIN mad USING (event_type)
+    )
+    SELECT event_id, event_type, value, round(rz, 6) AS robust_z_r
+    FROM j WHERE abs(rz) > 3.5
+    """,
+)
+
+
+def _q_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle + sharding of the corpus for
+    training emission — same permutation on every run and retry."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return sampling.shuffle_shards(docs, "doc_id", 16, seed="sh1")
+
+
+_SHARD_EXPR, _SHARD_ORD = sampling.shuffle_shards_sql("doc_id", 16, seed="sh1")
+
+_register(
+    "doc_shuffle_shards",
+    _q_shuffle_shards,
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST({_SHARD_EXPR} AS INTEGER) AS shard,
+               {_SHARD_ORD} AS o
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY o, doc_id
+           ) AS BIGINT) AS shard_pos
+    FROM h
+    """,
+)
+
+
+def _q_status_cube(spark, sf_dir):
+    """GROUP BY CUBE over order status × priority: every subtotal level
+    from one Expand + one shared shuffle (vs 2^d scans hand-written).
+    o_totalprice has two decimals, so its double sums are exact
+    integers in cents — order-insensitive, full value oracle."""
+    orders = _read(spark, sf_dir, "orders")
+    out = rollup.dimensional_cube(
+        orders, ["o_orderstatus", "o_orderpriority"], ["o_totalprice"]
+    )
+    return out.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("gid").cast("long").alias("gid"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sum_o_totalprice", 2).alias("sum_total"),
+        F.round("avg_o_totalprice", 6).alias("avg_total"),
+    )
+
+
+_register(
+    "orders_status_cube",
+    _q_status_cube,
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 2) AS sum_total,
+           round(sum(o_totalprice) / count(o_totalprice), 6) AS avg_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    headline=True,
 )
 
 

@@ -17,6 +17,7 @@ from python_dtl_spark.operators import (
     multimodal,
     rollup,
     sampling,
+    semistructured,
     similarity,
     stats,
     text,
@@ -32,6 +33,7 @@ __all__ = [
     "multimodal",
     "rollup",
     "sampling",
+    "semistructured",
     "similarity",
     "stats",
     "text",

@@ -103,3 +103,46 @@ def time_rollup(
         )
         out = level if out is None else out.unionByName(level)
     return out
+
+
+def dimensional_cube(
+    df: DataFrame,
+    dims: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """All-subtotals aggregation over categorical dimensions: one pass
+    producing every 2^len(dims) grouping combination (GROUP BY CUBE) —
+    the dimensional sibling of :func:`time_rollup`'s time-grain chain.
+
+    Output: (*dims, gid, n_rows, sum_<v>..., avg_<v>...) where ``gid``
+    is the SQL-standard GROUPING_ID bitmask (first dim = most
+    significant bit; a set bit means that dim is rolled up in the row)
+    — it disambiguates a rolled-up dim from a genuine NULL dimension
+    value, which both print as NULL.  ``avg_<v>`` is SQL AVG (sum over
+    non-null count) at every grouping level, same as time_rollup.
+
+    Plan shape: Spark expands the cube with an Expand node feeding ONE
+    partial+final hash aggregate — every subtotal level shares a single
+    shuffle, against 2^d separate scans for the hand-written union.
+    Row multiplication is 2^len(dims) at the MAP side (pre-combine);
+    keep dims few (the usual 2-4) at 100 TB.
+    """
+    if not dims:
+        raise ValueError("dims must name at least one dimension")
+    idx = list(range(len(value_cols)))
+    agged = df.cube(*[F.col(d) for d in dims]).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(_qcol(v)).alias(f"__s{i}") for i, v in zip(idx, value_cols)],
+        *[F.count(_qcol(v)).alias(f"__c{i}") for i, v in zip(idx, value_cols)],
+    )
+    return agged.select(
+        *dims,
+        "gid",
+        "n_rows",
+        *[F.col(f"__s{i}").alias(f"sum_{v}") for i, v in zip(idx, value_cols)],
+        *[
+            (F.col(f"__s{i}") / F.col(f"__c{i}")).alias(f"avg_{v}")
+            for i, v in zip(idx, value_cols)
+        ],
+    )

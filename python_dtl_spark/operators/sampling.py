@@ -343,3 +343,68 @@ def weighted_sample(
         .filter(b * F.col("__wmax") < F.col(weight_col) * F.lit(float(_BUCKETS)))
         .select(*out_cols)
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the training-emission
+    verb: every run (and every stage retry) assigns each row the same
+    shard and the same position within it, so a training job reading
+    shard files in position order sees one fixed, reproducible,
+    pseudo-random permutation of the corpus.
+
+    A naive ``ORDER BY rand()`` is non-reproducible across retries and
+    requires a full global sort; this derives both coordinates from
+    ``md5(seed || key)`` — shard from one hash slice, in-shard order
+    from a DISJOINT slice (a shared slice would make position within a
+    shard correlate with shard membership, biasing each shard's head):
+
+    * ``shard``      = hex[1..8]  as int, mod ``n_shards``
+    * ``shard_pos``  = rank of (hex[9..20] as int, key) within the shard
+
+    Output: input columns + ``shard`` (0-based) + ``shard_pos``
+    (1-based).  NULL keys are excluded per the module contract; ties in
+    the 48-bit order slice (~n²/2^48 birthday odds) break by key, so
+    positions are total and unique.
+
+    Scale shape: ONE hash-partition exchange into shards, then a
+    per-shard sort for the rank — no global ordering, shards sort
+    independently in parallel.  Each shard must fit its reducer's
+    spillable sort: pick ``n_shards`` ≥ corpus_bytes / target_shard
+    (for 100 TB and 1 GB shards, ~10⁵ shards), which is also what the
+    downstream trainer wants.  The md5/substr/conv recipe is shared
+    with :func:`hash_bucket`, so a SQL oracle replays it bit-for-bit.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    _check_key_type(df, key_col)
+    df = df.filter(F.col(key_col).isNotNull())
+    h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")).cast("binary"))
+    shard = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards).cast(
+        "int"
+    )
+    order = F.conv(F.substring(h, 9, 12), 16, 10).cast("long")
+    out_cols = df.columns
+    w = Window.partitionBy("shard").orderBy(F.col("__ord"), F.col(key_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__ord", order)
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .select(*out_cols, "shard", "shard_pos")
+    )
+
+
+def shuffle_shards_sql(
+    key_expr: str, n_shards: int, seed: str = ""
+) -> tuple[str, str]:
+    """DuckDB-equivalent (shard, order-slice) expressions for
+    :func:`shuffle_shards`, as a SQL fragment pair usable in a CTE:
+    ``shard_expr AS shard``, ``ord_expr AS __ord``."""
+    h = f"md5('{seed}' || CAST({key_expr} AS VARCHAR))"
+    shard = f"(('0x' || substr({h}, 1, 8))::BIGINT % {n_shards})"
+    order = f"(('0x' || substr({h}, 9, 12))::BIGINT)"
+    return shard, order

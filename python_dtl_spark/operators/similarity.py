@@ -705,3 +705,89 @@ def projected_topk(
     return _rescore_exact(
         candidates, corpus, queries, k, id_col, vec_col, query_id_col
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    method: str = "exact",
+    **method_kwargs,
+) -> DataFrame:
+    """Leave-one-out k-nearest-neighbor label vote over an embedding
+    corpus: each vector is assigned the majority label among its ``k``
+    nearest OTHER vectors by cosine.
+
+    The label-propagation / quality-classifier shape of LLM data
+    curation: a small hand-labeled seed set plus embeddings lets kNN
+    majority vote label the rest of the corpus (or, run leave-one-out
+    as here, audit the seed labels themselves — a vector whose
+    neighbors out-vote its own label is a labeling-error candidate).
+
+    ``method`` picks the neighbor stage: ``"exact"`` (cosine_topk —
+    the brute-force baseline, corpus × corpus, legal while the corpus
+    broadcasts; refuses beyond MAX_BROADCAST_QUERIES like every flat
+    tier here) or ``"lsh"`` (lsh_bucketed_topk — the 100 TB path:
+    bucketed candidates, one shuffle, no all-pairs stage;
+    ``method_kwargs`` pass through: planes, multiprobe_bits, dim).
+    Everything after the neighbor stage is identical.
+
+    Deterministic output: (id, predicted_label, votes) with ties broken
+    by best (lowest) neighbor rank within the tied labels, then by
+    label value — both SQL-expressible, so the exact tier carries a
+    full DuckDB value oracle.
+
+    Plan shape: neighbor top-k (its own contract) → join neighbor ids
+    against the narrow (id, label) projection (AQE picks broadcast
+    while labels are small) → count votes per (query, label) → one
+    WindowGroupLimit-prunable row_number to keep each query's winning
+    label.  Nothing collects; the vote table is at most corpus × k
+    rows and aggregates map-side first.
+    """
+    queries = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col))
+    if method == "exact":
+        topk = cosine_topk(
+            corpus,
+            queries,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            include_self=False,
+            **method_kwargs,
+        )
+    elif method == "lsh":
+        topk = lsh_bucketed_topk(
+            corpus,
+            queries,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            **method_kwargs,
+        )
+    else:
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        topk.join(labels, on="neighbor_id", how="inner")
+        .groupBy("query_id", "__nl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("votes"),
+            F.min("rank").alias("__best"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("__best"), F.asc("__nl")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("__nl").alias("predicted_label"),
+            "votes",
+        )
+    )

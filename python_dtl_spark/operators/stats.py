@@ -466,3 +466,85 @@ def winsorize(
         .withColumn(out, clipped)
         .drop("__wlo", "__whi")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    z: float = 3.5,
+    scale: float = 0.6745,
+) -> DataFrame:
+    """Robust (median / MAD) outlier gate — the heavy-tail-safe sibling
+    of :func:`zscore_outliers`.
+
+    Mean/stddev are themselves dragged by the outliers they are meant
+    to find; the median and the median-absolute-deviation are not
+    (50% breakdown point), so this gate stays calibrated on the
+    long-tailed value distributions event and metrics pipelines
+    actually have.  Flags rows where
+    ``|scale * (v - median) / MAD| > z`` — ``scale=0.6745`` rescales
+    MAD to estimate sigma under normality, making ``z`` comparable to
+    a z-score threshold (3.5 is the classic Iglewicz-Hoaglin cut).
+
+    Both the median and the MAD use ``percentile_disc`` (actual data
+    values, no interpolation — same recipe as ``grouped_percentiles``),
+    so the statistic is a handful of exact-input-value arithmetic ops
+    and a DuckDB oracle matches bit-for-bit.
+
+    NaN values are masked from both aggregates and from candidacy
+    (one corrupt reading must not poison the group), NULL group keys
+    are a group like any other (null-safe join-back), and a group
+    with MAD = 0 (majority at the median) flags nothing rather than
+    dividing by zero.
+
+    Plan shape: two partial+final aggs on the group keys (median, then
+    MAD of deviations) each broadcast-joined back while the group
+    dimension is small; both join-backs key the same columns, so the
+    second agg reuses the first join's partitioning instead of adding
+    a third exchange.  The percentile aggregate buffers each group's
+    column in its reducer — the same ~10^8 rows/executor bound (and
+    ``approx_percentile`` escape valve) documented on
+    :func:`equi_depth_histogram` applies at 100 TB.
+    """
+    v = F.col(value_col)
+    vtype = dict(df.dtypes).get(value_col)
+    is_float = vtype in ("double", "float")
+    clean = F.when(~F.isnan(v), v) if is_float else v
+    base = df.withColumn("__mv", clean)
+
+    def _joined_back(frame: DataFrame, agg_col, alias: str) -> DataFrame:
+        stats_df = frame.groupBy(*by).agg(agg_col.alias(alias))
+        stats_df = stats_df.select(
+            *[F.col(k).alias(f"__st_{k}") for k in by], alias
+        )
+        cond = None
+        for k in by:
+            c = F.col(k).eqNullSafe(F.col(f"__st_{k}"))
+            cond = c if cond is None else cond & c
+        return frame.join(stats_df, cond, "inner").drop(
+            *[f"__st_{k}" for k in by]
+        )
+
+    med = _joined_back(
+        base,
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __mv)"),
+        "group_median",
+    )
+    dev = med.withColumn("__ad", F.abs(F.col("__mv") - F.col("group_median")))
+    mad = _joined_back(
+        dev,
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __ad)"),
+        "group_mad",
+    )
+    candidate = F.col("group_mad") > 0.0
+    candidate = candidate & F.col("__mv").isNotNull()
+    rz = F.when(
+        candidate,
+        F.lit(scale) * (F.col("__mv") - F.col("group_median")) / F.col("group_mad"),
+    ).otherwise(F.lit(0.0))
+    return (
+        mad.withColumn("robust_z", rz)
+        .filter(F.abs(F.col("robust_z")) > z)
+        .drop("__mv", "__ad")
+    )

@@ -2490,3 +2490,243 @@ def test_cohort_retention_null_users_excluded(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     [r] = cohort_retention(df).collect()
     assert r.cohort_size == 2 and r.n_users == 2 and r.retention == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-8 second wave: JSON extraction, kNN classify, MAD, shards, cube
+# ---------------------------------------------------------------------------
+
+
+def test_json_extract_fields_typed_missing_and_malformed(spark):
+    from python_dtl_spark.operators import semistructured
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 7, "s": "a", "arr": [1, 2]}'),
+            (2, '{"k": "not-an-int", "s": "b"}'),  # wrong type -> NULL k
+            (3, '{"s": "c"}'),  # missing k -> NULL
+            (4, "{broken json"),  # malformed -> all NULL
+            (5, None),  # NULL doc -> all NULL
+        ],
+        "id long, props string",
+    )
+    out = semistructured.json_extract_fields(
+        df, "props", {"k": "bigint", "s": "string", "arr": "array<bigint>"}
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["k"] == 7 and rows[1]["s"] == "a" and rows[1]["arr"] == [1, 2]
+    assert rows[2]["k"] is None and rows[2]["s"] == "b"
+    assert rows[3]["k"] is None
+    assert rows[4]["k"] is None and rows[4]["s"] is None
+    assert rows[5]["k"] is None
+    assert dict(out.dtypes)["k"] == "bigint"
+    assert dict(out.dtypes)["arr"] == "array<bigint>"
+    # original columns preserved, no helper column leaks
+    assert set(out.columns) == {"id", "props", "k", "s", "arr"}
+
+
+def test_json_extract_fields_requires_fields(spark):
+    import pytest
+
+    from python_dtl_spark.operators import semistructured
+
+    df = spark.createDataFrame([(1, "{}")], "id long, props string")
+    with pytest.raises(ValueError, match="at least one field"):
+        semistructured.json_extract_fields(df, "props", {})
+
+
+def test_knn_classify_majority_vote_and_tiebreak(spark):
+    from python_dtl_spark.operators import similarity
+
+    # three tight clusters on distinct axes; within a cluster every
+    # vector's nearest neighbors are its cluster-mates, so the
+    # leave-one-out vote must reproduce the cluster label
+    rows = []
+    for cluster, label in ((0, 10), (1, 20), (2, 30)):
+        for j in range(5):
+            vec = [0.0] * 6
+            vec[cluster * 2] = 1.0
+            vec[cluster * 2 + 1] = 0.01 * j  # break exact ties
+            rows.append((cluster * 100 + j, vec, label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.knn_classify(df, k=4)
+    got = {r["vec_id"]: (r["predicted_label"], r["votes"]) for r in out.collect()}
+    assert len(got) == 15
+    for cluster, label in ((0, 10), (1, 20), (2, 30)):
+        for j in range(5):
+            assert got[cluster * 100 + j] == (label, 4)
+
+
+def test_knn_classify_tie_breaks_by_best_rank_then_label(spark):
+    from python_dtl_spark.operators import similarity
+
+    # query 0's two nearest neighbors split 1-1 between labels 5 and 9;
+    # label 9 owns the CLOSER neighbor, so it must win the tie
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 5),
+            (1, [0.9, 0.1], 9),   # closest to 0
+            (2, [0.8, 0.25], 5),  # second-closest
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {r["vec_id"]: r for r in similarity.knn_classify(df, k=2).collect()}
+    assert out[0]["predicted_label"] == 9 and out[0]["votes"] == 1
+
+
+def test_knn_classify_lsh_tier_matches_exact_on_separated_clusters(spark):
+    from python_dtl_spark.operators import similarity
+
+    rows = []
+    for cluster, label in ((0, 1), (1, 2)):
+        for j in range(6):
+            vec = [0.0] * 8
+            vec[cluster * 4] = 1.0
+            vec[cluster * 4 + 1] = 0.02 * j
+            rows.append((cluster * 10 + j, vec, label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    exact = {
+        r["vec_id"]: r["predicted_label"]
+        for r in similarity.knn_classify(df, k=3).collect()
+    }
+    lsh = {
+        r["vec_id"]: r["predicted_label"]
+        for r in similarity.knn_classify(
+            df, k=3, method="lsh", planes=4, multiprobe_bits=2, dim=8
+        ).collect()
+    }
+    assert exact == {r[0]: r[2] for r in rows}
+    # antipodal clusters always separate under any hyperplane set that
+    # splits them; multiprobe keeps cluster-mates reachable
+    for vid, lab in lsh.items():
+        assert lab == exact[vid]
+
+
+def test_knn_classify_rejects_unknown_method(spark):
+    import pytest
+
+    from python_dtl_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0], 1)], "vec_id long, embedding array<double>, label int"
+    )
+    with pytest.raises(ValueError, match="method"):
+        similarity.knn_classify(df, method="annoy")
+
+
+def test_mad_outliers_flags_extreme_not_dragged_by_it(spark):
+    from python_dtl_spark.operators import stats
+
+    # 9 values near 10 plus one at 1000: the outlier drags the MEAN so
+    # hard the plain z-score misses it (z < 3.5 in a 10-row group), but
+    # median/MAD stay at the bulk and flag it
+    vals = [9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 11.5, 1000.0]
+    df = spark.createDataFrame(
+        [(i, "a", v) for i, v in enumerate(vals)], "id long, g string, value double"
+    )
+    out = stats.mad_outliers(df, "value", ["g"], z=3.5)
+    rows = out.collect()
+    assert [r["id"] for r in rows] == [9]
+    assert rows[0]["group_median"] == 10.0
+    assert rows[0]["group_mad"] == 0.5
+    assert abs(rows[0]["robust_z"] - 0.6745 * (1000.0 - 10.0) / 0.5) < 1e-9
+
+
+def test_mad_outliers_zero_mad_group_flags_nothing(spark):
+    from python_dtl_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(i, "c", 5.0) for i in range(9)] + [(9, "c", 500.0)],
+        "id long, g string, value double",
+    )
+    # median 5, MAD 0 (majority at the median): no division, no flags
+    assert stats.mad_outliers(df, "value", ["g"]).count() == 0
+
+
+def test_mad_outliers_nan_and_null_do_not_poison_group(spark):
+    from python_dtl_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(0, "a", 9.0), (1, "a", 10.0), (2, "a", 10.0), (3, "a", 11.0),
+         (4, "a", float("nan")), (5, "a", None), (6, "a", 1000.0)],
+        "id long, g string, value double",
+    )
+    rows = stats.mad_outliers(df, "value", ["g"], z=3.5).collect()
+    assert [r["id"] for r in rows] == [6]
+    assert rows[0]["group_median"] == 10.0
+
+
+def test_mad_outliers_null_group_key_participates(spark):
+    from python_dtl_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(0, None, 9.0), (1, None, 10.0), (2, None, 10.5), (3, None, 11.0),
+         (4, None, 1000.0), (5, "b", 1.0)],
+        "id long, g string, value double",
+    )
+    rows = stats.mad_outliers(df, "value", ["g"], z=3.5).collect()
+    assert [r["id"] for r in rows] == [4]
+
+
+def test_shuffle_shards_total_deterministic_permutation(spark):
+    from python_dtl_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = sampling.shuffle_shards(df, "doc_id", 8, seed="s").collect()
+    b = sampling.shuffle_shards(df, "doc_id", 8, seed="s").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # retry-stable
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert sum(len(v) for v in by_shard.values()) == 200
+    for shard, poss in by_shard.items():
+        assert 0 <= shard < 8
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+    # a different seed yields a different permutation
+    c = sampling.shuffle_shards(df, "doc_id", 8, seed="t").collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_shuffle_shards_excludes_null_keys_and_validates(spark):
+    import pytest
+
+    from python_dtl_spark.operators import sampling
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    assert sampling.shuffle_shards(df, "doc_id", 4).count() == 1
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.shuffle_shards(df, "doc_id", 0)
+    fdf = spark.createDataFrame([(1.5,)], "doc_id double")
+    with pytest.raises(ValueError, match="stable key"):
+        sampling.shuffle_shards(fdf, "doc_id", 4)
+
+
+def test_dimensional_cube_levels_and_sql_avg(spark):
+    from python_dtl_spark.operators import rollup
+
+    df = spark.createDataFrame(
+        [("x", "p", 1.0), ("x", "q", 3.0), ("y", "p", 5.0), ("y", "p", None)],
+        "a string, b string, v double",
+    )
+    out = rollup.dimensional_cube(df, ["a", "b"], ["v"])
+    rows = {(r["a"], r["b"], r["gid"]): r for r in out.collect()}
+    assert len(rows) == 3 + 2 + 2 + 1  # cells + a-rollup + b-rollup + total
+    total = rows[(None, None, 3)]
+    assert total["n_rows"] == 4
+    assert total["sum_v"] == 9.0
+    # SQL AVG: NULL v stays out of the denominator (9/3, not 9/4)
+    assert total["avg_v"] == 3.0
+    ya = rows[("y", None, 1)]  # b rolled up => LSB set for b? (b is last dim)
+    assert ya["n_rows"] == 2 and ya["sum_v"] == 5.0 and ya["avg_v"] == 5.0
+    xp = rows[("x", "p", 0)]
+    assert xp["n_rows"] == 1 and xp["sum_v"] == 1.0
+
+
+def test_dimensional_cube_requires_dims(spark):
+    import pytest
+
+    from python_dtl_spark.operators import rollup
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="dims"):
+        rollup.dimensional_cube(df, [], ["v"])

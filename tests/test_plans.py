@@ -758,3 +758,69 @@ def test_zscore_null_safe_join_is_still_hash_join(spark):
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_props_extract_stays_jvm_side_single_agg_exchange(spark):
+    """JSON extraction must be from_json (codegen) — never a Python
+    eval — and the whole query needs exactly one Exchange (the
+    event_type aggregate); the parse itself is shuffle-free."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["events_props_extract"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "from_json" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_knn_classify_lsh_tier_no_all_pairs_stage(spark):
+    """The kNN scale tier builds candidates through the LSH bucket
+    equi-join: no cartesian/nested-loop anywhere in the plan (the
+    exact tier is a deliberate broadcast flat scan and is guarded by
+    MAX_BROADCAST_QUERIES instead)."""
+    from python_dtl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = similarity.knn_classify(emb, k=5, method="lsh", planes=8, dim=64)
+    plan = _exec_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mad_outliers_no_nested_loop_broadcast_joinbacks(spark):
+    """Both MAD join-backs key the small per-group statistics: they
+    must be broadcast hash joins (group dim is tiny), never nested
+    loops, with map-side partial aggregates for the percentiles."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["events_mad_outliers"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_shuffle_shards_one_exchange_no_global_sort(spark):
+    """Sharding is ONE hash exchange on the shard id plus per-shard
+    local sorts — a global range sort (rangepartitioning) would
+    serialize the permutation through a single ordering and defeat
+    the point."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_shuffle_shards"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_status_cube_single_shuffle_expand(spark):
+    """CUBE compiles to one Expand feeding one partial+final aggregate
+    pair: every subtotal level shares a single Exchange (the
+    hand-written alternative is 2^d scans and 2^d shuffles)."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["orders_status_cube"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan
