@@ -243,6 +243,32 @@ AUDITED = {
         "reusing final agg — plan linear in k (the join-chain form "
         "measured 27 exchanges at k=7); no per-user collection"
     ),
+    "events_props_extract": (
+        "schema-on-read JSON: from_json stays JVM-side (no Python "
+        "eval) and shuffle-free; the one Exchange belongs to the "
+        "event_type aggregate, with map-side partials"
+    ),
+    "embed_knn_classify": (
+        "exact kNN tier: corpus x broadcast-query flat scan (guarded "
+        "by MAX_BROADCAST_QUERIES; the lsh method is the bucketed "
+        "scale path), vote counts aggregate map-side, winner pick is "
+        "a WindowGroupLimit-prunable rank-1 filter"
+    ),
+    "events_mad_outliers": (
+        "median and MAD each one partial+final percentile agg on the "
+        "group key, joined back as BroadcastHashJoin (tiny stat side); "
+        "no nested loop, candidacy and division guarded in-plan"
+    ),
+    "doc_shuffle_shards": (
+        "one hash Exchange on the shard id + per-shard LOCAL sort for "
+        "the rank — no rangepartitioning (a global sort would "
+        "serialize the permutation through one ordering)"
+    ),
+    "orders_status_cube": (
+        "CUBE = Expand (4 grouping sets map-side) feeding ONE "
+        "partial+final hash aggregate pair — every subtotal level "
+        "shares a single Exchange"
+    ),
 }
 
 

@@ -22,7 +22,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql import types as T  # noqa: E402
 
 from python_dtl_spark.operators import dedup  # noqa: E402
+from python_dtl_spark.operators import rollup as rollup_ops  # noqa: E402
 from python_dtl_spark.operators import sampling  # noqa: E402
+from python_dtl_spark.operators import similarity  # noqa: E402
 from python_dtl_spark.operators import stats as stats_ops  # noqa: E402
 from python_dtl_spark.operators import text as text_ops  # noqa: E402
 from python_dtl_spark.session import get_spark  # noqa: E402
@@ -539,6 +541,24 @@ def main() -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    emb_lab = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+
+    def emb_lab_at(n: int):
+        parts = []
+        for i in range(n):
+            part = emb_lab.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+            )
+            parts.append(rotate_vec(part, i) if i else part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     stream_workdir = tempfile.mkdtemp(prefix="scale_probe_stream_")
 
     def q1(li):
@@ -820,6 +840,75 @@ def main() -> None:
                     threshold=0.9,
                     planes=12 + max(1, factor.bit_length() - 1),
                     dim=64,
+                ),
+            ),
+            (
+                # kNN labeling, LSH tier (the 100 TB path — the exact
+                # tier is a guarded flat broadcast by contract).
+                # Rotated replicas, planes scale log2(factor) per the
+                # bucket-occupancy rule; votes/window stages add only
+                # corpus×k rows on top of the candidate join.
+                "knn_classify_lsh",
+                similarity.knn_classify(
+                    emb_lab, k=10, method="lsh", planes=12, dim=64
+                ),
+                similarity.knn_classify(
+                    emb_lab_at(factor),
+                    k=10,
+                    method="lsh",
+                    planes=12 + max(1, factor.bit_length() - 1),
+                    dim=64,
+                ),
+            ),
+            (
+                # replicated events (fresh ids, same 5 event types):
+                # rows ×N per group — probes the percentile_disc
+                # reducer buffering both stat aggs plus the two
+                # broadcast join-backs staying linear.
+                "mad_outliers",
+                stats_ops.mad_outliers(
+                    events.select("event_id", "event_type", "value"),
+                    "value",
+                    ["event_type"],
+                    z=3.5,
+                ),
+                stats_ops.mad_outliers(
+                    replicate(events, factor, ["event_id", "user_id"]).select(
+                        "event_id", "event_type", "value"
+                    ),
+                    "value",
+                    ["event_type"],
+                    z=3.5,
+                ),
+            ),
+            (
+                # shards scale WITH the corpus (n_shards ∝ rows — the
+                # operator's sizing rule), so per-shard sort volume is
+                # constant and the single hash exchange carries the
+                # growth; near-linear ratio = no global ordering crept
+                # in.
+                "shuffle_shards",
+                sampling.shuffle_shards(documents, "doc_id", 16, seed="p"),
+                sampling.shuffle_shards(
+                    replicate(documents, factor, ["doc_id"]),
+                    "doc_id",
+                    16 * factor,
+                    seed="p",
+                ),
+            ),
+            (
+                # constant dims, rows ×N: output is FIXED (24 rows), so
+                # flat-ish time proves the Expand's ×4 map-side rows are
+                # absorbed by partial aggregation before the one
+                # exchange.
+                "status_cube",
+                rollup_ops.dimensional_cube(
+                    orders, ["o_orderstatus", "o_orderpriority"], ["o_totalprice"]
+                ),
+                rollup_ops.dimensional_cube(
+                    replicate(orders, factor, ["o_orderkey", "o_custkey"]),
+                    ["o_orderstatus", "o_orderpriority"],
+                    ["o_totalprice"],
                 ),
             ),
         ]:
