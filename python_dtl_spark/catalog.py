@@ -5141,9 +5141,10 @@ _register(
                ) AS rank
         FROM v c, v q WHERE c.vec_id <> q.vec_id
     ), votes AS (
+        -- NULL (unlabeled) neighbors cast no vote, mirroring the engine
         SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes,
                min(rank) AS best
-        FROM scored WHERE rank <= 10 GROUP BY 1, 2
+        FROM scored WHERE rank <= 10 AND nl IS NOT NULL GROUP BY 1, 2
     ), win AS (
         SELECT query_id, nl, votes,
                row_number() OVER (

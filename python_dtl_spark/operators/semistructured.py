@@ -45,16 +45,28 @@ def json_extract_fields(
     """
     if not fields:
         raise ValueError("fields must name at least one field to extract")
+    clash = [prefix + name for name in fields if prefix + name in df.columns]
+    if clash:
+        # Spark allows duplicate column names in a projection; the
+        # ambiguity only explodes later at resolution time — reject it
+        # here where the cause is obvious
+        raise ValueError(
+            f"extracted column(s) {clash} collide with existing columns; "
+            "set prefix= to disambiguate"
+        )
     ddl = ", ".join(
         "`" + name.replace("`", "``") + "` " + dtype
         for name, dtype in fields.items()
     )
     parsed = F.from_json(F.col(json_col), ddl)
-    out = df.withColumn("__parsed", parsed)
+    helper = "__json_parsed"
+    while helper in df.columns:
+        helper += "_"
+    out = df.withColumn(helper, parsed)
     return out.select(
         *df.columns,
         *[
-            F.col("__parsed").getField(name).alias(prefix + name)
+            F.col(helper).getField(name).alias(prefix + name)
             for name in fields
         ],
     )

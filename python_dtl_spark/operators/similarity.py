@@ -768,7 +768,11 @@ def knn_classify(
         )
     else:
         raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
-    labels = corpus.select(
+    # unlabeled (NULL-label) neighbors cast no vote — they would
+    # otherwise form their own NULL "label" group and could win the
+    # majority; a query whose k neighbors are ALL unlabeled is absent
+    # from the output (nothing to vote with)
+    labels = corpus.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__nl")
     )
     votes = (

@@ -2730,3 +2730,36 @@ def test_dimensional_cube_requires_dims(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError, match="dims"):
         rollup.dimensional_cube(df, [], ["v"])
+
+
+def test_json_extract_fields_rejects_column_collision(spark):
+    import pytest
+
+    from python_dtl_spark.operators import semistructured
+
+    df = spark.createDataFrame([(1, '{"id": 2}')], "id long, props string")
+    with pytest.raises(ValueError, match="collide"):
+        semistructured.json_extract_fields(df, "props", {"id": "bigint"})
+    # prefix disambiguates
+    out = semistructured.json_extract_fields(
+        df, "props", {"id": "bigint"}, prefix="p_"
+    )
+    assert out.collect()[0]["p_id"] == 2
+
+
+def test_knn_classify_null_labels_cast_no_vote(spark):
+    from python_dtl_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),
+            (1, [0.95, 0.05], None),  # closest neighbor, unlabeled
+            (2, [0.9, 0.1], None),
+            (3, [0.85, 0.2], 7),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = {r["vec_id"]: r for r in similarity.knn_classify(df, k=3).collect()}
+    # query 0's 3 neighbors are 1,2 (NULL) and 3 (7): NULLs cast no
+    # vote, so label 7 wins with ONE vote, not NULL with two
+    assert out[0]["predicted_label"] == 7 and out[0]["votes"] == 1
