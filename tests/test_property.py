@@ -697,3 +697,94 @@ def test_winsorize_output_values_are_input_values(spark, vals, exact):
         lo = min(x.value_winsorized for x in out)
         hi = max(x.value_winsorized for x in out)
         assert lo <= r.value_winsorized <= hi
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    n_shards=st.integers(min_value=1, max_value=9),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_shuffle_shards_layout_invariant_total_permutation(spark, n, n_shards, parts):
+    """shard/shard_pos depend only on (key, seed) — NOT on partition
+    layout (the retry-stability contract) — and positions are a dense
+    1..len permutation within every shard."""
+    from python_dtl_spark.operators.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i * 7 + 3,) for i in range(n)], "doc_id long")
+    a = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in shuffle_shards(df, "doc_id", n_shards, seed="x").collect()
+    }
+    b = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in shuffle_shards(
+            df.repartition(parts), "doc_id", n_shards, seed="x"
+        ).collect()
+    }
+    assert a == b
+    by_shard: dict[int, list[int]] = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert len(a) == n
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=3,
+        max_size=60,
+    ),
+    z=st.sampled_from([2.0, 3.5]),
+)
+def test_mad_outliers_matches_bruteforce(spark, vals, z):
+    """Engine median/MAD gate vs a literal Python reimplementation:
+    same flagged ids, same statistics (percentile_disc = sorted-element
+    pick, no interpolation)."""
+    from python_dtl_spark.operators.stats import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, "g", v) for i, v in enumerate(vals)], "id long, g string, value double"
+    )
+    out = {r.id: r for r in mad_outliers(df, "value", ["g"], z=z).collect()}
+
+    def disc_median(xs):
+        # smallest element whose cume_dist >= 0.5
+        s = sorted(xs)
+        import math as m
+
+        return s[m.ceil(len(s) * 0.5) - 1]
+
+    med = disc_median(vals)
+    mad = disc_median([abs(v - med) for v in vals])
+    expected = {}
+    if mad > 0.0:
+        for i, v in enumerate(vals):
+            rz = 0.6745 * (v - med) / mad
+            if abs(rz) > z:
+                expected[i] = rz
+    assert set(out) == set(expected)
+    import math as m
+
+    for i, rz in expected.items():
+        assert out[i].group_median == med
+        assert out[i].group_mad == mad
+        if m.isinf(rz):
+            # a subnormal MAD can overflow the ratio — both engines
+            # overflow identically; inf - inf is nan, so compare exactly
+            assert out[i].robust_z == rz
+        else:
+            assert abs(out[i].robust_z - rz) < 1e-12
