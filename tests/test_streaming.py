@@ -450,3 +450,65 @@ def test_cli_sorted_export_and_merge_schema_flags(spark, tmp_path):
     assert set(back.columns) == {"o_orderkey", "note"}
     notes = [r.note for r in back.collect() if r.note is not None]
     assert notes == ["late"]  # evolved column visible, old rows NULL
+
+
+def test_streaming_json_extraction_matches_batch(spark, tmp_path):
+    """Schema-on-read JSON extraction is a stateless column transform,
+    so the same call chain runs identically over readStream: extract a
+    typed field from the props sidecar, aggregate per event type via a
+    watermarked tumbling window, compare to batch."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from python_dtl_spark.operators.semistructured import json_extract_fields
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 5 * i), "c" if i % 2 else "v", f'{{"k": {i * 10}}}')
+        for i in range(8)
+    ] + [(99, dt.datetime(2024, 1, 1, 1, 0), "v", "{broken")]
+    batch_df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "json_stream")
+    batch_df.write.parquet(src)
+
+    def agg(df):
+        ex = json_extract_fields(df, "props", {"k": "bigint"})
+        return (
+            ex.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("k").alias("sum_k"),
+                F.count("k").alias("n_with_k"),
+            )
+            .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_k", "n_with_k")
+        )
+
+    stream = (
+        spark.readStream.schema(schema).parquet(src).withWatermark("ts", "2 hours")
+    )
+    q = run_stream_to_memory(agg(stream), "json_stream_test", mode="complete")
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.ws, r.event_type): (r.n, r.sum_k, r.n_with_k)
+            for r in spark.table("json_stream_test").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.ws, r.event_type): (r.n, r.sum_k, r.n_with_k)
+        for r in agg(batch_df).collect()
+    }
+    assert streamed == batch
+    # the malformed-sidecar row is counted (n) but contributes no k
+    hour2 = [v for (ws, et), v in batch.items() if ws.hour == 1]
+    assert hour2 == [(1, None, 0)]
