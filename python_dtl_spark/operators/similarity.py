@@ -714,6 +714,7 @@ def knn_classify(
     vec_col: str = "embedding",
     label_col: str = "label",
     method: str = "exact",
+    num_vectors: int | None = None,
     **method_kwargs,
 ) -> DataFrame:
     """Leave-one-out k-nearest-neighbor label vote over an embedding
@@ -728,8 +729,9 @@ def knn_classify(
 
     ``method`` picks the neighbor stage: ``"exact"`` (cosine_topk —
     the brute-force baseline, corpus × corpus, legal while the corpus
-    broadcasts; refuses beyond MAX_BROADCAST_QUERIES like every flat
-    tier here) or ``"lsh"`` (lsh_bucketed_topk — the 100 TB path:
+    broadcasts; pass ``num_vectors`` — the corpus size — so the
+    MAX_BROADCAST_QUERIES guard can refuse oversized flat scans
+    action-free, like every flat tier here) or ``"lsh"`` (lsh_bucketed_topk — the 100 TB path:
     bucketed candidates, one shuffle, no all-pairs stage;
     ``method_kwargs`` pass through: planes, multiprobe_bits, dim).
     Everything after the neighbor stage is identical.
@@ -748,6 +750,9 @@ def knn_classify(
     """
     queries = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col))
     if method == "exact":
+        # the query set IS the corpus here, so pass its size as the
+        # broadcast-guard hint: leave-one-out over a corpus beyond
+        # MAX_BROADCAST_QUERIES must refuse the flat tier (use lsh)
         topk = cosine_topk(
             corpus,
             queries,
@@ -755,6 +760,7 @@ def knn_classify(
             id_col=id_col,
             vec_col=vec_col,
             include_self=False,
+            num_queries=num_vectors,
             **method_kwargs,
         )
     elif method == "lsh":
