@@ -3094,11 +3094,14 @@ _register(
     # elements, hash-exact)
     """
     WITH ranked AS (
+        -- NULL values excluded, mirroring percentile_disc (which
+        -- ignores them): cume_dist would otherwise count NULL rows in
+        -- its denominator and shift every edge
         SELECT event_type, value,
                cume_dist() OVER (
                    PARTITION BY event_type ORDER BY value
                ) AS cd
-        FROM events
+        FROM events WHERE value IS NOT NULL
     )
     SELECT event_type,
            min(CASE WHEN cd >= 0.5 THEN value END) AS p5,
@@ -5179,9 +5182,12 @@ _register(
     _q_mad_outliers,
     """
     WITH ranked AS (
+        -- NaN AND NULL excluded, mirroring the engine: percentile_disc
+        -- ignores NULLs, while cume_dist would count them in its
+        -- denominator and shift the median
         SELECT event_type, value,
                cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
-        FROM events WHERE NOT isnan(value)
+        FROM events WHERE NOT isnan(value) AND value IS NOT NULL
     ), med AS (
         SELECT event_type, min(CASE WHEN cd >= 0.5 THEN value END) AS m
         FROM ranked GROUP BY 1
@@ -5189,7 +5195,7 @@ _register(
         SELECT e.event_id, e.event_type, e.value, med.m,
                abs(e.value - med.m) AS ad
         FROM events e JOIN med USING (event_type)
-        WHERE NOT isnan(e.value)
+        WHERE NOT isnan(e.value) AND e.value IS NOT NULL
     ), dranked AS (
         SELECT *, cume_dist() OVER (
                    PARTITION BY event_type ORDER BY ad
