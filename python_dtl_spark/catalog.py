@@ -1732,7 +1732,8 @@ _register(
     f"""
     WITH split AS (
         SELECT doc_id, text,
-               CASE WHEN {_CONTAM_B} < 8000 THEN 'train'
+               CASE WHEN doc_id IS NULL THEN NULL
+                    WHEN {_CONTAM_B} < 8000 THEN 'train'
                     WHEN {_CONTAM_B} < 9000 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
@@ -2636,7 +2637,8 @@ _register(
     _q_hash_split,
     f"""
     SELECT doc_id,
-           CASE WHEN {_B} < 8000 THEN 'train'
+           CASE WHEN doc_id IS NULL THEN NULL
+                WHEN {_B} < 8000 THEN 'train'
                 WHEN {_B} < 9000 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
@@ -2909,7 +2911,8 @@ _register(
         SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text FROM kept GROUP BY text
     ), split AS (
         SELECT doc_id, text,
-               CASE WHEN {_CB} < 8000 THEN 'train'
+               CASE WHEN doc_id IS NULL THEN NULL
+                    WHEN {_CB} < 8000 THEN 'train'
                     WHEN {_CB} < 9000 THEN 'val'
                     ELSE 'test' END AS split
         FROM deduped
@@ -4560,7 +4563,8 @@ _register(
     f"""
     WITH split AS (
         SELECT doc_id, text,
-               CASE WHEN {_CONTAM_B} < 8000 THEN 'train'
+               CASE WHEN doc_id IS NULL THEN NULL
+                    WHEN {_CONTAM_B} < 8000 THEN 'train'
                     WHEN {_CONTAM_B} < 9000 THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
@@ -4613,7 +4617,7 @@ _register(
                    PARTITION BY source
                    ORDER BY md5('q1' || CAST(doc_id AS VARCHAR)), doc_id
                ) AS r
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     ) WHERE r <= 15
     """,
     headline=True,
@@ -5234,7 +5238,7 @@ _register(
         SELECT doc_id,
                CAST({_SHARD_EXPR} AS INTEGER) AS shard,
                {_SHARD_ORD} AS o
-        FROM documents
+        FROM documents WHERE doc_id IS NOT NULL
     )
     SELECT doc_id, shard,
            CAST(row_number() OVER (
