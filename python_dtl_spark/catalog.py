@@ -5412,6 +5412,17 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "dtl_except": 8,
     "dtl_scalar_functions": 8,
     "trace_provenance": 8,
+    # NOT listed despite round-8 oracle edits (deliberate):
+    # events_value_percentiles, decontaminate_train_test,
+    # decontaminate_prefiltered and doc_domain_quota gained NULL-guard
+    # clauses in their ORACLE SQL only — branches provably never taken
+    # on the NULL-free driver fixtures (WHERE k IS NOT NULL removes
+    # nothing; the added CASE arm requires a NULL key), so the
+    # verification pair is value-identical and their existing green
+    # rows remain valid evidence.  Forcing them would overflow the
+    # 50-slot window and push genuinely-changed engine code out of
+    # round-8 re-verification.  All four re-verified locally (sf0.01
+    # full-catalog run) after the edit.
     # round-8 fifth review wave: SQL-AVG rollup denominators, NULL-user
     # retention exclusion, dotted-name-safe funnel/rollup internals
     "events_time_rollup": 8,
