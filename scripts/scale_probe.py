@@ -317,6 +317,115 @@ def ann_recall_probe(spark, embeddings, factor: int):
     return rows
 
 
+def knn_label_probe(spark, embeddings, factor: int):
+    """kNN-labeling quality under growth: each of 16 query vectors gets
+    10 planted near-copies (cosine ≈ 0.999) carrying a sentinel label
+    (777) absent from the natural data — the exact leave-one-out vote
+    is therefore 777 by construction (the copies fill all k=10 slots),
+    and the probe measures whether (a) the exact-vote machinery and
+    (b) the LSH tier still assign 777 as the noise corpus grows
+    ``factor``× (planes scale +log2(factor) per the bucket-occupancy
+    rule).  Runtime rows for the LSH tier cover the FULL corpus
+    labeling job, not just the probe queries — the number a training
+    pipeline would pay."""
+    from pyspark.sql import Window as W
+
+    from python_dtl_spark.operators import similarity
+
+    base = embeddings.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        "label",
+    )
+
+    def planted():
+        parts = []
+        for j in range(10):
+            parts.append(
+                base.filter(F.col("vec_id") < 16).select(
+                    (
+                        F.lit(10_000_000_000) + F.col("vec_id") * 100 + F.lit(j)
+                    ).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x, i: x + ((i + F.lit(j)) % 5 - 2) * F.lit(0.002),
+                    ).alias("embedding"),
+                    F.lit(777).cast("int").alias("label"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def corpus_at(n: int):
+        parts = []
+        for i in range(n):
+            part = base.withColumn(
+                "vec_id", F.col("vec_id") + F.lit(i * 10_000_000)
+            )
+            parts.append(rotate_vec(part, i) if i else part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.unionByName(planted())
+
+    queries = base.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def vote(topk, corpus):
+        labels = corpus.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nl")
+        ).filter(F.col("__nl").isNotNull())
+        v = (
+            topk.join(labels, on="neighbor_id")
+            .groupBy("query_id", "__nl")
+            .agg(F.count(F.lit(1)).alias("votes"), F.min("rank").alias("__best"))
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("votes"), F.asc("__best"), F.asc("__nl")
+        )
+        return {
+            r["query_id"]: r["__nl"]
+            for r in v.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .collect()
+        }
+
+    rows = []
+    for n in (1, factor):
+        corpus = corpus_at(n)
+        start = time.perf_counter()
+        exact_preds = vote(
+            similarity.cosine_topk(corpus, queries, k=10), corpus
+        )
+        dt = time.perf_counter() - start
+        agree = sum(1 for q in range(16) if exact_preds.get(q) == 777) / 16
+        rows.append(("knn_exact_vote", n, dt, agree))
+        print(
+            f"# knn exact_vote {n}x: {dt:.2f}s planted-label={agree:.3f}",
+            file=sys.stderr,
+        )
+        planes = 12 + (max(1, n.bit_length() - 1) if n > 1 else 0)
+        start = time.perf_counter()
+        pred = similarity.knn_classify(
+            corpus, k=10, method="lsh", planes=planes, dim=64
+        )
+        lsh_preds = {
+            r.vec_id: r.predicted_label
+            for r in pred.filter(F.col("vec_id") < 16).collect()
+        }
+        dt = time.perf_counter() - start
+        agree = sum(1 for q in range(16) if lsh_preds.get(q) == 777) / 16
+        rows.append(("knn_lsh_label", n, dt, agree))
+        print(
+            f"# knn lsh_label {n}x: {dt:.2f}s planted-label={agree:.3f}",
+            file=sys.stderr,
+        )
+    return rows
+
+
 def sim_join_recall_probe(spark, embeddings, factor: int):
     """Match-recall of the asymmetric cross-corpus LSH similarity join
     (``dedup.embedding_similarity_join``) vs an exact cosine baseline,
@@ -928,6 +1037,7 @@ def main() -> None:
 
         ann_rows = ann_recall_probe(spark, embeddings, factor)
         ann_rows += sim_join_recall_probe(spark, embeddings, factor)
+        ann_rows += knn_label_probe(spark, embeddings, factor)
         lines += [
             "",
             "ANN top-k quality under growth (recall@10 of the bucketed",
@@ -935,7 +1045,7 @@ def main() -> None:
             "same corpus — runtime alone can stay flat while recall",
             "collapses, so both are probed):",
             "",
-            "| probe | corpus | time | recall (@10 / match) |",
+            "| probe | corpus | time | recall (@10 / match / planted-label) |",
             "|---|---|---|---|",
         ]
         for label, n, dt, recall in ann_rows:
