@@ -824,3 +824,17 @@ def test_status_cube_single_shuffle_expand(spark):
     assert "Expand" in plan
     assert plan.count("Exchange") == 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_json_extract_multi_field_single_parse(spark):
+    """Multiple extracted fields must share ONE from_json struct in the
+    optimized plan (get_json_object-style per-field re-parsing would
+    show one parse per field)."""
+    from python_dtl_spark.operators.semistructured import json_extract_fields
+
+    df = spark.createDataFrame([(1, '{"a":1,"b":2,"c":3}')], "id long, props string")
+    out = json_extract_fields(
+        df, "props", {"a": "bigint", "b": "bigint", "c": "bigint"}
+    )
+    plan = _exec_plan(out)
+    assert plan.count("from_json") == 1, plan
