@@ -2763,3 +2763,32 @@ def test_knn_classify_null_labels_cast_no_vote(spark):
     # query 0's 3 neighbors are 1,2 (NULL) and 3 (7): NULLs cast no
     # vote, so label 7 wins with ONE vote, not NULL with two
     assert out[0]["predicted_label"] == 7 and out[0]["votes"] == 1
+
+
+def test_json_extract_fields_nested_struct_and_agg(spark):
+    """Nested sidecars extract via struct DDL types — the inner fields
+    stay addressable as ordinary typed columns."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import semistructured
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"meta": {"w": 640, "h": 480}, "tags": ["a", "b"]}'),
+            (2, '{"meta": {"w": 320}, "tags": []}'),
+            (3, '{"tags": ["c"]}'),
+        ],
+        "id long, props string",
+    )
+    out = semistructured.json_extract_fields(
+        df, "props", {"meta": "struct<w:bigint,h:bigint>", "tags": "array<string>"}
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["meta"]["w"] == 640 and rows[1]["meta"]["h"] == 480
+    assert rows[2]["meta"]["w"] == 320 and rows[2]["meta"]["h"] is None
+    assert rows[3]["meta"] is None and rows[3]["tags"] == ["c"]
+    agg = out.agg(
+        F.sum(F.col("meta").getField("w")).alias("w_sum"),
+        F.sum(F.size("tags")).alias("n_tags"),
+    ).collect()[0]
+    assert agg["w_sum"] == 960 and agg["n_tags"] == 3
