@@ -5422,11 +5422,24 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # rows remain valid evidence.  Forcing them would overflow the
     # 50-slot window and push genuinely-changed engine code out of
     # round-8 re-verification.  All four re-verified locally (sf0.01
-    # full-catalog run) after the edit.
+    # full-catalog run) after the edit.  (Round 9: now that the window
+    # has headroom they ARE forced — see the round-9 block below — so
+    # the committed evidence covers the edited oracle text.)
     # round-8 fifth review wave: SQL-AVG rollup denominators, NULL-user
     # retention exclusion, dotted-name-safe funnel/rollup internals
     "events_time_rollup": 8,
     "events_retention": 8,
+    # Round-9 evidence-trail closure (advisor r8 finding #1): the four
+    # queries whose ORACLE SQL gained NULL-guard clauses in round 8 were
+    # excluded from the r8 window on a "provably no-op on NULL-free
+    # fixtures" argument; the local re-verification backing that claim
+    # was never committed.  Force them through the driver window once so
+    # CORRECTNESS_r09.json carries green rows that postdate the edited
+    # oracle text.
+    "events_value_percentiles": 9,
+    "decontaminate_train_test": 9,
+    "decontaminate_prefiltered": 9,
+    "doc_domain_quota": 9,
 }
 
 
@@ -5447,6 +5460,29 @@ def freshness(name: str, hist: dict[str, tuple[int, int]] | None = None) -> int:
     return passed if QUERIES[name].oracle is not None else checked
 
 
+# Sort-key sentinel: larger than any real round number, so rows keyed
+# with it land after every oracle-backed entry whatever its freshness.
+_ALWAYS_FRESH = 10**9
+
+
+def sort_freshness(name: str, hist: dict[str, tuple[int, int]] | None = None) -> int:
+    """Primary driver-window sort key.
+
+    :func:`freshness` for oracle-backed queries; ``_ALWAYS_FRESH`` for
+    ``oracle=None`` rows, which can only ever produce ``err: no_oracle``
+    in the driver window — each one that rotates in burns a 50-slot
+    re-verification slot for zero evidence (3 slots in round 8).
+    Pinning them past every oracle-backed entry spends all 50 slots on
+    hash-verifiable rows; the rows-only checks still run when the
+    window has room after all oracle-backed queries.  Shared with
+    ``tests/test_catalog.py`` for the same never-disagree reason as
+    :func:`freshness`.
+    """
+    if QUERIES[name].oracle is None:
+        return _ALWAYS_FRESH
+    return freshness(name, hist)
+
+
 def _apply_driver_order() -> None:
     global QUERIES
     hist = _correctness_history()
@@ -5456,7 +5492,7 @@ def _apply_driver_order() -> None:
         checked, _ = hist.get(name, (0, 0))
         # Secondary ``checked``: among never-hash-passed oracle-backed
         # queries, brand-new ones outrank ones with rows-only history.
-        return (freshness(name, hist), checked, reg_pos[name])
+        return (sort_freshness(name, hist), checked, reg_pos[name])
 
     QUERIES = {n: QUERIES[n] for n in sorted(QUERIES, key=staleness)}
 

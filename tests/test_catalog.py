@@ -10,7 +10,12 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from python_dtl_spark.catalog import QUERIES, _correctness_history, freshness
+from python_dtl_spark.catalog import (
+    QUERIES,
+    _correctness_history,
+    freshness,
+    sort_freshness,
+)
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -45,17 +50,36 @@ def test_window_holds_least_verified_queries():
     window, outside = names[:50], names[50:]
     if not outside:
         return
-    max_in = max(freshness(n, hist) for n in window)
-    min_out = min(freshness(n, hist) for n in outside)
+    max_in = max(sort_freshness(n, hist) for n in window)
+    min_out = min(sort_freshness(n, hist) for n in outside)
     assert max_in <= min_out, (max_in, min_out)
 
 
 def test_never_verified_queries_lead_the_window():
     hist = _correctness_history()
     names = list(QUERIES)
-    fresh = [freshness(n, hist) for n in names]
+    fresh = [sort_freshness(n, hist) for n in names]
     # ordering must be ascending staleness front-to-back
     assert fresh == sorted(fresh)
+
+
+def test_no_oracle_rows_never_displace_verifiable_ones():
+    # oracle=None rows produce ``err: no_oracle`` every time they rotate
+    # into the driver's 50-slot window — they must never occupy a
+    # first-50 slot while any oracle-backed query sits outside it.
+    names = list(QUERIES)
+    window, outside = names[:50], names[50:]
+    if not any(QUERIES[n].oracle is not None for n in outside):
+        return  # everything verifiable already fits in the window
+    for n in window:
+        assert QUERIES[n].oracle is not None, n
+
+
+def test_forced_reverify_names_are_registered():
+    from python_dtl_spark.catalog import _CHANGED_IN_ROUND
+
+    for name in _CHANGED_IN_ROUND:
+        assert name in QUERIES, name
 
 
 def test_oracle_keys_subset_of_queries():
