@@ -5124,11 +5124,13 @@ _register(
 
 def _q_knn_classify(spark, sf_dir):
     """Leave-one-out kNN majority-vote labeling over the embeddings
-    corpus (exact tier — full oracle; the lsh tier shares everything
-    after the neighbor stage and is covered by the planted-copy ANN
-    oracles)."""
+    corpus (exact tier — full oracle; the lsh tier has its own
+    planted-fixture row, embed_knn_classify_lsh)."""
     emb = _read(spark, sf_dir, "embeddings")
-    return similarity.knn_classify(emb, k=10).select(
+    # corpus size = query count in leave-one-out, so pass it as the
+    # MAX_BROADCAST_QUERIES guard hint the flat tier documents —
+    # parquet metadata-only count, no data scan
+    return similarity.knn_classify(emb, k=10, num_vectors=emb.count()).select(
         "vec_id", "predicted_label", "votes"
     )
 
@@ -5167,12 +5169,110 @@ _register(
 )
 
 
+def _planted_knn_corpus(spark, sf_dir):
+    """Self-contained corpus on which lsh-tier kNN provably equals
+    exact kNN: the 8 base vectors with vec_id < 8, each with 10 exact
+    copies (ids ``100000 + g*10 + j``), and NOTHING else.
+
+    Every vector's 10 nearest neighbors are its 10 identical
+    group-mates (pairwise cosine exactly 1.0; natural cross-group
+    cosine on this data tops out ~0.52), and identical vectors hash to
+    identical hyperplane signs, so every group-mate is in the query's
+    own LSH bucket — probe 0 — for ANY planes/seed.  Hence the lsh
+    candidates are provably complete at k=10 and an exact-kNN DuckDB
+    oracle is sound (same argument as :func:`_planted_ann_corpus`,
+    leave-one-out flavor).
+
+    Copy labels make the vote non-degenerate: within group ``g``,
+    copies j<7 get label ``100+g`` and j>=7 get ``200+g``, so each
+    query sees a 7-vs-3 (or 6/3/1 with the base vector's real 0-9
+    label) contested majority rather than a unanimous one.
+    """
+    base = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding", F.col("label").cast("int").alias("label"))
+    )
+    copies = (
+        base.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.array(*[F.lit(j) for j in range(10)])).alias("__j"),
+        )
+        .select(
+            (F.lit(100000) + F.col("vec_id") * 10 + F.col("__j")).alias("vec_id"),
+            "embedding",
+            F.when(F.col("__j") < 7, F.lit(100) + F.col("vec_id"))
+            .otherwise(F.lit(200) + F.col("vec_id"))
+            .cast("int")
+            .alias("label"),
+        )
+    )
+    return base.unionByName(copies)
+
+
+def _q_knn_classify_lsh(spark, sf_dir):
+    """kNN labeling via the 100 TB neighbor tier (LSH buckets, one
+    shuffle, no all-pairs stage) on the planted-copy corpus where lsh
+    top-k provably equals exact top-k — giving the lsh tier the same
+    full value oracle as the exact tier."""
+    corpus = _planted_knn_corpus(spark, sf_dir)
+    return similarity.knn_classify(corpus, k=10, method="lsh", dim=64).select(
+        "vec_id", "predicted_label", "votes"
+    )
+
+
+# exact-kNN oracle: sound because lsh candidates are provably complete
+# on the planted corpus (see _planted_knn_corpus)
+_register(
+    "embed_knn_classify_lsh",
+    _q_knn_classify_lsh,
+    """
+    WITH aug AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               CAST(label AS INTEGER) AS label
+        FROM embeddings WHERE vec_id < 8
+        UNION ALL
+        SELECT 100000 + vec_id * 10 + t.j,
+               CAST(embedding AS DOUBLE[]),
+               CAST(CASE WHEN t.j < 7 THEN 100 + vec_id
+                         ELSE 200 + vec_id END AS INTEGER)
+        FROM embeddings, range(10) t(j) WHERE vec_id < 8
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(c.e, q.e) DESC, c.vec_id
+               ) AS rank
+        FROM aug c, aug q WHERE c.vec_id <> q.vec_id
+    ), votes AS (
+        SELECT query_id, nl, CAST(count(*) AS BIGINT) AS votes,
+               min(rank) AS best
+        FROM scored WHERE rank <= 10 AND nl IS NOT NULL GROUP BY 1, 2
+    ), win AS (
+        SELECT query_id, nl, votes,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY votes DESC, best ASC, nl ASC
+               ) AS rn
+        FROM votes
+    )
+    SELECT query_id AS vec_id, nl AS predicted_label, votes
+    FROM win WHERE rn = 1
+    """,
+)
+
+
 def _q_mad_outliers(spark, sf_dir):
     """Robust median/MAD outlier gate per event type — the
     heavy-tail-safe sibling of events_zscore_outliers; percentile_disc
-    statistics, so the oracle replays them exactly via cume_dist."""
+    statistics, so the oracle replays them exactly via cume_dist.
+    persist=True: the input is read three times (two stat passes + the
+    output pass) — caching the masked input turns those into one scan
+    + InMemoryTableScan x3 (plan-asserted in tests/test_plans.py); the
+    oracle harness's release_all_cached() frees it afterwards."""
     ev = _read_events(spark, sf_dir).select("event_id", "event_type", "value")
-    out = stats.mad_outliers(ev, "value", ["event_type"], z=3.5)
+    out = stats.mad_outliers(ev, "value", ["event_type"], z=3.5, persist=True)
     return out.select(
         "event_id",
         "event_type",
@@ -5196,9 +5296,13 @@ _register(
         SELECT event_type, min(CASE WHEN cd >= 0.5 THEN value END) AS m
         FROM ranked GROUP BY 1
     ), dev AS (
+        -- null-safe join key, mirroring the engine's eqNullSafe
+        -- join-back ("NULL group keys are a group like any other") —
+        -- JOIN USING would silently drop a NULL event_type group
         SELECT e.event_id, e.event_type, e.value, med.m,
                abs(e.value - med.m) AS ad
-        FROM events e JOIN med USING (event_type)
+        FROM events e JOIN med
+          ON e.event_type IS NOT DISTINCT FROM med.event_type
         WHERE NOT isnan(e.value) AND e.value IS NOT NULL
     ), dranked AS (
         SELECT *, cume_dist() OVER (
@@ -5213,7 +5317,8 @@ _register(
                CASE WHEN mad.mad > 0.0
                     THEN 0.6745 * (d.value - d.m) / mad.mad
                     ELSE 0.0 END AS rz
-        FROM dev d JOIN mad USING (event_type)
+        FROM dev d JOIN mad
+          ON d.event_type IS NOT DISTINCT FROM mad.event_type
     )
     SELECT event_id, event_type, value, round(rz, 6) AS robust_z_r
     FROM j WHERE abs(rz) > 3.5
@@ -5440,6 +5545,13 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "decontaminate_train_test": 9,
     "decontaminate_prefiltered": 9,
     "doc_domain_quota": 9,
+    # round-9 changes: mad_outliers grew the persist valve and its
+    # oracle's join-backs went null-safe (IS NOT DISTINCT FROM); the
+    # exact-tier kNN catalog query now passes the num_vectors broadcast
+    # guard hint; shuffle_shards rejects output-column collisions
+    "events_mad_outliers": 9,
+    "embed_knn_classify": 9,
+    "doc_shuffle_shards": 9,
 }
 
 

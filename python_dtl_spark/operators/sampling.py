@@ -381,6 +381,16 @@ def shuffle_shards(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    # withColumn would silently REPLACE a pre-existing shard/shard_pos
+    # and the helper __ord would collide with a caller column of that
+    # name — refuse loudly instead (same contract as
+    # semistructured.json_extract_fields output-collision check)
+    clash = {"shard", "shard_pos", "__ord"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"shuffle_shards emits columns {sorted(clash)} which already "
+            "exist on the input; rename or drop them first"
+        )
     _check_key_type(df, key_col)
     df = df.filter(F.col(key_col).isNotNull())
     h = F.md5(F.concat(F.lit(seed), F.col(key_col).cast("string")).cast("binary"))

@@ -764,6 +764,15 @@ def knn_classify(
             **method_kwargs,
         )
     elif method == "lsh":
+        if num_vectors is not None:
+            # the lsh tier never broadcasts the query set, so there is
+            # nothing for the hint to guard — a caller passing it here
+            # almost certainly believes a guard is active that isn't
+            raise ValueError(
+                "num_vectors is the flat-tier broadcast-guard hint; "
+                "method='lsh' is bucketed and does not broadcast — "
+                "drop the argument"
+            )
         topk = lsh_bucketed_topk(
             corpus,
             queries,

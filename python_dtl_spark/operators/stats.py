@@ -474,6 +474,7 @@ def mad_outliers(
     by: list[str],
     z: float = 3.5,
     scale: float = 0.6745,
+    persist: bool = False,
 ) -> DataFrame:
     """Robust (median / MAD) outlier gate — the heavy-tail-safe sibling
     of :func:`zscore_outliers`.
@@ -506,8 +507,14 @@ def mad_outliers(
     MAD back" chain re-derives the median subtree inside the second
     join (measured: the median aggregate planned TWICE, 7 exchanges vs
     this shape's 3).  The input is scanned three times (two stat
-    passes + the output pass) — persist upstream if the scan
-    dominates.  The percentile aggregate buffers each group's column
+    passes + the output pass) — pass ``persist=True`` when the
+    upstream scan dominates (wide source, filter chain, join): the
+    masked input caches once (MEMORY_AND_DISK) and all three passes
+    read the cache (``InMemoryTableScan`` ×3, asserted in
+    tests/test_plans.py); release via
+    :func:`~python_dtl_spark.operators.dedup.release_all_cached` or
+    the attached ``release_cached()`` handle, as with the dedup
+    operators.  The percentile aggregate buffers each group's column
     in its reducer — the same ~10^8 rows/executor bound (and
     ``approx_percentile`` escape valve) documented on
     :func:`equi_depth_histogram` applies at 100 TB.
@@ -517,6 +524,8 @@ def mad_outliers(
     is_float = vtype in ("double", "float")
     clean = F.when(~F.isnan(v), v) if is_float else v
     base = df.withColumn("__mv", clean)
+    if persist:
+        base = base.persist()
 
     def _rename_keys(stats_df: DataFrame) -> DataFrame:
         return stats_df.select(
@@ -562,8 +571,13 @@ def mad_outliers(
         candidate,
         F.lit(scale) * (F.col("__mv") - F.col("group_median")) / F.col("group_mad"),
     ).otherwise(F.lit(0.0))
-    return (
+    out = (
         joined.withColumn("robust_z", rz)
         .filter(F.abs(F.col("robust_z")) > z)
         .drop("__mv")
     )
+    if persist:
+        from python_dtl_spark.operators.dedup import _release_after
+
+        out = _release_after(out, base)
+    return out

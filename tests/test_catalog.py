@@ -155,3 +155,28 @@ def test_planted_hash_dedup_fixtures_exactly_planted(spark):
         for r in QUERIES["dedup_lsh_keep"].fn(spark, sf).collect()
     }
     assert got_keep == exp_keep
+
+
+def test_planted_knn_fixture_lsh_equals_exact(spark):
+    """Soundness of the embed_knn_classify_lsh oracle: on the planted
+    corpus (8 groups of 11 identical vectors, contested copy labels)
+    lsh-tier kNN must EQUAL exact-tier kNN — identical vectors share
+    every LSH bucket, so the 10 group-mates provably fill all k slots."""
+    from python_dtl_spark.catalog import QUERIES, _planted_knn_corpus
+    from python_dtl_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _planted_knn_corpus(spark, sf)
+    exact = {
+        (r.vec_id, r.predicted_label, r.votes)
+        for r in similarity.knn_classify(corpus, k=10, num_vectors=88).collect()
+    }
+    got = {
+        (r.vec_id, r.predicted_label, r.votes)
+        for r in QUERIES["embed_knn_classify_lsh"].fn(spark, sf).collect()
+    }
+    assert len(exact) == 88
+    assert got == exact
+    # contested vote, not unanimous: base queries see 7-vs-3
+    votes = {v for (_, _, v) in exact}
+    assert votes <= {6, 7} and 7 in votes

@@ -2792,3 +2792,49 @@ def test_json_extract_fields_nested_struct_and_agg(spark):
         F.sum(F.size("tags")).alias("n_tags"),
     ).collect()[0]
     assert agg["w_sum"] == 960 and agg["n_tags"] == 3
+
+
+def test_knn_classify_lsh_rejects_broadcast_guard_hint(spark):
+    # num_vectors guards the flat tier's query-set broadcast; the lsh
+    # tier never broadcasts, so accepting (and ignoring) the hint would
+    # let a caller believe an inert guard is active
+    import pytest
+
+    from python_dtl_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0], 1)], "vec_id long, embedding array<double>, label int"
+    )
+    with pytest.raises(ValueError, match="num_vectors"):
+        similarity.knn_classify(df, method="lsh", num_vectors=5, dim=1)
+
+
+def test_shuffle_shards_rejects_output_column_collision(spark):
+    import pytest
+
+    from python_dtl_spark.operators import sampling
+
+    for clash in ("shard", "shard_pos", "__ord"):
+        df = spark.createDataFrame([(1, 0)], f"doc_id long, {clash} int")
+        with pytest.raises(ValueError, match=clash):
+            sampling.shuffle_shards(df, "doc_id", 4)
+
+
+def test_mad_outliers_persist_matches_unpersisted(spark):
+    from python_dtl_spark.operators import stats
+    from python_dtl_spark.operators.dedup import release_all_cached
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 2, 1, 3, 2, 500]]
+        + [("b", float(v)) for v in [10, 11, 12, 11, 10]],
+        "k string, value double",
+    )
+    plain = {
+        (r["k"], r["value"]) for r in stats.mad_outliers(df, "value", ["k"]).collect()
+    }
+    cached = {
+        (r["k"], r["value"])
+        for r in stats.mad_outliers(df, "value", ["k"], persist=True).collect()
+    }
+    release_all_cached(spark)
+    assert cached == plain == {("a", 500.0)}

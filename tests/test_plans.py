@@ -838,3 +838,26 @@ def test_json_extract_multi_field_single_parse(spark):
     )
     plan = _exec_plan(out)
     assert plan.count("from_json") == 1, plan
+
+
+def test_mad_outliers_persist_reads_cache_not_parquet(spark):
+    """events_mad_outliers passes persist=True: the masked input caches
+    once and the two stat passes + output pass all read the cache — the
+    final plan must show InMemoryTableScan x3 and NO direct parquet
+    scan of events (the single scan lives inside the cached relation).
+    At 100 TB this is one corpus pass instead of three."""
+    import re
+
+    from python_dtl_spark.catalog import QUERIES
+    from python_dtl_spark.operators.dedup import release_all_cached
+
+    df = QUERIES["events_mad_outliers"].fn(spark, SF)
+    try:
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert not re.search(r"Scan parquet.*events", plan), plan
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        release_all_cached(spark)
+        spark.catalog.clearCache()
