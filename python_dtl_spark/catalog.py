@@ -36,6 +36,7 @@ from python_dtl_spark.operators import (
     similarity,
     stats,
     text,
+    urls,
     windows,
 )
 from python_dtl_spark.operators.timeutil import epoch_micros
@@ -5350,6 +5351,103 @@ _register(
                PARTITION BY shard ORDER BY o, doc_id
            ) AS BIGINT) AS shard_pos
     FROM h
+    """,
+)
+
+
+# The documents table carries no URL column, so the canonicalization
+# fixture synthesizes one deterministically from (source, doc_id) in
+# BOTH engines — six variants covering the whole rule set: upper-case
+# scheme/host + www + default https port + trailing slash (0), default
+# http port + mixed tracking/real params (1), ccTLD registrable domain
+# + fragment (2), real port + duplicate slashes + emptied query (3),
+# empty path (4), and unparseable junk (5).
+_URL_FIXTURE_SQL = """
+        CASE doc_id % 6
+            WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/Path/'
+                        || CAST(doc_id AS VARCHAR) || '/'
+            WHEN 1 THEN 'http://' || source || '.example.com:80/a/b?utm_source=feed&q='
+                        || CAST(doc_id AS VARCHAR)
+            WHEN 2 THEN 'https://blog.' || source || '.co.uk/post/'
+                        || CAST(doc_id AS VARCHAR) || '?id='
+                        || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#frag'
+            WHEN 3 THEN 'http://cdn.' || source || '.example.com:8080/x//y/?gclid='
+                        || CAST(doc_id AS VARCHAR)
+            WHEN 4 THEN 'https://' || source || '.example.com'
+            ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+        END
+"""
+
+
+def _url_fixture(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return docs.withColumn(
+        "url",
+        F.expr(_URL_FIXTURE_SQL.replace("VARCHAR", "STRING")),
+    )
+
+
+def _q_url_canonicalize(spark, sf_dir):
+    """URL/domain canonicalization — the missing front half of
+    doc_domain_quota: lowercase scheme+host, strip www/default
+    ports/trailing slashes/tracking params/fragments, and derive the
+    registrable domain that domain capping keys on.  Pure map stage
+    over try_parse_url + string built-ins (zero shuffle,
+    plan-asserted)."""
+    fixture = _url_fixture(spark, sf_dir)
+    return urls.canonicalize_urls(fixture, "url").select(
+        "doc_id", "url", "canonical_url", "host", "registrable_domain"
+    )
+
+
+_register(
+    "doc_url_canonicalize",
+    _q_url_canonicalize,
+    f"""
+    WITH fixture AS (
+        SELECT doc_id, {_URL_FIXTURE_SQL} AS url
+        FROM documents
+    ), parts AS (
+        SELECT doc_id, url,
+               lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS proto,
+               nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS authority
+        FROM fixture
+    ), comps AS (
+        SELECT doc_id, url, proto,
+               regexp_replace(lower(regexp_replace(authority, ':[0-9]+$', '')), '^www\\.', '') AS host,
+               nullif(regexp_extract(authority, ':([0-9]+)$', 1), '') AS port,
+               regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+               nullif(regexp_extract(url, '\\?([^#]*)', 1), '') AS query
+        FROM parts
+    ), norm AS (
+        SELECT doc_id, url, proto, host,
+               CASE WHEN port IS NOT NULL
+                         AND NOT ((proto = 'http' AND port = '80')
+                                  OR (proto = 'https' AND port = '443'))
+                    THEN ':' || port ELSE '' END AS port_part,
+               CASE WHEN regexp_replace(regexp_replace(rawpath, '/{{2,}}', '/'), '/$', '') = ''
+                    THEN '/' ELSE regexp_replace(regexp_replace(rawpath, '/{{2,}}', '/'), '/$', '') END AS path,
+               coalesce(array_to_string(list_filter(string_split(query, '&'),
+                        x -> NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)=')), '&'), '') AS qs,
+               (proto IN ('http', 'https') AND host IS NOT NULL AND host <> '') AS valid
+        FROM comps
+    )
+    SELECT doc_id, url,
+           CASE WHEN valid THEN proto || '://' || host || port_part || path
+                                || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+           END AS canonical_url,
+           CASE WHEN valid THEN host END AS host,
+           CASE WHEN valid THEN
+               CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+                    WHEN len(string_split(host, '.')) >= 3
+                         AND string_split(host, '.')[-2] IN ('co','com','net','org','gov','ac','edu')
+                         AND len(string_split(host, '.')[-1]) = 2
+                    THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+                         || '.' || string_split(host, '.')[-1]
+                    ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+               END
+           END AS registrable_domain
+    FROM norm
     """,
 )
 

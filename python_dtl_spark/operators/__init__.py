@@ -21,6 +21,7 @@ from python_dtl_spark.operators import (
     similarity,
     stats,
     text,
+    urls,
     windows,
 )
 
@@ -37,5 +38,6 @@ __all__ = [
     "similarity",
     "stats",
     "text",
+    "urls",
     "windows",
 ]

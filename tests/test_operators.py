@@ -2838,3 +2838,61 @@ def test_mad_outliers_persist_matches_unpersisted(spark):
     }
     release_all_cached(spark)
     assert cached == plain == {("a", 500.0)}
+
+
+def test_canonicalize_urls_rules(spark):
+    from python_dtl_spark.operators import urls
+
+    cases = {
+        # scheme+host case, www strip, default https port, trailing /
+        "HTTPS://WWW.Ex.COM:443/A/b/": ("https://ex.com/A/b", "ex.com", "ex.com"),
+        # default http port, tracking params dropped, real kept in order
+        "http://a.ex.com:80/p?utm_source=f&q=1&utm_x=2": (
+            "http://a.ex.com/p?q=1",
+            "a.ex.com",
+            "ex.com",
+        ),
+        # ccTLD second level, fragment dropped
+        "https://blog.site.co.uk/x#frag": (
+            "https://blog.site.co.uk/x",
+            "blog.site.co.uk",
+            "site.co.uk",
+        ),
+        # real port kept, duplicate slashes collapsed, emptied query
+        "http://cdn.ex.com:8080/x//y/?gclid=1": (
+            "http://cdn.ex.com:8080/x/y",
+            "cdn.ex.com",
+            "ex.com",
+        ),
+        # empty path becomes /
+        "https://ex.com": ("https://ex.com/", "ex.com", "ex.com"),
+        # non-http(s) scheme and junk both null out
+        "mailto:a@b.com": (None, None, None),
+        "not a url": (None, None, None),
+        # single-label host: registrable domain is the host itself
+        "http://localhost:9200/idx": (
+            "http://localhost:9200/idx",
+            "localhost",
+            "localhost",
+        ),
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {
+        r["url"]: (r["canonical_url"], r["host"], r["registrable_domain"])
+        for r in urls.canonicalize_urls(df, "url").collect()
+    }
+    for u, exp in cases.items():
+        assert out[u] == exp, (u, out[u], exp)
+
+
+def test_canonicalize_urls_keeps_www_and_rejects_collisions(spark):
+    import pytest
+
+    from python_dtl_spark.operators import urls
+
+    df = spark.createDataFrame([("https://www.ex.com/a",)], "url string")
+    r = urls.canonicalize_urls(df, "url", strip_www=False).collect()[0]
+    assert r["host"] == "www.ex.com" and r["canonical_url"] == "https://www.ex.com/a"
+    bad = spark.createDataFrame([("u", "h")], "url string, host string")
+    with pytest.raises(ValueError, match="host"):
+        urls.canonicalize_urls(bad, "url")

@@ -861,3 +861,15 @@ def test_mad_outliers_persist_reads_cache_not_parquet(spark):
     finally:
         release_all_cached(spark)
         spark.catalog.clearCache()
+
+
+def test_url_canonicalize_is_pure_map_stage(spark):
+    """Canonicalization is row-local string work over JVM built-ins:
+    scan -> project with zero Exchange and zero Python eval, so it
+    runs at scan speed ahead of any dedup/capping shuffle."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_url_canonicalize"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
