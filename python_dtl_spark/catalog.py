@@ -5355,6 +5355,108 @@ _register(
 )
 
 
+def _paragraph_fixture(spark, sf_dir):
+    """Paragraph-bearing corpus synthesized identically in both engines
+    (the real documents carry no newlines): paragraph texts are the
+    real doc texts, except every doc_id % 4 == 1 contributes its
+    4-block leader's text instead — planting exact duplicate
+    paragraphs whose two instances land in DIFFERENT synthetic docs
+    (groups doc_id % 50 vs (doc_id+1) % 50), so cross-document dedup is
+    exercised, not just within-doc.  Paragraph order within a synthetic
+    doc is by source doc_id."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    leaders = docs.select(
+        F.col("doc_id").alias("__lid"), F.col("text").alias("__ltext")
+    )
+    base = docs.join(
+        leaders, (F.col("doc_id") - F.col("doc_id") % 4) == F.col("__lid")
+    ).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 1, F.col("__ltext"))
+        .otherwise(F.col("text"))
+        .alias("ptext"),
+    )
+    return (
+        base.withColumn("__gid", F.col("doc_id") % 50)
+        .groupBy("__gid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("doc_id").alias("k"),
+                                F.col("ptext").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+        .select(F.col("__gid").alias("doc_id"), "text")
+    )
+
+
+def _q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-grain exact dedup (C4/RefinedWeb step): drop repeated
+    paragraphs corpus-wide keeping the (doc, position)-first instance,
+    reassemble documents — two linear exchanges, zero pair
+    materialization."""
+    fixture = _paragraph_fixture(spark, sf_dir)
+    return text.dedup_paragraphs(fixture).select(
+        "doc_id", "text", "n_paras", "n_kept"
+    )
+
+
+_register(
+    "doc_dedup_paragraphs",
+    _q_dedup_paragraphs,
+    """
+    WITH base AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 4 = 1 THEN l.text ELSE d.text END AS ptext
+        FROM documents d
+        JOIN documents l ON l.doc_id = d.doc_id - (d.doc_id % 4)
+    ), sdocs AS (
+        SELECT (doc_id % 50) AS sdoc,
+               string_agg(ptext, chr(10) ORDER BY doc_id) AS text
+        FROM base GROUP BY (doc_id % 50)
+    ), paras AS (
+        SELECT sdoc,
+               unnest(string_split(text, chr(10))) AS para,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM sdocs
+    ), fp AS (
+        -- same 60-bit truncated-md5 fingerprint as the engine
+        SELECT sdoc, pos, para,
+               ('0x' || substr(md5(para), 1, 15))::BIGINT AS f
+        FROM paras WHERE para <> ''
+    ), kept AS (
+        SELECT sdoc, pos, para,
+               row_number() OVER (PARTITION BY f ORDER BY sdoc, pos) AS rn
+        FROM fp
+    ), agg AS (
+        SELECT sdoc, string_agg(para, chr(10) ORDER BY pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept WHERE rn = 1 GROUP BY sdoc
+    ), np AS (
+        SELECT sdoc,
+               CAST(len(list_filter(string_split(text, chr(10)),
+                                    x -> x <> '')) AS BIGINT) AS n_paras
+        FROM sdocs
+    )
+    SELECT np.sdoc AS doc_id,
+           coalesce(agg.text, '') AS text,
+           np.n_paras,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+    FROM np LEFT JOIN agg ON np.sdoc = agg.sdoc
+    """,
+    headline=True,
+)
+
+
 # The documents table carries no URL column, so the canonicalization
 # fixture synthesizes one deterministically from (source, doc_id) in
 # BOTH engines — six variants covering the whole rule set: upper-case

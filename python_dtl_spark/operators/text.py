@@ -966,3 +966,91 @@ def pack_emit(
             F.transform(F.col("__members"), lambda s: s["t"]), sep
         ).alias("seq_text"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-grain exact dedup — the C4 / RefinedWeb step: split
+    each document on ``sep``, drop every repeat of a paragraph seen
+    anywhere in the corpus (boilerplate, cookie banners, syndicated
+    intros), keep first occurrences, and reassemble the documents.
+
+    "First occurrence" is global and deterministic: the instance with
+    the smallest ``(doc id, paragraph position)`` wins — so reruns and
+    stage retries keep identical paragraphs, and a SQL oracle replays
+    the choice exactly.  Empty paragraphs (consecutive separators,
+    leading/trailing ``sep``) are dropped as structure, not content —
+    C4 does the same at the line grain.  A document whose every
+    paragraph was dropped (or whose text was empty) survives as a row
+    with ``text = ''`` and ``n_kept = 0`` — dropping documents is a
+    separate policy decision left to the caller.
+
+    Output: ``(id_col, text, n_paras, n_kept)`` with ``n_paras`` the
+    document's non-empty paragraph count before dedup.
+
+    The dedup key is the same 60-bit truncated-md5 fingerprint as the
+    duplication census (:func:`_window_fingerprints` rationale: 8-byte
+    shuffle key, collisions immaterial at 2^60 and replayed exactly by
+    the oracle).
+
+    Scale shape: two linear exchanges and nothing pairwise — (1) hash
+    by fingerprint for the first-occurrence window (rows carry
+    fingerprint, doc id, position, and the paragraph text itself —
+    the text must reach the winner anyway, and re-joining it back
+    would cost a third shuffle of the same bytes), (2) hash by doc id
+    to reassemble.  Paragraph rows are a bounded fan-out of the
+    corpus (the text split once), window state per fingerprint is the
+    duplicate count of that paragraph, and no step holds more than a
+    document's paragraphs in one aggregation buffer.
+    """
+    import re as _re
+
+    # sep is a literal separator, not a regex — escape it for split()
+    paras_arr = F.filter(
+        F.split(F.col(text_col), _re.escape(sep), -1), lambda x: x != ""
+    )
+    docs = df.select(
+        F.col(id_col),
+        paras_arr.alias("__paras"),
+        F.size(paras_arr).cast("long").alias("n_paras"),
+    )
+    exploded = docs.select(
+        id_col,
+        F.posexplode("__paras").alias("__pos", "__para"),
+    ).withColumn(
+        "__fp",
+        F.conv(F.substring(F.md5(F.col("__para")), 1, 15), 16, 10).cast("long"),
+    )
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col), F.col("__pos"))
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__pos").alias("p"), F.col("__para").alias("t"))
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        docs.select(id_col, "n_paras")
+        .join(reassembled, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
