@@ -4533,7 +4533,11 @@ _register(
         SELECT e.event_id, e.event_type, e.value,
                CASE WHEN sd > 0.0 AND NOT isnan(value)
                     THEN (value - m) / sd ELSE 0.0 END AS z
-        FROM events e JOIN s USING (event_type)
+        -- null-safe join-back mirroring the engine's eqNullSafe
+        -- (stats.py zscore_outliers): NULL event_type is a group like
+        -- any other; USING would silently drop its outliers — the
+        -- same divergence fixed for mad_outliers in round 9
+        FROM events e JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
     )
     SELECT event_id, event_type, value, round(z, 6) AS zscore_r
     FROM j WHERE abs(z) > 3.0
@@ -5752,6 +5756,17 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "events_mad_outliers": 9,
     "embed_knn_classify": 9,
     "doc_shuffle_shards": 9,
+    # round-10 changes: dedup_paragraphs' first-occurrence choice went
+    # from a per-fingerprint row_number window (hot-key funnel — the r9
+    # verdict's one skew demerit) to a map-side-combinable min(struct)
+    # aggregation; the z-score oracle's join-back went null-safe
+    # (IS NOT DISTINCT FROM), propagating the mad_outliers precedent;
+    # canonicalize_urls switched from string-built F.expr to the native
+    # F.try_parse_url API (dotted-name safety, advisor r9 #1) and its
+    # registrable domain gained the PSL-exact broadcast tier.
+    "doc_dedup_paragraphs": 10,
+    "events_zscore_outliers": 10,
+    "doc_url_canonicalize": 10,
 }
 
 

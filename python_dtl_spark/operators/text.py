@@ -998,14 +998,18 @@ def dedup_paragraphs(
     the oracle).
 
     Scale shape: two linear exchanges and nothing pairwise — (1) hash
-    by fingerprint for the first-occurrence window (rows carry
-    fingerprint, doc id, position, and the paragraph text itself —
-    the text must reach the winner anyway, and re-joining it back
-    would cost a third shuffle of the same bytes), (2) hash by doc id
-    to reassemble.  Paragraph rows are a bounded fan-out of the
-    corpus (the text split once), window state per fingerprint is the
-    duplicate count of that paragraph, and no step holds more than a
-    document's paragraphs in one aggregation buffer.
+    by fingerprint for the first-occurrence choice, (2) hash by doc id
+    to reassemble.  The first-occurrence choice is a
+    ``min(struct(id, pos, text))`` aggregation, NOT a per-fingerprint
+    ``row_number`` window: min is partial-aggregable, so a hot
+    boilerplate paragraph (cookie banner repeated millions of times —
+    the exact key this operator exists for) combines down to ONE
+    candidate row per map task before the shuffle, instead of funneling
+    every instance's full text into a single reducer's sort.  Reducer
+    state per fingerprint is one struct, independent of the duplicate
+    count.  Paragraph rows are a bounded fan-out of the corpus (the
+    text split once), and no step holds more than a document's
+    paragraphs in one aggregation buffer.
     """
     import re as _re
 
@@ -1025,10 +1029,27 @@ def dedup_paragraphs(
         "__fp",
         F.conv(F.substring(F.md5(F.col("__para")), 1, 15), 16, 10).cast("long"),
     )
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col), F.col("__pos"))
+    # min(struct) picks the smallest (id, pos) instance exactly like
+    # the window's rank-1 row would (struct comparison is field-major,
+    # NULLS FIRST — the same NULL order row_number's default ascending
+    # sort used), but partial-aggregates map-side: the skew-safe shape
+    # for a key that is hot by construction.
     kept = (
-        exploded.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        exploded.groupBy("__fp")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col("__pos").alias("p"),
+                    F.col("__para").alias("t"),
+                )
+            ).alias("__first")
+        )
+        .select(
+            F.col("__first.i").alias(id_col),
+            F.col("__first.p").alias("__pos"),
+            F.col("__first.t").alias("__para"),
+        )
     )
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(

@@ -863,6 +863,22 @@ def test_mad_outliers_persist_reads_cache_not_parquet(spark):
         spark.catalog.clearCache()
 
 
+def test_dedup_paragraphs_first_occurrence_is_partial_agg_not_window(spark):
+    """The first-occurrence choice must be a min(struct) aggregation
+    with map-side partials, never a row_number window partitioned by
+    the paragraph fingerprint: the fingerprint of a DUPLICATED
+    paragraph is a heavy-hitter key by construction (boilerplate
+    repeats millions of times at 100 TB), and a window funnels every
+    instance into one task's sort while partial min combines locally
+    to one candidate per map task."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_dedup_paragraphs"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
 def test_url_canonicalize_is_pure_map_stage(spark):
     """Canonicalization is row-local string work over JVM built-ins:
     scan -> project with zero Exchange and zero Python eval, so it
