@@ -101,7 +101,9 @@ def main() -> None:
     # plan regression from a slow boot.  The warm loop now runs
     # WARM_PASSES times and records the per-query MEDIAN (the verdict
     # number) plus the MIN (best-case data path, for diagnosis).
-    WARM_PASSES = int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3"))
+    # clamped: 0/negative would leave warm_samples empty and crash
+    # statistics.median([]) AFTER the full cold pass was already paid
+    WARM_PASSES = max(1, int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3")))
     timings: dict[str, float] = {}
     warm_samples: dict[str, list[float]] = {name: [] for name in headline}
     for name, q in headline.items():
@@ -127,6 +129,7 @@ def main() -> None:
     warm_min = {name: round(min(ts), 3) for name, ts in warm_samples.items()}
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     print(
         json.dumps(
             {
@@ -142,10 +145,36 @@ def main() -> None:
                 "warm_passes": WARM_PASSES,
                 "warm_total_sec": round(sum(warm_median.values()), 3),
                 "warm_min_total_sec": round(sum(warm_min.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
             }
         )
     )
+    # The driver records only the LAST 2000 bytes of stdout, and the
+    # full line above exceeds that (BENCH_r09.json cut off mid-dict,
+    # losing the per-query medians the median-of-3 harness exists to
+    # record).  Emit a compact final summary — totals + the per-query
+    # MEDIANS (the verdict number) — guaranteed to fit the tail window
+    # as a complete, parseable JSON line; precision degrades before the
+    # line is ever allowed to outgrow the window.
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "warm_passes": WARM_PASSES,
+        "warm_total_sec": round(sum(warm_median.values()), 3),
+        "warm_min_total_sec": round(sum(warm_min.values()), 3),
+        "queries_warm_median": warm_median,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    for ndigits in (2, 1):
+        if len(line) <= 1900:
+            break
+        summary["queries_warm_median"] = {
+            n: round(v, ndigits) for n, v in warm_median.items()
+        }
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
