@@ -5468,19 +5468,23 @@ _register(
 # http port + mixed tracking/real params (1), ccTLD registrable domain
 # + fragment (2), real port + duplicate slashes + emptied query (3),
 # empty path (4), and unparseable junk (5).
+# {T} is the engine's string cast type — 'VARCHAR' when the text
+# renders for DuckDB, 'STRING' for Spark.  An explicit .format slot,
+# not a blind .replace: surgery by substring would silently diverge the
+# two engines' fixtures the day VARCHAR appears in another context.
 _URL_FIXTURE_SQL = """
         CASE doc_id % 6
             WHEN 0 THEN 'https://WWW.' || source || '.Example.COM:443/Path/'
-                        || CAST(doc_id AS VARCHAR) || '/'
+                        || CAST(doc_id AS {T}) || '/'
             WHEN 1 THEN 'http://' || source || '.example.com:80/a/b?utm_source=feed&q='
-                        || CAST(doc_id AS VARCHAR)
+                        || CAST(doc_id AS {T})
             WHEN 2 THEN 'https://blog.' || source || '.co.uk/post/'
-                        || CAST(doc_id AS VARCHAR) || '?id='
-                        || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#frag'
+                        || CAST(doc_id AS {T}) || '?id='
+                        || CAST(doc_id AS {T}) || '&utm_campaign=x#frag'
             WHEN 3 THEN 'http://cdn.' || source || '.example.com:8080/x//y/?gclid='
-                        || CAST(doc_id AS VARCHAR)
+                        || CAST(doc_id AS {T})
             WHEN 4 THEN 'https://' || source || '.example.com'
-            ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+            ELSE 'not a url ' || CAST(doc_id AS {T})
         END
 """
 
@@ -5489,7 +5493,7 @@ def _url_fixture(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
     return docs.withColumn(
         "url",
-        F.expr(_URL_FIXTURE_SQL.replace("VARCHAR", "STRING")),
+        F.expr(_URL_FIXTURE_SQL.format(T="STRING")),
     )
 
 
@@ -5506,12 +5510,12 @@ def _q_url_canonicalize(spark, sf_dir):
     )
 
 
-_register(
-    "doc_url_canonicalize",
-    _q_url_canonicalize,
-    f"""
+# captured for reuse: pipeline_domain_cap replays this whole SELECT as
+# a CTE and stacks the quota rank on top, proving canonicalization's
+# registrable_domain actually composes with domain_quota's strata key
+_URL_CANON_ORACLE = f"""
     WITH fixture AS (
-        SELECT doc_id, {_URL_FIXTURE_SQL} AS url
+        SELECT doc_id, {_URL_FIXTURE_SQL.format(T="VARCHAR")} AS url
         FROM documents
     ), parts AS (
         SELECT doc_id, url,
@@ -5554,6 +5558,147 @@ _register(
                END
            END AS registrable_domain
     FROM norm
+    """
+
+_register("doc_url_canonicalize", _q_url_canonicalize, _URL_CANON_ORACLE)
+
+
+def _q_pipeline_domain_cap(spark, sf_dir):
+    """Canonicalize → domain-cap composition: the two halves the r9
+    verdict asked to join — canonicalize_urls derives the registrable
+    domain, domain_quota caps each domain's contribution at 10 docs by
+    hashed-id order.  One shuffle beyond the canonicalization map
+    stage (the quota window, WindowGroupLimit-pruned map-side)."""
+    fixture = _url_fixture(spark, sf_dir)
+    canon = urls.canonicalize_urls(fixture, "url")
+    return sampling.domain_quota(
+        canon, "registrable_domain", "doc_id", quota=10, seed="dc1"
+    ).select("doc_id", "registrable_domain")
+
+
+_register(
+    "pipeline_domain_cap",
+    _q_pipeline_domain_cap,
+    f"""
+    WITH canon AS ({_URL_CANON_ORACLE})
+    SELECT doc_id, registrable_domain FROM (
+        SELECT doc_id, registrable_domain,
+               row_number() OVER (
+                   PARTITION BY registrable_domain
+                   ORDER BY md5('dc1' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS r
+        FROM canon WHERE doc_id IS NOT NULL
+    ) WHERE r <= 10
+    """,
+    headline=True,
+)
+
+
+# Host shapes the approximation tier gets WRONG (or can only guess):
+# multi-label PSL entries, a private-section suffix, wildcard and
+# exception rules, an unknown TLD, and a host that IS a suffix.  The
+# junk arm keeps the NULL path exercised.
+_PSL_FIXTURE_SQL = """
+        CASE doc_id % 8
+            WHEN 0 THEN 'https://www.' || source || '.example.co.uk/a'
+            WHEN 1 THEN 'https://shop.' || source || '.com.au/b'
+            WHEN 2 THEN 'https://' || source || '.github.io/p'
+            WHEN 3 THEN 'https://github.io/'
+            WHEN 4 THEN 'http://x.' || source || '.ck/q'
+            WHEN 5 THEN 'http://a.www.ck/r'
+            WHEN 6 THEN 'https://deep.' || source || '.nosuchtld/s'
+            ELSE 'junk ' || CAST(doc_id AS {T})
+        END
+"""
+
+_PSL_RULES = urls.load_psl_snapshot()
+_PSL_MAX_K = max(k for _, _, k in _PSL_RULES)
+_PSL_RULES_VALUES = ",\n        ".join(
+    f"('{m}', '{kind}', {k})" for m, kind, k in _PSL_RULES
+)
+
+
+def _approx_reg_sql(h: str) -> str:
+    """The approximation tier's registrable-domain rule as DuckDB SQL
+    over host expression ``h`` (mirrors urls._registrable_domain)."""
+    return f"""
+               CASE WHEN len(string_split({h}, '.')) <= 1 THEN {h}
+                    WHEN len(string_split({h}, '.')) >= 3
+                         AND string_split({h}, '.')[-2] IN ('co','com','net','org','gov','ac','edu')
+                         AND len(string_split({h}, '.')[-1]) = 2
+                    THEN string_split({h}, '.')[-3] || '.' || string_split({h}, '.')[-2]
+                         || '.' || string_split({h}, '.')[-1]
+                    ELSE string_split({h}, '.')[-2] || '.' || string_split({h}, '.')[-1]
+               END
+    """
+
+
+def _q_url_psl_domains(spark, sf_dir):
+    """PSL-exact registrable domains next to the approximation tier:
+    full Public Suffix List algorithm (longest prevailing rule,
+    wildcard, exception, implicit '*' default) over the checked-in
+    snapshot, resolved at distinct-host grain via a broadcast rules
+    join — the exactness tier urls._registrable_domain documents."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    fixture = docs.withColumn("url", F.expr(_PSL_FIXTURE_SQL.format(T="STRING")))
+    canon = urls.canonicalize_urls(fixture, "url")
+    return urls.registrable_domains_psl(canon, "host").select(
+        "doc_id", "host", "registrable_domain", "psl_domain"
+    )
+
+
+_register(
+    "doc_url_psl_domains",
+    _q_url_psl_domains,
+    f"""
+    WITH fixture AS (
+        SELECT doc_id, {_PSL_FIXTURE_SQL.format(T="VARCHAR")} AS url
+        FROM documents
+    ), parts AS (
+        SELECT doc_id,
+               lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS proto,
+               nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS authority
+        FROM fixture
+    ), canon AS (
+        SELECT doc_id,
+               CASE WHEN proto IN ('http', 'https')
+                         AND regexp_replace(lower(regexp_replace(authority, ':[0-9]+$', '')), '^www\\.', '') <> ''
+                    THEN regexp_replace(lower(regexp_replace(authority, ':[0-9]+$', '')), '^www\\.', '')
+               END AS host
+        FROM parts
+    ), rules(match_key, kind, k) AS (
+        VALUES {_PSL_RULES_VALUES}
+    ), hl AS (
+        SELECT host, string_split(host, '.') AS l,
+               len(string_split(host, '.')) AS n
+        FROM (SELECT DISTINCT host FROM canon WHERE host IS NOT NULL)
+    ), cand AS (
+        SELECT hl.host, hl.n,
+               array_to_string(list_slice(hl.l, hl.n - t.k + 1, hl.n), '.') AS c
+        FROM hl CROSS JOIN range(1, {_PSL_MAX_K + 1}) t(k)
+        WHERE t.k <= hl.n
+    ), m AS (
+        -- wildcard rules assert a suffix one label longer than their
+        -- match key: only applicable when the host has that label
+        SELECT cand.host,
+               max(CASE WHEN r.kind = 'exception' THEN r.k - 1 END) AS exc,
+               max(CASE WHEN r.kind = 'plain' THEN r.k
+                        WHEN r.kind = 'wildcard' THEN r.k + 1 END) AS reg
+        FROM cand JOIN rules r ON cand.c = r.match_key
+             AND (r.kind <> 'wildcard' OR cand.n > r.k)
+        GROUP BY cand.host
+    ), res AS (
+        SELECT hl.host,
+               CASE WHEN hl.n > coalesce(m.exc, m.reg, 1)
+                    THEN array_to_string(
+                        list_slice(hl.l, hl.n - coalesce(m.exc, m.reg, 1), hl.n), '.')
+               END AS psl_domain
+        FROM hl LEFT JOIN m ON hl.host = m.host
+    )
+    SELECT canon.doc_id, canon.host,
+           CASE WHEN canon.host IS NOT NULL THEN {_approx_reg_sql("canon.host")} END AS registrable_domain,
+           res.psl_domain
+    FROM canon LEFT JOIN res ON canon.host = res.host
     """,
 )
 

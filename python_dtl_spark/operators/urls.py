@@ -19,6 +19,8 @@ through it.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -96,7 +98,9 @@ def canonicalize_urls(
     url = F.col(url_col)
 
     def part(p: str) -> Column:
-        return F.expr(f"try_parse_url({url_col}, '{p}')")
+        # native API, not string-built F.expr: a dotted or otherwise
+        # non-identifier column name would misresolve inside SQL text
+        return F.try_parse_url(url, F.lit(p))
 
     proto = F.lower(part("PROTOCOL"))
     host_raw = F.lower(part("HOST"))
@@ -136,3 +140,151 @@ def canonicalize_urls(
             "registrable_domain", F.when(valid, _registrable_domain(host))
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PSL-exact registrable domains — the exactness tier _registrable_domain's
+# docstring promises.  The rules ship as a checked-in snapshot of the
+# Public Suffix List (publicsuffix.org, reduced subset; see the fixture
+# file header) and resolution implements the full PSL algorithm:
+# longest prevailing rule wins, "*." wildcard rules, "!" exception
+# rules, and the implicit "*" default (unknown TLD = public suffix).
+# --------------------------------------------------------------------------
+
+_PSL_SNAPSHOT = (
+    Path(__file__).resolve().parent.parent / "fixtures" / "public_suffix_snapshot.dat"
+)
+
+
+def load_psl_snapshot(path: str | Path | None = None) -> list[tuple[str, str, int]]:
+    """Parse a publicsuffix.org-format rules file into
+    ``(match_key, kind, n_labels)`` tuples.
+
+    ``match_key`` is the rule with any ``*.`` / ``!`` marker stripped
+    and lowercased — the equi-join key a host's label-suffix candidates
+    probe.  ``kind`` is ``plain`` / ``wildcard`` / ``exception``;
+    ``n_labels`` is the label count of ``match_key``.  The public
+    suffix a matching rule asserts is ``n_labels`` labels for plain,
+    ``n_labels + 1`` for wildcard (the ``*`` consumes one host label),
+    and ``n_labels - 1`` for exception (the exception EXEMPTS its host
+    from the wildcard one level up).
+    """
+    raw = Path(path or _PSL_SNAPSHOT).read_text(encoding="utf-8")
+    rules: list[tuple[str, str, int]] = []
+    for line in raw.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            kind, key = "exception", line[1:]
+        elif line.startswith("*."):
+            kind, key = "wildcard", line[2:]
+        else:
+            kind, key = "plain", line
+        key = key.lower()
+        rules.append((key, kind, key.count(".") + 1))
+    if not rules:
+        raise ValueError(f"no rules parsed from PSL snapshot {path or _PSL_SNAPSHOT}")
+    return rules
+
+
+def registrable_domains_psl(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "psl_domain",
+    rules: list[tuple[str, str, int]] | None = None,
+) -> DataFrame:
+    """Append ``out_col``: the PSL-exact registrable domain of
+    ``host_col`` (NULL when the host IS a public suffix, or is NULL).
+
+    Resolution replays the Public Suffix List algorithm relationally —
+    no per-row Python:
+
+    1. distinct hosts (crawl hosts repeat heavily, so every later step
+       runs at distinct-host grain, sub-linear in corpus rows);
+    2. each host emits its label-suffix candidates (at most
+       ``max(rule label count)`` per host, ~5) and equi-joins the
+       BROADCAST rules table — never a scan-by-scan nested loop;
+    3. the prevailing rule aggregates per host: any matching exception
+       rule wins outright, else the longest plain/wildcard match, else
+       the implicit ``*`` default (public suffix = the TLD);
+    4. registrable domain = public suffix + one label; resolved hosts
+       join back to the input on the host key.
+
+    Scale shape: two exchanges at distinct-host grain (the distinct and
+    the per-host prevailing-rule aggregation — candidate fan-out is a
+    bounded ×5 of NARROW (host, candidate) rows between them, combined
+    map-side by the max aggregate) plus the final corpus join on host,
+    which AQE broadcasts whenever the resolved-host table is small.
+
+    The reference engine has no URL handling (scalar registry is
+    ``add`` only, ``/root/reference/src/dtl/functions.py``); extension
+    per SURVEY.md §2.5.
+    """
+    if out_col in df.columns:
+        raise ValueError(
+            f"registrable_domains_psl emits column {out_col!r} which "
+            "already exists on the input; rename or drop it first"
+        )
+    spark = df.sparkSession
+    parsed = rules if rules is not None else load_psl_snapshot()
+    max_k = max(k for _, _, k in parsed)
+    rules_df = spark.createDataFrame(
+        parsed, "match_key string, kind string, k int"
+    )
+    labels = F.split(F.col("__h"), r"\.")
+    hostsp = (
+        df.select(F.col(host_col).alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+        .select("__h", labels.alias("__l"), F.size(labels).alias("__n"))
+    )
+    cand = hostsp.select(
+        "__h",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.col("__n"), F.lit(max_k)))
+        ).alias("__k"),
+        "__l",
+    ).select(
+        "__h",
+        "__n",
+        F.array_join(
+            F.slice(F.col("__l"), F.col("__n") - F.col("__k") + 1, F.col("__k")),
+            ".",
+        ).alias("__cand"),
+    )
+    # wildcard rules assert a suffix one label LONGER than their match
+    # key, so they only apply when the host actually has that label
+    matched = cand.join(
+        F.broadcast(rules_df),
+        (F.col("__cand") == F.col("match_key"))
+        & ((F.col("kind") != "wildcard") | (F.col("__n") > F.col("k"))),
+        "inner",
+    )
+    resolved = matched.groupBy("__h").agg(
+        F.max(F.when(F.col("kind") == "exception", F.col("k") - 1)).alias("__exc"),
+        F.max(
+            F.when(F.col("kind") == "plain", F.col("k")).when(
+                F.col("kind") == "wildcard", F.col("k") + 1
+            )
+        ).alias("__reg"),
+    )
+    ps = F.coalesce(F.col("__exc"), F.col("__reg"), F.lit(1))
+    hosts_rd = (
+        hostsp.join(resolved, "__h", "left")
+        .select(
+            "__h",
+            F.when(
+                F.col("__n") > ps,
+                F.array_join(
+                    F.slice(F.col("__l"), F.col("__n") - ps, ps + F.lit(1)), "."
+                ),
+            ).alias(out_col),
+        )
+    )
+    # plain equi-join: hosts_rd carries no NULL keys (filtered above),
+    # so NULL input hosts simply miss and surface a NULL out_col
+    return df.join(
+        hosts_rd, F.col(host_col) == F.col("__h"), "left"
+    ).drop("__h")

@@ -2896,3 +2896,45 @@ def test_canonicalize_urls_keeps_www_and_rejects_collisions(spark):
     bad = spark.createDataFrame([("u", "h")], "url string, host string")
     with pytest.raises(ValueError, match="host"):
         urls.canonicalize_urls(bad, "url")
+
+
+def test_registrable_domains_psl_full_algorithm(spark):
+    """PSL-exact tier: longest prevailing rule over the checked-in
+    snapshot — multi-label entries (co.uk, com.au, private-section
+    github.io), wildcard (*.ck), exception (!www.ck), the implicit '*'
+    default for unknown TLDs, and NULL when the host IS a suffix."""
+    from python_dtl_spark.operators import urls
+
+    cases = {
+        "a.b.example.co.uk": "example.co.uk",
+        "shop.example.com.au": "example.com.au",
+        "proj.github.io": "proj.github.io",  # approx tier says github.io
+        "github.io": None,  # the host IS a public suffix
+        "foo.bar.ck": "foo.bar.ck",  # *.ck: bar.ck is a suffix
+        "www.ck": "www.ck",  # !www.ck exempts it from *.ck
+        "x.www.ck": "www.ck",  # exception prevails over wildcard
+        "deep.sub.nosuchtld": "sub.nosuchtld",  # implicit '*' default
+        "nosuchtld": None,
+        "example.de": "example.de",
+        None: None,
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    out = {r["host"]: r["psl_domain"] for r in
+           urls.registrable_domains_psl(df).collect()}
+    assert out == cases
+
+
+def test_registrable_domains_psl_guards(spark):
+    import pytest
+
+    from python_dtl_spark.operators import urls
+
+    df = spark.createDataFrame([("ex.com", "x")], "host string, psl_domain string")
+    with pytest.raises(ValueError, match="psl_domain"):
+        urls.registrable_domains_psl(df)
+    # custom rules path: a plain rule plus the implicit default
+    ok = spark.createDataFrame([("a.b.custom",), ("x.y",)], "host string")
+    out = {r["host"]: r["psl_domain"] for r in
+           urls.registrable_domains_psl(
+               ok, rules=[("b.custom", "plain", 2)]).collect()}
+    assert out == {"a.b.custom": "a.b.custom", "x.y": "x.y"}
