@@ -4691,6 +4691,47 @@ _register(
 )
 
 
+def _q_merge_candidates(spark, sf_dir):
+    """One round of BPE-style merge scoring: top-100 adjacent token
+    pairs with >= 5 corpus occurrences, ranked by (freq DESC, pair
+    ASC) — the pair-selection step of a tokenizer fit, one hash agg +
+    rank-limit prune past the unigram vocabulary path."""
+    return text.merge_candidates(
+        _read(spark, sf_dir, "documents"), min_count=5, top_n=100
+    )
+
+
+_register(
+    "doc_merge_candidates",
+    _q_merge_candidates,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS t
+        FROM documents
+    ), pairs AS (
+        SELECT doc_id,
+               unnest([{{'l': t[i], 'r': t[i+1]}} for i in range(1, len(t))]) AS p
+        FROM toks WHERE len(t) >= 2
+    ), c AS (
+        SELECT p.l AS token_left, p.r AS token_right,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+    ), r AS (
+        SELECT token_left, token_right, freq, doc_freq,
+               row_number() OVER (
+                   ORDER BY freq DESC, token_left, token_right
+               ) AS rn
+        FROM c
+    )
+    SELECT token_left, token_right, freq, doc_freq,
+           CAST(rn - 1 AS BIGINT) AS merge_rank
+    FROM r WHERE rn <= 100
+    """,
+    headline=True,
+)
+
+
 def _q_blocklist(spark, sf_dir):
     """C4-style bad-words screening: per-doc count of blocklisted token
     instances + a blocked flag, exact token match (never substring),

@@ -862,6 +862,75 @@ def vocabulary(
     )
 
 
+def merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    top_n: int = 1_000,
+) -> DataFrame:
+    """One round of distributed BPE-style merge scoring: count every
+    ADJACENT token pair corpus-wide and emit the top-``top_n`` merge
+    candidates — the pair-selection step a BPE/WordPiece tokenizer fit
+    repeats, here at the word grain :func:`vocabulary` establishes
+    (the first genuinely tokenizer-shaped step past unigram counts).
+
+    Output per candidate: ``token_left``/``token_right`` (the pair),
+    ``freq`` (adjacent co-occurrences corpus-wide — classic BPE picks
+    its merge by exactly this count), ``doc_freq`` (documents
+    containing the pair), and ``merge_rank`` (0-based dense rank by
+    freq DESC, pair ASC — the deterministic merge order).
+
+    Scale shape: same as the unigram vocabulary path — pairs come from
+    zipping each token array with its own tail (row-local, no
+    self-join), then ONE hash aggregation with map-side partials and a
+    global ``row_number() <= top_n`` rank that prunes map-side as a
+    partial WindowGroupLimit, so the single-partition sort sees at most
+    ``top_n × n_partitions`` candidate rows, never the full pair
+    vocabulary.  The reference engine has no tokenizer surface at all
+    (scalar registry is ``add`` only,
+    ``/root/reference/src/dtl/functions.py``); extension per
+    SURVEY.md §2.5.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("l"),
+        F.slice(toks, 2, n - 1).alias("r"),
+    )
+    pairs = (
+        df.where(n >= 2)
+        .select(F.col(id_col), F.explode(zipped).alias("p"))
+        .select(
+            id_col,
+            F.col("p.l").alias("token_left"),
+            F.col("p.r").alias("token_right"),
+        )
+    )
+    counts = (
+        pairs.groupBy("token_left", "token_right")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct(F.col(id_col)).alias("doc_freq"),
+        )
+        .filter(F.col("freq") >= min_count)
+    )
+    w = Window.orderBy(
+        F.desc("freq"), F.asc("token_left"), F.asc("token_right")
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n)
+        .select(
+            "token_left",
+            "token_right",
+            "freq",
+            "doc_freq",
+            (F.col("__rn") - 1).cast("long").alias("merge_rank"),
+        )
+    )
+
+
 def blocklist_flags(
     df: DataFrame,
     terms: list[str],

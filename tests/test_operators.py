@@ -1601,6 +1601,30 @@ def test_vocabulary_ids_counts_and_coverage(spark):
     assert len(top1) == 1 and top1[0].token == "a"
 
 
+def test_merge_candidates_adjacent_pair_scoring(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b c"),  # pairs: (a,b) (b,a) (a,b) (b,c)
+            (1, "A b"),  # lowercased: (a,b)
+            (2, "solo"),  # single token -> no pairs
+            (3, ""),  # empty -> no pairs
+        ],
+        ["doc_id", "text"],
+    )
+    out = text.merge_candidates(df, min_count=1, top_n=10).collect()
+    ranked = {(r.token_left, r.token_right): r for r in out}
+    assert ranked[("a", "b")].freq == 3 and ranked[("a", "b")].doc_freq == 2
+    assert ranked[("b", "a")].freq == 1 and ranked[("b", "c")].freq == 1
+    # rank 0 = most frequent; ties break by (left, right) ascending
+    assert ranked[("a", "b")].merge_rank == 0
+    assert ranked[("b", "a")].merge_rank == 1
+    assert ranked[("b", "c")].merge_rank == 2
+    # min_count prunes singletons; top_n truncates by rank
+    assert [(r.token_left, r.token_right) for r in
+            text.merge_candidates(df, min_count=2, top_n=10).collect()] == [("a", "b")]
+    assert len(text.merge_candidates(df, min_count=1, top_n=1).collect()) == 1
+
+
 def test_blocklist_flags_exact_token_match(spark):
     df = spark.createDataFrame(
         [
