@@ -105,28 +105,47 @@ def main() -> None:
     # statistics.median([]) AFTER the full cold pass was already paid
     WARM_PASSES = max(1, int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3")))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     warm_samples: dict[str, list[float]] = {name: [] for name in headline}
     for name, q in headline.items():
         start = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        n = df.count()  # force full execution
+        try:
+            df = q.fn(spark, sf_dir)
+            n = df.count()  # force full execution
+        except Exception as exc:  # noqa: BLE001 — one refused/broken
+            # query (e.g. a designed guard raise at an out-of-contract
+            # scale factor) degrades to an error row instead of
+            # aborting the whole bench run
+            errors[name] = repr(exc)[:200]
+            release_all_cached(spark)
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - start, 3)
         release_all_cached(spark)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     for i in range(WARM_PASSES):
         for name, q in headline.items():
+            if name in errors:
+                continue
             start = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.count()
+            try:
+                df = q.fn(spark, sf_dir)
+                df.count()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = repr(exc)[:200]
+                release_all_cached(spark)
+                continue
             t = round(time.perf_counter() - start, 3)
             warm_samples[name].append(t)
             release_all_cached(spark)
             print(f"# warm[{i + 1}/{WARM_PASSES}] {name}: {t:.3f}s", file=sys.stderr)
 
     warm_median = {
-        name: round(statistics.median(ts), 3) for name, ts in warm_samples.items()
+        name: round(statistics.median(ts), 3)
+        for name, ts in warm_samples.items()
+        if ts
     }
-    warm_min = {name: round(min(ts), 3) for name, ts in warm_samples.items()}
+    warm_min = {name: round(min(ts), 3) for name, ts in warm_samples.items() if ts}
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -145,6 +164,7 @@ def main() -> None:
                 "warm_passes": WARM_PASSES,
                 "warm_total_sec": round(sum(warm_median.values()), 3),
                 "warm_min_total_sec": round(sum(warm_min.values()), 3),
+                "errors": errors,
                 "sf": sf_val,
             }
         )
@@ -164,6 +184,7 @@ def main() -> None:
         "warm_passes": WARM_PASSES,
         "warm_total_sec": round(sum(warm_median.values()), 3),
         "warm_min_total_sec": round(sum(warm_min.values()), 3),
+        "error_queries": sorted(errors),
         "queries_warm_median": warm_median,
     }
     line = json.dumps(summary, separators=(",", ":"))

@@ -5171,7 +5171,15 @@ _register(
 def _q_knn_classify(spark, sf_dir):
     """Leave-one-out kNN majority-vote labeling over the embeddings
     corpus (exact tier — full oracle; the lsh tier has its own
-    planted-fixture row, embed_knn_classify_lsh)."""
+    planted-fixture row, embed_knn_classify_lsh).
+
+    SF bound: this row is defined up to embeddings-corpus sizes of
+    MAX_BROADCAST_QUERIES (100k vectors — driver scale factors top out
+    at sf0.1 ≈ 2k, 50× under it).  Beyond that the guard raises BY
+    DESIGN — the exact tier is the oracle-bearing baseline, never the
+    scale path; embed_knn_classify_lsh is.  bench.py degrades a raising
+    query to an error row, so even a guard refusal cannot abort a
+    whole bench run."""
     emb = _read(spark, sf_dir, "embeddings")
     # corpus size = query count in leave-one-out, so pass it as the
     # MAX_BROADCAST_QUERIES guard hint the flat tier documents —

@@ -827,10 +827,10 @@ def vocabulary(
     partials; corpus-total tokens join in as a broadcast single-row
     aggregate (no driver action, same pattern as
     :func:`tfidf_top_terms`).  The global ``row_number() <= max_size``
-    rank prunes map-side as a partial WindowGroupLimit — each task
-    forwards at most ``max_size`` candidate tokens, so the final
-    single-partition sort sees ≤ max_size × n_partitions rows, never
-    the full vocabulary.  The cumulative sum runs AFTER that filter, on
+    rank prunes map-side — Catalyst pushes the limit through the
+    window as a ``TakeOrderedAndProject``, each task forwarding at
+    most ``max_size`` candidate tokens, so the final merge sees
+    ≤ max_size × n_partitions rows, never the full vocabulary.  The cumulative sum runs AFTER that filter, on
     ≤ max_size rows — ordering it before the filter would force a full
     un-pruned global sort of every distinct token.
     """
@@ -884,10 +884,11 @@ def merge_candidates(
     Scale shape: same as the unigram vocabulary path — pairs come from
     zipping each token array with its own tail (row-local, no
     self-join), then ONE hash aggregation with map-side partials and a
-    global ``row_number() <= top_n`` rank that prunes map-side as a
-    partial WindowGroupLimit, so the single-partition sort sees at most
+    global ``row_number() <= top_n`` rank that Catalyst pushes through
+    the window as a ``TakeOrderedAndProject`` (per-partition top-N
+    take, then a single merge), so the final pass sees at most
     ``top_n × n_partitions`` candidate rows, never the full pair
-    vocabulary.  The reference engine has no tokenizer surface at all
+    vocabulary — plan-asserted in tests/test_plans.py.  The reference engine has no tokenizer surface at all
     (scalar registry is ``add`` only,
     ``/root/reference/src/dtl/functions.py``); extension per
     SURVEY.md §2.5.

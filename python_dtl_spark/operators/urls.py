@@ -211,11 +211,14 @@ def registrable_domains_psl(
     4. registrable domain = public suffix + one label; resolved hosts
        join back to the input on the host key.
 
-    Scale shape: two exchanges at distinct-host grain (the distinct and
-    the per-host prevailing-rule aggregation — candidate fan-out is a
-    bounded ×5 of NARROW (host, candidate) rows between them, combined
-    map-side by the max aggregate) plus the final corpus join on host,
-    which AQE broadcasts whenever the resolved-host table is small.
+    Scale shape: ONE exchange at distinct-host grain (the distinct;
+    the prevailing-rule max reuses its partitioning — candidate
+    fan-out is a bounded ×max_rule_labels of NARROW (host, candidate)
+    rows, combined map-side by the max aggregate) plus the final
+    corpus join on host, which AQE broadcasts whenever the resolved
+    table is small.  The implicit-default rule and the label slice
+    evaluate ROW-LOCALLY on the corpus side, so hosts without a
+    matching rule never materialize an intermediate.
 
     The reference engine has no URL handling (scalar registry is
     ``add`` only, ``/root/reference/src/dtl/functions.py``); extension
@@ -270,21 +273,22 @@ def registrable_domains_psl(
             )
         ).alias("__reg"),
     )
+    # the default rule and the label slice are row-local on the CORPUS
+    # side: hosts with no matching rule (implicit '*' — public suffix
+    # is the TLD) simply miss the left join and fall to ps = 1, so the
+    # resolved table carries only rule-matched hosts and no second
+    # host-grain join is ever needed
+    hlabels = F.split(F.col(host_col), r"\.")
+    hn = F.size(hlabels)
     ps = F.coalesce(F.col("__exc"), F.col("__reg"), F.lit(1))
-    hosts_rd = (
-        hostsp.join(resolved, "__h", "left")
-        .select(
-            "__h",
+    return (
+        df.join(resolved, F.col(host_col) == F.col("__h"), "left")
+        .withColumn(
+            out_col,
             F.when(
-                F.col("__n") > ps,
-                F.array_join(
-                    F.slice(F.col("__l"), F.col("__n") - ps, ps + F.lit(1)), "."
-                ),
-            ).alias(out_col),
+                F.col(host_col).isNotNull() & (hn > ps),
+                F.array_join(F.slice(hlabels, hn - ps, ps + F.lit(1)), "."),
+            ),
         )
+        .drop("__h", "__exc", "__reg")
     )
-    # plain equi-join: hosts_rd carries no NULL keys (filtered above),
-    # so NULL input hosts simply miss and surface a NULL out_col
-    return df.join(
-        hosts_rd, F.col(host_col) == F.col("__h"), "left"
-    ).drop("__h")

@@ -269,6 +269,44 @@ AUDITED = {
         "partial+final hash aggregate pair — every subtotal level "
         "shares a single Exchange"
     ),
+    "doc_url_canonicalize": (
+        "pure map stage over try_parse_url + JVM string/array "
+        "built-ins: scan -> project, ZERO Exchange and zero Python "
+        "eval — canonicalization runs at scan speed ahead of any "
+        "dedup/capping shuffle"
+    ),
+    "doc_dedup_paragraphs": (
+        "first-occurrence choice is partial_min(struct(id,pos,text)) "
+        "grouped by fingerprint — map-side combine collapses a hot "
+        "boilerplate paragraph to one candidate per task; NO Window "
+        "over the fingerprint (the r9 skew demerit), plus one doc-id "
+        "exchange to reassemble"
+    ),
+    "embed_knn_classify_lsh": (
+        "LSH tier reuses the audited lsh_bucketed_topk path: one "
+        "bucket-key exchange over narrow (id, signature) rows, no "
+        "all-pairs stage, votes aggregate map-side — the 100 TB path "
+        "next to the guarded exact tier"
+    ),
+    "doc_url_psl_domains": (
+        "PSL rules join is BroadcastHashJoin (rules are a ~330-row "
+        "broadcast); ONE exchange at distinct-host grain — the "
+        "prevailing-rule max reuses the distinct's partitioning — "
+        "then a single corpus join on host; default rule + label "
+        "slice evaluate row-locally on the corpus side"
+    ),
+    "pipeline_domain_cap": (
+        "canonicalize map stage fuses into the scan; the quota rank "
+        "adds exactly ONE hash Exchange on registrable_domain with "
+        "WindowGroupLimit pruning map-side"
+    ),
+    "doc_merge_candidates": (
+        "adjacent pairs from zipping the token array with its own "
+        "tail (row-local, no self-join); partial+final hash "
+        "aggregates over pairs; the top-N rank pushes through the "
+        "window as TakeOrderedAndProject — per-partition take, one "
+        "merge, never a full-vocabulary global sort"
+    ),
 }
 
 

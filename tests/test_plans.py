@@ -879,6 +879,45 @@ def test_dedup_paragraphs_first_occurrence_is_partial_agg_not_window(spark):
     assert "partial_min" in plan, plan
 
 
+def test_merge_candidates_rank_prunes_via_take_ordered(spark):
+    """The top-N merge rank must push through the window as a
+    TakeOrderedAndProject (per-partition take + one merge) — a full
+    global sort of the pair vocabulary would serialize the corpus'
+    distinct-bigram set through one reducer."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_merge_candidates"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_psl_domains_broadcast_rules_one_host_exchange(spark):
+    """PSL resolution: the rules table joins as a broadcast (never a
+    nested loop), and the prevailing-rule aggregation reuses the
+    distinct-host exchange's partitioning — exactly one data Exchange
+    on the distinct-host branch plus the corpus-side join exchange."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_url_psl_domains"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pipeline_domain_cap_single_quota_exchange(spark):
+    """Canonicalize -> domain_quota composition: the canonicalization
+    fuses into the scan-side map stage and the quota rank adds ONE
+    hash exchange with WindowGroupLimit pruning on BOTH sides of it
+    (map-side partial take, final take after the shuffle)."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["pipeline_domain_cap"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_url_canonicalize_is_pure_map_stage(spark):
     """Canonicalization is row-local string work over JVM built-ins:
     scan -> project with zero Exchange and zero Python eval, so it
