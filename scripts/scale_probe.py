@@ -27,9 +27,39 @@ from python_dtl_spark.operators import sampling  # noqa: E402
 from python_dtl_spark.operators import similarity  # noqa: E402
 from python_dtl_spark.operators import stats as stats_ops  # noqa: E402
 from python_dtl_spark.operators import text as text_ops  # noqa: E402
+from python_dtl_spark.operators import urls as urls_ops  # noqa: E402
 from python_dtl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
+
+
+def _para_docs(d):
+    """Paragraph-bearing corpus with a universally duplicated leader:
+    every doc = the same boilerplate banner + its own text — one
+    fingerprint owning n_docs instances, the hot-key worst case for
+    paragraph dedup's first-occurrence choice."""
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("we use cookies accept all cookies to continue to this site"),
+            F.col("text"),
+        ).alias("text"),
+    )
+
+
+def _url_docs(d):
+    """URL corpus whose distinct-host count scales with the data
+    (host keyed on doc_id), multi-label PSL suffix."""
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example.co.uk/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
 
 
 def replicate(df, factor: int, key_cols: list[str], shift: int = 10_000_000):
@@ -906,6 +936,49 @@ def main() -> None:
                     replicate(documents, factor, ["doc_id"]),
                     min_count=5,
                     max_size=200,
+                ),
+            ),
+            (
+                # same replication story one grain up: distinct
+                # adjacent-PAIR set is constant while instances grow
+                # ×factor — partial pair counts absorb the growth and
+                # the merge rank stays TakeOrdered-pruned.
+                "merge_candidates",
+                text_ops.merge_candidates(documents, min_count=5, top_n=100),
+                text_ops.merge_candidates(
+                    replicate(documents, factor, ["doc_id"]),
+                    min_count=5,
+                    top_n=100,
+                ),
+            ),
+            (
+                # worst-case paragraph skew: EVERY document leads with
+                # the same boilerplate banner, so one fingerprint owns
+                # n_docs instances (×factor under replication — the
+                # replicas also duplicate each body paragraph
+                # factor-fold).  Near-linear ratio = the min(struct)
+                # first-occurrence agg combines the hot key map-side;
+                # the pre-r10 row_number window funneled all banner
+                # instances into ONE task's sort here.
+                "dedup_paragraphs_hotbanner",
+                text_ops.dedup_paragraphs(_para_docs(documents)),
+                text_ops.dedup_paragraphs(
+                    _para_docs(replicate(documents, factor, ["doc_id"]))
+                ),
+            ),
+            (
+                # distinct hosts grow with the data (host is keyed on
+                # doc_id); near-linear ratio = candidate fan-out and the
+                # prevailing-rule agg stay at distinct-host grain with a
+                # broadcast rules join — no corpus×rules blowup.
+                "psl_domains",
+                urls_ops.registrable_domains_psl(
+                    urls_ops.canonicalize_urls(_url_docs(documents), "url")
+                ),
+                urls_ops.registrable_domains_psl(
+                    urls_ops.canonicalize_urls(
+                        _url_docs(replicate(documents, factor, ["doc_id"])), "url"
+                    )
                 ),
             ),
             (
