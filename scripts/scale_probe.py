@@ -766,6 +766,22 @@ def main() -> None:
         "the data.  A runtime ratio at or below the data ratio means the",
         "plan's work grows linearly (no quadratic candidate blowups, no",
         "broadcast flips to nested loops).",
+        "",
+        "Probe ↔ catalog query: q1_agg=dtl_q1_pricing_summary,",
+        "q21_semi_anti=dtl_q21_waiting_suppliers, minhash_lsh=dedup_minhash_lsh,",
+        "dup_windows_alldup=doc_dup_windows, dedup_spans_alldup=doc_dedup_spans,",
+        "ngram_dominance=doc_ngram_dominance, kmv_distinct=lineitem_kmv_distinct,",
+        "histogram_*=events_value_histogram(+_sketch), tfidf_top_terms=doc_tfidf_top_terms,",
+        "semdedup_pairs=dedup_semdedup, domain_quota=doc_domain_quota,",
+        "temperature_mix=doc_temperature_mix, vocabulary=doc_vocabulary,",
+        "merge_candidates=doc_merge_candidates,",
+        "dedup_paragraphs_hotbanner=doc_dedup_paragraphs (hot-fingerprint worst case),",
+        "psl_domains=doc_url_psl_domains (canonicalize_urls feeds it — the",
+        "doc_url_canonicalize / pipeline_domain_cap map stage is probed here too;",
+        "canonicalization alone needs only its PLANS.md line: zero Exchange),",
+        "events_funnel*=events_funnel, embed_sim_join=embed_similarity_join,",
+        "knn_classify_lsh=embed_knn_classify_lsh, mad_outliers=events_mad_outliers,",
+        "shuffle_shards=doc_shuffle_shards, status_cube=orders_status_cube.",
     ]
     for factor in factors:
         lineitem_n = replicate(lineitem, factor, ["l_orderkey"])
