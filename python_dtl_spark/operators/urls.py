@@ -30,10 +30,11 @@ _TRACKING_PARAM_RE = "^(utm_[^=]*|gclid|fbclid)="
 
 # second-level labels that act as public suffixes under a 2-letter
 # ccTLD ("co.uk", "ac.jp", "com.au", ...).  A full registrable-domain
-# rule is the Public Suffix List; this is the documented-approximation
+# rule is the Public Suffix List; this is the zero-data approximation
 # tier (exact for the generic TLDs plus the common ccTLD second levels,
-# which is what crawl-side capping needs — swap in a PSL broadcast join
-# for exactness).
+# which is what crawl-side capping needs).  The exactness tier is
+# :func:`registrable_domains_psl` below — the full PSL algorithm over
+# the checked-in fixtures/public_suffix_snapshot.dat broadcast.
 _CC_SECOND_LEVELS = ("co", "com", "net", "org", "gov", "ac", "edu")
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
