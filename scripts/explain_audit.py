@@ -300,6 +300,18 @@ AUDITED = {
         "adds exactly ONE hash Exchange on registrable_domain with "
         "WindowGroupLimit pruning map-side"
     ),
+    "doc_apply_merge": (
+        "BPE merge application is a pure map stage: match positions, "
+        "greedy take/consume, and the splice are row-local array "
+        "expressions over materialized token/start columns — zero "
+        "Exchange, zero Python eval, pipelined into the scan"
+    ),
+    "pipeline_domain_cap_psl": (
+        "three-operator composition keeps each piece's audited shape: "
+        "canonicalize fuses into the scan, PSL resolution broadcasts "
+        "rules at distinct-host grain, the quota rank adds one "
+        "WindowGroupLimit-pruned exchange on the PSL domain"
+    ),
     "doc_merge_candidates": (
         "adjacent pairs from zipping the token array with its own "
         "tail (row-local, no self-join); partial+final hash "

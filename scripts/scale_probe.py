@@ -779,6 +779,8 @@ def main() -> None:
         "psl_domains=doc_url_psl_domains (canonicalize_urls feeds it — the",
         "doc_url_canonicalize / pipeline_domain_cap map stage is probed here too;",
         "canonicalization alone needs only its PLANS.md line: zero Exchange),",
+        "doc_apply_merge and pipeline_domain_cap_psl are pure-map / composition",
+        "shapes of probes above — their plan evidence is in PLANS.md,",
         "events_funnel*=events_funnel, embed_sim_join=embed_similarity_join,",
         "knn_classify_lsh=embed_knn_classify_lsh, mad_outliers=events_mad_outliers,",
         "shuffle_shards=doc_shuffle_shards, status_cube=orders_status_cube.",

@@ -1625,6 +1625,35 @@ def test_merge_candidates_adjacent_pair_scoring(spark):
     assert len(text.merge_candidates(df, min_count=1, top_n=1).collect()) == 1
 
 
+def test_apply_merge_greedy_nonoverlap(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a a a"),  # greedy: merge 0-1 only; position 1 consumed
+            (1, "a a a a"),  # two non-overlapping merges
+            (2, "x a a y a a"),  # merges in separate runs
+            (3, "a b a"),  # no adjacency
+            (4, ""),
+            (5, "A a"),  # lowercased before matching
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in text.apply_merge(df, "a", "a").collect()}
+    assert out[0].tokens_merged == ["a a", "a"] and out[0].n_merges == 1
+    assert out[1].tokens_merged == ["a a", "a a"] and out[1].n_merges == 2
+    assert out[2].tokens_merged == ["x", "a a", "y", "a a"]
+    assert out[3].tokens_merged == ["a", "b", "a"] and out[3].n_merges == 0
+    assert out[4].tokens_merged == [] and out[4].n_merges == 0
+    assert out[5].tokens_merged == ["a a"] and out[5].n_merges == 1
+    # distinct-token pair
+    out2 = text.apply_merge(df, "a", "b").collect()
+    assert {r.doc_id: r.tokens_merged for r in out2}[3] == ["a b", "a"]
+    with pytest.raises(ValueError, match="non-empty"):
+        text.apply_merge(df, "", "b")
+    clash = spark.createDataFrame([("t", [])], "text string, tokens_merged array<string>")
+    with pytest.raises(ValueError, match="tokens_merged"):
+        text.apply_merge(clash, "a", "b")
+
+
 def test_blocklist_flags_exact_token_match(spark):
     df = spark.createDataFrame(
         [

@@ -918,6 +918,19 @@ def test_pipeline_domain_cap_single_quota_exchange(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_apply_merge_is_pure_map_stage(spark):
+    """BPE merge application is row-local array work over materialized
+    token/start columns: zero Exchange, zero Python eval — and the
+    intermediate projections must NOT collapse back into one (inlining
+    the token array into every element_at re-tokenizes per position)."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_apply_merge"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_url_canonicalize_is_pure_map_stage(spark):
     """Canonicalization is row-local string work over JVM built-ins:
     scan -> project with zero Exchange and zero Python eval, so it
