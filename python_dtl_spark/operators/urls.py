@@ -232,6 +232,8 @@ def registrable_domains_psl(
         )
     spark = df.sparkSession
     parsed = rules if rules is not None else load_psl_snapshot()
+    if not parsed:
+        raise ValueError("rules is empty; pass None to use the snapshot")
     max_k = max(k for _, _, k in parsed)
     rules_df = spark.createDataFrame(
         parsed, "match_key string, kind string, k int"
