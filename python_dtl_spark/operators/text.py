@@ -868,6 +868,7 @@ def merge_candidates(
     id_col: str = "doc_id",
     min_count: int = 2,
     top_n: int = 1_000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """One round of distributed BPE-style merge scoring: count every
     ADJACENT token pair corpus-wide and emit the top-``top_n`` merge
@@ -892,8 +893,16 @@ def merge_candidates(
     (scalar registry is ``add`` only,
     ``/root/reference/src/dtl/functions.py``); extension per
     SURVEY.md §2.5.
+
+    Pass ``tokens_col`` to score a pre-tokenized array as-is (no
+    re-split, no lowercasing) — the later rounds of :func:`bpe_fit`,
+    where merged tokens must stay intact.
     """
-    toks = tokens(F.lower(F.col(text_col)))
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.lower(F.col(text_col)))
+    )
     n = F.size(toks)
     zipped = F.arrays_zip(
         F.slice(toks, 1, n - 1).alias("l"),
@@ -939,6 +948,7 @@ def apply_merge(
     text_col: str = "text",
     out_col: str = "tokens_merged",
     sep: str = " ",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Apply ONE BPE merge across the corpus: every left-to-right
     non-overlapping adjacent occurrence of ``(left, right)`` in each
@@ -978,7 +988,14 @@ def apply_merge(
     for tmp in ("__am_t", "__am_s"):
         if tmp in df.columns:
             raise ValueError(f"apply_merge uses reserved column {tmp!r}")
-    stage1 = df.withColumn("__am_t", tokens(F.lower(F.col(text_col))))
+    # tokens_col: merge a pre-tokenized array as-is (bpe_fit rounds >= 2,
+    # where merged tokens must not be re-split or re-lowercased)
+    stage1 = df.withColumn(
+        "__am_t",
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.lower(F.col(text_col))),
+    )
     toks = F.col("__am_t")
     n = F.size(toks)
     l_lit, r_lit = F.lit(left), F.lit(right)
@@ -1045,6 +1062,71 @@ def apply_merge(
         .withColumn("n_merges", F.size(starts).cast("long"))
         .drop("__am_t", "__am_s")
     )
+
+
+def bpe_fit(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    sep: str = " ",
+) -> tuple[DataFrame, list[tuple[str, str, int]]]:
+    """Iterative BPE fit at the word grain: ``n_merges`` rounds of
+    score → apply → rescore (:func:`merge_candidates` +
+    :func:`apply_merge`), returning ``(tokenized_df, merges)`` where
+    ``merges`` is the learned merge table ``[(left, right, freq), ...]``
+    in application order and ``tokenized_df`` carries the final
+    ``tokens_merged`` array.
+
+    The merge table IS the model being fit — O(n_merges) driver-side
+    bytes by definition (like KMeans centroids), so the one-row
+    top-pair collect per round is the algorithm's irreducible driver
+    state, not a data collect; each round launches exactly one scoring
+    job (hash agg + TakeOrdered(1)).  Stops early when no pair reaches
+    ``min_count``.
+
+    Scale shape per round: the scoring job is the audited
+    merge_candidates shape (map-side partials, TakeOrdered prune);
+    each application is a zero-shuffle row-local map stage, so the
+    final ``tokenized_df`` plan is ``n_merges`` chained pure
+    projections over one scan.  Tie-breaks are deterministic
+    (freq DESC, pair ASC) — rerunning the fit reproduces the same
+    merge table bit-for-bit.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    cur = df.withColumn("tokens_merged", tokens(F.lower(F.col(text_col))))
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = merge_candidates(
+            cur,
+            id_col=id_col,
+            min_count=min_count,
+            top_n=1,
+            tokens_col="tokens_merged",
+        ).collect()  # 1 row: the merge table is the model (see docstring)
+        if not top:
+            break
+        left, right, freq = (
+            top[0]["token_left"],
+            top[0]["token_right"],
+            int(top[0]["freq"]),
+        )
+        merges.append((left, right, freq))
+        cur = (
+            apply_merge(
+                cur,
+                left,
+                right,
+                out_col="__bpe_next",
+                sep=sep,
+                tokens_col="tokens_merged",
+            )
+            .drop("tokens_merged", "n_merges")
+            .withColumnRenamed("__bpe_next", "tokens_merged")
+        )
+    return cur, merges
 
 
 def blocklist_flags(

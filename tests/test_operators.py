@@ -1654,6 +1654,28 @@ def test_apply_merge_greedy_nonoverlap(spark):
         text.apply_merge(clash, "a", "b")
 
 
+def test_bpe_fit_learns_and_applies_merge_table(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "t h e t h e t h e"),
+            (1, "t h i s t h e"),
+        ],
+        ["doc_id", "text"],
+    )
+    out, merges = text.bpe_fit(df, n_merges=2, min_count=2)
+    # round 1: (t,h) x5 is the clear winner; round 2: ('t h', e) x4
+    assert [(m[0], m[1]) for m in merges] == [("t", "h"), ("t h", "e")]
+    assert merges[0][2] == 5 and merges[1][2] == 4
+    toks = {r.doc_id: r.tokens_merged for r in out.collect()}
+    assert toks[0] == ["t h e", "t h e", "t h e"]
+    assert toks[1] == ["t h", "i", "s", "t h e"]
+    # early stop: nothing reaches min_count on a tiny corpus
+    out2, merges2 = text.bpe_fit(df, n_merges=50, min_count=2)
+    assert len(merges2) < 50  # exhausted pairs stop the loop early
+    with pytest.raises(ValueError, match="n_merges"):
+        text.bpe_fit(df, 0)
+
+
 def test_blocklist_flags_exact_token_match(spark):
     df = spark.createDataFrame(
         [
