@@ -788,3 +788,49 @@ def test_mad_outliers_matches_bruteforce(spark, vals, z):
             assert out[i].robust_z == rz
         else:
             assert abs(out[i].robust_z - rz) < 1e-12
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=5,
+    ),
+    pair=st.tuples(st.sampled_from(["a", "b"]), st.sampled_from(["a", "b"])),
+)
+def test_apply_merge_matches_greedy_reference(spark, docs, pair):
+    """Spark apply_merge vs a literal Python left-to-right greedy BPE
+    merge: identical merged token streams and merge counts on random
+    corpora — including same-token pairs and runs, where the
+    take/consume rule is easiest to get wrong."""
+    from python_dtl_spark.operators.text import apply_merge
+
+    left, right = pair
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.tokens_merged, r.n_merges)
+        for r in apply_merge(df, left, right).collect()
+    }
+
+    def greedy(toks):
+        res, merges, i = [], 0, 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                res.append(left + " " + right)
+                merges += 1
+                i += 2
+            else:
+                res.append(toks[i])
+                i += 1
+        return res, merges
+
+    for i, toks in enumerate(docs):
+        assert out[i] == greedy(toks)
