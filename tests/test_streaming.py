@@ -328,6 +328,49 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
     assert streamed == batch and len(batch) > 20
 
 
+def test_streaming_url_canonicalize_matches_batch(spark, tmp_path):
+    """URL canonicalization is a stateless map stage, so it streams
+    as-is: readStream urls -> canonicalize_urls -> append sink equals
+    the batch result — the crawl-frontier shape (canonicalize arriving
+    URLs incrementally, cap domains downstream)."""
+    from python_dtl_spark.operators.urls import canonicalize_urls
+
+    urls_df = spark.createDataFrame(
+        [
+            (0, "https://WWW.Example.COM:443/a/"),
+            (1, "http://blog.ex.co.uk/p?utm_source=x&q=1#f"),
+            (2, "not a url"),
+            (3, "https://cdn.ex.com:8080//x/"),
+        ],
+        "doc_id long, url string",
+    )
+    src = str(tmp_path / "urls_stream")
+    urls_df.write.parquet(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("url", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_stream_to_memory(
+        canonicalize_urls(stream, "url"), "url_stream", mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.doc_id, r.canonical_url, r.host, r.registrable_domain)
+            for r in spark.table("url_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.doc_id, r.canonical_url, r.host, r.registrable_domain)
+        for r in canonicalize_urls(urls_df, "url").collect()
+    }
+    assert streamed == batch
+    assert ("https://example.com/a", "example.com") == next(
+        (c, h) for d, c, h, _ in batch if d == 0
+    )
+
+
 DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
