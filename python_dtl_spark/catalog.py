@@ -5636,7 +5636,7 @@ _URL_CANON_ORACLE = f"""
     ), parts AS (
         SELECT doc_id, url,
                lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS proto,
-               nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS authority
+               nullif(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', ''), '') AS authority -- userinfo stripped: try_parse_url HOST excludes it
         FROM fixture
     ), comps AS (
         SELECT doc_id, url, proto,
@@ -5772,7 +5772,7 @@ _PSL_DOMAINS_ORACLE = f"""
     ), parts AS (
         SELECT doc_id,
                lower(nullif(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS proto,
-               nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '') AS authority
+               nullif(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^@]*@', ''), '') AS authority -- userinfo stripped: try_parse_url HOST excludes it
         FROM fixture
     ), canon AS (
         SELECT doc_id,

@@ -2973,6 +2973,22 @@ def test_canonicalize_urls_keeps_www_and_rejects_collisions(spark):
         urls.canonicalize_urls(bad, "url")
 
 
+def test_canonicalize_urls_strips_userinfo(spark):
+    """try_parse_url HOST excludes userinfo; ports still resolve from
+    the full authority — the oracle replays the same strip."""
+    from python_dtl_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [(0, "https://alice@Example.com/x"), (1, "https://bob:pw@ex.co.uk:8443/y")],
+        "doc_id long, url string",
+    )
+    out = {r.doc_id: r for r in urls.canonicalize_urls(df, "url").collect()}
+    assert out[0].canonical_url == "https://example.com/x"
+    assert out[0].host == "example.com"
+    assert out[1].canonical_url == "https://ex.co.uk:8443/y"
+    assert out[1].registrable_domain == "ex.co.uk"
+
+
 def test_registrable_domains_psl_full_algorithm(spark):
     """PSL-exact tier: longest prevailing rule over the checked-in
     snapshot — multi-label entries (co.uk, com.au, private-section
