@@ -869,6 +869,7 @@ def merge_candidates(
     min_count: int = 2,
     top_n: int = 1_000,
     tokens_col: str | None = None,
+    doc_freq: bool = True,
 ) -> DataFrame:
     """One round of distributed BPE-style merge scoring: count every
     ADJACENT token pair corpus-wide and emit the top-``top_n`` merge
@@ -917,12 +918,16 @@ def merge_candidates(
             F.col("p.r").alias("token_right"),
         )
     )
+    # doc_freq=False drops the countDistinct: distinct counting plans
+    # as a two-phase Expand aggregation — a second shuffle the pure
+    # BPE-frequency criterion never needs (bpe_fit passes False, so
+    # each fit round pays one pair-count shuffle, not two)
+    aggs = [F.count(F.lit(1)).alias("freq")]
+    if doc_freq:
+        aggs.append(F.countDistinct(F.col(id_col)).alias("doc_freq"))
     counts = (
         pairs.groupBy("token_left", "token_right")
-        .agg(
-            F.count(F.lit(1)).alias("freq"),
-            F.countDistinct(F.col(id_col)).alias("doc_freq"),
-        )
+        .agg(*aggs)
         .filter(F.col("freq") >= min_count)
     )
     w = Window.orderBy(
@@ -935,7 +940,7 @@ def merge_candidates(
             "token_left",
             "token_right",
             "freq",
-            "doc_freq",
+            *(["doc_freq"] if doc_freq else []),
             (F.col("__rn") - 1).cast("long").alias("merge_rank"),
         )
     )
@@ -1105,6 +1110,8 @@ def bpe_fit(
             min_count=min_count,
             top_n=1,
             tokens_col="tokens_merged",
+            doc_freq=False,  # BPE scores by pair frequency alone —
+            # skipping countDistinct halves the per-round shuffles
         ).collect()  # 1 row: the merge table is the model (see docstring)
         if not top:
             break
