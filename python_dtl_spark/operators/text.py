@@ -897,7 +897,10 @@ def merge_candidates(
 
     Pass ``tokens_col`` to score a pre-tokenized array as-is (no
     re-split, no lowercasing) — the later rounds of :func:`bpe_fit`,
-    where merged tokens must stay intact.
+    where merged tokens must stay intact.  ``doc_freq=False`` drops
+    the distinct-document count, whose two-phase Expand aggregation is
+    a second shuffle the BPE frequency criterion doesn't need — the
+    valve for fit loops and extreme corpora.
     """
     toks = (
         F.col(tokens_col)
@@ -975,7 +978,10 @@ def apply_merge(
     take/consume resolution, and the splice are array expressions over
     each document's own tokens, zero shuffle, pipelined into the scan.
     The take/consume fold runs over MATCH POSITIONS only (sparse in
-    real corpora), never the full token array.  The token and
+    real corpora), never the full token array; the splice is
+    O(tokens × taken merges) per document — bounded, like every
+    per-doc cost here, by chunking pathological documents upstream
+    (:func:`chunk_documents`).  The token and
     merge-start arrays materialize as intermediate columns — inlining
     them into every ``element_at``/``array_contains`` site would
     re-tokenize the document per position (measured 500×: 65 s → 1 s
