@@ -195,6 +195,14 @@ def main() -> None:
             n: round(v, ndigits) for n, v in warm_median.items()
         }
         line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1900:
+        # final fallback: totals always survive the tail window even
+        # if the per-query dict itself outgrows it (many more headline
+        # queries, or 1000s-scale medians)
+        summary["queries_warm_median"] = {
+            "_dropped_n_queries": len(warm_median)
+        }
+        line = json.dumps(summary, separators=(",", ":"))
     print(line)
 
 

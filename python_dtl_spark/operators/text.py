@@ -1098,18 +1098,41 @@ def bpe_fit(
     ``min_count``.
 
     Scale shape per round: the scoring job is the audited
-    merge_candidates shape (map-side partials, TakeOrdered prune);
-    each application is a zero-shuffle row-local map stage, so the
-    final ``tokenized_df`` plan is ``n_merges`` chained pure
-    projections over one scan.  Tie-breaks are deterministic
-    (freq DESC, pair ASC) — rerunning the fit reproduces the same
-    merge table bit-for-bit.
+    merge_candidates shape (map-side partials, TakeOrdered prune) and
+    each application is a zero-shuffle row-local map stage.  Each
+    round's token arrays PERSIST before scoring (the previous round's
+    cache freed once the next materializes), so total work is
+    O(n_merges) corpus passes — without the cache, round r's lineage
+    would replay all r-1 prior applications from the raw scan,
+    O(n_merges²) in total.  The returned frame reads the last round's
+    cache; free it via ``release_cached()`` /
+    ``dedup.release_all_cached`` like every other operator cache.
+    Tie-breaks are deterministic (freq DESC, pair ASC) — rerunning the
+    fit reproduces the same merge table bit-for-bit.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    for col in ("tokens_merged", "n_merges", "__bpe_next"):
+        if col in df.columns:
+            raise ValueError(
+                f"bpe_fit emits/uses column {col!r} which already exists "
+                "on the input; rename or drop it first"
+            )
+    # local import: dedup imports text's tokenizer, so the cache
+    # registry can't be a module-level import here
+    from python_dtl_spark.operators.dedup import _release_after
+
     cur = df.withColumn("tokens_merged", tokens(F.lower(F.col(text_col))))
     merges: list[tuple[str, str, int]] = []
+    prev_cached: DataFrame | None = None
     for _ in range(n_merges):
+        # persist each round's token arrays: round r's scoring job
+        # otherwise replays tokenization plus all r-1 prior merge
+        # applications from the raw scan — O(n_merges²) corpus passes
+        # in total.  The previous round's cache frees as soon as this
+        # round's is materialized by the scoring collect (eviction
+        # falls back to lineage recompute, never to wrong results).
+        cur = cur.persist()
         top = merge_candidates(
             cur,
             id_col=id_col,
@@ -1119,6 +1142,9 @@ def bpe_fit(
             doc_freq=False,  # BPE scores by pair frequency alone —
             # skipping countDistinct halves the per-round shuffles
         ).collect()  # 1 row: the merge table is the model (see docstring)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cur
         if not top:
             break
         left, right, freq = (
@@ -1139,6 +1165,11 @@ def bpe_fit(
             .drop("tokens_merged", "n_merges")
             .withColumnRenamed("__bpe_next", "tokens_merged")
         )
+    # the returned frame reads the LAST round's cache (one row-local
+    # projection on top); the session-level release registry frees it
+    # like every other operator cache (release_all_cached)
+    if prev_cached is not None:
+        cur = _release_after(cur, prev_cached)
     return cur, merges
 
 

@@ -197,6 +197,8 @@ def registrable_domains_psl(
 ) -> DataFrame:
     """Append ``out_col``: the PSL-exact registrable domain of
     ``host_col`` (NULL when the host IS a public suffix, or is NULL).
+    Always lowercase — hosts are case-insensitive, so mixed-case raw
+    crawl hosts resolve to one canonical capping key.
 
     Resolution replays the Public Suffix List algorithm relationally —
     no per-row Python:
@@ -230,6 +232,11 @@ def registrable_domains_psl(
             f"registrable_domains_psl emits column {out_col!r} which "
             "already exists on the input; rename or drop it first"
         )
+    for tmp in ("__h", "__exc", "__reg"):
+        if tmp in df.columns:
+            raise ValueError(
+                f"registrable_domains_psl uses reserved column {tmp!r}"
+            )
     spark = df.sparkSession
     parsed = rules if rules is not None else load_psl_snapshot()
     if not parsed:
@@ -238,7 +245,11 @@ def registrable_domains_psl(
     rules_df = spark.createDataFrame(
         parsed, "match_key string, kind string, k int"
     )
-    labels = F.split(F.col("__h"), r"\.")
+    # hosts are case-insensitive and rule keys ship lowercased, so the
+    # candidate labels lower before probing — a raw-crawl
+    # 'WWW.Example.CO.UK' must match 'co.uk', not fall through to the
+    # implicit '*' default.  out_col is therefore always lowercase.
+    labels = F.split(F.lower(F.col("__h")), r"\.")
     hostsp = (
         df.select(F.col(host_col).alias("__h"))
         .where(F.col("__h").isNotNull())
@@ -281,7 +292,7 @@ def registrable_domains_psl(
     # is the TLD) simply miss the left join and fall to ps = 1, so the
     # resolved table carries only rule-matched hosts and no second
     # host-grain join is ever needed
-    hlabels = F.split(F.col(host_col), r"\.")
+    hlabels = F.split(F.lower(F.col(host_col)), r"\.")
     hn = F.size(hlabels)
     ps = F.coalesce(F.col("__exc"), F.col("__reg"), F.lit(1))
     return (

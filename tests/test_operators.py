@@ -3007,6 +3007,10 @@ def test_registrable_domains_psl_full_algorithm(spark):
         "deep.sub.nosuchtld": "sub.nosuchtld",  # implicit '*' default
         "nosuchtld": None,
         "example.de": "example.de",
+        # hosts are case-insensitive: raw-crawl casing must still hit
+        # the lowercased rule keys and emit a lowercase capping key
+        "WWW.Example.CO.UK": "example.co.uk",
+        "shop.example.COM.AU": "example.com.au",
         None: None,
     }
     df = spark.createDataFrame([(h,) for h in cases], "host string")
