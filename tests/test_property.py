@@ -834,3 +834,61 @@ def test_apply_merge_matches_greedy_reference(spark, docs, pair):
 
     for i, toks in enumerate(docs):
         assert out[i] == greedy(toks)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hosts=st.lists(
+        st.lists(st.sampled_from(["x", "y", "zz"]), min_size=1, max_size=4).map(
+            ".".join
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    rules=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["x", "y", "zz"]), min_size=1, max_size=3).map(
+                ".".join
+            ),
+            st.sampled_from(["plain", "wildcard", "exception"]),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_registrable_domains_psl_matches_reference(spark, hosts, rules):
+    """Relational PSL resolution vs a literal Python reimplementation
+    of the prevailing-rule algorithm on random hosts × random rule
+    sets (plain/wildcard/exception over a tiny label alphabet, so
+    collisions and overlapping rules are frequent)."""
+    from python_dtl_spark.operators.urls import registrable_domains_psl
+
+    parsed = [(key, kind, key.count(".") + 1) for key, kind in rules]
+
+    def ref(host):
+        labels = host.lower().split(".")
+        n = len(labels)
+        exc = reg = None
+        for key, kind, k in parsed:
+            if n >= k and labels[n - k:] == key.split("."):
+                if kind == "exception":
+                    exc = max(exc or 0, k - 1)
+                elif kind == "plain":
+                    reg = max(reg or 0, k)
+                elif kind == "wildcard" and n > k:
+                    reg = max(reg or 0, k + 1)
+        ps = exc if exc is not None else (reg if reg is not None else 1)
+        # registrable domain = public suffix + ONE preceding label
+        return ".".join(labels[n - ps - 1:]) if n > ps else None
+
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = {
+        r.host: r.psl_domain
+        for r in registrable_domains_psl(df, rules=parsed).collect()
+    }
+    for h in set(hosts):
+        assert out[h] == ref(h), (h, parsed, out[h], ref(h))
