@@ -1669,11 +1669,19 @@ def test_bpe_fit_learns_and_applies_merge_table(spark):
     toks = {r.doc_id: r.tokens_merged for r in out.collect()}
     assert toks[0] == ["t h e", "t h e", "t h e"]
     assert toks[1] == ["t h", "i", "s", "t h e"]
+    # the returned frame registers its round cache for session cleanup
+    assert hasattr(out, "release_cached")
+    out.release_cached()
     # early stop: nothing reaches min_count on a tiny corpus
     out2, merges2 = text.bpe_fit(df, n_merges=50, min_count=2)
     assert len(merges2) < 50  # exhausted pairs stop the loop early
+    out2.release_cached()
     with pytest.raises(ValueError, match="n_merges"):
         text.bpe_fit(df, 0)
+    # loud collision with a pre-tokenized input
+    clash = df.withColumn("tokens_merged", F.split("text", " "))
+    with pytest.raises(ValueError, match="tokens_merged"):
+        text.bpe_fit(clash, 1)
 
 
 def test_blocklist_flags_exact_token_match(spark):
