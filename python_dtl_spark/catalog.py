@@ -4799,6 +4799,88 @@ _register(
 )
 
 
+def _q_bpe_round(spark, sf_dir):
+    """One FULL BPE round, composed: score the corpus' top adjacent
+    pair (freq DESC, pair ASC — deterministic) and apply it greedily.
+    Both engines derive the pair INDEPENDENTLY — the oracle recomputes
+    it in SQL rather than receiving it — so the driver hash verifies
+    the choice and the application together.  The 1-row top-pair
+    collect is the documented scalar-model pattern (the pair IS the
+    round's model, exactly as in text.bpe_fit)."""
+    docs = _read(spark, sf_dir, "documents")
+    top = text.merge_candidates(
+        docs, min_count=2, top_n=1, doc_freq=False
+    ).collect()[0]
+    left, right = top["token_left"], top["token_right"]
+    out = text.apply_merge(docs, left, right)
+    return out.select(
+        "doc_id",
+        F.lit(left).alias("token_left"),
+        F.lit(right).alias("token_right"),
+        F.size(F.col("tokens_merged")).cast("long").alias("n_after"),
+        "n_merges",
+        F.md5(F.array_join(F.col("tokens_merged"), "|")).alias("fp"),
+    )
+
+
+_register(
+    "doc_bpe_round",
+    _q_bpe_round,
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS t
+        FROM documents
+    ), tp AS (
+        -- the oracle derives the SAME top pair independently
+        SELECT token_left AS l, token_right AS r FROM (
+            SELECT p.l AS token_left, p.r AS token_right, count(*) AS c
+            FROM (
+                SELECT unnest([{{'l': t[i], 'r': t[i+1]}}
+                               for i in range(1, len(t))]) AS p
+                FROM toks WHERE len(t) >= 2
+            )
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY c DESC, token_left, token_right LIMIT 1
+        )
+    ), m AS (
+        SELECT toks.doc_id,
+               unnest([i for i in range(1, len(t))
+                       if t[i] = tp.l AND t[i+1] = tp.r]) AS i
+        FROM toks CROSS JOIN tp WHERE len(t) >= 2
+    ), isl AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS g
+        FROM m
+    ), starts AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   row_number() OVER (PARTITION BY doc_id, g ORDER BY i) AS rn
+            FROM isl
+        ) WHERE rn % 2 = 1
+    ), sl AS (
+        SELECT doc_id, list(i ORDER BY i) AS s FROM starts GROUP BY doc_id
+    ), recon AS (
+        SELECT toks.doc_id, tp.l, tp.r,
+               coalesce(len(sl.s), 0) AS n_merges,
+               list_filter([
+                   CASE WHEN list_contains(coalesce(sl.s, []), j)
+                             THEN tp.l || ' ' || tp.r
+                        WHEN list_contains(coalesce(sl.s, []), j - 1)
+                             THEN NULL
+                        ELSE t[j] END
+                   for j in range(1, len(t) + 1)
+               ], x -> x IS NOT NULL) AS out
+        FROM toks CROSS JOIN tp LEFT JOIN sl ON toks.doc_id = sl.doc_id
+    )
+    SELECT doc_id, l AS token_left, r AS token_right,
+           CAST(len(out) AS BIGINT) AS n_after,
+           CAST(n_merges AS BIGINT) AS n_merges,
+           md5(array_to_string(out, '|')) AS fp
+    FROM recon
+    """,
+)
+
+
 def _q_blocklist(spark, sf_dir):
     """C4-style bad-words screening: per-doc count of blocklisted token
     instances + a blocked flag, exact token match (never substring),
