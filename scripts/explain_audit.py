@@ -300,6 +300,12 @@ AUDITED = {
         "adds exactly ONE hash Exchange on registrable_domain with "
         "WindowGroupLimit pruning map-side"
     ),
+    "doc_bpe_round": (
+        "full BPE round: the scoring half runs as its own audited "
+        "TakeOrdered job (the 1-row pair is the round's model); the "
+        "application half shown here is the pure map stage — zero "
+        "Exchange, zero Python eval"
+    ),
     "doc_apply_merge": (
         "BPE merge application is a pure map stage: match positions, "
         "greedy take/consume, and the splice are row-local array "
