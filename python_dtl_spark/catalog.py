@@ -4810,8 +4810,13 @@ def _q_bpe_round(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     top = text.merge_candidates(
         docs, min_count=2, top_n=1, doc_freq=False
-    ).collect()[0]
-    left, right = top["token_left"], top["token_right"]
+    ).collect()
+    if not top:
+        raise ValueError(
+            "doc_bpe_round: no adjacent pair reaches min_count=2 in "
+            f"{sf_dir}/documents — corpus too small for a BPE round"
+        )
+    left, right = top[0]["token_left"], top[0]["token_right"]
     out = text.apply_merge(docs, left, right)
     return out.select(
         "doc_id",
