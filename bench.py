@@ -20,6 +20,63 @@ from python_dtl_spark.operators.dedup import release_all_cached
 from python_dtl_spark.session import get_spark
 
 
+def measure_queries(
+    spark,
+    headline,
+    sf_dir: str,
+    warm_passes: int,
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, str]]:
+    """One cold pass + ``warm_passes`` warm passes over ``headline``
+    (a ``{name: obj_with_fn}`` mapping), returning
+    ``(cold_timings, warm_samples, errors)``.
+
+    A raising query — e.g. a DESIGNED guard refusal at an
+    out-of-contract scale factor, like the exact-kNN tier's broadcast
+    cap — degrades to one ``errors`` row and the run CONTINUES with
+    the remaining queries; it never aborts the harness
+    (unit-tested in tests/test_bench_harness.py).
+    """
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    warm_samples: dict[str, list[float]] = {name: [] for name in headline}
+    for name, q in headline.items():
+        start = time.perf_counter()
+        try:
+            df = q.fn(spark, sf_dir)
+            n = df.count()  # force full execution
+        except Exception as exc:  # noqa: BLE001 — one refused/broken
+            # query (e.g. a designed guard raise at an out-of-contract
+            # scale factor) degrades to an error row instead of
+            # aborting the whole bench run
+            errors[name] = repr(exc)[:200]
+            release_all_cached(spark)
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
+        timings[name] = round(time.perf_counter() - start, 3)
+        release_all_cached(spark)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for i in range(warm_passes):
+        for name, q in headline.items():
+            if name in errors:
+                continue
+            start = time.perf_counter()
+            try:
+                df = q.fn(spark, sf_dir)
+                df.count()
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = repr(exc)[:200]
+                release_all_cached(spark)
+                continue
+            t = round(time.perf_counter() - start, 3)
+            warm_samples[name].append(t)
+            release_all_cached(spark)
+            print(
+                f"# warm[{i + 1}/{warm_passes}] {name}: {t:.3f}s",
+                file=sys.stderr,
+            )
+    return timings, warm_samples, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -104,48 +161,24 @@ def main() -> None:
     # clamped: 0/negative would leave warm_samples empty and crash
     # statistics.median([]) AFTER the full cold pass was already paid
     WARM_PASSES = max(1, int(os.environ.get("SPARK_GRAFT_WARM_PASSES", "3")))
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    warm_samples: dict[str, list[float]] = {name: [] for name in headline}
-    for name, q in headline.items():
-        start = time.perf_counter()
-        try:
-            df = q.fn(spark, sf_dir)
-            n = df.count()  # force full execution
-        except Exception as exc:  # noqa: BLE001 — one refused/broken
-            # query (e.g. a designed guard raise at an out-of-contract
-            # scale factor) degrades to an error row instead of
-            # aborting the whole bench run
-            errors[name] = repr(exc)[:200]
-            release_all_cached(spark)
-            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - start, 3)
-        release_all_cached(spark)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-    for i in range(WARM_PASSES):
-        for name, q in headline.items():
-            if name in errors:
-                continue
-            start = time.perf_counter()
-            try:
-                df = q.fn(spark, sf_dir)
-                df.count()
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = repr(exc)[:200]
-                release_all_cached(spark)
-                continue
-            t = round(time.perf_counter() - start, 3)
-            warm_samples[name].append(t)
-            release_all_cached(spark)
-            print(f"# warm[{i + 1}/{WARM_PASSES}] {name}: {t:.3f}s", file=sys.stderr)
+    timings, warm_samples, errors = measure_queries(
+        spark, headline, sf_dir, WARM_PASSES
+    )
 
+    # Queries in ``errors`` are reported ONLY as error rows: a query
+    # that failed partway through the warm passes would otherwise
+    # contribute a truncated sample set to the medians, silently
+    # mixing complete and incomplete measurements across runs.
     warm_median = {
         name: round(statistics.median(ts), 3)
         for name, ts in warm_samples.items()
-        if ts
+        if ts and name not in errors
     }
-    warm_min = {name: round(min(ts), 3) for name, ts in warm_samples.items() if ts}
+    warm_min = {
+        name: round(min(ts), 3)
+        for name, ts in warm_samples.items()
+        if ts and name not in errors
+    }
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

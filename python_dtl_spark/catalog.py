@@ -4886,6 +4886,224 @@ _register(
 )
 
 
+def _sql_quote(tok: str) -> str:
+    """Escape a token for embedding as a SQL string literal."""
+    return tok.replace("'", "''")
+
+
+def _bpe_stage_sql(
+    chain: str, i: int, l_expr: str, r_expr: str, m_expr: str, join_tp: str = ""
+) -> str:
+    """One greedy-merge application stage of the BPE oracle, as CTE
+    fragments: reads ``{chain}{i}`` (doc_id, t) and emits
+    ``{chain}{i+1}`` with the pair ``(l_expr, r_expr)`` merged into
+    ``m_expr`` under the same take-unless-previous-taken
+    (gaps-and-islands, odd-offset-within-run) rule the engine and the
+    doc_apply_merge oracle share.  ``join_tp`` optionally cross-joins
+    a derived 1-row pair table (the composed fit oracle); a NULL pair
+    makes the stage an exact identity — the SQL replay of the
+    engine's early stop when no pair reaches min_count."""
+    t_in, t_out = f"{chain}{i}", f"{chain}{i + 1}"
+    x = f"{chain}{i}"  # unique suffix for this stage's helper CTEs
+    return f""", m_{x} AS (
+        SELECT {t_in}.doc_id,
+               unnest([j for j in range(1, len(t))
+                       if t[j] = {l_expr} AND t[j + 1] = {r_expr}]) AS j
+        FROM {t_in}{join_tp} WHERE len(t) >= 2
+    ), isl_{x} AS (
+        SELECT doc_id, j,
+               j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS g
+        FROM m_{x}
+    ), st_{x} AS (
+        SELECT doc_id, j FROM (
+            SELECT doc_id, j,
+                   row_number() OVER (PARTITION BY doc_id, g ORDER BY j) AS rn
+            FROM isl_{x}
+        ) WHERE rn % 2 = 1
+    ), sl_{x} AS (
+        SELECT doc_id, list(j ORDER BY j) AS s FROM st_{x} GROUP BY doc_id
+    ), {t_out} AS (
+        SELECT {t_in}.doc_id,
+               list_filter([
+                   CASE WHEN list_contains(coalesce(sl_{x}.s, []), k)
+                             THEN {m_expr}
+                        WHEN list_contains(coalesce(sl_{x}.s, []), k - 1)
+                             THEN NULL
+                        ELSE t[k] END
+                   for k in range(1, len(t) + 1)
+               ], x -> x IS NOT NULL) AS t
+        FROM {t_in}{join_tp}
+        LEFT JOIN sl_{x} ON {t_in}.doc_id = sl_{x}.doc_id
+    )"""
+
+
+# Learned-table inference fixture: merge 2 cascades onto merge 0's
+# output ('table table' exists only after the first merge), so the
+# oracle verifies rank-ORDER application, not just per-merge greedy.
+_BPE_ENCODE_MERGES = [("slow", "slow"), ("a", "a"), ("slow slow", "key")]
+
+
+def _q_bpe_encode(spark, sf_dir):
+    """Tokenizer inference: apply a 3-entry learned merge table in
+    merge-rank order in ONE row-local fold (single Project, zero
+    shuffle, zero Python — plan-asserted).  Entry 3 consumes entry
+    1's output token, so the fingerprint verifies the fold applies
+    the table sequentially, not independently."""
+    docs = _read(spark, sf_dir, "documents")
+    out = text.bpe_encode(docs, _BPE_ENCODE_MERGES, out_col="tokens_bpe")
+    return out.select(
+        "doc_id",
+        F.size(F.col("tokens_bpe")).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.col("tokens_bpe"), "|")).alias("fp"),
+    )
+
+
+_register(
+    "doc_bpe_encode",
+    _q_bpe_encode,
+    f"""
+    WITH tk0 AS (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS t
+        FROM documents
+    )"""
+    + "".join(
+        _bpe_stage_sql(
+            "tk",
+            i,
+            f"'{_sql_quote(left)}'",
+            f"'{_sql_quote(right)}'",
+            f"'{_sql_quote(left + ' ' + right)}'",
+        )
+        for i, (left, right) in enumerate(_BPE_ENCODE_MERGES)
+    )
+    + f"""
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           md5(array_to_string(t, '|')) AS fp
+    FROM tk{len(_BPE_ENCODE_MERGES)}
+    """,
+    headline=True,
+)
+
+
+_BPE_PIPE_ROUNDS = 3
+_BPE_PIPE_SEED = "bpefit-p"
+_BPE_PIPE_CUT = 5000  # sample_fraction 0.5 × hash_bucket's 10000 buckets
+
+
+def _q_pipeline_bpe_tokenize(spark, sf_dir):
+    """The full tokenize-and-pack emission a training-data pipeline
+    ships, composed end-to-end: SAMPLED bpe_fit (merge table learned
+    on a deterministic md5-hash half of the corpus — the 100 TB fit
+    valve) → single-fold bpe_encode over the FULL corpus → pack_emit
+    into budget-bounded training sequences.  The oracle re-derives the
+    whole merge table INDEPENDENTLY (sample → score → apply, three
+    rounds in SQL), so the driver hash verifies sample choice, fit,
+    inference, and packing together.  The 3-row merge-table collect is
+    the documented scalar-model pattern (text.bpe_fit docstring)."""
+    docs = _read(spark, sf_dir, "documents")
+    enc, merges = text.bpe_fit(
+        docs,
+        n_merges=_BPE_PIPE_ROUNDS,
+        min_count=2,
+        sample_fraction=0.5,
+        sample_seed=_BPE_PIPE_SEED,
+    )
+    mt = ";".join(f"{left}+{right}" for left, right, _ in merges)
+    packed_in = enc.select(
+        "doc_id",
+        F.array_join(F.col("tokens_merged"), " ").alias("text"),
+        F.size(F.col("tokens_merged")).cast("long").alias("n_tokens"),
+    )
+    seqs = text.pack_emit(packed_in, budget=256, num_groups=4, sep="\n")
+    return seqs.select(
+        "pack_group",
+        "seq_index",
+        "n_docs",
+        "seq_tokens",
+        F.md5(F.col("seq_text").cast("binary")).alias("seq_md5"),
+        F.lit(mt).alias("merge_table"),
+    )
+
+
+def _bpe_fit_round_sql(i: int, min_count: int) -> str:
+    """One fit round of the composed-BPE oracle: derive round ``i``'s
+    top pair from the SAMPLE chain ``s{i}`` (freq DESC, pair ASC —
+    the engine's exact tie-break), then apply it to both the sample
+    chain (next round's statistics) and the FULL chain ``f{i}``
+    (inference).  ``tp{i}`` always holds exactly one row; a NULL pair
+    (no candidate reached min_count) makes both applications exact
+    identities — the SQL replay of the engine's early stop."""
+    tp_l, tp_r = f"tp{i}.l", f"tp{i}.r"
+    tp_m = f"tp{i}.l || ' ' || tp{i}.r"
+    return (
+        f""", cand{i} AS (
+        SELECT p.l AS l, p.r AS r, count(*) AS c
+        FROM (
+            SELECT unnest([{{'l': t[j], 'r': t[j + 1]}}
+                           for j in range(1, len(t))]) AS p
+            FROM s{i} WHERE len(t) >= 2
+        )
+        GROUP BY 1, 2 HAVING count(*) >= {min_count}
+    ), tp{i} AS (
+        SELECT l, r FROM (SELECT l, r FROM cand{i} ORDER BY c DESC, l, r LIMIT 1)
+        UNION ALL
+        SELECT NULL, NULL WHERE (SELECT count(*) FROM cand{i}) = 0
+    )"""
+        + _bpe_stage_sql("s", i, tp_l, tp_r, tp_m, f" CROSS JOIN tp{i}")
+        + _bpe_stage_sql("f", i, tp_l, tp_r, tp_m, f" CROSS JOIN tp{i}")
+    )
+
+
+_register(
+    "pipeline_bpe_tokenize",
+    _q_pipeline_bpe_tokenize,
+    f"""
+    WITH s0 AS (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS t
+        FROM documents
+        WHERE {sampling.hash_bucket_sql("doc_id", seed=_BPE_PIPE_SEED)}
+              < {_BPE_PIPE_CUT}
+    ), f0 AS (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS t
+        FROM documents
+    )"""
+    + "".join(
+        _bpe_fit_round_sql(i, min_count=2) for i in range(_BPE_PIPE_ROUNDS)
+    )
+    + f"""
+    , enc AS (
+        SELECT doc_id, array_to_string(t, ' ') AS text,
+               CAST(len(t) AS BIGINT) AS n_tokens
+        FROM f{_BPE_PIPE_ROUNDS}
+    ), mt AS (
+        SELECT array_to_string(list_filter([
+            {", ".join(f"(SELECT l || '+' || r FROM tp{i})"
+                       for i in range(_BPE_PIPE_ROUNDS))}
+        ], x -> x IS NOT NULL), ';') AS merge_table
+    ), grp AS (
+        SELECT doc_id, text, n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+                 AS pack_group
+        FROM enc
+    ), cum AS (
+        SELECT doc_id, text, pack_group, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS s
+        FROM grp
+    )
+    SELECT pack_group,
+           CAST(s // 256 AS BIGINT) AS seq_index,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+           md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_md5,
+           (SELECT merge_table FROM mt) AS merge_table
+    FROM cum GROUP BY 1, 2
+    """,
+    headline=True,
+)
+
+
 def _q_blocklist(spark, sf_dir):
     """C4-style bad-words screening: per-doc count of blocklisted token
     instances + a blocked flag, exact token match (never substring),
@@ -5664,6 +5882,64 @@ _register(
 )
 
 
+def _q_dedup_paragraphs_lineage(spark, sf_dir):
+    """Provenance for the paragraph-dedup pipeline operator: the
+    ManyToOne mapping from every non-empty input paragraph instance to
+    its kept first occurrence (identity row = survivor) — the DTL
+    trace subsystem's Where/Pick rid-mapping shape extended to the
+    LLM-pipeline stack.  One fp-keyed equi-join against the
+    one-row-per-fingerprint first table: linear, AQE-skew-splittable
+    on hot boilerplate fingerprints."""
+    fixture = _paragraph_fixture(spark, sf_dir)
+    _, mapping = text.dedup_paragraphs(fixture, with_lineage=True)
+    return mapping.select("src_id", "src_pos", "kept_id", "kept_pos", "fp")
+
+
+_register(
+    "doc_dedup_paragraphs_lineage",
+    _q_dedup_paragraphs_lineage,
+    """
+    WITH base AS (
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 4 = 1 THEN l.text ELSE d.text END AS ptext
+        FROM documents d
+        JOIN documents l ON l.doc_id = d.doc_id - (d.doc_id % 4)
+    ), sdocs AS (
+        SELECT (doc_id % 50) AS sdoc,
+               string_agg(ptext, chr(10) ORDER BY doc_id) AS text
+        FROM base GROUP BY (doc_id % 50)
+    ), paras AS (
+        SELECT sdoc,
+               unnest(string_split(text, chr(10))) AS para,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM sdocs
+    ), fp AS (
+        -- same 60-bit truncated-md5 fingerprint as the engine;
+        -- the engine filters empty paragraphs BEFORE posexplode, so
+        -- its 0-based positions index the NON-EMPTY sequence — rank
+        -- the survivors by original offset to replay that exactly
+        SELECT sdoc,
+               row_number() OVER (PARTITION BY sdoc ORDER BY pos) - 1 AS pos,
+               para,
+               ('0x' || substr(md5(para), 1, 15))::BIGINT AS f
+        FROM paras WHERE para <> ''
+    ), first_inst AS (
+        SELECT f, sdoc AS kept_id, pos AS kept_pos FROM (
+            SELECT f, sdoc, pos,
+                   row_number() OVER (PARTITION BY f ORDER BY sdoc, pos) AS rn
+            FROM fp
+        ) WHERE rn = 1
+    )
+    SELECT fp.sdoc AS src_id,
+           CAST(fp.pos AS BIGINT) AS src_pos,
+           first_inst.kept_id,
+           CAST(first_inst.kept_pos AS BIGINT) AS kept_pos,
+           fp.f AS fp
+    FROM fp JOIN first_inst ON fp.f = first_inst.f
+    """,
+)
+
+
 # The documents table carries no URL column, so the canonicalization
 # fixture synthesizes one deterministically from (source, doc_id) in
 # BOTH engines — six variants covering the whole rule set: upper-case
@@ -6147,6 +6423,15 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "doc_dedup_paragraphs": 10,
     "events_zscore_outliers": 10,
     "doc_url_canonicalize": 10,
+    # round-11 changes: dedup_paragraphs grew the with_lineage mapping
+    # output — the result path is a pure factoring (kept = first.select
+    # over the same min-struct aggregate) but the function changed, so
+    # its row re-verifies; apply_merge gained only the n_merges
+    # collision guard (raises on inputs the fixtures never have) and
+    # load_psl_snapshot the whitespace cut (the checked-in snapshot has
+    # no whitespace lines — verified by grep), so doc_apply_merge /
+    # doc_bpe_round / doc_url_psl_domains keep their r10 evidence.
+    "doc_dedup_paragraphs": 11,
 }
 
 

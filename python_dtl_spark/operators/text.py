@@ -989,11 +989,12 @@ def apply_merge(
     separate because the aliases are non-cheap and multiply
     referenced.
     """
-    if out_col in df.columns:
-        raise ValueError(
-            f"apply_merge emits column {out_col!r} which already exists "
-            "on the input; rename or drop it first"
-        )
+    for emitted in (out_col, "n_merges"):
+        if emitted in df.columns:
+            raise ValueError(
+                f"apply_merge emits column {emitted!r} which already exists "
+                "on the input; rename or drop it first"
+            )
     if not left or not right:
         raise ValueError("merge pair tokens must be non-empty")
     for tmp in ("__am_t", "__am_s"):
@@ -1075,6 +1076,131 @@ def apply_merge(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    out_col: str = "tokens_bpe",
+    sep: str = " ",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Single-pass BPE tokenizer INFERENCE: apply a learned merge
+    table (``[(left, right), ...]`` or :func:`bpe_fit`'s
+    ``[(left, right, freq), ...]``, already in merge-rank order) to
+    every document in ONE row-local fold — the missing half that turns
+    a fitted merge table into a usable tokenizer.
+
+    Chaining :func:`apply_merge` n times would stack n projections
+    (Catalyst re-analyzes an O(n)-deep plan, and each merge is its own
+    codegen stage); here the WHOLE table compiles into a single
+    ``F.aggregate`` over the merge list — the token array is the
+    accumulator, each step replays :func:`apply_merge`'s greedy
+    non-overlap recipe (take a match position unless the previous
+    position was taken) — so a 32k-entry vocabulary is still exactly
+    one expression, one codegen stage, zero shuffle, zero per-merge
+    re-planning.
+
+    Per step the greedy resolution and the splice fuse into one pass
+    over MATCH POSITIONS (sparse): the accumulator carries the rebuilt
+    prefix plus a copy cursor, each taken match appends the untouched
+    gap (``slice``) and the merged token, and the finish clause flushes
+    the tail — O(matches + output) per merge per document, never a
+    full-length transform.  Equivalence with the chained
+    :func:`apply_merge` path is property-tested against a literal
+    greedy reference (tests/test_property.py).
+
+    Scale shape: entirely row-local (pipelines into the scan; the plan
+    is a single Project — plan-asserted in tests/test_plans.py).  Cost
+    is O(n_tokens × n_merges) per document — the same asymptotics as
+    any serial BPE encoder — so corpus cost scales linearly and the
+    merge table ships inside the plan as a literal array (for tables
+    past a few MB of literals, broadcast-join a rules table instead;
+    at the classic 32k vocabulary the literal array is ~1 MB, fine).
+
+    The reference engine has no tokenizer surface (scalar registry is
+    ``add`` only, /root/reference/src/dtl/functions.py); extension per
+    SURVEY.md §2.5.
+    """
+    if out_col in df.columns:
+        raise ValueError(
+            f"bpe_encode emits column {out_col!r} which already exists "
+            "on the input; rename or drop it first"
+        )
+    pairs = [(m[0], m[1]) for m in merges]
+    for left, right in pairs:
+        if not left or not right:
+            raise ValueError("merge pair tokens must be non-empty")
+    base = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.lower(F.col(text_col)))
+    )
+    if not pairs:  # empty table = plain tokenization (a 0-merge fit)
+        return df.withColumn(out_col, base)
+    merge_arr = F.array(
+        *[
+            F.struct(
+                F.lit(left).alias("l"),
+                F.lit(right).alias("r"),
+                F.lit(left + sep + right).alias("m"),
+            )
+            for left, right in pairs
+        ]
+    )
+
+    def _one_merge(toks, mg):
+        n = F.size(toks)
+        # 0-based positions i where (t[i], t[i+1]) == (l, r)
+        mp = F.filter(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: (F.element_at(toks, i + 1) == mg["l"])
+            & (F.element_at(toks, i + 2) == mg["r"]),
+        )
+        # fused greedy-take + splice over match positions: acc is the
+        # rebuilt prefix, pos the 0-based copy cursor, (prev, ptk) the
+        # take-unless-previous-taken state from apply_merge
+        init = F.struct(
+            F.array().cast("array<string>").alias("acc"),
+            F.lit(0).cast("int").alias("pos"),
+            F.lit(-2).cast("int").alias("prev"),
+            F.lit(False).alias("ptk"),
+        )
+
+        def step(a, p):
+            blocked = (p == a["prev"] + 1) & a["ptk"]
+            return F.when(
+                blocked,
+                F.struct(
+                    a["acc"].alias("acc"),
+                    a["pos"].alias("pos"),
+                    p.cast("int").alias("prev"),
+                    F.lit(False).alias("ptk"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(
+                        a["acc"],
+                        F.slice(toks, a["pos"] + 1, p - a["pos"]),
+                        F.array(mg["m"]),
+                    ).alias("acc"),
+                    (p + 2).cast("int").alias("pos"),
+                    p.cast("int").alias("prev"),
+                    F.lit(True).alias("ptk"),
+                )
+            )
+
+        def fin(a):
+            return F.concat(
+                a["acc"], F.slice(toks, a["pos"] + 1, n - a["pos"])
+            )
+
+        return F.when(n >= 2, F.aggregate(mp, init, step, fin)).otherwise(
+            toks
+        )
+
+    return df.withColumn(out_col, F.aggregate(merge_arr, base, _one_merge))
+
+
 def bpe_fit(
     df: DataFrame,
     n_merges: int,
@@ -1082,6 +1208,9 @@ def bpe_fit(
     id_col: str = "doc_id",
     min_count: int = 2,
     sep: str = " ",
+    sample_fraction: float | None = None,
+    sample_seed: str = "bpefit",
+    checkpoint_every: int = 16,
 ) -> tuple[DataFrame, list[tuple[str, str, int]]]:
     """Iterative BPE fit at the word grain: ``n_merges`` rounds of
     score → apply → rescore (:func:`merge_candidates` +
@@ -1097,6 +1226,20 @@ def bpe_fit(
     job (hash agg + TakeOrdered(1)).  Stops early when no pair reaches
     ``min_count``.
 
+    ``sample_fraction`` is the 100 TB valve (the repo's sampled-KMeans
+    pattern, :func:`~python_dtl_spark.operators.dedup.semdedup`): the
+    merge table fits on a deterministic md5-hash sample of documents
+    (``md5(seed || id)`` bucketing — exactly
+    :func:`~python_dtl_spark.operators.sampling.hash_bucket`, so a SQL
+    oracle replays the sample bit-for-bit and reruns/retries see the
+    same docs), then applies to the FULL corpus in ONE row-local pass
+    via :func:`bpe_encode`.  Total cost drops from O(n_merges) ×
+    full-corpus passes to O(n_merges) × sample passes + ONE corpus
+    pass — the only fit shape that survives a realistic merge count at
+    scale.  Production tokenizers fit on bounded samples for the same
+    reason; pair statistics concentrate fast, and the deterministic
+    sample keeps the fit reproducible.
+
     Scale shape per round: the scoring job is the audited
     merge_candidates shape (map-side partials, TakeOrdered prune) and
     each application is a zero-shuffle row-local map stage.  Each
@@ -1104,11 +1247,18 @@ def bpe_fit(
     cache freed once the next materializes), so total work is
     O(n_merges) corpus passes — without the cache, round r's lineage
     would replay all r-1 prior applications from the raw scan,
-    O(n_merges²) in total.  The returned frame reads the last round's
-    cache; free it via ``release_cached()`` /
-    ``dedup.release_all_cached`` like every other operator cache.
-    Tie-breaks are deterministic (freq DESC, pair ASC) — rerunning the
-    fit reproduces the same merge table bit-for-bit.
+    O(n_merges²) in total.  Caching bounds the DATA cost but not the
+    PLAN depth — round r's logical plan stacks r merge projections, so
+    Catalyst re-analysis is O(r) per round and a cache eviction would
+    replay every prior apply — so every ``checkpoint_every`` rounds
+    the loop cuts lineage with ``localCheckpoint(eager=True)``
+    (checkpoint blocks are reclaimed by Spark's ContextCleaner when
+    the plan that references them is garbage-collected).  The returned
+    frame reads the last round's cache; free it via
+    ``release_cached()`` / ``dedup.release_all_cached`` like every
+    other operator cache.  Tie-breaks are deterministic (freq DESC,
+    pair ASC) — rerunning the fit reproduces the same merge table
+    bit-for-bit.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
@@ -1122,17 +1272,88 @@ def bpe_fit(
     # registry can't be a module-level import here
     from python_dtl_spark.operators.dedup import _release_after
 
+    if sample_fraction is not None:
+        from python_dtl_spark.operators.sampling import (
+            _BUCKETS,
+            _check_key_type,
+            hash_bucket,
+        )
+
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        _check_key_type(df, id_col)
+        cut = int(round(sample_fraction * _BUCKETS))
+        if cut < 1:
+            raise ValueError(
+                f"sample_fraction={sample_fraction} rounds to an empty "
+                f"hash sample (< 1/{_BUCKETS}); raise it"
+            )
+        fit_df = df.where(
+            hash_bucket(F.col(id_col), seed=sample_seed) < F.lit(cut)
+        )
+        _, merges, last_cache = _bpe_fit_loop(
+            fit_df, n_merges, text_col, id_col, min_count, sep,
+            checkpoint_every,
+        )
+        # the sample frame is scaffolding — the model (merge table) is
+        # extracted, so its cache frees immediately, not at release time
+        if last_cache is not None:
+            last_cache.unpersist()
+        encoded = bpe_encode(
+            df, merges, text_col=text_col, out_col="tokens_merged", sep=sep
+        )
+        return encoded, merges
+
+    cur, merges, last_cache = _bpe_fit_loop(
+        df, n_merges, text_col, id_col, min_count, sep, checkpoint_every
+    )
+    # the returned frame reads the LAST round's cache (one row-local
+    # projection on top); the session-level release registry frees it
+    # like every other operator cache (release_all_cached)
+    if last_cache is not None:
+        cur = _release_after(cur, last_cache)
+    return cur, merges
+
+
+def _bpe_fit_loop(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str,
+    id_col: str,
+    min_count: int,
+    sep: str,
+    checkpoint_every: int,
+) -> tuple[DataFrame, list[tuple[str, str, int]], DataFrame | None]:
+    """The score → apply loop shared by both :func:`bpe_fit` modes.
+
+    Returns ``(final_df, merges, last_cached)`` where ``last_cached``
+    is the still-persisted round the final frame reads from (``None``
+    when the last materialization was a lineage-truncating local
+    checkpoint, whose blocks Spark's ContextCleaner reclaims on GC).
+    """
     cur = df.withColumn("tokens_merged", tokens(F.lower(F.col(text_col))))
     merges: list[tuple[str, str, int]] = []
     prev_cached: DataFrame | None = None
-    for _ in range(n_merges):
+    for rnd in range(n_merges):
         # persist each round's token arrays: round r's scoring job
         # otherwise replays tokenization plus all r-1 prior merge
         # applications from the raw scan — O(n_merges²) corpus passes
         # in total.  The previous round's cache frees as soon as this
         # round's is materialized by the scoring collect (eviction
         # falls back to lineage recompute, never to wrong results).
-        cur = cur.persist()
+        # Every ``checkpoint_every`` rounds the plain persist becomes
+        # an eager localCheckpoint: same blocks, but the lineage (and
+        # with it Catalyst's O(r) per-round re-analysis cost, plus the
+        # eviction-replays-everything hazard) truncates to the stored
+        # partitions.
+        if checkpoint_every and rnd > 0 and rnd % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+            cached: DataFrame | None = None
+        else:
+            cur = cur.persist()
+            cached = cur
         top = merge_candidates(
             cur,
             id_col=id_col,
@@ -1144,7 +1365,7 @@ def bpe_fit(
         ).collect()  # 1 row: the merge table is the model (see docstring)
         if prev_cached is not None:
             prev_cached.unpersist()
-        prev_cached = cur
+        prev_cached = cached
         if not top:
             break
         left, right, freq = (
@@ -1165,12 +1386,7 @@ def bpe_fit(
             .drop("tokens_merged", "n_merges")
             .withColumnRenamed("__bpe_next", "tokens_merged")
         )
-    # the returned frame reads the LAST round's cache (one row-local
-    # projection on top); the session-level release registry frees it
-    # like every other operator cache (release_all_cached)
-    if prev_cached is not None:
-        cur = _release_after(cur, prev_cached)
-    return cur, merges
+    return cur, merges, prev_cached
 
 
 def blocklist_flags(
@@ -1284,7 +1500,8 @@ def dedup_paragraphs(
     id_col: str = "doc_id",
     text_col: str = "text",
     sep: str = "\n",
-) -> DataFrame:
+    with_lineage: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Paragraph-grain exact dedup — the C4 / RefinedWeb step: split
     each document on ``sep``, drop every repeat of a paragraph seen
     anywhere in the corpus (boilerplate, cookie banners, syndicated
@@ -1301,7 +1518,13 @@ def dedup_paragraphs(
     separate policy decision left to the caller.
 
     Output: ``(id_col, text, n_paras, n_kept)`` with ``n_paras`` the
-    document's non-empty paragraph count before dedup.
+    document's non-empty paragraph count before dedup.  With
+    ``with_lineage=True`` returns ``(result, mapping)`` where
+    ``mapping`` is a ManyToOne provenance table — one row per
+    non-empty input paragraph instance, ``(src_id, src_pos, kept_id,
+    kept_pos, fp)``, mapping it to the kept first occurrence (identity
+    row = survivor); the Where/Pick rid-mapping idea from the DTL
+    trace subsystem (lineage.py), extended to the pipeline stack.
 
     The dedup key is the same 60-bit truncated-md5 fingerprint as the
     duplication census (:func:`_window_fingerprints` rationale: 8-byte
@@ -1345,22 +1568,19 @@ def dedup_paragraphs(
     # NULLS FIRST — the same NULL order row_number's default ascending
     # sort used), but partial-aggregates map-side: the skew-safe shape
     # for a key that is hot by construction.
-    kept = (
-        exploded.groupBy("__fp")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col(id_col).alias("i"),
-                    F.col("__pos").alias("p"),
-                    F.col("__para").alias("t"),
-                )
-            ).alias("__first")
-        )
-        .select(
-            F.col("__first.i").alias(id_col),
-            F.col("__first.p").alias("__pos"),
-            F.col("__first.t").alias("__para"),
-        )
+    first = exploded.groupBy("__fp").agg(
+        F.min(
+            F.struct(
+                F.col(id_col).alias("i"),
+                F.col("__pos").alias("p"),
+                F.col("__para").alias("t"),
+            )
+        ).alias("__first")
+    )
+    kept = first.select(
+        F.col("__first.i").alias(id_col),
+        F.col("__first.p").alias("__pos"),
+        F.col("__first.t").alias("__para"),
     )
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(
@@ -1376,7 +1596,7 @@ def dedup_paragraphs(
         ).alias("text"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
-    return (
+    result = (
         docs.select(id_col, "n_paras")
         .join(reassembled, on=id_col, how="left")
         .select(
@@ -1386,3 +1606,25 @@ def dedup_paragraphs(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+    if not with_lineage:
+        return result
+    # ManyToOne provenance (the reference's Where/Pick mapping shape,
+    # /root/reference/src/dtl/mappings.py — extended here to the
+    # LLM-pipeline stack): every non-empty input paragraph instance
+    # maps to the kept instance that represents it after dedup;
+    # identity rows (src == kept) mark survivors, the rest are the
+    # drop audit trail.  Scale shape: one fp-keyed equi-join between
+    # the instance rows and the ONE-row-per-fingerprint first table —
+    # linear, nothing pairwise, and because the build side holds
+    # exactly one row per key, a hot boilerplate fingerprint is
+    # AQE-skew-splittable (the probe partition splits across tasks,
+    # each pairing with the same single build row) — unlike a window,
+    # which would force single-task processing of the hot key.
+    mapping = exploded.join(first, on="__fp").select(
+        F.col(id_col).alias("src_id"),
+        F.col("__pos").cast("long").alias("src_pos"),
+        F.col("__first.i").alias("kept_id"),
+        F.col("__first.p").cast("long").alias("kept_pos"),
+        F.col("__fp").alias("fp"),
+    )
+    return result, mapping

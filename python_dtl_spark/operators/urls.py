@@ -176,6 +176,10 @@ def load_psl_snapshot(path: str | Path | None = None) -> list[tuple[str, str, in
         line = line.strip()
         if not line or line.startswith("//"):
             continue
+        # the publicsuffix.org format defines a rule as everything up
+        # to the first whitespace — upstream lines may carry trailing
+        # annotations that are not part of the rule
+        line = line.split()[0]
         if line.startswith("!"):
             kind, key = "exception", line[1:]
         elif line.startswith("*."):

@@ -1684,6 +1684,183 @@ def test_bpe_fit_learns_and_applies_merge_table(spark):
         text.bpe_fit(clash, 1)
 
 
+def test_apply_merge_n_merges_collision_raises(spark):
+    """apply_merge emits n_merges too — an input already carrying that
+    column must raise (the loud-collision contract), never be silently
+    overwritten."""
+    clash = spark.createDataFrame(
+        [("a a", 7)], "text string, n_merges int"
+    )
+    with pytest.raises(ValueError, match="n_merges"):
+        text.apply_merge(clash, "a", "a")
+
+
+def test_bpe_encode_applies_table_in_rank_order(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "t h e t h e"),  # both merges fire, cascaded
+            (1, "t h i s"),  # only merge 1 fires
+            (2, "a a a"),  # same-token greedy inside the fold
+            (3, ""),  # empty doc
+            (4, "T H E"),  # lowercased before matching
+        ],
+        ["doc_id", "text"],
+    )
+    merges = [("t", "h"), ("t h", "e"), ("a", "a")]
+    out = {
+        r.doc_id: r.tokens_bpe
+        for r in text.bpe_encode(df, merges).collect()
+    }
+    assert out[0] == ["t h e", "t h e"]
+    assert out[1] == ["t h", "i", "s"]
+    assert out[2] == ["a a", "a"]
+    assert out[3] == []
+    assert out[4] == ["t h e"]
+    # bpe_fit's 3-tuples (left, right, freq) are accepted as-is
+    out3 = {
+        r.doc_id: r.tokens_bpe
+        for r in text.bpe_encode(df, [("t", "h", 99)]).collect()
+    }
+    assert out3[0] == ["t h", "e", "t h", "e"]
+    # empty merge table = plain tokenization
+    out0 = {
+        r.doc_id: r.tokens_bpe for r in text.bpe_encode(df, []).collect()
+    }
+    assert out0[0] == ["t", "h", "e", "t", "h", "e"]
+    # pre-tokenized input: no re-split, no re-lowercasing
+    pre = spark.createDataFrame(
+        [(0, ["A", "t", "h"])], "doc_id long, toks array<string>"
+    )
+    outp = text.bpe_encode(
+        pre, [("t", "h")], tokens_col="toks"
+    ).collect()
+    assert outp[0].tokens_bpe == ["A", "t h"]
+    with pytest.raises(ValueError, match="non-empty"):
+        text.bpe_encode(df, [("", "x")])
+    with pytest.raises(ValueError, match="tokens_bpe"):
+        text.bpe_encode(df.withColumn("tokens_bpe", F.lit("x")), merges)
+
+
+def test_bpe_encode_matches_chained_apply_merge(spark):
+    """The single-fold encoder must equal n chained apply_merge calls
+    on the same table — the plan collapses, the semantics must not."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b a b a b", "b a b a", "a a b b a b", "x y z", ""]
+        )],
+        ["doc_id", "text"],
+    )
+    merges = [("a", "b"), ("a b", "a b"), ("b", "a")]
+    chained = df.withColumn(
+        "cur", text.tokens(F.lower(F.col("text")))
+    )
+    for left, right in merges:
+        chained = (
+            text.apply_merge(
+                chained, left, right, out_col="nxt", tokens_col="cur"
+            )
+            .drop("cur", "n_merges")
+            .withColumnRenamed("nxt", "cur")
+        )
+    expect = {r.doc_id: r.cur for r in chained.collect()}
+    got = {
+        r.doc_id: r.tokens_bpe
+        for r in text.bpe_encode(df, merges).collect()
+    }
+    assert got == expect
+
+
+def test_bpe_fit_sampled_learns_table_and_encodes_full_corpus(spark):
+    """The sample-fit valve: a deterministic hash-sample fit must learn
+    the same merge table as the full fit on a corpus whose pair
+    statistics are uniform across docs, and the returned frame must
+    cover the FULL corpus via the single-pass encoder."""
+    rows = [(i, "t h e q u i c k t h e") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full, full_merges = text.bpe_fit(df, n_merges=2, min_count=2)
+    full.release_cached()
+    enc, merges = text.bpe_fit(
+        df, n_merges=2, min_count=2, sample_fraction=0.5
+    )
+    assert [(m[0], m[1]) for m in merges] == [
+        (m[0], m[1]) for m in full_merges
+    ]
+    got = enc.select("doc_id", "tokens_merged").collect()
+    assert len(got) == 40  # full corpus, not the fit sample
+    assert got[0].tokens_merged == {
+        r.doc_id: r.tokens_merged for r in full.select(
+            "doc_id", "tokens_merged").collect()
+    }[got[0].doc_id]
+    # sampled-mode frequencies come from the SAMPLE (documented):
+    # roughly half the full-fit counts at fraction=0.5
+    assert 0 < merges[0][2] < full_merges[0][2]
+    with pytest.raises(ValueError, match="sample_fraction"):
+        text.bpe_fit(df, 1, sample_fraction=1.5)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        text.bpe_fit(df, 1, sample_fraction=0.00001)
+
+
+def test_bpe_fit_checkpoint_rounds_learn_same_table(spark):
+    """Lineage truncation (localCheckpoint every K rounds) is a plan
+    valve, never a semantics change: the merge table and final token
+    arrays match the uncheckpointed fit bit-for-bit."""
+    df = spark.createDataFrame(
+        [(0, "t h e t h e t h e x"), (1, "t h e m e t h e m e")],
+        ["doc_id", "text"],
+    )
+    plain, m_plain = text.bpe_fit(df, n_merges=4, min_count=2,
+                                  checkpoint_every=0)
+    ckpt, m_ckpt = text.bpe_fit(df, n_merges=4, min_count=2,
+                                checkpoint_every=2)
+    assert m_ckpt == m_plain and len(m_plain) >= 2
+    assert (
+        {r.doc_id: r.tokens_merged for r in ckpt.collect()}
+        == {r.doc_id: r.tokens_merged for r in plain.collect()}
+    )
+    plain.release_cached()
+    if hasattr(ckpt, "release_cached"):
+        ckpt.release_cached()
+
+
+def test_dedup_paragraphs_lineage_mapping(spark):
+    """with_lineage=True emits the ManyToOne provenance table: every
+    non-empty paragraph instance -> its kept first occurrence, with
+    identity rows for survivors, positions indexing the empty-filtered
+    sequence, and the shared 60-bit fingerprint for audit."""
+    df = spark.createDataFrame(
+        [
+            (1, "banner\nunique one"),
+            (2, "banner\nunique two\n\nbanner"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    res, mapping = text.dedup_paragraphs(df, with_lineage=True)
+    rows = {
+        (r.src_id, r.src_pos): (r.kept_id, r.kept_pos)
+        for r in mapping.collect()
+    }
+    assert rows[(1, 0)] == (1, 0)  # banner: the kept instance itself
+    assert rows[(1, 1)] == (1, 1)  # survivor identity
+    assert rows[(2, 0)] == (1, 0)  # doc2's banner -> doc1's instance
+    assert rows[(2, 1)] == (2, 1)
+    # doc2's SECOND banner sits at post-filter position 2 (the empty
+    # paragraph between is structure, not content)
+    assert rows[(2, 2)] == (1, 0)
+    assert (3, 0) not in rows and len(rows) == 5
+    # identical paragraphs share the fingerprint
+    fps = {
+        r.src_pos: r.fp
+        for r in mapping.where(F.col("src_id") == 2).collect()
+    }
+    assert fps[0] == fps[2]
+    # the result half is unchanged by lineage mode
+    got = {r.doc_id: r for r in res.collect()}
+    assert got[2].n_paras == 3 and got[2].n_kept == 1
+    assert got[2].text == "unique two"
+    assert got[3].text == "" and got[3].n_kept == 0
+
+
 def test_blocklist_flags_exact_token_match(spark):
     df = spark.createDataFrame(
         [
@@ -3041,3 +3218,24 @@ def test_registrable_domains_psl_guards(spark):
            urls.registrable_domains_psl(
                ok, rules=[("b.custom", "plain", 2)]).collect()}
     assert out == {"a.b.custom": "a.b.custom", "x.y": "x.y"}
+
+
+def test_load_psl_snapshot_cuts_rules_at_whitespace(tmp_path):
+    """The publicsuffix.org format defines a rule as everything up to
+    the first whitespace — upstream lines can carry trailing text, and
+    a full-list snapshot must stay a drop-in data swap."""
+    from python_dtl_spark.operators import urls
+
+    p = tmp_path / "psl.dat"
+    p.write_text(
+        "// comment\n"
+        "com\n"
+        "uk  some trailing annotation\n"
+        "*.ck\t(tab separated note)\n"
+        "!www.ck extra\n"
+    )
+    rules = urls.load_psl_snapshot(p)
+    assert ("com", "plain", 1) in rules
+    assert ("uk", "plain", 1) in rules
+    assert ("ck", "wildcard", 1) in rules
+    assert ("www.ck", "exception", 2) in rules

@@ -918,6 +918,20 @@ def test_pipeline_domain_cap_single_quota_exchange(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bpe_encode_is_single_fold_map_stage(spark):
+    """Tokenizer inference folds the WHOLE merge table inside one
+    F.aggregate expression: the physical plan is a single Project over
+    the scan — zero Exchange, zero Python eval, and zero per-merge
+    projection stacking (one 'aggregate(' fold over the merge array,
+    not one plan node per merge)."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_bpe_encode"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_apply_merge_is_pure_map_stage(spark):
     """BPE merge application is row-local array work over materialized
     token/start columns: zero Exchange, zero Python eval — and the

@@ -842,6 +842,60 @@ def test_apply_merge_matches_greedy_reference(spark, docs, pair):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10),
+        min_size=1,
+        max_size=4,
+    ),
+    table=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "a b", "b a", "a a"]),
+            st.sampled_from(["a", "b", "c", "a b"]),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_bpe_encode_matches_sequential_greedy_reference(spark, docs, table):
+    """The single-fold encoder vs a literal Python reference that
+    applies each merge with left-to-right greedy non-overlap, table
+    entries in order — including tables whose later entries consume
+    earlier entries' merged tokens (the cascade case) and entries
+    that never match."""
+    from python_dtl_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.tokens_bpe for r in bpe_encode(df, table).collect()
+    }
+
+    def greedy_one(toks, left, right):
+        res, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                res.append(left + " " + right)
+                i += 2
+            else:
+                res.append(toks[i])
+                i += 1
+        return res
+
+    for i, toks in enumerate(docs):
+        ref = list(toks)
+        for left, right in table:
+            ref = greedy_one(ref, left, right)
+        assert out[i] == ref
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     hosts=st.lists(
         st.lists(st.sampled_from(["x", "y", "zz"]), min_size=1, max_size=4).map(
             ".".join
