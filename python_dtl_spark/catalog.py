@@ -1669,6 +1669,33 @@ _register(
 )
 
 
+def _q_dedup_exact_lineage(spark, sf_dir):
+    """Provenance for exact dedup: every input row maps to its content
+    group's canonical (min-key) survivor — identity row = survivor;
+    the ManyToOne Where/Pick mapping shape extended from the DTL trace
+    subsystem (same pattern as doc_dedup_paragraphs_lineage).  One
+    null-safe content-keyed equi-join against the one-row-per-group
+    canonical table."""
+    docs = _read(spark, sf_dir, "documents")
+    _, mapping = dedup.exact_dedup_canonical(
+        docs, "doc_id", ["text"], with_lineage=True
+    )
+    return mapping.select("src_doc_id", "kept_doc_id")
+
+
+_register(
+    "dedup_exact_lineage",
+    _q_dedup_exact_lineage,
+    """
+    SELECT d.doc_id AS src_doc_id,
+           CAST(k.kept AS BIGINT) AS kept_doc_id
+    FROM documents d
+    JOIN (SELECT text, min(doc_id) AS kept FROM documents GROUP BY text) k
+      ON d.text IS NOT DISTINCT FROM k.text
+    """,
+)
+
+
 def _q_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(
         _read(spark, sf_dir, "documents"), n=3, threshold=0.3
@@ -6431,7 +6458,11 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # load_psl_snapshot the whitespace cut (the checked-in snapshot has
     # no whitespace lines — verified by grep), so doc_apply_merge /
     # doc_bpe_round / doc_url_psl_domains keep their r10 evidence.
+    # exact_dedup_canonical likewise grew with_lineage (result path
+    # unchanged: same groupBy/min expression, early-returned), but the
+    # function changed, so dedup_exact re-verifies too.
     "doc_dedup_paragraphs": 11,
+    "dedup_exact": 11,
 }
 
 

@@ -105,13 +105,41 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 
 
 def exact_dedup_canonical(
-    df: DataFrame, key_col: str, content_cols: list[str]
-) -> DataFrame:
+    df: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    with_lineage: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Exact dedup keeping the canonical (minimum-key) row per content
-    group — deterministic, unlike ``dropDuplicates``'s arbitrary pick."""
-    return df.groupBy(*[F.col(c) for c in content_cols]).agg(
+    group — deterministic, unlike ``dropDuplicates``'s arbitrary pick.
+
+    With ``with_lineage=True`` returns ``(result, mapping)`` where
+    ``mapping`` is the ManyToOne provenance table ``(src_<key>,
+    kept_<key>)`` — one row per input row, mapping it to the canonical
+    survivor of its content group (identity row = survivor); the same
+    Where/Pick rid-mapping shape as
+    :func:`~python_dtl_spark.operators.text.dedup_paragraphs`'s
+    lineage.  Scale shape: ONE content-keyed equi-join (null-safe, so
+    NULL-content groups map like any other) against the
+    one-row-per-group canonical table — linear, and a hot content key
+    (the empty document, a boilerplate page) is AQE-skew-splittable
+    because the build side holds exactly one row per group.
+    """
+    result = df.groupBy(*[F.col(c) for c in content_cols]).agg(
         F.min(F.col(key_col)).alias(key_col)
     )
+    if not with_lineage:
+        return result
+    kept = result.withColumnRenamed(key_col, "__edc_kept")
+    cond = None
+    for c in content_cols:
+        clause = df[c].eqNullSafe(kept[c])
+        cond = clause if cond is None else (cond & clause)
+    mapping = df.join(kept, on=cond).select(
+        df[key_col].alias(f"src_{key_col}"),
+        F.col("__edc_kept").alias(f"kept_{key_col}"),
+    )
+    return result, mapping
 
 
 def _shingles(text_col, n: int):

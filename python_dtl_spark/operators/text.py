@@ -1127,6 +1127,15 @@ def bpe_encode(
             "on the input; rename or drop it first"
         )
     pairs = [(m[0], m[1]) for m in merges]
+    if len(pairs) > 65536:
+        # the table ships as a plan literal: fine at the classic 32k
+        # vocabulary (~1 MB), but an unbounded table would bloat every
+        # task's deserialized plan — refuse loudly past 2× that
+        raise ValueError(
+            f"merge table has {len(pairs)} entries; bpe_encode embeds "
+            "it as a plan-literal array and caps at 65536 — for larger "
+            "vocabularies ship the table as a broadcast rules join"
+        )
     for left, right in pairs:
         if not left or not right:
             raise ValueError("merge pair tokens must be non-empty")

@@ -86,6 +86,20 @@ def canonicalize_urls(
     labels, or three under common ccTLD second levels (see
     ``_CC_SECOND_LEVELS`` for the exactness caveat).
 
+    **IDN scope decision (documented, not a gap):** hosts are treated
+    as the bytes the crawl handed over — lowercased but NOT
+    punycode-normalized, so a raw-unicode host (``münchen.de``) and
+    its IDNA/punycode encoding (``xn--mnchen-3ya.de``) remain DISTINCT
+    capping keys (pinned in tests/test_operators.py).  Rationale:
+    conformant crawlers emit the wire format (punycode — a URL is only
+    fetchable in its IDNA form), so mixed representations of one site
+    indicate a non-conformant source, and folding them requires the
+    full IDNA/UTS-46 mapping table (Spark has no built-in; shipping a
+    partial mapping would silently merge or split hosts the real
+    algorithm would not).  Callers that ingest raw-unicode URL corpora
+    should IDNA-encode hosts upstream, where the proper library
+    exists.
+
     Output columns collide loudly (same contract as
     ``semistructured.json_extract_fields``).
     """

@@ -325,6 +325,27 @@ AUDITED = {
         "window as TakeOrderedAndProject — per-partition take, one "
         "merge, never a full-vocabulary global sort"
     ),
+    "doc_bpe_encode": (
+        "tokenizer INFERENCE folds the whole learned merge table "
+        "inside one F.aggregate expression: a single Project over "
+        "the scan — zero Exchange, zero Python eval, zero per-merge "
+        "plan stacking (a 32k-entry table is still one codegen stage)"
+    ),
+    "pipeline_bpe_tokenize": (
+        "the packed-emission half of the composed sampled-fit -> "
+        "encode -> pack pipeline: the single-fold encode fuses into "
+        "the scan, the pack assignment and emission share ONE "
+        "pack_group exchange (the fit loop's 3 sample-scale scoring "
+        "jobs ran before this plan, collecting only the 3-row model)"
+    ),
+    "doc_dedup_paragraphs_lineage": (
+        "ManyToOne provenance at paragraph grain: instance rows "
+        "equi-join the one-row-per-fingerprint first-occurrence "
+        "table on fp — linear, nothing pairwise, and hot boilerplate "
+        "fingerprints are AQE-skew-splittable because the build side "
+        "holds exactly one row per key (a window would funnel them "
+        "into one task)"
+    ),
 }
 
 

@@ -823,6 +823,8 @@ def main() -> None:
         "temperature_mix=doc_temperature_mix, vocabulary=doc_vocabulary,",
         "merge_candidates=doc_merge_candidates,",
         "dedup_paragraphs_hotbanner=doc_dedup_paragraphs (hot-fingerprint worst case),",
+        "bpe_fit_sampled=pipeline_bpe_tokenize (sampled fit + single-fold",
+        "encode — the doc_bpe_encode fold is the probe's encode stage),",
         "psl_domains=doc_url_psl_domains (canonicalize_urls feeds it — the",
         "doc_url_canonicalize / pipeline_domain_cap map stage is probed here too;",
         "canonicalization alone needs only its PLANS.md line: zero Exchange),",

@@ -27,6 +27,28 @@ def test_exact_dedup_canonical(docs):
     assert rows[DOCS[0][1]] == 0  # canonical = min doc_id
 
 
+def test_exact_dedup_canonical_lineage(spark):
+    """with_lineage=True emits the ManyToOne provenance table: every
+    input row -> its content group's canonical survivor, identity rows
+    for survivors, NULL content grouped like any other value (the
+    null-safe join)."""
+    df = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "y"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    res, mapping = dedup.exact_dedup_canonical(
+        df, "doc_id", ["text"], with_lineage=True
+    )
+    got = {r.src_doc_id: r.kept_doc_id for r in mapping.collect()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3}
+    assert res.count() == 3  # x, y, NULL groups
+    # result half unchanged by lineage mode
+    plain = dedup.exact_dedup_canonical(df, "doc_id", ["text"])
+    assert {tuple(r) for r in res.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
+
+
 def test_ngram_jaccard_finds_planted_pairs(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
@@ -3218,6 +3240,34 @@ def test_registrable_domains_psl_guards(spark):
            urls.registrable_domains_psl(
                ok, rules=[("b.custom", "plain", 2)]).collect()}
     assert out == {"a.b.custom": "a.b.custom", "x.y": "x.y"}
+
+
+def test_canonicalize_urls_idn_scope_is_byte_level(spark):
+    """The documented IDN decision: hosts are lowercased bytes, never
+    punycode-normalized — a raw-unicode host and its IDNA encoding are
+    DISTINCT capping keys (crawlers emit the wire form; folding needs
+    the full UTS-46 table, and a partial one would be silently wrong).
+    This test pins the decision; changing it must change the docs."""
+    from python_dtl_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [
+            (0, "https://münchen.de/a"),
+            (1, "https://xn--mnchen-3ya.de/a"),
+            (2, "https://MÜNCHEN.de/a"),
+        ],
+        ["doc_id", "url"],
+    )
+    out = {r.doc_id: r for r in urls.canonicalize_urls(df).collect()}
+    # unicode host survives as lowercased unicode, punycode as punycode
+    assert out[1].host == "xn--mnchen-3ya.de"
+    assert out[1].registrable_domain == "xn--mnchen-3ya.de"
+    if out[0].host is not None:  # parser-dependent: if it parses, it
+        # must stay byte-level — never folded into the punycode form
+        assert out[0].host != out[1].host
+        assert out[0].registrable_domain != out[1].registrable_domain
+        # lowercasing applies to unicode hosts like any other
+        assert out[2].host == out[0].host
 
 
 def test_load_psl_snapshot_cuts_rules_at_whitespace(tmp_path):

@@ -932,6 +932,39 @@ def test_bpe_encode_is_single_fold_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pipeline_bpe_tokenize_has_single_pack_exchange(spark):
+    """The composed sampled-fit -> encode -> pack pipeline's data path:
+    the single-fold encode fuses into the scan (no per-merge plan
+    stacking), and the pack assignment window + emission aggregation
+    share ONE pack_group hash exchange.  (The fit loop's sample-scale
+    scoring jobs run before this plan exists, collecting only the
+    3-row merge-table model.)"""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["pipeline_bpe_tokenize"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_paragraphs_lineage_is_skew_safe_join(spark):
+    """The provenance mapping must be an fp-keyed equi-join against
+    the one-row-per-fingerprint min-struct aggregate: no Window (a hot
+    boilerplate fingerprint would funnel into one task's sort), no
+    nested-loop/cartesian join, no Python eval.  An equi-join keyed on
+    the hot fp is AQE-skew-splittable because the build side holds
+    exactly one row per key."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_dedup_paragraphs_lineage"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_apply_merge_is_pure_map_stage(spark):
     """BPE merge application is row-local array work over materialized
     token/start columns: zero Exchange, zero Python eval — and the

@@ -371,6 +371,47 @@ def test_streaming_url_canonicalize_matches_batch(spark, tmp_path):
     )
 
 
+def test_streaming_bpe_encode_matches_batch(spark, tmp_path):
+    """Tokenizer inference is a stateless single-fold map stage, so a
+    LEARNED merge table applies to a document stream as-is: readStream
+    docs -> bpe_encode -> append sink equals the batch result — the
+    online-tokenization shape (encode arriving documents with a frozen
+    fit)."""
+    from python_dtl_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "t h e t h e"), (1, "a a a"), (2, ""), (3, "t h x")],
+        "doc_id long, text string",
+    )
+    merges = [("t", "h"), ("t h", "e"), ("a", "a")]
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_stream_to_memory(
+        bpe_encode(stream, merges), "bpe_stream", mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.doc_id, tuple(r.tokens_bpe))
+            for r in spark.table("bpe_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.doc_id, tuple(r.tokens_bpe))
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert streamed == batch
+    assert (0, ("t h e", "t h e")) in batch and (1, ("a a", "a")) in batch
+
+
 DOC_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
