@@ -5013,6 +5013,56 @@ _register(
 )
 
 
+def _q_bpe_vocab(spark, sf_dir):
+    """Post-encode vocabulary: the token-id table a trainer actually
+    consumes — bpe_encode with a fixed learned table, then the
+    vocabulary builder over the ENCODED stream (tokens_col, no
+    re-split), so merged tokens rank as single units with coverage
+    stats.  Completes the tokenizer narrative: fit → encode → vocab →
+    pack, each oracle-backed."""
+    docs = _read(spark, sf_dir, "documents")
+    enc = text.bpe_encode(docs, _BPE_ENCODE_MERGES, out_col="tokens_bpe")
+    return text.vocabulary(enc, tokens_col="tokens_bpe", min_count=5, max_size=200)
+
+
+_register(
+    "doc_bpe_vocab",
+    _q_bpe_vocab,
+    f"""
+    WITH tk0 AS (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS t
+        FROM documents
+    )"""
+    + "".join(
+        _bpe_stage_sql(
+            "tk",
+            i,
+            f"'{_sql_quote(left)}'",
+            f"'{_sql_quote(right)}'",
+            f"'{_sql_quote(left + ' ' + right)}'",
+        )
+        for i, (left, right) in enumerate(_BPE_ENCODE_MERGES)
+    )
+    + f"""
+    , tok AS (
+        SELECT doc_id, unnest(t) AS token FROM tk{len(_BPE_ENCODE_MERGES)}
+    ), c AS (
+        SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+        FROM tok GROUP BY token HAVING count(*) >= 5
+    ), tot AS (SELECT count(*) AS total FROM tok),
+    r AS (
+        SELECT token, freq, doc_freq,
+               row_number() OVER (ORDER BY freq DESC, token) AS rn
+        FROM c
+    )
+    SELECT token, freq, doc_freq, CAST(rn - 1 AS BIGINT) AS token_id,
+           (sum(freq) OVER (ORDER BY rn)) / total AS cum_share
+    FROM r CROSS JOIN tot
+    WHERE rn <= 200
+    """,
+)
+
+
 _BPE_PIPE_ROUNDS = 3
 _BPE_PIPE_SEED = "bpefit-p"
 _BPE_PIPE_CUT = 5000  # sample_fraction 0.5 × hash_bucket's 10000 buckets
@@ -6461,6 +6511,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # exact_dedup_canonical likewise grew with_lineage (result path
     # unchanged: same groupBy/min expression, early-returned), but the
     # function changed, so dedup_exact re-verifies too.
+    # NOT forced: vocabulary gained a tokens_col param (default None)
+    # whose None path builds the IDENTICAL expression as before — the
+    # apply_merge-guard class of change; doc_vocabulary re-checked
+    # locally at sf0.01 after the edit (green) and keeps its r10 row.
     "doc_dedup_paragraphs": 11,
     "dedup_exact": 11,
 }

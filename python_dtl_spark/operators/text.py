@@ -810,6 +810,7 @@ def vocabulary(
     id_col: str = "doc_id",
     min_count: int = 2,
     max_size: int = 10_000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus vocabulary builder: the top-``max_size`` tokens with at
     least ``min_count`` occurrences, assigned dense ids by (frequency
@@ -833,9 +834,20 @@ def vocabulary(
     ≤ max_size × n_partitions rows, never the full vocabulary.  The cumulative sum runs AFTER that filter, on
     ≤ max_size rows — ordering it before the filter would force a full
     un-pruned global sort of every distinct token.
+
+    Pass ``tokens_col`` to build the vocabulary over a pre-tokenized
+    array as-is (no re-split, no lowercasing) — the post-encode vocab
+    of a fitted BPE tokenizer (:func:`bpe_encode` output), where
+    merged tokens must stay intact.  Same contract as
+    :func:`merge_candidates`'s ``tokens_col``.
     """
     toks = df.select(
-        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+        F.col(id_col),
+        F.explode(
+            F.col(tokens_col)
+            if tokens_col is not None
+            else tokens(F.lower(F.col(text_col)))
+        ).alias("token"),
     )
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("freq"),

@@ -331,6 +331,13 @@ AUDITED = {
         "the scan — zero Exchange, zero Python eval, zero per-merge "
         "plan stacking (a 32k-entry table is still one codegen stage)"
     ),
+    "doc_bpe_vocab": (
+        "post-encode vocabulary: the single-fold encode fuses into "
+        "the scan-side explode, then the audited vocabulary shape — "
+        "partial+final hash aggs over tokens, the top-N rank pushed "
+        "through the window as TakeOrderedAndProject, cum_share "
+        "computed AFTER the prune on <= max_size rows"
+    ),
     "pipeline_bpe_tokenize": (
         "the packed-emission half of the composed sampled-fit -> "
         "encode -> pack pipeline: the single-fold encode fuses into "

@@ -1623,6 +1623,30 @@ def test_vocabulary_ids_counts_and_coverage(spark):
     assert len(top1) == 1 and top1[0].token == "a"
 
 
+def test_vocabulary_tokens_col_uses_pretokenized_stream(spark):
+    """tokens_col builds the vocab over a pre-tokenized array as-is —
+    no re-split (merged BPE tokens containing spaces stay single
+    units), no lowercasing."""
+    df = spark.createDataFrame(
+        [
+            (0, ["t h", "x", "t h"]),
+            (1, ["t h", "X"]),
+        ],
+        "doc_id long, toks array<string>",
+    )
+    out = {
+        r.token: r
+        for r in text.vocabulary(
+            df, tokens_col="toks", min_count=1, max_size=10
+        ).collect()
+    }
+    assert out["t h"].freq == 3 and out["t h"].doc_freq == 2
+    assert out["t h"].token_id == 0
+    # case preserved: 'x' and 'X' are distinct tokens
+    assert out["x"].freq == 1 and out["X"].freq == 1
+    assert abs(out["t h"].cum_share - 3 / 5) < 1e-12
+
+
 def test_merge_candidates_adjacent_pair_scoring(spark):
     df = spark.createDataFrame(
         [

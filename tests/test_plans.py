@@ -932,6 +932,19 @@ def test_bpe_encode_is_single_fold_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bpe_vocab_rank_is_take_ordered_prune(spark):
+    """Post-encode vocabulary keeps the audited vocabulary shape with
+    the encode fold fused scan-side: the global top-N rank must plan
+    as TakeOrderedAndProject (per-partition take, one merge — never a
+    full-vocabulary global sort), with zero Python eval."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_bpe_vocab"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_pipeline_bpe_tokenize_has_single_pack_exchange(spark):
     """The composed sampled-fit -> encode -> pack pipeline's data path:
     the single-fold encode fuses into the scan (no per-merge plan

@@ -891,6 +891,40 @@ def test_bpe_encode_matches_sequential_greedy_reference(spark, docs, table):
 
 
 @settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8),
+        min_size=2,
+        max_size=4,
+    ),
+)
+def test_bpe_fit_loop_equals_single_fold_encode(spark, docs):
+    """The iterative fit loop's final token arrays must equal ONE
+    bpe_encode fold over the merge table it learned — the loop applies
+    merges incrementally (n chained projections over caches), the
+    encoder in a single expression; any divergence means the fold's
+    greedy step disagrees with apply_merge's."""
+    from python_dtl_spark.operators.text import bpe_encode, bpe_fit
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    fitted, merges = bpe_fit(df, n_merges=3, min_count=2)
+    loop_out = {r.doc_id: r.tokens_merged for r in fitted.collect()}
+    fitted.release_cached()
+    enc_out = {
+        r.doc_id: r.tokens_bpe
+        for r in bpe_encode(df, merges, out_col="tokens_bpe").collect()
+    }
+    assert enc_out == loop_out
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
