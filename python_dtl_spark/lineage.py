@@ -253,6 +253,90 @@ def run_traced(source, *, spark, importer, exporter, tracer, ordered=False):
     tracer.write_manifest()
 
 
+@dataclass
+class _PipelineDType:
+    """Shim giving Spark dtype strings the ``.name`` attribute
+    ``record_table`` reads off the DTL type objects."""
+
+    name: str
+
+
+def record_pipeline_step(
+    tracer,
+    *,
+    src_name: str,
+    tgt_name: str,
+    src_df: DataFrame,
+    tgt_df: DataFrame,
+    mapping: DataFrame,
+    src_key: str,
+    tgt_key: str,
+    mapping_src: str | None = None,
+    mapping_tgt: str | None = None,
+    kind: str = "by_key",
+    level: str = "PIPELINE",
+) -> tuple[str, str]:
+    """Bridge an OPERATOR-lineage mapping into the trace subsystem: the
+    ManyToOne tables the pipeline flagships emit
+    (:func:`~python_dtl_spark.operators.text.dedup_paragraphs` /
+    :func:`~python_dtl_spark.operators.dedup.exact_dedup_canonical`
+    with ``with_lineage=True``, or any ``(src_key → tgt_key)``
+    relation) become first-class trace mappings, so
+    :class:`TraceReader`'s ``why()`` / ``where_used()`` /  transitive
+    ``lineage()`` walk pipeline steps exactly as they walk DTL
+    statements — and compose ACROSS the two worlds when a DTL export
+    feeds a pipeline operator.
+
+    Both frames snapshot through the tracer's normal path, so the
+    ``snapshot_levels`` 100 TB valve applies: keep ``"PIPELINE"`` out
+    of ``snapshot_levels`` and only the narrow rid mapping is written,
+    no table-sized copy.  The frames' NATURAL keys serve as row ids
+    (``rid_col``), so no synthetic rid generation pass runs — the
+    mapping is already at key grain.
+
+    ``src_key`` / ``tgt_key`` are the frames' natural-key (rid)
+    columns; ``mapping_src`` / ``mapping_tgt`` name the mapping
+    table's corresponding columns and default to ``src_<src_key>`` /
+    ``kept_<tgt_key>`` — exactly what ``with_lineage=True`` emits.
+
+    Returns the two table uids (``p{NNN}_{name}``, disjoint from the
+    DTL statements' ``t{NNN}_{name}`` space).
+    """
+    mapping_src = mapping_src or f"src_{src_key}"
+    mapping_tgt = mapping_tgt or f"kept_{tgt_key}"
+    for col in (mapping_src, mapping_tgt):
+        if col not in mapping.columns:
+            raise ValueError(
+                f"mapping column {col!r} not found (columns: "
+                f"{mapping.columns}); pass mapping_src/mapping_tgt"
+            )
+    uids = []
+    for name, df, key in ((src_name, src_df, src_key), (tgt_name, tgt_df, tgt_key)):
+        if key not in df.columns:
+            raise ValueError(
+                f"key column {key!r} not in frame for table {name!r} "
+                f"(columns: {df.columns})"
+            )
+        uid = f"p{len(tracer.tables):03d}_{name}"
+        tracer.materialize(uid, df, level=level)
+        tracer.record_table(
+            uid,
+            name=name,
+            level=level,
+            columns=[
+                (c, _PipelineDType(t)) for c, t in df.dtypes if c != key
+            ],
+            rid_col=key,
+        )
+        uids.append(uid)
+    pairs = mapping.select(
+        F.col(mapping_src).alias("src_rid"),
+        F.col(mapping_tgt).alias("tgt_rid"),
+    )
+    tracer.record_mapping(uids[0], uids[1], kind=kind, pairs=pairs)
+    return uids[0], uids[1]
+
+
 # -- mapping algebra ----------------------------------------------------------
 
 

@@ -533,3 +533,78 @@ def test_filesystem_tracer_parquet_pin_mode(spark, tmp_path):
     assert glob.glob(os.path.join(trace_dir, "pins", "*"))
     reader = TraceReader(spark, trace_dir)
     assert reader.lineage("a", "out").count() == 3
+
+
+def test_record_pipeline_step_bridges_operator_lineage(spark, tmp_path):
+    """Operator-lineage mappings (with_lineage=True output) become
+    first-class trace mappings: TraceReader.why()/where_used() walk a
+    pipeline dedup step exactly as they walk DTL statements."""
+    from python_dtl_spark.lineage import record_pipeline_step
+    from python_dtl_spark.operators.dedup import exact_dedup_canonical
+
+    trace_dir = os.path.join(str(tmp_path), "ptrace")
+    tracer = FileSystemTracer(trace_dir)
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "y"), (3, None)],
+        "doc_id long, text string",
+    )
+    result, mapping = exact_dedup_canonical(
+        docs, "doc_id", ["text"], with_lineage=True
+    )
+    src_uid, tgt_uid = record_pipeline_step(
+        tracer,
+        src_name="corpus",
+        tgt_name="deduped",
+        src_df=docs,
+        tgt_df=result,
+        mapping=mapping,
+        src_key="doc_id",
+        tgt_key="doc_id",
+    )
+    tracer.write_manifest()
+    assert src_uid.startswith("p") and tgt_uid.startswith("p")
+
+    reader = TraceReader(spark, trace_dir)
+    # why: the kept doc 0 traces back to BOTH duplicate inputs 0 and 1
+    kept0 = reader.snapshot("deduped").filter(F.col("__rid") == 0)
+    origin = reader.why("deduped", "corpus", kept0)
+    assert sorted(r["__rid"] for r in origin.collect()) == [0, 1]
+    # where_used: deleting input doc 1 affects kept doc 0
+    src1 = reader.snapshot("corpus").filter(F.col("__rid") == 1)
+    hit = reader.where_used("corpus", "deduped", src1)
+    assert [r["__rid"] for r in hit.collect()] == [0]
+    # the mapping is the full ManyToOne relation, NULL group included
+    pairs = reader.mapping("corpus", "deduped")
+    got = {(r.src_rid, r.tgt_rid) for r in pairs.collect()}
+    assert got == {(0, 0), (1, 0), (2, 2), (3, 3)}
+    # snapshot-levels valve: mapping-only pipeline steps write no
+    # table copy but the rid mapping still answers lineage()
+    trace_dir2 = os.path.join(str(tmp_path), "ptrace2")
+    tracer2 = FileSystemTracer(trace_dir2, snapshot_levels=["EXPORT"])
+    record_pipeline_step(
+        tracer2,
+        src_name="corpus",
+        tgt_name="deduped",
+        src_df=docs,
+        tgt_df=result,
+        mapping=mapping,
+        src_key="doc_id",
+        tgt_key="doc_id",
+    )
+    tracer2.write_manifest()
+    reader2 = TraceReader(spark, trace_dir2)
+    assert reader2.lineage("corpus", "deduped").count() == 4
+    with pytest.raises(ValueError, match="mapping-only"):
+        reader2.snapshot("corpus")
+    # loud errors on missing columns
+    with pytest.raises(ValueError, match="mapping column"):
+        record_pipeline_step(
+            tracer,
+            src_name="a",
+            tgt_name="b",
+            src_df=docs,
+            tgt_df=result,
+            mapping=mapping.select(F.col("src_doc_id").alias("z"), "kept_doc_id"),
+            src_key="doc_id",
+            tgt_key="doc_id",
+        )
