@@ -11,6 +11,7 @@ the driver, and compose with the DTL engine's outputs.
 from python_dtl_spark.operators import (
     analytics,
     cdc,
+    classify,
     dedup,
     embeddings,
     joins,
@@ -28,6 +29,7 @@ from python_dtl_spark.operators import (
 __all__ = [
     "analytics",
     "cdc",
+    "classify",
     "dedup",
     "embeddings",
     "joins",

@@ -1,0 +1,235 @@
+"""Bag-of-words Naive Bayes classification — the corpus-quality /
+language classifier tier of a training-data pipeline (the GPT-3 /
+LLaMA-style "fit a cheap classifier on labeled seed data, score the
+whole crawl" step, at the word grain the rest of this repo's text
+operators share).
+
+Naive Bayes is chosen over iterative fits deliberately: its sufficient
+statistics are INTEGER COUNTS (per-class token frequencies + class
+sizes), so the fitted model is exact, reproducible bit-for-bit, and an
+ANSI-SQL oracle can re-derive the entire model and the per-document
+argmax independently — the same verifiability standard as the rest of
+the catalog (a logistic-regression fit would trade that for a
+marginally better decision boundary).
+
+The reference engine has no classifier surface at all (scalar registry
+is ``add`` only, /root/reference/src/dtl/functions.py); extension per
+SURVEY.md §2.5.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_dtl_spark.operators.text import tokens
+
+__all__ = ["nb_fit", "nb_apply"]
+
+
+def nb_fit(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_vocab: int = 50_000,
+    sample_fraction: float | None = None,
+    sample_seed: str = "nbfit",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit multinomial-NB sufficient statistics on a labeled corpus.
+
+    Returns ``(token_counts, class_stats)`` — both small, broadcastable
+    DataFrames of EXACT INTEGERS (smoothing happens at apply time, so
+    the model itself is engine-reproducible):
+
+    * ``token_counts``: ``(token, label, freq)`` for the top
+      ``max_vocab`` tokens by corpus frequency (freq DESC, token ASC —
+      the same deterministic rank rule as :func:`~python_dtl_spark.
+      operators.text.vocabulary`) with per-token-per-class instance
+      counts; tokens below ``min_count`` corpus-wide are dropped.
+    * ``class_stats``: ``(label, n_docs, n_tokens)`` with ``n_tokens``
+      the class's IN-VOCAB token instance count (the multinomial
+      denominator base — out-of-vocab instances route to the shared
+      OOV pseudo-token at apply time).
+
+    Rows with a NULL label are excluded — they are the unlabeled
+    corpus the fitted model exists to score, not evidence.
+
+    ``sample_fraction`` is the 100 TB valve (same deterministic
+    md5-hash sample as :func:`~python_dtl_spark.operators.text.
+    bpe_fit`): fit the statistics on a reproducible fraction of the
+    labeled data; seed-data labeling is expensive, so real deployments
+    fit small and score everything anyway.
+
+    Scale shape: one explode + ONE (label, token) hash aggregation
+    with map-side partials; the vocabulary prune is a corpus-frequency
+    rank that Catalyst pushes as TakeOrderedAndProject through the
+    window (never a full-vocabulary global sort); class_stats is a
+    second tiny aggregation at label grain.
+    """
+    labeled = df.where(F.col(label_col).isNotNull())
+    if sample_fraction is not None:
+        from python_dtl_spark.operators.sampling import (
+            _BUCKETS,
+            _check_key_type,
+            hash_bucket,
+        )
+
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        _check_key_type(df, id_col)
+        cut = int(round(sample_fraction * _BUCKETS))
+        if cut < 1:
+            raise ValueError(
+                f"sample_fraction={sample_fraction} rounds to an empty "
+                f"hash sample (< 1/{_BUCKETS}); raise it"
+            )
+        labeled = labeled.where(
+            hash_bucket(F.col(id_col), seed=sample_seed) < F.lit(cut)
+        )
+    toks = labeled.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    per_class = toks.groupBy("token", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
+    # vocabulary prune by CORPUS frequency (sum over classes), the
+    # deterministic (freq DESC, token ASC) rank shared with vocabulary()
+    from pyspark.sql import Window
+
+    corpus = per_class.groupBy("token").agg(F.sum("freq").alias("__cf"))
+    w = Window.orderBy(F.desc("__cf"), F.asc("token"))
+    vocab = (
+        corpus.filter(F.col("__cf") >= min_count)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_vocab)
+        .select("token")
+    )
+    token_counts = per_class.join(vocab, on="token").select(
+        "token", "label", "freq"
+    )
+    class_tok = token_counts.groupBy("label").agg(
+        F.sum("freq").cast("long").alias("n_tokens")
+    )
+    class_docs = labeled.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    class_stats = class_docs.join(class_tok, on="label", how="left").select(
+        "label",
+        "n_docs",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    return token_counts, class_stats
+
+
+def nb_apply(
+    df: DataFrame,
+    token_counts: DataFrame,
+    class_stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    out_col: str = "predicted_label",
+    score_col: str = "log_score",
+) -> DataFrame:
+    """Score every document against fitted NB statistics and append
+    ``out_col`` (argmax class) and ``score_col`` (its log posterior up
+    to the shared normalizer).
+
+    Semantics (replayable in SQL): with vocabulary size ``V`` and
+    Laplace ``alpha``, a document's class score is
+
+        log(n_docs_c) + Σ_tokens log((freq_{t,c} + alpha) /
+                                      (n_tokens_c + alpha·(V+1)))
+
+    where an out-of-vocabulary token has ``freq = 0`` (the ``V+1``-th
+    pseudo-token).  Argmax tie-break is (score DESC, label ASC) —
+    deterministic.  A document with no tokens scores on priors alone.
+
+    The class list and sizes collect to the driver (a handful of rows
+    — the scalar-model pattern of KMeans centroids / BPE pairs); the
+    token table stays distributed and joins BROADCAST, pivoted to one
+    row per token with a frequency column per class.
+
+    Scale shape: row-local tokenization/explode, ONE broadcast join
+    against the ≤ ``max_vocab``-row pivoted model, ONE doc-grain hash
+    aggregation (map-side partial sums), then the id-keyed join-back
+    to the input (broadcast at small scale, co-partitioned equi-join
+    at corpus scale — the same join-back shape as
+    ``events_resample_ffill``) and a row-local argmax over the class
+    score columns.  Never a per-class pass over the corpus, never a
+    Python UDF.
+    """
+    for emitted in (out_col, score_col):
+        if emitted in df.columns:
+            raise ValueError(
+                f"nb_apply emits column {emitted!r} which already exists "
+                "on the input; rename or drop it first"
+            )
+    stats = sorted(
+        class_stats.collect(), key=lambda r: r["label"]
+    )  # tiny: one row per class (scalar model, see docstring)
+    if not stats:
+        raise ValueError("class_stats is empty — nothing was fit")
+    labels = [r["label"] for r in stats]
+    vocab_size = token_counts.select("token").distinct().count()
+    denoms = {
+        r["label"]: float(r["n_tokens"]) + alpha * (vocab_size + 1)
+        for r in stats
+    }
+    priors = {r["label"]: math.log(r["n_docs"]) for r in stats}
+
+    wide = (
+        token_counts.groupBy("token")
+        .pivot("label", labels)
+        .agg(F.first("freq"))
+    )
+    toks = df.select(
+        F.col(id_col).alias("__nb_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    joined = toks.join(F.broadcast(wide), on="token", how="left")
+    sums = joined.groupBy("__nb_id").agg(
+        *[
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col(f"`{c}`"), F.lit(0)) + F.lit(alpha))
+                    / F.lit(denoms[c])
+                )
+            ).alias(f"__nb_s{i}")
+            for i, c in enumerate(labels)
+        ]
+    )
+    scored = df.join(
+        sums, on=df[id_col] == sums["__nb_id"], how="left"
+    ).drop("__nb_id")
+    score_cols = [
+        (F.coalesce(F.col(f"__nb_s{i}"), F.lit(0.0)) + F.lit(priors[c]))
+        for i, c in enumerate(labels)
+    ]
+    # row-local argmax, tie-break (score DESC, label ASC): sort the
+    # (–score, label) structs ascending and take the head
+    best = F.element_at(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-s).alias("ns"), F.lit(c).alias("l")
+                    )
+                    for s, c in zip(score_cols, labels)
+                ]
+            )
+        ),
+        1,
+    )
+    return scored.select(
+        *[F.col(c) for c in df.columns],
+        best["l"].alias(out_col),
+        (-best["ns"]).alias(score_col),
+    )

@@ -3313,3 +3313,148 @@ def test_load_psl_snapshot_cuts_rules_at_whitespace(tmp_path):
     assert ("uk", "plain", 1) in rules
     assert ("ck", "wildcard", 1) in rules
     assert ("www.ck", "exception", 2) in rules
+
+
+def test_nb_fit_sufficient_statistics_are_exact_counts(spark):
+    from python_dtl_spark.operators import classify
+
+    df = spark.createDataFrame(
+        [
+            (0, "buy cheap buy", "spam"),
+            (1, "cheap pills", "spam"),
+            (2, "meeting notes", "ham"),
+            (3, "notes for the meeting notes", "ham"),
+            (4, "unlabeled text", None),  # excluded from the fit
+        ],
+        ["doc_id", "text", "label"],
+    )
+    tc, cs = classify.nb_fit(df, "label")
+    counts = {(r.token, r.label): r.freq for r in tc.collect()}
+    assert counts[("buy", "spam")] == 2
+    assert counts[("cheap", "spam")] == 2
+    assert counts[("notes", "ham")] == 3
+    assert ("unlabeled", "spam") not in counts
+    assert ("unlabeled", "ham") not in counts
+    stats = {r.label: (r.n_docs, r.n_tokens) for r in cs.collect()}
+    assert stats["spam"] == (2, 5) and stats["ham"] == (2, 7)
+    # min_count / max_vocab prune by CORPUS frequency, rank (freq DESC,
+    # token ASC)
+    tc2, _ = classify.nb_fit(df, "label", min_count=2)
+    assert {r.token for r in tc2.collect()} == {"buy", "cheap", "notes", "meeting"}
+    tc3, _ = classify.nb_fit(df, "label", max_vocab=1)
+    assert {r.token for r in tc3.collect()} == {"notes"}  # freq 3 wins
+
+
+def test_nb_apply_recovers_planted_classes(spark):
+    from python_dtl_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [
+            (0, "buy cheap buy pills", "spam"),
+            (1, "cheap pills now", "spam"),
+            (2, "meeting notes agenda", "ham"),
+            (3, "agenda for the meeting", "ham"),
+        ],
+        ["doc_id", "text", "label"],
+    )
+    tc, cs = classify.nb_fit(train, "label")
+    new = spark.createDataFrame(
+        [
+            (10, "cheap pills"),
+            (11, "meeting agenda"),
+            (12, "zzz qqq vvv"),  # all OOV -> priors decide
+            (13, ""),  # empty -> priors decide
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in classify.nb_apply(new, tc, cs, id_col="doc_id").collect()
+    }
+    assert out[10].predicted_label == "spam"
+    assert out[11].predicted_label == "ham"
+    # equal priors (2 docs each): OOV terms differ only via class token
+    # totals; tie-break and priors must be deterministic — assert the
+    # label is one of the classes and scores are finite
+    import math as m
+
+    for d in (12, 13):
+        assert out[d].predicted_label in ("spam", "ham")
+        assert m.isfinite(out[d].log_score)
+    # empty doc scores = prior + 0 contributions; equal priors tie ->
+    # smallest label wins (deterministic tie-break)
+    assert out[13].predicted_label == "ham"
+    # input columns survive untouched, outputs appended
+    assert set(out[10].asDict()) == {"doc_id", "text", "predicted_label", "log_score"}
+    # collision guard
+    clash = new.withColumn("predicted_label", F.lit("x"))
+    with pytest.raises(ValueError, match="predicted_label"):
+        classify.nb_apply(clash, tc, cs)
+
+
+def test_nb_apply_matches_bruteforce_reference(spark):
+    """Spark NB scores vs a literal Python reference on a small corpus:
+    identical argmax labels and log scores to 1e-9."""
+    import math as m
+
+    from python_dtl_spark.operators import classify
+
+    train_rows = [
+        (0, "a a b", "x"),
+        (1, "a b b c", "x"),
+        (2, "c c d", "y"),
+        (3, "d d a", "y"),
+        (4, "e e", "y"),
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text", "label"])
+    tc, cs = classify.nb_fit(train, "label")
+    test_rows = [(10, "a b"), (11, "c d d"), (12, "a zzz e"), (13, "")]
+    test = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in classify.nb_apply(test, tc, cs, alpha=1.0).collect()
+    }
+
+    # literal reference
+    from collections import Counter, defaultdict
+
+    freq = defaultdict(Counter)
+    ndocs = Counter()
+    for _, text, lbl in train_rows:
+        ndocs[lbl] += 1
+        freq[lbl].update(text.split())
+    vocab = {t for c in freq.values() for t in c}
+    V = len(vocab)
+    ntok = {c: sum(freq[c].values()) for c in freq}
+
+    def score(text, c):
+        s = m.log(ndocs[c])
+        for t in text.split():
+            f = freq[c][t] if t in vocab else 0
+            s += m.log((f + 1.0) / (ntok[c] + 1.0 * (V + 1)))
+        return s
+
+    for doc_id, text in test_rows:
+        best = min(
+            ((-score(text, c), c) for c in sorted(freq)),
+        )
+        assert out[doc_id].predicted_label == best[1], (doc_id, text)
+        assert abs(out[doc_id].log_score - (-best[0])) < 1e-9
+
+
+def test_nb_fit_sample_valve(spark):
+    from python_dtl_spark.operators import classify
+
+    rows = [(i, "a a b" if i % 2 == 0 else "c c d",
+             "x" if i % 2 == 0 else "y") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    tc, cs = classify.nb_fit(df, "label", sample_fraction=0.5)
+    stats = {r.label: r.n_docs for r in cs.collect()}
+    # sampled fit sees a strict subset of each class
+    assert 0 < stats["x"] < 20 and 0 < stats["y"] < 20
+    out = classify.nb_apply(
+        spark.createDataFrame([(100, "a b a")], ["doc_id", "text"]), tc, cs
+    ).collect()
+    assert out[0].predicted_label == "x"
+    with pytest.raises(ValueError, match="sample_fraction"):
+        classify.nb_fit(df, "label", sample_fraction=2.0)
