@@ -3458,3 +3458,95 @@ def test_nb_fit_sample_valve(spark):
     assert out[0].predicted_label == "x"
     with pytest.raises(ValueError, match="sample_fraction"):
         classify.nb_fit(df, "label", sample_fraction=2.0)
+
+
+def test_nb_language_matches_duckdb_replay(spark):
+    """The STAGED r12 catalog oracle, validated ahead of registration:
+    DuckDB re-derives the whole NB pipeline independently — the
+    md5-hash fit sample, the per-class token counts, the
+    (freq DESC, token ASC) vocabulary prune, per-document log scores
+    and the (score DESC, label ASC) argmax — and the predicted labels
+    must match Spark's exactly.  Output is argmax-only (no float
+    columns): measured min top-2 score gap on this data is ~5e-4 in
+    log space, five orders above cross-engine libm drift, so the
+    argmax is engine-stable."""
+    import duckdb
+
+    from python_dtl_spark.operators import classify
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc, cs = classify.nb_fit(
+        docs, "lang", sample_fraction=0.5, sample_seed="nb-l",
+        min_count=1, max_vocab=200,
+    )
+    got = {
+        r.doc_id: r.predicted_label
+        for r in classify.nb_apply(docs, tc, cs, alpha=1.0)
+        .select("doc_id", "predicted_label")
+        .collect()
+    }
+
+    toks = (
+        "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        " x -> x <> '')"
+    )
+    sample = (
+        "(('0x' || substr(md5('nb-l' || CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 10000) < 5000"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    oracle = con.execute(f"""
+    WITH labeled AS (
+        SELECT doc_id, lang AS label, {toks} AS t
+        FROM documents WHERE lang IS NOT NULL AND {sample}
+    ), tokc AS (
+        SELECT token, label, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT label, unnest(t) AS token FROM labeled)
+        GROUP BY token, label
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token,
+                   row_number() OVER (ORDER BY sum(freq) DESC, token) AS rn
+            FROM tokc GROUP BY token HAVING sum(freq) >= 1
+        ) WHERE rn <= 200
+    ), tc AS (SELECT tokc.* FROM tokc JOIN vocab USING (token)),
+    cstat AS (
+        SELECT d.label, d.n_docs, coalesce(s.n_tokens, 0) AS n_tokens
+        FROM (SELECT lang AS label, count(*) AS n_docs FROM documents
+              WHERE lang IS NOT NULL AND {sample} GROUP BY lang) d
+        LEFT JOIN (SELECT label, sum(freq) AS n_tokens FROM tc
+                   GROUP BY label) s USING (label)
+    ), vsz AS (SELECT count(DISTINCT token) AS V FROM tc),
+    alltoks AS (
+        SELECT doc_id, unnest({toks}) AS token FROM documents
+    ), scored AS (
+        SELECT a.doc_id, c.label,
+               sum(ln((coalesce(tc.freq, 0) + 1.0) /
+                      (c.n_tokens + 1.0 * (v.V + 1)))) AS s
+        FROM alltoks a
+        CROSS JOIN cstat c
+        CROSS JOIN vsz v
+        LEFT JOIN tc ON tc.token = a.token AND tc.label = c.label
+        GROUP BY a.doc_id, c.label
+    ), final AS (
+        SELECT d.doc_id, c.label,
+               coalesce(s.s, 0.0) + ln(c.n_docs) AS score
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN cstat c
+        LEFT JOIN scored s ON s.doc_id = d.doc_id AND s.label = c.label
+    )
+    SELECT doc_id, label AS predicted_label FROM (
+        SELECT doc_id, label,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, label) AS rn
+        FROM final
+    ) WHERE rn = 1
+    """).fetchall()
+    want = dict(oracle)
+    assert got == want
+    assert len(got) == docs.count()
