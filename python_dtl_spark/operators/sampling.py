@@ -149,6 +149,89 @@ def domain_quota(
     )
 
 
+def target_mix_resample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weights: dict[str, int],
+    seed: str = "mix",
+) -> DataFrame:
+    """Resample to an EXACT target mixture: keep ``w_s × K`` rows of
+    each stratum ``s``, where the integer ``K = min_s floor(n_s / w_s)``
+    is the largest scale at which every stratum can fill its share —
+    the "60% web / 20% code / 20% books" data-mixture knob of an LLM
+    training run, decided entirely in integer arithmetic (pass
+    relative integer weights; proportions are ``w_s / Σw``).
+
+    The output mixture is exactly proportional by construction (every
+    kept count is ``w_s × K``), maximal (K+1 would overdraw the
+    scarcest stratum), and a pure function of (key, seed, weights):
+    selection within a stratum is md5(seed || key) order with the key
+    as tie-break — the same deterministic-rank rule as
+    :func:`domain_quota`, replayable in ANSI SQL.  Strata absent from
+    ``weights`` are dropped; a WEIGHTED stratum absent from the data
+    raises (its share is unfillable — silently returning an empty
+    frame would look like data loss downstream).  NULL-keyed and
+    NULL-stratum rows are excluded like every hash-keyed sampler here.
+
+    Scale shape: one tiny stratum-count aggregation (map-side partials,
+    rows = |weights|) broadcast back as per-stratum quotas, then ONE
+    rank window per stratum.  The rank limit is data-dependent
+    (``w_s × K`` is not a plan literal), so unlike ``domain_quota``
+    the WindowGroupLimit map-side prune is unavailable — the window
+    costs its one hash exchange plus a per-stratum sort, linear in the
+    stratum.  At 100 TB with a hot stratum, pre-cap with
+    :func:`domain_quota` (literal quota ≥ the expected ``w_s × K``)
+    to restore the map-side prune, then mix.
+    """
+    _check_key_type(df, key_col)
+    if not weights:
+        raise ValueError("weights must be a non-empty {stratum: int} map")
+    for s, w in weights.items():
+        if not isinstance(w, int) or isinstance(w, bool) or w < 1:
+            raise ValueError(
+                f"weights must be positive integers; got {s!r}: {w!r}"
+            )
+    spark = df.sparkSession
+    weights_df = spark.createDataFrame(
+        [(s, w) for s, w in weights.items()],
+        f"{strata_col} string, __mix_w long",
+    )
+    base = df.filter(
+        F.col(key_col).isNotNull() & F.col(strata_col).isNotNull()
+    )
+    counts = base.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__mix_n")
+    )
+    # inner join keeps only weighted strata; a weighted stratum with no
+    # rows is missing here and detected below
+    per = weights_df.join(counts, on=strata_col, how="left")
+    rows = per.collect()  # |weights| rows: the mixture model is tiny
+    missing = sorted(r[strata_col] for r in rows if r["__mix_n"] is None)
+    if missing:
+        raise ValueError(
+            f"weighted strata absent from the data: {missing} — their "
+            "share is unfillable (remove them from weights or fix the "
+            "input)"
+        )
+    k = min(r["__mix_n"] // r["__mix_w"] for r in rows)
+    quotas = {r[strata_col]: r["__mix_w"] * k for r in rows}
+    quota_df = spark.createDataFrame(
+        [(s, q) for s, q in quotas.items()],
+        f"{strata_col} string, __mix_quota long",
+    )
+    h = F.md5(
+        F.concat(F.lit(seed), F.col(key_col).cast("string")).cast("binary")
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        base.join(F.broadcast(quota_df), on=strata_col)
+        .withColumn("__mix_rank", F.row_number().over(w))
+        .filter(F.col("__mix_rank") <= F.col("__mix_quota"))
+        .drop("__mix_rank", "__mix_quota")
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     strata_col: str,

@@ -3550,3 +3550,92 @@ def test_nb_language_matches_duckdb_replay(spark):
     want = dict(oracle)
     assert got == want
     assert len(got) == docs.count()
+
+
+def test_target_mix_resample_exact_proportions(spark):
+    from python_dtl_spark.operators import sampling
+
+    rows = (
+        [(i, "a") for i in range(10)]
+        + [(100 + i, "b") for i in range(25)]
+        + [(200 + i, "c") for i in range(7)]
+        + [(300, None), (None, "a")]  # NULL stratum / key excluded
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = sampling.target_mix_resample(
+        df, "src", "doc_id", {"a": 2, "b": 5, "c": 1}
+    )
+    got = out.groupBy("src").count().collect()
+    counts = {r.src: r["count"] for r in got}
+    # K = min(10//2, 25//5, 7//1) = 5 -> exact 2:5:1 proportions x5
+    assert counts == {"a": 10, "b": 25, "c": 5}
+    # pure function of (key, seed, weights): reruns identical
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in sampling.target_mix_resample(
+            df, "src", "doc_id", {"a": 2, "b": 5, "c": 1}
+        ).collect()
+    )
+    assert ids1 == ids2
+    # unweighted strata are dropped entirely
+    out2 = sampling.target_mix_resample(df, "src", "doc_id", {"a": 1})
+    assert {r.src for r in out2.select("src").distinct().collect()} == {"a"}
+    with pytest.raises(ValueError, match="absent from the data"):
+        sampling.target_mix_resample(df, "src", "doc_id", {"a": 1, "zz": 1})
+    with pytest.raises(ValueError, match="positive integers"):
+        sampling.target_mix_resample(df, "src", "doc_id", {"a": 0})
+    with pytest.raises(ValueError, match="positive integers"):
+        sampling.target_mix_resample(df, "src", "doc_id", {"a": 1.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.target_mix_resample(df, "src", "doc_id", {})
+
+
+def test_target_mix_resample_matches_duckdb_replay(spark):
+    """The STAGED r12 oracle for target_mix_resample, validated ahead
+    of registration: DuckDB re-derives the stratum counts, the exact
+    integer K = min(floor(n_s / w_s)), the per-stratum quotas and the
+    md5-rank selection — kept (doc_id, source) sets must match
+    exactly."""
+    import duckdb
+
+    from python_dtl_spark.operators import sampling
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {"src1": 3, "src2": 2, "src3": 1}
+    srcs = {r.source for r in docs.select("source").distinct().collect()}
+    assert set(weights) <= srcs, f"fixture sources changed: {srcs}"
+    out = sampling.target_mix_resample(
+        docs, "source", "doc_id", weights, seed="m1"
+    )
+    got = {(r.doc_id, r.source) for r in out.select("doc_id", "source").collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = set(
+        con.execute("""
+        WITH w(source, wt) AS (VALUES ('src1', 3), ('src2', 2), ('src3', 1)),
+        n AS (
+            SELECT d.source, count(*) AS n, any_value(w.wt) AS wt
+            FROM documents d JOIN w USING (source)
+            WHERE d.doc_id IS NOT NULL
+            GROUP BY d.source
+        ), k AS (SELECT min(n // wt) AS k FROM n),
+        q AS (SELECT source, wt * (SELECT k FROM k) AS quota FROM n)
+        SELECT doc_id, source FROM (
+            SELECT d.doc_id, d.source, q.quota,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5('m1' || CAST(d.doc_id AS VARCHAR)),
+                                d.doc_id
+                   ) AS rn
+            FROM documents d JOIN q USING (source)
+            WHERE d.doc_id IS NOT NULL
+        ) WHERE rn <= quota
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
