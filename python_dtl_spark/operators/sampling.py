@@ -183,6 +183,10 @@ def target_mix_resample(
     stratum.  At 100 TB with a hot stratum, pre-cap with
     :func:`domain_quota` (literal quota ≥ the expected ``w_s × K``)
     to restore the map-side prune, then mix.
+
+    Extension operator (no reference counterpart — the reference's
+    whole function registry is ``add``,
+    /root/reference/src/dtl/functions.py); SURVEY.md §2.5.
     """
     _check_key_type(df, key_col)
     if not weights:

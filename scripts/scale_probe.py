@@ -608,6 +608,69 @@ def bpe_fit_probe(spark, documents, factor: int):
     return rows
 
 
+def nb_classify_probe(spark, documents, factor: int):
+    """Sampled NB fit + full-corpus apply at 1× and ``factor``×: the
+    fit sample stays constant-size (fraction ∝ 1/factor — labeled seed
+    data does not grow with the crawl), so fit time should stay
+    flat-ish; the apply pass (row-local explode → broadcast model join
+    → one doc-grain agg + id join-back) is the corpus-linear stage."""
+    from python_dtl_spark.operators import classify
+
+    base_frac = 0.2
+    rows = []
+    for n, docs, frac in (
+        (1, documents, base_frac),
+        (factor, replicate(documents, factor, ["doc_id"]), base_frac / factor),
+    ):
+        start = time.perf_counter()
+        tc, cs = classify.nb_fit(
+            docs, "lang", sample_fraction=frac, sample_seed="probe",
+            max_vocab=200,
+        )
+        tc = tc.persist()
+        n_vocab_rows = tc.count()  # materialize the model once
+        fit_s = time.perf_counter() - start
+        start = time.perf_counter()
+        out = classify.nb_apply(docs, tc, cs)
+        agg = out.groupBy("predicted_label").count().collect()
+        apply_s = time.perf_counter() - start
+        tc.unpersist()
+        n_docs = sum(r["count"] for r in agg)
+        rows.append((n, fit_s, n_vocab_rows, apply_s, n_docs))
+        print(
+            f"# nb_classify {n}x frac={frac:g}: fit {fit_s:.2f}s "
+            f"({n_vocab_rows} model rows), apply {apply_s:.2f}s "
+            f"({n_docs:,} docs)",
+            file=sys.stderr,
+        )
+    return rows
+
+
+def target_mix_probe(spark, documents, factor: int):
+    """Exact-mixture resample at 1× and ``factor``×: constant strata
+    (the 20 sources), rows ×N — the count agg absorbs growth map-side
+    and the rank window carries it in one exchange, so time should be
+    near-linear and output counts exactly ×N (quotas are w_s × K with
+    K scaling with the data)."""
+    weights = {"src1": 3, "src2": 2, "src3": 1}
+    rows = []
+    for n, docs in (
+        (1, documents),
+        (factor, replicate(documents, factor, ["doc_id"])),
+    ):
+        start = time.perf_counter()
+        out = sampling.target_mix_resample(
+            docs, "source", "doc_id", weights, seed="probe"
+        )
+        kept = out.count()
+        dt = time.perf_counter() - start
+        rows.append((n, dt, kept))
+        print(
+            f"# target_mix {n}x: {dt:.2f}s ({kept:,} kept)", file=sys.stderr
+        )
+    return rows
+
+
 def lineage_probe(spark, orders, factor: int, workdir: str):
     """Traced-run cost at 1× and ``factor``× input, full snapshots vs
     ``snapshot_levels=["EXPORT"]`` (the 100 TB valve): bytes written to
@@ -825,6 +888,9 @@ def main() -> None:
         "dedup_paragraphs_hotbanner=doc_dedup_paragraphs (hot-fingerprint worst case),",
         "bpe_fit_sampled=pipeline_bpe_tokenize (sampled fit + single-fold",
         "encode — the doc_bpe_encode fold is the probe's encode stage),",
+        "nb_classify_sampled / target_mix = classify.nb_fit+nb_apply and",
+        "sampling.target_mix_resample (catalog rows staged for r12 — window",
+        "budget; their DuckDB-replay oracles are already green as unit tests),",
         "psl_domains=doc_url_psl_domains (canonicalize_urls feeds it — the",
         "doc_url_canonicalize / pipeline_domain_cap map stage is probed here too;",
         "canonicalization alone needs only its PLANS.md line: zero Exchange),",
@@ -1219,6 +1285,39 @@ def main() -> None:
                 f"| bpe_fit_sampled | {n}× | {fit_s:.2f}s | {n_m} | "
                 f"{enc_s:.2f}s | {nrows:,} |"
             )
+
+        nb_rows = nb_classify_probe(spark, documents, factor)
+        lines += [
+            "",
+            "Sampled NB classifier (fit on a constant-size labeled seed",
+            "sample, score the whole crawl): flat-ish fit time under ×N",
+            "data; the apply pass — row-local explode → broadcast model",
+            "join → one doc-grain agg + id join-back — is the only",
+            "corpus-linear stage:",
+            "",
+            "| probe | data | fit time | model rows | apply time | docs scored |",
+            "|---|---|---|---|---|---|",
+        ]
+        for n, fit_s, n_model, apply_s, n_docs in nb_rows:
+            lines.append(
+                f"| nb_classify_sampled | {n}× | {fit_s:.2f}s | {n_model} | "
+                f"{apply_s:.2f}s | {n_docs:,} |"
+            )
+
+        mix_rows = target_mix_probe(spark, documents, factor)
+        lines += [
+            "",
+            "Exact target-mixture resample (constant strata, rows ×N):",
+            "the count agg absorbs growth map-side, the rank window",
+            "carries it in one exchange; kept rows scale exactly ×N",
+            "because the integer K = min floor(n_s/w_s) scales with the",
+            "data:",
+            "",
+            "| probe | data | time | rows kept |",
+            "|---|---|---|---|",
+        ]
+        for n, dt, kept in mix_rows:
+            lines.append(f"| target_mix | {n}× | {dt:.2f}s | {kept:,} |")
 
         lin_rows = lineage_probe(spark, orders, factor, stream_workdir)
         lines += [
