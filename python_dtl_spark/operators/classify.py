@@ -38,6 +38,7 @@ def nb_fit(
     max_vocab: int = 50_000,
     sample_fraction: float | None = None,
     sample_seed: str = "nbfit",
+    tokens_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit multinomial-NB sufficient statistics on a labeled corpus.
 
@@ -63,6 +64,13 @@ def nb_fit(
     bpe_fit`): fit the statistics on a reproducible fraction of the
     labeled data; seed-data labeling is expensive, so real deployments
     fit small and score everything anyway.
+
+    Pass ``tokens_col`` to fit over a pre-tokenized array as-is (no
+    re-split, no lowercasing) — e.g. a fitted BPE tokenizer's
+    :func:`~python_dtl_spark.operators.text.bpe_encode` output, so the
+    classifier composes with the tokenizer stack; the same contract as
+    ``vocabulary`` / ``merge_candidates``.  Fit and apply must use the
+    SAME tokenization.
 
     Scale shape: one explode + ONE (label, token) hash aggregation
     with map-side partials; the vocabulary prune is a corpus-frequency
@@ -94,7 +102,11 @@ def nb_fit(
         )
     toks = labeled.select(
         F.col(label_col).alias("label"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        F.explode(
+            F.col(tokens_col)
+            if tokens_col is not None
+            else tokens(F.lower(F.col(text_col)))
+        ).alias("token"),
     )
     per_class = toks.groupBy("token", "label").agg(
         F.count(F.lit(1)).cast("long").alias("freq")
@@ -137,6 +149,7 @@ def nb_apply(
     alpha: float = 1.0,
     out_col: str = "predicted_label",
     score_col: str = "log_score",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Score every document against fitted NB statistics and append
     ``out_col`` (argmax class) and ``score_col`` (its log posterior up
@@ -192,7 +205,11 @@ def nb_apply(
     )
     toks = df.select(
         F.col(id_col).alias("__nb_id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        F.explode(
+            F.col(tokens_col)
+            if tokens_col is not None
+            else tokens(F.lower(F.col(text_col)))
+        ).alias("token"),
     )
     joined = toks.join(F.broadcast(wide), on="token", how="left")
     sums = joined.groupBy("__nb_id").agg(

@@ -3639,3 +3639,37 @@ def test_target_mix_resample_matches_duckdb_replay(spark):
         """).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_nb_tokens_col_composes_with_bpe_encode(spark):
+    """The classifier composes with the tokenizer stack: fit and apply
+    over bpe_encode output via tokens_col (no re-split — merged tokens
+    are classifier features; no lowercasing)."""
+    from python_dtl_spark.operators import classify, text
+
+    train = spark.createDataFrame(
+        [
+            (0, "t h t h buy", "spam"),
+            (1, "t h cheap", "spam"),
+            (2, "t h meeting", "ham"),
+            (3, "t h notes notes", "ham"),
+        ],
+        ["doc_id", "text", "label"],
+    )
+    enc = text.bpe_encode(train, [("t", "h")], out_col="toks")
+    tc, cs = classify.nb_fit(enc, "label", tokens_col="toks")
+    counts = {(r.token, r.label): r.freq for r in tc.collect()}
+    # the MERGED token is a feature; its halves are not
+    assert counts[("t h", "spam")] == 3 and counts[("t h", "ham")] == 2
+    assert not any(t in ("t", "h") for t, _ in counts)
+    new = text.bpe_encode(
+        spark.createDataFrame([(10, "t h cheap"), (11, "t h notes")],
+                              ["doc_id", "text"]),
+        [("t", "h")],
+        out_col="toks",
+    )
+    out = {
+        r.doc_id: r.predicted_label
+        for r in classify.nb_apply(new, tc, cs, tokens_col="toks").collect()
+    }
+    assert out == {10: "spam", 11: "ham"}
