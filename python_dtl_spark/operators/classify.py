@@ -185,6 +185,10 @@ def nb_apply(
                 f"nb_apply emits column {emitted!r} which already exists "
                 "on the input; rename or drop it first"
             )
+    if not alpha > 0:
+        # alpha = 0 puts log(0) on every out-of-vocabulary token —
+        # -inf scores that poison the argmax silently
+        raise ValueError(f"alpha must be > 0, got {alpha}")
     stats = sorted(
         class_stats.collect(), key=lambda r: r["label"]
     )  # tiny: one row per class (scalar model, see docstring)

@@ -3390,6 +3390,8 @@ def test_nb_apply_recovers_planted_classes(spark):
     clash = new.withColumn("predicted_label", F.lit("x"))
     with pytest.raises(ValueError, match="predicted_label"):
         classify.nb_apply(clash, tc, cs)
+    with pytest.raises(ValueError, match="alpha"):
+        classify.nb_apply(new, tc, cs, alpha=0.0)
 
 
 def test_nb_apply_matches_bruteforce_reference(spark):
