@@ -6419,7 +6419,10 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "doc_dup_windows": 8,
     "doc_ngram_dominance": 8,
     "doc_pii_scrub": 8,
-    "events_zscore_outliers": 8,
+    # events_zscore_outliers: changed in r8 (NaN-masked zscore stats)
+    # and again in r10 — single entry below in the round-10 block
+    # (advisor r11: one entry per query; last-wins duplicates are dead
+    # code that silently reverts if the later block is reordered).
     "orders_apply_changes": 8,
     "pipeline_clean_corpus": 8,
     "pipeline_dedup_corpus": 8,
@@ -6497,8 +6500,9 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # canonicalize_urls switched from string-built F.expr to the native
     # F.try_parse_url API (dotted-name safety, advisor r9 #1) and its
     # registrable domain gained the PSL-exact broadcast tier.
-    "doc_dedup_paragraphs": 10,
-    "events_zscore_outliers": 10,
+    # (doc_dedup_paragraphs also changed in r10 — min-struct rewrite —
+    # then again in r11; its single entry lives in the round-11 block.)
+    "events_zscore_outliers": 10,  # also r8: NaN-masked zscore stats
     "doc_url_canonicalize": 10,
     # round-11 changes: dedup_paragraphs grew the with_lineage mapping
     # output — the result path is a pure factoring (kept = first.select

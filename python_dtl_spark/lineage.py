@@ -289,10 +289,12 @@ def record_pipeline_step(
 
     Both frames snapshot through the tracer's normal path, so the
     ``snapshot_levels`` 100 TB valve applies: keep ``"PIPELINE"`` out
-    of ``snapshot_levels`` and only the narrow rid mapping is written,
-    no table-sized copy.  The frames' NATURAL keys serve as row ids
-    (``rid_col``), so no synthetic rid generation pass runs — the
-    mapping is already at key grain.
+    of ``snapshot_levels`` and only the narrow rid mapping is written
+    — no table-sized copy, and no pin either (the frames' NATURAL keys
+    serve as row ids, which are deterministic under re-computation, so
+    unlike DTL-statement rids they need no materialize; the snapshot
+    call is skipped entirely for an excluded level).  No synthetic rid
+    generation pass runs — the mapping is already at key grain.
 
     ``src_key`` / ``tgt_key`` are the frames' natural-key (rid)
     columns; ``mapping_src`` / ``mapping_tgt`` name the mapping
@@ -318,7 +320,17 @@ def record_pipeline_step(
                 f"(columns: {df.columns})"
             )
         uid = f"p{len(tracer.tables):03d}_{name}"
-        tracer.materialize(uid, df, level=level)
+        # Snapshot only when the level is opted in.  DTL statements
+        # must ALWAYS pin (their rids are monotonically_increasing_id,
+        # unreplayable without a pin), but pipeline frames use NATURAL
+        # keys as rids — deterministic, so an excluded level needs no
+        # pin at all.  Calling materialize unconditionally here would
+        # write a table-sized pins/ copy (pin="parquet") or eagerly
+        # localCheckpoint both frames (pin="local") for nothing
+        # (advisor r11).
+        levels = getattr(tracer, "snapshot_levels", None)
+        if levels is None or level in levels:
+            tracer.materialize(uid, df, level=level)
         tracer.record_table(
             uid,
             name=name,

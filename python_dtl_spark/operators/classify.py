@@ -202,10 +202,16 @@ def nb_apply(
     }
     priors = {r["label"]: math.log(r["n_docs"]) for r in stats}
 
+    # Pivot output columns are renamed POSITIONALLY (pivot with an
+    # explicit value list emits one column per value, in list order,
+    # after the grouping column): addressing them by label text would
+    # break on a label containing a backtick and collide on a label
+    # literally named "token" (advisor r11).
     wide = (
         token_counts.groupBy("token")
         .pivot("label", labels)
         .agg(F.first("freq"))
+        .toDF("token", *[f"__nb_c{i}" for i in range(len(labels))])
     )
     toks = df.select(
         F.col(id_col).alias("__nb_id"),
@@ -220,7 +226,7 @@ def nb_apply(
         *[
             F.sum(
                 F.log(
-                    (F.coalesce(F.col(f"`{c}`"), F.lit(0)) + F.lit(alpha))
+                    (F.coalesce(F.col(f"__nb_c{i}"), F.lit(0)) + F.lit(alpha))
                     / F.lit(denoms[c])
                 )
             ).alias(f"__nb_s{i}")

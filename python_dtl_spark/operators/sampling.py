@@ -45,6 +45,13 @@ def hash_bucket_sql(key_expr: str, seed: str = "") -> str:
     )
 
 
+def _ref(df: DataFrame, name: str):
+    """Literal top-level column reference, safe for names that need
+    quoting (dots, spaces): ``df[name]`` parses dots as struct access,
+    so the name is backtick-quoted with embedded backticks doubled."""
+    return df["`{}`".format(name.replace("`", "``"))]
+
+
 def _check_key_type(df: DataFrame, key_col: str) -> None:
     kind = dict(df.dtypes)[key_col]
     if kind in ("float", "double"):
@@ -197,21 +204,42 @@ def target_mix_resample(
                 f"weights must be positive integers; got {s!r}: {w!r}"
             )
     spark = df.sparkSession
+    # Model tables use an INTERNAL stratum column with the type DERIVED
+    # from the input schema (advisor r11): interpolating strata_col
+    # into a DDL string broke on names needing quoting, and hardcoding
+    # `string` made non-string strata (int domain codes) crash or join
+    # through implicit casts.  df[strata_col] (not F.col) addresses the
+    # column literally, so dotted/backticked names work too.
+    stratum_field = next(
+        (f for f in df.schema.fields if f.name == strata_col), None
+    )
+    if stratum_field is None:
+        raise ValueError(
+            f"strata column {strata_col!r} not found (columns: "
+            f"{df.columns})"
+        )
+    from pyspark.sql.types import LongType, StructField, StructType
+
     weights_df = spark.createDataFrame(
         [(s, w) for s, w in weights.items()],
-        f"{strata_col} string, __mix_w long",
+        StructType(
+            [
+                StructField("__mix_stratum", stratum_field.dataType),
+                StructField("__mix_w", LongType()),
+            ]
+        ),
     )
     base = df.filter(
-        F.col(key_col).isNotNull() & F.col(strata_col).isNotNull()
+        _ref(df, key_col).isNotNull() & _ref(df, strata_col).isNotNull()
     )
-    counts = base.groupBy(strata_col).agg(
-        F.count(F.lit(1)).cast("long").alias("__mix_n")
-    )
+    counts = base.groupBy(
+        _ref(base, strata_col).alias("__mix_stratum")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__mix_n"))
     # inner join keeps only weighted strata; a weighted stratum with no
     # rows is missing here and detected below
-    per = weights_df.join(counts, on=strata_col, how="left")
+    per = weights_df.join(counts, on="__mix_stratum", how="left")
     rows = per.collect()  # |weights| rows: the mixture model is tiny
-    missing = sorted(r[strata_col] for r in rows if r["__mix_n"] is None)
+    missing = sorted(r["__mix_stratum"] for r in rows if r["__mix_n"] is None)
     if missing:
         raise ValueError(
             f"weighted strata absent from the data: {missing} — their "
@@ -219,20 +247,30 @@ def target_mix_resample(
             "input)"
         )
     k = min(r["__mix_n"] // r["__mix_w"] for r in rows)
-    quotas = {r[strata_col]: r["__mix_w"] * k for r in rows}
+    quotas = {r["__mix_stratum"]: r["__mix_w"] * k for r in rows}
     quota_df = spark.createDataFrame(
         [(s, q) for s, q in quotas.items()],
-        f"{strata_col} string, __mix_quota long",
+        StructType(
+            [
+                StructField("__mix_stratum", stratum_field.dataType),
+                StructField("__mix_quota", LongType()),
+            ]
+        ),
     )
     h = F.md5(
-        F.concat(F.lit(seed), F.col(key_col).cast("string")).cast("binary")
+        F.concat(F.lit(seed), _ref(base, key_col).cast("string")).cast("binary")
     )
-    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    w = Window.partitionBy(_ref(base, strata_col)).orderBy(
+        h.asc(), _ref(base, key_col).asc()
+    )
     return (
-        base.join(F.broadcast(quota_df), on=strata_col)
+        base.join(
+            F.broadcast(quota_df),
+            on=_ref(base, strata_col) == quota_df["__mix_stratum"],
+        )
         .withColumn("__mix_rank", F.row_number().over(w))
         .filter(F.col("__mix_rank") <= F.col("__mix_quota"))
-        .drop("__mix_rank", "__mix_quota")
+        .drop("__mix_stratum", "__mix_rank", "__mix_quota")
     )
 
 

@@ -608,3 +608,61 @@ def test_record_pipeline_step_bridges_operator_lineage(spark, tmp_path):
             src_key="doc_id",
             tgt_key="doc_id",
         )
+
+
+def test_record_pipeline_step_excluded_level_writes_no_pin(spark, tmp_path):
+    """A pipeline step whose level is EXCLUDED from snapshot_levels
+    skips materialize entirely (advisor r12): natural-key rids are
+    deterministic, so no pin is needed — previously pin='parquet'
+    wrote a table-sized pins/ copy and pin='local' eagerly
+    localCheckpointed both frames for nothing."""
+    import glob
+
+    from python_dtl_spark.lineage import record_pipeline_step
+    from python_dtl_spark.operators.dedup import exact_dedup_canonical
+
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "y")], "doc_id long, text string"
+    )
+    result, mapping = exact_dedup_canonical(
+        docs, "doc_id", ["text"], with_lineage=True
+    )
+    trace_dir = os.path.join(str(tmp_path), "nopin")
+    tracer = FileSystemTracer(
+        trace_dir, snapshot_levels=["EXPORT"], pin="parquet"
+    )
+    record_pipeline_step(
+        tracer,
+        src_name="corpus",
+        tgt_name="deduped",
+        src_df=docs,
+        tgt_df=result,
+        mapping=mapping,
+        src_key="doc_id",
+        tgt_key="doc_id",
+    )
+    tracer.write_manifest()
+    # no pins, no table snapshots — only the narrow rid mapping
+    assert not glob.glob(os.path.join(trace_dir, "pins", "*"))
+    assert not glob.glob(os.path.join(trace_dir, "tables", "*"))
+    assert glob.glob(os.path.join(trace_dir, "mappings", "*"))
+    # the mapping still answers lineage()
+    reader = TraceReader(spark, trace_dir)
+    assert reader.lineage("corpus", "deduped").count() == 3
+    # an INCLUDED pipeline level still snapshots through materialize
+    trace_dir2 = os.path.join(str(tmp_path), "withpin")
+    tracer2 = FileSystemTracer(trace_dir2, snapshot_levels=["PIPELINE"])
+    record_pipeline_step(
+        tracer2,
+        src_name="corpus",
+        tgt_name="deduped",
+        src_df=docs,
+        tgt_df=result,
+        mapping=mapping,
+        src_key="doc_id",
+        tgt_key="doc_id",
+    )
+    tracer2.write_manifest()
+    assert glob.glob(os.path.join(trace_dir2, "tables", "*"))
+    reader2 = TraceReader(spark, trace_dir2)
+    assert reader2.snapshot("corpus").count() == 3

@@ -3675,3 +3675,59 @@ def test_nb_tokens_col_composes_with_bpe_encode(spark):
         for r in classify.nb_apply(new, tc, cs, tokens_col="toks").collect()
     }
     assert out == {10: "spam", 11: "ham"}
+
+
+def test_nb_apply_hostile_label_values(spark):
+    """Pivot model columns are addressed positionally (advisor r12):
+    a label containing a backtick and a label literally named 'token'
+    must classify correctly — previously both broke the by-name
+    column references built from raw label text."""
+    from python_dtl_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [
+            (0, "a a b", "we`ird"),
+            (1, "a b a", "we`ird"),
+            (2, "c c d", "token"),
+            (3, "d c c", "token"),
+        ],
+        ["doc_id", "text", "label"],
+    )
+    tc, cs = classify.nb_fit(train, "label")
+    test = spark.createDataFrame([(10, "a a"), (11, "c d")], ["doc_id", "text"])
+    out = {
+        r.doc_id: r.predicted_label
+        for r in classify.nb_apply(test, tc, cs).collect()
+    }
+    assert out == {10: "we`ird", 11: "token"}
+
+
+def test_target_mix_resample_typed_strata_and_quoted_names(spark):
+    """Model tables derive the stratum type from the input schema and
+    join through an internal column (advisor r12): integer strata and
+    column names needing quoting both work — previously the DDL-string
+    schema hardcoded `string` and interpolated the raw column name."""
+    from python_dtl_spark.operators import sampling
+
+    # integer-coded strata
+    rows = [(i, 1) for i in range(8)] + [(100 + i, 2) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, domain_code int")
+    out = sampling.target_mix_resample(
+        df, "domain_code", "doc_id", {1: 2, 2: 1}
+    )
+    counts = {r.domain_code: r["count"] for r in out.groupBy("domain_code").count().collect()}
+    # K = min(8//2, 4//1) = 4 -> 8:4
+    assert counts == {1: 8, 2: 4}
+    assert dict(out.dtypes)["domain_code"] == "int"
+    # a stratum column whose name needs quoting (dot inside the name)
+    df2 = spark.createDataFrame(
+        [(i, "a") for i in range(4)] + [(10 + i, "b") for i in range(2)],
+        "doc_id long, `src.name` string",
+    )
+    out2 = sampling.target_mix_resample(
+        df2, "src.name", "doc_id", {"a": 1, "b": 1}
+    )
+    got = {r["src.name"] for r in out2.collect()}
+    assert got == {"a", "b"} and out2.count() == 4
+    with pytest.raises(ValueError, match="strata column"):
+        sampling.target_mix_resample(df2, "nope", "doc_id", {"a": 1})
