@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from python_dtl_spark.compiler import Engine
 from python_dtl_spark.operators import (
     cdc,
+    classify,
     dedup,
     embeddings as embeddings_ops,
     joins,
@@ -4680,6 +4681,147 @@ _register(
         "documents", "lang", "doc_id", __import__("fractions").Fraction(1, 2), seed="t1"
     )
     + ")",
+    headline=True,
+)
+
+
+def _q_target_mix(spark, sf_dir):
+    """Exact target-mixture resample (staged in r11, registered r12):
+    keep w_s x K rows per source for K = min floor(n_s / w_s) — the
+    LLM data-mixture knob, decided in integer arithmetic and selected
+    by md5-hash rank, so DuckDB re-derives counts, K, quotas and the
+    kept set exactly (oracle pre-validated in
+    tests/test_operators.py::test_target_mix_resample_matches_duckdb_replay
+    at sf0.001/0.01/0.1 before registration).  At 100 TB a hot stratum
+    pre-caps with domain_quota to restore the WindowGroupLimit map-side
+    prune (see pipeline_mix_precap and test_plans.py)."""
+    return sampling.target_mix_resample(
+        _read(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        {"src1": 3, "src2": 2, "src3": 1},
+        seed="m1",
+    ).select("doc_id", "source")
+
+
+_register(
+    "doc_target_mix",
+    _q_target_mix,
+    """
+    WITH w(source, wt) AS (VALUES ('src1', 3), ('src2', 2), ('src3', 1)),
+    n AS (
+        SELECT d.source, count(*) AS n, any_value(w.wt) AS wt
+        FROM documents d JOIN w USING (source)
+        WHERE d.doc_id IS NOT NULL
+        GROUP BY d.source
+    ), k AS (SELECT min(n // wt) AS k FROM n),
+    q AS (SELECT source, wt * (SELECT k FROM k) AS quota FROM n)
+    SELECT doc_id, source FROM (
+        SELECT d.doc_id, d.source, q.quota,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('m1' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id
+               ) AS rn
+        FROM documents d JOIN q USING (source)
+        WHERE d.doc_id IS NOT NULL
+    ) WHERE rn <= quota
+    """,
+    headline=True,
+)
+
+# DuckDB replay fragments for the NB classifier oracle, shared with the
+# composed curation row: whitespace tokens (the engine's tokens() rule)
+# and the deterministic md5 fit sample (hash_bucket with seed nb-l).
+_NB_TOKS = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+    " x -> x <> '')"
+)
+_NB_SAMPLE = sampling.hash_bucket_sql("doc_id", seed="nb-l") + " < 5000"
+
+
+def _nb_oracle_sql(extra: str = "") -> str:
+    """The full NB replay: md5-sampled fit, per-class token counts,
+    (freq DESC, token ASC) vocabulary prune to 200, per-document
+    Laplace log scores, (score DESC, label ASC) argmax.  ``extra``
+    appends post-classification SQL (the curation row's filter)."""
+    return f"""
+    WITH labeled AS (
+        SELECT doc_id, lang AS label, {_NB_TOKS} AS t
+        FROM documents WHERE lang IS NOT NULL AND {_NB_SAMPLE}
+    ), tokc AS (
+        SELECT token, label, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT label, unnest(t) AS token FROM labeled)
+        GROUP BY token, label
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token,
+                   row_number() OVER (ORDER BY sum(freq) DESC, token) AS rn
+            FROM tokc GROUP BY token HAVING sum(freq) >= 1
+        ) WHERE rn <= 200
+    ), tc AS (SELECT tokc.* FROM tokc JOIN vocab USING (token)),
+    cstat AS (
+        SELECT d.label, d.n_docs, coalesce(s.n_tokens, 0) AS n_tokens
+        FROM (SELECT lang AS label, count(*) AS n_docs FROM documents
+              WHERE lang IS NOT NULL AND {_NB_SAMPLE} GROUP BY lang) d
+        LEFT JOIN (SELECT label, sum(freq) AS n_tokens FROM tc
+                   GROUP BY label) s USING (label)
+    ), vsz AS (SELECT count(DISTINCT token) AS V FROM tc),
+    alltoks AS (
+        SELECT doc_id, unnest({_NB_TOKS}) AS token FROM documents
+    ), scored AS (
+        SELECT a.doc_id, c.label,
+               sum(ln((coalesce(tc.freq, 0) + 1.0) /
+                      (c.n_tokens + 1.0 * (v.V + 1)))) AS s
+        FROM alltoks a
+        CROSS JOIN cstat c
+        CROSS JOIN vsz v
+        LEFT JOIN tc ON tc.token = a.token AND tc.label = c.label
+        GROUP BY a.doc_id, c.label
+    ), final AS (
+        SELECT d.doc_id, c.label,
+               coalesce(s.s, 0.0) + ln(c.n_docs) AS score
+        FROM (SELECT doc_id FROM documents) d
+        CROSS JOIN cstat c
+        LEFT JOIN scored s ON s.doc_id = d.doc_id AND s.label = c.label
+    ), classified AS (
+        SELECT doc_id, label AS predicted_label FROM (
+            SELECT doc_id, label,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, label) AS rn
+            FROM final
+        ) WHERE rn = 1
+    )
+    {extra if extra else "SELECT doc_id, predicted_label FROM classified"}
+    """
+
+
+def _q_nb_classify(spark, sf_dir):
+    """Naive-Bayes language classifier (staged in r11, registered r12):
+    fit exact integer sufficient statistics on a deterministic md5-hash
+    half of the labeled corpus, score every document, emit the argmax.
+    Output is argmax-only (no float columns): measured min top-2 score
+    gap is ~5e-4 in log space, five orders above cross-engine libm
+    drift, so the label is engine-stable (oracle pre-validated in
+    tests/test_operators.py::test_nb_language_matches_duckdb_replay at
+    sf0.001/0.01/0.1 before registration).  Scale shape: fit = one
+    explode + one (token, label) agg + TakeOrderedAndProject vocab
+    prune; apply = explode -> ONE broadcast model join -> one doc-grain
+    agg + id join-back; zero Python."""
+    docs = _read(spark, sf_dir, "documents")
+    tc, cs = classify.nb_fit(
+        docs, "lang", sample_fraction=0.5, sample_seed="nb-l",
+        min_count=1, max_vocab=200,
+    )
+    return classify.nb_apply(docs, tc, cs, alpha=1.0).select(
+        "doc_id", "predicted_label"
+    )
+
+
+_register(
+    "doc_nb_classify",
+    _q_nb_classify,
+    _nb_oracle_sql(),
     headline=True,
 )
 

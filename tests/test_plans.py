@@ -1001,3 +1001,35 @@ def test_url_canonicalize_is_pure_map_stage(spark):
     plan = _exec_plan(df)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nb_fit_vocab_prune_is_take_ordered(spark):
+    """nb_fit's vocabulary prune (top max_vocab by corpus frequency)
+    must plan as TakeOrderedAndProject — the per-partition take +
+    single merge shape shared with vocabulary()/bpe vocab — never a
+    full-vocabulary global sort; and the whole fit stays JVM-side
+    (r11 verdict watch item: the docstring claimed this shape but
+    nothing asserted it)."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    token_counts, _ = classify.nb_fit(docs, "lang", max_vocab=200)
+    plan = _exec_plan(token_counts)
+    assert "TakeOrderedAndProject(limit=200" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nb_apply_is_broadcast_model_join_single_doc_agg(spark):
+    """The classifier's apply pass: ONE BroadcastHashJoin against the
+    pivoted <=max_vocab-row model (never a shuffled sort-merge join or
+    a nested loop), ONE doc-grain hash aggregation with map-side
+    partials, and zero Python eval — the 100 TB scoring shape the
+    docstring promises."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["doc_nb_classify"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
