@@ -4826,6 +4826,54 @@ _register(
 )
 
 
+def _q_nb_curate(spark, sf_dir):
+    """The GPT-3-style classifier-curation pipeline the NB operator
+    exists for: fit the language model on the deterministic md5-hash
+    labeled sample, score the WHOLE corpus, keep documents the
+    classifier calls English, then cap any one source's contribution
+    (the C4 / Pile "quality-filter then de-bias the mix" chain).
+    The oracle replays the entire composition: the NB fit sample,
+    vocabulary prune, per-document argmax AND the md5-rank domain cap.
+
+    Scale shape: the model fit runs at sample scale collecting only
+    model-sized results; the corpus path is one explode -> broadcast
+    model join -> doc-grain agg -> id join-back -> filter, then the
+    quota rank's ONE hash exchange with WindowGroupLimit pruning on
+    both sides (plan-asserted) — the classifier filter only SHRINKS
+    the rows entering the cap's shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    tc, cs = classify.nb_fit(
+        docs, "lang", sample_fraction=0.5, sample_seed="nb-l",
+        min_count=1, max_vocab=200,
+    )
+    scored = classify.nb_apply(docs, tc, cs, alpha=1.0)
+    kept = scored.filter(F.col("predicted_label") == "en")
+    return sampling.domain_quota(
+        kept, "source", "doc_id", quota=10, seed="c1"
+    ).select("doc_id", "source")
+
+
+_register(
+    "pipeline_nb_curate",
+    _q_nb_curate,
+    _nb_oracle_sql(
+        """
+    SELECT doc_id, source FROM (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('c1' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id
+               ) AS r
+        FROM documents d JOIN classified c USING (doc_id)
+        WHERE c.predicted_label = 'en' AND d.doc_id IS NOT NULL
+    ) WHERE r <= 10
+    """
+    ),
+    headline=True,
+)
+
+
 def _q_vocabulary(spark, sf_dir):
     """Tokenizer-vocab fit: top-200 tokens with >= 5 occurrences, dense
     ids by (freq DESC, token ASC), cumulative corpus-coverage share."""
@@ -6663,6 +6711,16 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # locally at sf0.01 after the edit (green) and keeps its r10 row.
     "doc_dedup_paragraphs": 11,
     "dedup_exact": 11,
+    # round-12 NOT-forced notes: domain_quota's column references
+    # switched from F.col(name) to quoted df[`name`] refs (dotted-name
+    # safety, matching target_mix_resample) — analysis-identical for
+    # the plain names every catalog row uses, so pipeline_domain_cap
+    # keeps its r10 evidence (re-checked locally at sf0.01 after the
+    # edit: green) and doc_domain_quota re-verifies in the r12 window
+    # anyway (r9-stale).  target_mix_resample gained precap_quota
+    # (default None = the exact pre-registration path) and nb_apply's
+    # pivot-column rename is output-neutral; both operators' rows are
+    # NEW this round, so their r12 evidence covers the final code.
 }
 
 

@@ -145,11 +145,13 @@ def domain_quota(
     # like every hash-keyed sampler in this module; assign surrogate
     # ids upstream if NULL-keyed rows must participate.
     h = F.md5(
-        F.concat(F.lit(seed), F.col(key_col).cast("string")).cast("binary")
+        F.concat(F.lit(seed), _ref(df, key_col).cast("string")).cast("binary")
     )
-    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    w = Window.partitionBy(_ref(df, strata_col)).orderBy(
+        h.asc(), _ref(df, key_col).asc()
+    )
     return (
-        df.filter(F.col(key_col).isNotNull())
+        df.filter(_ref(df, key_col).isNotNull())
         .withColumn("__quota_rank", F.row_number().over(w))
         .filter(F.col("__quota_rank") <= quota)
         .drop("__quota_rank")
@@ -162,6 +164,7 @@ def target_mix_resample(
     key_col: str,
     weights: dict[str, int],
     seed: str = "mix",
+    precap_quota: int | None = None,
 ) -> DataFrame:
     """Resample to an EXACT target mixture: keep ``w_s × K`` rows of
     each stratum ``s``, where the integer ``K = min_s floor(n_s / w_s)``
@@ -187,15 +190,30 @@ def target_mix_resample(
     (``w_s × K`` is not a plan literal), so unlike ``domain_quota``
     the WindowGroupLimit map-side prune is unavailable — the window
     costs its one hash exchange plus a per-stratum sort, linear in the
-    stratum.  At 100 TB with a hot stratum, pre-cap with
-    :func:`domain_quota` (literal quota ≥ the expected ``w_s × K``)
-    to restore the map-side prune, then mix.
+    stratum.
+
+    ``precap_quota`` is the 100 TB hot-stratum valve: it applies a
+    SAME-SEED :func:`domain_quota` pre-cap first, whose literal rank
+    limit restores the WindowGroupLimit map-side prune — every map
+    task forwards at most ``precap_quota`` rows per stratum into the
+    mix window's shuffle instead of a mega-stratum's full row count.
+    Because the pre-cap selects by the SAME md5(seed || key) order the
+    mix uses, the result is PROVABLY IDENTICAL to the un-capped mix
+    whenever ``precap_quota ≥ w_s × K`` for every stratum (the mix
+    takes a prefix of the same per-stratum order, and the binding
+    stratum's floor(n_b / w_b) = K survives the cap intact, so K is
+    unchanged) — asserted by an equality test, plan-asserted for the
+    pruning shape.  A quota BELOW some stratum's ``w_s × K`` changes K
+    (the mix sees the capped counts) but still yields an exact,
+    maximal mixture over the capped corpus.
 
     Extension operator (no reference counterpart — the reference's
     whole function registry is ``add``,
     /root/reference/src/dtl/functions.py); SURVEY.md §2.5.
     """
     _check_key_type(df, key_col)
+    if precap_quota is not None:
+        df = domain_quota(df, strata_col, key_col, precap_quota, seed=seed)
     if not weights:
         raise ValueError("weights must be a non-empty {stratum: int} map")
     for s, w in weights.items():

@@ -671,6 +671,48 @@ def target_mix_probe(spark, documents, factor: int):
     return rows
 
 
+def target_mix_hot_stratum_probe(spark, documents, factor: int):
+    """The documented 100 TB hot-stratum mitigation, executed: one
+    deliberately mega stratum (every replica relabeled 'hot', ×factor
+    the rows of any real source) funnels its full row count through
+    the mix window's per-stratum sort — unless the SAME-SEED
+    precap_quota pre-cap restores the WindowGroupLimit map-side prune.
+    Both variants must keep the IDENTICAL row set (the pre-cap takes a
+    prefix of the same md5 order; quota ≥ w_s × K keeps K intact) —
+    checked here, not assumed."""
+    from pyspark.sql import functions as F
+
+    hot = replicate(documents, factor, ["doc_id"]).withColumn(
+        "source", F.lit("hot")
+    )
+    docs = documents.unionByName(hot)
+    weights = {"hot": 8, "src1": 1}
+    # K is bounded by src1's count // 1 ≈ documents/20, so quota =
+    # 8 * (src1 rows) always clears w_s x K for both strata
+    n_src1 = documents.filter(F.col("source") == "src1").count()
+    quota = 8 * n_src1
+    rows = []
+    for label, kwargs in (
+        ("plain", {}),
+        ("precap", {"precap_quota": quota}),
+    ):
+        start = time.perf_counter()
+        out = sampling.target_mix_resample(
+            docs, "source", "doc_id", weights, seed="hotmix", **kwargs
+        )
+        kept = out.count()
+        dt = time.perf_counter() - start
+        rows.append((label, dt, kept))
+        print(
+            f"# target_mix_hot[{label}] hot={factor}x: {dt:.2f}s "
+            f"({kept:,} kept)",
+            file=sys.stderr,
+        )
+    (_, _, kept_plain), (_, _, kept_precap) = rows
+    assert kept_plain == kept_precap, (kept_plain, kept_precap)
+    return rows
+
+
 def lineage_probe(spark, orders, factor: int, workdir: str):
     """Traced-run cost at 1× and ``factor``× input, full snapshots vs
     ``snapshot_levels=["EXPORT"]`` (the 100 TB valve): bytes written to
@@ -1318,6 +1360,26 @@ def main() -> None:
         ]
         for n, dt, kept in mix_rows:
             lines.append(f"| target_mix | {n}× | {dt:.2f}s | {kept:,} |")
+
+        hot_rows = target_mix_hot_stratum_probe(spark, documents, factor)
+        lines += [
+            "",
+            "Hot-stratum mitigation (one mega stratum at ×N the rows of",
+            "any real source): the same-seed `precap_quota` pre-cap",
+            "restores the WindowGroupLimit map-side prune ahead of the",
+            "mix window's shuffle, and the probe ASSERTS the kept row",
+            "count is identical to the un-capped mix (quota ≥ w_s × K",
+            "keeps K intact — the prefix-of-same-order argument,",
+            "equality-tested at row level in test_operators.py):",
+            "",
+            "| probe | variant | time | rows kept |",
+            "|---|---|---|---|",
+        ]
+        for label, dt, kept in hot_rows:
+            lines.append(
+                f"| target_mix_hot (hot={factor}×) | {label} | {dt:.2f}s "
+                f"| {kept:,} |"
+            )
 
         lin_rows = lineage_probe(spark, orders, factor, stream_workdir)
         lines += [

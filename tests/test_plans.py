@@ -1033,3 +1033,41 @@ def test_nb_apply_is_broadcast_model_join_single_doc_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipeline_nb_curate_broadcast_model_and_pruned_cap(spark):
+    """The composed classifier-curation chain: the NB scoring pass is a
+    broadcast model join (no shuffled join against the model), the
+    domain cap's rank prunes with WindowGroupLimit on BOTH sides of
+    its single hash exchange, and the whole plan is Python-free."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["pipeline_nb_curate"].fn(spark, SF)
+    plan = _exec_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_target_mix_precap_restores_window_group_limit(spark):
+    """target_mix_resample's rank limit is data-dependent (w_s x K is
+    no plan literal), so its window cannot map-side prune — the
+    documented hot-stratum mitigation is the same-seed precap_quota,
+    whose LITERAL rank limit must plan as WindowGroupLimit on both
+    sides of the pre-cap exchange, bounding what a mega-stratum can
+    funnel into the mix window's shuffle."""
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plain = sampling.target_mix_resample(
+        docs, "source", "doc_id", {"src1": 3, "src2": 2, "src3": 1}
+    )
+    assert "WindowGroupLimit" not in _exec_plan(plain)  # the gap being fixed
+    capped = sampling.target_mix_resample(
+        docs, "source", "doc_id", {"src1": 3, "src2": 2, "src3": 1},
+        precap_quota=50,
+    )
+    plan = _exec_plan(capped)
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
