@@ -1951,6 +1951,36 @@ _register(
 )
 
 
+def _q_minhash_lineage(spark, sf_dir):
+    """Provenance for the near-dup flagship (r11 verdict ask #4): every
+    input doc maps to its cluster's surviving minimum id — "why was
+    this document dropped".  The mapping is a zero-cost projection of
+    the converged min-label state (cluster_id IS the survivor), the
+    same ManyToOne Where/Pick shape as dedup_exact_lineage, bridged to
+    the DTL trace subsystem by record_pipeline_step (walk-tested in
+    tests/test_lineage.py).  Planted fixture: disjoint token sets kill
+    cross-doc bucket collisions, so components are exactly the planted
+    {i} / {i, i+100000} / {i, i+100000, i+200000} clusters and the
+    oracle enumerates the full mapping."""
+    aug = _plant_copies(_uniquified_docs(spark, sf_dir))
+    _, mapping = dedup.lsh_dedup_keep(aug, with_lineage=True)
+    return mapping.select("src_doc_id", "kept_doc_id")
+
+
+_register(
+    "dedup_minhash_lineage",
+    _q_minhash_lineage,
+    f"""
+    WITH base AS (SELECT doc_id FROM documents WHERE {_PLANT_DOCS_GUARD})
+    SELECT doc_id AS src_doc_id, doc_id AS kept_doc_id FROM base
+    UNION ALL
+    SELECT doc_id + 100000, doc_id FROM base WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id + 200000, doc_id FROM base WHERE doc_id % 6 = 0
+    """,
+)
+
+
 def _q_embed_near_dup(spark, sf_dir):
     # The synthetic embeddings have no natural near-duplicates (max
     # pairwise cosine ~0.51 at sf0.01), so an honest high threshold
@@ -6711,6 +6741,16 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # locally at sf0.01 after the edit (green) and keeps its r10 row.
     "doc_dedup_paragraphs": 11,
     "dedup_exact": 11,
+    # round-12 changes: keep_one_from_pairs and lsh_dedup_keep grew the
+    # with_lineage mapping output (default-off; the result path is the
+    # same converged-label projection, early-returned) — following the
+    # r11 dedup_exact precedent, every row whose function changed
+    # re-verifies, costing 2 window slots beyond the r9 backlog
+    # (dedup_embedding_keep was r9-stale and re-verifies regardless);
+    # the displaced r9 rows are named in COVERAGE.md.
+    "dedup_lsh_keep": 12,
+    "pipeline_dedup_corpus": 12,
+    "dedup_embedding_keep": 12,
     # round-12 NOT-forced notes: domain_quota's column references
     # switched from F.col(name) to quoted df[`name`] refs (dotted-name
     # safety, matching target_mix_resample) — analysis-identical for

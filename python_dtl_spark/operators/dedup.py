@@ -464,7 +464,8 @@ def keep_one_from_pairs(
     b_col: str = "id_b",
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
-) -> DataFrame:
+    with_lineage: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Connected components over an explicit near-duplicate edge list:
     (id, cluster_id, keep) with ``keep`` true for each cluster's
     minimum id.
@@ -475,6 +476,17 @@ def keep_one_from_pairs(
     until fixpoint, plan-truncated per round (see
     :func:`_plan_truncator`).  ``ids`` supplies the full id universe so
     rows with no near-duplicate come out as singleton keepers.
+
+    With ``with_lineage=True`` returns ``(result, mapping)`` where
+    ``mapping`` is the ManyToOne provenance table ``(src_<id_col>,
+    kept_<id_col>)`` answering "why was this document dropped": every
+    input id maps to its cluster's surviving minimum id (identity row
+    = survivor).  The converged ``cluster_id`` IS that survivor (min-
+    label propagation fixes every label to the component minimum, the
+    one row with ``keep``), so the mapping is a zero-cost PROJECTION
+    of the result — no extra join, shuffle, or pass; the same
+    Where/Pick shape as :func:`exact_dedup_canonical`, bridgeable via
+    :func:`~python_dtl_spark.lineage.record_pipeline_step`.
 
     Scale shape: each iteration is one grouped join on the edge list
     (edges ≈ near-dup pairs, a tiny fraction of the corpus) plus a
@@ -533,6 +545,12 @@ def keep_one_from_pairs(
         F.col("__lbl").alias("cluster_id"),
         (F.col("__id") == F.col("__lbl")).alias("keep"),
     )
+    if with_lineage:
+        mapping = labels.select(
+            F.col("__id").alias(f"src_{id_col}"),
+            F.col("__lbl").alias(f"kept_{id_col}"),
+        )
+        return _release_after(out, edges), mapping
     return _release_after(out, edges)
 
 
@@ -545,8 +563,17 @@ def lsh_dedup_keep(
     bands: int = 16,
     max_iter: int = 10,
     checkpoint_dir: str | None = None,
-) -> DataFrame:
+    with_lineage: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dup dedup with LINEAR output: (doc_id, cluster_id, keep).
+
+    With ``with_lineage=True`` returns ``(result, mapping)``: the
+    ManyToOne ``(src_<id_col>, kept_<id_col>)`` provenance table — the
+    converged cluster label IS the surviving minimum id, so the
+    mapping is a zero-cost projection of the same converged labels
+    (see :func:`keep_one_from_pairs`); bridgeable into the trace
+    subsystem via ``record_pipeline_step`` so ``why()`` answers "why
+    was this document dropped" across the near-dup flagship.
 
     The pair-listing operator's output is inherently quadratic in
     duplicate-cluster size (a 50-doc boilerplate cluster is 1,225
@@ -642,6 +669,12 @@ def lsh_dedup_keep(
         F.col("__lbl").alias("cluster_id"),
         (F.col("__id") == F.col("__lbl")).alias("keep"),
     )
+    if with_lineage:
+        mapping = labels.select(
+            F.col("__id").alias(f"src_{id_col}"),
+            F.col("__lbl").alias(f"kept_{id_col}"),
+        )
+        return _release_after(out, buckets), mapping
     return _release_after(out, buckets)
 
 

@@ -666,3 +666,60 @@ def test_record_pipeline_step_excluded_level_writes_no_pin(spark, tmp_path):
     assert glob.glob(os.path.join(trace_dir2, "tables", "*"))
     reader2 = TraceReader(spark, trace_dir2)
     assert reader2.snapshot("corpus").count() == 3
+
+
+def test_minhash_keep_one_lineage_answers_why_dropped(spark, tmp_path):
+    """The near-dup flagship's provenance (r11 verdict ask #4): the
+    keep-one reducers' with_lineage mapping bridges through
+    record_pipeline_step so TraceReader.why() answers "why was this
+    document dropped" — the dropped doc traces to its cluster's
+    surviving minimum id."""
+    from python_dtl_spark.lineage import record_pipeline_step
+    from python_dtl_spark.operators import dedup
+
+    # explicit edge list: component {1, 2, 5} plus singletons {3}, {4}
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], "id_a long, id_b long")
+    labeled, mapping = dedup.keep_one_from_pairs(
+        ids, pairs, id_col="doc_id", with_lineage=True
+    )
+    got = {(r.src_doc_id, r.kept_doc_id) for r in mapping.collect()}
+    assert got == {(1, 1), (2, 1), (5, 1), (3, 3), (4, 4)}
+    # the mapping's kept side is exactly the keep=true survivors
+    keepers = {r.doc_id for r in labeled.filter(F.col("keep")).collect()}
+    assert {k for _, k in got} == keepers == {1, 3, 4}
+
+    # bridge into the trace world and walk why()/where_used()
+    trace_dir = os.path.join(str(tmp_path), "minhash_trace")
+    tracer = FileSystemTracer(trace_dir, snapshot_levels=["PIPELINE"])
+    kept_df = labeled.filter(F.col("keep")).select("doc_id")
+    record_pipeline_step(
+        tracer,
+        src_name="corpus",
+        tgt_name="near_dedup",
+        src_df=ids,
+        tgt_df=kept_df,
+        mapping=mapping,
+        src_key="doc_id",
+        tgt_key="doc_id",
+    )
+    tracer.write_manifest()
+    reader = TraceReader(spark, trace_dir)
+    # why: survivor 1 traces back to the whole {1, 2, 5} component
+    kept1 = reader.snapshot("near_dedup").filter(F.col("__rid") == 1)
+    origin = reader.why("near_dedup", "corpus", kept1)
+    assert sorted(r["__rid"] for r in origin.collect()) == [1, 2, 5]
+    # where_used: dropped doc 5 maps forward to its survivor 1 —
+    # "why was doc 5 dropped" = it survived as doc 1
+    src5 = reader.snapshot("corpus").filter(F.col("__rid") == 5)
+    hit = reader.where_used("corpus", "near_dedup", src5)
+    assert [r["__rid"] for r in hit.collect()] == [1]
+
+    # the LSH tier emits the same shape (tiny two-duplicate corpus)
+    docs = spark.createDataFrame(
+        [(10, "aa bb cc dd"), (11, "aa bb cc dd"), (12, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    _, m2 = dedup.lsh_dedup_keep(docs, with_lineage=True)
+    got2 = {(r.src_doc_id, r.kept_doc_id) for r in m2.collect()}
+    assert got2 == {(10, 10), (11, 10), (12, 12)}
