@@ -150,6 +150,8 @@ def nb_apply(
     out_col: str = "predicted_label",
     score_col: str = "log_score",
     tokens_col: str | None = None,
+    row_local: bool = False,
+    max_literal_cells: int = 65_536,
 ) -> DataFrame:
     """Score every document against fitted NB statistics and append
     ``out_col`` (argmax class) and ``score_col`` (its log posterior up
@@ -178,6 +180,19 @@ def nb_apply(
     ``events_resample_ffill``) and a row-local argmax over the class
     score columns.  Never a per-class pass over the corpus, never a
     Python UDF.
+
+    ``row_local=True`` embeds the fitted model as a PLAN-LITERAL map
+    (token → per-class frequency array, the ``bpe_encode`` merge-table
+    pattern) and folds each document's score with one ``F.aggregate``
+    per class — no explode, no join, no aggregation, a pure map stage.
+    Same output (equality-tested).  This is the STREAMING tier: the
+    join path's doc-grain groupBy is a streaming aggregation and its
+    id join-back a stream self-join — both unsupported on an unbounded
+    stream — while a map stage applies to ``readStream`` frames as-is
+    (batch-parity-tested in test_streaming.py).  Guarded by
+    ``max_literal_cells`` (vocab × classes literal cells; the classic
+    32k-vocab × few-class model fits) — beyond it, use the default
+    broadcast-join path on micro-batches via ``foreachBatch`` instead.
     """
     for emitted in (out_col, score_col):
         if emitted in df.columns:
@@ -213,33 +228,86 @@ def nb_apply(
         .agg(F.first("freq"))
         .toDF("token", *[f"__nb_c{i}" for i in range(len(labels))])
     )
-    toks = df.select(
-        F.col(id_col).alias("__nb_id"),
-        F.explode(
-            F.col(tokens_col)
-            if tokens_col is not None
-            else tokens(F.lower(F.col(text_col)))
-        ).alias("token"),
+    toks_expr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.lower(F.col(text_col)))
     )
-    joined = toks.join(F.broadcast(wide), on="token", how="left")
-    sums = joined.groupBy("__nb_id").agg(
-        *[
-            F.sum(
-                F.log(
-                    (F.coalesce(F.col(f"__nb_c{i}"), F.lit(0)) + F.lit(alpha))
-                    / F.lit(denoms[c])
+    if row_local:
+        model_rows = wide.collect()  # bounded: <= max_vocab rows
+        cells = len(model_rows) * len(labels)
+        if cells > max_literal_cells:
+            raise ValueError(
+                f"row_local model has {cells} literal cells "
+                f"({len(model_rows)} tokens x {len(labels)} classes) > "
+                f"max_literal_cells={max_literal_cells}; use the default "
+                "broadcast-join path (foreachBatch on streams) or raise "
+                "the cap"
+            )
+        if model_rows:
+            entries = []
+            for r in model_rows:
+                entries.append(F.lit(r["token"]))
+                entries.append(
+                    F.array(
+                        *[
+                            F.lit(int(r[f"__nb_c{i}"] or 0))
+                            for i in range(len(labels))
+                        ]
+                    )
                 )
-            ).alias(f"__nb_s{i}")
+            model_map = F.create_map(*entries)
+        else:
+            model_map = F.lit(None).cast("map<string,array<bigint>>")
+        score_cols = [
+            F.coalesce(
+                F.aggregate(
+                    toks_expr,
+                    F.lit(0.0),
+                    lambda acc, t: acc
+                    + F.log(
+                        (
+                            F.coalesce(
+                                F.element_at(
+                                    F.element_at(model_map, t), i + 1
+                                ),
+                                F.lit(0),
+                            )
+                            + F.lit(alpha)
+                        )
+                        / F.lit(denoms[c])
+                    ),
+                ),
+                F.lit(0.0),
+            )
+            + F.lit(priors[c])
             for i, c in enumerate(labels)
         ]
-    )
-    scored = df.join(
-        sums, on=df[id_col] == sums["__nb_id"], how="left"
-    ).drop("__nb_id")
-    score_cols = [
-        (F.coalesce(F.col(f"__nb_s{i}"), F.lit(0.0)) + F.lit(priors[c]))
-        for i, c in enumerate(labels)
-    ]
+        scored = df
+    else:
+        toks = df.select(
+            F.col(id_col).alias("__nb_id"),
+            F.explode(toks_expr).alias("token"),
+        )
+        joined = toks.join(F.broadcast(wide), on="token", how="left")
+        sums = joined.groupBy("__nb_id").agg(
+            *[
+                F.sum(
+                    F.log(
+                        (F.coalesce(F.col(f"__nb_c{i}"), F.lit(0)) + F.lit(alpha))
+                        / F.lit(denoms[c])
+                    )
+                ).alias(f"__nb_s{i}")
+                for i, c in enumerate(labels)
+            ]
+        )
+        scored = df.join(
+            sums, on=df[id_col] == sums["__nb_id"], how="left"
+        ).drop("__nb_id")
+        score_cols = [
+            (F.coalesce(F.col(f"__nb_s{i}"), F.lit(0.0)) + F.lit(priors[c]))
+            for i, c in enumerate(labels)
+        ]
     # row-local argmax, tie-break (score DESC, label ASC): sort the
     # (–score, label) structs ascending and take the head
     best = F.element_at(

@@ -3767,3 +3767,41 @@ def test_target_mix_precap_same_seed_is_exact_identity(spark):
     assert counts == {"hot": 6, "mid": 4, "rare": 2}
     # and the tight pre-capped selection is a prefix-consistent subset
     assert set(r for r in counts) == {"hot", "mid", "rare"}
+
+
+def test_nb_apply_row_local_matches_join_path(spark):
+    """row_local=True (plan-literal model, the streaming tier) must
+    produce exactly the join path's output — same labels, same scores
+    — including empty docs (priors only) and OOV-heavy docs; and the
+    literal-cell cap raises loudly."""
+    from python_dtl_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [
+            (0, "a a b", "x"),
+            (1, "a b b c", "x"),
+            (2, "c c d", "y"),
+            (3, "d d a", "y"),
+            (4, "e e", "y"),
+        ],
+        ["doc_id", "text", "label"],
+    )
+    tc, cs = classify.nb_fit(train, "label")
+    test = spark.createDataFrame(
+        [(10, "a b"), (11, "c d d"), (12, "zz qq"), (13, "")],
+        ["doc_id", "text"],
+    )
+    joined = {
+        r.doc_id: (r.predicted_label, r.log_score)
+        for r in classify.nb_apply(test, tc, cs).collect()
+    }
+    local = {
+        r.doc_id: (r.predicted_label, r.log_score)
+        for r in classify.nb_apply(test, tc, cs, row_local=True).collect()
+    }
+    assert set(joined) == set(local)
+    for k in joined:
+        assert joined[k][0] == local[k][0], k
+        assert abs(joined[k][1] - local[k][1]) < 1e-9, k
+    with pytest.raises(ValueError, match="literal cells"):
+        classify.nb_apply(test, tc, cs, row_local=True, max_literal_cells=3)

@@ -1071,3 +1071,18 @@ def test_target_mix_precap_restores_window_group_limit(spark):
     plan = _exec_plan(capped)
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nb_apply_row_local_is_pure_map_stage(spark):
+    """The row_local scoring tier (plan-literal model) must plan as a
+    pure map stage: zero Exchange, zero join, zero Python — the shape
+    that makes it legal over an unbounded stream."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tc, cs = classify.nb_fit(docs, "lang", max_vocab=200)
+    out = classify.nb_apply(docs, tc, cs, row_local=True)
+    plan = _exec_plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

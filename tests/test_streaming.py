@@ -596,3 +596,52 @@ def test_streaming_json_extraction_matches_batch(spark, tmp_path):
     # the malformed-sidecar row is counted (n) but contributes no k
     hour2 = [v for (ws, et), v in batch.items() if ws.hour == 1]
     assert hour2 == [(1, None, 0)]
+
+
+def test_streaming_nb_classify_matches_batch(spark, tmp_path):
+    """Online classifier scoring: a FROZEN fitted NB model applies to
+    a document stream via nb_apply(row_local=True) — the plan-literal
+    model tier is a pure map stage (no streaming aggregation, no
+    stream self-join), so readStream docs -> score -> append sink
+    equals the batch result.  The GPT-3-style 'score documents as they
+    arrive' shape; the default join path stays the batch/backfill
+    tier."""
+    from python_dtl_spark.operators import classify
+
+    train = spark.createDataFrame(
+        [
+            (0, "the quick brown fox", "en"),
+            (1, "a lazy brown dog", "en"),
+            (2, "le chat noir dort", "fr"),
+            (3, "un chien et le chat", "fr"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    tc, cs = classify.nb_fit(train, "label")
+    docs = spark.createDataFrame(
+        [(10, "the brown dog"), (11, "le chien dort"), (12, ""), (13, "zz")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "nb_docs_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    q = run_stream_to_memory(
+        classify.nb_apply(stream, tc, cs, row_local=True),
+        "nb_stream",
+        mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.doc_id, r.predicted_label, round(r.log_score, 9))
+            for r in spark.table("nb_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.doc_id, r.predicted_label, round(r.log_score, 9))
+        for r in classify.nb_apply(docs, tc, cs, row_local=True).collect()
+    }
+    assert streamed == batch and len(batch) == 4
+    labels = {d: l for d, l, _ in batch}
+    assert labels[10] == "en" and labels[11] == "fr"
