@@ -1088,6 +1088,92 @@ def apply_merge(
     )
 
 
+def _bpe_encode_broadcast(
+    df: DataFrame,
+    pairs: list[tuple[str, str]],
+    text_col: str,
+    out_col: str,
+    sep: str,
+    tokens_col: str | None,
+) -> DataFrame:
+    """:func:`bpe_encode`'s big-table tier: Arrow-batched
+    ``mapInPandas`` with the merge-rank table in a broadcast variable
+    (see the caller's docstring for the tier contract and the
+    no-reappearance equivalence argument).  Per document: the classic
+    min-rank-first loop — find the lowest-ranked adjacent pair present
+    (one dict probe per adjacency), sweep-merge its occurrences
+    greedy-left non-overlapping, repeat until no table pair remains —
+    O(tokens × merges applied), independent of table size."""
+    import re
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    # first occurrence wins on duplicate pairs: after rank i applies,
+    # no later duplicate can ever match again (its adjacencies are
+    # gone and, by the no-reappearance argument, stay gone)
+    ranks: dict[tuple[str, str], int] = {}
+    for i, lr in enumerate(pairs):
+        ranks.setdefault(lr, i)
+    b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
+    # fresh StructType: StructType.add would MUTATE df's cached schema
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(StringType()))]
+    )
+    # Java regex \s is ASCII-only; mirror it exactly (Python \s is
+    # unicode-aware by default)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def _encode(toks: list[str], rk: dict) -> list[str]:
+        while True:
+            best_rank = None
+            for j in range(len(toks) - 1):
+                r = rk.get((toks[j], toks[j + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+            if best_rank is None:
+                return toks
+            left, right = pairs[best_rank]
+            merged = left + sep + right
+            out: list[str] = []
+            j = 0
+            while j < len(toks):
+                if (
+                    j < len(toks) - 1
+                    and toks[j] == left
+                    and toks[j + 1] == right
+                ):
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(toks[j])
+                    j += 1
+            toks = out
+
+    def _batches(it):
+        rk = b_ranks.value
+        for pdf in it:
+            if tokens_col is not None:
+                src = pdf[tokens_col]
+                encoded = [
+                    None if t is None else _encode(list(t), rk) for t in src
+                ]
+            else:
+                encoded = [
+                    None
+                    if t is None
+                    else _encode(
+                        [w for w in ws.split(t.lower()) if w], rk
+                    )
+                    for t in pdf[text_col]
+                ]
+            out = pdf.copy()
+            out[out_col] = encoded
+            yield out
+
+    return df.mapInPandas(_batches, schema)
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple],
@@ -1095,6 +1181,7 @@ def bpe_encode(
     out_col: str = "tokens_bpe",
     sep: str = " ",
     tokens_col: str | None = None,
+    max_literal_entries: int = 65_536,
 ) -> DataFrame:
     """Single-pass BPE tokenizer INFERENCE: apply a learned merge
     table (``[(left, right), ...]`` or :func:`bpe_fit`'s
@@ -1125,9 +1212,27 @@ def bpe_encode(
     is a single Project — plan-asserted in tests/test_plans.py).  Cost
     is O(n_tokens × n_merges) per document — the same asymptotics as
     any serial BPE encoder — so corpus cost scales linearly and the
-    merge table ships inside the plan as a literal array (for tables
-    past a few MB of literals, broadcast-join a rules table instead;
-    at the classic 32k vocabulary the literal array is ~1 MB, fine).
+    merge table ships inside the plan as a literal array (~1 MB at the
+    classic 32k vocabulary, fine).
+
+    Tables past ``max_literal_entries`` (default 65536) switch to the
+    BIG-TABLE TIER: an Arrow-batched ``mapInPandas`` encoder with the
+    rank table in a Spark BROADCAST variable — plan size stays O(1) in
+    the vocabulary, and the per-document algorithm flips to the
+    classic min-rank-first loop (repeatedly merge the lowest-ranked
+    pair present), whose cost is O(tokens × merges APPLIED in the
+    doc), independent of table size.  For tables a real ``bpe_fit``
+    produces the two algorithms are EQUIVALENT: merge k's output token
+    concatenates tokens built by merges < k, so applying k can never
+    re-create an earlier pair (no earlier-rank pair ever re-appears) —
+    equality is property-tested on fit-produced tables
+    (tests/test_property.py) and the tier is forced in unit tests via
+    ``max_literal_entries``.  The Python tier mirrors the JVM
+    ``lower + \\s+ split`` tokenization; pass ``tokens_col`` to make
+    tokenization engine-exact (pre-tokenized arrays cross Arrow as-is)
+    — the deliberate Pandas-UDF exception: a 100k-entry table
+    genuinely cannot ship as plan literals, and a join cannot express
+    the ordered fold.
 
     The reference engine has no tokenizer surface (scalar registry is
     ``add`` only, /root/reference/src/dtl/functions.py); extension per
@@ -1139,18 +1244,13 @@ def bpe_encode(
             "on the input; rename or drop it first"
         )
     pairs = [(m[0], m[1]) for m in merges]
-    if len(pairs) > 65536:
-        # the table ships as a plan literal: fine at the classic 32k
-        # vocabulary (~1 MB), but an unbounded table would bloat every
-        # task's deserialized plan — refuse loudly past 2× that
-        raise ValueError(
-            f"merge table has {len(pairs)} entries; bpe_encode embeds "
-            "it as a plan-literal array and caps at 65536 — for larger "
-            "vocabularies ship the table as a broadcast rules join"
-        )
     for left, right in pairs:
         if not left or not right:
             raise ValueError("merge pair tokens must be non-empty")
+    if len(pairs) > max_literal_entries:
+        return _bpe_encode_broadcast(
+            df, pairs, text_col, out_col, sep, tokens_col
+        )
     base = (
         F.col(tokens_col)
         if tokens_col is not None

@@ -3805,3 +3805,52 @@ def test_nb_apply_row_local_matches_join_path(spark):
         assert abs(joined[k][1] - local[k][1]) < 1e-9, k
     with pytest.raises(ValueError, match="literal cells"):
         classify.nb_apply(test, tc, cs, row_local=True, max_literal_cells=3)
+
+
+def test_bpe_encode_broadcast_tier_fixture_and_null_handling(spark):
+    """The >max_literal_entries tier on the real fixture corpus: same
+    output as the fold (incl. NULL text -> NULL tokens, empty text ->
+    empty array) through both the text_col and the pre-tokenized
+    tokens_col entry points; the plan is a single ArrowEvalPython-free
+    mapInPandas stage (no shuffle)."""
+    from python_dtl_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).unionByName(
+        spark.createDataFrame(
+            [(990001, None), (990002, ""), (990003, "   ")],
+            "doc_id long, text string",
+        ).withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("source", F.lit(None).cast("string"))
+        .withColumn("n_chars", F.lit(None).cast("long"))
+    )
+    _, merges = text_ops.bpe_fit(docs, n_merges=3, min_count=2)
+    fold = {
+        r.doc_id: r.tokens_bpe
+        for r in text_ops.bpe_encode(docs, merges)
+        .select("doc_id", "tokens_bpe")
+        .collect()
+    }
+    bcast_df = text_ops.bpe_encode(docs, merges, max_literal_entries=0)
+    bcast = {
+        r.doc_id: r.tokens_bpe
+        for r in bcast_df.select("doc_id", "tokens_bpe").collect()
+    }
+    assert bcast == fold
+    assert bcast[990001] is None and bcast[990002] == []
+    # tokens_col entry point (engine-exact tokenization handoff)
+    pre = docs.withColumn(
+        "toks", text_ops.tokens(F.lower(F.col("text")))
+    )
+    via_col = {
+        r.doc_id: r.tokens_bpe
+        for r in text_ops.bpe_encode(
+            pre, merges, tokens_col="toks", max_literal_entries=0
+        )
+        .select("doc_id", "tokens_bpe")
+        .collect()
+    }
+    assert via_col == fold
+    plan = bcast_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "MapInPandas" in plan

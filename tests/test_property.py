@@ -980,3 +980,40 @@ def test_registrable_domains_psl_matches_reference(spark, hosts, rules):
     }
     for h in set(hosts):
         assert out[h] == ref(h), (h, parsed, out[h], ref(h))
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10),
+        min_size=2,
+        max_size=4,
+    ),
+)
+def test_bpe_encode_broadcast_tier_equals_fold_on_fit_tables(spark, docs):
+    """The big-table mapInPandas tier (min-rank-first loop, broadcast
+    rank dict) must equal the plan-literal fold on tables a real
+    bpe_fit produces — the no-reappearance argument: merge k's output
+    concatenates tokens built by merges < k, so applying k can never
+    re-create an earlier pair, making rank-order single-pass and
+    min-rank-first equivalent.  Forced via max_literal_entries=0."""
+    from python_dtl_spark.operators.text import bpe_encode, bpe_fit
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    fitted, merges = bpe_fit(df, n_merges=3, min_count=2)
+    fitted.release_cached()
+    fold = {
+        r.doc_id: r.tokens_bpe for r in bpe_encode(df, merges).collect()
+    }
+    bcast = {
+        r.doc_id: r.tokens_bpe
+        for r in bpe_encode(df, merges, max_literal_entries=0).collect()
+    }
+    assert bcast == fold
