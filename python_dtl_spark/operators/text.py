@@ -1110,10 +1110,13 @@ def _bpe_encode_broadcast(
 
     # first occurrence wins on duplicate pairs: after rank i applies,
     # no later duplicate can ever match again (its adjacencies are
-    # gone and, by the no-reappearance argument, stay gone)
-    ranks: dict[tuple[str, str], int] = {}
-    for i, lr in enumerate(pairs):
-        ranks.setdefault(lr, i)
+    # gone and, by the no-reappearance argument, stay gone).  The map
+    # value carries the merged token so NOTHING table-sized is
+    # captured in the task closure — the table ships ONCE per executor
+    # via the broadcast, not once per task via pickled closures.
+    ranks: dict[tuple[str, str], tuple[int, str]] = {}
+    for i, (left, right) in enumerate(pairs):
+        ranks.setdefault((left, right), (i, left + sep + right))
     b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
     # fresh StructType: StructType.add would MUTATE df's cached schema
     schema = StructType(
@@ -1126,15 +1129,14 @@ def _bpe_encode_broadcast(
 
     def _encode(toks: list[str], rk: dict) -> list[str]:
         while True:
-            best_rank = None
+            best = None  # (rank, merged, left, right)
             for j in range(len(toks) - 1):
-                r = rk.get((toks[j], toks[j + 1]))
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank = r
-            if best_rank is None:
+                hit = rk.get((toks[j], toks[j + 1]))
+                if hit is not None and (best is None or hit[0] < best[0]):
+                    best = (hit[0], hit[1], toks[j], toks[j + 1])
+            if best is None:
                 return toks
-            left, right = pairs[best_rank]
-            merged = left + sep + right
+            _, merged, left, right = best
             out: list[str] = []
             j = 0
             while j < len(toks):
