@@ -931,7 +931,10 @@ def main() -> None:
         "bpe_fit_sampled=pipeline_bpe_tokenize (sampled fit + single-fold",
         "encode — the doc_bpe_encode fold is the probe's encode stage),",
         "nb_classify_sampled / target_mix = classify.nb_fit+nb_apply and",
-        "sampling.target_mix_resample (catalog rows staged for r12 — window",
+        "sampling.target_mix_resample (driver rows doc_nb_classify /",
+        "pipeline_nb_curate / doc_target_mix since r12;",
+        "target_mix_hot = target_mix_resample(precap_quota=) — the",
+        "same-seed pre-cap mitigation with asserted kept-row identity),",
         "budget; their DuckDB-replay oracles are already green as unit tests),",
         "psl_domains=doc_url_psl_domains (canonicalize_urls feeds it — the",
         "doc_url_canonicalize / pipeline_domain_cap map stage is probed here too;",
