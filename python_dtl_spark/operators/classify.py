@@ -234,16 +234,19 @@ def nb_apply(
         else tokens(F.lower(F.col(text_col)))
     )
     if row_local:
-        model_rows = wide.collect()  # bounded: <= max_vocab rows
-        cells = len(model_rows) * len(labels)
+        # guard BEFORE collecting: vocab_size is already computed above
+        # (one count job), so an oversized model is refused without
+        # ever pulling its rows to the driver
+        cells = vocab_size * len(labels)
         if cells > max_literal_cells:
             raise ValueError(
                 f"row_local model has {cells} literal cells "
-                f"({len(model_rows)} tokens x {len(labels)} classes) > "
+                f"({vocab_size} tokens x {len(labels)} classes) > "
                 f"max_literal_cells={max_literal_cells}; use the default "
                 "broadcast-join path (foreachBatch on streams) or raise "
                 "the cap"
             )
+        model_rows = wide.collect()  # bounded: <= max_vocab rows
         if model_rows:
             entries = []
             for r in model_rows:
