@@ -353,6 +353,34 @@ AUDITED = {
         "holds exactly one row per key (a window would funnel them "
         "into one task)"
     ),
+    "doc_nb_classify": (
+        "NB apply over the whole corpus: explode -> ONE "
+        "BroadcastHashJoin against the pivoted <=max_vocab model "
+        "(positional __nb_c columns) -> one doc-grain hash aggregate "
+        "with map-side partial sums -> id join-back; never a per-class "
+        "corpus pass, zero Python (the fit's vocabulary prune plans as "
+        "TakeOrderedAndProject — asserted separately)"
+    ),
+    "pipeline_nb_curate": (
+        "classifier-curation chain: broadcast NB model join feeds the "
+        "predicted-label filter, which only SHRINKS rows entering the "
+        "domain cap's single hash exchange; the cap's literal rank "
+        "prunes with WindowGroupLimit on BOTH sides of that exchange"
+    ),
+    "doc_target_mix": (
+        "exact mixture: one tiny stratum-count aggregate collected as "
+        "the quota model, broadcast back, ONE rank-window exchange on "
+        "the stratum key; the data-dependent rank limit cannot "
+        "WindowGroupLimit-prune — the same-seed precap_quota pre-cap "
+        "restores the prune for hot strata (plan-asserted both ways "
+        "in tests/test_plans.py)"
+    ),
+    "dedup_minhash_lineage": (
+        "near-dup drop-provenance: a zero-cost PROJECTION of the "
+        "converged min-label state (cluster_id IS the survivor) — no "
+        "extra join, shuffle, or pass beyond the keep-one reducer's "
+        "own iterations"
+    ),
 }
 
 
