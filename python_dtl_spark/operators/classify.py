@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from python_dtl_spark.operators.text import tokens
 
-__all__ = ["nb_fit", "nb_apply"]
+__all__ = ["nb_fit", "nb_apply", "lm_fit", "lm_perplexity"]
 
 
 def nb_fit(
@@ -330,4 +330,235 @@ def nb_apply(
         *[F.col(c) for c in df.columns],
         best["l"].alias(out_col),
         (-best["ns"]).alias(score_col),
+    )
+
+
+def _bigram_pairs(toks):
+    """Adjacent (w1, w2) pairs of a token array, row-locally: the
+    array zipped with its own tail (two slices + arrays_zip — the
+    O(tokens) sliding-window recipe shared with dedup's shingles)."""
+    n = F.size(toks)
+    return F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+
+
+def lm_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_vocab: int = 50_000,
+    sample_fraction: float | None = None,
+    sample_seed: str = "lmfit",
+    tokens_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit a bigram language model's sufficient statistics — the
+    CCNet / LLaMA-style "score the crawl with a cheap LM, keep the
+    low-perplexity slice" quality filter (Wenzek et al. 2020 use a
+    KenLM 5-gram; at the word grain this repo's operators share, a
+    smoothed bigram model is the same verb with EXACT-INTEGER,
+    SQL-replayable statistics — the same verifiability standard that
+    picked Naive Bayes over logistic regression for :func:`nb_fit`).
+
+    Returns ``(bigram_counts, unigram_counts)``:
+
+    * ``unigram_counts``: ``(w, freq)`` for the top ``max_vocab``
+      tokens by (freq DESC, w ASC) with ``freq >= min_count`` — the
+      model vocabulary; the deterministic rank rule shared with
+      :func:`nb_fit` / ``text.vocabulary``.
+    * ``bigram_counts``: ``(w1, w2, freq)`` restricted to pairs whose
+      BOTH words are in the vocabulary (out-of-vocab words score as
+      the OOV pseudo-token at apply time, so their pair counts would
+      never be read).
+
+    ``sample_fraction`` is the 100 TB valve (the deterministic
+    md5-hash document sample shared with :func:`nb_fit` /
+    ``text.bpe_fit``).  ``tokens_col`` fits over a pre-tokenized
+    array (no re-split, no lowercasing) — fit and score must use the
+    SAME tokenization.
+
+    Scale shape: one explode + ONE (w1, w2) hash aggregation with
+    map-side partials for bigrams, one for unigrams; the vocabulary
+    prune is a bounded global rank that plans as
+    TakeOrderedAndProject (per-partition partial top-k, never a full
+    global sort); the vocab joins that trim the bigram table
+    broadcast (vocab is ≤ ``max_vocab`` rows).  The model is
+    reference-free: the reference engine has no LM/classifier surface
+    at all (scalar registry is ``add`` only,
+    /root/reference/src/dtl/functions.py); extension per SURVEY §2.5.
+    """
+    corpus = df
+    if sample_fraction is not None:
+        from python_dtl_spark.operators.sampling import (
+            _BUCKETS,
+            _check_key_type,
+            hash_bucket,
+        )
+
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        _check_key_type(df, id_col)
+        cut = int(round(sample_fraction * _BUCKETS))
+        if cut < 1:
+            raise ValueError(
+                f"sample_fraction={sample_fraction} rounds to an empty "
+                f"hash sample (< 1/{_BUCKETS}); raise it"
+            )
+        corpus = corpus.where(
+            hash_bucket(F.col(id_col), seed=sample_seed) < F.lit(cut)
+        )
+    toks = corpus.select(
+        (
+            F.col(tokens_col)
+            if tokens_col is not None
+            else tokens(F.lower(F.col(text_col)))
+        ).alias("__t")
+    )
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.desc("freq"), F.asc("w"))
+    unigram_counts = (
+        uni.filter(F.col("freq") >= min_count)
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= max_vocab)
+        .select("w", "freq")
+    )
+    bi = (
+        toks.select(F.explode(_bigram_pairs(F.col("__t"))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    v1 = unigram_counts.select(F.col("w").alias("w1"))
+    v2 = unigram_counts.select(F.col("w").alias("w2"))
+    bigram_counts = (
+        bi.join(F.broadcast(v1), on="w1")
+        .join(F.broadcast(v2), on="w2")
+        .select("w1", "w2", "freq")
+    )
+    return bigram_counts, unigram_counts
+
+
+def lm_perplexity(
+    df: DataFrame,
+    bigram_counts: DataFrame,
+    unigram_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    out_col: str = "perplexity",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Score every document's bigram perplexity under fitted LM
+    statistics, appending ``out_col`` plus the EXACT-INTEGER per-doc
+    diagnostics that pin the model lookups for hash verification:
+
+    * ``n_trans``       — adjacent-pair transitions in the doc
+    * ``n_unseen``      — transitions with no in-vocab bigram count
+    * ``n_oov_ctx``     — transitions whose CONTEXT word is OOV
+    * ``sum_bigram_freq``  / ``sum_context_freq`` — summed model
+      frequencies the scored transitions looked up
+
+    Semantics (replayable in SQL): with vocabulary size ``V`` and
+    Laplace ``alpha``, each transition contributes
+
+        log p(w2 | w1) = log((c(w1, w2) + alpha) /
+                             (c(w1) + alpha·(V + 1)))
+
+    with ``c = 0`` for unseen bigrams / OOV words (the ``V+1``-th
+    pseudo-token, the same smoothing contract as :func:`nb_apply`);
+    ``perplexity = exp(-Σ log p / n_trans)``, NULL for docs with
+    fewer than two tokens (no transitions — emitting a fake number
+    would rank them).  Low perplexity = the model finds the text
+    predictable (the CCNet "head" slice).
+
+    The float column is verified against a literal Python reference
+    to 1e-9 in unit tests; the DRIVER-hashed catalog row emits the
+    integer diagnostics (order-independent exact sums) — the same
+    split as ``nb_apply``'s argmax-vs-log_score, because a float sum
+    of ``ln`` terms is neither order-stable nor libm-portable.
+
+    Scale shape: row-local pair explode, ONE broadcast join against
+    the bigram table, one against the unigram table, ONE doc-grain
+    hash aggregation (map-side partials), id join-back — never a
+    Python UDF, never a per-transition shuffle.
+    """
+    for emitted in (
+        out_col, "n_trans", "n_unseen", "n_oov_ctx",
+        "sum_bigram_freq", "sum_context_freq",
+    ):
+        if emitted in df.columns:
+            raise ValueError(
+                f"lm_perplexity emits column {emitted!r} which already "
+                "exists on the input; rename or drop it first"
+            )
+    if not alpha > 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    vocab_size = unigram_counts.count()  # scalar model size
+    toks_expr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.lower(F.col(text_col)))
+    )
+    tr = df.select(
+        F.col(id_col).alias("__lm_id"),
+        F.explode(_bigram_pairs(toks_expr)).alias("p"),
+    ).select(
+        "__lm_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    bi = bigram_counts.select("w1", "w2", F.col("freq").alias("__bf"))
+    ctx = unigram_counts.select(
+        F.col("w").alias("w1"), F.col("freq").alias("__cf")
+    )
+    joined = tr.join(F.broadcast(bi), on=["w1", "w2"], how="left").join(
+        F.broadcast(ctx), on="w1", how="left"
+    )
+    denom_pad = alpha * (vocab_size + 1)
+    sums = joined.groupBy("__lm_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trans"),
+        F.sum(F.when(F.col("__bf").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        F.sum(F.when(F.col("__cf").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov_ctx"),
+        F.sum(F.coalesce("__bf", F.lit(0))).cast("long").alias(
+            "sum_bigram_freq"
+        ),
+        F.sum(F.coalesce("__cf", F.lit(0))).cast("long").alias(
+            "sum_context_freq"
+        ),
+        F.sum(
+            F.log(
+                (F.coalesce("__bf", F.lit(0)) + F.lit(alpha))
+                / (F.coalesce("__cf", F.lit(0)) + F.lit(denom_pad))
+            )
+        ).alias("__ll"),
+    )
+    scored = df.join(
+        sums, on=df[id_col] == sums["__lm_id"], how="left"
+    ).drop("__lm_id")
+    return scored.select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
+        F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
+        F.coalesce("n_oov_ctx", F.lit(0)).cast("long").alias("n_oov_ctx"),
+        F.coalesce("sum_bigram_freq", F.lit(0))
+        .cast("long")
+        .alias("sum_bigram_freq"),
+        F.coalesce("sum_context_freq", F.lit(0))
+        .cast("long")
+        .alias("sum_context_freq"),
+        F.when(
+            F.col("n_trans") > 0, F.exp(-F.col("__ll") / F.col("n_trans"))
+        ).alias(out_col),
     )

@@ -3854,3 +3854,191 @@ def test_bpe_encode_broadcast_tier_fixture_and_null_handling(spark):
     assert via_col == fold
     plan = bcast_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "MapInPandas" in plan
+
+
+def test_lm_perplexity_matches_brute_force_reference(spark):
+    """Bigram LM scoring vs a literal Python reference: per-doc log
+    probs (Laplace-smoothed, OOV as the V+1-th pseudo-token), the
+    perplexity to 1e-9, and the exact-integer diagnostics that the
+    (staged) driver row hashes."""
+    import math as m
+    from collections import Counter
+
+    from python_dtl_spark.operators import classify
+
+    corpus_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the cat"),
+        (2, "a dog and a cat"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bi, uni = classify.lm_fit(corpus, min_count=1, max_vocab=100)
+    test_rows = [
+        (10, "the cat sat"),
+        (11, "zz the cat"),   # OOV context for transition 1
+        (12, "purple zz qq"), # everything unseen
+        (13, "single"),       # no transitions -> NULL perplexity
+        (14, ""),
+    ]
+    test = spark.createDataFrame(test_rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in classify.lm_perplexity(test, bi, uni).collect()}
+
+    # literal reference
+    unic = Counter()
+    bic = Counter()
+    for _, t in corpus_rows:
+        ws = t.split()
+        unic.update(ws)
+        bic.update(zip(ws, ws[1:]))
+    V = len(unic)
+    for did, t in test_rows:
+        ws = t.split()
+        trans = list(zip(ws, ws[1:]))
+        r = out[did]
+        assert r.n_trans == len(trans), did
+        if not trans:
+            assert r.perplexity is None
+            assert r.sum_bigram_freq == 0 and r.sum_context_freq == 0
+            continue
+        ll = 0.0
+        sb = sc_ = unseen = oov = 0
+        for w1, w2 in trans:
+            bf = bic.get((w1, w2), 0) if (w1 in unic and w2 in unic) else 0
+            cf = unic.get(w1, 0)
+            ll += m.log((bf + 1.0) / (cf + 1.0 * (V + 1)))
+            sb += bf
+            sc_ += cf
+            unseen += bf == 0
+            oov += w1 not in unic
+        assert r.sum_bigram_freq == sb and r.sum_context_freq == sc_, did
+        assert r.n_unseen == unseen and r.n_oov_ctx == oov, did
+        assert abs(r.perplexity - m.exp(-ll / len(trans))) < 1e-9, did
+    # collision + alpha guards
+    with pytest.raises(ValueError, match="alpha"):
+        classify.lm_perplexity(test, bi, uni, alpha=0)
+    with pytest.raises(ValueError, match="already"):
+        classify.lm_perplexity(
+            test.withColumn("n_trans", F.lit(1)), bi, uni
+        )
+
+
+def test_lm_fit_sample_valve_and_vocab_prune(spark):
+    from python_dtl_spark.operators import classify
+
+    rows = [(i, "aa bb cc " + ("dd " * (i % 3))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bi, uni = classify.lm_fit(df, sample_fraction=0.5, sample_seed="lm-s")
+    n_all = spark.createDataFrame(rows, ["doc_id", "text"]).count()
+    total_uni = {r.w: r.freq for r in uni.collect()}
+    # the sample sees a strict subset of the corpus occurrences
+    assert 0 < total_uni["aa"] < n_all
+    with pytest.raises(ValueError, match="sample_fraction"):
+        classify.lm_fit(df, sample_fraction=0)
+    # vocab prune: max_vocab=2 keeps the top-2 by (freq DESC, w ASC)
+    # and the bigram table only holds in-vocab pairs
+    bi2, uni2 = classify.lm_fit(df, max_vocab=2)
+    kept = {r.w for r in uni2.collect()}
+    assert len(kept) == 2
+    pairs = {(r.w1, r.w2) for r in bi2.collect()}
+    assert all(w1 in kept and w2 in kept for w1, w2 in pairs)
+
+
+def test_lm_perplexity_matches_duckdb_replay(spark):
+    """The STAGED r13 catalog oracle, pre-validated before
+    registration (the r11->r12 staging pattern): DuckDB re-derives
+    the md5-hash fit sample, unigram/bigram counts, the (freq DESC,
+    w ASC) vocabulary prune, and every per-document EXACT-INTEGER
+    diagnostic (n_trans / n_unseen / n_oov_ctx / sum_bigram_freq /
+    sum_context_freq) — the driver-hashable face of the perplexity
+    scorer (the float column is covered by the brute-force test;
+    a sum of ln() terms is neither order-stable nor libm-portable)."""
+    import duckdb
+
+    from python_dtl_spark.operators import classify
+    from python_dtl_spark.operators.sampling import hash_bucket_sql
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bi, uni = classify.lm_fit(
+        docs, sample_fraction=0.5, sample_seed="lm-l",
+        min_count=1, max_vocab=300,
+    )
+    got = {
+        r.doc_id: (
+            r.n_trans, r.n_unseen, r.n_oov_ctx,
+            r.sum_bigram_freq, r.sum_context_freq,
+        )
+        for r in classify.lm_perplexity(docs, bi, uni)
+        .select(
+            "doc_id", "n_trans", "n_unseen", "n_oov_ctx",
+            "sum_bigram_freq", "sum_context_freq",
+        )
+        .collect()
+    }
+
+    toks = (
+        "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        " x -> x <> '')"
+    )
+    sample = hash_bucket_sql("doc_id", seed="lm-l") + " < 5000"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    oracle = con.execute(f"""
+    WITH fit AS (
+        SELECT doc_id, {toks} AS t FROM documents WHERE {sample}
+    ), uni_all AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(t) AS w FROM fit) GROUP BY w
+    ), vocab AS (
+        SELECT w, freq FROM (
+            SELECT w, freq,
+                   row_number() OVER (ORDER BY freq DESC, w) AS rn
+            FROM uni_all WHERE freq >= 1
+        ) WHERE rn <= 300
+    ), bi_all AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS freq
+        FROM (
+            SELECT p['w1'] AS w1, p['w2'] AS w2 FROM (
+                SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                               FOR i IN range(1, len(t))]) AS p
+                FROM fit
+            )
+        ) GROUP BY w1, w2
+    ), bi AS (
+        SELECT b.* FROM bi_all b
+        JOIN vocab x ON b.w1 = x.w
+        JOIN vocab y ON b.w2 = y.w
+    ), trans AS (
+        SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id,
+                   unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))]) AS p
+            FROM (SELECT doc_id, {toks} AS t FROM documents)
+        )
+    ), scored AS (
+        SELECT tr.doc_id,
+               count(*) AS n_trans,
+               sum(CASE WHEN bi.freq IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+               sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS n_oov_ctx,
+               sum(coalesce(bi.freq, 0)) AS sum_bigram_freq,
+               sum(coalesce(v.freq, 0)) AS sum_context_freq
+        FROM trans tr
+        LEFT JOIN bi ON bi.w1 = tr.w1 AND bi.w2 = tr.w2
+        LEFT JOIN vocab v ON v.w = tr.w1
+        GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_trans, 0) AS BIGINT),
+           CAST(coalesce(s.n_unseen, 0) AS BIGINT),
+           CAST(coalesce(s.n_oov_ctx, 0) AS BIGINT),
+           CAST(coalesce(s.sum_bigram_freq, 0) AS BIGINT),
+           CAST(coalesce(s.sum_context_freq, 0) AS BIGINT)
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN scored s USING (doc_id)
+    """).fetchall()
+    want = {r[0]: tuple(r[1:]) for r in oracle}
+    assert got == want
+    assert len(got) == docs.count()

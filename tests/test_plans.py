@@ -1086,3 +1086,32 @@ def test_nb_apply_row_local_is_pure_map_stage(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_fit_vocab_prune_is_take_ordered(spark):
+    """lm_fit's vocabulary prune must plan as TakeOrderedAndProject
+    (the nb_fit/vocabulary shape) and the whole fit stays JVM-side."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _, uni = classify.lm_fit(docs, max_vocab=300)
+    plan = _exec_plan(uni)
+    assert "TakeOrderedAndProject(limit=300" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_perplexity_is_broadcast_model_joins_single_doc_agg(spark):
+    """The scorer's corpus pass: broadcast joins against the bigram
+    and unigram model tables (never shuffled SMJ / nested loop), ONE
+    doc-grain hash aggregation, zero Python — the same audited shape
+    as nb_apply."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bi, uni = classify.lm_fit(docs, max_vocab=300)
+    out = classify.lm_perplexity(docs, bi, uni)
+    plan = _exec_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
