@@ -646,6 +646,46 @@ def nb_classify_probe(spark, documents, factor: int):
     return rows
 
 
+def lm_perplexity_probe(spark, documents, factor: int):
+    """Sampled bigram-LM fit + corpus perplexity scoring at 1× and
+    ``factor``× (staged r13 row): the fit works on a constant-size
+    md5-hash sample (flat-ish), the scoring pass — pair explode →
+    broadcast model joins → one doc-grain agg — is the corpus-linear
+    stage, the nb_classify shape with two model tables."""
+    from python_dtl_spark.operators import classify
+
+    rows = []
+    for n, docs in (
+        (1, documents),
+        (factor, replicate(documents, factor, ["doc_id"])),
+    ):
+        frac = 0.5 / n  # constant-size labeled sample under xN data
+        start = time.perf_counter()
+        bi, uni = classify.lm_fit(
+            docs, sample_fraction=frac, sample_seed="lm-probe",
+            max_vocab=300,
+        )
+        bi = bi.persist()
+        n_model = bi.count()
+        fit_s = time.perf_counter() - start
+        start = time.perf_counter()
+        out = classify.lm_perplexity(docs, bi, uni)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("perplexity").isNotNull(), 1).otherwise(0)).alias("scored"),
+        ).collect()[0]
+        apply_s = time.perf_counter() - start
+        bi.unpersist()
+        rows.append((n, fit_s, n_model, apply_s, int(agg["scored"])))
+        print(
+            f"# lm_perplexity {n}x frac={frac:g}: fit {fit_s:.2f}s "
+            f"({n_model} bigram rows), score {apply_s:.2f}s "
+            f"({agg['scored']:,}/{agg['n']:,} docs scored)",
+            file=sys.stderr,
+        )
+    return rows
+
+
 def target_mix_probe(spark, documents, factor: int):
     """Exact-mixture resample at 1× and ``factor``×: constant strata
     (the 20 sources), rows ×N — the count agg absorbs growth map-side
@@ -932,6 +972,9 @@ def main() -> None:
         "encode — the doc_bpe_encode fold is the probe's encode stage),",
         "nb_classify_sampled / target_mix = classify.nb_fit+nb_apply and",
         "sampling.target_mix_resample (driver rows doc_nb_classify /",
+        "lm_perplexity_sampled = classify.lm_fit+lm_perplexity (row",
+        "STAGED for r13; DuckDB-replay oracle pre-validated at three",
+        "scale factors),",
         "pipeline_nb_curate / doc_target_mix since r12;",
         "target_mix_hot = target_mix_resample(precap_quota=) — the",
         "same-seed pre-cap mitigation with asserted kept-row identity),",
@@ -1346,6 +1389,23 @@ def main() -> None:
         for n, fit_s, n_model, apply_s, n_docs in nb_rows:
             lines.append(
                 f"| nb_classify_sampled | {n}× | {fit_s:.2f}s | {n_model} | "
+                f"{apply_s:.2f}s | {n_docs:,} |"
+            )
+
+        lm_rows = lm_perplexity_probe(spark, documents, factor)
+        lines += [
+            "",
+            "Sampled bigram-LM perplexity scorer (staged r13 row —",
+            "CCNet-style quality filter): constant-size md5 fit sample",
+            "under ×N data, scoring = pair explode → broadcast bigram +",
+            "unigram joins → one doc-grain agg (the nb_classify shape):",
+            "",
+            "| probe | data | fit time | bigram rows | score time | docs scored |",
+            "|---|---|---|---|---|---|",
+        ]
+        for n, fit_s, n_model, apply_s, n_docs in lm_rows:
+            lines.append(
+                f"| lm_perplexity_sampled | {n}× | {fit_s:.2f}s | {n_model} | "
                 f"{apply_s:.2f}s | {n_docs:,} |"
             )
 
