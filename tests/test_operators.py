@@ -4042,3 +4042,39 @@ def test_lm_perplexity_matches_duckdb_replay(spark):
     want = {r[0]: tuple(r[1:]) for r in oracle}
     assert got == want
     assert len(got) == docs.count()
+
+
+def test_lm_perplexity_separates_fluent_from_gibberish(spark):
+    """The operator's purpose, demonstrated: fit on a fluent corpus,
+    then every fluent held-out doc must score LOWER perplexity than
+    every gibberish doc (the CCNet head/tail split this filter
+    implements)."""
+    from python_dtl_spark.operators import classify
+
+    fluent = [
+        "the cat sat on the mat",
+        "the dog sat on the mat",
+        "the cat ran to the dog",
+        "a dog ran to the mat",
+        "the cat and the dog sat",
+    ]
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(fluent)], ["doc_id", "text"]
+    )
+    bi, uni = classify.lm_fit(corpus)
+    test = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat", "fluent"),
+            (101, "a dog ran to the dog", "fluent"),
+            (102, "mat the on sat cat the", "gibberish"),  # reversed
+            (103, "zz qq ww ee rr tt", "gibberish"),       # OOV soup
+        ],
+        ["doc_id", "text", "kind"],
+    )
+    out = {
+        r.doc_id: (r.kind, r.perplexity)
+        for r in classify.lm_perplexity(test, bi, uni).collect()
+    }
+    fluent_ppl = [p for k, p in out.values() if k == "fluent"]
+    gib_ppl = [p for k, p in out.values() if k == "gibberish"]
+    assert max(fluent_ppl) < min(gib_ppl), out
