@@ -448,6 +448,105 @@ def lm_fit(
     return bigram_counts, unigram_counts
 
 
+def _lm_perplexity_row_local(
+    df: DataFrame,
+    bigram_counts: DataFrame,
+    unigram_counts: DataFrame,
+    toks_expr,
+    vocab_size: int,
+    alpha: float,
+    out_col: str,
+    max_literal_cells: int,
+) -> DataFrame:
+    """:func:`lm_perplexity`'s streaming tier: the fitted model as
+    PLAN-LITERAL maps (unigram ``w → freq``; bigram nested
+    ``w1 → (w2 → freq)`` — nested, so no separator-collision-prone
+    string keys) and ONE ``F.aggregate`` fold over the document's
+    adjacent pairs accumulating all six outputs in a single struct —
+    a pure map stage, legal over an unbounded stream (the join path's
+    doc-grain groupBy is a streaming aggregation and its join-back a
+    stream self-join).  Same contract as ``nb_apply(row_local=True)``."""
+    bigram_rows = bigram_counts.count()
+    cells = vocab_size + bigram_rows
+    if cells > max_literal_cells:
+        raise ValueError(
+            f"row_local model has {cells} literal cells ({vocab_size} "
+            f"unigrams + {bigram_rows} bigrams) > "
+            f"max_literal_cells={max_literal_cells}; use the default "
+            "broadcast-join path (foreachBatch on streams) or raise "
+            "the cap"
+        )
+    uni_rows = unigram_counts.collect()
+    bi_rows = bigram_counts.collect()
+    if uni_rows:
+        uni_map = F.create_map(
+            *[x for r in uni_rows for x in (F.lit(r["w"]), F.lit(int(r["freq"])))]
+        )
+    else:
+        uni_map = F.lit(None).cast("map<string,bigint>")
+    nested: dict[str, dict[str, int]] = {}
+    for r in bi_rows:
+        nested.setdefault(r["w1"], {})[r["w2"]] = int(r["freq"])
+    if nested:
+        bi_map = F.create_map(
+            *[
+                x
+                for w1, inner in nested.items()
+                for x in (
+                    F.lit(w1),
+                    F.create_map(
+                        *[
+                            y
+                            for w2, f in inner.items()
+                            for y in (F.lit(w2), F.lit(f))
+                        ]
+                    ),
+                )
+            ]
+        )
+    else:
+        bi_map = F.lit(None).cast("map<string,map<string,bigint>>")
+    denom_pad = alpha * (vocab_size + 1)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(0.0).alias("ll"),
+        zero.alias("n"),
+        zero.alias("unseen"),
+        zero.alias("oov"),
+        zero.alias("sb"),
+        zero.alias("sc"),
+    )
+
+    def step(acc, p):
+        bf = F.element_at(F.element_at(bi_map, p["w1"]), p["w2"])
+        cf = F.element_at(uni_map, p["w1"])
+        return F.struct(
+            (
+                acc["ll"]
+                + F.log(
+                    (F.coalesce(bf, F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(cf, F.lit(0)) + F.lit(denom_pad))
+                )
+            ).alias("ll"),
+            (acc["n"] + 1).alias("n"),
+            (acc["unseen"] + F.when(bf.isNull(), 1).otherwise(0)).alias("unseen"),
+            (acc["oov"] + F.when(cf.isNull(), 1).otherwise(0)).alias("oov"),
+            (acc["sb"] + F.coalesce(bf, F.lit(0))).alias("sb"),
+            (acc["sc"] + F.coalesce(cf, F.lit(0))).alias("sc"),
+        )
+
+    agg = F.aggregate(_bigram_pairs(toks_expr), init, step)
+    return df.select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce(agg["n"], F.lit(0)).cast("long").alias("n_trans"),
+        F.coalesce(agg["unseen"], F.lit(0)).cast("long").alias("n_unseen"),
+        F.coalesce(agg["oov"], F.lit(0)).cast("long").alias("n_oov_ctx"),
+        F.coalesce(agg["sb"], F.lit(0)).cast("long").alias("sum_bigram_freq"),
+        F.coalesce(agg["sc"], F.lit(0)).cast("long").alias("sum_context_freq"),
+        F.when(agg["n"] > 0, F.exp(-agg["ll"] / agg["n"])).alias(out_col),
+    )
+
+
 def lm_perplexity(
     df: DataFrame,
     bigram_counts: DataFrame,
@@ -457,6 +556,8 @@ def lm_perplexity(
     alpha: float = 1.0,
     out_col: str = "perplexity",
     tokens_col: str | None = None,
+    row_local: bool = False,
+    max_literal_cells: int = 65_536,
 ) -> DataFrame:
     """Score every document's bigram perplexity under fitted LM
     statistics, appending ``out_col`` plus the EXACT-INTEGER per-doc
@@ -491,6 +592,15 @@ def lm_perplexity(
     the bigram table, one against the unigram table, ONE doc-grain
     hash aggregation (map-side partials), id join-back — never a
     Python UDF, never a per-transition shuffle.
+
+    ``row_local=True`` is the STREAMING tier (the
+    ``nb_apply(row_local=True)`` contract): the fitted model embeds
+    as plan-literal maps and each document's six outputs fold in one
+    ``F.aggregate`` over its adjacent pairs — a pure map stage with
+    zero Exchange/Join/Python (plan-asserted), legal over
+    ``readStream`` frames; guarded by ``max_literal_cells``
+    (unigram + bigram entries).  Equality-tested against the join
+    path.
     """
     for emitted in (
         out_col, "n_trans", "n_unseen", "n_oov_ctx",
@@ -509,6 +619,11 @@ def lm_perplexity(
         if tokens_col is not None
         else tokens(F.lower(F.col(text_col)))
     )
+    if row_local:
+        return _lm_perplexity_row_local(
+            df, bigram_counts, unigram_counts, toks_expr, vocab_size,
+            alpha, out_col, max_literal_cells,
+        )
     tr = df.select(
         F.col(id_col).alias("__lm_id"),
         F.explode(_bigram_pairs(toks_expr)).alias("p"),

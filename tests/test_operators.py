@@ -4078,3 +4078,56 @@ def test_lm_perplexity_separates_fluent_from_gibberish(spark):
     fluent_ppl = [p for k, p in out.values() if k == "fluent"]
     gib_ppl = [p for k, p in out.values() if k == "gibberish"]
     assert max(fluent_ppl) < min(gib_ppl), out
+
+
+def test_lm_perplexity_row_local_matches_join_path(spark):
+    """row_local=True (plan-literal maps, the streaming tier) must
+    produce exactly the join path's output: integer diagnostics
+    equal, perplexity to 1e-9, NULL-text and no-transition docs
+    identical; the literal-cell cap raises loudly."""
+    from python_dtl_spark.operators import classify
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the cat"),
+            (2, "a dog and a cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    bi, uni = classify.lm_fit(corpus)
+    test = spark.createDataFrame(
+        [
+            (10, "the cat sat"),
+            (11, "zz the cat"),
+            (12, "purple zz qq"),
+            (13, "single"),
+            (14, ""),
+            (15, None),
+        ],
+        "doc_id long, text string",
+    )
+    cols = [
+        "doc_id", "n_trans", "n_unseen", "n_oov_ctx",
+        "sum_bigram_freq", "sum_context_freq", "perplexity",
+    ]
+    joined = {
+        r.doc_id: r
+        for r in classify.lm_perplexity(test, bi, uni).select(cols).collect()
+    }
+    local = {
+        r.doc_id: r
+        for r in classify.lm_perplexity(test, bi, uni, row_local=True)
+        .select(cols)
+        .collect()
+    }
+    assert set(joined) == set(local)
+    for k in joined:
+        for c in cols[1:-1]:
+            assert joined[k][c] == local[k][c], (k, c)
+        jp, lp = joined[k]["perplexity"], local[k]["perplexity"]
+        assert (jp is None) == (lp is None), k
+        if jp is not None:
+            assert abs(jp - lp) < 1e-9, k
+    with pytest.raises(ValueError, match="literal cells"):
+        classify.lm_perplexity(test, bi, uni, row_local=True, max_literal_cells=3)

@@ -1115,3 +1115,18 @@ def test_lm_perplexity_is_broadcast_model_joins_single_doc_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_perplexity_row_local_is_pure_map_stage(spark):
+    """The LM scorer's streaming tier (plan-literal model maps + one
+    F.aggregate fold) must plan as a pure map stage: zero Exchange,
+    zero join, zero Python."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bi, uni = classify.lm_fit(docs, max_vocab=300)
+    out = classify.lm_perplexity(docs, bi, uni, row_local=True)
+    plan = _exec_plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -645,3 +645,55 @@ def test_streaming_nb_classify_matches_batch(spark, tmp_path):
     assert streamed == batch and len(batch) == 4
     labels = {d: l for d, l, _ in batch}
     assert labels[10] == "en" and labels[11] == "fr"
+
+
+def test_streaming_lm_perplexity_matches_batch(spark, tmp_path):
+    """Online perplexity scoring: a frozen fitted bigram LM applies to
+    a document stream via lm_perplexity(row_local=True) — plan-literal
+    model maps + one per-row fold, no streaming aggregation, no stream
+    self-join — so readStream docs -> score -> append sink equals the
+    batch result (the CCNet filter over arriving documents)."""
+    from python_dtl_spark.operators import classify
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the mat"),
+            (2, "a cat ran to the dog"),
+        ],
+        "doc_id long, text string",
+    )
+    bi, uni = classify.lm_fit(corpus)
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zz qq ww"), (12, ""), (13, "single")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "lm_docs_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    q = run_stream_to_memory(
+        classify.lm_perplexity(stream, bi, uni, row_local=True),
+        "lm_stream",
+        mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (
+                r.doc_id, r.n_trans, r.n_unseen, r.n_oov_ctx,
+                r.sum_bigram_freq, r.sum_context_freq,
+                None if r.perplexity is None else round(r.perplexity, 9),
+            )
+            for r in spark.table("lm_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (
+            r.doc_id, r.n_trans, r.n_unseen, r.n_oov_ctx,
+            r.sum_bigram_freq, r.sum_context_freq,
+            None if r.perplexity is None else round(r.perplexity, 9),
+        )
+        for r in classify.lm_perplexity(docs, bi, uni, row_local=True).collect()
+    }
+    assert streamed == batch and len(batch) == 4
