@@ -697,3 +697,55 @@ def test_streaming_lm_perplexity_matches_batch(spark, tmp_path):
         for r in classify.lm_perplexity(docs, bi, uni, row_local=True).collect()
     }
     assert streamed == batch and len(batch) == 4
+
+
+def test_streaming_tokenize_then_classify_chain(spark, tmp_path):
+    """The full streaming curation chain composes: a FROZEN BPE merge
+    table encodes arriving documents (single-fold map stage) and a
+    FROZEN NB model classifies them over the encoded tokens
+    (row_local plan-literal tier, tokens_col handoff) — one stateless
+    readStream pipeline, batch-parity-checked.  Merged tokens are the
+    classifier's features end to end."""
+    from python_dtl_spark.operators import classify
+    from python_dtl_spark.operators.text import bpe_encode
+
+    merges = [("t", "h")]
+    train = spark.createDataFrame(
+        [
+            (0, "t h buy cheap", "spam"),
+            (1, "t h cheap now", "spam"),
+            (2, "t h meeting notes", "ham"),
+            (3, "t h notes agenda", "ham"),
+        ],
+        "doc_id long, text string, label string",
+    )
+    enc_train = bpe_encode(train, merges, out_col="toks")
+    tc, cs = classify.nb_fit(enc_train, "label", tokens_col="toks")
+
+    docs = spark.createDataFrame(
+        [(10, "t h cheap"), (11, "t h agenda"), (12, "")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "chain_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+
+    def chain(frame):
+        encoded = bpe_encode(frame, merges, out_col="toks")
+        return classify.nb_apply(
+            encoded, tc, cs, tokens_col="toks", row_local=True
+        ).select("doc_id", "predicted_label")
+
+    q = run_stream_to_memory(chain(stream), "chain_stream_q", mode="append")
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.doc_id, r.predicted_label)
+            for r in spark.table("chain_stream_q").collect()
+        }
+    finally:
+        q.stop()
+    batch = {(r.doc_id, r.predicted_label) for r in chain(docs).collect()}
+    assert streamed == batch and len(batch) == 3
+    labels = dict(batch)
+    assert labels[10] == "spam" and labels[11] == "ham"
