@@ -561,3 +561,77 @@ def shuffle_shards_sql(
     shard = f"(('0x' || substr({h}, 1, 8))::BIGINT % {n_shards})"
     order = f"(('0x' || substr({h}, 9, 12))::BIGINT)"
     return shard, order
+
+
+def epoch_upsample(
+    df: DataFrame,
+    strata_col: str,
+    epochs: dict,
+    out_col: str = "epoch",
+) -> DataFrame:
+    """Integer per-stratum UPSAMPLING — the complement of this
+    module's downsample-only mixers: every row of stratum ``s``
+    appears ``epochs[s]`` times, tagged 0..e-1 in ``out_col`` (The
+    Pile trains its components for differing epoch counts — e.g.
+    Wikipedia 3 epochs, Common Crawl 1 — and an LLM data recipe
+    materializes that as deterministic row replication; strata absent
+    from ``epochs`` default to 1 epoch, and an epoch count of 0
+    DROPS the stratum outright, so one map expresses the whole
+    recipe).
+
+    Exact and trivially replayable: no hashing, no sampling — output
+    multiplicity is a pure function of the stratum value, and the
+    epoch index column keeps replicated rows distinguishable for
+    downstream shuffling/sharding (feed :func:`shuffle_shards` a
+    composite key like ``concat(doc_id, '#', epoch)``).
+
+    Scale shape: ONE broadcast join against the |epochs|-row model
+    table + a row-local ``explode(sequence(...))`` fan-out — zero
+    shuffle, zero Python (plan-asserted); the fan-out multiplies
+    bytes exactly as requested, never more.  Extension operator (the
+    reference has no sampling surface); SURVEY §2.5.
+    """
+    stratum_field = next(
+        (f for f in df.schema.fields if f.name == strata_col), None
+    )
+    if stratum_field is None:
+        raise ValueError(
+            f"strata column {strata_col!r} not found (columns: "
+            f"{df.columns})"
+        )
+    if out_col in df.columns:
+        raise ValueError(
+            f"epoch_upsample emits column {out_col!r} which already "
+            "exists on the input; rename or drop it first"
+        )
+    for s, e in epochs.items():
+        if not isinstance(e, int) or isinstance(e, bool) or e < 0:
+            raise ValueError(
+                f"epochs must be non-negative integers; got {s!r}: {e!r}"
+            )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = df.sparkSession
+    model = spark.createDataFrame(
+        [(s, e) for s, e in epochs.items()],
+        StructType(
+            [
+                StructField("__ep_stratum", stratum_field.dataType),
+                StructField("__ep_n", LongType()),
+            ]
+        ),
+    )
+    joined = df.join(
+        F.broadcast(model),
+        on=_ref(df, strata_col).eqNullSafe(F.col("__ep_stratum")),
+        how="left",
+    )
+    n = F.coalesce(F.col("__ep_n"), F.lit(1))
+    return (
+        joined.filter(n > 0)
+        .withColumn(
+            out_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), n - 1)),
+        )
+        .drop("__ep_stratum", "__ep_n")
+    )

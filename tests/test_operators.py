@@ -4131,3 +4131,80 @@ def test_lm_perplexity_row_local_matches_join_path(spark):
             assert abs(jp - lp) < 1e-9, k
     with pytest.raises(ValueError, match="literal cells"):
         classify.lm_perplexity(test, bi, uni, row_local=True, max_literal_cells=3)
+
+
+def test_epoch_upsample_semantics(spark):
+    from python_dtl_spark.operators import sampling
+
+    rows = (
+        [(i, "wiki") for i in range(4)]
+        + [(10 + i, "crawl") for i in range(6)]
+        + [(20, "junk"), (21, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = sampling.epoch_upsample(
+        df, "src", {"wiki": 3, "crawl": 1, "junk": 0}
+    )
+    counts = {r.src: r["count"] for r in out.groupBy("src").count().collect()}
+    # wiki x3, crawl x1, junk dropped, unlisted (NULL) defaults to 1
+    assert counts == {"wiki": 12, "crawl": 6, None: 1}
+    # epoch indices are 0..e-1 per row
+    eps = sorted(
+        r.epoch for r in out.filter(F.col("doc_id") == 0).collect()
+    )
+    assert eps == [0, 1, 2]
+    # schema: input columns + epoch, types preserved
+    assert out.columns == ["doc_id", "src", "epoch"]
+    # NULL stratum can be given its own epoch count via a None key
+    out2 = sampling.epoch_upsample(df, "src", {None: 2, "junk": 1})
+    c2 = {r.src: r["count"] for r in out2.groupBy("src").count().collect()}
+    assert c2[None] == 2 and c2["junk"] == 1 and c2["wiki"] == 4
+    with pytest.raises(ValueError, match="non-negative integers"):
+        sampling.epoch_upsample(df, "src", {"wiki": -1})
+    with pytest.raises(ValueError, match="non-negative integers"):
+        sampling.epoch_upsample(df, "src", {"wiki": 1.5})
+    with pytest.raises(ValueError, match="already"):
+        sampling.epoch_upsample(
+            df.withColumn("epoch", F.lit(0)), "src", {"wiki": 2}
+        )
+    with pytest.raises(ValueError, match="strata column"):
+        sampling.epoch_upsample(df, "nope", {"wiki": 2})
+
+
+def test_epoch_upsample_matches_duckdb_replay(spark):
+    """The STAGED r13 oracle for epoch_upsample, pre-validated before
+    registration: DuckDB replays the per-stratum integer replication
+    (LEFT JOIN to the epoch map, default 1, zero drops, epoch index
+    fan-out) — the kept (doc_id, source, epoch) multiset must match
+    exactly."""
+    import duckdb
+
+    from python_dtl_spark.operators import sampling
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.epoch_upsample(
+        docs, "source", {"src1": 3, "src2": 0, "src3": 2}
+    )
+    got = sorted(
+        (r.doc_id, r.source, r.epoch)
+        for r in out.select("doc_id", "source", "epoch").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        con.execute("""
+        WITH m(source, e) AS (VALUES ('src1', 3), ('src2', 0), ('src3', 2)),
+        j AS (
+            SELECT d.doc_id, d.source, coalesce(m.e, 1) AS n
+            FROM documents d LEFT JOIN m USING (source)
+        )
+        SELECT doc_id, source,
+               CAST(unnest([i FOR i IN range(0, n)]) AS BIGINT) AS epoch
+        FROM j WHERE n > 0
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0

@@ -1130,3 +1130,21 @@ def test_lm_perplexity_row_local_is_pure_map_stage(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_upsample_is_broadcast_join_map_fanout(spark):
+    """Epoch upsampling must plan as one broadcast join against the
+    |epochs|-row model + a row-local explode — zero Exchange, zero
+    Python; the fan-out multiplies bytes exactly as requested."""
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sampling.epoch_upsample(docs, "source", {"src1": 3, "src2": 2})
+    plan = _exec_plan(out)
+    # the only Exchange is the |epochs|-row model's BroadcastExchange;
+    # the corpus itself never shuffles
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
