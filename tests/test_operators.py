@@ -4208,3 +4208,29 @@ def test_epoch_upsample_matches_duckdb_replay(spark):
         """).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_lm_fit_tokens_col_composes_with_bpe_encode(spark):
+    """The LM composes with the tokenizer stack via tokens_col (the
+    nb_fit contract): merged BPE tokens are LM units — their bigrams
+    are transitions; the raw halves never appear in the model."""
+    from python_dtl_spark.operators import classify, text
+
+    corpus = spark.createDataFrame(
+        [(0, "t h e end"), (1, "t h e start"), (2, "t h run")],
+        ["doc_id", "text"],
+    )
+    enc = text.bpe_encode(corpus, [("t", "h")], out_col="toks")
+    bi, uni = classify.lm_fit(enc, tokens_col="toks")
+    unis = {r.w for r in uni.collect()}
+    assert "t h" in unis and "t" not in unis and "h" not in unis
+    pairs = {(r.w1, r.w2): r.freq for r in bi.collect()}
+    assert pairs[("t h", "e")] == 2
+    new = text.bpe_encode(
+        spark.createDataFrame([(10, "t h e run")], ["doc_id", "text"]),
+        [("t", "h")],
+        out_col="toks",
+    )
+    out = classify.lm_perplexity(new, bi, uni, tokens_col="toks").collect()[0]
+    # transitions: ("t h","e") seen, ("e","run") unseen
+    assert out.n_trans == 2 and out.n_unseen == 1
