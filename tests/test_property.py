@@ -1017,3 +1017,138 @@ def test_bpe_encode_broadcast_tier_equals_fold_on_fit_tables(spark, docs):
         for r in bpe_encode(df, merges, max_literal_entries=0).collect()
     }
     assert bcast == fold
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    train=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=6),
+            st.sampled_from(["x", "y"]),
+        ),
+        min_size=2,
+        max_size=6,
+    ).filter(lambda t: len({lbl for _, lbl in t}) == 2),
+    test=st.lists(
+        st.lists(st.sampled_from(["a", "b", "zz"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_nb_row_local_equals_join_path_on_random_corpora(spark, train, test):
+    """The streaming tier's plan-literal fold must equal the
+    broadcast-join path on ARBITRARY corpora, not just the fixed
+    fixture: random docs, both classes, OOV tokens, empty docs."""
+    from python_dtl_spark.operators import classify
+
+    tr = spark.createDataFrame(
+        [(i, " ".join(ws), lbl) for i, (ws, lbl) in enumerate(train)],
+        "doc_id long, text string, label string",
+    )
+    tc, cs = classify.nb_fit(tr, "label")
+    te = spark.createDataFrame(
+        [(100 + i, " ".join(ws)) for i, ws in enumerate(test)],
+        "doc_id long, text string",
+    )
+    a = {
+        r.doc_id: (r.predicted_label, round(r.log_score, 9))
+        for r in classify.nb_apply(te, tc, cs).collect()
+    }
+    b = {
+        r.doc_id: (r.predicted_label, round(r.log_score, 9))
+        for r in classify.nb_apply(te, tc, cs, row_local=True).collect()
+    }
+    assert a == b
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8),
+        min_size=2,
+        max_size=5,
+    ),
+)
+def test_lm_row_local_equals_join_path_on_random_corpora(spark, docs):
+    """lm_perplexity's plan-literal fold must equal the join path on
+    arbitrary corpora: identical integer diagnostics, perplexity to
+    1e-9, NULL for transition-free docs."""
+    from python_dtl_spark.operators import classify
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    bi, uni = classify.lm_fit(df)
+    cols = [
+        "doc_id", "n_trans", "n_unseen", "n_oov_ctx",
+        "sum_bigram_freq", "sum_context_freq", "perplexity",
+    ]
+
+    def norm(rows):
+        return {
+            r.doc_id: tuple(
+                round(v, 9) if isinstance(v, float) else v
+                for v in (r[c] for c in cols[1:])
+            )
+            for r in rows
+        }
+
+    a = norm(classify.lm_perplexity(df, bi, uni).select(cols).collect())
+    b = norm(
+        classify.lm_perplexity(df, bi, uni, row_local=True)
+        .select(cols)
+        .collect()
+    )
+    assert a == b
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.tuples(
+        st.integers(min_value=2, max_value=20),
+        st.integers(min_value=2, max_value=20),
+        st.integers(min_value=2, max_value=20),
+    ),
+    weights=st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=1, max_value=3),
+    ),
+)
+def test_target_mix_precap_identity_property(spark, sizes, weights):
+    """The prefix-of-same-order identity claim, property-tested: for
+    ANY stratum sizes and weights, precap_quota = max_s(w_s x K)
+    yields exactly the un-capped mix."""
+    from python_dtl_spark.operators import sampling
+
+    strata = ["s1", "s2", "s3"]
+    rows = []
+    base = 0
+    for name, n in zip(strata, sizes):
+        rows += [(base + i, name) for i in range(n)]
+        base += 1000
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    wmap = dict(zip(strata, weights))
+    k = min(n // w for n, w in zip(sizes, weights))
+    quota = max(w * k for w in weights)
+    plain = sampling.target_mix_resample(df, "src", "doc_id", wmap, seed="pp")
+    capped = sampling.target_mix_resample(
+        df, "src", "doc_id", wmap, seed="pp", precap_quota=max(quota, 1)
+    )
+    got_p = sorted((r.doc_id, r.src) for r in plain.collect())
+    got_c = sorted((r.doc_id, r.src) for r in capped.collect())
+    assert got_p == got_c
+    assert len(got_p) == k * sum(weights)
