@@ -4234,3 +4234,38 @@ def test_lm_fit_tokens_col_composes_with_bpe_encode(spark):
     out = classify.lm_perplexity(new, bi, uni, tokens_col="toks").collect()[0]
     # transitions: ("t h","e") seen, ("e","run") unseen
     assert out.n_trans == 2 and out.n_unseen == 1
+
+
+def test_epoch_upsample_composes_with_shuffle_shards(spark):
+    """The docstring's downstream recipe, executed: epoch replicas get
+    a composite (doc_id, epoch) key and shuffle_shards spreads them
+    deterministically — replicas of one document are independent rows
+    in the training emission, and a re-run lands every row in the
+    same shard/position."""
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "wiki" if i % 2 == 0 else "crawl") for i in range(30)],
+        "doc_id long, src string",
+    )
+    up = sampling.epoch_upsample(docs, "src", {"wiki": 3, "crawl": 1})
+    keyed = up.withColumn(
+        "k", F.concat_ws("#", F.col("doc_id"), F.col("epoch"))
+    )
+    sharded = sampling.shuffle_shards(keyed, "k", n_shards=4, seed="ep")
+    rows = sharded.collect()
+    assert len(rows) == 15 * 3 + 15
+    # every (doc_id, epoch) combination is a distinct emission row
+    assert len({(r.doc_id, r.epoch) for r in rows}) == len(rows)
+    # deterministic: identical shard/position on a re-run
+    again = {
+        (r.doc_id, r.epoch): (r.shard, r.shard_pos)
+        for r in sampling.shuffle_shards(
+            keyed, "k", n_shards=4, seed="ep"
+        ).collect()
+    }
+    first = {(r.doc_id, r.epoch): (r.shard, r.shard_pos) for r in rows}
+    assert first == again
+    # replicas of one doc are not glued to one shard
+    shards_of_doc0 = {r.shard for r in rows if r.doc_id == 0}
+    assert len(shards_of_doc0) > 1
