@@ -200,6 +200,18 @@ def nb_apply(
                 f"nb_apply emits column {emitted!r} which already exists "
                 "on the input; rename or drop it first"
             )
+    # internal working names too (advisor r12): __nb_id and the
+    # positional __nb_s{i}/__nb_c{i} score columns live on the
+    # join-back frame, so an input already carrying a __nb_* column
+    # would fail with an ambiguous-reference AnalysisException instead
+    # of this clear error
+    for internal in df.columns:
+        if internal.startswith("__nb_"):
+            raise ValueError(
+                f"nb_apply uses internal working columns with the "
+                f"'__nb_' prefix; input column {internal!r} collides — "
+                "rename or drop it first"
+            )
     if not alpha > 0:
         # alpha = 0 puts log(0) on every out-of-vocabulary token —
         # -inf scores that poison the argmax silently
@@ -610,6 +622,16 @@ def lm_perplexity(
             raise ValueError(
                 f"lm_perplexity emits column {emitted!r} which already "
                 "exists on the input; rename or drop it first"
+            )
+    # internal working names too (advisor r12): an input already
+    # carrying __ll/__lm_id would make the join-back ambiguous and
+    # surface as an AnalysisException instead of this clear error
+    for internal in ("__ll", "__lm_id"):
+        if internal in df.columns:
+            raise ValueError(
+                f"lm_perplexity uses internal working column "
+                f"{internal!r} which already exists on the input; "
+                "rename or drop it first"
             )
     if not alpha > 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")

@@ -212,6 +212,17 @@ def target_mix_resample(
     /root/reference/src/dtl/functions.py); SURVEY.md §2.5.
     """
     _check_key_type(df, key_col)
+    # internal model/working column names (advisor r12): the final
+    # drop("__mix_stratum", "__mix_rank", "__mix_quota") would
+    # otherwise silently remove a caller's same-named column (or the
+    # quota join would go ambiguous)
+    for internal in ("__mix_stratum", "__mix_rank", "__mix_quota"):
+        if internal in df.columns:
+            raise ValueError(
+                f"target_mix_resample uses internal working column "
+                f"{internal!r} which already exists on the input; "
+                "rename or drop it first"
+            )
     if precap_quota is not None:
         df = domain_quota(df, strata_col, key_col, precap_quota, seed=seed)
     if not weights:
@@ -604,6 +615,16 @@ def epoch_upsample(
             f"epoch_upsample emits column {out_col!r} which already "
             "exists on the input; rename or drop it first"
         )
+    # internal model-column names too (advisor r12): the post-join
+    # drop("__ep_stratum", "__ep_n") would otherwise silently remove a
+    # caller's same-named column (or the join would go ambiguous)
+    for internal in ("__ep_stratum", "__ep_n"):
+        if internal in df.columns:
+            raise ValueError(
+                f"epoch_upsample uses internal working column "
+                f"{internal!r} which already exists on the input; "
+                "rename or drop it first"
+            )
     for s, e in epochs.items():
         if not isinstance(e, int) or isinstance(e, bool) or e < 0:
             raise ValueError(

@@ -1103,10 +1103,24 @@ def _bpe_encode_broadcast(
     min-rank-first loop — find the lowest-ranked adjacent pair present
     (one dict probe per adjacency), sweep-merge its occurrences
     greedy-left non-overlapping, repeat until no table pair remains —
-    O(tokens × merges applied), independent of table size."""
-    import re
+    O(tokens × merges applied), independent of table size.
 
+    Tokenization happens JVM-SIDE (advisor r12): when the caller gave
+    raw text, the token array is projected with the same
+    ``tokens(lower(text))`` expression the plan-literal tier uses
+    BEFORE the Arrow hop, so both tiers share byte-identical
+    tokenization — a Python ``str.lower()`` + ``re.ASCII \\s+`` split
+    only *mirrors* the JVM ``lower() + \\s+`` and can diverge on
+    non-ASCII case mapping (e.g. ``İ``, ``ß``)."""
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    tmp_toks: str | None = None
+    if tokens_col is None:
+        tmp_toks = "__bpe_toks"
+        while tmp_toks in df.columns:
+            tmp_toks += "_"
+        df = df.withColumn(tmp_toks, tokens(F.lower(F.col(text_col))))
+        tokens_col = tmp_toks
 
     # first occurrence wins on duplicate pairs: after rank i applies,
     # no later duplicate can ever match again (its adjacencies are
@@ -1123,9 +1137,6 @@ def _bpe_encode_broadcast(
         list(df.schema.fields)
         + [StructField(out_col, ArrayType(StringType()))]
     )
-    # Java regex \s is ASCII-only; mirror it exactly (Python \s is
-    # unicode-aware by default)
-    ws = re.compile(r"\s+", re.ASCII)
 
     def _encode(toks: list[str], rk: dict) -> list[str]:
         while True:
@@ -1155,25 +1166,16 @@ def _bpe_encode_broadcast(
     def _batches(it):
         rk = b_ranks.value
         for pdf in it:
-            if tokens_col is not None:
-                src = pdf[tokens_col]
-                encoded = [
-                    None if t is None else _encode(list(t), rk) for t in src
-                ]
-            else:
-                encoded = [
-                    None
-                    if t is None
-                    else _encode(
-                        [w for w in ws.split(t.lower()) if w], rk
-                    )
-                    for t in pdf[text_col]
-                ]
+            encoded = [
+                None if t is None else _encode(list(t), rk)
+                for t in pdf[tokens_col]
+            ]
             out = pdf.copy()
             out[out_col] = encoded
             yield out
 
-    return df.mapInPandas(_batches, schema)
+    res = df.mapInPandas(_batches, schema)
+    return res.drop(tmp_toks) if tmp_toks is not None else res
 
 
 def bpe_encode(
@@ -1229,12 +1231,13 @@ def bpe_encode(
     re-create an earlier pair (no earlier-rank pair ever re-appears) —
     equality is property-tested on fit-produced tables
     (tests/test_property.py) and the tier is forced in unit tests via
-    ``max_literal_entries``.  The Python tier mirrors the JVM
-    ``lower + \\s+ split`` tokenization; pass ``tokens_col`` to make
-    tokenization engine-exact (pre-tokenized arrays cross Arrow as-is)
-    — the deliberate Pandas-UDF exception: a 100k-entry table
-    genuinely cannot ship as plan literals, and a join cannot express
-    the ordered fold.
+    ``max_literal_entries``.  Raw text is tokenized JVM-SIDE before
+    the Arrow hop (the same ``tokens(lower(text))`` expression as the
+    plan-literal tier — byte-identical tokenization across tiers,
+    advisor r12), so only the merge fold itself runs in Python — the
+    deliberate Pandas-UDF exception: a 100k-entry table genuinely
+    cannot ship as plan literals, and a join cannot express the
+    ordered fold.
 
     The reference engine has no tokenizer surface (scalar registry is
     ``add`` only, /root/reference/src/dtl/functions.py); extension per

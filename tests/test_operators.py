@@ -4269,3 +4269,88 @@ def test_epoch_upsample_composes_with_shuffle_shards(spark):
     # replicas of one doc are not glued to one shard
     shards_of_doc0 = {r.shard for r in rows if r.doc_id == 0}
     assert len(shards_of_doc0) > 1
+
+
+def test_bpe_encode_broadcast_tier_tokenizes_jvm_side(spark):
+    """Advisor r12: the big-table tier must tokenize with the SAME JVM
+    expression as the fold tier.  Non-ASCII case mapping is where a
+    Python str.lower() mirror can diverge (e.g. 'İ' lowercases to
+    'i̇' — i + combining dot — in Python but the tiers must agree
+    whatever the mapping is), so assert tier equality on a non-ASCII
+    fixture and that no Python-side tokenization remains."""
+    import inspect
+
+    docs = spark.createDataFrame(
+        [
+            (0, "İstanbul STRAßE İstanbul STRAßE"),
+            (1, "ΣΊΣΥΦΟΣ σίσυφος ΣΊΣΥΦΟΣ"),
+            (2, "the cat the cat"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    _, merges = text.bpe_fit(
+        docs.where(F.col("text").isNotNull()), n_merges=2, min_count=2
+    )
+    fold = {
+        r.doc_id: r.tokens_bpe
+        for r in text.bpe_encode(docs, merges)
+        .select("doc_id", "tokens_bpe")
+        .collect()
+    }
+    bcast = {
+        r.doc_id: r.tokens_bpe
+        for r in text.bpe_encode(docs, merges, max_literal_entries=0)
+        .select("doc_id", "tokens_bpe")
+        .collect()
+    }
+    assert bcast == fold
+    # the temporary JVM token column is dropped from the output
+    out_cols = text.bpe_encode(docs, merges, max_literal_entries=0).columns
+    assert out_cols == docs.columns + ["tokens_bpe"]
+    # and a caller's own __bpe_toks column survives untouched
+    with_clash = docs.withColumn("__bpe_toks", F.lit("keep"))
+    clash_out = text.bpe_encode(with_clash, merges, max_literal_entries=0)
+    assert "__bpe_toks" in clash_out.columns
+    assert clash_out.where(F.col("__bpe_toks") != "keep").count() == 0
+    # no Python-side regex tokenization remains in the tier
+    src = inspect.getsource(text._bpe_encode_broadcast)
+    assert "re.compile" not in src
+
+
+def test_internal_column_collision_guards(spark):
+    """Advisor r12: operators that thread internal working columns
+    (__nb_*, __ll/__lm_id, __ep_*, __mix_*) refuse inputs that already
+    carry them with a clear ValueError instead of an ambiguous-
+    reference AnalysisException or a silent drop()."""
+    from python_dtl_spark.operators import classify, sampling
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat", "wiki"), (1, "a dog ran", "crawl")],
+        "doc_id long, text string, src string",
+    )
+    bi, uni = classify.lm_fit(docs, min_count=1)
+    for bad in ("__ll", "__lm_id"):
+        with pytest.raises(ValueError, match="internal working column"):
+            classify.lm_perplexity(
+                docs.withColumn(bad, F.lit(1)), bi, uni
+            )
+    tc, cs = classify.nb_fit(
+        docs.withColumn("label", F.col("src")), label_col="label"
+    )
+    for bad in ("__nb_id", "__nb_s0", "__nb_c1"):
+        with pytest.raises(ValueError, match="__nb_"):
+            classify.nb_apply(docs.withColumn(bad, F.lit(1)), tc, cs)
+    for bad in ("__ep_stratum", "__ep_n"):
+        with pytest.raises(ValueError, match="internal working column"):
+            sampling.epoch_upsample(
+                docs.withColumn(bad, F.lit(1)), "src", {"wiki": 2}
+            )
+    for bad in ("__mix_stratum", "__mix_rank", "__mix_quota"):
+        with pytest.raises(ValueError, match="internal working column"):
+            sampling.target_mix_resample(
+                docs.withColumn(bad, F.lit(1)),
+                "src",
+                "doc_id",
+                {"wiki": 1, "crawl": 1},
+            )
