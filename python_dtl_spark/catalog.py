@@ -5007,6 +5007,151 @@ _register(
     headline=True,
 )
 
+# DuckDB replay fragments for the bigram-LM oracle (registered r13 per
+# COVERAGE.md's staging plan), shared with the composed curation row:
+# same whitespace tokens as the NB rows, md5 fit sample with seed lm-l.
+_LM_SAMPLE = sampling.hash_bucket_sql("doc_id", seed="lm-l") + " < 5000"
+
+
+def _lm_oracle_sql(extra: str = "") -> str:
+    """The full bigram-LM replay: md5-sampled fit, unigram/bigram
+    counts, (freq DESC, w ASC) vocabulary prune to 300, per-document
+    transition joins and the five EXACT-INTEGER diagnostics.  The
+    ``diag`` CTE also carries the float ``ll`` log-likelihood sum and
+    vocabulary size ``V`` so a composed ``extra`` can replay the
+    perplexity threshold the curation pipeline filters on (the NB
+    ``extra`` pattern); the plain row selects integers only."""
+    return f"""
+    WITH fit AS (
+        SELECT doc_id, {_NB_TOKS} AS t FROM documents WHERE {_LM_SAMPLE}
+    ), uni_all AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(t) AS w FROM fit) GROUP BY w
+    ), vocab AS (
+        SELECT w, freq FROM (
+            SELECT w, freq,
+                   row_number() OVER (ORDER BY freq DESC, w) AS rn
+            FROM uni_all WHERE freq >= 1
+        ) WHERE rn <= 300
+    ), vsz AS (SELECT count(*) AS V FROM vocab),
+    bi_all AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS freq
+        FROM (
+            SELECT p['w1'] AS w1, p['w2'] AS w2 FROM (
+                SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                               FOR i IN range(1, len(t))]) AS p
+                FROM fit
+            )
+        ) GROUP BY w1, w2
+    ), bi AS (
+        SELECT b.* FROM bi_all b
+        JOIN vocab x ON b.w1 = x.w
+        JOIN vocab y ON b.w2 = y.w
+    ), trans AS (
+        SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id,
+                   unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))]) AS p
+            FROM (SELECT doc_id, {_NB_TOKS} AS t FROM documents)
+        )
+    ), scored AS (
+        SELECT tr.doc_id,
+               count(*) AS n_trans,
+               sum(CASE WHEN bi.freq IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+               sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS n_oov_ctx,
+               sum(coalesce(bi.freq, 0)) AS sum_bigram_freq,
+               sum(coalesce(v.freq, 0)) AS sum_context_freq,
+               sum(ln((coalesce(bi.freq, 0) + 1.0) /
+                      (coalesce(v.freq, 0) + 1.0 * ((SELECT V FROM vsz) + 1))))
+                   AS ll
+        FROM trans tr
+        LEFT JOIN bi ON bi.w1 = tr.w1 AND bi.w2 = tr.w2
+        LEFT JOIN vocab v ON v.w = tr.w1
+        GROUP BY tr.doc_id
+    ), diag AS (
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_trans, 0) AS BIGINT) AS n_trans,
+               CAST(coalesce(s.n_unseen, 0) AS BIGINT) AS n_unseen,
+               CAST(coalesce(s.n_oov_ctx, 0) AS BIGINT) AS n_oov_ctx,
+               CAST(coalesce(s.sum_bigram_freq, 0) AS BIGINT)
+                   AS sum_bigram_freq,
+               CAST(coalesce(s.sum_context_freq, 0) AS BIGINT)
+                   AS sum_context_freq,
+               s.ll AS ll
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN scored s USING (doc_id)
+    )
+    {extra if extra else '''SELECT doc_id, n_trans, n_unseen, n_oov_ctx,
+           sum_bigram_freq, sum_context_freq FROM diag'''}
+    """
+
+
+def _q_lm_score(spark, sf_dir):
+    """Bigram-LM perplexity quality scorer (staged in r12, registered
+    r13): fit smoothed bigram statistics on a deterministic md5-hash
+    half of the corpus, score every document, emit the EXACT-INTEGER
+    diagnostics that pin every model lookup (the CCNet / LLaMA "score
+    the crawl with a cheap LM" filter, Wenzek et al. 2020; the float
+    perplexity column stays out of the driver hash — a sum of ln()
+    terms is neither order-stable nor libm-portable, the same
+    argmax-vs-log split as doc_nb_classify; oracle pre-validated in
+    tests/test_operators.py::test_lm_perplexity_matches_duckdb_replay
+    at sf0.001/0.01/0.1 before registration).  Scale shape: fit = one
+    explode + ONE (w1, w2) hash agg + TakeOrderedAndProject vocab
+    prune; apply = pair explode -> ONE broadcast bigram join + ONE
+    broadcast unigram join -> one doc-grain agg + id join-back; zero
+    Python."""
+    docs = _read(spark, sf_dir, "documents")
+    bi, uni = classify.lm_fit(
+        docs, sample_fraction=0.5, sample_seed="lm-l",
+        min_count=1, max_vocab=300,
+    )
+    return classify.lm_perplexity(docs, bi, uni).select(
+        "doc_id", "n_trans", "n_unseen", "n_oov_ctx",
+        "sum_bigram_freq", "sum_context_freq",
+    )
+
+
+_register(
+    "doc_lm_score",
+    _q_lm_score,
+    _lm_oracle_sql(),
+    headline=True,
+)
+
+
+def _q_epoch_upsample(spark, sf_dir):
+    """Per-stratum integer epoch upsampling (staged in r12, registered
+    r13): every src1 row appears 3 times, src3 twice, src2 is dropped,
+    unlisted sources default to 1 epoch — The Pile's per-component
+    epoch recipe, the upsample complement of the downsample-only
+    mixers (oracle pre-validated in tests/test_operators.py::
+    test_epoch_upsample_matches_duckdb_replay at sf0.001/0.01/0.1
+    before registration).  Scale shape: ONE broadcast join against the
+    3-row epoch map + a row-local explode(sequence) fan-out — zero
+    shuffle, zero Python (plan-asserted in test_plans.py)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.epoch_upsample(
+        docs, "source", {"src1": 3, "src2": 0, "src3": 2}
+    ).select("doc_id", "source", "epoch")
+
+
+_register(
+    "doc_epoch_upsample",
+    _q_epoch_upsample,
+    """
+    WITH m(source, e) AS (VALUES ('src1', 3), ('src2', 0), ('src3', 2)),
+    j AS (
+        SELECT d.doc_id, d.source, coalesce(m.e, 1) AS n
+        FROM documents d LEFT JOIN m USING (source)
+    )
+    SELECT doc_id, source,
+           CAST(unnest([i FOR i IN range(0, n)]) AS BIGINT) AS epoch
+    FROM j WHERE n > 0
+    """,
+    headline=True,
+)
+
 
 def _q_vocabulary(spark, sf_dir):
     """Tokenizer-vocab fit: top-200 tokens with >= 5 occurrences, dense
@@ -6889,21 +7034,61 @@ def freshness(name: str, hist: dict[str, tuple[int, int]] | None = None) -> int:
 # with it land after every oracle-backed entry whatever its freshness.
 _ALWAYS_FRESH = 10**9
 
+# Rows-only freshness cadence (round-12 verdict item 4): a query with
+# ``oracle=None`` records only "ran, produced N rows" when the driver
+# window reaches it — zero hash evidence — so pinning all of them past
+# every oracle-backed entry was the round-8 fix for 3 wasted slots.
+# But never rotating them at all left the 4 sketch twins driver-
+# unchecked since r6/r8.  Policy: a rows-only query becomes DUE once
+# its last driver check is >= _ROWS_ONLY_CADENCE rounds old, and at
+# most _ROWS_ONLY_PER_ROUND due queries (stalest first, name
+# tie-break) enter the window per round — a bounded 1-slot tax that
+# guarantees no query ever goes more than ~cadence+backlog rounds
+# without driver-committed "still runs" evidence.
+_ROWS_ONLY_CADENCE = 5
+_ROWS_ONLY_PER_ROUND = 1
+
+
+def rows_only_due(hist: dict[str, tuple[int, int]] | None = None) -> set[str]:
+    """The ``oracle=None`` queries that rotate into this round's window.
+
+    Current round = newest round any query was driver-checked + 1 (the
+    driver checks 50 rows every round, so the max is the latest file).
+    On a fresh checkout (no history) nothing is due.  Tie-break is by
+    NAME, not registration position — :func:`_apply_driver_order`
+    reorders ``QUERIES``, and the due set must not depend on whether
+    it is computed before or after that reorder.
+    """
+    if hist is None:
+        hist = _correctness_history()
+    cur = max((checked for checked, _ in hist.values()), default=0) + 1
+    due = sorted(
+        (
+            n
+            for n, q in QUERIES.items()
+            if q.oracle is None
+            and cur - hist.get(n, (0, 0))[0] >= _ROWS_ONLY_CADENCE
+        ),
+        key=lambda n: (hist.get(n, (0, 0))[0], n),
+    )
+    return set(due[:_ROWS_ONLY_PER_ROUND])
+
 
 def sort_freshness(name: str, hist: dict[str, tuple[int, int]] | None = None) -> int:
     """Primary driver-window sort key.
 
     :func:`freshness` for oracle-backed queries; ``_ALWAYS_FRESH`` for
-    ``oracle=None`` rows, which can only ever produce ``err: no_oracle``
-    in the driver window — each one that rotates in burns a 50-slot
-    re-verification slot for zero evidence (3 slots in round 8).
-    Pinning them past every oracle-backed entry spends all 50 slots on
-    hash-verifiable rows; the rows-only checks still run when the
-    window has room after all oracle-backed queries.  Shared with
-    ``tests/test_catalog.py`` for the same never-disagree reason as
-    :func:`freshness`.
+    ``oracle=None`` rows EXCEPT the :func:`rows_only_due` cadence
+    picks (see above), which sort by their last-checked round so they
+    land between never-verified and the stale oracle backlog.  Shared
+    with ``tests/test_catalog.py`` for the same never-disagree reason
+    as :func:`freshness`.
     """
+    if hist is None:
+        hist = _correctness_history()
     if QUERIES[name].oracle is None:
+        if name in rows_only_due(hist):
+            return hist.get(name, (0, 0))[0]
         return _ALWAYS_FRESH
     return freshness(name, hist)
 

@@ -65,14 +65,44 @@ def test_never_verified_queries_lead_the_window():
 
 def test_no_oracle_rows_never_displace_verifiable_ones():
     # oracle=None rows produce ``err: no_oracle`` every time they rotate
-    # into the driver's 50-slot window — they must never occupy a
-    # first-50 slot while any oracle-backed query sits outside it.
+    # into the driver's 50-slot window — only the bounded rows-only
+    # freshness cadence (``rows_only_due``: stalest first, at most
+    # _ROWS_ONLY_PER_ROUND per round) may spend window slots on them
+    # while any oracle-backed query sits outside.
+    from python_dtl_spark.catalog import _ROWS_ONLY_PER_ROUND, rows_only_due
+
     names = list(QUERIES)
     window, outside = names[:50], names[50:]
     if not any(QUERIES[n].oracle is not None for n in outside):
         return  # everything verifiable already fits in the window
-    for n in window:
-        assert QUERIES[n].oracle is not None, n
+    due = rows_only_due()
+    rows_only_in_window = [n for n in window if QUERIES[n].oracle is None]
+    assert len(rows_only_in_window) <= _ROWS_ONLY_PER_ROUND
+    for n in rows_only_in_window:
+        assert n in due, n
+
+
+def test_rows_only_cadence_bounds_staleness():
+    # Every oracle=None query must have driver-committed "still runs"
+    # evidence no older than the cadence allows: with K rows-only
+    # queries rotating at most one per round, the worst backlog bound
+    # is cadence + K - 1 rounds.
+    from python_dtl_spark.catalog import _ROWS_ONLY_CADENCE
+
+    hist = _correctness_history()
+    latest = _latest_round()
+    if latest == 0:
+        return
+    rows_only = [n for n, q in QUERIES.items() if q.oracle is None]
+    bound = _ROWS_ONLY_CADENCE + len(rows_only) - 1
+    for n in rows_only:
+        checked, _ = hist.get(n, (0, 0))
+        # the due pick for the UPCOMING round counts as scheduled
+        from python_dtl_spark.catalog import rows_only_due
+
+        if n in rows_only_due(hist):
+            continue
+        assert latest + 1 - checked <= bound, (n, checked)
 
 
 def test_forced_reverify_names_are_registered():
