@@ -5153,6 +5153,151 @@ _register(
 )
 
 
+def _q_lm_curate(spark, sf_dir):
+    """The CCNet-style perplexity-curation pipeline the LM operator
+    exists for (Wenzek et al. 2020): fit the bigram LM on the
+    deterministic md5-hash half of the corpus, perplexity-score the
+    WHOLE corpus, keep the low-perplexity "head" slice (perplexity <=
+    30.0), then cap any one source's contribution — the quality-filter
+    then de-bias-the-mix chain, mirroring pipeline_nb_curate.  The
+    oracle replays the entire composition: fit sample, vocab prune,
+    per-doc ln-sum perplexity, the threshold, AND the md5-rank cap.
+
+    The 30.0 threshold's hash-stability: the filter compares a float
+    (exp of an ln-sum) but the measured min relative margin
+    |perplexity - 30| / 30 over every document is 4.1e-4 at sf0.01
+    (the driver gate), 1.2e-4 at sf0.001 and 1.9e-5 at sf0.1 — at
+    least EIGHT orders above cross-engine libm + summation-order
+    drift (~1e-13), the same measured-gap argument that lets
+    doc_nb_classify hash its argmax.  Kept slice is a real split at
+    every scale: 179/500, 192/500, 373/5000.
+
+    Scale shape: fit at sample scale; score = pair explode -> two
+    broadcast model joins -> ONE doc-grain agg + id join-back; the
+    threshold filter SHRINKS rows entering the cap's single
+    WindowGroupLimit-pruned hash exchange (the pipeline_nb_curate
+    plan shape)."""
+    docs = _read(spark, sf_dir, "documents")
+    bi, uni = classify.lm_fit(
+        docs, sample_fraction=0.5, sample_seed="lm-l",
+        min_count=1, max_vocab=300,
+    )
+    scored = classify.lm_perplexity(docs, bi, uni)
+    kept = scored.filter(
+        (F.col("n_trans") > 0) & (F.col("perplexity") <= 30.0)
+    )
+    return sampling.domain_quota(
+        kept, "source", "doc_id", quota=10, seed="lc1"
+    ).select("doc_id", "source")
+
+
+_register(
+    "pipeline_lm_curate",
+    _q_lm_curate,
+    _lm_oracle_sql(
+        """
+    SELECT doc_id, source FROM (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('lc1' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id
+               ) AS r
+        FROM documents d JOIN diag g USING (doc_id)
+        WHERE g.n_trans > 0 AND exp(-g.ll / g.n_trans) <= 30.0
+          AND d.doc_id IS NOT NULL
+    ) WHERE r <= 10
+    """
+    ),
+    headline=True,
+)
+
+
+def _q_epoch_emit(spark, sf_dir):
+    """The full training-data EMISSION chain under one hash: exact
+    target mixture (src1:src2:src3 = 3:2:1 by md5 rank) -> per-stratum
+    epoch replication (src1 x2, src3 x3, src2 defaults to 1) ->
+    deterministic shuffle-sharding of the REPLICAS on the composite
+    key doc_id#epoch (the recipe property-tested in
+    test_epoch_upsample_composes_with_shuffle_shards: replicas of one
+    document are independent emission rows, landing in different
+    shards, reproducibly).  "Mix -> epochs -> shards" is how an LLM
+    run actually consumes a curated corpus (The Pile's per-component
+    epochs over a fixed mixture).
+
+    Scale shape: the mix's one rank exchange; the upsample adds ZERO
+    exchanges (broadcast 2-row map join + row-local explode(sequence));
+    the sharder adds exactly ONE hash exchange on shard with
+    per-shard parallel sorts (plan-asserted in test_plans.py).  Every
+    coordinate is md5-derived, so DuckDB replays the whole chain
+    bit-for-bit."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = sampling.target_mix_resample(
+        docs, "source", "doc_id", {"src1": 3, "src2": 2, "src3": 1},
+        seed="em1",
+    )
+    up = sampling.epoch_upsample(mixed, "source", {"src1": 2, "src3": 3})
+    keyed = up.withColumn(
+        "__emit_key", F.concat_ws("#", F.col("doc_id"), F.col("epoch"))
+    )
+    return sampling.shuffle_shards(keyed, "__emit_key", 8, seed="sh-e").select(
+        "doc_id", "source", "epoch", "shard", "shard_pos"
+    )
+
+
+_EMIT_KEY_SQL = "CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)"
+_EMIT_SHARD, _EMIT_ORD = sampling.shuffle_shards_sql(
+    _EMIT_KEY_SQL, 8, seed="sh-e"
+)
+
+_register(
+    "pipeline_epoch_emit",
+    _q_epoch_emit,
+    f"""
+    WITH w(source, wt) AS (VALUES ('src1', 3), ('src2', 2), ('src3', 1)),
+    n AS (
+        SELECT d.source, count(*) AS n, any_value(w.wt) AS wt
+        FROM documents d JOIN w USING (source)
+        WHERE d.doc_id IS NOT NULL
+        GROUP BY d.source
+    ), k AS (SELECT min(n // wt) AS k FROM n),
+    q AS (SELECT source, wt * (SELECT k FROM k) AS quota FROM n),
+    mixed AS (
+        SELECT doc_id, source FROM (
+            SELECT d.doc_id, d.source, q.quota,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5('em1' || CAST(d.doc_id AS VARCHAR)),
+                                d.doc_id
+                   ) AS rn
+            FROM documents d JOIN q USING (source)
+            WHERE d.doc_id IS NOT NULL
+        ) WHERE rn <= quota
+    ), m(source, e) AS (VALUES ('src1', 2), ('src3', 3)),
+    j AS (
+        SELECT x.doc_id, x.source, coalesce(m.e, 1) AS reps
+        FROM mixed x LEFT JOIN m USING (source)
+    ), up AS (
+        SELECT doc_id, source,
+               CAST(unnest([i FOR i IN range(0, reps)]) AS BIGINT) AS epoch
+        FROM j WHERE reps > 0
+    ), h AS (
+        SELECT doc_id, source, epoch,
+               CAST({_EMIT_SHARD} AS INTEGER) AS shard,
+               {_EMIT_ORD} AS o,
+               {_EMIT_KEY_SQL} AS kk
+        FROM up
+    )
+    SELECT doc_id, source, epoch, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY o, kk
+           ) AS BIGINT) AS shard_pos
+    FROM h
+    """,
+    headline=True,
+)
+
+
 def _q_vocabulary(spark, sf_dir):
     """Tokenizer-vocab fit: top-200 tokens with >= 5 occurrences, dense
     ids by (freq DESC, token ASC), cumulative corpus-coverage share."""

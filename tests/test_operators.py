@@ -4354,3 +4354,31 @@ def test_internal_column_collision_guards(spark):
                 "doc_id",
                 {"wiki": 1, "crawl": 1},
             )
+
+
+def test_lm_curate_threshold_margin_is_wide(spark):
+    """pipeline_lm_curate hashes a float-threshold decision (perplexity
+    <= 30.0), which is only driver-safe because no document sits near
+    the boundary: assert the minimum relative margin |ppl - 30| / 30
+    exceeds 1e-6 — still 7 orders above cross-engine libm +
+    summation-order drift (~1e-13), the measured-gap argument that
+    lets doc_nb_classify hash its argmax.  Also assert the filter is a
+    real split (keeps some, drops some)."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bi, uni = classify.lm_fit(
+        docs, sample_fraction=0.5, sample_seed="lm-l",
+        min_count=1, max_vocab=300,
+    )
+    ppl = [
+        r.perplexity
+        for r in classify.lm_perplexity(docs, bi, uni)
+        .select("perplexity")
+        .collect()
+        if r.perplexity is not None
+    ]
+    kept = sum(p <= 30.0 for p in ppl)
+    assert 0 < kept < len(ppl), (kept, len(ppl))
+    margin = min(abs(p - 30.0) for p in ppl) / 30.0
+    assert margin > 1e-6, margin

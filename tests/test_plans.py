@@ -1148,3 +1148,33 @@ def test_epoch_upsample_is_broadcast_join_map_fanout(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_epoch_emit_chain_adds_one_exchange_past_upsample(spark):
+    """The emission tail of pipeline_epoch_emit (epoch_upsample ->
+    composite key -> shuffle_shards): the upsample contributes ZERO
+    data exchanges (broadcast map join + row-local fan-out) and the
+    sharder exactly ONE hash exchange (on shard) feeding per-shard
+    parallel sorts — the whole replica-emission story costs one
+    shuffle of exactly the bytes being emitted."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    up = sampling.epoch_upsample(docs, "source", {"src1": 2, "src3": 3})
+    keyed = up.withColumn(
+        "__emit_key", F.concat_ws("#", F.col("doc_id"), F.col("epoch"))
+    )
+    out = sampling.shuffle_shards(keyed, "__emit_key", 8, seed="sh-e")
+    plan = _exec_plan(out)
+    import re as _re
+
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert len(hash_exchanges) == 1, plan
+    assert hash_exchanges[0].startswith("shard"), hash_exchanges
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
