@@ -7145,6 +7145,23 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "dedup_lsh_keep": 12,
     "pipeline_dedup_corpus": 12,
     "dedup_embedding_keep": 12,
+    # round-13 NOT-forced notes (advisor r12 fixes + the measured BPE
+    # tier default): (1) bpe_encode's max_literal_entries default
+    # dropped 65_536 -> 128 on the SCALING.md crossover measurement —
+    # this re-routes only tables with >128 entries to the broadcast
+    # tier, and every catalog row's table has <= 8 entries, so every
+    # row executes the byte-identical fold plan (all four bpe rows
+    # re-checked locally at sf0.01 after the change: green); the two
+    # tiers are additionally property-tested and probe-hash-asserted
+    # equal.  (2) _bpe_encode_broadcast now tokenizes JVM-side —
+    # broadcast-tier-only code no catalog row reaches.  (3) the
+    # internal-column collision guards added to lm_perplexity /
+    # nb_apply / epoch_upsample / target_mix_resample raise only on
+    # inputs already carrying __-prefixed working columns, which no
+    # fixture has (the apply_merge-guard precedent); the NB/mix rows
+    # were re-checked locally at sf0.001 after the edit (green), and
+    # the LM/epoch rows are NEW this round so their r13 evidence
+    # covers the final code.
     # round-12 NOT-forced notes: domain_quota's column references
     # switched from F.col(name) to quoted df[`name`] refs (dotted-name
     # safety, matching target_mix_resample) — analysis-identical for

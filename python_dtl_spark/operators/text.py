@@ -1185,7 +1185,7 @@ def bpe_encode(
     out_col: str = "tokens_bpe",
     sep: str = " ",
     tokens_col: str | None = None,
-    max_literal_entries: int = 65_536,
+    max_literal_entries: int = 128,
 ) -> DataFrame:
     """Single-pass BPE tokenizer INFERENCE: apply a learned merge
     table (``[(left, right), ...]`` or :func:`bpe_fit`'s
@@ -1199,9 +1199,8 @@ def bpe_encode(
     ``F.aggregate`` over the merge list — the token array is the
     accumulator, each step replays :func:`apply_merge`'s greedy
     non-overlap recipe (take a match position unless the previous
-    position was taken) — so a 32k-entry vocabulary is still exactly
-    one expression, one codegen stage, zero shuffle, zero per-merge
-    re-planning.
+    position was taken) — one expression, one codegen stage, zero
+    shuffle, zero per-merge re-planning.
 
     Per step the greedy resolution and the splice fuse into one pass
     over MATCH POSITIONS (sparse): the accumulator carries the rebuilt
@@ -1213,19 +1212,27 @@ def bpe_encode(
     greedy reference (tests/test_property.py).
 
     Scale shape: entirely row-local (pipelines into the scan; the plan
-    is a single Project — plan-asserted in tests/test_plans.py).  Cost
-    is O(n_tokens × n_merges) per document — the same asymptotics as
-    any serial BPE encoder — so corpus cost scales linearly and the
-    merge table ships inside the plan as a literal array (~1 MB at the
-    classic 32k vocabulary, fine).
+    is a single Project — plan-asserted in tests/test_plans.py), zero
+    Python, streaming-legal.  But its cost is O(n_tokens × n_merges)
+    per document — every table entry's match-filter evaluates against
+    every document whether it matches or not — so the fold is the
+    SMALL-TABLE tier only.
 
-    Tables past ``max_literal_entries`` (default 65536) switch to the
+    Tables past ``max_literal_entries`` (default 128) switch to the
     BIG-TABLE TIER: an Arrow-batched ``mapInPandas`` encoder with the
     rank table in a Spark BROADCAST variable — plan size stays O(1) in
     the vocabulary, and the per-document algorithm flips to the
     classic min-rank-first loop (repeatedly merge the lowest-ranked
     pair present), whose cost is O(tokens × merges APPLIED in the
-    doc), independent of table size.  For tables a real ``bpe_fit``
+    doc), independent of table size.  The default is MEASURED, not
+    guessed (SCALING.md "bpe_encode tier crossover", 5000-doc probe
+    corpus, identical output hashes): the fold costs ~0.05 s per
+    table entry on that corpus (7.5 s at 128 entries, 59 s at 1k,
+    210 s at 4k, unfinished in 10 min at 65k) while the broadcast
+    tier is flat ~0.5–2 s from 8 to 65,536 entries — output-
+    insensitive expression evaluation loses to output-sensitive dict
+    probes two orders of magnitude before a real vocabulary size, so
+    a classic 32k-merge table always takes the broadcast tier.  For tables a real ``bpe_fit``
     produces the two algorithms are EQUIVALENT: merge k's output token
     concatenates tokens built by merges < k, so applying k can never
     re-create an earlier pair (no earlier-rank pair ever re-appears) —

@@ -608,6 +608,85 @@ def bpe_fit_probe(spark, documents, factor: int):
     return rows
 
 
+def bpe_tier_probe(spark, documents):
+    """Measure bpe_encode's two tiers against TABLE SIZE on a fixed
+    corpus (factor-independent): the plan-literal F.aggregate fold
+    evaluates every table entry's match-filter per document —
+    O(n_tokens × n_merges) whether entries match or not — while the
+    broadcast ``mapInPandas`` tier's min-rank loop is output-sensitive
+    (O(tokens × merges APPLIED)).  Tables are a real bpe_fit prefix
+    padded with never-occurring pairs, so the two algorithms provably
+    produce identical output (the no-reappearance equivalence holds on
+    the real prefix; padding never matches) — asserted via an
+    order-independent output hash.  The measured crossover sets
+    ``max_literal_entries``'s default."""
+    docs = documents
+    _, real = text_ops.bpe_fit(docs, n_merges=8, min_count=2)
+
+    def table(n):
+        base = [(m[0], m[1]) for m in real][:n]
+        return base + [
+            (f"P{i}L", f"P{i}R") for i in range(n - len(base))
+        ]
+
+    def run(pairs, mle):
+        start = time.perf_counter()
+        out = text_ops.bpe_encode(docs, pairs, max_literal_entries=mle)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("tokens_bpe")).alias("toks"),
+            F.sum(
+                F.xxhash64(F.concat_ws(" ", "tokens_bpe")) % 1_000_000_007
+            ).alias("h"),
+        ).collect()[0]
+        return time.perf_counter() - start, agg
+
+    rows = []
+    hashes = set()
+    for n in (8, 128, 1024, 4096):
+        dt, agg = run(table(n), n)  # len == mle -> fold tier
+        rows.append(("fold", n, dt, int(agg["n"])))
+        hashes.add((agg["toks"], agg["h"]))
+        print(f"# bpe_tier fold {n}: {dt:.2f}s", file=sys.stderr)
+    for n in (8, 128, 1024, 4096, 65536):
+        dt, agg = run(table(n), 0)  # force broadcast tier
+        rows.append(("broadcast", n, dt, int(agg["n"])))
+        hashes.add((agg["toks"], agg["h"]))
+        print(f"# bpe_tier broadcast {n}: {dt:.2f}s", file=sys.stderr)
+    assert len(hashes) == 1, f"tier outputs diverged: {hashes}"
+    return rows
+
+
+_BPE_TIER_HEADER = "## bpe_encode tier crossover (fixed corpus, table size sweep)"
+
+
+def bpe_tier_section(spark, documents) -> list[str]:
+    rows = bpe_tier_probe(spark, documents)
+    lines = [
+        _BPE_TIER_HEADER,
+        "",
+        "Why the broadcast `mapInPandas` tier is the big-table default",
+        "(the repo's one deliberate Pandas-UDF hot path): the JVM fold",
+        "is output-INsensitive — every table entry's match filter runs",
+        "against every document — so its cost is linear in table size",
+        "(~0.05 s/entry on this corpus) while the Python min-rank loop",
+        "only pays for merges that apply, plus a flat Arrow hop.  All",
+        "rows below produced the IDENTICAL output hash (asserted); the",
+        "65,536-entry fold was killed unfinished at 10 minutes, which",
+        "is why `max_literal_entries` now defaults to 128 — fold keeps",
+        "the zero-Python single-Project plan for real fitted prefixes,",
+        "broadcast carries every real vocabulary (a classic 32k table",
+        "is ~250x past the crossover):",
+        "",
+        "| tier | table entries | time | docs |",
+        "|---|---|---|---|",
+    ]
+    for tier, n, dt, nd in rows:
+        lines.append(f"| {tier} | {n:,} | {dt:.2f}s | {nd:,} |")
+    lines.append("")
+    return lines
+
+
 def nb_classify_probe(spark, documents, factor: int):
     """Sampled NB fit + full-corpus apply at 1× and ``factor``×: the
     fit sample stays constant-size (fraction ∝ 1/factor — labeled seed
@@ -827,7 +906,37 @@ def lineage_probe(spark, orders, factor: int, workdir: str):
     return rows
 
 
+def _replace_or_append_section(path: str, header: str, section: list[str]) -> None:
+    """Swap the named section (header line .. next '## ' or EOF) in an
+    existing SCALING.md, or append it."""
+    with open(path) as f:
+        text = f.read()
+    block = "\n".join(section)
+    if header in text:
+        pre, rest = text.split(header, 1)
+        nxt = rest.find("\n## ")
+        post = rest[nxt + 1 :] if nxt != -1 else ""
+        text = pre + block + ("\n" + post if post else "\n")
+    else:
+        text = text.rstrip("\n") + "\n\n" + block + "\n"
+    with open(path, "w") as f:
+        f.write(text)
+
+
 def main() -> None:
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    if "--bpe-tier" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path, _BPE_TIER_HEADER, bpe_tier_section(spark, documents)
+        )
+        print("SCALING.md bpe-tier section updated")
+        return
     factors = [int(a) for a in sys.argv[1:]] or [8]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1497,6 +1606,7 @@ def main() -> None:
                 f"{state.get('memoryUsedBytes', 0):,} B |"
             )
     lines.append("")
+    lines += bpe_tier_section(spark, documents)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
         f.write("\n".join(lines))
     print("SCALING.md written")
