@@ -612,7 +612,11 @@ def lm_perplexity(
     zero Exchange/Join/Python (plan-asserted), legal over
     ``readStream`` frames; guarded by ``max_literal_cells``
     (unigram + bigram entries).  Equality-tested against the join
-    path.
+    path.  NOTE: CONSTRUCTING the row-local plan runs small eager
+    jobs — a ``count()`` on each model table (the guard decision)
+    plus two bounded collects (≤ ``max_literal_cells`` rows total) to
+    embed the literals — inherent to plan-literal models; the
+    returned frame itself stays lazy.
     """
     for emitted in (
         out_col, "n_trans", "n_unseen", "n_oov_ctx",
