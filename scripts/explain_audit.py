@@ -381,6 +381,34 @@ AUDITED = {
         "extra join, shuffle, or pass beyond the keep-one reducer's "
         "own iterations"
     ),
+    "doc_lm_score": (
+        "bigram-LM scoring over the whole corpus: row-local pair "
+        "explode -> ONE BroadcastHashJoin against the bigram table + "
+        "one against the unigram table -> one doc-grain hash aggregate "
+        "with map-side partial sums -> id join-back; never a "
+        "per-transition shuffle, zero Python (the fit's vocab prune "
+        "plans as TakeOrderedAndProject — asserted separately)"
+    ),
+    "doc_epoch_upsample": (
+        "epoch replication: ONE BroadcastHashJoin against the 3-row "
+        "epoch map + a row-local explode(sequence) fan-out — zero "
+        "data exchanges; output bytes are exactly the requested "
+        "multiplicity, never more"
+    ),
+    "pipeline_lm_curate": (
+        "perplexity-curation chain: two broadcast LM model joins feed "
+        "one doc-grain aggregate; the threshold filter only SHRINKS "
+        "rows entering the domain cap's single hash exchange with "
+        "WindowGroupLimit pruning both sides (the pipeline_nb_curate "
+        "shape)"
+    ),
+    "pipeline_epoch_emit": (
+        "mix -> epochs -> shards emission: the mix's one rank-window "
+        "exchange; the upsample adds ZERO data exchanges (broadcast "
+        "epoch-map join + row-local fan-out); the sharder adds exactly "
+        "ONE hash exchange on shard feeding per-shard parallel sorts "
+        "(asserted in tests/test_plans.py)"
+    ),
 }
 
 
