@@ -657,6 +657,83 @@ def bpe_tier_probe(spark, documents):
     return rows
 
 
+def row_local_tier_probe(spark, documents):
+    """Measure the STREAMING (row_local=True, plan-literal map) tiers
+    of nb_apply and lm_perplexity against MODEL SIZE on a fixed corpus
+    — the literal-map analogue of the bpe tier sweep.  The question:
+    does `element_at` on a plan-literal map degrade with map size the
+    way the bpe fold degrades with table size?  (Answer, measured: no
+    — both tiers stay flat as vocab grows, a constant ~1.5–3× premium
+    over the broadcast-join tier, so the streaming tiers are sound at
+    their max_literal_cells guard.)"""
+    from python_dtl_spark.operators import classify
+
+    rows = []
+    for mv in (400, 6400, 25600):
+        tc, cs = classify.nb_fit(documents, "lang", min_count=1, max_vocab=mv)
+        start = time.perf_counter()
+        classify.nb_apply(
+            documents, tc, cs, row_local=True, max_literal_cells=10**9
+        ).groupBy("predicted_label").count().collect()
+        rl = time.perf_counter() - start
+        start = time.perf_counter()
+        classify.nb_apply(documents, tc, cs).groupBy(
+            "predicted_label"
+        ).count().collect()
+        jn = time.perf_counter() - start
+        rows.append(("nb_apply", mv, rl, jn))
+        print(
+            f"# row_local nb vocab={mv}: row_local {rl:.2f}s join {jn:.2f}s",
+            file=sys.stderr,
+        )
+    for mv in (400, 1600, 6400):
+        bi, uni = classify.lm_fit(documents, min_count=1, max_vocab=mv)
+        start = time.perf_counter()
+        classify.lm_perplexity(
+            documents, bi, uni, row_local=True, max_literal_cells=10**9
+        ).agg(F.sum("n_trans"), F.sum("sum_bigram_freq")).collect()
+        rl = time.perf_counter() - start
+        start = time.perf_counter()
+        classify.lm_perplexity(documents, bi, uni).agg(
+            F.sum("n_trans"), F.sum("sum_bigram_freq")
+        ).collect()
+        jn = time.perf_counter() - start
+        rows.append(("lm_perplexity", mv, rl, jn))
+        print(
+            f"# row_local lm vocab={mv}: row_local {rl:.2f}s join {jn:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_ROW_LOCAL_HEADER = "## row_local streaming tiers vs model size (fixed corpus)"
+
+
+def row_local_tier_section(spark, documents) -> list[str]:
+    rows = row_local_tier_probe(spark, documents)
+    lines = [
+        _ROW_LOCAL_HEADER,
+        "",
+        "The plan-literal streaming tiers (nb_apply / lm_perplexity",
+        "row_local=True) probed against model size — the literal-map",
+        "analogue of the bpe tier sweep below.  Unlike the bpe fold,",
+        "map lookups do NOT degrade with model size: both tiers stay",
+        "FLAT as the vocabulary grows (the mild first-row overhead is",
+        "plan-build: the documented eager model collects + literal",
+        "construction), a constant ~1.5-3x premium over the",
+        "broadcast-join tier — the price of a zero-Exchange plan legal",
+        "over unbounded streams.  The max_literal_cells guard bounds",
+        "plan size, not a hidden quadratic:",
+        "",
+        "| tier | max_vocab | row_local time | join-tier time |",
+        "|---|---|---|---|",
+    ]
+    for op, mv, rl, jn in rows:
+        lines.append(f"| {op} | {mv:,} | {rl:.2f}s | {jn:.2f}s |")
+    lines.append("")
+    return lines
+
+
 _BPE_TIER_HEADER = "## bpe_encode tier crossover (fixed corpus, table size sweep)"
 
 
@@ -786,6 +863,43 @@ def target_mix_probe(spark, documents, factor: int):
         rows.append((n, dt, kept))
         print(
             f"# target_mix {n}x: {dt:.2f}s ({kept:,} kept)", file=sys.stderr
+        )
+    return rows
+
+
+def epoch_emit_probe(spark, documents, factor: int):
+    """The pipeline_epoch_emit emission chain (exact mix → per-stratum
+    epoch replication → composite-key shuffle-sharding) at 1× and
+    ``factor``×: the mix's rank window carries growth in one exchange,
+    the upsample is a zero-exchange broadcast-join fan-out, and the
+    sharder's single hash exchange moves exactly the emitted replicas
+    — so time should be near-linear and emitted rows exactly ×N (the
+    mix quotas scale with K)."""
+    rows = []
+    for n, docs in (
+        (1, documents),
+        (factor, replicate(documents, factor, ["doc_id"])),
+    ):
+        start = time.perf_counter()
+        mixed = sampling.target_mix_resample(
+            docs.select("doc_id", "source"),
+            "source",
+            "doc_id",
+            {"src1": 3, "src2": 2, "src3": 1},
+            seed="probe-e",
+        )
+        up = sampling.epoch_upsample(mixed, "source", {"src1": 2, "src3": 3})
+        keyed = up.withColumn(
+            "__emit_key", F.concat_ws("#", F.col("doc_id"), F.col("epoch"))
+        )
+        emitted = sampling.shuffle_shards(
+            keyed, "__emit_key", 16, seed="probe-e"
+        ).count()
+        dt = time.perf_counter() - start
+        rows.append((n, dt, emitted))
+        print(
+            f"# epoch_emit {n}x: {dt:.2f}s ({emitted:,} emitted)",
+            file=sys.stderr,
         )
     return rows
 
@@ -937,6 +1051,17 @@ def main() -> None:
         )
         print("SCALING.md bpe-tier section updated")
         return
+    if "--row-local-tier" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path,
+            _ROW_LOCAL_HEADER,
+            row_local_tier_section(spark, documents),
+        )
+        print("SCALING.md row-local-tier section updated")
+        return
     factors = [int(a) for a in sys.argv[1:]] or [8]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -1081,9 +1206,10 @@ def main() -> None:
         "encode — the doc_bpe_encode fold is the probe's encode stage),",
         "nb_classify_sampled / target_mix = classify.nb_fit+nb_apply and",
         "sampling.target_mix_resample (driver rows doc_nb_classify /",
-        "lm_perplexity_sampled = classify.lm_fit+lm_perplexity (row",
-        "STAGED for r13; DuckDB-replay oracle pre-validated at three",
-        "scale factors),",
+        "lm_perplexity_sampled = classify.lm_fit+lm_perplexity (driver",
+        "rows doc_lm_score / pipeline_lm_curate since r13),",
+        "epoch_emit = pipeline_epoch_emit (mix → epoch_upsample →",
+        "composite-key shuffle_shards, driver row since r13),",
         "pipeline_nb_curate / doc_target_mix since r12;",
         "target_mix_hot = target_mix_resample(precap_quota=) — the",
         "same-seed pre-cap mitigation with asserted kept-row identity),",
@@ -1533,6 +1659,20 @@ def main() -> None:
         for n, dt, kept in mix_rows:
             lines.append(f"| target_mix | {n}× | {dt:.2f}s | {kept:,} |")
 
+        emit_rows = epoch_emit_probe(spark, documents, factor)
+        lines += [
+            "",
+            "Emission chain (pipeline_epoch_emit: mix → epoch replication",
+            "→ composite-key sharding): upsample adds zero exchanges, the",
+            "sharder one hash exchange over exactly the emitted replicas —",
+            "near-linear time, emitted rows exactly ×N:",
+            "",
+            "| probe | data | time | rows emitted |",
+            "|---|---|---|---|",
+        ]
+        for n, dt, emitted in emit_rows:
+            lines.append(f"| epoch_emit | {n}× | {dt:.2f}s | {emitted:,} |")
+
         hot_rows = target_mix_hot_stratum_probe(spark, documents, factor)
         lines += [
             "",
@@ -1605,6 +1745,8 @@ def main() -> None:
                 f"{state.get('numRowsTotal', 0):,} | "
                 f"{state.get('memoryUsedBytes', 0):,} B |"
             )
+    lines.append("")
+    lines += row_local_tier_section(spark, documents)
     lines.append("")
     lines += bpe_tier_section(spark, documents)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"), "w") as f:
