@@ -26,7 +26,14 @@ from pyspark.sql import functions as F
 
 from python_dtl_spark.operators.text import tokens
 
-__all__ = ["nb_fit", "nb_apply", "lm_fit", "lm_perplexity"]
+__all__ = [
+    "nb_fit",
+    "nb_apply",
+    "lm_fit",
+    "lm_perplexity",
+    "dsir_fit",
+    "dsir_weights",
+]
 
 
 def nb_fit(
@@ -702,4 +709,222 @@ def lm_perplexity(
         F.when(
             F.col("n_trans") > 0, F.exp(-F.col("__ll") / F.col("n_trans"))
         ).alias(out_col),
+    )
+
+
+def _dsir_features(toks):
+    """A document's DSIR feature multiset, row-locally: word unigrams
+    plus adjacent bigrams (joined with a space — tokens are
+    whitespace-split, so a bigram string can never collide with a
+    unigram) as ONE string array.  Xie et al. 2023 hash exactly this
+    feature family into a fixed bucket table."""
+    bi = F.transform(
+        _bigram_pairs(toks),
+        lambda p: F.concat(p["w1"], F.lit(" "), p["w2"]),
+    )
+    return F.concat(toks, bi)
+
+
+def dsir_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+    sample_fraction: float | None = None,
+    sample_seed: str = "dsirfit",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Fit one side of a DSIR importance model: hashed n-gram bucket
+    counts (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — the standard "select pretraining data
+    that looks like the target domain" recipe).  Call once on the
+    TARGET corpus and once on the RAW corpus; feed both tables to
+    :func:`dsir_weights`.
+
+    Returns ``(bucket, freq)`` — EXACT INTEGER counts of each
+    document's unigram + bigram features hashed into the fixed
+    10,000-bucket table (the paper's bucket count; the hash is this
+    repo's md5 ``hash_bucket`` recipe, so an ANSI-SQL oracle replays
+    the bucketing bit-for-bit).  The model is bucket-count-sized
+    (≤ 10,000 rows) whatever the corpus — broadcastable by
+    construction.
+
+    ``sample_fraction`` is the 100 TB valve (deterministic md5-hash
+    document sample, the nb_fit/lm_fit contract); ``seed`` salts the
+    FEATURE hash and must match between fit and weights.
+
+    Scale shape: row-local feature explode → ONE bucket-grain hash
+    aggregation with map-side partials (≤ 10,000 groups); zero
+    Python, zero joins.  Extension operator (the reference has no
+    classifier/sampling surface; SURVEY §2.5).
+    """
+    from python_dtl_spark.operators.sampling import (
+        _BUCKETS,
+        _check_key_type,
+        hash_bucket,
+    )
+
+    corpus = df
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}"
+            )
+        _check_key_type(df, id_col)
+        cut = int(round(sample_fraction * _BUCKETS))
+        if cut < 1:
+            raise ValueError(
+                f"sample_fraction={sample_fraction} rounds to an empty "
+                f"hash sample (< 1/{_BUCKETS}); raise it"
+            )
+        corpus = corpus.where(
+            hash_bucket(F.col(id_col), seed=sample_seed) < F.lit(cut)
+        )
+    toks_expr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.lower(F.col(text_col)))
+    )
+    return (
+        corpus.select(F.explode(_dsir_features(toks_expr)).alias("__feat"))
+        .select(hash_bucket(F.col("__feat"), seed=seed).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    seed: str = "dsir",
+    out_col: str = "log_weight",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Score every document's DSIR log importance weight under fitted
+    target/raw bucket models, appending ``out_col`` plus the
+    EXACT-INTEGER per-doc diagnostics that pin every model lookup for
+    hash verification (the ``lm_perplexity`` split: the float is a
+    sum of ln() terms — neither order-stable nor libm-portable — so a
+    driver row hashes the integers and the float is unit-tested
+    against a literal reference):
+
+    * ``n_feats``           — unigram + bigram features in the doc
+    * ``sum_target_freq``   / ``sum_raw_freq`` — summed bucket counts
+      the doc's features looked up in each model
+    * ``n_unseen_target``   / ``n_unseen_raw`` — features hashing to
+      buckets absent from each model
+
+    Semantics (replayable in SQL): with bucket count ``B = 10000``
+    and Laplace ``alpha``, each feature ``f`` with bucket counts
+    ``t_f`` (target) and ``r_f`` (raw) contributes
+
+        log w += log((t_f + alpha) / (T + alpha·B))
+                - log((r_f + alpha) / (R + alpha·B))
+
+    where ``T``/``R`` are the models' total counts (two scalar
+    collects — model-sized, the KMeans-centroid pattern).  High
+    ``log_weight`` = the document looks like the target domain.  A
+    document with no features scores 0.0 (an empty product ratio).
+
+    Scale shape: row-local feature explode → ONE broadcast join
+    against each ≤ 10,000-row bucket model → one doc-grain hash
+    aggregation (map-side partials) → id join-back; never a Python
+    UDF, never a per-feature shuffle — the audited nb_apply /
+    lm_perplexity shape.
+    """
+    from python_dtl_spark.operators.sampling import _BUCKETS
+
+    for emitted in (
+        out_col, "n_feats", "sum_target_freq", "sum_raw_freq",
+        "n_unseen_target", "n_unseen_raw",
+    ):
+        if emitted in df.columns:
+            raise ValueError(
+                f"dsir_weights emits column {emitted!r} which already "
+                "exists on the input; rename or drop it first"
+            )
+    for internal in ("__ds_id", "__dw"):
+        if internal in df.columns:
+            raise ValueError(
+                f"dsir_weights uses internal working column "
+                f"{internal!r} which already exists on the input; "
+                "rename or drop it first"
+            )
+    if not alpha > 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    # model totals: two scalar fetches over <=10k-row model tables
+    t_total = int(
+        target_counts.agg(F.coalesce(F.sum("freq"), F.lit(0))).collect()[0][0]
+    )
+    r_total = int(
+        raw_counts.agg(F.coalesce(F.sum("freq"), F.lit(0))).collect()[0][0]
+    )
+    t_denom = t_total + alpha * _BUCKETS
+    r_denom = r_total + alpha * _BUCKETS
+    toks_expr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.lower(F.col(text_col)))
+    )
+    from python_dtl_spark.operators.sampling import hash_bucket
+
+    feats = df.select(
+        F.col(id_col).alias("__ds_id"),
+        F.explode(_dsir_features(toks_expr)).alias("__feat"),
+    ).select(
+        "__ds_id", hash_bucket(F.col("__feat"), seed=seed).alias("bucket")
+    )
+    tgt = target_counts.select("bucket", F.col("freq").alias("__tf"))
+    raw = raw_counts.select("bucket", F.col("freq").alias("__rf"))
+    joined = feats.join(F.broadcast(tgt), on="bucket", how="left").join(
+        F.broadcast(raw), on="bucket", how="left"
+    )
+    sums = joined.groupBy("__ds_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum(F.coalesce("__tf", F.lit(0))).cast("long").alias(
+            "sum_target_freq"
+        ),
+        F.sum(F.coalesce("__rf", F.lit(0))).cast("long").alias(
+            "sum_raw_freq"
+        ),
+        F.sum(F.when(F.col("__tf").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen_target"),
+        F.sum(F.when(F.col("__rf").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unseen_raw"),
+        F.sum(
+            F.log(
+                (F.coalesce("__tf", F.lit(0)) + F.lit(alpha))
+                / F.lit(t_denom)
+            )
+            - F.log(
+                (F.coalesce("__rf", F.lit(0)) + F.lit(alpha))
+                / F.lit(r_denom)
+            )
+        ).alias("__dw"),
+    )
+    scored = df.join(
+        sums, on=df[id_col] == sums["__ds_id"], how="left"
+    ).drop("__ds_id")
+    return scored.select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce("sum_target_freq", F.lit(0))
+        .cast("long")
+        .alias("sum_target_freq"),
+        F.coalesce("sum_raw_freq", F.lit(0))
+        .cast("long")
+        .alias("sum_raw_freq"),
+        F.coalesce("n_unseen_target", F.lit(0))
+        .cast("long")
+        .alias("n_unseen_target"),
+        F.coalesce("n_unseen_raw", F.lit(0))
+        .cast("long")
+        .alias("n_unseen_raw"),
+        F.coalesce("__dw", F.lit(0.0)).alias(out_col),
     )

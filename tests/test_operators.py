@@ -4382,3 +4382,163 @@ def test_lm_curate_threshold_margin_is_wide(spark):
     assert 0 < kept < len(ppl), (kept, len(ppl))
     margin = min(abs(p - 30.0) for p in ppl) / 30.0
     assert margin > 1e-6, margin
+
+
+def test_dsir_weights_match_bruteforce_reference(spark):
+    """DSIR importance weights (Xie et al. 2023) vs a literal Python
+    reference: hashed unigram+bigram bucket counts for target and raw,
+    per-doc exact-integer diagnostics, and the float log weight to
+    1e-9 (staged for an r14 driver row — the integers hash, the float
+    stays unit-verified, the lm_perplexity split)."""
+    import hashlib
+    import math as m
+    from collections import Counter
+
+    from python_dtl_spark.operators import classify
+
+    target_rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ran to the mat"),
+    ]
+    raw_rows = [
+        (10, "the cat sat on the mat"),
+        (11, "stock prices fell sharply today"),
+        (12, "buy cheap pills online now"),
+    ]
+    target = spark.createDataFrame(target_rows, ["doc_id", "text"])
+    raw = spark.createDataFrame(raw_rows, ["doc_id", "text"])
+    tc = classify.dsir_fit(target, seed="s1")
+    rc = classify.dsir_fit(raw, seed="s1")
+    out = {
+        r.doc_id: r
+        for r in classify.dsir_weights(raw, tc, rc, seed="s1").collect()
+    }
+
+    B = 10_000
+
+    def bucket(feat):
+        h = hashlib.md5(("s1" + feat).encode()).hexdigest()
+        return int(h[:8], 16) % B
+
+    def feats(text):
+        ws = text.lower().split()
+        return ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    tcnt = Counter(bucket(f) for _, t in target_rows for f in feats(t))
+    rcnt = Counter(bucket(f) for _, t in raw_rows for f in feats(t))
+    # the fitted tables must equal the reference counts exactly
+    assert {(r.bucket, r.freq) for r in tc.collect()} == set(tcnt.items())
+    assert {(r.bucket, r.freq) for r in rc.collect()} == set(rcnt.items())
+    T, R = sum(tcnt.values()), sum(rcnt.values())
+    for did, text in raw_rows:
+        fs = feats(text)
+        r = out[did]
+        assert r.n_feats == len(fs), did
+        assert r.sum_target_freq == sum(tcnt.get(bucket(f), 0) for f in fs)
+        assert r.sum_raw_freq == sum(rcnt.get(bucket(f), 0) for f in fs)
+        assert r.n_unseen_target == sum(bucket(f) not in tcnt for f in fs)
+        assert r.n_unseen_raw == sum(bucket(f) not in rcnt for f in fs)
+        lw = sum(
+            m.log((tcnt.get(bucket(f), 0) + 1.0) / (T + B))
+            - m.log((rcnt.get(bucket(f), 0) + 1.0) / (R + B))
+            for f in fs
+        )
+        assert abs(r.log_weight - lw) < 1e-9, did
+    # target-like text outweighs off-domain text (the operator's point)
+    assert out[10].log_weight > out[11].log_weight
+    assert out[10].log_weight > out[12].log_weight
+    # guards
+    with pytest.raises(ValueError, match="alpha"):
+        classify.dsir_weights(raw, tc, rc, alpha=0)
+    with pytest.raises(ValueError, match="already"):
+        classify.dsir_weights(raw.withColumn("n_feats", F.lit(1)), tc, rc)
+    with pytest.raises(ValueError, match="internal working column"):
+        classify.dsir_weights(raw.withColumn("__ds_id", F.lit(1)), tc, rc)
+
+
+def test_dsir_weights_match_duckdb_replay(spark):
+    """The staged r14 oracle, pre-validated before registration (the
+    r11→r12→r13 staging pattern): DuckDB re-derives the md5 feature
+    buckets (hash_bucket recipe), both fitted count tables (target =
+    source 'src1' docs, raw = the whole corpus), and every per-doc
+    EXACT-INTEGER diagnostic."""
+    import duckdb
+
+    from python_dtl_spark.operators import classify
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("source") == "src1")
+    tc = classify.dsir_fit(target, seed="ds1")
+    rc = classify.dsir_fit(docs, seed="ds1")
+    got = {
+        r.doc_id: (
+            r.n_feats, r.sum_target_freq, r.sum_raw_freq,
+            r.n_unseen_target, r.n_unseen_raw,
+        )
+        for r in classify.dsir_weights(docs, tc, rc, seed="ds1")
+        .select(
+            "doc_id", "n_feats", "sum_target_freq", "sum_raw_freq",
+            "n_unseen_target", "n_unseen_raw",
+        )
+        .collect()
+    }
+
+    toks = (
+        "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        " x -> x <> '')"
+    )
+    bkt = (
+        "(('0x' || substr(md5('ds1' || f), 1, 8))::BIGINT % 10000)"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    feat_cte = f"""
+    feats AS (
+        SELECT doc_id, unnest(t) AS f
+        FROM (SELECT doc_id, {toks} AS t FROM documents)
+        UNION ALL
+        SELECT doc_id, p['w1'] || ' ' || p['w2'] AS f FROM (
+            SELECT doc_id,
+                   unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))]) AS p
+            FROM (SELECT doc_id, {toks} AS t FROM documents)
+        )
+    ), fb AS (SELECT doc_id, {bkt} AS bucket FROM feats)
+    """
+    oracle = con.execute(f"""
+    WITH {feat_cte},
+    tmodel AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS tf
+        FROM fb JOIN documents USING (doc_id)
+        WHERE documents.source = 'src1' GROUP BY bucket
+    ), rmodel AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS rf
+        FROM fb GROUP BY bucket
+    ), scored AS (
+        SELECT fb.doc_id,
+               count(*) AS n_feats,
+               sum(coalesce(t.tf, 0)) AS sum_target_freq,
+               sum(coalesce(r.rf, 0)) AS sum_raw_freq,
+               sum(CASE WHEN t.tf IS NULL THEN 1 ELSE 0 END) AS n_unseen_target,
+               sum(CASE WHEN r.rf IS NULL THEN 1 ELSE 0 END) AS n_unseen_raw
+        FROM fb
+        LEFT JOIN tmodel t USING (bucket)
+        LEFT JOIN rmodel r USING (bucket)
+        GROUP BY fb.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_feats, 0) AS BIGINT),
+           CAST(coalesce(s.sum_target_freq, 0) AS BIGINT),
+           CAST(coalesce(s.sum_raw_freq, 0) AS BIGINT),
+           CAST(coalesce(s.n_unseen_target, 0) AS BIGINT),
+           CAST(coalesce(s.n_unseen_raw, 0) AS BIGINT)
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN scored s USING (doc_id)
+    """).fetchall()
+    want = {r[0]: tuple(r[1:]) for r in oracle}
+    assert got == want
+    assert len(got) == docs.count()

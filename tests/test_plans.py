@@ -1178,3 +1178,25 @@ def test_epoch_emit_chain_adds_one_exchange_past_upsample(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_weights_is_broadcast_model_joins_single_doc_agg(spark):
+    """DSIR scoring's corpus pass: broadcast joins against BOTH
+    <=10k-row bucket models (never shuffled SMJ / nested loop), ONE
+    doc-grain hash aggregation, zero Python — the audited
+    nb_apply / lm_perplexity shape; the fit side is one bucket-grain
+    aggregation with zero joins."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tc = classify.dsir_fit(docs.where("source = 'src1'"), seed="p1")
+    rc = classify.dsir_fit(docs, seed="p1")
+    fit_plan = _exec_plan(tc)
+    assert "Join" not in fit_plan, fit_plan
+    assert "BatchEvalPython" not in fit_plan and "ArrowEvalPython" not in fit_plan
+    out = classify.dsir_weights(docs, tc, rc, seed="p1")
+    plan = _exec_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
