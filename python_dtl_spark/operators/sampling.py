@@ -499,6 +499,48 @@ def weighted_sample(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+) -> DataFrame:
+    """The STREAMING-LEGAL half of :func:`shuffle_shards`: append the
+    deterministic ``shard`` column (hex[1..8] of md5(seed || key), mod
+    ``n_shards`` — byte-identical to ``shuffle_shards``'s shard
+    coordinate) WITHOUT the in-shard position rank.
+
+    ``shard_pos`` requires a per-shard rank — a stateful global sort
+    illegal over an unbounded stream — but shard MEMBERSHIP is a pure
+    row-local map, so a continuously-ingesting pipeline can emit
+    training shards exactly-once with
+    ``stream_to_parquet(shard_assign(stream, ...), partition_by=
+    ["shard"])``: every run and retry routes each row to the same
+    shard file tree, and a later batch pass (or the trainer's reader)
+    orders within shards.  Batch/stream parity is BY CONSTRUCTION
+    (same expression) and tested.
+
+    NULL keys are excluded per the module contract.  Scale shape: zero
+    Exchange, zero Python — the shuffle happens at the SINK as
+    partitioned writes, not in the plan.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if "shard" in df.columns:
+        raise ValueError(
+            "shard_assign emits column 'shard' which already exists on "
+            "the input; rename or drop it first"
+        )
+    _check_key_type(df, key_col)
+    h = F.md5(
+        F.concat(F.lit(seed), F.col(key_col).cast("string")).cast("binary")
+    )
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    return df.filter(F.col(key_col).isNotNull()).withColumn("shard", shard)
+
+
 def shuffle_shards(
     df: DataFrame,
     key_col: str,

@@ -293,6 +293,7 @@ def stream_to_parquet(
     path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    partition_by: list[str] | None = None,
 ):
     """Exactly-once streaming parquet sink — the production EXPORT path
     for a continuously-ingesting pipeline.
@@ -322,6 +323,11 @@ def stream_to_parquet(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+    if partition_by:
+        # Hive-style partitioned sink (e.g. shard= directories from
+        # sampling.shard_assign) — the streaming training-shard
+        # emission path; still exactly-once via _spark_metadata
+        writer = writer.partitionBy(*partition_by)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

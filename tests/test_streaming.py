@@ -749,3 +749,73 @@ def test_streaming_tokenize_then_classify_chain(spark, tmp_path):
     assert streamed == batch and len(batch) == 3
     labels = dict(batch)
     assert labels[10] == "spam" and labels[11] == "ham"
+
+
+def test_streaming_shard_emission_matches_batch(spark, tmp_path):
+    """The streaming training-shard emission leg: readStream ->
+    shard_assign (pure map, streaming-legal) -> exactly-once
+    partitioned parquet sink.  The shard coordinate must be
+    byte-identical to batch shuffle_shards' shard for the same
+    seed/key (same md5 slice by construction), the sink must lay out
+    Hive-style shard= directories, and a rerun assigns identically."""
+    import os
+
+    from python_dtl_spark.operators import sampling
+    from python_dtl_spark.streaming import stream_to_parquet
+
+    in_dir = os.path.join(str(tmp_path), "in")
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+    )
+    docs.write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+
+    stream = spark.readStream.schema(batch.schema).parquet(in_dir)
+    out_dir = os.path.join(str(tmp_path), "shards")
+    q = stream_to_parquet(
+        sampling.shard_assign(stream, "doc_id", 8, seed="em"),
+        out_dir,
+        os.path.join(str(tmp_path), "ckpt"),
+        partition_by=["shard"],
+    )
+    q.awaitTermination()
+
+    # Hive-style shard directories exist
+    dirs = {d for d in os.listdir(out_dir) if d.startswith("shard=")}
+    assert len(dirs) > 1, dirs
+    streamed = {
+        (r.doc_id, r.shard)
+        for r in spark.read.parquet(out_dir).select("doc_id", "shard").collect()
+    }
+    # batch parity: shuffle_shards' shard coordinate is the same slice
+    full = {
+        (r.doc_id, r.shard)
+        for r in sampling.shuffle_shards(batch, "doc_id", 8, seed="em")
+        .select("doc_id", "shard")
+        .collect()
+    }
+    assert streamed == full
+    # the map-only assign itself is deterministic across runs
+    again = {
+        (r.doc_id, r.shard)
+        for r in sampling.shard_assign(batch, "doc_id", 8, seed="em")
+        .select("doc_id", "shard")
+        .collect()
+    }
+    assert again == full
+    # plan: zero Exchange, zero Python (pure map stage)
+    plan = (
+        sampling.shard_assign(batch, "doc_id", 8, seed="em")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    # guards
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.shard_assign(batch, "doc_id", 0)
+    with pytest.raises(ValueError, match="already exists"):
+        sampling.shard_assign(
+            batch.withColumn("shard", F.lit(1)), "doc_id", 4
+        )
