@@ -706,6 +706,75 @@ def row_local_tier_probe(spark, documents):
     return rows
 
 
+def dsir_probe(spark, documents, factor: int = 8):
+    """DSIR importance weighting (staged r14 row) at 1× and
+    ``factor``×: both bucket models fit on a deterministic md5 sample
+    whose fraction shrinks ∝ 1/factor (constant-size models — the
+    nb/lm probe contract; they are ≤10k rows regardless), then the
+    scoring pass (feature explode → two broadcast model joins → one
+    doc-grain agg) is the corpus-linear stage."""
+    from python_dtl_spark.operators import classify
+
+    base_frac = 0.5
+    rows = []
+    for n, docs, frac in (
+        (1, documents, base_frac),
+        (factor, replicate(documents, factor, ["doc_id"]), base_frac / factor),
+    ):
+        start = time.perf_counter()
+        tc = classify.dsir_fit(
+            docs.filter(F.col("source") == "src1"),
+            seed="probe-d", sample_fraction=frac, sample_seed="probe-d",
+        ).persist()
+        rc = classify.dsir_fit(
+            docs, seed="probe-d", sample_fraction=frac, sample_seed="probe-d"
+        ).persist()
+        model_rows = tc.count() + rc.count()
+        fit_s = time.perf_counter() - start
+        start = time.perf_counter()
+        scored = classify.dsir_weights(docs, tc, rc, seed="probe-d")
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_feats")
+        ).collect()[0]
+        score_s = time.perf_counter() - start
+        tc.unpersist(), rc.unpersist()
+        rows.append((n, fit_s, model_rows, score_s, int(agg["n"])))
+        print(
+            f"# dsir {n}x frac={frac:g}: fit {fit_s:.2f}s "
+            f"({model_rows} model rows), score {score_s:.2f}s "
+            f"({agg['n']:,} docs)",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_DSIR_HEADER = "## DSIR importance weighting (staged r14 row), sampled fit + linear score"
+
+
+def dsir_section(spark, documents) -> list[str]:
+    rows = dsir_probe(spark, documents)
+    lines = [
+        _DSIR_HEADER,
+        "",
+        "classify.dsir_fit / dsir_weights (Xie et al. 2023): both",
+        "hashed-n-gram bucket models fit on a constant-size md5 sample",
+        "(fraction ∝ 1/factor) and are ≤10k rows by construction; the",
+        "scoring pass — feature explode → TWO broadcast model joins →",
+        "one doc-grain agg + id join-back — is the only corpus-linear",
+        "stage (the nb_apply / lm_perplexity shape):",
+        "",
+        "| probe | data | fit time | model rows | score time | docs scored |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, fit_s, model_rows, score_s, nd in rows:
+        lines.append(
+            f"| dsir_sampled | {n}× | {fit_s:.2f}s | {model_rows:,} | "
+            f"{score_s:.2f}s | {nd:,} |"
+        )
+    lines.append("")
+    return lines
+
+
 _ROW_LOCAL_HEADER = "## row_local streaming tiers vs model size (fixed corpus)"
 
 
@@ -1061,6 +1130,15 @@ def main() -> None:
             row_local_tier_section(spark, documents),
         )
         print("SCALING.md row-local-tier section updated")
+        return
+    if "--dsir" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path, _DSIR_HEADER, dsir_section(spark, documents)
+        )
+        print("SCALING.md dsir section updated")
         return
     factors = [int(a) for a in sys.argv[1:]] or [8]
     spark = get_spark("scale-probe")
@@ -1745,6 +1823,8 @@ def main() -> None:
                 f"{state.get('numRowsTotal', 0):,} | "
                 f"{state.get('memoryUsedBytes', 0):,} B |"
             )
+    lines.append("")
+    lines += dsir_section(spark, documents)
     lines.append("")
     lines += row_local_tier_section(spark, documents)
     lines.append("")
