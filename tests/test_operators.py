@@ -4542,3 +4542,90 @@ def test_dsir_weights_match_duckdb_replay(spark):
     want = {r[0]: tuple(r[1:]) for r in oracle}
     assert got == want
     assert len(got) == docs.count()
+
+
+def test_dsir_select_rank_recipe_matches_duckdb_replay(spark):
+    """The r14 `pipeline_dsir_select` recipe, pre-validated before
+    registration: keep the top ceil(0.25·n) documents by
+    (log_weight DESC, doc_id ASC) — rank-based because a fixed weight
+    threshold does not transfer across corpus sizes (COVERAGE.md r14
+    plan; boundary gaps measured ≥5.7e-3, ten orders above drift).
+    DuckDB recomputes the weights INDEPENDENTLY (its own ln sums) and
+    must select the identical doc set."""
+    import duckdb
+
+    from python_dtl_spark.operators import classify
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="ds1")
+    rc = classify.dsir_fit(docs, seed="ds1")
+    scored = classify.dsir_weights(docs, tc, rc, seed="ds1")
+    n = docs.count()
+    k = -(-n // 4)  # ceil(0.25 n)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+    kept = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("doc_id")
+    )
+    got = sorted(r.doc_id for r in kept.collect())
+    assert len(got) == k
+
+    toks = (
+        "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        " x -> x <> '')"
+    )
+    bkt = "(('0x' || substr(md5('ds1' || f), 1, 8))::BIGINT % 10000)"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        r[0]
+        for r in con.execute(f"""
+    WITH feats AS (
+        SELECT doc_id, unnest(t) AS f
+        FROM (SELECT doc_id, {toks} AS t FROM documents)
+        UNION ALL
+        SELECT doc_id, p['w1'] || ' ' || p['w2'] AS f FROM (
+            SELECT doc_id,
+                   unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))]) AS p
+            FROM (SELECT doc_id, {toks} AS t FROM documents))
+    ), fb AS (SELECT doc_id, {bkt} AS bucket FROM feats),
+    tmodel AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS tf
+        FROM fb JOIN documents USING (doc_id)
+        WHERE documents.source = 'src1' GROUP BY bucket
+    ), rmodel AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS rf
+        FROM fb GROUP BY bucket
+    ), tot AS (
+        SELECT (SELECT sum(tf) FROM tmodel) AS T,
+               (SELECT sum(rf) FROM rmodel) AS R
+    ), scored AS (
+        SELECT fb.doc_id,
+               sum(ln((coalesce(t.tf, 0) + 1.0) / (tot.T + 10000.0))
+                   - ln((coalesce(r.rf, 0) + 1.0) / (tot.R + 10000.0)))
+                   AS lw
+        FROM fb CROSS JOIN tot
+        LEFT JOIN tmodel t USING (bucket)
+        LEFT JOIN rmodel r USING (bucket)
+        GROUP BY fb.doc_id
+    ), allw AS (
+        SELECT d.doc_id, coalesce(s.lw, 0.0) AS lw
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN scored s USING (doc_id)
+    )
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY lw DESC, doc_id) AS r
+        FROM allw
+    ) WHERE r <= {k}
+    """).fetchall()
+    )
+    assert got == want
