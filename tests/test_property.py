@@ -1152,3 +1152,114 @@ def test_target_mix_precap_identity_property(spark, sizes, weights):
     got_c = sorted((r.doc_id, r.src) for r in capped.collect())
     assert got_p == got_c
     assert len(got_p) == k * sum(weights)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+    raw=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "zz", "qq"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_dsir_weights_match_reference_on_random_corpora(spark, target, raw):
+    """DSIR weights on ARBITRARY corpora, not just the fixed fixture:
+    bucket counts, all five integer diagnostics, and the float log
+    weight to 1e-9 against a literal Python reference — including
+    empty docs (0 features → weight 0.0) and hash-collision buckets
+    (the reference hashes identically, so collisions cancel)."""
+    import hashlib
+    import math as m
+    from collections import Counter
+
+    from python_dtl_spark.operators import classify
+
+    tgt = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(target)],
+        "doc_id long, text string",
+    )
+    rw = spark.createDataFrame(
+        [(100 + i, " ".join(ws)) for i, ws in enumerate(raw)],
+        "doc_id long, text string",
+    )
+    tc = classify.dsir_fit(tgt, seed="pp")
+    rc = classify.dsir_fit(rw, seed="pp")
+    out = {
+        r.doc_id: r
+        for r in classify.dsir_weights(rw, tc, rc, seed="pp").collect()
+    }
+
+    B = 10_000
+
+    def bucket(feat):
+        return int(hashlib.md5(("pp" + feat).encode()).hexdigest()[:8], 16) % B
+
+    def feats(ws):
+        return list(ws) + [f"{x} {y}" for x, y in zip(ws, ws[1:])]
+
+    tcnt = Counter(bucket(f) for ws in target for f in feats(ws))
+    rcnt = Counter(bucket(f) for ws in raw for f in feats(ws))
+    T, R = sum(tcnt.values()), sum(rcnt.values())
+    for i, ws in enumerate(raw):
+        r = out[100 + i]
+        fs = feats(ws)
+        assert r.n_feats == len(fs)
+        assert r.sum_target_freq == sum(tcnt.get(bucket(f), 0) for f in fs)
+        assert r.sum_raw_freq == sum(rcnt.get(bucket(f), 0) for f in fs)
+        assert r.n_unseen_target == sum(bucket(f) not in tcnt for f in fs)
+        assert r.n_unseen_raw == sum(bucket(f) not in rcnt for f in fs)
+        lw = sum(
+            m.log((tcnt.get(bucket(f), 0) + 1.0) / (T + B))
+            - m.log((rcnt.get(bucket(f), 0) + 1.0) / (R + B))
+            for f in fs
+        )
+        assert abs(r.log_weight - lw) < 1e-9
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    strata=st.lists(
+        st.sampled_from(["s1", "s2", "s3", None]), min_size=1, max_size=20
+    ),
+    emap=st.dictionaries(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.integers(min_value=0, max_value=4),
+        max_size=3,
+    ),
+)
+def test_epoch_upsample_multiplicity_property(spark, strata, emap):
+    """epoch_upsample on arbitrary stratum sequences and epoch maps:
+    output multiplicity per row is exactly epochs.get(stratum, 1)
+    (NULL strata match only a None map key — none here, so they
+    default to 1), epoch indices are exactly 0..e-1, and no other
+    column is disturbed."""
+    from python_dtl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strata)], "doc_id long, src string"
+    )
+    out = sampling.epoch_upsample(df, "src", emap)
+    got = {}
+    for r in out.collect():
+        got.setdefault((r.doc_id, r.src), []).append(r.epoch)
+    for i, s in enumerate(strata):
+        e = emap.get(s, 1)
+        eps = sorted(got.get((i, s), []))
+        assert eps == list(range(e)), (i, s, e, eps)
