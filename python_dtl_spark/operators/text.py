@@ -1117,7 +1117,10 @@ def _bpe_encode_broadcast(
     tmp_toks: str | None = None
     if tokens_col is None:
         tmp_toks = "__bpe_toks"
-        while tmp_toks in df.columns:
+        # must dodge out_col too: a caller using out_col="__bpe_toks"
+        # would otherwise put two same-named fields in the mapInPandas
+        # schema (review r13)
+        while tmp_toks in df.columns or tmp_toks == out_col:
             tmp_toks += "_"
         df = df.withColumn(tmp_toks, tokens(F.lower(F.col(text_col))))
         tokens_col = tmp_toks
@@ -1132,9 +1135,12 @@ def _bpe_encode_broadcast(
     for i, (left, right) in enumerate(pairs):
         ranks.setdefault((left, right), (i, left + sep + right))
     b_ranks = df.sparkSession.sparkContext.broadcast(ranks)
-    # fresh StructType: StructType.add would MUTATE df's cached schema
+    # fresh StructType: StructType.add would MUTATE df's cached schema.
+    # The temp token column crosses Arrow INBOUND only — shipping the
+    # (unmodified) arrays back just to drop them would roughly double
+    # the tier's Arrow output traffic (review r13)
     schema = StructType(
-        list(df.schema.fields)
+        [f for f in df.schema.fields if f.name != tmp_toks]
         + [StructField(out_col, ArrayType(StringType()))]
     )
 
@@ -1170,12 +1176,15 @@ def _bpe_encode_broadcast(
                 None if t is None else _encode(list(t), rk)
                 for t in pdf[tokens_col]
             ]
-            out = pdf.copy()
+            out = (
+                pdf.drop(columns=[tokens_col])
+                if tmp_toks is not None
+                else pdf.copy()
+            )
             out[out_col] = encoded
             yield out
 
-    res = df.mapInPandas(_batches, schema)
-    return res.drop(tmp_toks) if tmp_toks is not None else res
+    return df.mapInPandas(_batches, schema)
 
 
 def bpe_encode(
@@ -1227,9 +1236,10 @@ def bpe_encode(
     doc), independent of table size.  The default is MEASURED, not
     guessed (SCALING.md "bpe_encode tier crossover", 5000-doc probe
     corpus, identical output hashes): the fold costs ~0.05 s per
-    table entry on that corpus (7.5 s at 128 entries, 59 s at 1k,
-    210 s at 4k, unfinished in 10 min at 65k) while the broadcast
-    tier is flat ~0.5–2 s from 8 to 65,536 entries — output-
+    table entry on that corpus (≈7–8 s at 128 entries, ≈55–60 s at
+    1k, ≈210–230 s at 4k across reruns; unfinished in 10 min at 65k)
+    while the broadcast tier is flat ~0.5–2 s from 8 to 65,536
+    entries — output-
     insensitive expression evaluation loses to output-sensitive dict
     probes two orders of magnitude before a real vocabulary size, so
     a classic 32k-merge table always takes the broadcast tier.  For tables a real ``bpe_fit``

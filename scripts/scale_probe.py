@@ -915,7 +915,9 @@ def target_mix_probe(spark, documents, factor: int):
     """Exact-mixture resample at 1× and ``factor``×: constant strata
     (the 20 sources), rows ×N — the count agg absorbs growth map-side
     and the rank window carries it in one exchange, so time should be
-    near-linear and output counts exactly ×N (quotas are w_s × K with
+    near-linear and output counts ≈×N — within the floor rounding of
+    K (floor(N·n/w) ≥ N·floor(n/w), so the N× corpus keeps slightly
+    MORE than N× the rows) — (quotas are w_s × K with
     K scaling with the data)."""
     weights = {"src1": 3, "src2": 2, "src3": 1}
     rows = []
@@ -942,7 +944,8 @@ def epoch_emit_probe(spark, documents, factor: int):
     ``factor``×: the mix's rank window carries growth in one exchange,
     the upsample is a zero-exchange broadcast-join fan-out, and the
     sharder's single hash exchange moves exactly the emitted replicas
-    — so time should be near-linear and emitted rows exactly ×N (the
+    — so time should be near-linear and emitted rows ≈×N, within the
+    floor rounding of the mix's K (the
     mix quotas scale with K)."""
     rows = []
     for n, docs in (
@@ -1727,7 +1730,9 @@ def main() -> None:
             "",
             "Exact target-mixture resample (constant strata, rows ×N):",
             "the count agg absorbs growth map-side, the rank window",
-            "carries it in one exchange; kept rows scale exactly ×N",
+            "carries it in one exchange; kept rows scale ≈×N (within the",
+            "floor rounding of K = min floor(n_s/w_s), which can only",
+            "round UP under replication)",
             "because the integer K = min floor(n_s/w_s) scales with the",
             "data:",
             "",
@@ -1743,7 +1748,8 @@ def main() -> None:
             "Emission chain (pipeline_epoch_emit: mix → epoch replication",
             "→ composite-key sharding): upsample adds zero exchanges, the",
             "sharder one hash exchange over exactly the emitted replicas —",
-            "near-linear time, emitted rows exactly ×N:",
+            "near-linear time, emitted rows ≈×N (within the mix's K floor",
+            "rounding):",
             "",
             "| probe | data | time | rows emitted |",
             "|---|---|---|---|",

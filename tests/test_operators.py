@@ -4313,6 +4313,17 @@ def test_bpe_encode_broadcast_tier_tokenizes_jvm_side(spark):
     clash_out = text.bpe_encode(with_clash, merges, max_literal_entries=0)
     assert "__bpe_toks" in clash_out.columns
     assert clash_out.where(F.col("__bpe_toks") != "keep").count() == 0
+    # out_col may even BE the temp name (review r13: the uniquify loop
+    # must dodge out_col too, or the sink schema gets duplicate fields)
+    as_out = {
+        r["doc_id"]: r["__bpe_toks"]
+        for r in text.bpe_encode(
+            docs, merges, out_col="__bpe_toks", max_literal_entries=0
+        )
+        .select("doc_id", "__bpe_toks")
+        .collect()
+    }
+    assert as_out == fold
     # no Python-side regex tokenization remains in the tier
     src = inspect.getsource(text._bpe_encode_broadcast)
     assert "re.compile" not in src
