@@ -698,3 +698,74 @@ def epoch_upsample(
         )
         .drop("__ep_stratum", "__ep_n")
     )
+
+
+def stratified_top_fraction(
+    df: DataFrame,
+    strata_col: str,
+    score_col: str,
+    fraction: float,
+    tie_col: str,
+) -> DataFrame:
+    """Per-stratum QUALITY FLOOR — keep the top ``ceil(fraction·n_s)``
+    rows of every stratum by ``(score DESC, tie ASC)`` (the
+    FineWeb-style "keep the best q% of every domain" curation verb:
+    a global score cut would let one high-scoring domain crowd out
+    every other, a per-domain quota ignores quality — this keeps the
+    best slice OF EACH domain).
+
+    Unlike the float-threshold rows, this needs NO measured-margin
+    argument when the score is built from exact arithmetic over
+    counts (``text.quality_features``' ratios are integer divisions
+    and exactly-rounded IEEE ops, bit-identical across engines): the
+    rank, the ceil, and the kept set replay exactly in ANSI SQL.
+    Rows with a NULL stratum, score, or tie key are excluded per the
+    module contract (a NULL score cannot rank).
+
+    Scale shape: one tiny per-stratum count aggregation (map-side
+    partials) broadcast back as quotas + ONE rank window per stratum
+    — the ``target_mix_resample`` shape; the data-dependent rank
+    limit cannot WindowGroupLimit-prune, so a mega-stratum funnels
+    its rows through one sort task — pre-filter with a coarse score
+    floor (``df.where(score > c)``) to cap the window's input at
+    100 TB.  Extension operator (SURVEY §2.5).
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    for internal in ("__qf_stratum", "__qf_quota", "__qf_rank"):
+        if internal in df.columns:
+            raise ValueError(
+                f"stratified_top_fraction uses internal working column "
+                f"{internal!r} which already exists on the input; "
+                "rename or drop it first"
+            )
+    stratum_field = next(
+        (f for f in df.schema.fields if f.name == strata_col), None
+    )
+    if stratum_field is None:
+        raise ValueError(
+            f"strata column {strata_col!r} not found (columns: "
+            f"{df.columns})"
+        )
+    base = df.filter(
+        _ref(df, strata_col).isNotNull()
+        & _ref(df, score_col).isNotNull()
+        & _ref(df, tie_col).isNotNull()
+    )
+    counts = base.groupBy(_ref(base, strata_col).alias("__qf_stratum")).agg(
+        F.ceil(F.count(F.lit(1)) * F.lit(fraction))
+        .cast("long")
+        .alias("__qf_quota")
+    )
+    w = Window.partitionBy(_ref(base, strata_col)).orderBy(
+        _ref(base, score_col).desc(), _ref(base, tie_col).asc()
+    )
+    return (
+        base.join(
+            F.broadcast(counts),
+            on=_ref(base, strata_col).eqNullSafe(F.col("__qf_stratum")),
+        )
+        .withColumn("__qf_rank", F.row_number().over(w))
+        .filter(F.col("__qf_rank") <= F.col("__qf_quota"))
+        .drop("__qf_stratum", "__qf_quota", "__qf_rank")
+    )

@@ -4640,3 +4640,97 @@ def test_dsir_select_rank_recipe_matches_duckdb_replay(spark):
     """).fetchall()
     )
     assert got == want
+
+
+def test_stratified_top_fraction_semantics(spark):
+    """Per-stratum quality floor: keep ceil(fraction·n_s) top rows of
+    each stratum by (score DESC, tie ASC); NULL stratum/score/tie rows
+    excluded; guards on bad fraction and internal-column collisions."""
+    from python_dtl_spark.operators import sampling
+
+    rows = [
+        # (doc_id, src, score): srcA has 5 rows, srcB 2, plus NULLs
+        (0, "A", 0.9), (1, "A", 0.8), (2, "A", 0.7), (3, "A", 0.6),
+        (4, "A", 0.5),
+        (10, "B", 0.4), (11, "B", 0.3),
+        (20, None, 0.99), (21, "A", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, s double")
+    out = sampling.stratified_top_fraction(df, "src", "s", 0.5, "doc_id")
+    got = sorted(r.doc_id for r in out.collect())
+    # ceil(5*0.5)=3 of A (0.9, 0.8, 0.7), ceil(2*0.5)=1 of B (0.4)
+    assert got == [0, 1, 2, 10]
+    # ties break by tie_col ascending
+    tie = spark.createDataFrame(
+        [(1, "A", 0.5), (2, "A", 0.5), (3, "A", 0.5)],
+        "doc_id long, src string, s double",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in sampling.stratified_top_fraction(
+            tie, "src", "s", 0.34, "doc_id"
+        ).collect()
+    )
+    assert kept == [1, 2]  # ceil(3*0.34) = ceil(1.02) = 2
+    with pytest.raises(ValueError, match="fraction"):
+        sampling.stratified_top_fraction(df, "src", "s", 0.0, "doc_id")
+    with pytest.raises(ValueError, match="internal working column"):
+        sampling.stratified_top_fraction(
+            df.withColumn("__qf_rank", F.lit(1)), "src", "s", 0.5, "doc_id"
+        )
+
+
+def test_stratified_top_fraction_matches_duckdb_replay(spark):
+    """The staged `pipeline_quality_floor` recipe (keep the best 30%
+    of every source by quality_score), pre-validated before any
+    registration: quality_score is exact arithmetic over counts —
+    integer divisions and exactly-rounded IEEE ops, bit-identical
+    across engines — so DuckDB recomputes the score INDEPENDENTLY and
+    the per-stratum (score DESC, doc_id) rank must keep the identical
+    doc set, NO measured-margin argument needed (unlike the
+    lm_curate / dsir float rows)."""
+    import duckdb
+
+    from python_dtl_spark.catalog import _QUALITY_SCORE_EXPR, _quality_sql_ctes
+    from python_dtl_spark.operators import sampling, text as text_ops
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = text_ops.quality_features(docs)
+    kept = sampling.stratified_top_fraction(
+        scored, "source", "quality_score", 0.3, "doc_id"
+    )
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in kept.select("doc_id", "source").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+    WITH {_quality_sql_ctes(passthrough="source")},
+    q AS (
+        SELECT doc_id, source,
+               {_QUALITY_SCORE_EXPR} AS quality_score
+        FROM ratios
+        WHERE source IS NOT NULL AND doc_id IS NOT NULL
+    ), n AS (
+        SELECT source, CAST(ceil(count(*) * 0.3) AS BIGINT) AS quota
+        FROM q GROUP BY source
+    )
+    SELECT doc_id, source FROM (
+        SELECT q.doc_id, q.source, n.quota,
+               row_number() OVER (
+                   PARTITION BY q.source
+                   ORDER BY q.quality_score DESC, q.doc_id
+               ) AS r
+        FROM q JOIN n USING (source)
+    ) WHERE r <= quota
+    """).fetchall()
+    )
+    assert got == want and len(got) > 0
