@@ -1200,3 +1200,25 @@ def test_dsir_weights_is_broadcast_model_joins_single_doc_agg(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_top_fraction_is_one_rank_exchange(spark):
+    """The quality floor plans like target_mix_resample: one tiny
+    per-stratum count agg broadcast back as quotas, ONE rank-window
+    hash exchange on the stratum key, zero Python, no sort-merge or
+    nested-loop join anywhere."""
+    from python_dtl_spark.operators import sampling, text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sampling.stratified_top_fraction(
+        text_ops.quality_features(docs), "source", "quality_score",
+        0.3, "doc_id",
+    )
+    plan = _exec_plan(out)
+    import re as _re
+
+    win_exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert any(e.startswith("source") for e in win_exchanges), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
