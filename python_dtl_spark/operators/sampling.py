@@ -45,6 +45,32 @@ def hash_bucket_sql(key_expr: str, seed: str = "") -> str:
     )
 
 
+def _snap_fraction(fraction: float | Fraction) -> Fraction:
+    """Snap a float fraction to an exact rational (the module's
+    ``target_mix_resample`` convention: ``limit_denominator(1000)``,
+    so 0.55 means 11/20, not the binary double 0.55000…0004).  Exact
+    quota arithmetic needs an exact p/q on BOTH engines; a ``Fraction``
+    passes through untouched."""
+    return (
+        fraction
+        if isinstance(fraction, Fraction)
+        else Fraction(fraction).limit_denominator(1000)
+    )
+
+
+def top_fraction_quota_sql(
+    count_expr: str, fraction: float | Fraction
+) -> str:
+    """The DuckDB-equivalent EXACT integer-ceil quota for
+    :func:`stratified_top_fraction`: ``(n·p + q − 1) // q`` from the
+    same :func:`_snap_fraction` rational the Spark side uses, so the
+    two engines can never disagree on a stratum's quota (an IEEE
+    ``ceil(n * 0.55)`` and a decimal one differ at n=100: 56 vs 55)."""
+    frac = _snap_fraction(fraction)
+    p, q = frac.numerator, frac.denominator
+    return f"(({count_expr}) * {p} + {q - 1}) // {q}"
+
+
 def _ref(df: DataFrame, name: str):
     """Literal top-level column reference, safe for names that need
     quoting (dots, spaces): ``df[name]`` parses dots as struct access,
@@ -704,7 +730,7 @@ def stratified_top_fraction(
     df: DataFrame,
     strata_col: str,
     score_col: str,
-    fraction: float,
+    fraction: float | Fraction,
     tie_col: str,
 ) -> DataFrame:
     """Per-stratum QUALITY FLOOR — keep the top ``ceil(fraction·n_s)``
@@ -718,9 +744,18 @@ def stratified_top_fraction(
     argument when the score is built from exact arithmetic over
     counts (``text.quality_features``' ratios are integer divisions
     and exactly-rounded IEEE ops, bit-identical across engines): the
-    rank, the ceil, and the kept set replay exactly in ANSI SQL.
-    Rows with a NULL stratum, score, or tie key are excluded per the
-    module contract (a NULL score cannot rank).
+    rank, the quota, and the kept set replay exactly in ANSI SQL.
+    The quota itself is computed in EXACT RATIONAL arithmetic —
+    ``fraction`` is snapped to p/q (``Fraction.limit_denominator``,
+    the module's ``target_mix_resample`` convention) and the quota is
+    the integer ceil ``(n·p + q − 1) div q``, never an IEEE-double
+    ``ceil(n * fraction)``: double and decimal engines disagree on
+    e.g. ``ceil(100 * 0.55)`` (56 vs 55), so a float quota would
+    break bit-exact replay for many (count, fraction) pairs (advisor
+    r13).  :func:`top_fraction_quota_sql` emits the matching SQL
+    fragment from the SAME snapped rational.  Rows with a NULL
+    stratum, score, or tie key are excluded per the module contract
+    (a NULL score cannot rank).
 
     Scale shape: one tiny per-stratum count aggregation (map-side
     partials) broadcast back as quotas + ONE rank window per stratum
@@ -730,7 +765,8 @@ def stratified_top_fraction(
     floor (``df.where(score > c)``) to cap the window's input at
     100 TB.  Extension operator (SURVEY §2.5).
     """
-    if not 0.0 < fraction <= 1.0:
+    frac = _snap_fraction(fraction)
+    if not 0 < frac <= 1:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     for internal in ("__qf_stratum", "__qf_quota", "__qf_rank"):
         if internal in df.columns:
@@ -752,10 +788,11 @@ def stratified_top_fraction(
         & _ref(df, score_col).isNotNull()
         & _ref(df, tie_col).isNotNull()
     )
+    p, q = frac.numerator, frac.denominator
     counts = base.groupBy(_ref(base, strata_col).alias("__qf_stratum")).agg(
-        F.ceil(F.count(F.lit(1)) * F.lit(fraction))
-        .cast("long")
-        .alias("__qf_quota")
+        F.expr(f"CAST((count(1) * {p} + {q - 1}) DIV {q} AS BIGINT)").alias(
+            "__qf_quota"
+        )
     )
     w = Window.partitionBy(_ref(base, strata_col)).orderBy(
         _ref(base, score_col).desc(), _ref(base, tie_col).asc()

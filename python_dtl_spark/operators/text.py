@@ -1248,7 +1248,20 @@ def bpe_encode(
     re-create an earlier pair (no earlier-rank pair ever re-appears) —
     equality is property-tested on fit-produced tables
     (tests/test_property.py) and the tier is forced in unit tests via
-    ``max_literal_entries``.  Raw text is tokenized JVM-SIDE before
+    ``max_literal_entries``.
+
+    SEMANTIC CAVEAT of the measured default (advisor r13): the two
+    tiers agree ONLY under that no-reappearance property.  A
+    HAND-BUILT table that violates it (e.g. a merge whose output
+    token recreates an earlier-ranked pair with a neighbour) can
+    encode differently under the ordered fold (strict rank-order
+    single pass) vs the min-rank loop (revisits earlier ranks), and
+    the r13 default drop 65,536 → 128 re-routes synthetic tables of
+    129–65,536 entries from the fold to the loop — a BEHAVIOR change
+    for such tables, not just a performance one.  Callers with
+    non-``bpe_fit`` tables in that range who depend on fold semantics
+    must pass ``max_literal_entries`` explicitly (and accept the
+    measured ~0.05 s/entry fold cost).  Raw text is tokenized JVM-SIDE before
     the Arrow hop (the same ``tokens(lower(text))`` expression as the
     plan-literal tier — byte-identical tokenization across tiers,
     advisor r12), so only the merge fold itself runs in Python — the

@@ -4367,17 +4367,22 @@ def test_internal_column_collision_guards(spark):
             )
 
 
-def test_lm_curate_threshold_margin_is_wide(spark):
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_lm_curate_threshold_margin_is_wide(spark, sf):
     """pipeline_lm_curate hashes a float-threshold decision (perplexity
     <= 30.0), which is only driver-safe because no document sits near
     the boundary: assert the minimum relative margin |ppl - 30| / 30
     exceeds 1e-6 — still 7 orders above cross-engine libm +
     summation-order drift (~1e-13), the measured-gap argument that
     lets doc_nb_classify hash its argmax.  Also assert the filter is a
-    real split (keeps some, drops some)."""
+    real split (keeps some, drops some).  Parametrized over ALL the
+    scales the hash-safety argument rests on — sf0.01 is the driver
+    gate, sf0.1 the builder's sweep (advisor r13: a fit/tokenization
+    change must not silently shrink the driver-gate margin; measured
+    margins 1.2e-4 / 4.1e-4 / 1.9e-5)."""
     from python_dtl_spark.operators import classify
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
     bi, uni = classify.lm_fit(
         docs, sample_fraction=0.5, sample_seed="lm-l",
         min_count=1, max_vocab=300,
@@ -4680,6 +4685,45 @@ def test_stratified_top_fraction_semantics(spark):
         )
 
 
+def test_stratified_top_fraction_quota_is_exact_rational(spark):
+    """Advisor r13 (medium): the quota must be EXACT integer-ceil
+    arithmetic, not IEEE double.  The canonical divergent pair is
+    (n=100, fraction=0.55): ceil(100 * 0.55) is 56 under IEEE double
+    (0.55 rounds up to 0.55000…0004) but the true ceil(100·11/20) is
+    55 — a double-quota engine and a decimal-quota oracle would
+    disagree by one row in every affected stratum.  Assert the Spark
+    side keeps exactly 55, that DuckDB's DECIMAL-literal ceil agrees,
+    and that top_fraction_quota_sql emits the same snapped rational."""
+    import duckdb
+
+    from python_dtl_spark.operators import sampling
+
+    n = 100
+    df = spark.createDataFrame(
+        [(i, "A", float(n - i)) for i in range(n)],
+        "doc_id long, src string, s double",
+    )
+    kept = sampling.stratified_top_fraction(df, "src", "s", 0.55, "doc_id")
+    assert kept.count() == 55
+    # the IEEE-double quota this guards against:
+    import math
+
+    assert math.ceil(n * 0.55) == 56  # the wrong answer, for contrast
+    # DuckDB evaluates 0.55 as exact DECIMAL — must agree with Spark now
+    ddb = duckdb.connect().execute(
+        "SELECT CAST(ceil(100 * 0.55) AS BIGINT), "
+        f"CAST({sampling.top_fraction_quota_sql('100', 0.55)} AS BIGINT)"
+    ).fetchone()
+    assert ddb == (55, 55)
+    # a Fraction passes through exactly
+    from fractions import Fraction
+
+    kept_frac = sampling.stratified_top_fraction(
+        df, "src", "s", Fraction(11, 20), "doc_id"
+    )
+    assert kept_frac.count() == 55
+
+
 def test_stratified_top_fraction_matches_duckdb_replay(spark):
     """The staged `pipeline_quality_floor` recipe (keep the best 30%
     of every source by quality_score), pre-validated before any
@@ -4720,7 +4764,9 @@ def test_stratified_top_fraction_matches_duckdb_replay(spark):
         FROM ratios
         WHERE source IS NOT NULL AND doc_id IS NOT NULL
     ), n AS (
-        SELECT source, CAST(ceil(count(*) * 0.3) AS BIGINT) AS quota
+        SELECT source,
+               CAST({sampling.top_fraction_quota_sql("count(*)", 0.3)}
+                    AS BIGINT) AS quota
         FROM q GROUP BY source
     )
     SELECT doc_id, source FROM (
