@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import re
 from collections.abc import Callable
+from fractions import Fraction
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -5293,6 +5294,243 @@ _register(
                PARTITION BY shard ORDER BY o, kk
            ) AS BIGINT) AS shard_pos
     FROM h
+    """,
+    headline=True,
+)
+
+
+# DuckDB replay fragments for the DSIR oracle (registered r14 per
+# COVERAGE.md's staging plan; Xie et al. 2023): the same whitespace
+# tokens as the NB/LM rows, unigram + space-joined-bigram features,
+# md5 hash_bucket with seed ds1 into the paper's 10,000-bucket table.
+_DSIR_BKT = sampling.hash_bucket_sql("f", seed="ds1")
+
+
+def _dsir_oracle_sql(extra: str = "") -> str:
+    """The full DSIR replay: feature CTE (unigrams UNION ALL adjacent
+    bigrams), md5 bucketing, both fitted count tables (target = the
+    src1 slice, raw = the whole corpus), per-doc EXACT-INTEGER
+    diagnostics.  The ``diag`` CTE also carries the float ``lw``
+    log-weight sum so a composed ``extra`` can replay the rank-based
+    selection the pipeline filters on (the LM ``extra`` pattern); the
+    plain row selects integers only."""
+    return f"""
+    WITH feats AS (
+        SELECT doc_id, unnest(t) AS f
+        FROM (SELECT doc_id, {_NB_TOKS} AS t FROM documents)
+        UNION ALL
+        SELECT doc_id, p['w1'] || ' ' || p['w2'] AS f FROM (
+            SELECT doc_id,
+                   unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))]) AS p
+            FROM (SELECT doc_id, {_NB_TOKS} AS t FROM documents)
+        )
+    ), fb AS (SELECT doc_id, {_DSIR_BKT} AS bucket FROM feats),
+    tmodel AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS tf
+        FROM fb JOIN documents USING (doc_id)
+        WHERE documents.source = 'src1' GROUP BY bucket
+    ), rmodel AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS rf
+        FROM fb GROUP BY bucket
+    ), tot AS (
+        SELECT (SELECT sum(tf) FROM tmodel) AS T,
+               (SELECT sum(rf) FROM rmodel) AS R
+    ), scored AS (
+        SELECT fb.doc_id,
+               count(*) AS n_feats,
+               sum(coalesce(t.tf, 0)) AS sum_target_freq,
+               sum(coalesce(r.rf, 0)) AS sum_raw_freq,
+               sum(CASE WHEN t.tf IS NULL THEN 1 ELSE 0 END)
+                   AS n_unseen_target,
+               sum(CASE WHEN r.rf IS NULL THEN 1 ELSE 0 END)
+                   AS n_unseen_raw,
+               sum(ln((coalesce(t.tf, 0) + 1.0) / (tot.T + 10000.0))
+                   - ln((coalesce(r.rf, 0) + 1.0) / (tot.R + 10000.0)))
+                   AS lw
+        FROM fb CROSS JOIN tot
+        LEFT JOIN tmodel t USING (bucket)
+        LEFT JOIN rmodel r USING (bucket)
+        GROUP BY fb.doc_id
+    ), diag AS (
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+               CAST(coalesce(s.sum_target_freq, 0) AS BIGINT)
+                   AS sum_target_freq,
+               CAST(coalesce(s.sum_raw_freq, 0) AS BIGINT)
+                   AS sum_raw_freq,
+               CAST(coalesce(s.n_unseen_target, 0) AS BIGINT)
+                   AS n_unseen_target,
+               CAST(coalesce(s.n_unseen_raw, 0) AS BIGINT)
+                   AS n_unseen_raw,
+               coalesce(s.lw, 0.0) AS lw
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN scored s USING (doc_id)
+    )
+    {extra if extra else '''SELECT doc_id, n_feats, sum_target_freq,
+           sum_raw_freq, n_unseen_target, n_unseen_raw FROM diag'''}
+    """
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weighting (staged in r13, registered r14; Xie
+    et al. 2023 "Data Selection for Language Models via Importance
+    Resampling" — the standard "select pretraining data that looks
+    like the target domain" recipe, the selection complement of the
+    LM perplexity filter): fit hashed unigram+bigram bucket counts on
+    the TARGET slice (source src1) and the RAW corpus, score every
+    document's log importance weight, emit the EXACT-INTEGER per-doc
+    diagnostics that pin every model lookup (the doc_lm_score split:
+    the float log weight is a sum of ln() terms — neither
+    order-stable nor libm-portable — so it stays unit-verified
+    against a literal reference and an independent DuckDB replay,
+    tests/test_operators.py::test_dsir_weights_match_duckdb_replay,
+    pre-validated at sf0.001/0.01/0.1 before registration).
+
+    Scale shape: fit = row-local feature explode → ONE bucket-grain
+    hash agg (≤ 10,000 groups, map-side partials), zero joins; the
+    model is bucket-table-sized whatever the corpus.  Apply = feature
+    explode → TWO broadcast joins against the ≤ 10,000-row models →
+    ONE doc-grain agg + id join-back; zero Python (plan-asserted in
+    tests/test_plans.py)."""
+    docs = _read(spark, sf_dir, "documents")
+    tc = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="ds1")
+    rc = classify.dsir_fit(docs, seed="ds1")
+    return classify.dsir_weights(docs, tc, rc, seed="ds1").select(
+        "doc_id", "n_feats", "sum_target_freq", "sum_raw_freq",
+        "n_unseen_target", "n_unseen_raw",
+    )
+
+
+_register(
+    "doc_dsir_weights",
+    _q_dsir_weights,
+    _dsir_oracle_sql(),
+    headline=True,
+)
+
+
+def _q_dsir_select(spark, sf_dir):
+    """The composition DSIR exists for (registered r14): keep the top
+    ceil(25% · n) documents by (log_weight DESC, doc_id ASC) — the
+    importance-resampling selection step.  RANK-based, not a fixed
+    weight threshold, because thresholds measurably do not transfer
+    across corpus sizes (the whole log-weight distribution shifts
+    with the model totals: range [-242, -18] at sf0.001 vs [-63, -3]
+    at sf0.1 — COVERAGE.md r14 plan).
+
+    Hash-safety of the float rank boundary is MEASURED, not assumed
+    (the pipeline_lm_curate argument, rank form): the gap
+    w[k] − w[k+1] between last-kept and first-dropped is 3.2e-1 /
+    4.8e-1 / 5.7e-3 at sf0.001/0.01/0.1 — ≥ 10 orders above
+    cross-engine ln/summation drift (~1e-13) — pinned by the
+    parametrized margin guard
+    tests/test_operators.py::test_dsir_select_boundary_gap_is_wide,
+    and the full selection replay (DuckDB recomputes the float
+    weights INDEPENDENTLY and selects the identical doc set) was
+    pre-validated at all three scales before registration.  The
+    driver row hashes only the kept docs' integer diagnostics.
+
+    Scale shape: scoring as doc_dsir_weights; the global rank runs
+    via sampling.top_fraction's two-phase valve — approxQuantile
+    coarse floor (one pass, one driver float), then the exact rank
+    window over the ≈27% survivor slice, so the single sort task
+    never sees the full corpus; output is exactly the true top-k
+    regardless of the prefilter (guarded fallback)."""
+    docs = _read(spark, sf_dir, "documents")
+    tc = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="ds1")
+    rc = classify.dsir_fit(docs, seed="ds1")
+    scored = classify.dsir_weights(docs, tc, rc, seed="ds1")
+    kept = sampling.top_fraction(
+        scored, "log_weight", Fraction(1, 4), "doc_id"
+    )
+    return kept.select(
+        "doc_id", "n_feats", "sum_target_freq", "sum_raw_freq"
+    )
+
+
+_DSIR_K = sampling.top_fraction_quota_sql(
+    "SELECT count(*) FROM documents WHERE doc_id IS NOT NULL",
+    Fraction(1, 4),
+)
+
+_register(
+    "pipeline_dsir_select",
+    _q_dsir_select,
+    _dsir_oracle_sql(
+        f"""
+    SELECT doc_id, n_feats, sum_target_freq, sum_raw_freq FROM (
+        SELECT doc_id, n_feats, sum_target_freq, sum_raw_freq,
+               row_number() OVER (ORDER BY lw DESC, doc_id) AS r
+        FROM diag WHERE doc_id IS NOT NULL
+    ) WHERE r <= ({_DSIR_K})
+    """
+    ),
+    headline=True,
+)
+
+
+def _q_quality_floor(spark, sf_dir):
+    """FineWeb-style per-stratum QUALITY FLOOR (staged in r13,
+    registered r14): keep the best 30% of EVERY source by
+    quality_score — a global score cut would let one high-scoring
+    domain crowd out the rest, a per-domain quota ignores quality;
+    this keeps the best slice OF EACH domain
+    (sampling.stratified_top_fraction over text.quality_features).
+
+    Unlike the float-threshold rows this needs NO measured-margin
+    argument: quality_score is exact arithmetic over counts (integer
+    divisions and exactly-rounded IEEE ops, bit-identical across
+    engines), so the per-stratum (score DESC, doc_id) rank replays
+    exactly; the quota is exact rational integer-ceil
+    ``(n·3 + 9) div 10`` on BOTH engines (advisor r13 — an IEEE
+    ``ceil(n * fraction)`` and a decimal one disagree for many
+    (count, fraction) pairs).  Replay pre-validated at
+    sf0.001/0.01/0.1 before registration
+    (test_stratified_top_fraction_matches_duckdb_replay).  The driver
+    row hashes the kept docs' integer quality counters.
+
+    Scale shape: one tiny per-stratum count agg broadcast back as
+    quotas + ONE rank window per stratum (strata sort in parallel;
+    plan-asserted: one rank exchange, broadcast quotas, zero Python);
+    a mega-stratum pre-filters with a coarse score floor to cap the
+    window input at 100 TB (docstring note on the operator)."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = text.quality_features(docs)
+    kept = sampling.stratified_top_fraction(
+        scored, "source", "quality_score", Fraction(3, 10), "doc_id"
+    )
+    return kept.select(
+        "doc_id", "source", "n_words", "n_punct", "n_stopwords"
+    )
+
+
+_register(
+    "pipeline_quality_floor",
+    _q_quality_floor,
+    f"""
+    WITH {_quality_sql_ctes(passthrough="source")},
+    q0 AS (
+        SELECT doc_id, source, n_words, n_punct, n_stopwords,
+               {_QUALITY_SCORE_EXPR} AS s
+        FROM ratios
+        WHERE source IS NOT NULL AND doc_id IS NOT NULL
+    ), q AS (SELECT * FROM q0 WHERE s IS NOT NULL),
+    n AS (
+        SELECT source,
+               CAST({sampling.top_fraction_quota_sql("count(*)", Fraction(3, 10))}
+                    AS BIGINT) AS quota
+        FROM q GROUP BY source
+    )
+    SELECT doc_id, source, n_words, n_punct, n_stopwords FROM (
+        SELECT q.doc_id, q.source, q.n_words, q.n_punct, q.n_stopwords,
+               n.quota,
+               row_number() OVER (
+                   PARTITION BY q.source
+                   ORDER BY q.s DESC, q.doc_id
+               ) AS r
+        FROM q JOIN n USING (source)
+    ) WHERE r <= quota
     """,
     headline=True,
 )

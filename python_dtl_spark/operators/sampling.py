@@ -806,3 +806,81 @@ def stratified_top_fraction(
         .filter(F.col("__qf_rank") <= F.col("__qf_quota"))
         .drop("__qf_stratum", "__qf_quota", "__qf_rank")
     )
+
+
+def top_fraction(
+    df: DataFrame,
+    score_col: str,
+    fraction: float | Fraction,
+    tie_col: str,
+    prefilter_quantile_error: float | None = 0.01,
+) -> DataFrame:
+    """GLOBAL top-fraction selection — keep the top
+    ``ceil(fraction·n)`` rows of the WHOLE input by ``(score DESC,
+    tie ASC)`` (the rank form of a float score threshold: DSIR-style
+    importance selection keeps "the best quarter of the corpus", and
+    a FIXED weight cut measurably does not transfer across corpus
+    sizes — COVERAGE.md r14 plan).  The quota uses the same exact
+    rational integer-ceil arithmetic as
+    :func:`stratified_top_fraction` (``(n·p + q − 1) div q`` from the
+    :func:`_snap_fraction` rational), so an ANSI-SQL oracle replays
+    the kept COUNT bit-for-bit; whether both engines agree on the
+    kept SET additionally needs the rank-boundary gap
+    ``score[k] − score[k+1]`` to clear cross-engine float drift when
+    the score itself is float (measure it — the
+    ``pipeline_lm_curate`` margin pattern).
+
+    Rows with a NULL score or tie key are excluded per the module
+    contract (a NULL score cannot rank); ``n`` counts the survivors.
+
+    Scale shape: a global rank is ONE total order — naively a
+    single-task ``row_number`` window, the classic scale-killer.
+    This runs in two phases instead: (1) a cheap scalar ``count`` +
+    ``approxQuantile`` (Greenwald–Khanna, one pass, driver gets one
+    float) picks a coarse score floor ``t`` at quantile
+    ``1 − fraction − 2·err``, whose rank guarantee means **every
+    true top-k row scores ≥ t**; (2) the exact rank window runs on
+    the ≈``(fraction + 3·err)``-sized survivor slice only.  The
+    output is EXACTLY the true top-k whatever the prefilter returns
+    (a guard falls back to ranking the full input if the slice ever
+    undershoots ``k`` — impossible under the quantile guarantee, but
+    guarded, not assumed).  At 100 TB the single sort task therefore
+    sees ~fraction of the corpus — for smaller still, compose with a
+    coarser pre-filter or raise ``prefilter_quantile_error``;
+    ``prefilter_quantile_error=None`` disables phase 1 (test-scale /
+    exact-plan mode).  Extension operator (SURVEY §2.5).
+    """
+    frac = _snap_fraction(fraction)
+    if not 0 < frac <= 1:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if "__tf_rank" in df.columns:
+        raise ValueError(
+            "top_fraction uses internal working column '__tf_rank' "
+            "which already exists on the input; rename or drop it first"
+        )
+    base = df.filter(
+        _ref(df, score_col).isNotNull() & _ref(df, tie_col).isNotNull()
+    )
+    n = base.count()
+    if n == 0:
+        return base
+    p, q = frac.numerator, frac.denominator
+    k = (n * p + q - 1) // q
+    cand = base
+    if prefilter_quantile_error is not None and 0 < k < n:
+        err = prefilter_quantile_error
+        prob = max(0.0, 1.0 - float(frac) - 2.0 * err)
+        if prob > 0.0:
+            t = base.approxQuantile(score_col, [prob], err)[0]
+            sliced = base.filter(_ref(base, score_col) >= F.lit(t))
+            # quantile guarantee ⇒ |sliced| ≥ k; guarded, not assumed
+            if sliced.count() >= k:
+                cand = sliced
+    w = Window.orderBy(
+        _ref(cand, score_col).desc(), _ref(cand, tie_col).asc()
+    )
+    return (
+        cand.withColumn("__tf_rank", F.row_number().over(w))
+        .filter(F.col("__tf_rank") <= F.lit(k))
+        .drop("__tf_rank")
+    )

@@ -4579,14 +4579,13 @@ def test_dsir_select_rank_recipe_matches_duckdb_replay(spark):
     scored = classify.dsir_weights(docs, tc, rc, seed="ds1")
     n = docs.count()
     k = -(-n // 4)  # ceil(0.25 n)
-    from pyspark.sql import Window
+    from fractions import Fraction
 
-    w = Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
-    kept = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= k)
-        .select("doc_id")
-    )
+    from python_dtl_spark.operators import sampling
+
+    kept = sampling.top_fraction(
+        scored, "log_weight", Fraction(1, 4), "doc_id"
+    ).select("doc_id")
     got = sorted(r.doc_id for r in kept.collect())
     assert len(got) == k
 
@@ -4722,6 +4721,92 @@ def test_stratified_top_fraction_quota_is_exact_rational(spark):
         df, "src", "s", Fraction(11, 20), "doc_id"
     )
     assert kept_frac.count() == 55
+
+
+def test_top_fraction_semantics(spark):
+    """Global top-fraction selection (the pipeline_dsir_select verb):
+    keep the top ceil(fraction·n) rows of the WHOLE input by
+    (score DESC, tie ASC), exact rational quota, NULL score/tie rows
+    excluded, and — the scale valve — the approxQuantile prefilter
+    must not change the selected set (the output is exact whatever
+    the coarse floor returns)."""
+    import random
+
+    from fractions import Fraction
+
+    from python_dtl_spark.operators import sampling
+
+    rng = random.Random(42)
+    rows = [(i, rng.uniform(-100.0, 100.0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    # brute-force reference: exact rational ceil(200 * 11/20) = 110
+    want = sorted(
+        i for i, _ in sorted(rows, key=lambda r: (-r[1], r[0]))[:110]
+    )
+    got = sorted(
+        r.doc_id
+        for r in sampling.top_fraction(df, "w", 0.55, "doc_id").collect()
+    )
+    assert got == want and len(got) == 110
+    # prefilter disabled → identical set (exactness is not the valve's)
+    got_exact = sorted(
+        r.doc_id
+        for r in sampling.top_fraction(
+            df, "w", 0.55, "doc_id", prefilter_quantile_error=None
+        ).collect()
+    )
+    assert got_exact == got
+    # the IEEE-divergent pair again: n=100, 0.55 → 55 kept, never 56
+    df100 = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id long, w double"
+    )
+    assert sampling.top_fraction(df100, "w", 0.55, "doc_id").count() == 55
+    # NULL score/tie rows are excluded and do not count toward n
+    withnull = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, None), (None, 9.0)],
+        "doc_id long, w double",
+    )
+    kept = sampling.top_fraction(withnull, "w", Fraction(1, 2), "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1]
+    with pytest.raises(ValueError, match="fraction"):
+        sampling.top_fraction(df, "w", 1.5, "doc_id")
+    with pytest.raises(ValueError, match="internal working column"):
+        sampling.top_fraction(
+            df.withColumn("__tf_rank", F.lit(1)), "w", 0.5, "doc_id"
+        )
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_dsir_select_boundary_gap_is_wide(spark, sf):
+    """pipeline_dsir_select hashes a rank-boundary decision on a float
+    log-weight (a sum of ln() terms), which is driver-safe only
+    because the measured gap w[k] − w[k+1] between the last kept and
+    first dropped document clears cross-engine libm + summation-order
+    drift (~1e-13) by many orders: assert gap > 1e-6 at every scale
+    the driver or the sweep hashes (measured 3.2e-1 / 4.8e-1 / 5.7e-3
+    at sf0.001/0.01/0.1 — COVERAGE.md r14 plan).  The rank form exists
+    because a FIXED weight threshold measurably does not transfer
+    across corpus sizes (log-weight range [-242,-18] at sf0.001 vs
+    [-63,-3] at sf0.1)."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+    tc = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="ds1")
+    rc = classify.dsir_fit(docs, seed="ds1")
+    weights = sorted(
+        (
+            r.log_weight
+            for r in classify.dsir_weights(docs, tc, rc, seed="ds1")
+            .select("log_weight")
+            .collect()
+        ),
+        reverse=True,
+    )
+    n = len(weights)
+    k = -(-n // 4)
+    assert 0 < k < n
+    gap = weights[k - 1] - weights[k]
+    assert gap > 1e-6, (sf, gap)
 
 
 def test_stratified_top_fraction_matches_duckdb_replay(spark):
