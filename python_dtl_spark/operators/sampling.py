@@ -839,16 +839,23 @@ def top_fraction(
     ``approxQuantile`` (Greenwald–Khanna, one pass, driver gets one
     float) picks a coarse score floor ``t`` at quantile
     ``1 − fraction − 2·err``, whose rank guarantee means **every
-    true top-k row scores ≥ t**; (2) the exact rank window runs on
-    the ≈``(fraction + 3·err)``-sized survivor slice only.  The
-    output is EXACTLY the true top-k whatever the prefilter returns
-    (a guard falls back to ranking the full input if the slice ever
-    undershoots ``k`` — impossible under the quantile guarantee, but
-    guarded, not assumed).  At 100 TB the single sort task therefore
-    sees ~fraction of the corpus — for smaller still, compose with a
-    coarser pre-filter or raise ``prefilter_quantile_error``;
-    ``prefilter_quantile_error=None`` disables phase 1 (test-scale /
-    exact-plan mode).  Extension operator (SURVEY §2.5).
+    true top-k row scores ≥ t**; (2) the exact rank runs on the
+    ≈``(fraction + 3·err)``-sized survivor slice only — and because
+    ``k`` is a plan literal, Catalyst rewrites the rank into
+    ``TakeOrderedAndProject`` (per-partition top-k + merge: every
+    task prunes to ``k`` rows BEFORE anything moves, no
+    SinglePartition exchange, no global range sort — plan-asserted
+    in tests/test_plans.py).  The output is EXACTLY the true top-k
+    whatever the prefilter returns (a guard falls back to ranking
+    the full input if the slice ever undershoots ``k`` — impossible
+    under the quantile guarantee, but guarded, not assumed).  The
+    remaining 100 TB bound is the take's merge holding ``k`` rows:
+    fine for any selection that fits one machine's output budget
+    (ranked-id columns are small); for a ``k`` beyond that, keep
+    everything ≥ the coarse floor instead — accept approximate
+    count, skip phase 2.  ``prefilter_quantile_error=None`` disables
+    phase 1 (test-scale / exact-plan mode).  Extension operator
+    (SURVEY §2.5).
     """
     frac = _snap_fraction(fraction)
     if not 0 < frac <= 1:

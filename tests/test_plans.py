@@ -1222,3 +1222,104 @@ def test_stratified_top_fraction_is_one_rank_exchange(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stream_shard_emit_is_zero_exchange_row_local_map(spark):
+    """The streaming-emission batch twin (catalog stream_shard_emit):
+    epoch_upsample -> composite key -> shard_assign must plan with
+    ZERO data exchanges and zero Python — shard membership is a pure
+    row-local md5 map on top of the broadcast epoch join, so the only
+    shuffle a streaming emission pays is the SINK's partitioned
+    write, never an in-plan Exchange."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    up = sampling.epoch_upsample(docs, "source", {"src1": 2, "src3": 3})
+    keyed = up.withColumn(
+        "__emit_key", F.concat_ws("#", F.col("doc_id"), F.col("epoch"))
+    )
+    out = sampling.shard_assign(keyed, "__emit_key", 8, seed="sh-s")
+    plan = _exec_plan(out)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_emit_chain_plan_shape(spark):
+    """The composed pipeline_dsir_emit chain end-to-end: every model
+    join broadcast (two DSIR bucket models + the mix quotas + the
+    epoch map — never SMJ / nested loop / cartesian), zero Python
+    anywhere, and the global selection rank planned as
+    TakeOrderedAndProject — Catalyst rewrites the literal-limit
+    row_number into a per-partition top-k + merge, so there is NO
+    SinglePartition exchange at all; the only data exchanges left in
+    the whole chain are the three model-building hash aggregations
+    (two bucket fits + the doc-grain scoring agg).  Downstream of the
+    take, the mix/shard windows inherit the single-partition slice
+    (a SinglePartition child satisfies any clustering), so at test
+    scale they add zero exchanges too."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import classify, sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tc = classify.dsir_fit(docs.where("source = 'src1'"), seed="ds1")
+    rc = classify.dsir_fit(docs, seed="ds1")
+    scored = classify.dsir_weights(docs, tc, rc, seed="ds1")
+    sel = sampling.top_fraction(
+        scored, "log_weight", Fraction(1, 4), "doc_id"
+    ).select("doc_id", "source")
+    mixed = sampling.target_mix_resample(
+        sel, "source", "doc_id",
+        {f"src{i}": 1 for i in range(20)}, seed="de1",
+    )
+    up = sampling.epoch_upsample(mixed, "source", {"src1": 2, "src3": 3})
+    keyed = up.withColumn(
+        "__emit_key", F.concat_ws("#", F.col("doc_id"), F.col("epoch"))
+    )
+    out = sampling.shuffle_shards(keyed, "__emit_key", 8, seed="sh-d")
+    plan = _exec_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    import re as _re
+
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert sorted(set(hash_exchanges)) == ["__ds_id", "bucket"], plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_fraction_plans_prefiltered_take_ordered(spark):
+    """sampling.top_fraction's two phases in the plan: the
+    approxQuantile coarse floor lands as a pushed Filter on the score
+    (the rank's input is the ~fraction slice, never the raw corpus)
+    and the literal-k row_number rewrites to TakeOrderedAndProject —
+    per-partition top-k with a merge, NO SinglePartition exchange and
+    no global range sort."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", (F.col("n_chars") * 1.0).alias("score")
+    )
+    out = sampling.top_fraction(docs, "score", Fraction(1, 4), "doc_id")
+    plan = _exec_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "(score" in plan and ">=" in plan, plan  # the coarse floor
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
