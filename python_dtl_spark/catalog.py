@@ -7617,7 +7617,13 @@ _ALWAYS_FRESH = 10**9
 # guarantees no query ever goes more than ~cadence+backlog rounds
 # without driver-committed "still runs" evidence.
 _ROWS_ONLY_CADENCE = 5
-_ROWS_ONLY_PER_ROUND = 1
+# r14: bumped 1 → 2 to clear the rows-only tail a round early — after
+# the r13 cadence start, events_winsorized_sketch and
+# orders_table_profile_sketch were still r8-stale (6 rounds); at one
+# per round the last would reach r16.  Two picks in r14 + one in r15
+# bounds every rows-only query at ≤7 rounds unchecked and then the
+# steady-state cadence holds everything under ~6.
+_ROWS_ONLY_PER_ROUND = 2
 
 
 def rows_only_due(hist: dict[str, tuple[int, int]] | None = None) -> set[str]:

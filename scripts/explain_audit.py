@@ -409,6 +409,40 @@ AUDITED = {
         "ONE hash exchange on shard feeding per-shard parallel sorts "
         "(asserted in tests/test_plans.py)"
     ),
+    "doc_dsir_weights": (
+        "DSIR scoring (registered r14): row-local unigram+bigram "
+        "feature explode -> BroadcastHashJoin against BOTH <=10k-row "
+        "bucket models -> ONE doc-grain hash aggregate with map-side "
+        "partials -> id join-back; zero Python, never a per-feature "
+        "shuffle (the fit side is one bucket-grain agg, zero joins)"
+    ),
+    "pipeline_dsir_select": (
+        "rank-based top-25% selection: the approxQuantile coarse "
+        "floor lands as a pushed Filter on the score, then the "
+        "literal-k row_number rewrites to TakeOrderedAndProject — "
+        "per-partition top-k + merge, NO SinglePartition exchange, "
+        "no global range sort (asserted in tests/test_plans.py)"
+    ),
+    "pipeline_quality_floor": (
+        "per-stratum quality floor: one tiny per-stratum count agg "
+        "broadcast back as exact-rational quotas + ONE rank-window "
+        "hash exchange on source (strata sort in parallel); zero "
+        "Python, no sort-merge join anywhere"
+    ),
+    "stream_shard_emit": (
+        "streaming-legal emission twin: broadcast epoch-map join + "
+        "row-local explode + row-local md5 shard map — ZERO data "
+        "exchanges of any kind (the shuffle is the sink's partitioned "
+        "write, not an in-plan Exchange)"
+    ),
+    "pipeline_dsir_emit": (
+        "DSIR select -> uniform mix -> epochs -> shards under one "
+        "hash: five broadcast joins (two bucket models, mix quotas, "
+        "epoch map), TakeOrderedAndProject for the global selection, "
+        "and the ONLY data exchanges are the three model-building "
+        "hash aggs — the mix/shard windows inherit the selection's "
+        "co-located slice (asserted in tests/test_plans.py)"
+    ),
 }
 
 

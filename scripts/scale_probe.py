@@ -775,6 +775,68 @@ def dsir_section(spark, documents) -> list[str]:
     return lines
 
 
+def top_fraction_probe(spark, documents, factors=(1, 8, 32)):
+    """Global top-fraction selection (registered r14,
+    pipeline_dsir_select's rank stage) at 1×/8×/32×: the two-phase
+    recipe — approxQuantile coarse floor, then a literal-k
+    TakeOrderedAndProject over the survivor slice — must stay ~linear
+    in the corpus (two scans + a per-partition top-k; no global sort,
+    no single-task window).  Kept count is asserted to equal the
+    exact rational quota at every factor."""
+    from fractions import Fraction
+
+    rows = []
+    for n in factors:
+        docs = (
+            documents
+            if n == 1
+            else replicate(documents, n, ["doc_id"])
+        ).select("doc_id", (F.col("n_chars") * 1.0).alias("score"))
+        total = docs.count()
+        start = time.perf_counter()
+        kept = sampling.top_fraction(
+            docs, "score", Fraction(1, 4), "doc_id"
+        ).count()
+        sel_s = time.perf_counter() - start
+        assert kept == (total + 3) // 4, (kept, total)
+        rows.append((n, total, kept, sel_s))
+        print(
+            f"# top_fraction {n}x: {total:,} docs -> {kept:,} kept "
+            f"in {sel_s:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_TOP_FRACTION_HEADER = (
+    "## global top-fraction selection (registered r14), two-phase rank"
+)
+
+
+def top_fraction_section(spark, documents) -> list[str]:
+    rows = top_fraction_probe(spark, documents)
+    lines = [
+        _TOP_FRACTION_HEADER,
+        "",
+        "sampling.top_fraction (pipeline_dsir_select's rank stage):",
+        "approxQuantile coarse floor (one pass) + literal-k",
+        "TakeOrderedAndProject over the ~27% survivor slice — per-",
+        "partition top-k with a merge, NO SinglePartition exchange, no",
+        "global range sort (plan-asserted).  Runtime should scale",
+        "~linearly with the corpus; kept count equals the exact",
+        "rational quota at every factor (asserted in the probe):",
+        "",
+        "| probe | data | input docs | kept (exact quota) | select time |",
+        "|---|---|---|---|---|",
+    ]
+    for n, total, kept, sel_s in rows:
+        lines.append(
+            f"| top_fraction | {n}× | {total:,} | {kept:,} | {sel_s:.2f}s |"
+        )
+    lines.append("")
+    return lines
+
+
 _ROW_LOCAL_HEADER = "## row_local streaming tiers vs model size (fixed corpus)"
 
 
@@ -1133,6 +1195,17 @@ def main() -> None:
             row_local_tier_section(spark, documents),
         )
         print("SCALING.md row-local-tier section updated")
+        return
+    if "--top-fraction" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path,
+            _TOP_FRACTION_HEADER,
+            top_fraction_section(spark, documents),
+        )
+        print("SCALING.md top-fraction section updated")
         return
     if "--dsir" in sys.argv:
         spark = get_spark("scale-probe")
