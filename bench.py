@@ -232,10 +232,28 @@ def main() -> None:
         # final fallback: totals always survive the tail window even
         # if the per-query dict itself outgrows it (many more headline
         # queries, or 1000s-scale medians)
-        summary["queries_warm_median"] = {
-            "_dropped_n_queries": len(warm_median)
-        }
-        line = json.dumps(summary, separators=(",", ":"))
+        # graceful degradation (r14: 74 queries no longer fit even at
+        # 1 digit, and the old fallback dropped ALL per-query data —
+        # exactly what the round-over-round comparison needs most):
+        # keep the MOST EXPENSIVE queries, drop from the cheap end,
+        # and record how many were elided so the truncation is
+        # visible, never silent.
+        by_cost = sorted(warm_median, key=warm_median.get, reverse=True)
+        while by_cost:
+            trimmed = {
+                n: round(warm_median[n], 1) for n in by_cost
+            }
+            trimmed["_elided_cheapest_n"] = len(warm_median) - len(by_cost)
+            summary["queries_warm_median"] = trimmed
+            line = json.dumps(summary, separators=(",", ":"))
+            if len(line) <= 1900:
+                break
+            by_cost.pop()  # drop the cheapest remaining
+        else:
+            summary["queries_warm_median"] = {
+                "_dropped_n_queries": len(warm_median)
+            }
+            line = json.dumps(summary, separators=(",", ":"))
     print(line)
 
 

@@ -5444,7 +5444,13 @@ def _q_dsir_select(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     tc = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="ds1")
     rc = classify.dsir_fit(docs, seed="ds1")
-    scored = classify.dsir_weights(docs, tc, rc, seed="ds1")
+    # project BEFORE the selection: top_fraction persists its input
+    # for the count/quantile/rank passes, and the rank only needs the
+    # id + hashed diagnostics + weight — never the text column
+    scored = classify.dsir_weights(docs, tc, rc, seed="ds1").select(
+        "doc_id", "n_feats", "sum_target_freq", "sum_raw_freq",
+        "log_weight",
+    )
     kept = sampling.top_fraction(
         scored, "log_weight", Fraction(1, 4), "doc_id"
     )
@@ -5630,7 +5636,11 @@ def _q_dsir_emit(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     tc = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="ds1")
     rc = classify.dsir_fit(docs, seed="ds1")
-    scored = classify.dsir_weights(docs, tc, rc, seed="ds1")
+    # narrow projection before the persisted selection (see
+    # _q_dsir_select): the emission tail needs only (doc_id, source)
+    scored = classify.dsir_weights(docs, tc, rc, seed="ds1").select(
+        "doc_id", "source", "log_weight"
+    )
     sel = sampling.top_fraction(
         scored, "log_weight", Fraction(1, 4), "doc_id"
     ).select("doc_id", "source")

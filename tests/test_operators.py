@@ -4865,3 +4865,241 @@ def test_stratified_top_fraction_matches_duckdb_replay(spark):
     """).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_token_budget_mix_semantics(spark):
+    """Per-stratum token-budget sampling (staged r14 for r15): keep
+    the md5-rank prefix while the running size total fits the
+    stratum's budget; absent strata drop; zero-size rows inside the
+    budget fit; NULL key/stratum/size rows excluded; guards on
+    non-integral sizes and bad budget maps."""
+    from python_dtl_spark.operators import sampling
+
+    rows = [
+        (1, "A", 10), (2, "A", 10), (3, "A", 10), (4, "A", 10),
+        (10, "B", 100),
+        (20, "C", 1),
+        (30, None, 1), (None, "A", 1), (31, "A", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n long")
+    out = sampling.token_budget_mix(
+        df, "src", "doc_id", "n", {"A": 25, "B": 50}, seed="tb1"
+    )
+    got = {r.doc_id for r in out.collect()}
+    # A: md5-rank order of {1,2,3,4}; greedy prefix while cumsum <= 25
+    # -> exactly 2 rows whatever the order; B: first row is 100 > 50
+    # -> empty; C absent from budgets -> dropped; NULLs excluded
+    import hashlib
+
+    order_a = sorted(
+        [1, 2, 3, 4],
+        key=lambda k: (hashlib.md5(f"tb1{k}".encode()).hexdigest(), k),
+    )
+    assert got == set(order_a[:2]), (got, order_a)
+    # zero-size rows always fit inside the budget; budget 0 keeps only
+    # zero-size prefix rows
+    z = spark.createDataFrame(
+        [(1, "A", 0), (2, "A", 0), (3, "A", 5)],
+        "doc_id long, src string, n long",
+    )
+    kept = sampling.token_budget_mix(
+        z, "src", "doc_id", "n", {"A": 0}, seed="tb1"
+    )
+    zgot = sorted(r.doc_id for r in kept.collect())
+    order_z = sorted(
+        [1, 2, 3],
+        key=lambda k: (hashlib.md5(f"tb1{k}".encode()).hexdigest(), k),
+    )
+    expect = []
+    cum = 0
+    for k in order_z:
+        cum += {1: 0, 2: 0, 3: 5}[k]
+        if cum <= 0:
+            expect.append(k)
+    assert zgot == sorted(expect)
+    with pytest.raises(ValueError, match="integral size"):
+        sampling.token_budget_mix(
+            df.withColumn("f", F.lit(1.5)), "src", "doc_id", "f", {"A": 1}
+        )
+    with pytest.raises(ValueError, match="non-negative integers"):
+        sampling.token_budget_mix(df, "src", "doc_id", "n", {"A": -1})
+    with pytest.raises(ValueError, match="internal working column"):
+        sampling.token_budget_mix(
+            df.withColumn("__tb_cum", F.lit(1)), "src", "doc_id", "n",
+            {"A": 1},
+        )
+
+
+def test_token_budget_mix_matches_duckdb_replay(spark):
+    """The staged token-budget recipe, pre-validated before any r15
+    registration (the staging pattern): DuckDB re-derives the md5
+    rank and the exact-integer running sum and must keep the
+    identical doc set."""
+    import duckdb
+
+    from python_dtl_spark.operators import sampling
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = {"src1": 4000, "src2": 2500, "src3": 60000}
+    kept = sampling.token_budget_mix(
+        docs, "source", "doc_id", "n_chars", budgets, seed="tb-l"
+    )
+    got = sorted(
+        (r.doc_id, r.source)
+        for r in kept.select("doc_id", "source").collect()
+    )
+    assert len(got) > 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    vals = ", ".join(f"('{s}', {b})" for s, b in budgets.items())
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+    WITH b(source, budget) AS (VALUES {vals}),
+    cum AS (
+        SELECT d.doc_id, d.source, b.budget,
+               sum(d.n_chars) OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('tb-l' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS running
+        FROM documents d JOIN b USING (source)
+        WHERE d.doc_id IS NOT NULL AND d.n_chars IS NOT NULL
+    )
+    SELECT doc_id, source FROM cum WHERE running <= budget
+    """).fetchall()
+    )
+    assert got == want
+    # real split: some kept, some dropped, in at least one stratum
+    assert 0 < len(got) < docs.count()
+
+
+def test_importance_resample_matches_bruteforce_reference(spark):
+    """Seeded Gumbel-top-k importance resampling vs a literal Python
+    reference: identical u construction (md5 first 12 hex + 0.5 over
+    2^48), identical priorities to 1e-12, identical kept set."""
+    import hashlib
+    import math
+    import random
+
+    from python_dtl_spark.operators import sampling
+
+    rng = random.Random(7)
+    rows = [(i, rng.uniform(-5.0, 5.0)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = sampling.importance_resample(
+        df, "w", "doc_id", 0.25, seed="ir1"
+    )
+    got = sorted(r.doc_id for r in kept.collect())
+
+    def prio(k, w):
+        v = int(hashlib.md5(f"ir1{k}".encode()).hexdigest()[:12], 16)
+        u = (v + 0.5) / (1 << 48)
+        return w + (-math.log(-math.log(u)))
+
+    ranked = sorted(rows, key=lambda r: (-prio(r[0], r[1]), r[0]))
+    want = sorted(k for k, _ in ranked[:20])  # ceil(80/4)
+    assert got == want
+    # the priority expression itself matches to float precision
+    from pyspark.sql import functions as F
+
+    spark_prio = {
+        r.doc_id: r.p
+        for r in df.select(
+            "doc_id",
+            sampling.gumbel_priority(
+                F.col("w"), F.col("doc_id"), "ir1"
+            ).alias("p"),
+        ).collect()
+    }
+    for k, w in rows:
+        assert abs(spark_prio[k] - prio(k, w)) < 1e-12, k
+
+
+def test_importance_resample_is_weighted(spark):
+    """Sampling ∝ exp(weight): with half the keys at log-weight
+    ln(50) and half at 0, a 25% resample must be dominated by the
+    heavy half (deterministic given the seed, so this is a stable
+    assertion, not a flaky statistical one)."""
+    import math
+
+    from python_dtl_spark.operators import sampling
+
+    rows = [(i, math.log(50.0) if i % 2 == 0 else 0.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = sampling.importance_resample(df, "w", "doc_id", 0.25, seed="ir2")
+    ids = [r.doc_id for r in kept.collect()]
+    assert len(ids) == 100
+    heavy = sum(1 for i in ids if i % 2 == 0)
+    assert heavy >= 90, heavy
+
+
+def test_importance_resample_matches_duckdb_replay(spark):
+    """The staged r15 resampling recipe pre-validated end-to-end:
+    DuckDB recomputes the Gumbel priorities INDEPENDENTLY
+    (gumbel_priority_sql over the same stored weights) and must
+    select the identical doc set; the rank-boundary gap is also
+    measured here so registration can cite it (the
+    pipeline_dsir_select margin pattern)."""
+    import duckdb
+
+    from python_dtl_spark.operators import classify, sampling
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="ds1")
+    rc = classify.dsir_fit(docs, seed="ds1")
+    scored = classify.dsir_weights(docs, tc, rc, seed="ds1").select(
+        "doc_id", "log_weight"
+    )
+    kept = sampling.importance_resample(
+        scored, "log_weight", "doc_id", 0.25, seed="ir-l"
+    )
+    got = sorted(r.doc_id for r in kept.collect())
+    n = scored.count()
+    k = -(-n // 4)
+    assert len(got) == k
+
+    # measured boundary gap for the registration's margin argument
+    pri = sorted(
+        (
+            r.p
+            for r in scored.select(
+                sampling.gumbel_priority(
+                    F.col("log_weight"), F.col("doc_id"), "ir-l"
+                ).alias("p")
+            ).collect()
+        ),
+        reverse=True,
+    )
+    gap = pri[k - 1] - pri[k]
+    assert gap > 1e-9, gap
+
+    # independent DuckDB replay over the SAME weights table (the
+    # weights themselves are oracled by doc_dsir_weights /
+    # pipeline_dsir_select; this pins the resampling recipe)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wtbl (doc_id BIGINT, log_weight DOUBLE)")
+    con.executemany(
+        "INSERT INTO wtbl VALUES (?, ?)",
+        [(r.doc_id, r.log_weight) for r in scored.collect()],
+    )
+    prio_sql = sampling.gumbel_priority_sql("log_weight", "doc_id", "ir-l")
+    want = sorted(
+        r[0]
+        for r in con.execute(f"""
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY {prio_sql} DESC, doc_id
+               ) AS r
+        FROM wtbl
+    ) WHERE r <= {k}
+    """).fetchall()
+    )
+    assert got == want

@@ -1197,7 +1197,16 @@ def test_dsir_weights_is_broadcast_model_joins_single_doc_agg(spark):
     out = classify.dsir_weights(docs, tc, rc, seed="p1")
     plan = _exec_plan(out)
     assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "SortMergeJoin" not in plan, plan
+    # BOTH bucket-model joins must be broadcast — a shuffled model
+    # join would move the corpus per feature.  The doc-grain id
+    # join-back may legitimately be a SortMergeJoin: its build side is
+    # CORPUS-sized (per-doc sums), so broadcasting it is only ever an
+    # AQE small-scale artifact, never the 100 TB plan.
+    import re as _re
+
+    for m in _re.finditer(r"SortMergeJoin \[(\w+)", plan):
+        assert m.group(1) in ("doc_id", "__ds_id"), plan
+    assert "SortMergeJoin [bucket" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -1288,15 +1297,19 @@ def test_dsir_emit_chain_plan_shape(spark):
     out = sampling.shuffle_shards(keyed, "__emit_key", 8, seed="sh-d")
     plan = _exec_plan(out)
     assert plan.count("BroadcastHashJoin") >= 4, plan
-    assert "SortMergeJoin" not in plan, plan
+    # model joins (bucket keys) must never be shuffled; the doc-grain
+    # id join-back may be SMJ (its build side is corpus-sized — see
+    # test_dsir_weights_is_broadcast_model_joins_single_doc_agg)
+    import re as _re
+
+    for m in _re.finditer(r"SortMergeJoin \[(\w+)", plan):
+        assert m.group(1) in ("doc_id", "__ds_id"), plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
-    import re as _re
-
     hash_exchanges = _re.findall(r"Exchange hashpartitioning\((\w+)", plan)
-    assert sorted(set(hash_exchanges)) == ["__ds_id", "bucket"], plan
+    assert set(hash_exchanges) <= {"__ds_id", "bucket", "doc_id"}, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -1322,4 +1335,48 @@ def test_top_fraction_plans_prefiltered_take_ordered(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "(score" in plan and ">=" in plan, plan  # the coarse floor
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_mix_is_one_window_exchange(spark):
+    """token_budget_mix (staged r14 → r15 registration): ONE broadcast
+    join against the |budgets|-row model + one per-stratum
+    rank/cumsum window exchange on the stratum key — the
+    target_mix_resample shape; zero Python, no sort-merge join."""
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = sampling.token_budget_mix(
+        docs, "source", "doc_id", "n_chars",
+        {"src1": 4000, "src2": 2500}, seed="tb-l",
+    )
+    plan = _exec_plan(out)
+    import re as _re
+
+    win_exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert len(win_exchanges) == 1 and win_exchanges[0].startswith(
+        "source"
+    ), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_importance_resample_plans_like_top_fraction(spark):
+    """importance_resample (staged r14 → r15): the Gumbel priority is
+    a row-local expression feeding top_fraction's two-phase valve —
+    pushed coarse-floor Filter + literal-k TakeOrderedAndProject, NO
+    SinglePartition exchange, no global range sort, zero Python."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", (F.col("n_chars") / 100.0).alias("w")
+    )
+    out = sampling.importance_resample(docs, "w", "doc_id", 0.25, seed="ir")
+    plan = _exec_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
