@@ -793,6 +793,110 @@ def dsir_fit(
     )
 
 
+def _dsir_weights_row_local(
+    df: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    toks_expr,
+    alpha: float,
+    seed: str,
+    out_col: str,
+    max_literal_cells: int,
+) -> DataFrame:
+    """:func:`dsir_weights`'s STREAMING tier: both fitted bucket
+    models as PLAN-LITERAL ``bucket → freq`` maps (each ≤ 10,000
+    entries by construction — the paper's bucket table bounds the
+    plan) and ONE ``F.aggregate`` fold over the document's
+    unigram+bigram features accumulating all six outputs in a single
+    struct — a pure map stage, legal over an unbounded ``readStream``
+    (the join path's doc-grain groupBy is a streaming aggregation and
+    its join-back a stream self-join).  Same contract as
+    ``nb_apply(row_local=True)`` / ``lm_perplexity(row_local=True)``;
+    model totals come from the same collected rows, so the tier costs
+    no extra jobs."""
+    from python_dtl_spark.operators.sampling import _BUCKETS, hash_bucket
+
+    t_rows = target_counts.collect()
+    r_rows = raw_counts.collect()
+    cells = len(t_rows) + len(r_rows)
+    if cells > max_literal_cells:
+        raise ValueError(
+            f"row_local model has {cells} literal cells ({len(t_rows)} "
+            f"target + {len(r_rows)} raw buckets) > "
+            f"max_literal_cells={max_literal_cells}; use the default "
+            "broadcast-join path (foreachBatch on streams) or raise "
+            "the cap"
+        )
+    t_total = sum(int(r["freq"]) for r in t_rows)
+    r_total = sum(int(r["freq"]) for r in r_rows)
+    t_denom = t_total + alpha * _BUCKETS
+    r_denom = r_total + alpha * _BUCKETS
+
+    def _freq_map(rows):
+        if not rows:
+            return F.lit(None).cast("map<bigint,bigint>")
+        return F.create_map(
+            *[
+                x
+                for r in rows
+                for x in (
+                    F.lit(int(r["bucket"])).cast("long"),
+                    F.lit(int(r["freq"])).cast("long"),
+                )
+            ]
+        )
+
+    t_map = _freq_map(t_rows)
+    r_map = _freq_map(r_rows)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        zero.alias("n"),
+        zero.alias("st"),
+        zero.alias("sr"),
+        zero.alias("ut"),
+        zero.alias("ur"),
+        F.lit(0.0).alias("dw"),
+    )
+
+    def step(acc, feat):
+        b = hash_bucket(feat, seed=seed)
+        tf = F.element_at(t_map, b)
+        rf = F.element_at(r_map, b)
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            (acc["st"] + F.coalesce(tf, F.lit(0))).alias("st"),
+            (acc["sr"] + F.coalesce(rf, F.lit(0))).alias("sr"),
+            (acc["ut"] + F.when(tf.isNull(), 1).otherwise(0)).alias("ut"),
+            (acc["ur"] + F.when(rf.isNull(), 1).otherwise(0)).alias("ur"),
+            (
+                acc["dw"]
+                + F.log(
+                    (F.coalesce(tf, F.lit(0)) + F.lit(alpha))
+                    / F.lit(t_denom)
+                )
+                - F.log(
+                    (F.coalesce(rf, F.lit(0)) + F.lit(alpha))
+                    / F.lit(r_denom)
+                )
+            ).alias("dw"),
+        )
+
+    agg = F.aggregate(_dsir_features(toks_expr), init, step)
+    return df.select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce(agg["n"], F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(agg["st"], F.lit(0)).cast("long").alias(
+            "sum_target_freq"
+        ),
+        F.coalesce(agg["sr"], F.lit(0)).cast("long").alias("sum_raw_freq"),
+        F.coalesce(agg["ut"], F.lit(0)).cast("long").alias(
+            "n_unseen_target"
+        ),
+        F.coalesce(agg["ur"], F.lit(0)).cast("long").alias("n_unseen_raw"),
+        F.coalesce(agg["dw"], F.lit(0.0)).alias(out_col),
+    )
+
+
 def dsir_weights(
     df: DataFrame,
     target_counts: DataFrame,
@@ -803,6 +907,8 @@ def dsir_weights(
     seed: str = "dsir",
     out_col: str = "log_weight",
     tokens_col: str | None = None,
+    row_local: bool = False,
+    max_literal_cells: int = 65_536,
 ) -> DataFrame:
     """Score every document's DSIR log importance weight under fitted
     target/raw bucket models, appending ``out_col`` plus the
@@ -835,6 +941,16 @@ def dsir_weights(
     aggregation (map-side partials) → id join-back; never a Python
     UDF, never a per-feature shuffle — the audited nb_apply /
     lm_perplexity shape.
+
+    ``row_local=True`` is the STREAMING tier (the
+    ``nb_apply``/``lm_perplexity`` row_local contract): both fitted
+    models embed as plan-literal ``bucket → freq`` maps (each
+    ≤ 10,000 entries by construction) and the whole score is ONE
+    ``F.aggregate`` fold per row — zero Exchange, zero join, legal
+    over unbounded ``readStream`` frames; guarded by
+    ``max_literal_cells``.  Identical output to the join tier
+    (integer diagnostics exactly, the float to summation-order
+    precision — equality-tested).
     """
     from python_dtl_spark.operators.sampling import _BUCKETS
 
@@ -856,6 +972,21 @@ def dsir_weights(
             )
     if not alpha > 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    if row_local:
+        return _dsir_weights_row_local(
+            df,
+            target_counts,
+            raw_counts,
+            (
+                F.col(tokens_col)
+                if tokens_col is not None
+                else tokens(F.lower(F.col(text_col)))
+            ),
+            alpha,
+            seed,
+            out_col,
+            max_literal_cells,
+        )
     # Persist both ≤10k-row models: their COMPUTATION is a full-corpus
     # explode+agg each, and without the cache it runs twice — once for
     # the totals collect here, once inside the scoring plan (measured

@@ -5103,3 +5103,42 @@ def test_importance_resample_matches_duckdb_replay(spark):
     """).fetchall()
     )
     assert got == want
+
+
+def test_dsir_weights_row_local_matches_join_path(spark):
+    """The DSIR streaming tier (plan-literal bucket→freq maps + one
+    F.aggregate fold) must produce IDENTICAL integer diagnostics and
+    the same log weight to 1e-9 as the broadcast-join tier, and the
+    literal-cell guard must refuse oversized models loudly."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tc = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="ds1")
+    rc = classify.dsir_fit(docs, seed="ds1")
+    cols = (
+        "doc_id", "n_feats", "sum_target_freq", "sum_raw_freq",
+        "n_unseen_target", "n_unseen_raw", "log_weight",
+    )
+    join_tier = {
+        r.doc_id: tuple(r)
+        for r in classify.dsir_weights(docs, tc, rc, seed="ds1")
+        .select(*cols)
+        .collect()
+    }
+    row_tier = {
+        r.doc_id: tuple(r)
+        for r in classify.dsir_weights(
+            docs, tc, rc, seed="ds1", row_local=True
+        )
+        .select(*cols)
+        .collect()
+    }
+    assert set(join_tier) == set(row_tier)
+    for d, j in join_tier.items():
+        r = row_tier[d]
+        assert j[:6] == r[:6], (d, j, r)  # exact integers
+        assert abs(j[6] - r[6]) < 1e-9, (d, j[6], r[6])
+    with pytest.raises(ValueError, match="literal cells"):
+        classify.dsir_weights(
+            docs, tc, rc, seed="ds1", row_local=True, max_literal_cells=3
+        )

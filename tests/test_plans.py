@@ -1380,3 +1380,19 @@ def test_importance_resample_plans_like_top_fraction(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_weights_row_local_is_pure_map_stage(spark):
+    """The DSIR scorer's streaming tier (plan-literal bucket maps +
+    one F.aggregate fold) must plan as a pure map stage: zero
+    Exchange past the model collects, zero join, zero Python."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tc = classify.dsir_fit(docs.where("source = 'src1'"), seed="p1")
+    rc = classify.dsir_fit(docs, seed="p1")
+    out = classify.dsir_weights(docs, tc, rc, seed="p1", row_local=True)
+    plan = _exec_plan(out)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

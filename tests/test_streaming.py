@@ -878,3 +878,61 @@ def test_streaming_epoch_shard_emission_chain(spark, tmp_path):
     n_crawl = sum(1 for d, e, s in streamed if d % 3 == 1)
     n_books = sum(1 for d, e, s in streamed if d % 3 == 2)
     assert (n_wiki, n_crawl, n_books) == (40 * 3, 0, 40 * 2)
+
+
+def test_streaming_dsir_weights_matches_batch(spark, tmp_path):
+    """Online DSIR importance scoring: frozen fitted bucket models
+    apply to a document stream via dsir_weights(row_local=True) —
+    plan-literal maps + one per-row fold, no streaming aggregation,
+    no stream self-join — so readStream docs -> score -> append sink
+    equals the batch result (score arriving crawl documents against a
+    fixed target-domain model)."""
+    from python_dtl_spark.operators import classify
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the dog sat on the mat"),
+            (2, "a cat ran to the dog"),
+        ],
+        "doc_id long, text string",
+    )
+    tc = classify.dsir_fit(
+        corpus.where("doc_id < 2"), text_col="text", seed="s-d"
+    )
+    rc = classify.dsir_fit(corpus, text_col="text", seed="s-d")
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zz qq ww"), (12, ""), (13, "single")],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "dsir_docs_stream")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    q = run_stream_to_memory(
+        classify.dsir_weights(stream, tc, rc, seed="s-d", row_local=True),
+        "dsir_stream",
+        mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (
+                r.doc_id, r.n_feats, r.sum_target_freq, r.sum_raw_freq,
+                r.n_unseen_target, r.n_unseen_raw,
+                round(r.log_weight, 9),
+            )
+            for r in spark.table("dsir_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (
+            r.doc_id, r.n_feats, r.sum_target_freq, r.sum_raw_freq,
+            r.n_unseen_target, r.n_unseen_raw,
+            round(r.log_weight, 9),
+        )
+        for r in classify.dsir_weights(
+            docs, tc, rc, seed="s-d", row_local=True
+        ).collect()
+    }
+    assert streamed == batch and len(batch) == 4
