@@ -858,10 +858,22 @@ def _dsir_weights_row_local(
         F.lit(0.0).alias("dw"),
     )
 
-    def step(acc, feat):
-        b = hash_bucket(feat, seed=seed)
-        tf = F.element_at(t_map, b)
-        rf = F.element_at(r_map, b)
+    # Stage the per-feature work in two transforms so each feature's
+    # md5 bucket and the two map probes evaluate ONCE: expressions
+    # inside a fold step are not common-subexpression-eliminated, so
+    # referencing tf/rf six times in the accumulator would re-run the
+    # md5 + element_at six times per feature (measured 5× slower).
+    feats_arr = _dsir_features(toks_expr)
+    lookups = F.transform(
+        F.transform(feats_arr, lambda f: hash_bucket(f, seed=seed)),
+        lambda b: F.struct(
+            F.element_at(t_map, b).alias("tf"),
+            F.element_at(r_map, b).alias("rf"),
+        ),
+    )
+
+    def step(acc, p):
+        tf, rf = p["tf"], p["rf"]
         return F.struct(
             (acc["n"] + 1).alias("n"),
             (acc["st"] + F.coalesce(tf, F.lit(0))).alias("st"),
@@ -881,7 +893,7 @@ def _dsir_weights_row_local(
             ).alias("dw"),
         )
 
-    agg = F.aggregate(_dsir_features(toks_expr), init, step)
+    agg = F.aggregate(lookups, init, step)
     return df.select(
         *[F.col(c) for c in df.columns],
         F.coalesce(agg["n"], F.lit(0)).cast("long").alias("n_feats"),
