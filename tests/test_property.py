@@ -1263,3 +1263,119 @@ def test_epoch_upsample_multiplicity_property(spark, strata, emap):
         e = emap.get(s, 1)
         eps = sorted(got.get((i, s), []))
         assert eps == list(range(e)), (i, s, e, eps)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),      # key basis
+            st.sampled_from(["w", "x", "y"]),            # stratum
+            st.integers(min_value=0, max_value=40),      # size
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    budgets=st.dictionaries(
+        st.sampled_from(["w", "x", "y"]),
+        st.integers(min_value=0, max_value=120),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_token_budget_mix_matches_reference_on_random_inputs(
+    spark, rows, budgets
+):
+    """token_budget_mix on ARBITRARY inputs vs a literal Python
+    reference: per-stratum md5-rank order, greedy prefix while the
+    exact running total fits, absent strata dropped — including
+    zero-size rows, zero budgets, and duplicate sizes."""
+    import hashlib
+
+    from python_dtl_spark.operators import sampling
+
+    uniq = {}
+    for i, (kb, s, sz) in enumerate(rows):
+        uniq[i] = (i * 100 + kb, s, sz)  # unique keys, arbitrary gaps
+    data = [(k, s, sz) for k, s, sz in uniq.values()]
+    df = spark.createDataFrame(data, "doc_id long, src string, n long")
+    got = sorted(
+        r.doc_id
+        for r in sampling.token_budget_mix(
+            df, "src", "doc_id", "n", budgets, seed="pp"
+        ).collect()
+    )
+    want = []
+    for s, b in budgets.items():
+        members = sorted(
+            (r for r in data if r[1] == s),
+            key=lambda r: (
+                hashlib.md5(f"pp{r[0]}".encode()).hexdigest(),
+                r[0],
+            ),
+        )
+        cum = 0
+        for k, _, sz in members:
+            cum += sz
+            if cum <= b:
+                want.append(k)
+            else:
+                break
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(
+        st.floats(
+            min_value=-50.0, max_value=50.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    num=st.integers(min_value=1, max_value=9),
+)
+def test_importance_resample_matches_reference_on_random_inputs(
+    spark, weights, num
+):
+    """Gumbel-top-k importance resampling on ARBITRARY log weights vs
+    a literal Python reference: exact-u construction, identical kept
+    set for any fraction p/10 — including duplicate and extreme
+    weights (the md5-derived Gumbel noise breaks all ties
+    deterministically)."""
+    import hashlib
+    import math as m
+
+    from fractions import Fraction
+
+    from python_dtl_spark.operators import sampling
+
+    frac = Fraction(num, 10)
+    data = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(data, "doc_id long, w double")
+    got = sorted(
+        r.doc_id
+        for r in sampling.importance_resample(
+            df, "w", "doc_id", frac, seed="pp"
+        ).collect()
+    )
+
+    def prio(k, w):
+        v = int(hashlib.md5(f"pp{k}".encode()).hexdigest()[:12], 16)
+        u = (v + 0.5) / (1 << 48)
+        return w + (-m.log(-m.log(u)))
+
+    n = len(data)
+    k = (n * frac.numerator + frac.denominator - 1) // frac.denominator
+    ranked = sorted(data, key=lambda r: (-prio(r[0], r[1]), r[0]))
+    want = sorted(d for d, _ in ranked[:k])
+    assert got == want and len(got) == k
