@@ -886,6 +886,10 @@ def top_fraction(
         return _release_after(base, cached)
     p, q = frac.numerator, frac.denominator
     k = (n * p + q - 1) // q
+    if k >= n:
+        # fraction == 1 (or rounding reached n): everything survives —
+        # skip the quantile pass and the rank entirely
+        return _release_after(base, cached)
     cand = base
     if prefilter_quantile_error is not None and 0 < k < n:
         err = prefilter_quantile_error
@@ -928,10 +932,17 @@ def token_budget_mix(
     rank — and keep a row iff the cumulative ``size_col`` sum UP TO
     AND INCLUDING it is ≤ ``budgets[s]`` (the greedy prefix; the
     first over-budget row and everything after it drop, zero-size
-    rows inside the budget always fit).  Strata absent from
-    ``budgets`` are dropped (one map states the whole recipe, the
-    ``target_mix_resample`` convention); NULL-keyed / NULL-stratum /
-    NULL-size rows are excluded per the module contract.  ``size_col``
+    rows inside the budget always fit).  Sizes are assumed
+    NON-NEGATIVE (token/char counts are by construction); with
+    negative sizes the keep rule is still the deterministic,
+    SQL-identical "running total ≤ budget" test per row, but it is no
+    longer a contiguous prefix.  Strata absent from ``budgets`` are
+    dropped (one map states the whole recipe, the
+    ``target_mix_resample`` convention); unlike that mixer's WEIGHTED
+    strata, a budgeted stratum absent from the DATA is not an error —
+    a budget is a cap, not a share, so an empty stratum under-fills
+    it vacuously.  NULL-keyed / NULL-stratum / NULL-size rows are
+    excluded per the module contract.  ``size_col``
     must be integral — the running sum stays exact integer arithmetic
     on both engines, so an ANSI-SQL oracle (windowed SUM ... ROWS
     UNBOUNDED PRECEDING ≤ budget) replays membership bit-for-bit.

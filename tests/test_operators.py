@@ -5142,3 +5142,17 @@ def test_dsir_weights_row_local_matches_join_path(spark):
         classify.dsir_weights(
             docs, tc, rc, seed="ds1", row_local=True, max_literal_cells=3
         )
+
+
+def test_top_fraction_full_fraction_keeps_everything(spark):
+    """fraction=1 short-circuits: every non-NULL row survives with no
+    quantile pass and no rank (k >= n)."""
+    from fractions import Fraction
+
+    from python_dtl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "doc_id long, w double"
+    )
+    kept = sampling.top_fraction(df, "w", Fraction(1, 1), "doc_id")
+    assert kept.count() == 10
