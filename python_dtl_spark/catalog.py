@@ -2417,6 +2417,73 @@ _register(
 )
 
 
+def _q_cluster_balance(spark, sf_dir):
+    """Cluster-balanced sampling (new r14): cap every EMBEDDING
+    CLUSTER's contribution at 5 rows by md5 rank — the
+    semantic-diversity complement of the source-keyed mixers (a
+    domain cap can't see topic over-representation inside one
+    domain; SemDedup's clustering + a per-cluster quota can).
+    ``similarity.cluster_assign`` (sampled-KMeans, broadcast
+    model.transform) → ``sampling.domain_quota`` on the cluster key.
+
+    Oracle soundness (the SemDedup/ANN planted-fixture pattern): the
+    corpus is 25 exact copies of each of 8 natural embeddings —
+    k-means with k=8 provably recovers that grouping (global optimum:
+    one zero-cost center per distinct point; recovery additionally
+    asserted by a unit test), and the kept set is LABEL-INVARIANT
+    (quota-per-cluster needs the grouping, not the arbitrary cluster
+    numbers), so DuckDB replays the selection exactly from the
+    fixture arithmetic + the md5 rank.  On natural data the grouping
+    is approximate-by-design (the LSH/IVF caveat), covered by the
+    semantics tests.
+
+    Scale shape: fit at bounded-sample scale; assignment is one
+    broadcast-model map pass (zero Exchange, zero Python);
+    domain_quota's literal rank limit restores the WindowGroupLimit
+    map-side prune — a 100 TB hot cluster funnels quota ×
+    n_map_partitions rows, never its full size."""
+    base = (
+        _read(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+    )
+    planted = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(j) for j in range(25)])).alias("__j"),
+    ).select(
+        (F.lit(100000) + F.col("vec_id") * 25 + F.col("__j")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    kept = similarity.cluster_balanced_sample(
+        planted, quota=5, n_centroids=8, seed=7, sample_seed="cb1"
+    )
+    return kept.select("vec_id")
+
+
+_register(
+    "embed_cluster_balance",
+    _q_cluster_balance,
+    """
+    WITH members AS (
+        SELECT vec_id AS g, 100000 + vec_id * 25 + t.j AS vec_id
+        FROM embeddings, range(25) t(j) WHERE vec_id < 8
+    ), ranked AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   PARTITION BY g
+                   ORDER BY md5('cb1' || CAST(vec_id AS VARCHAR)), vec_id
+               ) AS r
+        FROM members
+    )
+    SELECT vec_id FROM ranked WHERE r <= 5
+    """,
+    headline=True,
+)
+
+
 def _q_tumbling(spark, sf_dir):
     return tumbling_event_stats(_read_events(spark, sf_dir), "1 hour")
 

@@ -810,3 +810,127 @@ def knn_classify(
             "votes",
         )
     )
+
+
+def cluster_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    seed: int = 13,
+    fit_sample: int = 100_000,
+    fit_fraction: float | None = None,
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Assign every embedding to its nearest sampled-KMeans centroid —
+    the reusable clustering half of SemDedup, exposed as its own verb
+    so topic-style corpus analyses (cluster-balanced sampling,
+    per-cluster profiling) can compose with the sampling module.
+
+    The model fits on a bounded deterministic sample
+    (:func:`fit_kmeans` — head-of-every-partition quota, or
+    ``fit_fraction`` for a true uniform sample at 100 TB) and assigns
+    via the JVM ``model.transform`` (ONE broadcast-model map pass:
+    centers live in one broadcast object, never a literal expression
+    that grows with k).  ``n_centroids`` defaults to
+    ``corpus_size / 100`` clusters (SemDedup's constant-cluster-size
+    rule via ``dedup._auto_centroids`` — one count job); rows with a
+    NULL id or vector are excluded per the sampling-module contract.
+
+    Cluster LABELS are arbitrary (k-means numbering): downstream
+    logic must treat them as opaque group keys — anything
+    label-invariant (quotas per cluster, per-cluster stats) is
+    deterministic; anything label-sensitive is not.
+
+    Scale shape: fit at sample scale; assignment is a row-local
+    broadcast-model map — zero Exchange, zero Python.  Extension
+    operator (SURVEY §2.5).
+    """
+    from pyspark.ml.functions import array_to_vector
+
+    from python_dtl_spark.operators.dedup import _auto_centroids
+
+    if out_col in df.columns:
+        raise ValueError(
+            f"cluster_assign emits column {out_col!r} which already "
+            "exists on the input; rename or drop it first"
+        )
+    if "__cb_fv" in df.columns:
+        raise ValueError(
+            "cluster_assign uses internal working column '__cb_fv' "
+            "which already exists on the input; rename or drop it first"
+        )
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
+    if n_centroids is None:
+        n_centroids = _auto_centroids(base.count())
+    model = fit_kmeans(
+        base.select(F.col(vec_col).cast("array<double>").alias("__cv")),
+        n_centroids=n_centroids,
+        seed=seed,
+        fit_sample=fit_sample,
+        fit_fraction=fit_fraction,
+    )
+    assigned = (
+        model.setFeaturesCol("__cb_fv")
+        .setPredictionCol(out_col)
+        .transform(
+            base.withColumn(
+                "__cb_fv",
+                array_to_vector(F.col(vec_col).cast("array<double>")),
+            )
+        )
+        .drop("__cb_fv")
+    )
+    return assigned.withColumn(out_col, F.col(out_col).cast("long"))
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    quota: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    seed: int = 13,
+    fit_sample: int = 100_000,
+    fit_fraction: float | None = None,
+    sample_seed: str = "cb",
+) -> DataFrame:
+    """CLUSTER-BALANCED sampling: cap every embedding cluster's
+    contribution at ``quota`` rows, chosen by deterministic md5-rank
+    within the cluster — the semantic-diversity complement of the
+    SOURCE-keyed mixers (a domain cap can't see that one domain
+    contributes 50 near-identical topics; clustering the embedding
+    space and capping per CLUSTER flattens topic over-representation
+    the way SemDedup flattens near-duplication).
+
+    Composition: :func:`cluster_assign` (sampled-KMeans broadcast
+    assignment) → ``sampling.domain_quota`` on the cluster key (the
+    md5(seed || id) rank rule, WindowGroupLimit map-side pruned).
+    The KEPT SET is label-invariant — quota-per-cluster only needs
+    the grouping, not the arbitrary cluster numbers — so on a
+    fixture whose true grouping k-means provably recovers, the
+    selection is exactly SQL-replayable (the catalog row's planted
+    oracle); on natural data the grouping itself is
+    approximate-by-design.
+
+    Scale shape: fit at sample scale; one broadcast-model map pass +
+    domain_quota's single WindowGroupLimit-pruned exchange on
+    cluster_id.  Extension operator (SURVEY §2.5).
+    """
+    from python_dtl_spark.operators.sampling import domain_quota
+
+    assigned = cluster_assign(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        seed=seed,
+        fit_sample=fit_sample,
+        fit_fraction=fit_fraction,
+        out_col="cluster_id",
+    )
+    return domain_quota(
+        assigned, "cluster_id", id_col, quota, seed=sample_seed
+    )

@@ -435,6 +435,12 @@ AUDITED = {
         "exchanges of any kind (the shuffle is the sink's partitioned "
         "write, not an in-plan Exchange)"
     ),
+    "embed_cluster_balance": (
+        "cluster-balanced sampling (new r14): KMeans assignment as a "
+        "broadcast-model JVM map (zero Exchange, zero Python), then "
+        "domain_quota's ONE WindowGroupLimit-pruned hash exchange on "
+        "cluster_id (asserted in tests/test_plans.py)"
+    ),
     "pipeline_dsir_emit": (
         "DSIR select -> uniform mix -> epochs -> shards under one "
         "hash: five broadcast joins (two bucket models, mix quotas, "

@@ -1396,3 +1396,30 @@ def test_dsir_weights_row_local_is_pure_map_stage(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_balanced_sample_plan_shape(spark):
+    """cluster_balanced_sample: assignment is a broadcast-model map
+    (no join for the centers), the quota is domain_quota's single
+    WindowGroupLimit-pruned hash exchange on cluster_id, and nothing
+    runs in Python (the KMeans predict is a JVM expression)."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import similarity
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = similarity.cluster_balanced_sample(
+        base, quota=5, n_centroids=4, seed=7
+    )
+    plan = _exec_plan(out)
+    import re as _re
+
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert len(hash_exchanges) == 1 and hash_exchanges[0].startswith(
+        "cluster_id"
+    ), plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
