@@ -1113,3 +1113,38 @@ def importance_resample(
         key_col,
         prefilter_quantile_error=prefilter_quantile_error,
     ).drop("__ir_priority")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    seed: str = "",
+) -> DataFrame:
+    """The fit functions' shared 100 TB sample valve (the md5 block
+    duplicated in ``nb_fit``/``lm_fit``/``bpe_fit``/``dsir_fit`` —
+    COVERAGE.md's dated r15 refactor extracts it here; call sites swap
+    in r15 so no already-verified row's function changes mid-window):
+    keep the deterministic md5-hash ``fraction`` of rows by key, with
+    the fit functions' exact contract — fraction validated to (0, 1],
+    ``cut = round(fraction·10000)`` (rounds, never truncates: IEEE
+    0.29·10000 is 2899.999…), an empty-sample refusal when the
+    fraction rounds below one bucket, and the float-key rejection.
+
+    Distinct from :func:`deterministic_sample` only in the loud
+    guards: the fit valves must REFUSE a degenerate sample (an empty
+    fit table is a silent model of nothing) where the generic sampler
+    may legitimately return zero rows.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(
+            f"sample_fraction must be in (0, 1], got {fraction}"
+        )
+    _check_key_type(df, key_col)
+    cut = int(round(fraction * _BUCKETS))
+    if cut < 1:
+        raise ValueError(
+            f"sample_fraction={fraction} rounds to an empty "
+            f"hash sample (< 1/{_BUCKETS}); raise it"
+        )
+    return df.where(hash_bucket(F.col(key_col), seed=seed) < F.lit(cut))

@@ -5156,3 +5156,35 @@ def test_top_fraction_full_fraction_keeps_everything(spark):
     )
     kept = sampling.top_fraction(df, "w", Fraction(1, 1), "doc_id")
     assert kept.count() == 10
+
+
+def test_hash_sample_matches_fit_valve_contract(spark):
+    """The extracted shared sample valve (staged for the r15
+    refactor): byte-identical membership to the block duplicated in
+    the fit functions — same md5 recipe, same rounding, same loud
+    guards on degenerate fractions and float keys."""
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        r.doc_id
+        for r in sampling.hash_sample(
+            docs, "doc_id", 0.5, seed="lm-l"
+        ).collect()
+    )
+    # the exact expression lm_fit uses today
+    want = sorted(
+        r.doc_id
+        for r in docs.where(
+            sampling.hash_bucket(F.col("doc_id"), seed="lm-l") < 5000
+        ).collect()
+    )
+    assert got == want and 0 < len(got) < docs.count()
+    with pytest.raises(ValueError, match="sample_fraction"):
+        sampling.hash_sample(docs, "doc_id", 0.0)
+    with pytest.raises(ValueError, match="empty"):
+        sampling.hash_sample(docs, "doc_id", 1e-9)
+    with pytest.raises(ValueError, match="stable key"):
+        sampling.hash_sample(
+            docs.withColumn("f", F.lit(0.5)), "f", 0.5
+        )
