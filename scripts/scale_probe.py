@@ -862,6 +862,67 @@ def top_fraction_section(spark, documents) -> list[str]:
     return lines
 
 
+def staged_r15_probe(spark, documents, factors=(1, 8, 32)):
+    """The two r15-staged sampling verbs under replication:
+    token_budget_mix (one per-stratum rank/cumsum window — budgets
+    scale with the data so the kept set grows too) and
+    importance_resample (row-local Gumbel priority + top_fraction's
+    two-phase rank).  Both should stay ~linear."""
+    rows = []
+    for n in factors:
+        docs = (
+            documents if n == 1 else replicate(documents, n, ["doc_id"])
+        ).select("doc_id", "source", "n_chars")
+        budgets = {f"src{i}": 40_000 * n for i in range(20)}
+        start = time.perf_counter()
+        kept_tb = sampling.token_budget_mix(
+            docs, "source", "doc_id", "n_chars", budgets, seed="pr"
+        ).count()
+        tb_s = time.perf_counter() - start
+        weighted = docs.select(
+            "doc_id", (F.col("n_chars") / 100.0).alias("w")
+        )
+        start = time.perf_counter()
+        kept_ir = sampling.importance_resample(
+            weighted, "w", "doc_id", 0.25, seed="pr"
+        ).count()
+        ir_s = time.perf_counter() - start
+        rows.append((n, kept_tb, tb_s, kept_ir, ir_s))
+        print(
+            f"# staged r15 {n}x: token_budget kept {kept_tb:,} in "
+            f"{tb_s:.2f}s; resample kept {kept_ir:,} in {ir_s:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_STAGED_R15_HEADER = "## staged r15 verbs under replication (token budget, importance resample)"
+
+
+def staged_r15_section(spark, documents) -> list[str]:
+    rows = staged_r15_probe(spark, documents)
+    lines = [
+        _STAGED_R15_HEADER,
+        "",
+        "sampling.token_budget_mix (per-stratum rank/cumsum window,",
+        "budgets scaled with the data) and sampling.importance_resample",
+        "(row-local Gumbel priority -> top_fraction's coarse floor +",
+        "TakeOrderedAndProject).  Both pre-validated against DuckDB at",
+        "three SFs; this probe shows the runtime staying ~linear under",
+        "1x/8x/32x replication:",
+        "",
+        "| probe | data | budget-kept | budget time | resample-kept | resample time |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, ktb, tb_s, kir, ir_s in rows:
+        lines.append(
+            f"| staged_r15 | {n}× | {ktb:,} | {tb_s:.2f}s | {kir:,} | "
+            f"{ir_s:.2f}s |"
+        )
+    lines.append("")
+    return lines
+
+
 _ROW_LOCAL_HEADER = "## row_local streaming tiers vs model size (fixed corpus)"
 
 
@@ -1236,6 +1297,15 @@ def main() -> None:
             top_fraction_section(spark, documents),
         )
         print("SCALING.md top-fraction section updated")
+        return
+    if "--staged-r15" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path, _STAGED_R15_HEADER, staged_r15_section(spark, documents)
+        )
+        print("SCALING.md staged-r15 section updated")
         return
     if "--dsir" in sys.argv:
         spark = get_spark("scale-probe")
