@@ -5613,6 +5613,119 @@ _register(
 )
 
 
+def _q_token_budget_mix(spark, sf_dir):
+    """Per-stratum TOKEN-BUDGET mixture (pre-validated while staged,
+    registered late r14): keep each source's md5-rank prefix of
+    documents while the exact-integer running n_chars total fits the
+    source's budget — an LLM recipe is ultimately a TOKEN budget per
+    component ("300B web, 30B code"), not a doc count, and document
+    lengths are heavy-tailed enough that a count quota misses a token
+    target badly.  Exact integer arithmetic end-to-end (windowed SUM
+    ROWS UNBOUNDED PRECEDING ≤ budget) — no margin argument needed;
+    replay pre-validated at sf0.001 (unit test
+    test_token_budget_mix_matches_duckdb_replay), sf0.01/0.1 (ad-hoc
+    MATCH), plus a random-inputs property test vs a literal greedy
+    reference.
+
+    Scale shape: ONE broadcast join against the |budgets|-row model +
+    one per-stratum rank/cumsum window (strata sort in parallel);
+    data-dependent budgets cannot WindowGroupLimit-prune — pre-cap a
+    100 TB hot stratum with a literal-quota domain_quota at the same
+    seed (lossless for precap ≥ budget+1 when min row size ≥ 1,
+    operator docstring).  Probed sublinear at 32× (SCALING.md)."""
+    docs = _read(spark, sf_dir, "documents")
+    kept = sampling.token_budget_mix(
+        docs, "source", "doc_id", "n_chars",
+        {"src1": 4000, "src2": 2500, "src3": 60000}, seed="tb-l",
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
+_register(
+    "doc_token_budget_mix",
+    _q_token_budget_mix,
+    """
+    WITH b(source, budget) AS (
+        VALUES ('src1', 4000), ('src2', 2500), ('src3', 60000)
+    ),
+    cum AS (
+        SELECT d.doc_id, d.source, d.n_chars, b.budget,
+               sum(d.n_chars) OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5('tb-l' || CAST(d.doc_id AS VARCHAR)),
+                            d.doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS running
+        FROM documents d JOIN b USING (source)
+        WHERE d.doc_id IS NOT NULL AND d.n_chars IS NOT NULL
+    )
+    SELECT doc_id, source, n_chars FROM cum WHERE running <= budget
+    """,
+    headline=True,
+)
+
+
+def _q_dsir_resample(spark, sf_dir):
+    """Seeded IMPORTANCE RESAMPLING (pre-validated while staged,
+    registered late r14): the actual resampling step of DSIR (Xie et
+    al. 2023 SAMPLE from the importance distribution rather than
+    taking the deterministic head — the head over-concentrates on
+    near-duplicate high-weight documents, resampling preserves
+    diversity ∝ weight).  Keep 25% of the corpus sampled ∝
+    exp(log_weight) WITHOUT replacement via deterministic Gumbel
+    top-k: priority = log_weight + (−ln(−ln(u))) with u EXACT from
+    md5(seed||doc_id) first-12-hex + 0.5 over 2^48 (both engines
+    compute u identically; only the two ln() calls drift, ~1e-16).
+
+    Hash-safety is MEASURED (the pipeline_dsir_select argument,
+    Gumbel form): rank-boundary gap 3.5e-1 / 1.9e-2 / 5.2e-3 at
+    sf0.001/0.01/0.1 — ≥ 10 orders above drift — pinned by
+    test_dsir_resample_boundary_gap_is_wide (parametrized over all
+    three scales); the oracle has DuckDB recompute the weights AND
+    the Gumbel priorities independently.  The driver row hashes only
+    the kept docs' integer diagnostics.  Weightedness, a literal
+    brute-force reference (priorities to 1e-12) and a random-inputs
+    property test back the operator itself.
+
+    Scale shape: scoring as doc_dsir_weights; the priority is one
+    row-local expression; selection reuses top_fraction's coarse
+    floor + TakeOrderedAndProject (no SinglePartition exchange);
+    probed sublinear at 32× (SCALING.md staged-r15 section)."""
+    docs = _read(spark, sf_dir, "documents")
+    tc = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="ds1")
+    rc = classify.dsir_fit(docs, seed="ds1")
+    scored = classify.dsir_weights(docs, tc, rc, seed="ds1").select(
+        "doc_id", "n_feats", "sum_target_freq", "sum_raw_freq",
+        "log_weight",
+    )
+    kept = sampling.importance_resample(
+        scored, "log_weight", "doc_id", Fraction(1, 4), seed="ir-l"
+    )
+    return kept.select(
+        "doc_id", "n_feats", "sum_target_freq", "sum_raw_freq"
+    )
+
+
+_DSIR_GUMBEL = sampling.gumbel_priority_sql("lw", "doc_id", seed="ir-l")
+
+_register(
+    "pipeline_dsir_resample",
+    _q_dsir_resample,
+    _dsir_oracle_sql(
+        f"""
+    SELECT doc_id, n_feats, sum_target_freq, sum_raw_freq FROM (
+        SELECT doc_id, n_feats, sum_target_freq, sum_raw_freq,
+               row_number() OVER (
+                   ORDER BY {_DSIR_GUMBEL} DESC, doc_id
+               ) AS r
+        FROM diag WHERE doc_id IS NOT NULL
+    ) WHERE r <= ({_DSIR_K})
+    """
+    ),
+    headline=True,
+)
+
+
 def _q_stream_shard_emit(spark, sf_dir):
     """Batch twin of the STREAMING training-shard emission leg
     (registered r14, verdict item 6): epoch replication → composite

@@ -441,6 +441,18 @@ AUDITED = {
         "domain_quota's ONE WindowGroupLimit-pruned hash exchange on "
         "cluster_id (asserted in tests/test_plans.py)"
     ),
+    "doc_token_budget_mix": (
+        "token-budget mixture (registered late r14): one broadcast "
+        "|budgets|-row model join + ONE per-stratum rank/cumsum window "
+        "exchange on source, zero Python (asserted in tests/test_plans.py)"
+    ),
+    "pipeline_dsir_resample": (
+        "Gumbel-top-k importance resampling (registered late r14): "
+        "row-local md5-exact priority over the broadcast-join DSIR "
+        "scoring, then top_fraction's pushed coarse floor + "
+        "TakeOrderedAndProject — no SinglePartition exchange, no "
+        "global range sort"
+    ),
     "pipeline_dsir_emit": (
         "DSIR select -> uniform mix -> epochs -> shards under one "
         "hash: five broadcast joins (two bucket models, mix quotas, "

@@ -5188,3 +5188,37 @@ def test_hash_sample_matches_fit_valve_contract(spark):
         sampling.hash_sample(
             docs.withColumn("f", F.lit(0.5)), "f", 0.5
         )
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_dsir_resample_boundary_gap_is_wide(spark, sf):
+    """pipeline_dsir_resample hashes a rank-boundary decision on the
+    float Gumbel priority (log_weight + md5-derived noise): assert the
+    gap between last-kept and first-dropped clears cross-engine
+    libm/ln drift (~1e-13) by many orders at every scale the driver
+    or the sweep hashes (measured 3.5e-1 / 1.9e-2 / 5.2e-3 at
+    sf0.001/0.01/0.1)."""
+    from python_dtl_spark.operators import classify, sampling
+
+    docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+    tc = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="ds1")
+    rc = classify.dsir_fit(docs, seed="ds1")
+    scored = classify.dsir_weights(docs, tc, rc, seed="ds1").select(
+        "doc_id", "log_weight"
+    )
+    pri = sorted(
+        (
+            r.p
+            for r in scored.select(
+                sampling.gumbel_priority(
+                    F.col("log_weight"), F.col("doc_id"), "ir-l"
+                ).alias("p")
+            ).collect()
+        ),
+        reverse=True,
+    )
+    n = len(pri)
+    k = -(-n // 4)
+    assert 0 < k < n
+    gap = pri[k - 1] - pri[k]
+    assert gap > 1e-6, (sf, gap)
