@@ -5726,6 +5726,207 @@ _register(
 )
 
 
+def _q_importance_resample(spark, sf_dir):
+    """Standalone DOC-LEVEL importance resample (registered r15, the
+    COVERAGE.md registration plan's named row): sample 25% of the
+    corpus WITHOUT replacement with probability ∝ exp(weight) where
+    the weight is a plain row-local doc feature — here
+    ``n_chars / 1000.0`` in log domain, ONE exactly-rounded IEEE
+    division both engines compute bit-identically — so the row
+    isolates ``sampling.importance_resample`` itself (the Gumbel
+    machinery) from the DSIR scoring chain ``pipeline_dsir_resample``
+    composes in front of it.
+
+    Determinism/hash-safety: the Gumbel priority's u is EXACT from
+    md5(seed||doc_id) (first-12-hex + 0.5 over 2^48); the only
+    cross-engine drift is the priority's two ln() calls (~1e-16
+    relative), and the rank-boundary gap is MEASURED and pinned at
+    all three driver scales by
+    tests/test_operators.py::test_importance_resample_doc_boundary_gap
+    (the pipeline_dsir_select margin pattern).  The driver row hashes
+    only exact integers (doc_id, source, n_chars).
+
+    Scale shape: priority is one row-local expression; selection =
+    top_fraction's approxQuantile coarse floor (pushed Filter) +
+    literal-k TakeOrderedAndProject — no SinglePartition exchange, no
+    global sort (plan shape shared with the audited dsir rows)."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.col("n_chars").cast("double") / F.lit(1000.0)).alias(
+                "__lw"
+            ),
+        )
+        .filter(F.col("n_chars").isNotNull())
+    )
+    kept = sampling.importance_resample(
+        docs, "__lw", "doc_id", Fraction(1, 4), seed="ir-doc"
+    )
+    return kept.select("doc_id", "source", "n_chars")
+
+
+_DOC_GUMBEL = sampling.gumbel_priority_sql(
+    "(CAST(n_chars AS DOUBLE) / 1000.0)", "doc_id", seed="ir-doc"
+)
+
+_register(
+    "doc_importance_resample",
+    _q_importance_resample,
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    )
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   ORDER BY {_DOC_GUMBEL} DESC, doc_id
+               ) AS r
+        FROM base
+    ) WHERE r <= ({sampling.top_fraction_quota_sql(
+        "SELECT count(*) FROM base", Fraction(1, 4)
+    )})
+    """,
+    headline=True,
+)
+
+
+def _q_quality_budget(spark, sf_dir):
+    """Quality-ORDERED token-budget mixture (registered r15, verdict
+    item 5): real LLM recipes fill each component's TOKEN budget with
+    the BEST documents first — this composes
+    ``text.quality_features``' score ordering with
+    ``token_budget_mix``'s exact-integer running-sum valve
+    (``order_col="quality_score"``): within each source, rank by
+    (quality_score DESC, doc_id ASC) and keep the prefix whose
+    cumulative n_chars fits the source's budget.  The budget-valve
+    analogue of ``pipeline_quality_floor`` (which caps by row COUNT
+    fraction; a token budget is what the recipe actually specifies).
+
+    NO measured-margin argument needed (the pipeline_quality_floor
+    precedent): quality_score is exact arithmetic over counts (integer
+    divisions and exactly-rounded IEEE ops, bit-identical across
+    engines), the doc_id tie-break makes the order total, and the
+    running sum is exact integer arithmetic — the windowed-SUM oracle
+    replays membership bit-for-bit.
+
+    Scale shape: quality_features fuses into the scan-side map stage;
+    then ONE broadcast model join + one stratum window exchange, zero
+    Python (plan-asserted in
+    test_token_budget_mix_quality_ordered_keeps_one_exchange); the
+    domain_quota pre-cap recipe for 100 TB hot strata applies
+    unchanged (a budget consumes at most ``budget`` rows of size
+    ≥ 1)."""
+    docs = _read(spark, sf_dir, "documents")
+    scored = text.quality_features(docs)
+    kept = sampling.token_budget_mix(
+        scored, "source", "doc_id", "n_chars",
+        {"src1": 4000, "src2": 2500, "src3": 60000},
+        order_col="quality_score",
+    )
+    return kept.select(
+        "doc_id", "source", "n_chars", "n_words", "n_stopwords"
+    )
+
+
+_register(
+    "pipeline_quality_budget",
+    _q_quality_budget,
+    f"""
+    WITH {_quality_sql_ctes()},
+    q0 AS (
+        -- the budget sizes come from the DOCUMENTS table's n_chars
+        -- column (what the Spark side sums), not the CTE's computed
+        -- length(text) — join back by doc_id and qualify
+        SELECT r.doc_id, d.source, d.n_chars, r.n_words, r.n_stopwords,
+               {_QUALITY_SCORE_EXPR} AS s
+        FROM ratios r JOIN documents d USING (doc_id)
+        WHERE d.source IS NOT NULL AND r.doc_id IS NOT NULL
+              AND d.n_chars IS NOT NULL
+    ), q AS (SELECT * FROM q0 WHERE s IS NOT NULL),
+    b(source, budget) AS (
+        VALUES ('src1', 4000), ('src2', 2500), ('src3', 60000)
+    ),
+    cum AS (
+        SELECT q.doc_id, q.source, q.n_chars, q.n_words, q.n_stopwords,
+               b.budget,
+               sum(q.n_chars) OVER (
+                   PARTITION BY q.source
+                   ORDER BY q.s DESC, q.doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS running
+        FROM q JOIN b USING (source)
+    )
+    SELECT doc_id, source, n_chars, n_words, n_stopwords
+    FROM cum WHERE running <= budget
+    """,
+    headline=True,
+)
+
+
+def _q_floor_select(spark, sf_dir):
+    """FLOOR-ONLY selection (registered r15, verdict item 6): the
+    documented 100 TB escape hatch of ``sampling.top_fraction`` — when
+    the exact top-k's k-row take merge exceeds one machine's output
+    budget, keep EVERYTHING ≥ the approxQuantile coarse floor instead:
+    approximate count, no window, no TakeOrderedAndProject, no
+    exchange at all (plan-asserted in
+    test_top_fraction_floor_only_plan_is_filter_only).  This row
+    makes the mode the scale design argument leans on execute in
+    every driver window.
+
+    Full value oracle DESPITE the approximate quantile, via a planted
+    score plateau: score(doc) = 1000 + p for the top quintile
+    (p = doc_id % 100 ≥ 80), the CONSTANT 500.0 for the next
+    (60 ≤ p < 80), else p.  With fraction 1/4 and err 0.01 the floor
+    quantile targets rank 0.73·n, and Greenwald–Khanna GUARANTEES the
+    returned value's rank lies in [0.72·n, 0.74·n] — every rank in
+    that band holds the plateau value 500.0 (the plateau spans
+    (0.60·n, 0.80·n]; doc_id is contiguous 0..n−1 at every driver
+    scale, so the band sits strictly inside), hence the floor is
+    500.0 and the kept set is EXACTLY {{p ≥ 60}} whatever partition
+    layout or GK merge order produced the sketch.  The oracle states
+    that set independently."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .withColumn("__p", F.col("doc_id") % 100)
+        .withColumn(
+            "score",
+            F.when(
+                F.col("__p") >= 80, (F.col("__p") + 1000).cast("double")
+            )
+            .when(F.col("__p") >= 60, F.lit(500.0))
+            .otherwise(F.col("__p").cast("double")),
+        )
+        .select("doc_id", "source", "score")
+    )
+    kept = sampling.top_fraction(
+        docs, "score", Fraction(1, 4), "doc_id", floor_only=True
+    )
+    return kept.select("doc_id", "source", "score")
+
+
+_register(
+    "pipeline_floor_select",
+    _q_floor_select,
+    """
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 100 >= 80
+                    THEN CAST(doc_id % 100 + 1000 AS DOUBLE)
+                WHEN doc_id % 100 >= 60 THEN 500.0
+                ELSE CAST(doc_id % 100 AS DOUBLE)
+           END AS score
+    FROM documents
+    WHERE doc_id IS NOT NULL AND doc_id % 100 >= 60
+    """,
+    headline=True,
+)
+
+
 def _q_stream_shard_emit(spark, sf_dir):
     """Batch twin of the STREAMING training-shard emission leg
     (registered r14, verdict item 6): epoch replication → composite
@@ -7761,6 +7962,29 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # were re-checked locally at sf0.001 after the edit (green), and
     # the LM/epoch rows are NEW this round so their r13 evidence
     # covers the final code.
+    # round-15 changes: (1) the dated sample-valve refactor — nb_fit /
+    # lm_fit / bpe_fit / dsir_fit now delegate their sample_fraction
+    # block to sampling.hash_sample (pure factoring, pinned by the
+    # byte-identity contract test AND test_fit_sample_valve_refactor_
+    # is_pure, but per the r11 dedup_exact precedent every row whose
+    # function changed re-verifies); (2) top_fraction gained the
+    # advisor-r14 fixes (prefilter_quantile_error validation,
+    # exception-safe persist, quoting-safe quantile via the aliased
+    # projection) plus the floor_only mode — the dsir selection rows
+    # re-verify for both reasons; (3) token_budget_mix gained the
+    # size_col existence check and the quality-ordered order_col mode
+    # (default None = the identical md5 plan, but the function
+    # changed).
+    "doc_nb_classify": 15,
+    "pipeline_nb_curate": 15,
+    "doc_lm_score": 15,
+    "pipeline_lm_curate": 15,
+    "pipeline_bpe_tokenize": 15,
+    "doc_dsir_weights": 15,
+    "pipeline_dsir_select": 15,
+    "pipeline_dsir_resample": 15,
+    "pipeline_dsir_emit": 15,
+    "doc_token_budget_mix": 15,
     # round-12 NOT-forced notes: domain_quota's column references
     # switched from F.col(name) to quoted df[`name`] refs (dotted-name
     # safety, matching target_mix_resample) — analysis-identical for

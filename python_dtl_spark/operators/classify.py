@@ -87,25 +87,10 @@ def nb_fit(
     """
     labeled = df.where(F.col(label_col).isNotNull())
     if sample_fraction is not None:
-        from python_dtl_spark.operators.sampling import (
-            _BUCKETS,
-            _check_key_type,
-            hash_bucket,
-        )
+        from python_dtl_spark.operators.sampling import hash_sample
 
-        if not 0.0 < sample_fraction <= 1.0:
-            raise ValueError(
-                f"sample_fraction must be in (0, 1], got {sample_fraction}"
-            )
-        _check_key_type(df, id_col)
-        cut = int(round(sample_fraction * _BUCKETS))
-        if cut < 1:
-            raise ValueError(
-                f"sample_fraction={sample_fraction} rounds to an empty "
-                f"hash sample (< 1/{_BUCKETS}); raise it"
-            )
-        labeled = labeled.where(
-            hash_bucket(F.col(id_col), seed=sample_seed) < F.lit(cut)
+        labeled = hash_sample(
+            labeled, id_col, sample_fraction, seed=sample_seed
         )
     toks = labeled.select(
         F.col(label_col).alias("label"),
@@ -410,25 +395,10 @@ def lm_fit(
     """
     corpus = df
     if sample_fraction is not None:
-        from python_dtl_spark.operators.sampling import (
-            _BUCKETS,
-            _check_key_type,
-            hash_bucket,
-        )
+        from python_dtl_spark.operators.sampling import hash_sample
 
-        if not 0.0 < sample_fraction <= 1.0:
-            raise ValueError(
-                f"sample_fraction must be in (0, 1], got {sample_fraction}"
-            )
-        _check_key_type(df, id_col)
-        cut = int(round(sample_fraction * _BUCKETS))
-        if cut < 1:
-            raise ValueError(
-                f"sample_fraction={sample_fraction} rounds to an empty "
-                f"hash sample (< 1/{_BUCKETS}); raise it"
-            )
-        corpus = corpus.where(
-            hash_bucket(F.col(id_col), seed=sample_seed) < F.lit(cut)
+        corpus = hash_sample(
+            corpus, id_col, sample_fraction, seed=sample_seed
         )
     toks = corpus.select(
         (
@@ -758,27 +728,12 @@ def dsir_fit(
     Python, zero joins.  Extension operator (the reference has no
     classifier/sampling surface; SURVEY §2.5).
     """
-    from python_dtl_spark.operators.sampling import (
-        _BUCKETS,
-        _check_key_type,
-        hash_bucket,
-    )
+    from python_dtl_spark.operators.sampling import hash_bucket, hash_sample
 
     corpus = df
     if sample_fraction is not None:
-        if not 0.0 < sample_fraction <= 1.0:
-            raise ValueError(
-                f"sample_fraction must be in (0, 1], got {sample_fraction}"
-            )
-        _check_key_type(df, id_col)
-        cut = int(round(sample_fraction * _BUCKETS))
-        if cut < 1:
-            raise ValueError(
-                f"sample_fraction={sample_fraction} rounds to an empty "
-                f"hash sample (< 1/{_BUCKETS}); raise it"
-            )
-        corpus = corpus.where(
-            hash_bucket(F.col(id_col), seed=sample_seed) < F.lit(cut)
+        corpus = hash_sample(
+            corpus, id_col, sample_fraction, seed=sample_seed
         )
     toks_expr = (
         F.col(tokens_col)

@@ -814,6 +814,7 @@ def top_fraction(
     fraction: float | Fraction,
     tie_col: str,
     prefilter_quantile_error: float | None = 0.01,
+    floor_only: bool = False,
 ) -> DataFrame:
     """GLOBAL top-fraction selection — keep the top
     ``ceil(fraction·n)`` rows of the WHOLE input by ``(score DESC,
@@ -851,15 +852,28 @@ def top_fraction(
     under the quantile guarantee, but guarded, not assumed).  The
     remaining 100 TB bound is the take's merge holding ``k`` rows:
     fine for any selection that fits one machine's output budget
-    (ranked-id columns are small); for a ``k`` beyond that, keep
-    everything ≥ the coarse floor instead — accept approximate
-    count, skip phase 2.  ``prefilter_quantile_error=None`` disables
-    phase 1 (test-scale / exact-plan mode).  Extension operator
+    (ranked-id columns are small); for a ``k`` beyond that, pass
+    ``floor_only=True`` to keep everything ≥ the coarse floor instead
+    — accept approximate count, skip phase 2 entirely (no window, no
+    TakeOrderedAndProject, no k-row merge: the plan is one quantile
+    pass + one pushed filter).  ``prefilter_quantile_error=None``
+    disables phase 1 (test-scale / exact-plan mode; incompatible with
+    ``floor_only``, whose floor IS the quantile).  Extension operator
     (SURVEY §2.5).
     """
     frac = _snap_fraction(fraction)
     if not 0 < frac <= 1:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if prefilter_quantile_error is not None and not (
+        0.0 < prefilter_quantile_error < 0.5
+    ):
+        # advisor r14: a negative error yields prob > 1 (opaque JVM
+        # error from approxQuantile); a large one silently disables
+        # the prefilter via prob <= 0 — both are caller mistakes.
+        raise ValueError(
+            f"prefilter_quantile_error must be in (0, 0.5) or None to "
+            f"disable the prefilter, got {prefilter_quantile_error}"
+        )
     if "__tf_rank" in df.columns:
         raise ValueError(
             "top_fraction uses internal working column '__tf_rank' "
@@ -880,35 +894,78 @@ def top_fraction(
     cached = df.filter(
         _ref(df, score_col).isNotNull() & _ref(df, tie_col).isNotNull()
     ).persist()
-    base = cached
-    n = base.count()
-    if n == 0:
-        return _release_after(base, cached)
-    p, q = frac.numerator, frac.denominator
-    k = (n * p + q - 1) // q
-    if k >= n:
-        # fraction == 1 (or rounding reached n): everything survives —
-        # skip the quantile pass and the rank entirely
-        return _release_after(base, cached)
-    cand = base
-    if prefilter_quantile_error is not None and 0 < k < n:
-        err = prefilter_quantile_error
-        prob = max(0.0, 1.0 - float(frac) - 2.0 * err)
-        if prob > 0.0:
-            t = base.approxQuantile(score_col, [prob], err)[0]
-            sliced = base.filter(_ref(base, score_col) >= F.lit(t))
-            # quantile guarantee ⇒ |sliced| ≥ k; guarded, not assumed
-            if sliced.count() >= k:
-                cand = sliced
-    w = Window.orderBy(
-        _ref(cand, score_col).desc(), _ref(cand, tie_col).asc()
-    )
-    return _release_after(
-        cand.withColumn("__tf_rank", F.row_number().over(w))
-        .filter(F.col("__tf_rank") <= F.lit(k))
-        .drop("__tf_rank"),
-        cached,
-    )
+    try:
+        base = cached
+        if floor_only:
+            # The documented 100 TB escape hatch (see above): keep
+            # everything ≥ the coarse quantile floor, accept the
+            # approximate count, and SKIP the exact rank entirely —
+            # no window, no TakeOrderedAndProject, no k-row merge.
+            if prefilter_quantile_error is None:
+                raise ValueError(
+                    "floor_only=True needs a prefilter_quantile_error "
+                    "(the floor IS the quantile); got None"
+                )
+            err = prefilter_quantile_error
+            prob = max(0.0, 1.0 - float(frac) - 2.0 * err)
+            if prob <= 0.0:
+                return _release_after(base, cached)
+            t = _quantile_floor(base, score_col, prob, err)
+            if t is None:  # empty input — nothing to floor
+                return _release_after(base, cached)
+            return _release_after(
+                base.filter(_ref(base, score_col) >= F.lit(t)), cached
+            )
+        n = base.count()
+        if n == 0:
+            return _release_after(base, cached)
+        p, q = frac.numerator, frac.denominator
+        k = (n * p + q - 1) // q
+        if k >= n:
+            # fraction == 1 (or rounding reached n): everything
+            # survives — skip the quantile pass and the rank entirely
+            return _release_after(base, cached)
+        cand = base
+        if prefilter_quantile_error is not None and 0 < k < n:
+            err = prefilter_quantile_error
+            prob = max(0.0, 1.0 - float(frac) - 2.0 * err)
+            if prob > 0.0:
+                t = _quantile_floor(base, score_col, prob, err)
+                sliced = base.filter(_ref(base, score_col) >= F.lit(t))
+                # quantile guarantee ⇒ |sliced| ≥ k; guarded, not
+                # assumed
+                if sliced.count() >= k:
+                    cand = sliced
+        w = Window.orderBy(
+            _ref(cand, score_col).desc(), _ref(cand, tie_col).asc()
+        )
+        return _release_after(
+            cand.withColumn("__tf_rank", F.row_number().over(w))
+            .filter(F.col("__tf_rank") <= F.lit(k))
+            .drop("__tf_rank"),
+            cached,
+        )
+    except BaseException:
+        # advisor r14: without this, an eager pass throwing (analysis
+        # error, job cancellation) leaked the persist until session end
+        # — _release_after only registers caches on return paths.
+        cached.unpersist()
+        raise
+
+
+def _quantile_floor(
+    base: DataFrame, score_col: str, prob: float, err: float
+) -> float | None:
+    """One Greenwald–Khanna pass for the coarse floor, quoting-safe
+    (advisor r14: ``approxQuantile`` takes a raw column NAME — a score
+    column with dots/spaces works in the filters via ``_ref`` but
+    breaks here, so the score is aliased to an internal plain name
+    first).  Returns None on an empty input (approxQuantile yields an
+    empty list)."""
+    vals = base.select(
+        _ref(base, score_col).alias("__tf_score")
+    ).approxQuantile("__tf_score", [prob], err)
+    return vals[0] if vals else None
 
 
 def token_budget_mix(
@@ -918,6 +975,7 @@ def token_budget_mix(
     size_col: str,
     budgets: dict,
     seed: str = "budget",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Per-stratum TOKEN-BUDGET sampling (staged r14, the r15
     registration candidate): keep each stratum's md5-rank prefix of
@@ -929,7 +987,12 @@ def token_budget_mix(
 
     Semantics (exact, replayable): within stratum ``s``, order rows
     by (md5(seed || key), key) — the module's shared deterministic
-    rank — and keep a row iff the cumulative ``size_col`` sum UP TO
+    rank — or, with ``order_col``, by (order DESC, key ASC): the
+    quality-ordered mode fills each budget with the BEST rows first
+    (score a corpus with ``text.quality_features`` or
+    ``classify.dsir_weights``, then budget the head — registered as
+    ``pipeline_quality_budget``) — and keep a row iff the cumulative
+    ``size_col`` sum UP TO
     AND INCLUDING it is ≤ ``budgets[s]`` (the greedy prefix; the
     first over-budget row and everything after it drop, zero-size
     rows inside the budget always fit).  Sizes are assumed
@@ -964,6 +1027,12 @@ def token_budget_mix(
                 "rename or drop it first"
             )
     _check_key_type(df, key_col)
+    if size_col not in df.columns:
+        # advisor r14: dict(df.dtypes)[size_col] raised a bare KeyError
+        # here while strata_col got the friendly message
+        raise ValueError(
+            f"size column {size_col!r} not found (columns: {df.columns})"
+        )
     size_kind = dict(df.dtypes)[size_col]
     if size_kind not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
@@ -1002,14 +1071,36 @@ def token_budget_mix(
         & _ref(df, strata_col).isNotNull()
         & _ref(df, size_col).isNotNull()
     )
-    h = F.md5(
-        F.concat(
-            F.lit(seed), _ref(base, key_col).cast("string")
-        ).cast("binary")
-    )
+    if order_col is not None:
+        # quality-ordered mode (r15): fill each stratum's budget with
+        # the BEST documents first — the real recipe ranks by a
+        # quality/importance score, not the unbiased md5 shuffle.  A
+        # NULL score cannot rank (module contract), and the key
+        # tie-break keeps the order total so the windowed-sum oracle
+        # replays membership exactly; when the score is float the
+        # registered row needs the measured budget-boundary-gap
+        # argument (the pipeline_dsir_select pattern) unless the score
+        # is exact arithmetic over counts (quality_features' ratios).
+        if order_col not in df.columns:
+            raise ValueError(
+                f"order column {order_col!r} not found (columns: "
+                f"{df.columns})"
+            )
+        base = base.filter(_ref(df, order_col).isNotNull())
+        order = [
+            _ref(base, order_col).desc(),
+            _ref(base, key_col).asc(),
+        ]
+    else:
+        h = F.md5(
+            F.concat(
+                F.lit(seed), _ref(base, key_col).cast("string")
+            ).cast("binary")
+        )
+        order = [h.asc(), _ref(base, key_col).asc()]
     w = (
         Window.partitionBy(_ref(base, strata_col))
-        .orderBy(h.asc(), _ref(base, key_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

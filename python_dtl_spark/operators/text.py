@@ -1429,26 +1429,9 @@ def bpe_fit(
     from python_dtl_spark.operators.dedup import _release_after
 
     if sample_fraction is not None:
-        from python_dtl_spark.operators.sampling import (
-            _BUCKETS,
-            _check_key_type,
-            hash_bucket,
-        )
+        from python_dtl_spark.operators.sampling import hash_sample
 
-        if not 0.0 < sample_fraction <= 1.0:
-            raise ValueError(
-                f"sample_fraction must be in (0, 1], got {sample_fraction}"
-            )
-        _check_key_type(df, id_col)
-        cut = int(round(sample_fraction * _BUCKETS))
-        if cut < 1:
-            raise ValueError(
-                f"sample_fraction={sample_fraction} rounds to an empty "
-                f"hash sample (< 1/{_BUCKETS}); raise it"
-            )
-        fit_df = df.where(
-            hash_bucket(F.col(id_col), seed=sample_seed) < F.lit(cut)
-        )
+        fit_df = hash_sample(df, id_col, sample_fraction, seed=sample_seed)
         _, merges, last_cache = _bpe_fit_loop(
             fit_df, n_merges, text_col, id_col, min_count, sep,
             checkpoint_every,

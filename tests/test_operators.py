@@ -5190,6 +5190,156 @@ def test_hash_sample_matches_fit_valve_contract(spark):
         )
 
 
+def test_top_fraction_floor_only_plateau_is_exact(spark):
+    """floor_only=True (the documented 100 TB escape hatch, registered
+    as pipeline_floor_select): keep everything >= the coarse quantile
+    floor, approximate COUNT but — on a score with a plateau wide
+    enough to swallow the Greenwald-Khanna rank guarantee (err 0.01 →
+    rank band 0.72n–0.74n, plateau spans 0.60n–0.80n) — an exactly
+    deterministic kept SET: the floor must be the plateau value."""
+    from fractions import Fraction
+
+    from python_dtl_spark.operators import sampling
+
+    rows = [
+        (
+            i,
+            float(1000 + (i % 100))
+            if i % 100 >= 80
+            else (500.0 if i % 100 >= 60 else float(i % 100)),
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    kept = sampling.top_fraction(
+        df, "score", Fraction(1, 4), "doc_id", floor_only=True
+    )
+    got = sorted(r.doc_id for r in kept.collect())
+    assert got == sorted(i for i in range(500) if i % 100 >= 60)
+    with pytest.raises(ValueError, match="floor_only"):
+        sampling.top_fraction(
+            df, "score", 0.25, "doc_id",
+            prefilter_quantile_error=None, floor_only=True,
+        )
+    # fraction ~1 drives the floor prob to 0: everything survives
+    assert (
+        sampling.top_fraction(
+            df, "score", Fraction(99, 100), "doc_id", floor_only=True
+        ).count()
+        == 500
+    )
+
+
+def test_top_fraction_validates_prefilter_error(spark):
+    """advisor r14: a negative prefilter_quantile_error used to reach
+    approxQuantile as prob > 1 (opaque JVM error); a large one
+    silently disabled the prefilter.  Both now raise at entry."""
+    from python_dtl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0)], "doc_id long, score double"
+    )
+    for bad in (-0.01, 0.0, 0.5, 3.0):
+        with pytest.raises(ValueError, match="prefilter_quantile_error"):
+            sampling.top_fraction(
+                df, "score", 0.5, "doc_id", prefilter_quantile_error=bad
+            )
+
+
+def test_top_fraction_unpersists_on_error(spark):
+    """advisor r14: an eager pass throwing inside top_fraction (here:
+    approxQuantile on a string score) used to leak the persist until
+    session end — the except path must unpersist before re-raising."""
+    from python_dtl_spark.operators import dedup, sampling
+
+    dedup.release_all_cached(spark)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    df = spark.createDataFrame(
+        [(0, "high"), (1, "low")], "doc_id long, score string"
+    )
+    with pytest.raises(Exception):
+        sampling.top_fraction(df, "score", 0.5, "doc_id")
+    assert cm.isEmpty(), "top_fraction leaked its persist on the error path"
+
+
+def test_token_budget_mix_quality_ordered(spark):
+    """order_col fills each stratum's budget BEST-first: membership is
+    the greedy (order DESC, key ASC) prefix under the exact integer
+    running sum — pinned against a literal reference; NULL scores are
+    excluded; a missing order or size column raises the module's loud
+    ValueError (advisor r14 for size_col)."""
+    from python_dtl_spark.operators import sampling
+
+    rows = [
+        # (doc_id, stratum, n_tok, q)
+        (1, "a", 40, 9.0),
+        (2, "a", 40, 8.0),
+        (3, "a", 40, 7.0),   # budget 100: q=9 (40) + q=8 (40) fit, q=7 over
+        (4, "a", 10, None),  # NULL score: excluded even though it fits
+        (5, "b", 60, 1.0),
+        (6, "b", 50, 2.0),   # kept first (higher q); then 5 is over budget
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, stratum string, n_tok int, q double"
+    )
+    kept = sampling.token_budget_mix(
+        df, "stratum", "doc_id", "n_tok",
+        {"a": 100, "b": 60}, order_col="q",
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 6]
+    with pytest.raises(ValueError, match="order column"):
+        sampling.token_budget_mix(
+            df, "stratum", "doc_id", "n_tok", {"a": 1}, order_col="nope"
+        )
+    with pytest.raises(ValueError, match="size column"):
+        sampling.token_budget_mix(
+            df, "stratum", "doc_id", "nope", {"a": 1}
+        )
+
+
+def test_fit_sample_valve_refactor_is_pure(spark):
+    """The r15 sample-valve refactor (COVERAGE.md dated commitment):
+    nb_fit / lm_fit / bpe_fit / dsir_fit now delegate their
+    ``sample_fraction`` valve to ``sampling.hash_sample``.  Pure
+    refactor = each fit over the valve is output-identical to the same
+    fit over an input pre-filtered with the ORIGINAL inline expression
+    (``hash_bucket(id) < round(fraction·10000)``)."""
+    from python_dtl_spark.operators import classify, sampling, text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frac, seed = 0.5, "valve-r15"
+    pre = docs.where(
+        sampling.hash_bucket(F.col("doc_id"), seed=seed)
+        < round(frac * 10_000)
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    got_tc, got_cs = classify.nb_fit(
+        docs, "lang", sample_fraction=frac, sample_seed=seed
+    )
+    want_tc, want_cs = classify.nb_fit(pre, "lang")
+    assert rows(got_tc) == rows(want_tc) and rows(got_cs) == rows(want_cs)
+
+    got_bi, got_uni = classify.lm_fit(
+        docs, sample_fraction=frac, sample_seed=seed, max_vocab=200
+    )
+    want_bi, want_uni = classify.lm_fit(pre, max_vocab=200)
+    assert rows(got_bi) == rows(want_bi) and rows(got_uni) == rows(want_uni)
+
+    got_ds = classify.dsir_fit(docs, sample_fraction=frac, sample_seed=seed)
+    want_ds = classify.dsir_fit(pre)
+    assert rows(got_ds) == rows(want_ds)
+
+    _, got_merges = text.bpe_fit(
+        docs, 2, min_count=1, sample_fraction=frac, sample_seed=seed
+    )
+    _, want_merges = text.bpe_fit(pre, 2, min_count=1)
+    assert got_merges == want_merges and len(got_merges) == 2
+
+
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
 def test_dsir_resample_boundary_gap_is_wide(spark, sf):
     """pipeline_dsir_resample hashes a rank-boundary decision on the
@@ -5214,6 +5364,39 @@ def test_dsir_resample_boundary_gap_is_wide(spark, sf):
                     F.col("log_weight"), F.col("doc_id"), "ir-l"
                 ).alias("p")
             ).collect()
+        ),
+        reverse=True,
+    )
+    n = len(pri)
+    k = -(-n // 4)
+    assert 0 < k < n
+    gap = pri[k - 1] - pri[k]
+    assert gap > 1e-6, (sf, gap)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_importance_resample_doc_boundary_gap(spark, sf):
+    """doc_importance_resample (registered r15) hashes a rank-boundary
+    decision on the float Gumbel priority over the plain doc-level
+    weight n_chars/1000.0 (one exact IEEE division; only the
+    priority's two ln() calls drift, ~1e-16): assert the last-kept /
+    first-dropped gap clears that drift by many orders at every scale
+    the driver or the sweep hashes."""
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+    pri = sorted(
+        (
+            r.p
+            for r in docs.filter(F.col("n_chars").isNotNull())
+            .select(
+                sampling.gumbel_priority(
+                    F.col("n_chars").cast("double") / F.lit(1000.0),
+                    F.col("doc_id"),
+                    "ir-doc",
+                ).alias("p")
+            )
+            .collect()
         ),
         reverse=True,
     )

@@ -1338,6 +1338,60 @@ def test_top_fraction_plans_prefiltered_take_ordered(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_top_fraction_floor_only_plan_is_filter_only(spark):
+    """floor_only=True (the 100 TB escape hatch the design argument
+    leans on, registered as pipeline_floor_select): the returned plan
+    is ONE filter over the cached scored input — NO
+    TakeOrderedAndProject, NO window of any kind, NO exchange, no
+    Python.  The quantile pass already ran eagerly; nothing about the
+    result requires a total order."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", (F.col("n_chars") * 1.0).alias("score")
+    )
+    out = sampling.top_fraction(
+        docs, "score", Fraction(1, 4), "doc_id", floor_only=True
+    )
+    plan = _exec_plan(out)
+    assert "TakeOrderedAndProject" not in plan, plan
+    assert "Window" not in plan, plan  # also covers WindowGroupLimit
+    assert "Exchange" not in plan, plan
+    assert "(score" in plan and ">=" in plan, plan  # the pushed floor
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_budget_mix_quality_ordered_keeps_one_exchange(spark):
+    """order_col swaps the md5 rank for (score DESC, key) but must not
+    change the scale shape: still ONE broadcast model join + one
+    stratum window exchange, zero Python."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "q", (F.col("n_chars") % 97).cast("double")
+    )
+    out = sampling.token_budget_mix(
+        docs, "source", "doc_id", "n_chars",
+        {"src1": 4000, "src2": 2500}, order_col="q",
+    )
+    plan = _exec_plan(out)
+    import re as _re
+
+    win_exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert len(win_exchanges) == 1 and win_exchanges[0].startswith(
+        "source"
+    ), plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_token_budget_mix_is_one_window_exchange(spark):
     """token_budget_mix (staged r14 → r15 registration): ONE broadcast
     join against the |budgets|-row model + one per-stratum
