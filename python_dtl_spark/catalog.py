@@ -5927,6 +5927,179 @@ _register(
 )
 
 
+def _lm_replay_ctes(prefix: str, fit_where: str) -> str:
+    """Parameterized bigram-LM replay CTE stack (the `_lm_oracle_sql`
+    recipe with prefixed names and a caller-chosen fit filter), for
+    oracles that need TWO models — the excess-perplexity selection
+    fits a TARGET LM (one source's docs) and a REFERENCE LM (the
+    md5-sampled corpus half) and scores every document under both.
+    Shares the corpus-wide ``trans`` CTE the caller defines once.
+    Emits ``{prefix}diag(doc_id, n_trans, n_unseen, n_oov_ctx,
+    sum_bigram_freq, sum_context_freq, ll)``."""
+    p = prefix
+    return f"""{p}fit AS (
+        SELECT doc_id, {_NB_TOKS} AS t FROM documents WHERE {fit_where}
+    ), {p}uni_all AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(t) AS w FROM {p}fit) GROUP BY w
+    ), {p}vocab AS (
+        SELECT w, freq FROM (
+            SELECT w, freq,
+                   row_number() OVER (ORDER BY freq DESC, w) AS rn
+            FROM {p}uni_all WHERE freq >= 1
+        ) WHERE rn <= 300
+    ), {p}vsz AS (SELECT count(*) AS V FROM {p}vocab),
+    {p}bi_all AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS freq
+        FROM (
+            SELECT p['w1'] AS w1, p['w2'] AS w2 FROM (
+                SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                               FOR i IN range(1, len(t))]) AS p
+                FROM {p}fit
+            )
+        ) GROUP BY w1, w2
+    ), {p}bi AS (
+        SELECT b.* FROM {p}bi_all b
+        JOIN {p}vocab x ON b.w1 = x.w
+        JOIN {p}vocab y ON b.w2 = y.w
+    ), {p}scored AS (
+        SELECT tr.doc_id,
+               count(*) AS n_trans,
+               sum(CASE WHEN bi.freq IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+               sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END) AS n_oov_ctx,
+               sum(coalesce(bi.freq, 0)) AS sum_bigram_freq,
+               sum(coalesce(v.freq, 0)) AS sum_context_freq,
+               sum(ln((coalesce(bi.freq, 0) + 1.0) /
+                      (coalesce(v.freq, 0)
+                       + 1.0 * ((SELECT V FROM {p}vsz) + 1))))
+                   AS ll
+        FROM trans tr
+        LEFT JOIN {p}bi bi ON bi.w1 = tr.w1 AND bi.w2 = tr.w2
+        LEFT JOIN {p}vocab v ON v.w = tr.w1
+        GROUP BY tr.doc_id
+    ), {p}diag AS (
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_trans, 0) AS BIGINT) AS n_trans,
+               CAST(coalesce(s.n_unseen, 0) AS BIGINT) AS n_unseen,
+               CAST(coalesce(s.n_oov_ctx, 0) AS BIGINT) AS n_oov_ctx,
+               CAST(coalesce(s.sum_bigram_freq, 0) AS BIGINT)
+                   AS sum_bigram_freq,
+               CAST(coalesce(s.sum_context_freq, 0) AS BIGINT)
+                   AS sum_context_freq,
+               s.ll AS ll
+        FROM (SELECT doc_id FROM documents) d
+        LEFT JOIN {p}scored s USING (doc_id)
+    )"""
+
+
+def _q_ppl_delta_select(spark, sf_dir):
+    """EXCESS-PERPLEXITY domain selection (the RHO-1 / DoReMi-family
+    "excess loss" recipe at this repo's bigram grain; also classic
+    Moore–Lewis 2010 cross-entropy difference selection): fit a
+    TARGET LM on one domain's documents (src1) and a REFERENCE LM on
+    the md5-sampled corpus half (the doc_lm_score model), score every
+    document under BOTH, and keep the top 25% by
+    ``delta = ln(ppl_ref) − ln(ppl_target)`` — documents the target
+    model finds much more predictable than the reference does, i.e.
+    target-domain-LIKE text rather than merely-easy text (a plain
+    low-perplexity cut keeps boilerplate; the difference cancels the
+    generic-easiness term — why Moore–Lewis beats a single-model
+    threshold).
+
+    Hash-safety is MEASURED (the pipeline_dsir_select pattern): the
+    driver row hashes only exact integers (doc_id plus both models'
+    lookup diagnostics); the float delta decides only the rank
+    boundary, whose gap is pinned at all three driver scales by
+    tests/test_operators.py::test_ppl_delta_boundary_gap_is_wide.
+    The oracle replays BOTH fits, both scoring passes and the rank
+    independently (two `_lm_replay_ctes` stacks over one shared
+    corpus-transition CTE).
+
+    Scale shape: each scoring pass = pair explode → two broadcast
+    model joins → ONE doc-grain agg (the audited doc_lm_score shape,
+    twice); the two score tables join back at doc grain (SMJ is
+    correct there — both sides corpus-sized, the dsir_weights
+    precedent); selection = top_fraction's coarse floor +
+    TakeOrderedAndProject, no SinglePartition exchange."""
+    docs = _read(spark, sf_dir, "documents")
+    tbi, tuni = classify.lm_fit(
+        docs.where(F.col("source") == "src1"),
+        min_count=1, max_vocab=300,
+    )
+    rbi, runi = classify.lm_fit(
+        docs, sample_fraction=0.5, sample_seed="lm-l",
+        min_count=1, max_vocab=300,
+    )
+    st = classify.lm_perplexity(docs, tbi, tuni).select(
+        "doc_id", "n_trans", "perplexity",
+        F.col("n_unseen").alias("n_unseen_t"),
+        F.col("sum_bigram_freq").alias("sum_bigram_freq_t"),
+        F.col("sum_context_freq").alias("sum_context_freq_t"),
+    )
+    sr = classify.lm_perplexity(docs, rbi, runi).select(
+        F.col("doc_id").alias("__rid"),
+        F.col("perplexity").alias("__ppl_r"),
+        F.col("n_unseen").alias("n_unseen_r"),
+        F.col("sum_bigram_freq").alias("sum_bigram_freq_r"),
+        F.col("sum_context_freq").alias("sum_context_freq_r"),
+    )
+    joined = (
+        st.join(sr, st["doc_id"] == sr["__rid"])
+        .filter(F.col("n_trans") > 0)
+        .withColumn(
+            "__delta", F.log(F.col("__ppl_r")) - F.log(F.col("perplexity"))
+        )
+        .select(
+            "doc_id", "n_trans", "n_unseen_t", "sum_bigram_freq_t",
+            "sum_context_freq_t", "n_unseen_r", "sum_bigram_freq_r",
+            "sum_context_freq_r", "__delta",
+        )
+    )
+    kept = sampling.top_fraction(joined, "__delta", Fraction(1, 4), "doc_id")
+    return kept.drop("__delta")
+
+
+_register(
+    "pipeline_ppl_delta_select",
+    _q_ppl_delta_select,
+    f"""
+    WITH trans AS (
+        SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+            SELECT doc_id,
+                   unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           FOR i IN range(1, len(t))]) AS p
+            FROM (SELECT doc_id, {_NB_TOKS} AS t FROM documents)
+        )
+    ),
+    {_lm_replay_ctes("t_", "source = 'src1'")},
+    {_lm_replay_ctes("r_", _LM_SAMPLE)},
+    j AS (
+        SELECT t.doc_id, t.n_trans,
+               t.n_unseen AS n_unseen_t,
+               t.sum_bigram_freq AS sum_bigram_freq_t,
+               t.sum_context_freq AS sum_context_freq_t,
+               r.n_unseen AS n_unseen_r,
+               r.sum_bigram_freq AS sum_bigram_freq_r,
+               r.sum_context_freq AS sum_context_freq_r,
+               (ln(exp(-(r.ll) / r.n_trans)) - ln(exp(-(t.ll) / t.n_trans)))
+                   AS delta
+        FROM t_diag t JOIN r_diag r USING (doc_id)
+        WHERE t.n_trans > 0 AND t.doc_id IS NOT NULL
+    )
+    SELECT doc_id, n_trans, n_unseen_t, sum_bigram_freq_t,
+           sum_context_freq_t, n_unseen_r, sum_bigram_freq_r,
+           sum_context_freq_r
+    FROM (
+        SELECT *, row_number() OVER (ORDER BY delta DESC, doc_id) AS rk
+        FROM j
+    ) WHERE rk <= ({sampling.top_fraction_quota_sql(
+        "SELECT count(*) FROM j", Fraction(1, 4)
+    )})
+    """,
+    headline=True,
+)
+
+
 def _q_stream_shard_emit(spark, sf_dir):
     """Batch twin of the STREAMING training-shard emission leg
     (registered r14, verdict item 6): epoch replication → composite

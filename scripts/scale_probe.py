@@ -923,6 +923,155 @@ def staged_r15_section(spark, documents) -> list[str]:
     return lines
 
 
+def r15_verbs_probe(spark, documents, factors=(1, 8, 32)):
+    """The round-15 registrations under replication: floor-only
+    selection (top_fraction's 100 TB escape hatch — quantile pass +
+    pushed filter, NO rank at all, so it should be the CHEAPEST
+    selection mode and stay ~linear) and the quality-ORDERED token
+    budget (same one-window shape as the md5-ordered mode plus the
+    scan-side quality_features map stage)."""
+    from fractions import Fraction
+
+    rows = []
+    for n in factors:
+        base = (
+            documents if n == 1 else replicate(documents, n, ["doc_id"])
+        )
+        docs = base.select(
+            "doc_id", (F.col("n_chars") * 1.0).alias("score")
+        )
+        total = docs.count()
+        start = time.perf_counter()
+        kept_fl = sampling.top_fraction(
+            docs, "score", Fraction(1, 4), "doc_id", floor_only=True
+        ).count()
+        fl_s = time.perf_counter() - start
+        scored = text_ops.quality_features(
+            base.select("doc_id", "source", "n_chars", "text")
+        )
+        budgets = {f"src{i}": 40_000 * n for i in range(20)}
+        start = time.perf_counter()
+        kept_qb = sampling.token_budget_mix(
+            scored, "source", "doc_id", "n_chars", budgets,
+            order_col="quality_score",
+        ).count()
+        qb_s = time.perf_counter() - start
+        rows.append((n, total, kept_fl, fl_s, kept_qb, qb_s))
+        print(
+            f"# r15 verbs {n}x: floor_only kept {kept_fl:,}/{total:,} in "
+            f"{fl_s:.2f}s; quality budget kept {kept_qb:,} in {qb_s:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_R15_VERBS_HEADER = "## r15 verbs under replication (floor-only select, quality-ordered budget)"
+
+
+def r15_verbs_section(spark, documents) -> list[str]:
+    rows = r15_verbs_probe(spark, documents)
+    lines = [
+        _R15_VERBS_HEADER,
+        "",
+        "sampling.top_fraction(floor_only=True) — the 100 TB escape",
+        "hatch as a registered mode (pipeline_floor_select): one",
+        "approxQuantile pass + one pushed filter, NO window / take /",
+        "exchange (plan-asserted), so it must be the cheapest selection",
+        "mode at every factor.  sampling.token_budget_mix(order_col=",
+        "'quality_score') — the quality-ordered budget",
+        "(pipeline_quality_budget): the md5-mode single window exchange",
+        "plus the scan-side quality_features map stage; budgets scale",
+        "with the data so the kept set grows too:",
+        "",
+        "| probe | data | input docs | floor-kept | floor time | budget-kept | budget time |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for n, total, kfl, fl_s, kqb, qb_s in rows:
+        lines.append(
+            f"| r15_verbs | {n}× | {total:,} | {kfl:,} | {fl_s:.2f}s | "
+            f"{kqb:,} | {qb_s:.2f}s |"
+        )
+    lines.append("")
+    return lines
+
+
+def ppl_delta_probe(spark, documents, factors=(1, 8)):
+    """pipeline_ppl_delta_select's scoring chain under replication:
+    two LM fits (target slice + sampled reference — model size is
+    vocab-capped, CONSTANT under corpus growth) and two corpus scoring
+    passes + the doc-grain join + rank.  Should stay ~linear."""
+    from fractions import Fraction
+
+    from python_dtl_spark.operators import classify
+
+    rows = []
+    for n in factors:
+        docs = (
+            documents if n == 1 else replicate(documents, n, ["doc_id"])
+        ).select("doc_id", "source", "text")
+        total = docs.count()
+        start = time.perf_counter()
+        tbi, tuni = classify.lm_fit(
+            docs.where(F.col("source") == "src1"),
+            min_count=1, max_vocab=300,
+        )
+        rbi, runi = classify.lm_fit(
+            docs, sample_fraction=0.5, sample_seed="lm-l",
+            min_count=1, max_vocab=300,
+        )
+        st = classify.lm_perplexity(docs, tbi, tuni).select(
+            "doc_id", "n_trans", "perplexity"
+        )
+        sr = classify.lm_perplexity(docs, rbi, runi).select(
+            F.col("doc_id").alias("__rid"),
+            F.col("perplexity").alias("__ppl_r"),
+        )
+        joined = (
+            st.join(sr, st["doc_id"] == sr["__rid"])
+            .filter(F.col("n_trans") > 0)
+            .withColumn(
+                "__delta",
+                F.log(F.col("__ppl_r")) - F.log(F.col("perplexity")),
+            )
+            .select("doc_id", "__delta")
+        )
+        kept = sampling.top_fraction(
+            joined, "__delta", Fraction(1, 4), "doc_id"
+        ).count()
+        total_s = time.perf_counter() - start
+        rows.append((n, total, kept, total_s))
+        print(
+            f"# ppl_delta {n}x: {total:,} docs -> {kept:,} kept in "
+            f"{total_s:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_PPL_DELTA_HEADER = "## excess-perplexity selection under replication (r15)"
+
+
+def ppl_delta_section(spark, documents) -> list[str]:
+    rows = ppl_delta_probe(spark, documents)
+    lines = [
+        _PPL_DELTA_HEADER,
+        "",
+        "pipeline_ppl_delta_select end-to-end (two vocab-capped LM",
+        "fits + two broadcast-join scoring passes + doc-grain join +",
+        "two-phase rank) — model sizes are CONSTANT under corpus",
+        "growth (vocab cap 300), so the chain should scale ~linearly:",
+        "",
+        "| probe | data | input docs | kept | end-to-end time |",
+        "|---|---|---|---|---|",
+    ]
+    for n, total, kept, s in rows:
+        lines.append(
+            f"| ppl_delta | {n}× | {total:,} | {kept:,} | {s:.2f}s |"
+        )
+    lines.append("")
+    return lines
+
+
 _ROW_LOCAL_HEADER = "## row_local streaming tiers vs model size (fixed corpus)"
 
 
@@ -1306,6 +1455,18 @@ def main() -> None:
             scaling_path, _STAGED_R15_HEADER, staged_r15_section(spark, documents)
         )
         print("SCALING.md staged-r15 section updated")
+        return
+    if "--r15-verbs" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path, _R15_VERBS_HEADER, r15_verbs_section(spark, documents)
+        )
+        _replace_or_append_section(
+            scaling_path, _PPL_DELTA_HEADER, ppl_delta_section(spark, documents)
+        )
+        print("SCALING.md r15-verbs + ppl-delta sections updated")
         return
     if "--dsir" in sys.argv:
         spark = get_spark("scale-probe")

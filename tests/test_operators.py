@@ -5375,6 +5375,48 @@ def test_dsir_resample_boundary_gap_is_wide(spark, sf):
 
 
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_ppl_delta_boundary_gap_is_wide(spark, sf):
+    """pipeline_ppl_delta_select hashes a rank-boundary decision on
+    the float delta = ln(ppl_ref) − ln(ppl_target) (two ln-sums —
+    order-unstable, libm-drifting ~1e-13): assert the last-kept /
+    first-dropped gap clears that drift by many orders at every scale
+    the driver or the sweep hashes."""
+    from python_dtl_spark.operators import classify
+
+    docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+    tbi, tuni = classify.lm_fit(
+        docs.where(F.col("source") == "src1"), min_count=1, max_vocab=300
+    )
+    rbi, runi = classify.lm_fit(
+        docs, sample_fraction=0.5, sample_seed="lm-l",
+        min_count=1, max_vocab=300,
+    )
+    st = classify.lm_perplexity(docs, tbi, tuni).select(
+        "doc_id", "n_trans", F.col("perplexity").alias("ppl_t")
+    )
+    sr = classify.lm_perplexity(docs, rbi, runi).select(
+        F.col("doc_id").alias("rid"), F.col("perplexity").alias("ppl_r")
+    )
+    deltas = sorted(
+        (
+            r.d
+            for r in st.join(sr, st["doc_id"] == sr["rid"])
+            .filter(F.col("n_trans") > 0)
+            .select(
+                (F.log(F.col("ppl_r")) - F.log(F.col("ppl_t"))).alias("d")
+            )
+            .collect()
+        ),
+        reverse=True,
+    )
+    n = len(deltas)
+    k = -(-n // 4)
+    assert 0 < k < n
+    gap = deltas[k - 1] - deltas[k]
+    assert gap > 1e-6, (sf, gap)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
 def test_importance_resample_doc_boundary_gap(spark, sf):
     """doc_importance_resample (registered r15) hashes a rank-boundary
     decision on the float Gumbel priority over the plain doc-level

@@ -1211,6 +1211,57 @@ def test_dsir_weights_is_broadcast_model_joins_single_doc_agg(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ppl_delta_select_plan_shape(spark):
+    """The excess-perplexity composition (pipeline_ppl_delta_select):
+    every ≤300-row LM model join (target + reference unigram/bigram
+    tables) must be broadcast; the only SortMergeJoins allowed are the
+    doc-grain id join-backs and the doc-grain score join (both sides
+    corpus-sized — the dsir_weights invariant, where broadcasting is
+    an AQE small-scale artifact, never the 100 TB plan); selection
+    rewrites to TakeOrderedAndProject with no SinglePartition
+    exchange; zero Python."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import classify, sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tbi, tuni = classify.lm_fit(
+        docs.where(F.col("source") == "src1"), min_count=1, max_vocab=300
+    )
+    rbi, runi = classify.lm_fit(
+        docs, sample_fraction=0.5, sample_seed="lm-l",
+        min_count=1, max_vocab=300,
+    )
+    st = classify.lm_perplexity(docs, tbi, tuni).select(
+        "doc_id", "n_trans", "perplexity"
+    )
+    sr = classify.lm_perplexity(docs, rbi, runi).select(
+        F.col("doc_id").alias("__rid"), F.col("perplexity").alias("__ppl_r")
+    )
+    joined = (
+        st.join(sr, st["doc_id"] == sr["__rid"])
+        .filter(F.col("n_trans") > 0)
+        .withColumn(
+            "__delta", F.log(F.col("__ppl_r")) - F.log(F.col("perplexity"))
+        )
+        .select("doc_id", "n_trans", "__delta")
+    )
+    out = sampling.top_fraction(joined, "__delta", Fraction(1, 4), "doc_id")
+    plan = _exec_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 4, plan  # 2 models × 2 LMs
+    import re as _re
+
+    for m in _re.finditer(r"SortMergeJoin \[(\w+)", plan):
+        assert m.group(1) in ("doc_id", "__rid", "__lm_id"), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_stratified_top_fraction_is_one_rank_exchange(spark):
     """The quality floor plans like target_mix_resample: one tiny
     per-stratum count agg broadcast back as quotas, ONE rank-window
