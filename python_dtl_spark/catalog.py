@@ -6100,6 +6100,122 @@ _register(
 )
 
 
+def _q_ccnet_buckets(spark, sf_dir):
+    """CCNet HEAD/MIDDLE/TAIL perplexity bucketing (Wenzek et al.
+    2020's actual output shape — CCNet does not drop documents, it
+    labels each language's corpus by per-language perplexity TERCILE
+    and lets the consumer choose slices): fit the doc_lm_score
+    bigram LM, perplexity-score every document, compute each
+    source's p33/p66 boundaries with ``percentile_disc`` (ACTUAL data
+    values — the grouped_percentiles / winsorize recipe, no
+    interpolation), broadcast them back, and label
+    head (ppl ≤ p33) / middle (≤ p66) / tail.
+
+    Hash-safety of the float comparisons is MEASURED (the
+    pipeline_lm_curate threshold argument, per-stratum form): the
+    boundaries are data values, each engine computes ppl and its
+    boundaries self-consistently, and the min nonzero |ppl − boundary|
+    gap per source clears cross-engine ln-sum drift by many orders at
+    all three driver scales
+    (tests/test_operators.py::test_ccnet_bucket_boundary_gap_is_wide);
+    a doc AT the boundary compares equal-to-itself in both engines.
+    The driver hashes the bucket label plus the exact-integer model
+    diagnostics.
+
+    Scale shape: scoring is the audited doc_lm_score shape (pair
+    explode → two broadcast model joins → one doc-grain agg); the
+    boundary table is |sources|-rows (one per-stratum percentile agg,
+    spillable buffers) and joins back BROADCAST; the label is a
+    row-local CASE.  Zero Python."""
+    docs = _read(spark, sf_dir, "documents")
+    bi, uni = classify.lm_fit(
+        docs, sample_fraction=0.5, sample_seed="lm-l",
+        min_count=1, max_vocab=300,
+    )
+    # PERSIST the scored frame: it feeds both the percentile boundary
+    # aggregation and the label join-back, and perplexity is a
+    # parallel sum of ln() terms whose addition ORDER is evaluation-
+    # dependent — two independent evaluations can disagree in the last
+    # ulp, which flips the BOUNDARY DOC's own label (its ppl must
+    # compare equal to the boundary, which only holds if both reads
+    # see the same materialized float; caught live at sf0.001: 3 docs
+    # flipped before this persist).  The oracle has the same hazard —
+    # its ppl CTE is AS MATERIALIZED for the same reason.
+    from python_dtl_spark.operators.dedup import _release_after
+
+    scored = (
+        classify.lm_perplexity(docs, bi, uni)
+        .filter(F.col("n_trans") > 0)
+        .select(
+            "doc_id", "source", "perplexity", "n_trans", "n_unseen",
+            "sum_bigram_freq", "sum_context_freq",
+        )
+        .persist()
+    )
+    bounds = stats.grouped_percentiles(
+        scored, "perplexity", ["source"], ps=[0.33, 0.66]
+    ).select(
+        F.col("source").alias("__b_source"),
+        F.col("p33"), F.col("p66"),
+    )
+    return _release_after(
+        scored.join(
+            F.broadcast(bounds),
+            on=scored["source"] == F.col("__b_source"),
+        )
+        .withColumn(
+            "bucket",
+            F.when(F.col("perplexity") <= F.col("p33"), "head")
+            .when(F.col("perplexity") <= F.col("p66"), "middle")
+            .otherwise("tail"),
+        )
+        .select(
+            "doc_id", "source", "bucket", "n_trans", "n_unseen",
+            "sum_bigram_freq", "sum_context_freq",
+        ),
+        scored,
+    )
+
+
+_register(
+    "pipeline_ccnet_buckets",
+    _q_ccnet_buckets,
+    _lm_oracle_sql(
+        """
+    , ppl AS MATERIALIZED (
+        -- MATERIALIZED: referenced by both the boundary aggregation
+        -- and the outer label select; an inlined re-evaluation could
+        -- re-run the parallel ln-sum in a different order and flip
+        -- the boundary doc's own label by one ulp (the Spark side
+        -- persists for the same reason)
+        SELECT g.doc_id, d.source, g.n_trans, g.n_unseen,
+               g.sum_bigram_freq, g.sum_context_freq,
+               exp(-(g.ll) / g.n_trans) AS p
+        FROM diag g JOIN documents d USING (doc_id)
+        WHERE g.n_trans > 0
+    ), ranked AS (
+        SELECT source, p,
+               cume_dist() OVER (PARTITION BY source ORDER BY p) AS cd
+        FROM ppl
+    ), b AS (
+        SELECT source,
+               min(CASE WHEN cd >= 0.33 THEN p END) AS p33,
+               min(CASE WHEN cd >= 0.66 THEN p END) AS p66
+        FROM ranked GROUP BY source
+    )
+    SELECT ppl.doc_id, ppl.source,
+           CASE WHEN ppl.p <= b.p33 THEN 'head'
+                WHEN ppl.p <= b.p66 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           ppl.n_trans, ppl.n_unseen, ppl.sum_bigram_freq,
+           ppl.sum_context_freq
+    FROM ppl JOIN b USING (source)
+    """
+    ),
+    headline=True,
+)
+
+
 def _q_stream_shard_emit(spark, sf_dir):
     """Batch twin of the STREAMING training-shard emission leg
     (registered r14, verdict item 6): epoch replication → composite

@@ -5375,6 +5375,44 @@ def test_dsir_resample_boundary_gap_is_wide(spark, sf):
 
 
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_ccnet_bucket_boundary_gap_is_wide(spark, sf):
+    """pipeline_ccnet_buckets hashes head/middle/tail labels decided
+    by float comparisons against per-source percentile_disc
+    boundaries: for every source, the min NONZERO |ppl − boundary|
+    gap must clear cross-engine ln-sum drift (~1e-13) by many orders
+    (zero gaps are the boundary docs themselves — exact self-equality
+    in both engines once the scored frame is materialized, which the
+    catalog query persists for)."""
+    from python_dtl_spark.operators import classify, stats
+
+    docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+    bi, uni = classify.lm_fit(
+        docs, sample_fraction=0.5, sample_seed="lm-l",
+        min_count=1, max_vocab=300,
+    )
+    scored = (
+        classify.lm_perplexity(docs, bi, uni)
+        .filter(F.col("n_trans") > 0)
+        .select("doc_id", "source", "perplexity")
+        .persist()
+    )
+    bounds = {
+        r.source: (r.p33, r.p66)
+        for r in stats.grouped_percentiles(
+            scored, "perplexity", ["source"], ps=[0.33, 0.66]
+        ).collect()
+    }
+    gaps = [
+        abs(r.perplexity - b)
+        for r in scored.collect()
+        for b in bounds[r.source]
+        if r.perplexity != b
+    ]
+    scored.unpersist()
+    assert min(gaps) > 1e-6, (sf, min(gaps))
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
 def test_ppl_delta_boundary_gap_is_wide(spark, sf):
     """pipeline_ppl_delta_select hashes a rank-boundary decision on
     the float delta = ln(ppl_ref) − ln(ppl_target) (two ln-sums —

@@ -1262,6 +1262,28 @@ def test_ppl_delta_select_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_ccnet_buckets_plan_shape(spark):
+    """pipeline_ccnet_buckets: the |sources|-row boundary table joins
+    back BROADCAST (a shuffled join would move the corpus per label);
+    the LM model joins are broadcast; the only allowed SortMergeJoin
+    is the doc-grain id join-back inside lm_perplexity; zero Python;
+    the label is a row-local CASE (no window on the label path)."""
+    from python_dtl_spark.catalog import QUERIES
+
+    out = QUERIES["pipeline_ccnet_buckets"].fn(spark, SF)
+    plan = _exec_plan(out)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    import re as _re
+
+    for m in _re.finditer(r"SortMergeJoin \[(\w+)", plan):
+        assert m.group(1) in ("doc_id", "__lm_id"), plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from python_dtl_spark.operators.dedup import release_all_cached
+
+    release_all_cached(spark)
+
+
 def test_stratified_top_fraction_is_one_rank_exchange(spark):
     """The quality floor plans like target_mix_resample: one tiny
     per-stratum count agg broadcast back as quotas, ONE rank-window
