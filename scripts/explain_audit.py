@@ -461,6 +461,41 @@ AUDITED = {
         "hash aggs — the mix/shard windows inherit the selection's "
         "co-located slice (asserted in tests/test_plans.py)"
     ),
+    "pipeline_floor_select": (
+        "floor-only selection (registered r15, top_fraction's 100 TB "
+        "escape hatch): the returned plan is ONE pushed filter over "
+        "the cached scored input — NO TakeOrderedAndProject, NO "
+        "window, NO exchange of any kind (the quantile pass ran "
+        "eagerly; asserted in tests/test_plans.py)"
+    ),
+    "pipeline_quality_budget": (
+        "quality-ordered token budget (registered r15): "
+        "quality_features fuses into the scan-side map stage, then "
+        "one broadcast |budgets|-row model join + ONE per-stratum "
+        "rank/cumsum window exchange on source, zero Python "
+        "(asserted in tests/test_plans.py)"
+    ),
+    "doc_importance_resample": (
+        "standalone doc-level Gumbel resample (registered r15): "
+        "row-local md5-exact priority over a plain doc weight, then "
+        "top_fraction's pushed coarse floor + TakeOrderedAndProject "
+        "— no SinglePartition exchange, no global range sort"
+    ),
+    "pipeline_ppl_delta_select": (
+        "excess-perplexity selection (registered r15): four-plus "
+        "broadcast LM model joins (target + reference), SMJ only on "
+        "doc-grain keys (id join-backs + the score join — both sides "
+        "corpus-sized, the dsir_weights invariant), "
+        "TakeOrderedAndProject selection, zero Python (asserted in "
+        "tests/test_plans.py)"
+    ),
+    "pipeline_ccnet_buckets": (
+        "CCNet perplexity bucketing (registered r15): the audited "
+        "lm_perplexity scoring shape, a |sources|-row percentile "
+        "boundary table joined back BROADCAST, row-local CASE label; "
+        "scored frame persisted so both its consumers read ONE "
+        "materialization (asserted in tests/test_plans.py)"
+    ),
 }
 
 
