@@ -142,6 +142,76 @@ def exact_dedup_canonical(
     return result, mapping
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    content_cols: list[str],
+    count_col: str = "dup_count",
+    weight_col: str = "sample_weight",
+) -> DataFrame:
+    """SOFT deduplication (staged r15 → r16 registration candidate):
+    instead of DROPPING duplicated documents, DOWN-WEIGHT them — every
+    row gains its exact-content group size (``count_col``, an exact
+    integer) and the training weight ``1 / group_size``
+    (``weight_col``, ONE exactly-rounded IEEE division both engines
+    compute bit-identically).  Training on the weighted corpus then
+    sees each distinct content exactly once in expectation — the soft
+    counterpart of :func:`exact_dedup_canonical` (SlimPajama-class
+    pipelines drop; soft-dedup recipes reweight so rare phrasings
+    inside duplicated boilerplate still contribute gradient signal).
+    Compose with ``sampling.weighted_sample`` (probabilistic) or
+    ``sampling.importance_resample`` (via ``ln(weight)``) to realize
+    the weights as a sample.
+
+    NULL content groups like any other value (null-safe grouping —
+    the ``exact_dedup_canonical`` lineage convention): all-NULL docs
+    are mutual duplicates.
+
+    Scale shape: ONE content-keyed hash aggregation (map-side partial
+    counts) + ONE content-keyed equi-join back — linear; a hot
+    content key (the empty document, a boilerplate page) is
+    AQE-skew-splittable because the build side holds exactly one row
+    per group.  No window (a count-over-content-partition window
+    would funnel each group through one task's sort).  Extension
+    operator (SURVEY §2.5)."""
+    for internal in ("__sd_n",):
+        if internal in df.columns:
+            raise ValueError(
+                f"soft_dedup_weights uses internal working column "
+                f"{internal!r} which already exists on the input; "
+                "rename or drop it first"
+            )
+    for c in (count_col, weight_col):
+        if c in df.columns:
+            raise ValueError(
+                f"output column {c!r} already exists on the input; "
+                "pass a different count_col/weight_col"
+            )
+    missing = [c for c in content_cols if c not in df.columns]
+    if not content_cols or missing:
+        raise ValueError(
+            f"content_cols must name existing columns; missing "
+            f"{missing} (columns: {df.columns})"
+        )
+    # internal names on the group side: both join inputs descend from
+    # df, and same-named content refs trip the ambiguous-self-join
+    # analyzer check
+    groups = (
+        df.groupBy(*[F.col(c).alias(f"__sd_c{i}") for i, c in
+                     enumerate(content_cols)])
+        .agg(F.count(F.lit(1)).alias("__sd_n"))
+    )
+    cond = None
+    for i, c in enumerate(content_cols):
+        clause = df[c].eqNullSafe(F.col(f"__sd_c{i}"))
+        cond = clause if cond is None else (cond & clause)
+    joined = df.join(groups, on=cond)
+    return joined.select(
+        *[df[c] for c in df.columns],
+        F.col("__sd_n").alias(count_col),
+        (F.lit(1.0) / F.col("__sd_n")).alias(weight_col),
+    )
+
+
 def _shingles(text_col, n: int):
     """Word n-gram shingles (distinct), built JVM-side.
 

@@ -4979,6 +4979,148 @@ def test_token_budget_mix_matches_duckdb_replay(spark):
     assert 0 < len(got) < docs.count()
 
 
+def test_soft_dedup_weights_semantics(spark):
+    """Soft dedup (staged r15 → r16 registration): every row gains its
+    exact-content group size and weight 1/size; NULL content groups
+    like any other value; survivors of weighted training see each
+    distinct content once in expectation (sum of weights per group =
+    1)."""
+    from python_dtl_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "x"), (3, "y"), (4, None), (5, None)],
+        "doc_id long, text string",
+    )
+    out = dedup.soft_dedup_weights(df, ["text"])
+    rows = {r.doc_id: (r.dup_count, r.sample_weight) for r in out.collect()}
+    assert rows[0] == (3, 1.0 / 3) and rows[1] == (3, 1.0 / 3)
+    assert rows[3] == (1, 1.0)
+    assert rows[4] == (2, 0.5) and rows[5] == (2, 0.5)  # NULLs group
+    assert out.count() == 6  # nothing dropped
+    with pytest.raises(ValueError, match="output column"):
+        dedup.soft_dedup_weights(df, ["text"], count_col="text")
+    with pytest.raises(ValueError, match="content_cols"):
+        dedup.soft_dedup_weights(df, ["nope"])
+
+
+def test_soft_dedup_weights_matches_duckdb_replay(spark):
+    """Pre-validated replay (the staging pattern): DuckDB re-derives
+    the per-content group sizes over the REAL corpus and must match
+    count and weight bit-for-bat (one exact integer count + one IEEE
+    division)."""
+    import duckdb
+
+    from python_dtl_spark.operators import dedup
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dedup.soft_dedup_weights(docs, ["text"])
+    got = sorted(
+        (r.doc_id, r.dup_count, r.sample_weight) for r in out.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
+           1.0 / count(*) OVER (PARTITION BY text) AS sample_weight
+    FROM documents
+    """).fetchall()
+    )
+    assert got == want and len(got) == docs.count()
+
+
+def test_bpe_fertility_matches_duckdb_replay(spark):
+    """Tokenizer FERTILITY audit (staged r15 → r16 registration
+    candidate `doc_bpe_fertility`): per-doc tokens-per-word and
+    chars-per-token under a FITTED merge table — the standard
+    tokenizer-eval metric (a high-fertility tokenizer wastes context
+    budget).  All inputs are exact integers (post-encode token count,
+    pre-merge word count, n_chars); the two ratios are single IEEE
+    divisions, so the replay matches bit-for-bit.  DuckDB re-derives
+    the encode via the same 3-stage greedy replay the doc_bpe_encode
+    oracle uses."""
+    import duckdb
+
+    from python_dtl_spark.catalog import (
+        _BPE_ENCODE_MERGES,
+        _TOKS_SQL,
+        _bpe_stage_sql,
+        _sql_quote,
+    )
+    from python_dtl_spark.operators import text as text_ops
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enc = text_ops.bpe_encode(docs, _BPE_ENCODE_MERGES, out_col="tokens_bpe")
+    out = enc.select(
+        "doc_id",
+        F.size(F.col("tokens_bpe")).cast("long").alias("n_tokens"),
+        F.size(text_ops.tokens(F.lower(F.col("text"))))
+        .cast("long")
+        .alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).withColumn(
+        "tokens_per_word",
+        F.when(
+            F.col("n_words") > 0, F.col("n_tokens") / F.col("n_words")
+        ),
+    ).withColumn(
+        "chars_per_token",
+        F.when(
+            F.col("n_tokens") > 0, F.col("n_chars") / F.col("n_tokens")
+        ),
+    )
+    got = sorted(map(tuple, out.collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    stages = "".join(
+        _bpe_stage_sql(
+            "tk",
+            i,
+            f"'{_sql_quote(l)}'",
+            f"'{_sql_quote(r)}'",
+            f"'{_sql_quote(l + ' ' + r)}'",
+        )
+        for i, (l, r) in enumerate(_BPE_ENCODE_MERGES)
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+    WITH tk0 AS (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS t
+        FROM documents
+    ){stages},
+    base AS (
+        SELECT e.doc_id,
+               CAST(len(e.t) AS BIGINT) AS n_tokens,
+               CAST(len(w.t) AS BIGINT) AS n_words,
+               CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM tk{len(_BPE_ENCODE_MERGES)} e
+        JOIN tk0 w USING (doc_id)
+        JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, n_words, n_chars,
+           CASE WHEN n_words > 0 THEN n_tokens / n_words END
+               AS tokens_per_word,
+           CASE WHEN n_tokens > 0 THEN n_chars / n_tokens END
+               AS chars_per_token
+    FROM base
+    """).fetchall()
+    )
+    assert got == want and len(got) == docs.count()
+
+
 def test_importance_resample_matches_bruteforce_reference(spark):
     """Seeded Gumbel-top-k importance resampling vs a literal Python
     reference: identical u construction (md5 first 12 hex + 0.5 over

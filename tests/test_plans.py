@@ -1262,6 +1262,25 @@ def test_ppl_delta_select_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_soft_dedup_weights_is_agg_plus_join_no_window(spark):
+    """soft_dedup_weights (staged r15 → r16): ONE content-keyed hash
+    aggregation with map-side partials + ONE content-keyed equi-join
+    back — NO window (a count-over-content window funnels each group
+    through one sort task; the hot boilerplate group must stay
+    AQE-skew-splittable), no nested loop, zero Python."""
+    from python_dtl_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = dedup.soft_dedup_weights(docs, ["text"])
+    plan = _exec_plan(out)
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side combine
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_ccnet_buckets_plan_shape(spark):
     """pipeline_ccnet_buckets: the |sources|-row boundary table joins
     back BROADCAST (a shuffled join would move the corpus per label);
