@@ -1334,6 +1334,106 @@ def test_token_budget_mix_matches_reference_on_random_inputs(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["w", "x"]),                  # stratum
+            st.integers(min_value=0, max_value=40),       # size
+            st.integers(min_value=-5, max_value=5),       # score basis
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    budgets=st.dictionaries(
+        st.sampled_from(["w", "x"]),
+        st.integers(min_value=0, max_value=120),
+        min_size=1,
+        max_size=2,
+    ),
+)
+def test_token_budget_mix_quality_ordered_matches_reference(
+    spark, rows, budgets
+):
+    """The quality-ordered mode (order_col, registered r15 as
+    pipeline_quality_budget) on ARBITRARY inputs vs a literal Python
+    reference: per-stratum (score DESC, key ASC) order — DUPLICATE
+    scores are deliberately common here so the key tie-break is
+    exercised — greedy prefix while the exact running total fits."""
+    from python_dtl_spark.operators import sampling
+
+    data = [
+        (i, s, sz, float(q) / 2.0) for i, (s, sz, q) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id long, src string, n long, q double"
+    )
+    got = sorted(
+        r.doc_id
+        for r in sampling.token_budget_mix(
+            df, "src", "doc_id", "n", budgets, order_col="q"
+        ).collect()
+    )
+    want = []
+    for s, b in budgets.items():
+        members = sorted(
+            (r for r in data if r[1] == s), key=lambda r: (-r[3], r[0])
+        )
+        cum = 0
+        for k, _, sz, _q in members:
+            cum += sz
+            if cum <= b:
+                want.append(k)
+            else:
+                break
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    scores=st.lists(
+        st.floats(
+            min_value=-100.0, max_value=100.0,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=4,
+        max_size=60,
+    ),
+)
+def test_top_fraction_floor_only_invariants(spark, scores):
+    """floor_only=True on ARBITRARY scores (duplicates included): the
+    kept set is exactly a score-threshold slice (min kept ≥ max
+    dropped — downward closed), and it NEVER undershoots the exact
+    top-fraction quota: the Greenwald–Khanna rank guarantee puts the
+    floor's rank at most (1−fraction−err)·n from the top, so every
+    true top-⌈fraction·n⌉ row scores at or above it."""
+    from fractions import Fraction
+
+    from python_dtl_spark.operators import sampling
+
+    data = [(i, float(s)) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(data, "doc_id long, score double")
+    kept = sampling.top_fraction(
+        df, "score", Fraction(1, 4), "doc_id", floor_only=True
+    ).collect()
+    kept_ids = {r.doc_id for r in kept}
+    kept_scores = [s for i, s in data if i in kept_ids]
+    dropped_scores = [s for i, s in data if i not in kept_ids]
+    n = len(data)
+    k = (n + 3) // 4
+    assert len(kept_ids) >= k, (len(kept_ids), k, n)
+    if dropped_scores:
+        assert min(kept_scores) >= max(dropped_scores)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
     weights=st.lists(
         st.floats(
             min_value=-50.0, max_value=50.0,
