@@ -995,6 +995,78 @@ def r15_verbs_section(spark, documents) -> list[str]:
     return lines
 
 
+def ccnet_probe(spark, documents, factors=(1, 8)):
+    """pipeline_ccnet_buckets under replication: the audited
+    lm_perplexity scoring shape + a per-source percentile aggregation
+    whose output stays |sources|-rows whatever the corpus, broadcast
+    back.  Should stay ~linear; bucket shares stay ~thirds."""
+    from python_dtl_spark.operators import classify, stats as stats_mod
+
+    rows = []
+    for n in factors:
+        docs = (
+            documents if n == 1 else replicate(documents, n, ["doc_id"])
+        ).select("doc_id", "source", "text")
+        total = docs.count()
+        start = time.perf_counter()
+        bi, uni = classify.lm_fit(
+            docs, sample_fraction=0.5, sample_seed="lm-l",
+            min_count=1, max_vocab=300,
+        )
+        scored = (
+            classify.lm_perplexity(docs, bi, uni)
+            .filter(F.col("n_trans") > 0)
+            .select("doc_id", "source", "perplexity")
+            .persist()
+        )
+        bounds = stats_mod.grouped_percentiles(
+            scored, "perplexity", ["source"], ps=[0.33, 0.66]
+        ).select(
+            F.col("source").alias("__b_source"), F.col("p33"), F.col("p66")
+        )
+        labeled = scored.join(
+            F.broadcast(bounds), on=scored["source"] == F.col("__b_source")
+        ).withColumn(
+            "bucket",
+            F.when(F.col("perplexity") <= F.col("p33"), "head")
+            .when(F.col("perplexity") <= F.col("p66"), "middle")
+            .otherwise("tail"),
+        )
+        heads = labeled.filter(F.col("bucket") == "head").count()
+        total_s = time.perf_counter() - start
+        scored.unpersist()
+        rows.append((n, total, heads, total_s))
+        print(
+            f"# ccnet {n}x: {total:,} docs, {heads:,} head in "
+            f"{total_s:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_CCNET_HEADER = "## CCNet perplexity bucketing under replication (r15)"
+
+
+def ccnet_section(spark, documents) -> list[str]:
+    rows = ccnet_probe(spark, documents)
+    lines = [
+        _CCNET_HEADER,
+        "",
+        "pipeline_ccnet_buckets end-to-end (LM fit + scoring + the",
+        "per-source percentile boundary table broadcast back + the",
+        "row-local CASE label) — the boundary table is |sources| rows",
+        "whatever the corpus, so the chain should scale ~linearly and",
+        "the head share should stay ~a third:",
+        "",
+        "| probe | data | input docs | head-bucket docs | end-to-end time |",
+        "|---|---|---|---|---|",
+    ]
+    for n, total, heads, s in rows:
+        lines.append(f"| ccnet | {n}× | {total:,} | {heads:,} | {s:.2f}s |")
+    lines.append("")
+    return lines
+
+
 def ppl_delta_probe(spark, documents, factors=(1, 8)):
     """pipeline_ppl_delta_select's scoring chain under replication:
     two LM fits (target slice + sampled reference — model size is
@@ -1466,7 +1538,10 @@ def main() -> None:
         _replace_or_append_section(
             scaling_path, _PPL_DELTA_HEADER, ppl_delta_section(spark, documents)
         )
-        print("SCALING.md r15-verbs + ppl-delta sections updated")
+        _replace_or_append_section(
+            scaling_path, _CCNET_HEADER, ccnet_section(spark, documents)
+        )
+        print("SCALING.md r15-verbs + ppl-delta + ccnet sections updated")
         return
     if "--dsir" in sys.argv:
         spark = get_spark("scale-probe")
