@@ -6216,6 +6216,42 @@ _register(
 )
 
 
+def _q_softdedup(spark, sf_dir):
+    """SOFT deduplication (staged earlier this round, registered late
+    r15 on the full evidence bar — the r14 late-registration
+    precedent): down-WEIGHT duplicated documents instead of dropping
+    them — every doc gains its exact-content group size and training
+    weight 1/size (one exactly-rounded IEEE division), so weighted
+    training sees each distinct content once in expectation while
+    rare phrasings inside duplicated boilerplate keep contributing
+    signal.  The soft counterpart of dedup_exact; composes with
+    doc_weighted_sample / doc_importance_resample to realize the
+    weights as a sample.
+
+    Scale shape: ONE content-keyed hash agg (map-side partial counts)
+    + ONE content-keyed equi-join back — NO window (a
+    count-over-content window funnels the hot boilerplate group
+    through one sort task; plan-asserted in
+    test_soft_dedup_weights_is_agg_plus_join_no_window), hot groups
+    AQE-skew-splittable (build side = 1 row/group), zero Python."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup.soft_dedup_weights(docs, ["text"])
+    return out.select("doc_id", "dup_count", "sample_weight")
+
+
+_register(
+    "doc_softdedup_weights",
+    _q_softdedup,
+    """
+    SELECT doc_id,
+           CAST(count(*) OVER (PARTITION BY text) AS BIGINT) AS dup_count,
+           1.0 / count(*) OVER (PARTITION BY text) AS sample_weight
+    FROM documents
+    """,
+    headline=True,
+)
+
+
 def _q_stream_shard_emit(spark, sf_dir):
     """Batch twin of the STREAMING training-shard emission leg
     (registered r14, verdict item 6): epoch replication → composite
@@ -6763,6 +6799,86 @@ _register(
     FROM r CROSS JOIN tot
     WHERE rn <= 200
     """,
+)
+
+
+def _q_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY audit (staged earlier this round,
+    registered late r15): per-doc tokens-per-word and chars-per-token
+    under the FITTED merge table — the standard tokenizer-eval metric
+    (a high-fertility tokenizer wastes context budget; tokenizer
+    papers report fertility per language/domain before committing a
+    vocab).  All inputs are exact integers (post-encode token count,
+    pre-merge word count, the table's n_chars); the two ratios are
+    single IEEE divisions, exact cross-engine — no margin argument.
+    The oracle re-derives the encode via the shared 3-stage greedy
+    replay (doc_bpe_encode's), then counts.
+
+    Scale shape: the encode is ONE row-local fold (single Project,
+    plan-asserted for doc_bpe_encode); the counts and ratios are
+    row-local expressions — zero exchanges beyond the scan."""
+    docs = _read(spark, sf_dir, "documents")
+    enc = text.bpe_encode(docs, _BPE_ENCODE_MERGES, out_col="tokens_bpe")
+    return (
+        enc.select(
+            "doc_id",
+            F.size(F.col("tokens_bpe")).cast("long").alias("n_tokens"),
+            F.size(text.tokens(F.lower(F.col("text"))))
+            .cast("long")
+            .alias("n_words"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.when(
+                F.col("n_words") > 0, F.col("n_tokens") / F.col("n_words")
+            ),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.when(
+                F.col("n_tokens") > 0, F.col("n_chars") / F.col("n_tokens")
+            ),
+        )
+    )
+
+
+_register(
+    "doc_bpe_fertility",
+    _q_bpe_fertility,
+    f"""
+    WITH tk0 AS (
+        SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS t
+        FROM documents
+    )"""
+    + "".join(
+        _bpe_stage_sql(
+            "tk",
+            i,
+            f"'{_sql_quote(left)}'",
+            f"'{_sql_quote(right)}'",
+            f"'{_sql_quote(left + ' ' + right)}'",
+        )
+        for i, (left, right) in enumerate(_BPE_ENCODE_MERGES)
+    )
+    + f"""
+    , fert AS (
+        SELECT e.doc_id,
+               CAST(len(e.t) AS BIGINT) AS n_tokens,
+               CAST(len(w.t) AS BIGINT) AS n_words,
+               CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM tk{len(_BPE_ENCODE_MERGES)} e
+        JOIN tk0 w USING (doc_id)
+        JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, n_words, n_chars,
+           CASE WHEN n_words > 0 THEN n_tokens / n_words END
+               AS tokens_per_word,
+           CASE WHEN n_tokens > 0 THEN n_chars / n_tokens END
+               AS chars_per_token
+    FROM fert
+    """,
+    headline=True,
 )
 
 
