@@ -587,6 +587,9 @@ def remove_duplicated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens_col: str | None = None,
+    against: DataFrame | None = None,
+    against_text_col: str | None = None,
+    against_tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact-substring duplicate REMOVAL — the cut half of Lee et al.
     2022 ("Deduplicating Training Data Makes Language Models Better"),
@@ -605,6 +608,15 @@ def remove_duplicated_spans(
     tokenization), ``n_tokens`` (before), ``n_tokens_kept`` (after),
     ``n_spans_removed``.  Documents with no duplicated window pass
     through whole.
+
+    With ``against`` (staged r15 → r16), the duplication test flips
+    to CROSS-CORPUS: cut every window whose fingerprint appears
+    ANYWHERE in ``against`` (an eval/benchmark corpus) — span-level
+    decontamination that removes the leaked passage while keeping the
+    rest of the training document, where the
+    :func:`~python_dtl_spark.operators.dedup.contamination_pairs`
+    route drops whole documents.  ``against=None`` (the default) is
+    byte-identical to the pre-r15 within-corpus behavior.
 
     Scale shape: the census's explode + ONE fingerprint count
     aggregation and skew-safe count-join-back (counts, never
@@ -632,14 +644,52 @@ def remove_duplicated_spans(
     per_window = staged.select(
         F.col(id_col), F.posexplode(windows).alias("__i", "__w_hash")
     )
-    counts = per_window.groupBy("__w_hash").agg(
-        F.count_distinct(id_col).alias("__n_docs")
-    )
-    flagged = (
-        per_window.join(counts, on="__w_hash", how="inner")
-        .filter(F.col("__n_docs") > 1)
-        .select(F.col(id_col), F.col("__i"), (F.col("__i") + k - 1).alias("__end"))
-    )
+    if against is None:
+        # within-corpus (Lee et al. symmetric removal): a window is
+        # duplicated iff its fingerprint occurs in more than one doc
+        counts = per_window.groupBy("__w_hash").agg(
+            F.count_distinct(id_col).alias("__n_docs")
+        )
+        flagged = (
+            per_window.join(counts, on="__w_hash", how="inner")
+            .filter(F.col("__n_docs") > 1)
+            .select(
+                F.col(id_col), F.col("__i"),
+                (F.col("__i") + k - 1).alias("__end"),
+            )
+        )
+    else:
+        # CROSS-CORPUS span decontamination (staged r15 → r16): cut
+        # from df every window whose fingerprint appears ANYWHERE in
+        # ``against`` (the eval/benchmark corpus) — span-level eval
+        # hygiene (drop the leaked passage, keep the rest of the doc)
+        # where contamination_pairs-based dropping removes whole docs.
+        # The eval side reduces to its DISTINCT 8-byte fingerprints
+        # (one hash agg, tiny relative to train), then ONE fp-keyed
+        # LEFT SEMI join flags train windows — hot boilerplate fps are
+        # AQE-skew-splittable (semi-join build side = 1 row/fp).
+        a_toks = (
+            F.col(against_tokens_col)
+            if against_tokens_col is not None
+            else tokens(F.col(against_text_col or text_col))
+        )
+        a_src = against if against_tokens_col is not None else spread(against)
+        # stage the eval token array exactly like the train side
+        eval_fps = (
+            a_src.select(a_toks.alias("__ds_a"))
+            .select(
+                F.explode(
+                    _window_fingerprints(F.col("__ds_a"), k)
+                ).alias("__w_hash")
+            )
+            .distinct()
+        )
+        flagged = per_window.join(
+            eval_fps, on="__w_hash", how="left_semi"
+        ).select(
+            F.col(id_col), F.col("__i"),
+            (F.col("__i") + k - 1).alias("__end"),
+        )
     # merge overlapping/contiguous flagged windows into maximal islands:
     # a window starts a new island iff its start exceeds (running max
     # end of earlier windows) + 1 — i.e. there is at least one

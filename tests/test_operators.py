@@ -1182,6 +1182,129 @@ def test_remove_duplicated_spans_composes_with_census(spark, docs):
     assert recensus.filter(F.col("n_dup_windows") > 0).count() == 0
 
 
+def test_remove_duplicated_spans_against_eval_corpus(spark):
+    """Cross-corpus mode (staged r15 → r16, `against=`): cut from
+    TRAIN every window whose fingerprint appears anywhere in the EVAL
+    corpus — span-level decontamination.  Within-train duplication is
+    NOT cut (docs 2+3 share a run absent from eval), and the default
+    `against=None` path is byte-identical to the pre-param behavior
+    (pure-factoring identity check)."""
+    train = spark.createDataFrame(
+        [
+            (0, "x1 x2 e1 e2 e3 x3"),          # leaks eval run [e1 e2 e3]
+            (1, "clean words only here now"),
+            (2, "A p q r B"),                  # train-internal dup with 3
+            (3, "C p q r D"),                  #   -> untouched in eval mode
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "benchmark preamble e1 e2 e3 benchmark tail")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_spans_removed)
+        for r in text.remove_duplicated_spans(
+            train, window_tokens=3, against=evals
+        ).collect()
+    }
+    assert out[0] == ("x1 x2 x3", 1)
+    assert out[1] == ("clean words only here now", 0)
+    assert out[2] == ("A p q r B", 0)  # internal dup stays in eval mode
+    assert out[3] == ("C p q r D", 0)
+    # pure-factoring identity: against=None equals the original path
+    legacy = {
+        r.doc_id: tuple(r)
+        for r in text.remove_duplicated_spans(
+            train, window_tokens=3
+        ).collect()
+    }
+    assert legacy[2][1] == "A B" and legacy[3][1] == "C D"
+
+
+def test_remove_duplicated_spans_against_matches_duckdb_replay(spark):
+    """Pre-validated cross-corpus replay (the staging pattern): DuckDB
+    re-derives the eval fingerprint set, the flagged train windows and
+    the island merge, matching all three exact-integer counters per
+    doc (the r16 registration additionally replays the cut TEXT via
+    the doc_dedup_spans oracle's complement-splice SQL with this
+    flagged CTE swapped in).  Eval corpus = an id-shifted slice of
+    documents, so real leaked spans exist."""
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    evals = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    out = text.remove_duplicated_spans(
+        train, window_tokens=8, against=evals
+    )
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_tokens_kept, r.n_spans_removed)
+        for r in out.collect()
+    )
+    assert any(r[3] > 0 for r in got), "fixture planted no leaks"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    from python_dtl_spark.catalog import _TOKS_SQL
+
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+    WITH train AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE doc_id % 10 <> 0
+    ), ev AS (
+        SELECT {_TOKS_SQL} AS t FROM documents WHERE doc_id % 10 = 0
+    ), efp AS (
+        SELECT DISTINCT ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')),
+                         1, 15))::BIGINT AS h
+        FROM (SELECT t, unnest(range(1, len(t) - 6)) AS i FROM ev
+              WHERE len(t) >= 8)
+    ), w AS (
+        SELECT doc_id, i - 1 AS i,
+               ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')),
+                1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+              FROM train WHERE len(t) >= 8)
+    ), flagged AS (
+        SELECT doc_id, i, i + 7 AS e FROM w WHERE h IN (SELECT h FROM efp)
+    ), isl AS (
+        SELECT doc_id, i, e,
+               sum(CASE WHEN i > coalesce(pme, -2) + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS UNBOUNDED PRECEDING) AS g
+        FROM (SELECT doc_id, i, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pme
+              FROM flagged)
+    ), spans AS (
+        SELECT doc_id, min(i) AS lo, max(e) AS hi
+        FROM isl GROUP BY doc_id, g
+    ), cut AS (
+        SELECT tr.doc_id,
+               CAST(len(tr.t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(CASE WHEN s.doc_id IS NULL THEN 0
+                    ELSE least(s.hi, len(tr.t) - 1) - s.lo + 1 END), 0)
+                    AS BIGINT) AS n_cut,
+               CAST(count(s.lo) AS BIGINT) AS n_spans
+        FROM train tr LEFT JOIN spans s USING (doc_id)
+        GROUP BY tr.doc_id, tr.t
+    )
+    SELECT doc_id, n_tokens, n_tokens - n_cut AS n_tokens_kept, n_spans
+    FROM cut
+    """).fetchall()
+    )
+    assert got == want
+
+
 def test_pii_scrub_mixed_case(spark):
     """The patterns are (?i): uppercase/mixed-case emails must count
     and redact identically to lowercase (round-6 ADVICE — a scrub

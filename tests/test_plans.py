@@ -1262,6 +1262,32 @@ def test_ppl_delta_select_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_remove_spans_against_is_semi_join_no_nested_loop(spark):
+    """Cross-corpus span decontamination (staged r15 → r16): the eval
+    corpus reduces to its DISTINCT 8-byte fingerprints (one hash agg)
+    and flags train windows through ONE fp-keyed LEFT SEMI join —
+    never a nested loop or cartesian; the island merge stays a
+    per-doc window; zero Python."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    evals = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    out = text_ops.remove_duplicated_spans(
+        train, window_tokens=8, against=evals
+    )
+    plan = _exec_plan(out)
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_soft_dedup_weights_is_agg_plus_join_no_window(spark):
     """soft_dedup_weights (staged r15 → r16): ONE content-keyed hash
     aggregation with map-side partials + ONE content-keyed equi-join
