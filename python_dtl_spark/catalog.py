@@ -6252,6 +6252,120 @@ _register(
 )
 
 
+def _q_decontaminate_spans(spark, sf_dir):
+    """CROSS-CORPUS exact-substring span decontamination (staged
+    earlier this round, registered late r15 once the cut-TEXT splice
+    oracle landed): cut from TRAIN every 8-token window whose
+    fingerprint appears ANYWHERE in the EVAL corpus — span-level eval
+    hygiene (Lee et al. 2022's machinery pointed across corpora):
+    remove the leaked benchmark passage, KEEP the rest of the
+    document, where the `decontaminate_train_test` route drops whole
+    documents.  Fixture: eval = the id-shifted doc_id%10==0 slice, so
+    genuinely leaked spans exist (6 docs at sf0.01, 46 at sf0.1).
+
+    Everything hashed is exact: the cut text (md5 — token indices and
+    the complement splice are integer arithmetic, fingerprints are
+    md5-derived 60-bit ints both engines compute identically) and the
+    three counters.
+
+    Scale shape: the eval corpus reduces to its DISTINCT 8-byte
+    fingerprints (one hash agg, tiny vs train), ONE fp-keyed LEFT
+    SEMI join flags train windows (hot boilerplate fps
+    AQE-skew-splittable — semi-join build side is 1 row/fp), then the
+    audited doc_dedup_spans stages: per-doc island-merge window +
+    row-local complement splice; zero Python (plan-asserted in
+    test_remove_spans_against_is_semi_join_no_nested_loop)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    evals = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    out = text.remove_duplicated_spans(
+        train, window_tokens=8, against=evals
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_fp"),
+        "n_tokens", "n_tokens_kept", "n_spans_removed",
+    )
+
+
+_register(
+    "doc_decontaminate_spans",
+    _q_decontaminate_spans,
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents WHERE doc_id % 10 <> 0
+    ), etoks AS (
+        SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents WHERE doc_id % 10 = 0
+    ), efp AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(array_to_string(
+                   tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 8], ' ')), 1, 15))
+                    AS BIGINT) AS h
+        FROM etoks, UNNEST(range(0, greatest(len(tk) - 8 + 1, 0))) u(i)
+    ), wins AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               CAST(concat('0x', substr(md5(array_to_string(
+                   tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 8], ' ')), 1, 15))
+                    AS BIGINT) AS h
+        FROM toks, UNNEST(range(0, greatest(len(tk) - 8 + 1, 0))) u(i)
+    ), flagged AS (
+        SELECT doc_id, i, i + 7 AS e
+        FROM wins WHERE h IN (SELECT h FROM efp)
+    ), isl AS (
+        SELECT doc_id, i, e,
+               CASE WHEN i > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM flagged
+    ), isl2 AS (
+        SELECT doc_id, i, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    ), merged AS (
+        SELECT doc_id, island, min(i) AS lo, max(e) AS hi
+        FROM isl2 GROUP BY doc_id, island
+    ), nspans AS (
+        SELECT doc_id, count(*) AS n_spans FROM merged GROUP BY doc_id
+    ), covered AS (
+        SELECT DISTINCT doc_id, lo + d AS idx
+        FROM merged, UNNEST(range(0, hi - lo + 1)) v(d)
+    ), tokidx AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS idx,
+               tk[CAST(i AS INT) + 1] AS tok
+        FROM toks, UNNEST(range(0, len(tk))) u(i)
+    ), kept AS (
+        SELECT t.doc_id, t.idx, t.tok
+        FROM tokidx t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.idx = c.idx
+        WHERE c.idx IS NULL
+    ), agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS txt,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           md5(coalesce(a.txt, '')) AS clean_fp,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans_removed
+    FROM toks t
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN nspans s USING (doc_id)
+    """,
+    headline=True,
+)
+
+
 def _q_stream_shard_emit(spark, sf_dir):
     """Batch twin of the STREAMING training-shard emission leg
     (registered r14, verdict item 6): epoch replication → composite
