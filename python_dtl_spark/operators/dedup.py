@@ -148,7 +148,7 @@ def soft_dedup_weights(
     count_col: str = "dup_count",
     weight_col: str = "sample_weight",
 ) -> DataFrame:
-    """SOFT deduplication (staged r15 → r16 registration candidate):
+    """SOFT deduplication (registered r15 as ``doc_softdedup_weights``):
     instead of DROPPING duplicated documents, DOWN-WEIGHT them — every
     row gains its exact-content group size (``count_col``, an exact
     integer) and the training weight ``1 / group_size``
@@ -173,7 +173,8 @@ def soft_dedup_weights(
     per group.  No window (a count-over-content-partition window
     would funnel each group through one task's sort).  Extension
     operator (SURVEY §2.5)."""
-    for internal in ("__sd_n",):
+    internals = ["__sd_n"] + [f"__sd_c{i}" for i in range(len(content_cols))]
+    for internal in internals:
         if internal in df.columns:
             raise ValueError(
                 f"soft_dedup_weights uses internal working column "

@@ -879,6 +879,13 @@ def top_fraction(
             "top_fraction uses internal working column '__tf_rank' "
             "which already exists on the input; rename or drop it first"
         )
+    if floor_only and prefilter_quantile_error is None:
+        # advisor r15: validate BEFORE the eager persist below — the
+        # argument error must not materialize the cache just to drop it
+        raise ValueError(
+            "floor_only=True needs a prefilter_quantile_error "
+            "(the floor IS the quantile); got None"
+        )
     # The selection needs up to four passes over the scored input
     # (count, quantile, slice guard, final plan) — if the score is an
     # upstream computation (e.g. dsir_weights' broadcast-join scoring)
@@ -901,12 +908,7 @@ def top_fraction(
             # everything ≥ the coarse quantile floor, accept the
             # approximate count, and SKIP the exact rank entirely —
             # no window, no TakeOrderedAndProject, no k-row merge.
-            if prefilter_quantile_error is None:
-                raise ValueError(
-                    "floor_only=True needs a prefilter_quantile_error "
-                    "(the floor IS the quantile); got None"
-                )
-            err = prefilter_quantile_error
+            err = prefilter_quantile_error  # non-None: validated above
             prob = max(0.0, 1.0 - float(frac) - 2.0 * err)
             if prob <= 0.0:
                 return _release_after(base, cached)

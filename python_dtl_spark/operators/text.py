@@ -609,8 +609,8 @@ def remove_duplicated_spans(
     ``n_spans_removed``.  Documents with no duplicated window pass
     through whole.
 
-    With ``against`` (staged r15 → r16), the duplication test flips
-    to CROSS-CORPUS: cut every window whose fingerprint appears
+    With ``against`` (registered r15 as ``doc_decontaminate_spans``),
+    the duplication test flips to CROSS-CORPUS: cut every window whose fingerprint appears
     ANYWHERE in ``against`` (an eval/benchmark corpus) — span-level
     decontamination that removes the leaked passage while keeping the
     rest of the training document, where the
@@ -631,6 +631,14 @@ def remove_duplicated_spans(
     concatenation of the gaps BETWEEN islands — ``O(n_tokens)`` array
     slices, no per-token join, no Python.
     """
+    if against is None and (
+        against_text_col is not None or against_tokens_col is not None
+    ):
+        raise ValueError(
+            "against_text_col/against_tokens_col require against=<eval "
+            "corpus DataFrame>; without it the operator runs "
+            "within-corpus semantics and those arguments are meaningless"
+        )
     k = F.lit(window_tokens)
     tk = F.col("__ds_toks")
     windows = _window_fingerprints(tk, k)
@@ -659,7 +667,7 @@ def remove_duplicated_spans(
             )
         )
     else:
-        # CROSS-CORPUS span decontamination (staged r15 → r16): cut
+        # CROSS-CORPUS span decontamination: cut
         # from df every window whose fingerprint appears ANYWHERE in
         # ``against`` (the eval/benchmark corpus) — span-level eval
         # hygiene (drop the leaked passage, keep the rest of the doc)

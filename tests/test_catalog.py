@@ -210,3 +210,40 @@ def test_planted_knn_fixture_lsh_equals_exact(spark):
     # contested vote, not unanimous: base queries see 7-vs-3
     votes = {v for (_, _, v) in exact}
     assert votes <= {6, 7} and 7 in votes
+
+
+def test_floor_select_plateau_precondition_holds(spark):
+    """Soundness of the pipeline_floor_select oracle (advisor r15):
+    its exact-set oracle is valid only because the GK rank band
+    [0.72n, 0.74n] sits strictly inside the planted score plateau —
+    which in turn assumes doc_id is contiguous 0..n-1 and n is large
+    enough.  Assert the precondition DIRECTLY at every driver scale:
+    the ascending-sorted planted scores are 500.0 at every rank the
+    floor quantile (prob 0.73, err 0.01) could legally return, so a
+    future fixture change fails HERE with the assumption named rather
+    than as an opaque oracle mismatch."""
+    import math
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        ids = sorted(
+            r.doc_id
+            for r in spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id")
+            .collect()
+            if r.doc_id is not None
+        )
+        n = len(ids)
+        assert ids == list(range(n)), f"{sf}: doc_id not contiguous 0..n-1"
+        scores = sorted(
+            (i % 100 + 1000.0)
+            if i % 100 >= 80
+            else (500.0 if i % 100 >= 60 else float(i % 100))
+            for i in ids
+        )
+        lo = math.floor(0.72 * n)  # 1-indexed rank band the GK
+        hi = math.ceil(0.74 * n)  # guarantee allows for prob .73 ± .01
+        assert 1 <= lo and hi <= n, f"{sf}: n={n} too small for the band"
+        band = {scores[r - 1] for r in range(lo, hi + 1)}
+        assert band == {500.0}, (
+            f"{sf}: GK band ranks [{lo},{hi}] leave the plateau: {band}"
+        )
