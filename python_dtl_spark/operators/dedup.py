@@ -493,6 +493,233 @@ def minhash_lsh_pairs(
     return _release_after(verified, sh, sigs, buckets_cached)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """The STORABLE MinHash-LSH index: one ``(id, band, bucket)`` row
+    per document per band, with exactly the hash construction of
+    :func:`minhash_lsh_pairs` (xxhash64 shingle → seeded re-hash mins
+    → per-band xxhash64), so an index written today joins correctly
+    against signatures computed tomorrow.
+
+    This is the artifact an INCREMENTAL pipeline persists between
+    crawls: write it partitioned/bucketed by ``(band, bucket)`` once,
+    and every future delta (:func:`crawl_delta_pairs`) probes it
+    without re-reading — let alone re-shingling — the corpus text.
+
+    Scale shape: identical to the signature stage of
+    :func:`minhash_lsh_pairs` — ONE shuffle of map-side-combined
+    partial mins (num_docs × num_hashes longs), then a row-local
+    band-hash explode (bands rows/doc, no exchange)."""
+    rows_per_band = num_hashes // bands
+    sh = _spread(df).select(
+        F.col(id_col).alias("__id"), _shingles(F.col(text_col), n).alias("__sh")
+    )
+    hashed = sh.select(F.col("__id"), F.explode("__sh").alias("__f")).select(
+        F.col("__id"), F.xxhash64("__f").alias("__h")
+    )
+    sigs = hashed.groupBy("__id").agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col("__id"), *band_cols)
+    return banded.select(
+        F.col("__id").alias(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band_{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select(
+        id_col,
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.bucket").alias("bucket"),
+    )
+
+
+def crawl_delta_pairs(
+    corpus: DataFrame,
+    crawl: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    corpus_buckets: DataFrame | None = None,
+    prefilter_buckets: int | None = 1 << 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup dedup: which documents of a NEW crawl
+    near-duplicate (MinHash grain, exact-Jaccard verified) a document
+    already in the corpus — the delta sibling of
+    :func:`minhash_lsh_pairs`, asymmetric like
+    :func:`contamination_pairs` so the 100 TB corpus never pays for
+    the arrival of a 100 GB crawl.
+
+    The corpus side is an LSH INDEX — pass ``corpus_buckets`` (the
+    stored :func:`minhash_band_buckets` output, written bucketed by
+    ``(band, bucket)`` at index-build time) and the corpus TEXT is
+    touched only for verification of the (tiny) candidate set; when
+    ``corpus_buckets`` is None it is derived inline (one-shot mode).
+    Asymmetry valves, mirroring ``contamination_pairs``:
+
+    * ``prefilter_buckets`` — Bloom-style: the crawl's DISTINCT
+      ``xxhash64(band, bucket) % m`` ids (≤ m longs) broadcast as a
+      LEFT SEMI join over the corpus index, so an index row colliding
+      with no crawl bucket never reaches the equi-join exchange.
+      False positives die in the exact ``(band, bucket)`` equi-join —
+      output is bit-identical with the prefilter on or off.
+    * ``max_bucket_size`` — measured on the CORPUS index: skip
+      mega-buckets (web boilerplate clusters) before candidate
+      generation; ``None`` keeps everything.
+
+    Verification re-shingles only corpus docs that appear in a
+    candidate pair (broadcast semi-join on candidate ids — at scale
+    this is a pushed-down id filter over the corpus store), then one
+    exact array intersection per pair.  Output:
+    ``(crawl_id, corpus_id, jaccard)`` with jaccard ≥ ``threshold`` —
+    drop those crawl docs (or route to :func:`soft_dedup_weights`)
+    before appending the crawl.
+
+    Scale shape: the only corpus-wide work is reading the stored
+    index (and not even that, under partition pruning by the Bloom
+    prefilter); every shuffle is crawl-sized or candidate-sized.
+    Extension operator (SURVEY §2.5) — the reference has no
+    incremental path (full re-run per crawl, `eval.py`)."""
+    # crawl shingles persisted: feed bucket generation AND verification
+    c_sh = _spread(crawl).select(
+        F.col(id_col).alias("__cid"), _shingles(F.col(text_col), n).alias("__csh")
+    ).persist()
+    # crawl buckets from the persisted shingles (minhash_band_buckets
+    # would re-tokenize; this replays only its hash algebra on __csh)
+    rows_per_band = num_hashes // bands
+    c_hashed = c_sh.select(
+        F.col("__cid"), F.explode("__csh").alias("__f")
+    ).select(F.col("__cid"), F.xxhash64("__f").alias("__h"))
+    c_sigs = c_hashed.groupBy("__cid").agg(
+        *[
+            F.min(F.xxhash64(F.col("__h"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    c_band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    crawl_buckets = (
+        c_sigs.select(F.col("__cid"), *c_band_cols)
+        .select(
+            F.col("__cid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"band_{b}").alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("__bb"),
+        )
+        .select(
+            F.col("__cid"),
+            F.col("__bb.band").alias("band"),
+            F.col("__bb.bucket").alias("bucket"),
+        )
+        .persist()
+    )
+    if corpus_buckets is None:
+        corpus_buckets = minhash_band_buckets(
+            corpus,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+    k_buckets = corpus_buckets.select(
+        F.col(id_col).alias("__kid"), F.col("band"), F.col("bucket")
+    )
+    if max_bucket_size is not None:
+        ok = (
+            k_buckets.groupBy("band", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        k_buckets = k_buckets.join(ok, on=["band", "bucket"], how="inner")
+    if prefilter_buckets is not None:
+        m = F.lit(prefilter_buckets)
+        probe = crawl_buckets.select(
+            F.pmod(F.xxhash64(F.col("band"), F.col("bucket")), m).alias("__pb")
+        ).dropDuplicates(["__pb"])
+        k_buckets = k_buckets.join(
+            F.broadcast(probe),
+            F.pmod(
+                F.xxhash64(k_buckets["band"], k_buckets["bucket"]), m
+            )
+            == F.col("__pb"),
+            "left_semi",
+        )
+    cand = (
+        crawl_buckets.join(k_buckets, on=["band", "bucket"], how="inner")
+        .select(F.col("__cid"), F.col("__kid"))
+        .dropDuplicates()
+        .persist()
+    )
+    # verify: re-shingle ONLY corpus docs in a candidate pair
+    hit_ids = cand.select(F.col("__kid").alias(id_col)).dropDuplicates()
+    k_hit = _spread(corpus).join(F.broadcast(hit_ids), on=id_col, how="left_semi")
+    k_sh = k_hit.select(
+        F.col(id_col).alias("__kid"), _shingles(F.col(text_col), n).alias("__ksh")
+    )
+    verified = (
+        cand.join(c_sh, on="__cid")
+        .join(k_sh, on="__kid")
+        .withColumn(
+            "__common", F.size(F.array_intersect("__csh", "__ksh")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (
+                F.size("__csh").cast("long")
+                + F.size("__ksh").cast("long")
+                - F.col("__common")
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__cid").alias("crawl_id"),
+            F.col("__kid").alias("corpus_id"),
+            "jaccard",
+        )
+    )
+    return _release_after(verified, c_sh, crawl_buckets, cand)
+
+
 def _plan_truncator(spark, checkpoint_dir: str | None):
     """Return a function that truncates a DataFrame's logical plan.
 

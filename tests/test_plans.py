@@ -1263,7 +1263,7 @@ def test_ppl_delta_select_plan_shape(spark):
 
 
 def test_remove_spans_against_is_semi_join_no_nested_loop(spark):
-    """Cross-corpus span decontamination (staged r15 → r16): the eval
+    """Cross-corpus span decontamination: the eval
     corpus reduces to its DISTINCT 8-byte fingerprints (one hash agg)
     and flags train windows through ONE fp-keyed LEFT SEMI join —
     never a nested loop or cartesian; the island merge stays a
@@ -1289,7 +1289,7 @@ def test_remove_spans_against_is_semi_join_no_nested_loop(spark):
 
 
 def test_soft_dedup_weights_is_agg_plus_join_no_window(spark):
-    """soft_dedup_weights (staged r15 → r16): ONE content-keyed hash
+    """soft_dedup_weights: ONE content-keyed hash
     aggregation with map-side partials + ONE content-keyed equi-join
     back — NO window (a count-over-content window funnels each group
     through one sort task; the hot boilerplate group must stay
@@ -1303,6 +1303,59 @@ def test_soft_dedup_weights_is_agg_plus_join_no_window(spark):
     plan = _exec_plan(out)
     assert "Window" not in plan, plan
     assert "partial_count" in plan, plan  # map-side combine
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crawl_delta_corpus_side_never_rebuckets(spark, tmp_path):
+    """crawl_delta_pairs (registered r16): the incremental contract.
+    With a PRECOMPUTED corpus index (the stored minhash_band_buckets
+    parquet), the corpus TEXT relation is scanned exactly once — the
+    candidate-verification join-back — never for banding: the index
+    IS the banding, so a plan that re-derives buckets from corpus
+    text defeats the operator's whole point at 100 TB.  The Bloom
+    prefilter must reach the plan as a broadcast LeftSemi hash join
+    over the index (index rows colliding with no crawl bucket never
+    reach the equi-join exchange), and the verification join-back
+    must be semi-filtered to candidate ids.  Zero Python, no nested
+    loop anywhere."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import dedup
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx_path = str(tmp_path / "lsh_index.parquet")
+    dedup.minhash_band_buckets(corpus).write.parquet(idx_path)
+    crawl = corpus.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    out = dedup.crawl_delta_pairs(
+        corpus,
+        crawl,
+        threshold=0.3,
+        corpus_buckets=spark.read.parquet(idx_path),
+    )
+    import re as _re
+
+    plan = _exec_plan(out)
+    # Corpus TEXT is scanned through exactly ONE distinct relation
+    # instance: the verify join-back (filters: just isnotnull, no
+    # crawl `% 5` pushdown).  Banding-from-text would add a second
+    # unfiltered text scan.  (Raw FileScan lines repeat per persisted
+    # subtree consumer, so count DISTINCT attribute ids.)
+    text_scans = {
+        m.group(1)
+        for m in _re.finditer(
+            r"FileScan parquet \[doc_id#(\d+)L,text#\d+\]([^\n]*)", plan
+        )
+        if "% 5" not in m.group(2)
+    }
+    assert len(text_scans) == 1, (text_scans, plan)
+    # the stored index relation is what feeds banding
+    assert _re.search(r"FileScan parquet \[doc_id#\d+L,band#\d+,bucket#\d+L\]", plan), plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
