@@ -6498,6 +6498,247 @@ _register(
 )
 
 
+def _q_pretrain_full(spark, sf_dir):
+    """FIVE-LEG full-pretraining composition (registered r16, verdict
+    item 5): the remaining unchained flagship legs under ONE hash —
+    Gopher quality gate → MinHash-LSH keep-one near-dup dedup →
+    cross-corpus eval-span decontamination → exact target-mixture
+    resample → deterministic shard assignment.  ``pipeline_dsir_emit``
+    chains scoring/selection/emission; THIS row exercises dedup and
+    decontamination inside a composition, which no prior row does.
+
+    Fixture: eval corpus = the ``doc_id % 10 == 0`` slice (id-shifted,
+    the doc_decontaminate_spans convention); the train universe is the
+    other nine tenths.  Leg soundness under composition: the gate is
+    row-local (restriction commutes); LSH recall stays exactly 1 on
+    the gate survivors because restricting the doc set only REMOVES
+    pairs — surviving pairs keep their signatures and hence their band
+    collisions (dedup_minhash_lsh's subset+equal-count argument);
+    keep-one components are computed over the restricted edge set,
+    replayed by the oracle's recursive closure seeded from gate
+    survivors; the splice/mix/shard legs are the already-registered
+    doc_decontaminate_spans / doc_target_mix / stream_shard_emit
+    recipes on the upstream survivor set.
+
+    Scale shape: ONE documents scan feeds the persisted gate working
+    set (gopher append=True: the kept set is a filter, not a join
+    back); dedup shuffles are banded-bucket/candidate-sized; the
+    decontamination semi-join reduces the eval side to distinct 8-byte
+    fingerprints; the mix is one WindowGroupLimit-prunable rank; the
+    shard is a row-local md5 — no leg regresses the shape its
+    standalone row plan-asserts."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    evals = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    train0 = docs.filter(F.col("doc_id") % 10 != 0)
+    gated = (
+        text.gopher_quality_flags(train0, append=True)
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "text")
+        .persist()
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        gated, n=3, num_hashes=32, bands=16, threshold=0.3
+    )
+    labeled = dedup.keep_one_from_pairs(
+        gated.select("doc_id"), pairs, id_col="doc_id"
+    )
+    survivors = gated.join(
+        labeled.filter(F.col("keep")).select("doc_id"), on="doc_id", how="left_semi"
+    )
+    clean = text.remove_duplicated_spans(
+        survivors.select("doc_id", "text"), window_tokens=8, against=evals
+    )
+    mixed_in = clean.join(gated.select("doc_id", "source"), on="doc_id")
+    mixed = sampling.target_mix_resample(
+        mixed_in,
+        "source",
+        "doc_id",
+        {"src1": 3, "src2": 2, "src3": 1},
+        seed="pf-mix",
+    )
+    sharded = sampling.shard_assign(mixed, "doc_id", 8, seed="pf-sh")
+    out = sharded.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("clean_fp"),
+        "n_tokens_kept",
+        "shard",
+    )
+    return dedup._release_after(out, gated, labeled)
+
+
+_PF_SHARD, _ = sampling.shuffle_shards_sql("doc_id", 8, seed="pf-sh")
+
+_register(
+    "pipeline_pretrain_full",
+    _q_pretrain_full,
+    f"""
+    WITH RECURSIVE
+    w(source, wt) AS (VALUES ('src1', 3), ('src2', 2), ('src3', 1)),
+    train0 AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id % 10 <> 0
+    ), gtoks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM train0
+    ), gfeat AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+                   / greatest(len(tk), 1) AS mean_word_len,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                   / greatest(len(tk), 1) AS ttr,
+               CAST(list_max(list_transform(
+                       list_distinct(tk),
+                       w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE)
+                   / greatest(len(tk), 1) AS top_frac,
+               len(list_filter(
+                       list_distinct(tk),
+                       t -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is',
+                            'it','for','on','with','as','by','at','from'],
+                           lower(t)))) AS stop_hits
+        FROM gtoks
+    ), gate AS (
+        SELECT doc_id FROM gfeat
+        WHERE n_words >= 20 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND ttr >= 0.3 AND top_frac <= 0.12 AND stop_hits >= 1
+    ), jt AS (
+        SELECT t.doc_id,
+               list_filter(regexp_split_to_array(lower(trim(t.text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM train0 t JOIN gate USING (doc_id)
+    ), jsh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]
+                 ELSE [array_to_string(t, ' ')] END) AS s
+        FROM jt
+    ), jex AS (
+        SELECT doc_id, unnest(s) AS f FROM jsh
+    ), jsz AS (
+        SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM jsh
+    ), jcommon AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM jex a JOIN jex b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), jac AS (
+        SELECT id_a, id_b
+        FROM jcommon
+        JOIN jsz sa ON jcommon.id_a = sa.doc_id
+        JOIN jsz sb ON jcommon.id_b = sb.doc_id
+        WHERE common / (sa.sz + sb.sz - common) >= 0.3
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM jac
+        UNION ALL
+        SELECT id_b, id_a FROM jac
+    ), reach(a, b) AS (
+        SELECT doc_id, doc_id FROM gate
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+        SELECT a AS doc_id, min(b) AS cl FROM reach GROUP BY a
+    ), surv AS (
+        SELECT doc_id FROM labels WHERE doc_id = cl
+    ), toks AS (
+        SELECT t.doc_id,
+               list_filter(regexp_split_to_array(trim(t.text), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM train0 t JOIN surv USING (doc_id)
+    ), etoks AS (
+        SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents WHERE doc_id % 10 = 0
+    ), efp AS (
+        SELECT DISTINCT
+               CAST(concat('0x', substr(md5(array_to_string(
+                   tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 8], ' ')), 1, 15))
+                    AS BIGINT) AS h
+        FROM etoks, UNNEST(range(0, greatest(len(tk) - 8 + 1, 0))) u(i)
+    ), wins AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i,
+               CAST(concat('0x', substr(md5(array_to_string(
+                   tk[CAST(i AS INT) + 1 : CAST(i AS INT) + 8], ' ')), 1, 15))
+                    AS BIGINT) AS h
+        FROM toks, UNNEST(range(0, greatest(len(tk) - 8 + 1, 0))) u(i)
+    ), flagged AS (
+        SELECT doc_id, i, i + 7 AS e
+        FROM wins WHERE h IN (SELECT h FROM efp)
+    ), isl AS (
+        SELECT doc_id, i, e,
+               CASE WHEN i > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM flagged
+    ), isl2 AS (
+        SELECT doc_id, i, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    ), merged AS (
+        SELECT doc_id, island, min(i) AS lo, max(e) AS hi
+        FROM isl2 GROUP BY doc_id, island
+    ), covered AS (
+        SELECT DISTINCT doc_id, lo + d AS idx
+        FROM merged, UNNEST(range(0, hi - lo + 1)) v(d)
+    ), tokidx AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS idx,
+               tk[CAST(i AS INT) + 1] AS tok
+        FROM toks, UNNEST(range(0, len(tk))) u(i)
+    ), kept AS (
+        SELECT t.doc_id, t.idx, t.tok
+        FROM tokidx t LEFT JOIN covered c
+          ON t.doc_id = c.doc_id AND t.idx = c.idx
+        WHERE c.idx IS NULL
+    ), agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS txt,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), decon AS (
+        SELECT t.doc_id,
+               md5(coalesce(a.txt, '')) AS clean_fp,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    ), dsrc AS (
+        SELECT d.doc_id, d.clean_fp, d.n_tokens_kept, t.source
+        FROM decon d JOIN train0 t USING (doc_id)
+    ), n AS (
+        SELECT s.source, count(*) AS n, any_value(w.wt) AS wt
+        FROM dsrc s JOIN w USING (source)
+        GROUP BY s.source
+    ), k AS (SELECT min(n // wt) AS k FROM n),
+    q AS (SELECT source, wt * (SELECT k FROM k) AS quota FROM n),
+    mix AS (
+        SELECT doc_id, source, clean_fp, n_tokens_kept FROM (
+            SELECT d.doc_id, d.source, d.clean_fp, d.n_tokens_kept, q.quota,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5('pf-mix' || CAST(d.doc_id AS VARCHAR)),
+                                d.doc_id
+                   ) AS rn
+            FROM dsrc d JOIN q USING (source)
+        ) WHERE rn <= quota
+    )
+    SELECT doc_id, source, clean_fp, n_tokens_kept,
+           CAST({_PF_SHARD} AS INTEGER) AS shard
+    FROM mix
+    """,
+    headline=True,
+)
+
+
 def _q_dsir_emit(spark, sf_dir):
     """STRETCH composition (r13 verdict item 8): the full modern
     pretraining-data story under ONE hash — DSIR top-25% importance

@@ -1484,6 +1484,34 @@ def test_dsir_emit_chain_plan_shape(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_pretrain_full_chain_plan_shape(spark):
+    """The composed pipeline_pretrain_full chain (registered r16):
+    five legs through one lazy DAG without any leg regressing the
+    shape its standalone row plan-asserts — the decontamination
+    fingerprint flag and the dedup-survivor filter stay LEFT SEMI hash
+    joins, the Bloom/bucket machinery never degrades to a nested loop
+    or cartesian, zero Python anywhere, no SinglePartition exchange
+    (every window partitions by doc/source), and the only
+    SortMergeJoins are doc-grain id join-backs (corpus-sized both
+    sides — broadcast would be wrong at 100 TB)."""
+    from python_dtl_spark.catalog import QUERIES
+
+    df = QUERIES["pipeline_pretrain_full"].fn(spark, SF)
+    plan = _exec_plan(df)
+    import re as _re
+
+    assert "LeftSemi" in plan, plan
+    for m in _re.finditer(r"SortMergeJoin \[(\w+)", plan):
+        assert m.group(1) in ("doc_id", "__sid", "id_a", "id_b"), plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from python_dtl_spark.operators.dedup import release_all_cached
+
+    release_all_cached(spark)
+
+
 def test_top_fraction_plans_prefiltered_take_ordered(spark):
     """sampling.top_fraction's two phases in the plan: the
     approxQuantile coarse floor lands as a pushed Filter on the score
