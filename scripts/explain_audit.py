@@ -496,6 +496,42 @@ AUDITED = {
         "scored frame persisted so both its consumers read ONE "
         "materialization (asserted in tests/test_plans.py)"
     ),
+    "doc_softdedup_weights": (
+        "soft dedup (registered r15): ONE content-keyed hash agg with "
+        "map-side partial_count + ONE content-keyed equi-join back — "
+        "NO window (hot boilerplate groups stay AQE-skew-splittable); "
+        "the weight is a row-local division (asserted in "
+        "tests/test_plans.py::test_soft_dedup_weights_is_agg_plus_join_no_window)"
+    ),
+    "doc_bpe_fertility": (
+        "BPE fertility audit (registered r15): merge-table broadcast "
+        "join, token work row-local fold over the staged merge ranks; "
+        "one doc-grain aggregation, no Python below the >65k-merge tier"
+    ),
+    "doc_decontaminate_spans": (
+        "cross-corpus span decontamination (registered r15): eval side "
+        "reduces to DISTINCT 8-byte fingerprints (one hash agg), ONE "
+        "fp-keyed LEFT SEMI join flags train windows, per-doc island "
+        "window + row-local complement splice, zero Python (asserted in "
+        "tests/test_plans.py::test_remove_spans_against_is_semi_join_no_nested_loop)"
+    ),
+    "pipeline_crawl_delta": (
+        "incremental crawl-vs-corpus near-dup (registered r16): crawl "
+        "side banded and bucket-joined against the corpus LSH index; "
+        "Bloom-style broadcast LEFT SEMI prefilter keeps non-colliding "
+        "index rows out of the exchange; verification re-shingles only "
+        "candidate corpus docs (broadcast semi on candidate ids) — with "
+        "a stored index the corpus text is scanned once (asserted in "
+        "tests/test_plans.py::test_crawl_delta_corpus_side_never_rebuckets)"
+    ),
+    "pipeline_pretrain_full": (
+        "five-leg pretraining composition (registered r16): gate is a "
+        "row-local map over ONE persisted working set, dedup shuffles "
+        "are banded-bucket/candidate-sized, decontamination is a "
+        "fingerprint LEFT SEMI, mix is a per-source rank, shard a "
+        "row-local md5 — no SinglePartition exchange, zero Python "
+        "(asserted in tests/test_plans.py::test_pretrain_full_chain_plan_shape)"
+    ),
 }
 
 

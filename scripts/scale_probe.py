@@ -995,7 +995,7 @@ def r15_verbs_section(spark, documents) -> list[str]:
     return lines
 
 
-def ccnet_probe(spark, documents, factors=(1, 8)):
+def ccnet_probe(spark, documents, factors=(1, 8, 32)):
     """pipeline_ccnet_buckets under replication: the audited
     lm_perplexity scoring shape + a per-source percentile aggregation
     whose output stays |sources|-rows whatever the corpus, broadcast
@@ -1067,7 +1067,7 @@ def ccnet_section(spark, documents) -> list[str]:
     return lines
 
 
-def ppl_delta_probe(spark, documents, factors=(1, 8)):
+def ppl_delta_probe(spark, documents, factors=(1, 8, 32)):
     """pipeline_ppl_delta_select's scoring chain under replication:
     two LM fits (target slice + sampled reference — model size is
     vocab-capped, CONSTANT under corpus growth) and two corpus scoring
@@ -1139,6 +1139,202 @@ def ppl_delta_section(spark, documents) -> list[str]:
     for n, total, kept, s in rows:
         lines.append(
             f"| ppl_delta | {n}× | {total:,} | {kept:,} | {s:.2f}s |"
+        )
+    lines.append("")
+    return lines
+
+
+def r15_late_probe(spark, documents, factors=(1, 8)):
+    """The three late-r15 registrations under replication.
+
+    * soft_dedup_weights — replication repeats TEXT verbatim while
+      shifting doc_id, so every content group grows n× (the hot-group
+      stress): the agg+join shape must hold because the join build
+      side stays 1 row/group whatever the group size.
+    * bpe_fertility — row-local fold + row-local ratios; pure map.
+    * decontaminate spans — doc_id shifts by a multiple of 10, so the
+      eval slice (doc_id%10==0, id-shifted) stays a tenth of the
+      corpus; the eval fingerprint set and the flagged-window joins
+      grow linearly.
+    """
+    from python_dtl_spark.operators import dedup as dedup_mod
+
+    merges = [("slow", "slow"), ("a", "a"), ("slow slow", "key")]
+    rows = []
+    for n in factors:
+        docs = (
+            documents if n == 1 else replicate(documents, n, ["doc_id"])
+        ).select("doc_id", "source", "text", "n_chars")
+        total = docs.count()
+
+        start = time.perf_counter()
+        sd = dedup_mod.soft_dedup_weights(docs.select("doc_id", "text"), ["text"])
+        sd_max = sd.agg(F.max("dup_count")).collect()[0][0]
+        sd_s = time.perf_counter() - start
+
+        start = time.perf_counter()
+        enc = text_ops.bpe_encode(docs, merges, out_col="tokens_bpe")
+        fert = enc.select(
+            F.size("tokens_bpe").cast("long").alias("n_tokens"),
+            F.size(text_ops.tokens(F.lower(F.col("text"))))
+            .cast("long")
+            .alias("n_words"),
+        ).agg(F.sum("n_tokens")).collect()[0][0]
+        bf_s = time.perf_counter() - start
+
+        start = time.perf_counter()
+        evals = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
+        train = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+        cut = text_ops.remove_duplicated_spans(
+            train, window_tokens=8, against=evals
+        )
+        n_cut = cut.filter(F.col("n_spans_removed") > 0).count()
+        dc_s = time.perf_counter() - start
+
+        rows.append((n, total, sd_max, sd_s, fert, bf_s, n_cut, dc_s))
+        print(
+            f"# r15_late {n}x: {total:,} docs; softdedup max_group "
+            f"{sd_max} in {sd_s:.2f}s; fertility sum {fert:,} in "
+            f"{bf_s:.2f}s; {n_cut:,} docs cut in {dc_s:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_R15_LATE_HEADER = (
+    "## late-r15 verbs under replication "
+    "(soft-dedup / bpe-fertility / span-decontamination)"
+)
+
+
+def r15_late_section(spark, documents) -> list[str]:
+    rows = r15_late_probe(spark, documents)
+    lines = [
+        _R15_LATE_HEADER,
+        "",
+        "doc_softdedup_weights (text repeats verbatim under replication,",
+        "so every content group grows n× — the hot-group stress; the",
+        "join build side stays 1 row/group), doc_bpe_fertility (pure",
+        "row-local map) and doc_decontaminate_spans (eval slice stays a",
+        "tenth; fingerprint semi-join linear in the data):",
+        "",
+        "| probe | data | input docs | max dup group | softdedup time |"
+        " token sum | fertility time | docs cut | decon time |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for n, total, sd_max, sd_s, fert, bf_s, n_cut, dc_s in rows:
+        lines.append(
+            f"| r15_late | {n}× | {total:,} | {sd_max:,} | {sd_s:.2f}s |"
+            f" {fert:,} | {bf_s:.2f}s | {n_cut:,} | {dc_s:.2f}s |"
+        )
+    lines.append("")
+    return lines
+
+
+def r16_verbs_probe(spark, documents, factors=(1, 8)):
+    """The two r16 registrations under replication.
+
+    * crawl_delta_pairs — the crawl stays a FIFTH of the corpus under
+      replication; the Bloom prefilter + banded bucket join must keep
+      candidate work bounded by true collisions, so time tracks data.
+    * pipeline_pretrain_full — the five-leg chain; the dedup legs
+      bound pair work by bucket occupancy and the decontamination is
+      a fingerprint semi-join, so the chain should track data.
+    """
+    from fractions import Fraction  # noqa: F401 (parity with chain row)
+
+    from python_dtl_spark.operators import classify  # noqa: F401
+    from python_dtl_spark.operators import dedup as dedup_mod
+
+    rows = []
+    for n in factors:
+        docs = (
+            documents if n == 1 else replicate(documents, n, ["doc_id"])
+        ).select("doc_id", "source", "text")
+        total = docs.count()
+
+        start = time.perf_counter()
+        crawl = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
+        pairs = dedup_mod.crawl_delta_pairs(
+            docs, crawl, n=3, num_hashes=32, bands=16, threshold=0.3
+        ).count()
+        cd_s = time.perf_counter() - start
+
+        start = time.perf_counter()
+        evals = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
+        train0 = docs.filter(F.col("doc_id") % 10 != 0)
+        gated = (
+            text_ops.gopher_quality_flags(train0, append=True)
+            .filter(F.col("keep"))
+            .select("doc_id", "source", "text")
+            .persist()
+        )
+        lsh_pairs = dedup_mod.minhash_lsh_pairs(
+            gated, n=3, num_hashes=32, bands=16, threshold=0.3
+        )
+        labeled = dedup_mod.keep_one_from_pairs(
+            gated.select("doc_id"), lsh_pairs, id_col="doc_id"
+        )
+        survivors = gated.join(
+            labeled.filter(F.col("keep")).select("doc_id"),
+            on="doc_id",
+            how="left_semi",
+        )
+        clean = text_ops.remove_duplicated_spans(
+            survivors.select("doc_id", "text"), window_tokens=8, against=evals
+        )
+        mixed = sampling.target_mix_resample(
+            clean.join(gated.select("doc_id", "source"), on="doc_id"),
+            "source",
+            "doc_id",
+            {"src1": 3, "src2": 2, "src3": 1},
+            seed="pf-mix",
+        )
+        emitted = sampling.shard_assign(mixed, "doc_id", 8, seed="pf-sh").count()
+        gated.unpersist()
+        labeled.unpersist()
+        pf_s = time.perf_counter() - start
+
+        rows.append((n, total, pairs, cd_s, emitted, pf_s))
+        print(
+            f"# r16_verbs {n}x: {total:,} docs; crawl-delta {pairs:,} "
+            f"pairs in {cd_s:.2f}s; pretrain-full {emitted:,} emitted "
+            f"in {pf_s:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_R16_VERBS_HEADER = (
+    "## r16 verbs under replication (crawl-delta / pretrain-full)"
+)
+
+
+def r16_verbs_section(spark, documents) -> list[str]:
+    rows = r16_verbs_probe(spark, documents)
+    lines = [
+        _R16_VERBS_HEADER,
+        "",
+        "pipeline_crawl_delta (the crawl stays a fifth of the corpus;",
+        "Bloom prefilter + banded bucket join keep candidate work",
+        "bounded by true collisions) and pipeline_pretrain_full (the",
+        "five-leg chain: gate map, bucket-bounded dedup, fingerprint",
+        "semi-join decontamination, per-source rank, row-local shard):",
+        "",
+        "| probe | data | input docs | delta pairs | crawl-delta time |"
+        " emitted | pretrain-full time |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for n, total, pairs, cd_s, emitted, pf_s in rows:
+        lines.append(
+            f"| r16_verbs | {n}× | {total:,} | {pairs:,} | {cd_s:.2f}s |"
+            f" {emitted:,} | {pf_s:.2f}s |"
         )
     lines.append("")
     return lines
@@ -1527,6 +1723,24 @@ def main() -> None:
             scaling_path, _STAGED_R15_HEADER, staged_r15_section(spark, documents)
         )
         print("SCALING.md staged-r15 section updated")
+        return
+    if "--r15-late" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path, _R15_LATE_HEADER, r15_late_section(spark, documents)
+        )
+        print("SCALING.md r15-late section updated")
+        return
+    if "--r16-verbs" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path, _R16_VERBS_HEADER, r16_verbs_section(spark, documents)
+        )
+        print("SCALING.md r16-verbs section updated")
         return
     if "--r15-verbs" in sys.argv:
         spark = get_spark("scale-probe")
