@@ -3696,6 +3696,107 @@ _register(
 )
 
 
+def _q_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition rules (registered r16): the other
+    half of Gopher's §A1.1 repetition battery beside ngram_dominance —
+    duplicate line/paragraph fraction and duplicate-character fraction
+    per document, with the Gopher drop thresholds.  The real documents
+    carry no newlines (the dedup_paragraphs precedent), so the fixture
+    synthesizes multi-line multi-paragraph docs identically in both
+    engines: paragraphs [A\\nB, C, D] with A = own text, B = the
+    4-block leader's text (B = A exactly when doc_id % 4 == 0),
+    C = A when doc_id % 3 == 0 else A || ' q', and D = A\\nB when
+    doc_id % 5 == 0 else B\\nA — modular interplay plants line-dup
+    fractions in {{2/5..4/5}} and paragraph dups exactly when
+    doc_id % 5 == 0 or % 4 == 0.  Every metric is an exact integer
+    ratio (single IEEE division) — bit-identical cross-engine.
+
+    Scale shape: entirely row-local (two array splits + per-value
+    count folds inside whole-stage codegen) — zero exchanges beyond
+    the scan; a pure map stage at 100 TB."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    leaders = docs.select(
+        F.col("doc_id").alias("__lid"), F.col("text").alias("__b")
+    )
+    nl = F.lit("\n")
+    nl2 = F.lit("\n\n")
+    base = docs.join(
+        leaders, (F.col("doc_id") - F.col("doc_id") % 4) == F.col("__lid")
+    ).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), nl, F.col("__b"), nl2,
+            F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" q"))
+            ),
+            nl2,
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), nl, F.col("__b")),
+            ).otherwise(F.concat(F.col("__b"), nl, F.col("text"))),
+        ).alias("text"),
+    )
+    return text.repetition_flags(base)
+
+
+_REP_METRIC_SQL = """
+        CAST(len({a}) AS BIGINT) AS n_{p},
+        CASE WHEN len({a}) > 0
+             THEN CAST(len({a}) - len(list_distinct({a})) AS DOUBLE)
+                  / len({a})
+             ELSE 0.0 END AS dup_{p}_frac,
+        CASE WHEN coalesce(list_sum(list_transform({a}, x -> length(x))), 0) > 0
+             THEN CAST(list_sum(list_transform(
+                      list_distinct({a}),
+                      v -> CASE WHEN len(list_filter({a}, x -> x = v)) > 1
+                                THEN (len(list_filter({a}, x -> x = v)) - 1)
+                                     * length(v)
+                                ELSE 0 END)) AS DOUBLE)
+                  / list_sum(list_transform({a}, x -> length(x)))
+             ELSE 0.0 END AS dup_{p}_char_frac
+"""
+
+_register(
+    "doc_repetition_flags",
+    _q_repetition_flags,
+    f"""
+    WITH base AS (
+        SELECT d.doc_id,
+               d.text || chr(10) || l.text || chr(10) || chr(10) ||
+               CASE WHEN d.doc_id % 3 = 0 THEN d.text
+                    ELSE d.text || ' q' END || chr(10) || chr(10) ||
+               CASE WHEN d.doc_id % 5 = 0
+                    THEN d.text || chr(10) || l.text
+                    ELSE l.text || chr(10) || d.text END AS text
+        FROM documents d
+        JOIN documents l ON l.doc_id = d.doc_id - (d.doc_id % 4)
+    ), arrs AS (
+        SELECT doc_id,
+               coalesce(list_filter(regexp_split_to_array(text, '\\n'),
+                                    x -> trim(x) <> ''), []) AS ls,
+               coalesce(list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                                    x -> trim(x) <> ''), []) AS ps
+        FROM base
+    ), m AS (
+        SELECT doc_id,
+        {_REP_METRIC_SQL.format(a="ls", p="lines")},
+        {_REP_METRIC_SQL.format(a="ps", p="paras")}
+        FROM arrs
+    )
+    SELECT doc_id, n_lines, dup_lines_frac AS dup_line_frac,
+           dup_lines_char_frac AS dup_line_char_frac,
+           n_paras, dup_paras_frac AS dup_para_frac,
+           dup_paras_char_frac AS dup_para_char_frac,
+           (coalesce(dup_lines_frac <= 0.30, false)
+            AND coalesce(dup_paras_frac <= 0.30, false)
+            AND coalesce(dup_lines_char_frac <= 0.20, false)
+            AND coalesce(dup_paras_char_frac <= 0.20, false)) AS keep
+    FROM m
+    """,
+    headline=True,
+)
+
+
 def _dup_windows_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ full copies (doc_id%10=0, +10000) ∪ first-half
     copies (doc_id%10=5, +20000): gives dup_frac exactly 1.0 on full

@@ -456,6 +456,113 @@ def gopher_quality_flags(
     )
 
 
+def repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    append: bool = False,
+) -> DataFrame:
+    """WITHIN-document repetition rules — the other half of Gopher's
+    §A1.1 repetition battery (Rae et al. 2021) beside
+    :func:`ngram_dominance`'s top-n-gram share: the fraction of a
+    document's lines / paragraphs that are duplicates of an earlier
+    instance, and the fraction of its characters inside those
+    duplicate instances.  Boilerplate listings, scraper loops and
+    template spam repeat whole lines; Gopher drops documents past
+    30% duplicate lines/paragraphs or 20% duplicate characters
+    (the defaults here).
+
+    Definitions (each an exact integer ratio — instances beyond the
+    FIRST occurrence of a value are its duplicates, the Dolma /
+    NeMo-Curator reading of the Gopher rules):
+
+    * ``dup_line_frac``  = (n_lines − n_distinct_lines) / n_lines
+    * ``dup_line_char_frac`` = Σ_{line values v with count>1}
+      (count(v)−1)·len(v) / Σ len(line) — characters in the duplicate
+      instances over all line characters
+    * ``dup_para_frac`` / ``dup_para_char_frac`` — the same over
+      paragraphs (``\\n{2,}`` blocks; lines split on single
+      newlines).  Whitespace-only lines/paragraphs are structural
+      separators, not content — excluded from every count.
+
+    ``keep`` is true iff all four ratios pass their thresholds; a
+    NULL/empty/newline-free doc has one paragraph and one line —
+    nothing repeats, all ratios 0, keep=true (a SINGLE-line doc
+    cannot trip a within-doc repetition rule by definition; route
+    NULL-text rejection through :func:`gopher_quality_flags`, whose
+    word rules already reject it).  ``append`` mirrors
+    :func:`gopher_quality_flags`: all input columns plus the
+    feature/rule columns.
+
+    Scale shape: ENTIRELY row-local — two array splits + per-value
+    count folds (O(distinct × n) per doc, the
+    :func:`gopher_quality_flags` dominance-rule idiom) inside
+    whole-stage codegen; zero exchanges, zero Python.  At 100 TB this
+    is a pure map stage that pipelines with the scan."""
+    if append:
+        base_cols = [F.col(c) for c in df.columns]
+    else:
+        base_cols = [F.col(id_col)]
+
+    def _metrics(arr):
+        n = F.size(arr).cast("long")
+        dist = F.array_distinct(arr)
+        n_dist = F.size(dist).cast("long")
+        dup_frac = F.when(
+            n > 0, (n - n_dist).cast("double") / n.cast("double")
+        ).otherwise(F.lit(0.0))
+        total_chars = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        dup_chars = F.aggregate(
+            dist,
+            F.lit(0).cast("long"),
+            lambda a, v: a
+            + F.when(
+                F.size(F.filter(arr, lambda x: x == v)) > 1,
+                (F.size(F.filter(arr, lambda x: x == v)) - 1).cast("long")
+                * F.length(v).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        dup_char_frac = F.when(
+            total_chars > 0,
+            dup_chars.cast("double") / total_chars.cast("double"),
+        ).otherwise(F.lit(0.0))
+        return n, dup_frac, dup_char_frac
+
+    paras_src = F.filter(
+        F.split(F.col(text_col), r"\n{2,}"), lambda p: F.trim(p) != ""
+    )
+    lines_src = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda l: F.trim(l) != ""
+    )
+    staged = df.select(
+        *base_cols,
+        F.coalesce(lines_src, F.array().cast("array<string>")).alias("__rl_lines"),
+        F.coalesce(paras_src, F.array().cast("array<string>")).alias("__rl_paras"),
+    )
+    n_lines, dlf, dlcf = _metrics(F.col("__rl_lines"))
+    n_paras, dpf, dpcf = _metrics(F.col("__rl_paras"))
+    rule_l = F.coalesce(dlf <= max_dup_line_frac, F.lit(False))
+    rule_p = F.coalesce(dpf <= max_dup_para_frac, F.lit(False))
+    rule_lc = F.coalesce(dlcf <= max_dup_line_char_frac, F.lit(False))
+    rule_pc = F.coalesce(dpcf <= max_dup_para_char_frac, F.lit(False))
+    return staged.select(
+        *base_cols,
+        n_lines.alias("n_lines"),
+        dlf.alias("dup_line_frac"),
+        dlcf.alias("dup_line_char_frac"),
+        n_paras.alias("n_paras"),
+        dpf.alias("dup_para_frac"),
+        dpcf.alias("dup_para_char_frac"),
+        (rule_l & rule_p & rule_lc & rule_pc).alias("keep"),
+    )
+
+
 def _window_fingerprints(tk: Column, k: Column) -> Column:
     """Array of 60-bit fingerprints, one per ``k``-token sliding window
     of the token array ``tk``: md5 of the space-joined window, first 15

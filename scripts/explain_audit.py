@@ -524,6 +524,12 @@ AUDITED = {
         "a stored index the corpus text is scanned once (asserted in "
         "tests/test_plans.py::test_crawl_delta_corpus_side_never_rebuckets)"
     ),
+    "doc_repetition_flags": (
+        "within-doc Gopher repetition rules (registered r16): dup-line/"
+        "paragraph ratios are row-local array folds — scan → project, "
+        "ZERO Exchange, zero Python (asserted in "
+        "tests/test_plans.py::test_repetition_flags_is_pure_map_stage)"
+    ),
     "pipeline_pretrain_full": (
         "five-leg pretraining composition (registered r16): gate is a "
         "row-local map over ONE persisted working set, dedup shuffles "

@@ -944,6 +944,40 @@ def test_gopher_quality_flags_rules(spark):
     assert out[4]["n_words"] == 0 and out[4]["keep"] is False
 
 
+def test_repetition_flags_line_and_para_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            # 3 lines, one duplicate instance (aa again): dup_line_frac
+            # 1/3 > 0.30, dup chars (2-1)*2 / 6 = 1/3 > 0.20 -> reject;
+            # single paragraph (no \n\n), para rules pass
+            (0, "aa\nbb\naa"),
+            # one line, one paragraph: nothing can repeat, keep
+            (1, "unique single line"),
+            # duplicate PARAGRAPH: paras [p one x, p one x, ptwo]
+            (2, "p one x\n\np one x\n\nptwo"),
+            # whitespace-only lines are separators, not content:
+            # lines [a, a] -> dup 1/2
+            (3, "a\n \na"),
+            # NULL text: one empty doc, all ratios 0, keep (word-rule
+            # rejection is gopher_quality_flags' job)
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in text.repetition_flags(docs).collect()}
+    assert out[0]["n_lines"] == 3 and abs(out[0]["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(out[0]["dup_line_char_frac"] - 2 / 6) < 1e-12
+    assert out[0]["n_paras"] == 1 and out[0]["dup_para_frac"] == 0.0
+    assert out[0]["keep"] is False
+    assert out[1]["keep"] is True and out[1]["dup_line_frac"] == 0.0
+    assert out[2]["n_paras"] == 3 and abs(out[2]["dup_para_frac"] - 1 / 3) < 1e-12
+    # duplicate chars: (2-1)*7 over 7+7+4 = 7/18
+    assert abs(out[2]["dup_para_char_frac"] - 7 / 18) < 1e-12
+    assert out[2]["keep"] is False
+    assert out[3]["n_lines"] == 2 and out[3]["dup_line_frac"] == 0.5
+    assert out[4]["n_lines"] == 0 and out[4]["keep"] is True
+
+
 def test_duplicated_token_windows_cross_doc_only(spark):
     base = "a b c d e f g h i j"  # 10 tokens -> 7 windows at k=4
     docs = spark.createDataFrame(

@@ -1307,6 +1307,21 @@ def test_soft_dedup_weights_is_agg_plus_join_no_window(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_repetition_flags_is_pure_map_stage(spark):
+    """repetition_flags (registered r16): entirely row-local — the
+    dup-line/paragraph ratios are array folds inside the projection,
+    so the plan over a parquet scan is scan → project with ZERO
+    Exchange and zero Python; at 100 TB it pipelines with the scan."""
+    from python_dtl_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _exec_plan(text_ops.repetition_flags(docs))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_crawl_delta_corpus_side_never_rebuckets(spark, tmp_path):
     """crawl_delta_pairs (registered r16): the incremental contract.
     With a PRECOMPUTED corpus index (the stored minhash_band_buckets
