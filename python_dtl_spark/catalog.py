@@ -8253,6 +8253,146 @@ def _paragraph_fixture(spark, sf_dir):
     )
 
 
+def _c4_fixture(spark, sf_dir):
+    """Multi-line corpus for the C4 cleaning row, synthesized
+    identically in both engines (real docs carry no newlines — the
+    _paragraph_fixture precedent): each source doc contributes ONE
+    line — its text plus a planted terminal suffix by ``doc_id % 4``
+    ('.', '!', nothing, '?'; the bare variant trips the
+    terminal-punctuation rule) — except ``doc_id % 7 == 0`` lines gain
+    ' javascript.' (terminal-punct-valid but blocklisted).  Lines
+    group into synthetic docs by ``doc_id % 40`` ordered by doc_id,
+    and groups ``gid % 5 == 0`` append a 'lorem ipsum filler line.'
+    (line-rule-valid but poisoning the whole page via the doc
+    blocklist)."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("."))
+        .when(F.col("doc_id") % 4 == 1, F.lit("!"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(""))
+        .otherwise(F.lit("?"))
+    )
+    line = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" javascript."))
+    ).otherwise(F.concat(F.col("text"), suffix))
+    grouped = (
+        docs.select("doc_id", line.alias("__line"))
+        .withColumn("__gid", F.col("doc_id") % 40)
+        .groupBy("__gid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("doc_id").alias("k"),
+                                F.col("__line").alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    return grouped.select(
+        F.col("__gid").alias("doc_id"),
+        F.when(
+            F.col("__gid") % 5 == 0,
+            F.concat(F.col("text"), F.lit("\nlorem ipsum filler line.")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (registered r16; Raffel et al. 2020
+    §2.2): keep lines ending in terminal punctuation with ≥ 3 words
+    and no 'javascript'; first-instance-only within the page
+    (``dedup_lines=True``); drop pages with < 5 surviving lines or a
+    'lorem ipsum' / '{' anywhere.  The cleaned text hashes under md5 —
+    every rule is exact string/integer work, byte-identical
+    cross-engine.  Entirely row-local past the fixture's group-by
+    (plan-asserted pure map in
+    test_c4_clean_lines_is_pure_map_stage)."""
+    fixture = _c4_fixture(spark, sf_dir)
+    out = text.c4_clean_lines(fixture, dedup_lines=True)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("clean_fp"),
+        "n_lines",
+        "n_lines_kept",
+        "keep",
+    )
+
+
+_register(
+    "pipeline_c4_clean",
+    _q_c4_clean,
+    """
+    WITH lineplant AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' javascript.'
+                    ELSE text || CASE doc_id % 4
+                                      WHEN 0 THEN '.'
+                                      WHEN 1 THEN '!'
+                                      WHEN 2 THEN ''
+                                      ELSE '?' END
+               END AS line
+        FROM documents WHERE doc_id IS NOT NULL
+    ), grouped AS (
+        SELECT doc_id % 40 AS gid,
+               string_agg(line, chr(10) ORDER BY doc_id) AS text
+        FROM lineplant GROUP BY doc_id % 40
+    ), fixture AS (
+        SELECT gid AS doc_id,
+               CASE WHEN gid % 5 = 0
+                    THEN text || chr(10) || 'lorem ipsum filler line.'
+                    ELSE text END AS text
+        FROM grouped
+    ), arrs AS (
+        SELECT doc_id, text,
+               coalesce(list_filter(regexp_split_to_array(text, '\\n'),
+                                    x -> trim(x) <> ''), []) AS ls
+        FROM fixture
+    ), keptl AS (
+        SELECT doc_id, text, ls,
+               list_transform(list_filter(ls, x ->
+                   (ends_with(trim(x), '.') OR ends_with(trim(x), '!')
+                    OR ends_with(trim(x), '?') OR ends_with(trim(x), '"'))
+                   AND len(list_filter(
+                           regexp_split_to_array(trim(x), '\\s+'),
+                           w -> w <> '')) >= 3
+                   AND NOT contains(lower(trim(x)), 'javascript')
+               ), x -> trim(x)) AS k0
+        FROM arrs
+    ), dedup AS (
+        SELECT doc_id, text, ls,
+               [k0[i] for i in range(1, len(k0) + 1)
+                      if list_position(k0, k0[i]) = i] AS k
+        FROM keptl
+    )
+    SELECT doc_id,
+           -- array_to_string([]) is NULL in DuckDB but array_join([])
+           -- is '' in Spark — coalesce to the Spark convention
+           md5(coalesce(array_to_string(k, chr(10)), '')) AS clean_fp,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(k) AS BIGINT) AS n_lines_kept,
+           (len(k) >= 5
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(lower(text), '{')) AS keep
+    FROM dedup
+    """,
+    headline=True,
+)
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """Paragraph-grain exact dedup (C4/RefinedWeb step): drop repeated
     paragraphs corpus-wide keeping the (doc, position)-first instance,

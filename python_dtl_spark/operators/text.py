@@ -563,6 +563,100 @@ def repetition_flags(
     )
 
 
+def c4_clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    terminal_punct: tuple[str, ...] = (".", "!", "?", '"'),
+    line_blocklist: tuple[str, ...] = ("javascript",),
+    doc_blocklist: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_kept_lines: int = 5,
+    dedup_lines: bool = False,
+    append: bool = False,
+) -> DataFrame:
+    """The C4 line-level cleaning recipe (Raffel et al. 2020 §2.2,
+    "Colossal Clean Crawled Corpus"): keep only lines that end in a
+    terminal punctuation mark, have at least ``min_line_words`` words
+    and mention no ``line_blocklist`` term (C4 drops any line with the
+    word "javascript"); then drop whole documents with fewer than
+    ``min_kept_lines`` surviving lines or containing a
+    ``doc_blocklist`` term anywhere ("lorem ipsum", a curly brace).
+    ``dedup_lines=True`` additionally keeps only the FIRST instance of
+    each repeated line within the document (the RefinedWeb/C4
+    three-sentence-span in-page dedup, at line grain).
+
+    All predicates evaluate on the TRIMMED line; kept lines are
+    emitted trimmed and single-newline-rejoined.  Every rule is exact
+    string/integer work — substring membership, terminal character,
+    whitespace word count — so a SQL engine replays the cleaned text
+    byte-identically.
+
+    Output: id (+ input columns with ``append``), ``text_col`` (the
+    cleaned text; empty string when nothing survives), ``n_lines``,
+    ``n_lines_kept``, ``keep``.  NULL text → 0 lines, empty text,
+    keep=false (C4 drops empty pages by the min-lines rule).
+
+    Scale shape: entirely row-local — line split + per-line predicate
+    filters + (for ``dedup_lines``) a first-occurrence index filter,
+    all inside whole-stage codegen; zero exchanges, zero Python.  At
+    100 TB this is a pure map stage that pipelines with the scan —
+    the same shape the C4 reference implementation runs as a Beam
+    ParDo."""
+    if append:
+        base_cols = [F.col(c) for c in df.columns]
+    else:
+        base_cols = [F.col(id_col)]
+
+    def _line_ok(line):
+        t = F.trim(line)
+        ends = None
+        for p in terminal_punct:
+            e = t.endswith(p)
+            ends = e if ends is None else (ends | e)
+        words = F.size(
+            F.filter(F.split(t, r"\s+"), lambda w: w != "")
+        ) >= min_line_words
+        ok = ends & words
+        low = F.lower(t)
+        for b in line_blocklist:
+            ok = ok & ~low.contains(b.lower())
+        return ok
+
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda l: F.trim(l) != ""
+    )
+    staged = df.select(
+        *base_cols,
+        F.coalesce(lines, F.array().cast("array<string>")).alias("__c4_lines"),
+        F.coalesce(F.lower(F.col(text_col)), F.lit("")).alias("__c4_low"),
+    )
+    kept = F.transform(
+        F.filter(F.col("__c4_lines"), _line_ok), lambda l: F.trim(l)
+    )
+    staged = staged.select(*base_cols, "__c4_lines", "__c4_low", kept.alias("__c4_kept"))
+    if dedup_lines:
+        arr = F.col("__c4_kept")
+        first_only = F.filter(
+            arr, lambda x, i: F.array_position(arr, x) == i + 1
+        )
+        staged = staged.select(
+            *base_cols, "__c4_lines", "__c4_low", first_only.alias("__c4_kept")
+        )
+    n_lines = F.size("__c4_lines").cast("long")
+    n_kept = F.size("__c4_kept").cast("long")
+    doc_ok = n_kept >= min_kept_lines
+    for b in doc_blocklist:
+        doc_ok = doc_ok & ~F.col("__c4_low").contains(b.lower())
+    return staged.select(
+        *base_cols,
+        F.array_join("__c4_kept", "\n").alias(text_col if not append else f"clean_{text_col}"),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_lines_kept"),
+        F.coalesce(doc_ok, F.lit(False)).alias("keep"),
+    )
+
+
 def _window_fingerprints(tk: Column, k: Column) -> Column:
     """Array of 60-bit fingerprints, one per ``k``-token sliding window
     of the token array ``tk``: md5 of the space-joined window, first 15

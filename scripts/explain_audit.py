@@ -524,6 +524,13 @@ AUDITED = {
         "a stored index the corpus text is scanned once (asserted in "
         "tests/test_plans.py::test_crawl_delta_corpus_side_never_rebuckets)"
     ),
+    "pipeline_c4_clean": (
+        "C4 line-level cleaning (registered r16): the full recipe — "
+        "terminal-punct / word-count / blocklist line rules, in-page "
+        "first-occurrence line dedup, doc-level gates — is row-local "
+        "array work past the fixture group-by; zero Python (asserted "
+        "in tests/test_plans.py::test_c4_clean_lines_is_pure_map_stage)"
+    ),
     "doc_repetition_flags": (
         "within-doc Gopher repetition rules (registered r16): dup-line/"
         "paragraph ratios are row-local array folds — scan → project, "

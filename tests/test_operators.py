@@ -978,6 +978,39 @@ def test_repetition_flags_line_and_para_rules(spark):
     assert out[4]["n_lines"] == 0 and out[4]["keep"] is True
 
 
+def test_c4_clean_lines_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            # 8 lines: 5 survive (kept >= 5 -> keep); 'short.' fails the
+            # 3-word rule, bare line fails terminal punct, javascript
+            # line is blocklisted despite valid punctuation
+            (0, "good line one here.\nshort.\nno terminal punct line\n"
+                "has javascript in it.\nanother good line two.\n"
+                "third good line stays!\nfourth good line stays?\n"
+                "fifth good line stays."),
+            # triplicate line: dedup_lines keeps the first instance only
+            (1, "a b c.\na b c.\na b c.\nd e f.\ng h i.\nj k l."),
+            # every line valid but the page mentions lorem ipsum -> drop
+            (2, "lorem ipsum dolor sit amet.\nx y z one.\nx y z two.\n"
+                "x y z three.\nx y z four.\nx y z five."),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.asDict() for r in text.c4_clean_lines(docs).collect()}
+    assert out[0]["n_lines"] == 8 and out[0]["n_lines_kept"] == 5
+    assert out[0]["keep"] is True
+    assert out[0]["text"].startswith("good line one here.")
+    assert "javascript" not in out[0]["text"] and "short." not in out[0]["text"]
+    assert out[2]["n_lines_kept"] == 6 and out[2]["keep"] is False
+    assert out[3]["n_lines"] == 0 and out[3]["text"] == "" and out[3]["keep"] is False
+    dd = {r.doc_id: r.asDict()
+          for r in text.c4_clean_lines(docs, dedup_lines=True).collect()}
+    assert dd[1]["n_lines_kept"] == 4  # 6 lines, triplicate collapsed
+    assert dd[1]["text"] == "a b c.\nd e f.\ng h i.\nj k l."
+    assert dd[1]["keep"] is False  # 4 < 5 kept lines after dedup
+
+
 def test_duplicated_token_windows_cross_doc_only(spark):
     base = "a b c d e f g h i j"  # 10 tokens -> 7 windows at k=4
     docs = spark.createDataFrame(

@@ -1322,6 +1322,21 @@ def test_repetition_flags_is_pure_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_c4_clean_lines_is_pure_map_stage(spark):
+    """c4_clean_lines (registered r16): the whole C4 recipe — line
+    split, terminal-punct / word-count / blocklist predicates, the
+    first-occurrence line dedup, the doc-level gates — is row-local
+    array work: scan → project, ZERO Exchange, zero Python."""
+    from python_dtl_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _exec_plan(text_ops.c4_clean_lines(docs, dedup_lines=True))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_crawl_delta_corpus_side_never_rebuckets(spark, tmp_path):
     """crawl_delta_pairs (registered r16): the incremental contract.
     With a PRECOMPUTED corpus index (the stored minhash_band_buckets
