@@ -8611,6 +8611,87 @@ _URL_CANON_ORACLE = f"""
 _register("doc_url_canonicalize", _q_url_canonicalize, _URL_CANON_ORACLE)
 
 
+def _q_url_dedup(spark, sf_dir):
+    """URL-grain dedup (registered r16) — the FIRST step of every
+    crawl pipeline: canonicalize the fetched URL, keep ONE document
+    per canonical URL (deterministic min doc_id — re-crawls and
+    tracking-param/fragment/port/case variants of one page collapse),
+    drop unparseable URLs to the side.  Composes canonicalize_urls
+    (whose full rule replay is doc_url_canonicalize's oracle) with
+    exact_dedup_canonical keyed on the canonical string.
+
+    Fixture: three surface variants of ONE canonical page per
+    (source, doc_id % 100) — upper-case host + www + :443 + trailing
+    slash, utm-tracking query, duplicate-slash path + fragment — plus
+    junk rows every 11th doc; the canonical form is therefore known
+    analytically and the oracle states the kept set independently
+    (planted-fixture soundness, the _uniquified_docs precedent).
+
+    Scale shape: canonicalization is a pure map; the dedup is ONE
+    canonical-url-keyed hash agg (map-side partial min) — linear, and
+    a hot URL (a hub page crawled hourly) is partial-agg combined
+    map-side, never funneled through a window."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    uid = (F.col("doc_id") % 100).cast("string")
+    url = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("junk "), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://WWW."), F.col("source"),
+                F.lit(".Example.COM:443/p/"), uid, F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com/p/"), uid, F.lit("?utm_source=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com//p/"), uid, F.lit("#frag"),
+            )
+        )
+    )
+    canon = urls.canonicalize_urls(docs.withColumn("url", url), "url")
+    kept = dedup.exact_dedup_canonical(
+        canon.filter(F.col("canonical_url").isNotNull()).select(
+            "doc_id", "canonical_url"
+        ),
+        "doc_id",
+        ["canonical_url"],
+    )
+    return kept.select("canonical_url", "doc_id")
+
+
+_register(
+    "pipeline_url_dedup",
+    _q_url_dedup,
+    """
+    WITH f AS (
+        SELECT doc_id, source FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id % 11 <> 0
+              AND source IS NOT NULL
+    )
+    SELECT 'https://' || source || '.example.com/p/'
+               || CAST(doc_id % 100 AS VARCHAR) AS canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS doc_id
+    FROM f
+    GROUP BY source, doc_id % 100
+    """,
+    headline=True,
+)
+
+
 def _q_pipeline_domain_cap(spark, sf_dir):
     """Canonicalize → domain-cap composition: the two halves the r9
     verdict asked to join — canonicalize_urls derives the registrable

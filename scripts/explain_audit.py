@@ -524,6 +524,12 @@ AUDITED = {
         "a stored index the corpus text is scanned once (asserted in "
         "tests/test_plans.py::test_crawl_delta_corpus_side_never_rebuckets)"
     ),
+    "pipeline_url_dedup": (
+        "URL-grain keep-one dedup (registered r16): row-local "
+        "canonicalization + ONE canonical-url hash agg with map-side "
+        "partial_min — single exchange, no window, no join (asserted "
+        "in tests/test_plans.py::test_url_dedup_is_map_side_min_agg)"
+    ),
     "pipeline_c4_clean": (
         "C4 line-level cleaning (registered r16): the full recipe — "
         "terminal-punct / word-count / blocklist line rules, in-page "

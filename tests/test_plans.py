@@ -1322,6 +1322,21 @@ def test_repetition_flags_is_pure_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_url_dedup_is_map_side_min_agg(spark):
+    """pipeline_url_dedup (registered r16): canonicalization is a
+    row-local map and the keep-one election is ONE canonical-url
+    hash aggregation with a map-side partial_min — a hot URL combines
+    map-side instead of funneling through a window sort; zero Python,
+    no join anywhere."""
+    from python_dtl_spark.catalog import QUERIES
+
+    plan = _exec_plan(QUERIES["pipeline_url_dedup"].fn(spark, SF))
+    assert "partial_min" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_c4_clean_lines_is_pure_map_stage(spark):
     """c4_clean_lines (registered r16): the whole C4 recipe — line
     split, terminal-punct / word-count / blocklist predicates, the
