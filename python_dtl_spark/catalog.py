@@ -9154,6 +9154,19 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # (default None = the exact pre-registration path) and nb_apply's
     # pivot-column rename is output-neutral; both operators' rows are
     # NEW this round, so their r12 evidence covers the final code.
+    #
+    # round-16 NOT-forced notes (the r15 advisor fixes, all
+    # error-path-only): soft_dedup_weights gained __sd_c{i} alias
+    # guards (raise on adversarial inputs; every catalog input lacks
+    # those columns), remove_duplicated_spans now rejects orphan
+    # against_* args (no catalog row passes them without against),
+    # and top_fraction's floor_only/prefilter incompatibility check
+    # moved BEFORE the persist (same ValueError, no longer pays a
+    # cache materialization first — valid-argument paths untouched).
+    # Outputs are bit-identical for every registered row; the three
+    # hosts' rows (doc_softdedup_weights, doc_decontaminate_spans,
+    # doc_dedup_spans, pipeline_floor_select families) also re-ran
+    # green in the full sf0.001 sweeps on the edited tree this round.
 }
 
 
