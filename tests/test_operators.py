@@ -1734,6 +1734,49 @@ def test_contamination_prefilter_is_lossless(spark):
     assert tiny == base
 
 
+def test_crawl_delta_stored_index_and_valves_are_lossless(spark, tmp_path):
+    """crawl_delta_pairs' three modes must agree pair-for-pair: inline
+    (index derived from corpus text), stored-index (the
+    minhash_band_buckets parquet written at index-build time — the
+    incremental contract), and prefilter-off.  The Bloom prefilter is
+    exact-safe by construction (false positives die in the equi-join),
+    and the stored index replays the same hash algebra — both are
+    plan-level optimizations, never semantic ones."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    crawl = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+
+    def run(**kw):
+        return {
+            (r.crawl_id, r.corpus_id, round(r.jaccard, 12))
+            for r in dedup.crawl_delta_pairs(
+                docs, crawl, threshold=0.3, **kw
+            ).collect()
+        }
+
+    inline = run()
+    assert inline  # non-empty: every crawl doc pairs with its source
+    no_pref = run(prefilter_buckets=None)
+    assert no_pref == inline
+    tiny_pref = run(prefilter_buckets=8)  # every bucket collides
+    assert tiny_pref == inline
+    idx_path = str(tmp_path / "idx.parquet")
+    dedup.minhash_band_buckets(docs).write.parquet(idx_path)
+    stored = run(corpus_buckets=spark.read.parquet(idx_path))
+    assert stored == inline
+    # exact self-copies are all present at jaccard 1.0
+    ids = {r.doc_id for r in docs.filter("trim(text) <> ''").collect()}
+    for i in ids:
+        if i % 5 == 0:
+            assert (i + 300000, i, 1.0) in inline
+
+
 def test_domain_quota_caps_and_is_layout_invariant(spark):
     from python_dtl_spark.operators.sampling import domain_quota
 
