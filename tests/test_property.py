@@ -1479,3 +1479,103 @@ def test_importance_resample_matches_reference_on_random_inputs(
     ranked = sorted(data, key=lambda r: (-prio(r[0], r[1]), r[0]))
     want = sorted(d for d, _ in ranked[:k])
     assert got == want and len(got) == k
+
+
+# --- within-doc repetition rules / C4 line cleaning -------------------------
+
+_line_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "javascript", "lorem", "ipsum"]),
+    min_size=0,
+    max_size=5,
+).map(" ".join)
+_line = st.tuples(
+    _line_words, st.sampled_from([".", "!", "?", "", " "])
+).map(lambda t: t[0] + t[1])
+_multiline_doc = st.lists(
+    st.tuples(_line, st.sampled_from(["\n", "\n\n"])), min_size=1, max_size=8
+).map(lambda segs: "".join(l + sep for l, sep in segs).rstrip("\n"))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_multiline_doc, min_size=1, max_size=6))
+def test_repetition_flags_matches_bruteforce(spark, texts):
+    import re
+
+    from python_dtl_spark.operators.text import repetition_flags
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+            r.n_paras, r.dup_para_frac, r.dup_para_char_frac,
+        )
+        for r in repetition_flags(docs).collect()
+    }
+
+    def metrics(arr):
+        n = len(arr)
+        dist = list(dict.fromkeys(arr))
+        dup_frac = (n - len(dist)) / n if n else 0.0
+        total = sum(len(x) for x in arr)
+        dup_chars = sum(
+            (arr.count(v) - 1) * len(v) for v in dist if arr.count(v) > 1
+        )
+        dcf = dup_chars / total if total else 0.0
+        return n, dup_frac, dcf
+
+    for i, text in enumerate(texts):
+        lines = [l for l in text.split("\n") if l.strip() != ""]
+        paras = [p for p in re.split(r"\n{2,}", text) if p.strip() != ""]
+        assert got[i] == (*metrics(lines), *metrics(paras)), (i, text)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_multiline_doc, min_size=1, max_size=6),
+    dedup=st.booleans(),
+)
+def test_c4_clean_lines_matches_bruteforce(spark, texts, dedup):
+    import re
+
+    from python_dtl_spark.operators.text import c4_clean_lines
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_lines_kept, r.keep)
+        for r in c4_clean_lines(docs, dedup_lines=dedup).collect()
+    }
+    for i, text in enumerate(texts):
+        lines = [l for l in text.split("\n") if l.strip() != ""]
+        kept = []
+        for l in lines:
+            t = l.strip()
+            if not any(t.endswith(p) for p in (".", "!", "?", '"')):
+                continue
+            if len([w for w in re.split(r"\s+", t) if w]) < 3:
+                continue
+            if "javascript" in t.lower():
+                continue
+            kept.append(t)
+        if dedup:
+            kept = list(dict.fromkeys(kept))
+        low = text.lower()
+        keep = (
+            len(kept) >= 5
+            and "lorem ipsum" not in low
+            and "{" not in low
+        )
+        assert got[i] == ("\n".join(kept), len(lines), len(kept), keep), (
+            i, text,
+        )
