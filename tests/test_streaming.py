@@ -328,6 +328,52 @@ def test_streaming_chunking_matches_batch(spark, tmp_path):
     assert streamed == batch and len(batch) > 20
 
 
+def test_streaming_c4_clean_matches_batch(spark, tmp_path):
+    """c4_clean_lines (registered r16) is a pure row-local map —
+    streaming-legal by construction: readStream docs → the full C4
+    recipe (line rules + in-page line dedup + page gates) → append
+    sink equals the batch result row-for-row.  The crawl-cleaning
+    front door therefore runs on a live crawl feed unchanged."""
+    from python_dtl_spark.operators.text import c4_clean_lines
+
+    docs = spark.createDataFrame(
+        [
+            (i, "\n".join(
+                f"line {j} of doc {i} stays here."
+                if (i + j) % 3 and i % 4 != 0 else f"bare line {j}"
+                for j in range(8)
+            ))
+            for i in range(16)
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "c4_stream")
+    docs.write.parquet(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_stream_to_memory(
+        c4_clean_lines(stream, dedup_lines=True, min_kept_lines=3),
+        "c4_stream_out",
+        mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.doc_id, r.text, r.n_lines, r.n_lines_kept, r.keep)
+            for r in spark.table("c4_stream_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.doc_id, r.text, r.n_lines, r.n_lines_kept, r.keep)
+        for r in c4_clean_lines(docs, dedup_lines=True, min_kept_lines=3).collect()
+    }
+    assert streamed == batch and len(batch) == 16
+    assert any(r[4] for r in batch) and any(not r[4] for r in batch)
+
+
 def test_streaming_url_canonicalize_matches_batch(spark, tmp_path):
     """URL canonicalization is a stateless map stage, so it streams
     as-is: readStream urls -> canonicalize_urls -> append sink equals
