@@ -8393,6 +8393,67 @@ _register(
 )
 
 
+def _q_sentences(spark, sf_dir):
+    """Sentence segmentation (registered r16): terminal-punctuation
+    split over the C4 fixture — whose planted '.', '!', '?' and
+    bare-suffix lines give real sentence structure (a bare line flows
+    into the NEXT line's sentence, exercising the cross-line rule).
+    Exploded form: one row per sentence with its 0-based index and
+    exact word count.  Row-local split/replace + posexplode — zero
+    exchanges past the fixture group-by."""
+    fixture = _c4_fixture(spark, sf_dir)
+    return text.split_sentences(fixture, explode=True)
+
+
+_register(
+    "doc_sentences",
+    _q_sentences,
+    """
+    WITH lineplant AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' javascript.'
+                    ELSE text || CASE doc_id % 4
+                                      WHEN 0 THEN '.'
+                                      WHEN 1 THEN '!'
+                                      WHEN 2 THEN ''
+                                      ELSE '?' END
+               END AS line
+        FROM documents WHERE doc_id IS NOT NULL
+    ), grouped AS (
+        SELECT doc_id % 40 AS gid,
+               string_agg(line, chr(10) ORDER BY doc_id) AS text
+        FROM lineplant GROUP BY doc_id % 40
+    ), fixture AS (
+        SELECT gid AS doc_id,
+               CASE WHEN gid % 5 = 0
+                    THEN text || chr(10) || 'lorem ipsum filler line.'
+                    ELSE text END AS text
+        FROM grouped
+    ), rawsent AS (
+        SELECT doc_id,
+               regexp_split_to_array(
+                   regexp_replace(text, '([.!?])(\\s+)', '\\1' || chr(1), 'g'),
+                   chr(1)) AS ss
+        FROM fixture
+    ), keptsent AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(ss, s -> trim(s) <> ''), s -> trim(s)) AS ss
+        FROM rawsent
+    ), ex AS (
+        SELECT doc_id,
+               unnest(ss) AS sentence,
+               generate_subscripts(ss, 1) - 1 AS sent_index
+        FROM keptsent
+    )
+    SELECT doc_id, CAST(sent_index AS BIGINT) AS sent_index, sentence,
+           CAST(len(list_filter(regexp_split_to_array(sentence, '\\s+'),
+                                w -> w <> '')) AS BIGINT) AS n_words
+    FROM ex
+    """,
+)
+
+
 def _q_dedup_paragraphs(spark, sf_dir):
     """Paragraph-grain exact dedup (C4/RefinedWeb step): drop repeated
     paragraphs corpus-wide keeping the (doc, position)-first instance,

@@ -657,6 +657,64 @@ def c4_clean_lines(
     )
 
 
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    explode: bool = False,
+) -> DataFrame:
+    """Terminal-punctuation sentence segmentation — the unit behind
+    C4's "pages with fewer than 3 sentences are removed" gate and
+    RefinedWeb's three-sentence-span in-page dedup: a sentence ends at
+    ``[.!?]`` followed by whitespace (newlines included, so sentences
+    flow across soft-wrapped lines); a trailing fragment without
+    terminal punctuation counts as a final sentence.
+
+    RE2 (the oracle engine's regex) has no lookbehind, so the split
+    keeps its delimiter via replace-then-split: ``([.!?])(\\s+)`` →
+    punct + ``\\x01``, then split on ``\\x01`` — byte-identical in
+    Java regex and RE2 (the whitespace after the punctuation is
+    consumed; interior whitespace stays inside its sentence).
+    Sentences are emitted TRIMMED; whitespace-only fragments drop.
+
+    Output: ``(id, sentences array<string>, n_sentences)``, or with
+    ``explode=True`` one row per sentence ``(id, sent_index 0-based,
+    sentence, n_words)``.
+
+    Scale shape: row-local split/replace (+ a row-local posexplode in
+    exploded form) — zero exchanges, zero Python; a pure map stage
+    that pipelines with the scan."""
+    sents = F.filter(
+        F.split(
+            F.regexp_replace(F.col(text_col), r"([.!?])(\s+)", "$1\x01"),
+            "\x01",
+        ),
+        lambda s: F.trim(s) != "",
+    )
+    sents = F.transform(sents, lambda s: F.trim(s))
+    staged = df.select(
+        F.col(id_col),
+        F.coalesce(sents, F.array().cast("array<string>")).alias("__ss"),
+    )
+    if not explode:
+        return staged.select(
+            id_col,
+            F.col("__ss").alias("sentences"),
+            F.size("__ss").cast("long").alias("n_sentences"),
+        )
+    ex = staged.select(
+        F.col(id_col), F.posexplode("__ss").alias("sent_index", "sentence")
+    )
+    return ex.select(
+        id_col,
+        F.col("sent_index").cast("long").alias("sent_index"),
+        "sentence",
+        F.size(F.filter(F.split(F.col("sentence"), r"\s+"), lambda w: w != ""))
+        .cast("long")
+        .alias("n_words"),
+    )
+
+
 def _window_fingerprints(tk: Column, k: Column) -> Column:
     """Array of 60-bit fingerprints, one per ``k``-token sliding window
     of the token array ``tk``: md5 of the space-joined window, first 15

@@ -524,6 +524,12 @@ AUDITED = {
         "a stored index the corpus text is scanned once (asserted in "
         "tests/test_plans.py::test_crawl_delta_corpus_side_never_rebuckets)"
     ),
+    "doc_sentences": (
+        "sentence segmentation (registered r16): replace-then-split "
+        "keeps the terminal delimiter without lookbehind (RE2-"
+        "replayable); row-local split + posexplode — zero exchanges "
+        "past the fixture group-by, zero Python"
+    ),
     "pipeline_url_dedup": (
         "URL-grain keep-one dedup (registered r16): row-local "
         "canonicalization + ONE canonical-url hash agg with map-side "

@@ -1011,6 +1011,34 @@ def test_c4_clean_lines_rules(spark):
     assert dd[1]["keep"] is False  # 4 < 5 kept lines after dedup
 
 
+def test_split_sentences_terminal_punct_and_cross_line(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "One sentence here. Two now! Three? Done."),
+            # bare line flows into the next line's sentence; trailing
+            # fragment without punctuation counts as a final sentence
+            (1, "first part\nsecond part ends here. trailing fragment"),
+            (2, ""),
+            (3, None),
+            (4, "multi  space.   kept inside?"),
+        ],
+        "doc_id long, text string",
+    )
+    agg = {r.doc_id: (r.sentences, r.n_sentences)
+           for r in text.split_sentences(docs).collect()}
+    assert agg[0] == (["One sentence here.", "Two now!", "Three?", "Done."], 4)
+    assert agg[1] == (
+        ["first part\nsecond part ends here.", "trailing fragment"], 2
+    )
+    assert agg[2] == ([], 0) and agg[3] == ([], 0)
+    assert agg[4] == (["multi  space.", "kept inside?"], 2)
+    ex = {(r.doc_id, r.sent_index): (r.sentence, r.n_words)
+          for r in text.split_sentences(docs, explode=True).collect()}
+    assert ex[(0, 3)] == ("Done.", 1)
+    assert ex[(1, 0)] == ("first part\nsecond part ends here.", 6)
+    assert (2, 0) not in ex and (3, 0) not in ex
+
+
 def test_duplicated_token_windows_cross_doc_only(spark):
     base = "a b c d e f g h i j"  # 10 tokens -> 7 windows at k=4
     docs = spark.createDataFrame(
