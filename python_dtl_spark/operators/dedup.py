@@ -567,6 +567,7 @@ def crawl_delta_pairs(
     corpus_buckets: DataFrame | None = None,
     prefilter_buckets: int | None = 1 << 16,
     max_bucket_size: int | None = None,
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """INCREMENTAL near-dup dedup: which documents of a NEW crawl
     near-duplicate (MinHash grain, exact-Jaccard verified) a document
@@ -604,11 +605,23 @@ def crawl_delta_pairs(
     index (and not even that, under partition pruning by the Bloom
     prefilter); every shuffle is crawl-sized or candidate-sized.
     Extension operator (SURVEY §2.5) — the reference has no
-    incremental path (full re-run per crawl, `eval.py`)."""
+    incremental path (full re-run per crawl, `eval.py`).
+
+    Duplicate ids: as in :func:`minhash_lsh_pairs`, a duplicated
+    crawl ``id_col`` would blend both rows' shingles into one chimera
+    signature at the min-aggregate AND fan out every verified pair
+    through the shingle join-back — so the crawl shingle projection
+    is deduplicated by id unless ``assume_unique_ids=True`` skips
+    that exchange.  The corpus side's contract is the INDEX's: build
+    ``corpus_buckets`` from a unique-id corpus (the inline derivation
+    inherits whatever the corpus contains)."""
     # crawl shingles persisted: feed bucket generation AND verification
     c_sh = _spread(crawl).select(
         F.col(id_col).alias("__cid"), _shingles(F.col(text_col), n).alias("__csh")
-    ).persist()
+    )
+    if not assume_unique_ids:
+        c_sh = c_sh.dropDuplicates(["__cid"])
+    c_sh = c_sh.persist()
     # crawl buckets from the persisted shingles (minhash_band_buckets
     # would re-tokenize; this replays only its hash algebra on __csh)
     rows_per_band = num_hashes // bands

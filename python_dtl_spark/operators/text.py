@@ -593,9 +593,11 @@ def c4_clean_lines(
     byte-identically.
 
     Output: id (+ input columns with ``append``), ``text_col`` (the
-    cleaned text; empty string when nothing survives), ``n_lines``,
-    ``n_lines_kept``, ``keep``.  NULL text → 0 lines, empty text,
-    keep=false (C4 drops empty pages by the min-lines rule).
+    cleaned text; empty string when nothing survives — named
+    ``clean_<text_col>`` under ``append`` so the original column
+    survives alongside), ``n_lines``, ``n_lines_kept``, ``keep``.
+    NULL text → 0 lines, empty text, keep=false (C4 drops empty
+    pages by the min-lines rule).
 
     Scale shape: entirely row-local — line split + per-line predicate
     filters + (for ``dedup_lines``) a first-occurrence index filter,

@@ -1805,6 +1805,31 @@ def test_crawl_delta_stored_index_and_valves_are_lossless(spark, tmp_path):
             assert (i + 300000, i, 1.0) in inline
 
 
+def test_crawl_delta_duplicate_crawl_ids_one_row_per_pair(spark):
+    """A duplicated crawl doc_id must not chimera-blend signatures or
+    fan pairs out through the shingle join-back: the crawl projection
+    dedupes by id (minhash_lsh_pairs' contract), so each (crawl_id,
+    corpus_id) pair appears exactly once."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    crawl = spark.createDataFrame(
+        # identical text on both duplicate rows: whichever row the
+        # dedupe keeps, the output is the same — the assertion is
+        # about multiplicity, not about which arbitrary row wins
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (10, "alpha beta gamma delta epsilon zeta"),
+            (11, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.crawl_delta_pairs(corpus, crawl, threshold=0.5).collect()
+    assert len(rows) == 1
+    assert (rows[0].crawl_id, rows[0].corpus_id, rows[0].jaccard) == (10, 1, 1.0)
+
+
 def test_domain_quota_caps_and_is_layout_invariant(spark):
     from python_dtl_spark.operators.sampling import domain_quota
 
