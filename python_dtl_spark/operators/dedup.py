@@ -733,6 +733,110 @@ def crawl_delta_pairs(
     return _release_after(verified, c_sh, crawl_buckets, cand)
 
 
+def crawl_delta_pairs_stream(
+    crawl: DataFrame,
+    corpus_buckets: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """STREAMING-LEGAL tier of :func:`crawl_delta_pairs`: flag
+    near-duplicates of the existing corpus on a LIVE crawl feed
+    (readStream) — the row_local precedent applied to MinHash.
+
+    The batch operator's signature stage is an explode + groupBy
+    min-aggregate (stateful on a stream); here the whole signature +
+    banding computation is ROW-LOCAL (``array_min`` over interpreted
+    higher-order transforms — slower per row than the codegen'd batch
+    aggregation, the measured trade documented at
+    :func:`minhash_signatures`), so the only non-map operators are two
+    STREAM-STATIC inner joins (both legal in append mode): crawl band
+    rows × the stored ``corpus_buckets`` index, then candidates × the
+    static corpus text for the exact-Jaccard verify.  Same hash
+    algebra as the batch path — a pair flagged here is flagged there.
+
+    Output: (crawl_id, corpus_id, jaccard ≥ threshold).  A pair may
+    repeat once per colliding band (≤ ``bands`` duplicates, identical
+    values): batch consumers ``dropDuplicates``, stream consumers
+    ``dropDuplicatesWithinWatermark`` — statefully deduping here would
+    force a watermark contract onto every caller.
+
+    Scale note: each band row carries its document's shingle array to
+    the verify join (~``bands``× fan-out of the crawl payload) — fine
+    for a live feed's incremental volume; BULK re-processing should
+    use the batch operator, whose exchanges are candidate-sized."""
+    rows_per_band = num_hashes // bands
+    sh = _shingles(F.col(text_col), n)
+    staged = crawl.select(
+        F.col(id_col).alias("__cid"), sh.alias("__csh")
+    ).select(
+        "__cid",
+        "__csh",
+        F.transform("__csh", lambda s: F.xxhash64(s)).alias("__ch"),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform("__ch", lambda h: F.xxhash64(h, F.lit(i)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = staged.select("__cid", "__csh", *sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "__cid", "__csh", F.explode(band_structs).alias("__bb")
+    ).select(
+        "__cid",
+        "__csh",
+        F.col("__bb.band").alias("band"),
+        F.col("__bb.bucket").alias("bucket"),
+    )
+    k_buckets = corpus_buckets.select(
+        F.col(id_col).alias("__kid"), F.col("band"), F.col("bucket")
+    )
+    cand = banded.join(k_buckets, on=["band", "bucket"], how="inner")
+    k_sh = _spread(corpus).select(
+        F.col(id_col).alias("__kid"), _shingles(F.col(text_col), n).alias("__ksh")
+    )
+    return (
+        cand.join(k_sh, on="__kid", how="inner")
+        .withColumn(
+            "__common", F.size(F.array_intersect("__csh", "__ksh")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("__common")
+            / (
+                F.size("__csh").cast("long")
+                + F.size("__ksh").cast("long")
+                - F.col("__common")
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("__cid").alias("crawl_id"),
+            F.col("__kid").alias("corpus_id"),
+            "jaccard",
+        )
+    )
+
+
 def _plan_truncator(spark, checkpoint_dir: str | None):
     """Return a function that truncates a DataFrame's logical plan.
 

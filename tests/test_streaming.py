@@ -374,6 +374,64 @@ def test_streaming_c4_clean_matches_batch(spark, tmp_path):
     assert any(r[4] for r in batch) and any(not r[4] for r in batch)
 
 
+def test_streaming_crawl_delta_matches_batch(spark, tmp_path):
+    """crawl_delta_pairs_stream (the streaming tier of the r16
+    incremental-dedup verb): a readStream crawl feed probing the
+    STORED LSH index through stream-static joins must flag exactly
+    the pair set the batch operator verifies — same hash algebra,
+    row-local signatures instead of the stateful aggregate.  Pair
+    duplicates (one per colliding band) collapse to the identical
+    value, so set-compare after the sink."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.dedup import (
+        crawl_delta_pairs,
+        crawl_delta_pairs_stream,
+        minhash_band_buckets,
+    )
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter("doc_id < 200")
+    )
+    crawl = corpus.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    idx_path = str(tmp_path / "idx.parquet")
+    minhash_band_buckets(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    batch = {
+        (r.crawl_id, r.corpus_id, round(r.jaccard, 12))
+        for r in crawl_delta_pairs(
+            corpus, crawl, threshold=0.3, corpus_buckets=index
+        ).collect()
+    }
+    assert batch  # self-copies guarantee pairs
+
+    src = str(tmp_path / "crawl_stream")
+    crawl.write.parquet(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_stream_to_memory(
+        crawl_delta_pairs_stream(stream, index, corpus, threshold=0.3),
+        "crawl_delta_stream",
+        mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.crawl_id, r.corpus_id, round(r.jaccard, 12))
+            for r in spark.table("crawl_delta_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch
+
+
 def test_streaming_url_canonicalize_matches_batch(spark, tmp_path):
     """URL canonicalization is a stateless map stage, so it streams
     as-is: readStream urls -> canonicalize_urls -> append sink equals
