@@ -3797,6 +3797,86 @@ _register(
 )
 
 
+def _q_char_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution junk-blob filter (registered r16): the
+    r15-staged character-entropy candidate, shipped in its
+    exact-rational formulation — Simpson concentration
+    ``Σ c·(c−1) / (n·(n−1))`` plus modal-glyph share, every emitted
+    metric a BIGINT and every threshold a permille-integer
+    cross-multiplication, so the cross-engine hash is exact with zero
+    float-determinism argument needed (the staging note's named
+    alternative to log-entropy ULP drift).
+
+    Fixture plants the three blob shapes the filter exists to catch —
+    single-glyph runs of modular length (``repeat('z', 40+40·(id%7))``,
+    Simpson 1), tiny-alphabet cycles (``repeat('ab ', 40)``, Simpson
+    → 1/3 with modal share 1/3), and empty docs (the ``n < min_chars``
+    keep path) — every 13th doc, leaving the rest as natural prose
+    that must PASS (spaces included: Simpson ≈ 0.06–0.08, modal
+    (space) ≈ 1/6).
+
+    Scale shape: pure map — sort each doc's char array, ONE 4-field
+    struct fold (run-length Σ run·(run−1) + max run) inside
+    whole-stage codegen; zero exchanges, zero Python
+    (``test_char_concentration_is_pure_map_stage``)."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    did = F.col("doc_id")
+    planted = (
+        F.when(
+            did % 13 == 0,
+            F.repeat(F.lit("z"), ((did % 7) * 40 + 40).cast("int")),
+        )
+        .when(did % 13 == 1, F.repeat(F.lit("ab "), 40))
+        .when(did % 13 == 2, F.lit(""))
+        .otherwise(F.col("text"))
+    )
+    return text.char_concentration_flags(docs.withColumn("text", planted))
+
+
+_register(
+    "doc_char_concentration",
+    _q_char_concentration,
+    """
+    WITH fixture AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0
+                    THEN repeat('z', CAST(40 + (doc_id % 7) * 40 AS INT))
+                    WHEN doc_id % 13 = 1 THEN repeat('ab ', 40)
+                    WHEN doc_id % 13 = 2 THEN ''
+                    ELSE text END AS text
+        FROM documents WHERE doc_id IS NOT NULL
+    ), chars AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch
+        FROM fixture
+    ), counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ), m AS (
+        SELECT doc_id, sum(c) AS n, count(*) AS nd,
+               sum(c * (c - 1)) AS num, max(c) AS topc
+        FROM counts GROUP BY doc_id
+    )
+    -- NULL/empty texts produce no char rows: LEFT JOIN + coalesce 0
+    -- mirrors Spark's coalesce-to-empty-array convention.
+    SELECT f.doc_id,
+           CAST(coalesce(m.n, 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(m.nd, 0) AS BIGINT) AS n_distinct_chars,
+           CAST(coalesce(m.num, 0) AS BIGINT) AS simpson_num,
+           CAST(coalesce(m.topc, 0) AS BIGINT) AS top_char_count,
+           (coalesce(m.n, 0) < 20
+            OR (1000 * coalesce(m.num, 0)
+                    <= 100 * coalesce(m.n, 0) * (coalesce(m.n, 0) - 1)
+                AND 1000 * coalesce(m.topc, 0)
+                    <= 250 * coalesce(m.n, 0))) AS keep
+    FROM fixture f LEFT JOIN m USING (doc_id)
+    """,
+)
+
+
 def _dup_windows_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ full copies (doc_id%10=0, +10000) ∪ first-half
     copies (doc_id%10=5, +20000): gives dup_frac exactly 1.0 on full

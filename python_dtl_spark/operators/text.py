@@ -563,6 +563,115 @@ def repetition_flags(
     )
 
 
+def char_concentration_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_simpson_x1000: int = 100,
+    max_top_char_x1000: int = 250,
+    min_chars: int = 20,
+    append: bool = False,
+) -> DataFrame:
+    """Character-distribution junk-blob filter (registered r16 as
+    ``doc_char_concentration``): flag documents whose CHARACTER
+    distribution is pathologically concentrated — repeated-character
+    runs, base64/hex blobs with one dominant glyph, scraper padding,
+    binary junk that survived text extraction.  The CCNet/RefinedWeb
+    recipes use character-entropy cuts for this; entropy is a log-sum
+    whose last-ULP rounding differs between engines, so this operator
+    uses the EXACT-RATIONAL equivalent the r15 staging note designed:
+    **Simpson concentration** ``Σ c·(c−1) / (n·(n−1))`` (the
+    probability two randomly drawn characters are equal — the
+    Gini–Simpson / Herfindahl index, monotone against Rényi-2 entropy
+    ``H₂ = −log Σ pᵢ²``), computed entirely in BIGINT arithmetic.
+
+    Emitted metrics, every one an exact integer (no floats anywhere —
+    a threshold like 0.10 is carried as the permille integer 100 and
+    compared as ``1000·num ≤ thr·n·(n−1)``):
+
+    * ``n_chars``          — character count after dropping the
+      empty-string split artifacts (Spark ``split('','')`` yields
+      ``[]``, DuckDB ``['']`` — both sides filter ``''``).
+    * ``n_distinct_chars`` — alphabet size of the document.
+    * ``simpson_num``      — ``Σ_chars c·(c−1)``; divide by
+      ``n·(n−1)`` to read the concentration.
+    * ``top_char_count``   — the modal character's count (single-glyph
+      dominance, the other classic blob signature).
+    * ``keep``             — true iff ``n_chars < min_chars`` (too
+      short to judge — route short-doc rejection through
+      :func:`gopher_quality_flags`) or BOTH
+      ``1000·simpson_num ≤ max_simpson_x1000·n·(n−1)`` and
+      ``1000·top_char_count ≤ max_top_char_x1000·n``.
+
+    Defaults: English prose (spaces included) has Simpson ≈ 0.06–0.08
+    and top char (space) ≈ 15–18%, so 0.100 / 0.250 pass clean text
+    and fail ``repeat('z')`` (Simpson 1), ``repeat('ab ')``
+    (Simpson → 1/3, top 1/3) and friends.  NULL text counts as empty
+    (n=0 → keep, the :func:`repetition_flags` convention).
+
+    Scale shape: ENTIRELY row-local — sort the char array once and
+    fold a 4-field struct (prev glyph, run length, Σ run·(run−1), max
+    run) over it: O(n log n) per document, one pass, inside
+    whole-stage codegen; zero exchanges, zero Python.  At 100 TB this
+    is a pure map stage that pipelines with the scan; overflow-safe to
+    ~3·10⁹-char docs (1000·n² < 2⁶³)."""
+    if append:
+        base_cols = [F.col(c) for c in df.columns]
+    else:
+        base_cols = [F.col(id_col)]
+
+    chars = F.coalesce(
+        F.filter(F.split(F.col(text_col), ""), lambda c: c != ""),
+        F.array().cast("array<string>"),
+    )
+    staged = df.select(*base_cols, F.array_sort(chars).alias("__cc_chars"))
+    arr = F.col("__cc_chars")
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("s"),
+        zero.alias("mx"),
+    )
+
+    def _step(a, x):
+        same = x.eqNullSafe(a["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, a["s"])
+            .otherwise(a["s"] + a["run"] * (a["run"] - 1))
+            .alias("s"),
+            F.when(same, a["mx"]).otherwise(F.greatest(a["mx"], a["run"])).alias("mx"),
+        )
+
+    folded = F.aggregate(
+        arr,
+        init,
+        _step,
+        lambda a: F.struct(
+            (a["s"] + a["run"] * (a["run"] - 1)).alias("s"),
+            F.greatest(a["mx"], a["run"]).alias("mx"),
+        ),
+    )
+    n = F.size(arr).cast("long")
+    n_distinct = F.size(F.array_distinct(arr)).cast("long")
+    num = folded["s"]
+    top = folded["mx"]
+    keep = (n < F.lit(min_chars).cast("long")) | (
+        (num * 1000 <= F.lit(max_simpson_x1000).cast("long") * n * (n - 1))
+        & (top * 1000 <= F.lit(max_top_char_x1000).cast("long") * n)
+    )
+    return staged.select(
+        *base_cols,
+        n.alias("n_chars"),
+        n_distinct.alias("n_distinct_chars"),
+        num.alias("simpson_num"),
+        top.alias("top_char_count"),
+        keep.alias("keep"),
+    )
+
+
 def c4_clean_lines(
     df: DataFrame,
     text_col: str = "text",

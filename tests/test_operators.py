@@ -978,6 +978,48 @@ def test_repetition_flags_line_and_para_rules(spark):
     assert out[4]["n_lines"] == 0 and out[4]["keep"] is True
 
 
+def test_char_concentration_flags_exact_metrics(spark):
+    """char_concentration_flags: every metric equals the brute-force
+    Counter computation (exact integers, no floats), the permille
+    thresholds flag the three blob shapes, short/NULL docs keep, and
+    Unicode counts character-wise (é is one glyph)."""
+    from collections import Counter
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs on"),
+        (1, "z" * 120),          # single-glyph run: Simpson 1 -> drop
+        (2, "ab " * 40),         # tiny alphabet cycle: 1/3, 1/3 -> drop
+        (3, ""),                 # n=0 < min_chars -> keep
+        (4, None),               # NULL counts as empty -> keep
+        (5, "short"),            # n=5 < min_chars -> keep
+        (6, "aé aé aé aé aé aé aé aé aé aé"),  # unicode blob -> drop
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.asDict()
+        for r in text.char_concentration_flags(docs).collect()
+    }
+    for i, t in rows:
+        c = Counter(t or "")
+        n = sum(c.values())
+        num = sum(v * (v - 1) for v in c.values())
+        top = max(c.values(), default=0)
+        keep = n < 20 or (
+            1000 * num <= 100 * n * (n - 1) and 1000 * top <= 250 * n
+        )
+        got = out[i]
+        assert got["n_chars"] == n, (i, got)
+        assert got["n_distinct_chars"] == len(c), (i, got)
+        assert got["simpson_num"] == num, (i, got)
+        assert got["top_char_count"] == top, (i, got)
+        assert got["keep"] is keep, (i, got)
+    assert out[0]["keep"] and not out[1]["keep"] and not out[2]["keep"]
+    assert not out[6]["keep"]
+    # append mode: input columns survive alongside the metrics
+    cols = text.char_concentration_flags(docs, append=True).columns
+    assert cols[:2] == ["doc_id", "text"] and "simpson_num" in cols
+
+
 def test_c4_clean_lines_rules(spark):
     docs = spark.createDataFrame(
         [

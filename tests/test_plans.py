@@ -1322,6 +1322,21 @@ def test_repetition_flags_is_pure_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_char_concentration_is_pure_map_stage(spark):
+    """char_concentration_flags (registered r16): the Simpson-
+    concentration fold is a row-local array_sort + aggregate inside
+    the projection — scan → project with ZERO Exchange and zero
+    Python; a pure map stage that pipelines with the scan at 100 TB."""
+    from python_dtl_spark.operators import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _exec_plan(text_ops.char_concentration_flags(docs))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_url_dedup_is_map_side_min_agg(spark):
     """pipeline_url_dedup (registered r16): canonicalization is a
     row-local map and the keep-one election is ONE canonical-url

@@ -1579,3 +1579,46 @@ def test_c4_clean_lines_matches_bruteforce(spark, texts, dedup):
         assert got[i] == ("\n".join(kept), len(lines), len(kept), keep), (
             i, text,
         )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab z.\né"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_char_concentration_matches_bruteforce(spark, texts):
+    """char_concentration_flags over adversarial small-alphabet text
+    (including multibyte é): every exact-integer metric and the
+    permille keep rule equal the Counter brute force."""
+    from collections import Counter
+
+    from python_dtl_spark.operators.text import char_concentration_flags
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_chars, r.n_distinct_chars, r.simpson_num,
+            r.top_char_count, r.keep,
+        )
+        for r in char_concentration_flags(docs).collect()
+    }
+    for i, text in enumerate(texts):
+        c = Counter(text)
+        n = sum(c.values())
+        num = sum(v * (v - 1) for v in c.values())
+        top = max(c.values(), default=0)
+        keep = n < 20 or (
+            1000 * num <= 100 * n * (n - 1) and 1000 * top <= 250 * n
+        )
+        assert got[i] == (n, len(c), num, top, keep), (i, text)
