@@ -8833,6 +8833,103 @@ _register(
 )
 
 
+def _q_recrawl_refresh(spark, sf_dir):
+    """Recrawl keep-newest URL refresh (registered r16): the r15-staged
+    SCD-style sibling of pipeline_url_dedup — where that row keeps the
+    FIRST crawl (min doc_id) per canonical URL, a refresh pipeline
+    keeps the NEWEST fetch and wants the crawl history beside it.
+    Same planted three-variants-per-page URL fixture, plus the staged
+    note's requirement: a planted fetch_time whose tie-breaks are
+    exact — ``fetch_time = (doc_id·7) % 13``, coarse on purpose so
+    same-time ties are COMMON and the deterministic max-doc_id
+    tie-break is genuinely load-bearing in the hash.
+
+    Scale shape: canonicalization is a pure map; the election is ONE
+    canonical-url hash agg whose every measure (max-struct, count,
+    min, max) is partial-aggregable — a hub page recrawled hourly
+    combines map-side; no window, no join
+    (``test_recrawl_refresh_is_map_side_max_agg``)."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    uid = (F.col("doc_id") % 100).cast("string")
+    url = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(F.lit("junk "), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("https://WWW."), F.col("source"),
+                F.lit(".Example.COM:443/p/"), uid, F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com/p/"), uid, F.lit("?utm_source=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com//p/"), uid, F.lit("#frag"),
+            )
+        )
+    )
+    fixture = docs.withColumn("url", url).withColumn(
+        "fetch_time", (F.col("doc_id") * 7 % 13).cast("long")
+    )
+    canon = urls.canonicalize_urls(fixture, "url")
+    return dedup.keep_newest_canonical(
+        canon.filter(F.col("canonical_url").isNotNull()).select(
+            "doc_id", "canonical_url", "fetch_time"
+        ),
+        "doc_id",
+        ["canonical_url"],
+        "fetch_time",
+    )
+
+
+_register(
+    "pipeline_recrawl_refresh",
+    _q_recrawl_refresh,
+    """
+    WITH f AS (
+        SELECT doc_id, source, (doc_id * 7) % 13 AS fetch_time
+        FROM documents
+        WHERE doc_id IS NOT NULL AND doc_id % 11 <> 0
+              AND source IS NOT NULL
+    ), c AS (
+        SELECT 'https://' || source || '.example.com/p/'
+                   || CAST(doc_id % 100 AS VARCHAR) AS canonical_url,
+               doc_id, fetch_time
+        FROM f
+    )
+    SELECT canonical_url, CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(fetch_time AS BIGINT) AS fetch_time,
+           CAST(n_crawls AS BIGINT) AS n_crawls,
+           CAST(first_fetch AS BIGINT) AS first_fetch,
+           CAST(last_fetch AS BIGINT) AS last_fetch
+    FROM (
+        SELECT canonical_url, doc_id, fetch_time,
+               row_number() OVER (
+                   PARTITION BY canonical_url
+                   ORDER BY fetch_time DESC, doc_id DESC) AS r,
+               count(*) OVER (PARTITION BY canonical_url) AS n_crawls,
+               min(fetch_time) OVER (PARTITION BY canonical_url)
+                   AS first_fetch,
+               max(fetch_time) OVER (PARTITION BY canonical_url)
+                   AS last_fetch
+        FROM c
+    ) WHERE r = 1
+    """,
+)
+
+
 def _q_pipeline_domain_cap(spark, sf_dir):
     """Canonicalize → domain-cap composition: the two halves the r9
     verdict asked to join — canonicalize_urls derives the registrable

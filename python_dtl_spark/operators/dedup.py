@@ -142,6 +142,59 @@ def exact_dedup_canonical(
     return result, mapping
 
 
+def keep_newest_canonical(
+    df: DataFrame,
+    key_col: str,
+    content_cols: list[str],
+    time_col: str,
+) -> DataFrame:
+    """Recrawl refresh (registered r16 as ``pipeline_recrawl_refresh``):
+    keep the NEWEST row per content group — the SCD-style sibling of
+    :func:`exact_dedup_canonical` (which keeps the minimum key, i.e.
+    the FIRST crawl).  A crawl pipeline that re-fetches known URLs
+    wants the latest snapshot of each page plus its crawl history, not
+    the first: group on the canonical key (canonical URL, content
+    hash, …), elect ``max(struct(time, key))`` — newest fetch wins,
+    exact ties (same ``time_col``) break to the larger ``key_col``,
+    so the election is deterministic with no float or ordering
+    ambiguity — and summarize the group's crawl history.
+
+    Returns one row per content group: the ``content_cols``, the
+    elected ``key_col`` and ``time_col`` values, and the exact-integer
+    history summary ``n_crawls`` / ``first_fetch`` / ``last_fetch``
+    (``last_fetch`` always equals the elected time by construction —
+    emitted anyway so downstream SCD consumers get the familiar
+    validity-interval pair).
+
+    Scale shape: ONE content-keyed hash aggregation whose every
+    measure (max-struct, count, min, max) is partial-aggregable —
+    map-side combine absorbs a hot URL (a hub page recrawled hourly)
+    before the exchange; no window, no join
+    (``test_recrawl_refresh_is_map_side_max_agg``)."""
+    missing = [c for c in content_cols + [key_col, time_col]
+               if c not in df.columns]
+    if not content_cols or missing:
+        raise ValueError(
+            f"content_cols/key_col/time_col must name existing columns; "
+            f"missing {missing} (columns: {df.columns})"
+        )
+    kept = F.max(F.struct(F.col(time_col), F.col(key_col))).alias("__kn")
+    out = df.groupBy(*[F.col(c) for c in content_cols]).agg(
+        kept,
+        F.count(F.lit(1)).alias("n_crawls"),
+        F.min(F.col(time_col)).alias("first_fetch"),
+        F.max(F.col(time_col)).alias("last_fetch"),
+    )
+    return out.select(
+        *content_cols,
+        F.col(f"__kn.{key_col}").alias(key_col),
+        F.col(f"__kn.{time_col}").alias(time_col),
+        "n_crawls",
+        "first_fetch",
+        "last_fetch",
+    )
+
+
 def soft_dedup_weights(
     df: DataFrame,
     content_cols: list[str],

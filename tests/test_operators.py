@@ -27,6 +27,37 @@ def test_exact_dedup_canonical(docs):
     assert rows[DOCS[0][1]] == 0  # canonical = min doc_id
 
 
+def test_keep_newest_canonical_election_and_history(spark):
+    """keep_newest_canonical: newest fetch wins, exact time ties break
+    to the larger key, and the history summary (n_crawls, first/last
+    fetch) is exact per group; missing columns raise."""
+    df = spark.createDataFrame(
+        [
+            # group u: times 5 < 9 -> doc 11 wins
+            (10, "u", 5), (11, "u", 9),
+            # group v: tie at 7 -> larger doc_id 22 wins
+            (20, "v", 7), (22, "v", 7), (21, "v", 3),
+            # singleton group
+            (30, "w", 0),
+        ],
+        "doc_id long, canonical_url string, fetch_time long",
+    )
+    out = {
+        r.canonical_url: r.asDict()
+        for r in dedup.keep_newest_canonical(
+            df, "doc_id", ["canonical_url"], "fetch_time"
+        ).collect()
+    }
+    assert out["u"]["doc_id"] == 11 and out["u"]["fetch_time"] == 9
+    assert out["u"]["n_crawls"] == 2
+    assert out["u"]["first_fetch"] == 5 and out["u"]["last_fetch"] == 9
+    assert out["v"]["doc_id"] == 22 and out["v"]["fetch_time"] == 7
+    assert out["v"]["n_crawls"] == 3 and out["v"]["first_fetch"] == 3
+    assert out["w"]["doc_id"] == 30 and out["w"]["n_crawls"] == 1
+    with pytest.raises(ValueError, match="missing"):
+        dedup.keep_newest_canonical(df, "doc_id", ["nope"], "fetch_time")
+
+
 def test_exact_dedup_canonical_lineage(spark):
     """with_lineage=True emits the ManyToOne provenance table: every
     input row -> its content group's canonical survivor, identity rows

@@ -1322,6 +1322,22 @@ def test_repetition_flags_is_pure_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_recrawl_refresh_is_map_side_max_agg(spark):
+    """pipeline_recrawl_refresh (registered r16): the keep-newest
+    election and crawl-history summary are ONE canonical-url hash
+    aggregation whose measures are all partial-aggregable (map-side
+    partial max-struct/count/min/max) — a hub page recrawled hourly
+    combines map-side instead of funneling through a window sort; no
+    window, no join, zero Python."""
+    from python_dtl_spark.catalog import QUERIES
+
+    plan = _exec_plan(QUERIES["pipeline_recrawl_refresh"].fn(spark, SF))
+    assert "partial_max" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_char_concentration_is_pure_map_stage(spark):
     """char_concentration_flags (registered r16): the Simpson-
     concentration fold is a row-local array_sort + aggregate inside
