@@ -549,6 +549,22 @@ AUDITED = {
         "ZERO Exchange, zero Python (asserted in "
         "tests/test_plans.py::test_repetition_flags_is_pure_map_stage)"
     ),
+    "doc_char_concentration": (
+        "character-distribution junk-blob filter (registered r16): "
+        "Simpson concentration + modal-glyph share computed by ONE "
+        "row-local array_sort + 4-field struct fold in exact BIGINT "
+        "arithmetic — scan → project, ZERO Exchange, zero Python "
+        "(asserted in "
+        "tests/test_plans.py::test_char_concentration_is_pure_map_stage)"
+    ),
+    "pipeline_recrawl_refresh": (
+        "recrawl keep-newest URL refresh (registered r16): row-local "
+        "canonicalization + ONE canonical-url hash agg electing "
+        "max(struct(fetch_time, doc_id)) with count/min/max history — "
+        "every measure partial-aggregable (map-side combine on a hot "
+        "hub page), single exchange, no window, no join (asserted in "
+        "tests/test_plans.py::test_recrawl_refresh_is_map_side_max_agg)"
+    ),
     "pipeline_pretrain_full": (
         "five-leg pretraining composition (registered r16): gate is a "
         "row-local map over ONE persisted working set, dedup shuffles "

@@ -1311,6 +1311,106 @@ def r16_verbs_probe(spark, documents, factors=(1, 8, 32)):
     return rows
 
 
+def r16_late_probe(spark, documents, factors=(1, 8, 32)):
+    """The two late-r16 registrations under replication.
+
+    * char_concentration_flags — pure row-local map (array_sort + one
+      struct fold per doc); time must track data.
+    * keep_newest_canonical (recrawl refresh) — the URL fixture keys
+      the canonical on (source, doc_id % 100), so the GROUP COUNT
+      stays constant under replication while every group grows n×:
+      the hot-group stress for the map-side partial max-struct claim.
+    """
+    from python_dtl_spark.operators import dedup as dedup_mod
+    from python_dtl_spark.operators import urls as urls_mod
+
+    rows = []
+    for n in factors:
+        docs = (
+            documents if n == 1 else replicate(documents, n, ["doc_id"])
+        ).select("doc_id", "source", "text")
+        total = docs.count()
+
+        start = time.perf_counter()
+        cc = text_ops.char_concentration_flags(docs)
+        n_drop = cc.filter(~F.col("keep")).count()
+        cc_s = time.perf_counter() - start
+
+        start = time.perf_counter()
+        uid = (F.col("doc_id") % 100).cast("string")
+        fixture = docs.filter(F.col("source").isNotNull()).select(
+            "doc_id",
+            F.concat(
+                F.lit("https://www."), F.col("source"),
+                F.lit(".example.com/p/"), uid,
+            ).alias("url"),
+            (F.col("doc_id") * 7 % 13).cast("long").alias("fetch_time"),
+        )
+        canon = urls_mod.canonicalize_urls(fixture, "url")
+        kept = dedup_mod.keep_newest_canonical(
+            canon.filter(F.col("canonical_url").isNotNull()).select(
+                "doc_id", "canonical_url", "fetch_time"
+            ),
+            "doc_id",
+            ["canonical_url"],
+            "fetch_time",
+        )
+        groups, max_crawls = kept.agg(
+            F.count(F.lit(1)), F.max("n_crawls")
+        ).collect()[0]
+        rr_s = time.perf_counter() - start
+
+        rows.append((n, total, n_drop, cc_s, groups, max_crawls, rr_s))
+        print(
+            f"# r16_late {n}x: {total:,} docs; char-concentration "
+            f"{n_drop:,} dropped in {cc_s:.2f}s; recrawl {groups:,} "
+            f"groups (max {max_crawls:,} crawls) in {rr_s:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_R16_LATE_HEADER = (
+    "## late-r16 verbs under replication "
+    "(char-concentration / recrawl-refresh)"
+)
+
+
+def r16_late_section(spark, documents) -> list[str]:
+    rows = r16_late_probe(spark, documents)
+    lines = [
+        _R16_LATE_HEADER,
+        "",
+        "doc_char_concentration (pure row-local map: array_sort + one",
+        "struct fold per doc) and pipeline_recrawl_refresh (canonical",
+        "keyed on (source, doc_id % 100), so the group count stays",
+        "CONSTANT under replication while every group grows n× — the",
+        "hot-group stress the map-side partial max-struct absorbs):",
+        "",
+        "| probe | data | input docs | docs dropped | char-conc time |"
+        " url groups | max crawls/group | recrawl time |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for n, total, n_drop, cc_s, groups, max_crawls, rr_s in rows:
+        lines.append(
+            f"| r16_late | {n}× | {total:,} | {n_drop:,} | {cc_s:.2f}s |"
+            f" {groups:,} | {max_crawls:,} | {rr_s:.2f}s |"
+        )
+    lines += [
+        "",
+        "Interpretation: both verbs run sublinear (time ratio well",
+        "under the data ratio at 8× and 32×).  \"docs dropped 0\" is",
+        "the filter's false-positive evidence: natural sf0.1 prose",
+        "passes the Simpson/modal thresholds (the catalog fixture",
+        "plants the blobs it must catch).  Recrawl's group count",
+        "stays 100 while max crawls/group grows 32× — the hot-group",
+        "work is absorbed by map-side partial aggregation, not a",
+        "window sort.",
+    ]
+    lines.append("")
+    return lines
+
+
 _R16_VERBS_HEADER = (
     "## r16 verbs under replication (crawl-delta / pretrain-full)"
 )
@@ -1744,6 +1844,15 @@ def main() -> None:
             scaling_path, _R15_LATE_HEADER, r15_late_section(spark, documents)
         )
         print("SCALING.md r15-late section updated")
+        return
+    if "--r16-late" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path, _R16_LATE_HEADER, r16_late_section(spark, documents)
+        )
+        print("SCALING.md r16-late section updated")
         return
     if "--r16-verbs" in sys.argv:
         spark = get_spark("scale-probe")
