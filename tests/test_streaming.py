@@ -374,6 +374,42 @@ def test_streaming_c4_clean_matches_batch(spark, tmp_path):
     assert any(r[4] for r in batch) and any(not r[4] for r in batch)
 
 
+def test_streaming_char_concentration_matches_batch(spark, tmp_path):
+    """char_concentration_flags (registered r16) is a pure row-local
+    map (array_sort + one struct fold) — streaming-legal by
+    construction: readStream docs → Simpson/modal junk-blob flags →
+    append sink equals the batch result row-for-row, so the filter
+    runs on a live crawl feed unchanged."""
+    from python_dtl_spark.operators.text import char_concentration_flags
+
+    docs = spark.createDataFrame(
+        [
+            (i, "z" * 80 if i % 5 == 0
+             else f"document {i} carries ordinary prose with spaces and "
+                  f"mixed letters so the simpson index stays low {i}")
+            for i in range(15)
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "cc_stream")
+    docs.write.parquet(src)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_stream_to_memory(
+        char_concentration_flags(stream), "cc_stream_out", mode="append"
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.table("cc_stream_out").collect()}
+    finally:
+        q.stop()
+    batch = {tuple(r) for r in char_concentration_flags(docs).collect()}
+    assert streamed == batch and len(batch) == 15
+    assert any(not r[-1] for r in batch) and any(r[-1] for r in batch)
+
+
 def test_streaming_crawl_delta_matches_batch(spark, tmp_path):
     """crawl_delta_pairs_stream (the streaming tier of the r16
     incremental-dedup verb): a readStream crawl feed probing the
