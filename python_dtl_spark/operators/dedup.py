@@ -1174,6 +1174,92 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return votes.select(F.col("__id").alias(id_col), sim.alias("simhash"))
 
 
+def hamming_near_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs within a Hamming radius over ANY 64-bit
+    signature column — the pigeonhole core shared by
+    :func:`simhash_near_pairs` (text SimHash) and the image
+    perceptual-hash dedup (``multimodal.extract_image_features``'s
+    ``phash``), extracted r16 so non-text signatures get the same
+    blocked candidate generation instead of an all-pairs join.
+
+    Pigeonhole blocking: split the 64-bit signature into ``blocks``
+    chunks.  A pair within Hamming distance ``max_hamming`` must agree
+    exactly on at least one chunk **only when** ``blocks >
+    max_hamming``, so the block count is derived from the radius by
+    default.  Candidates come from equi-joins on chunk values
+    (shuffle-friendly), then exact Hamming verification via bit_count.
+
+    Scale shape: candidates are bucket equi-joins on (block, chunk) —
+    never all-pairs; a hot chunk (e.g. the all-zero block of
+    near-empty payloads) is AQE-skew-splittable.  Emits
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    if blocks is None:
+        # smallest feasible count > max_hamming, up to one block per
+        # bit of the 64-bit hash (the old cap of 16 made the derived
+        # default reject its own max_hamming >= 16)
+        blocks = max_hamming + 1
+    if not 1 <= blocks <= 64:
+        raise ValueError(
+            f"blocks must be in [1, 64] over a 64-bit signature, got "
+            f"{blocks} (max_hamming={max_hamming} needs blocks > "
+            "max_hamming, so radii >= 64 cannot be pigeonhole-blocked)"
+        )
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) "
+            "for the pigeonhole guarantee"
+        )
+    # nearly-equal chunk widths covering all 64 bits
+    base_w, extra = divmod(64, blocks)
+    bounds = []
+    off = 0
+    for b in range(blocks):
+        w = base_w + (1 if b < extra else 0)
+        bounds.append((off, w))
+        off += w
+    chunks = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col(sig_col), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("chunk"),
+                    )
+                    for b, (off, w) in enumerate(bounds)
+                ]
+            )
+        ).alias("bc"),
+    ).select("__id", "__sig", F.col("bc.blk").alias("blk"), F.col("bc.chunk").alias("chunk"))
+    cand = (
+        chunks.alias("l")
+        .join(chunks.alias("r"), on=["blk", "chunk"], how="inner")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.__sig").alias("sh_a"),
+            F.col("r.__sig").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1183,71 +1269,14 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius.
 
-    Pigeonhole blocking: split the 64-bit hash into ``blocks`` chunks.
-    A pair within Hamming distance ``max_hamming`` must agree exactly on
-    at least one chunk **only when** ``blocks > max_hamming``, so the
-    block count is derived from the radius by default.  Candidates come
-    from equi-joins on chunk values (shuffle-friendly), then exact
-    Hamming verification via bit_count.
+    :func:`simhash` signatures fed through the shared
+    :func:`hamming_near_pairs` pigeonhole core (r16 refactor — the
+    blocked candidate generation and bit_count verification are
+    byte-identical to the pre-refactor inline form).
     """
-    if blocks is None:
-        # smallest feasible count > max_hamming, up to one block per
-        # bit of the 64-bit hash (the old cap of 16 made the derived
-        # default reject its own max_hamming >= 16)
-        blocks = max_hamming + 1
-    if not 1 <= blocks <= 64:
-        raise ValueError(
-            f"blocks must be in [1, 64] over a 64-bit simhash, got "
-            f"{blocks} (max_hamming={max_hamming} needs blocks > "
-            "max_hamming, so radii >= 64 cannot be pigeonhole-blocked)"
-        )
-    if blocks <= max_hamming:
-        raise ValueError(
-            f"blocks ({blocks}) must exceed max_hamming ({max_hamming}) "
-            "for the pigeonhole guarantee"
-        )
     hashed = simhash(df, id_col=id_col, text_col=text_col)
-    # nearly-equal chunk widths covering all 64 bits
-    base_w, extra = divmod(64, blocks)
-    bounds = []
-    off = 0
-    for b in range(blocks):
-        w = base_w + (1 if b < extra else 0)
-        bounds.append((off, w))
-        off += w
-    chunks = hashed.select(
-        F.col(id_col).alias("__id"),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), off)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("chunk"),
-                    )
-                    for b, (off, w) in enumerate(bounds)
-                ]
-            )
-        ).alias("bc"),
-    ).select("__id", "simhash", F.col("bc.blk").alias("blk"), F.col("bc.chunk").alias("chunk"))
-    cand = (
-        chunks.alias("l")
-        .join(chunks.alias("r"), on=["blk", "chunk"], how="inner")
-        .filter(F.col("l.__id") < F.col("r.__id"))
-        .select(
-            F.col("l.__id").alias("id_a"),
-            F.col("r.__id").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return hamming_near_pairs(
+        hashed, id_col, "simhash", max_hamming=max_hamming, blocks=blocks
     )
 
 

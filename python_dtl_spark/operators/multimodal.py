@@ -149,6 +149,40 @@ def sample_frames(df: DataFrame, every_n: int = 10, *, fake: bool = False) -> Da
     return df.select("asset_id", "payload").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+def image_near_dup_pairs(
+    assets: DataFrame,
+    max_hamming: int = 6,
+    blocks: int | None = None,
+    *,
+    fake: bool = False,
+) -> DataFrame:
+    """Image-grain near-duplicate pairs (staged r16 → r17): perceptual
+    hash from :func:`extract_image_features` fed through the shared
+    pigeonhole Hamming core
+    (:func:`~python_dtl_spark.operators.dedup.hamming_near_pairs`) —
+    the image sibling of text SimHash dedup.  Re-encoded, resized and
+    re-compressed copies of one image land within a small Hamming
+    radius of each other under a real perceptual hash; with
+    ``fake=True`` the deterministic FNV stand-in gives exact-payload
+    copies distance 0 (and the DuckDB replay can brute-force the whole
+    pair set, so the composition is fully oracle-able).
+
+    Scale shape: ONE Arrow-batched decode pass, then bucket equi-joins
+    on (block, chunk) — never all-pairs; compose with
+    ``dedup.keep_one_from_pairs`` for keep-one semantics.  Emits
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    from python_dtl_spark.operators import dedup as dedup_mod
+
+    feats = extract_image_features(assets, fake=fake)
+    return dedup_mod.hamming_near_pairs(
+        feats.select("asset_id", "phash"),
+        "asset_id",
+        "phash",
+        max_hamming=max_hamming,
+        blocks=blocks,
+    )
+
+
 def synth_assets(spark, n: int = 64, kind: str = "image") -> DataFrame:
     """Deterministic synthetic asset table for tests (no real codecs)."""
     df = spark.range(n).select(

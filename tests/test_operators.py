@@ -2759,6 +2759,63 @@ def test_simhash_near_pairs_default_blocks_accepts_large_radius(spark):
     assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
 
 
+def test_hamming_near_pairs_matches_bruteforce(spark):
+    """hamming_near_pairs (the pigeonhole core extracted from
+    simhash_near_pairs) over a constructed 64-bit signature table:
+    exact distances, inclusion iff <= max_hamming, including a
+    candidate that shares a block but exceeds the radius (the
+    verification half), and the negative-long sign bit."""
+    base = 0x123456789ABCDEF0
+    spread3 = (1 << 0) | (1 << 20) | (1 << 40)  # one bit in 3 chunks
+    spread4 = spread3 | (1 << 60)               # one bit in all 4 chunks
+    rows = [
+        (0, base),
+        (1, base ^ 1),        # d=1
+        (2, base ^ 0b11),     # d=2 (same low chunk)
+        (3, base ^ spread3),  # d=3 -> included at radius 3
+        (4, base ^ spread4),  # d=4 vs 0 -> excluded, but d=1 vs 3
+        (5, base ^ ((1 << 63) - 1 ^ 0)),  # far from everything
+        (6, -(1 << 63) | base),  # sign bit set (negative long)
+    ]
+    sigs = spark.createDataFrame(rows, "asset_id long, phash long")
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.hamming_near_pairs(
+            sigs, "asset_id", "phash", max_hamming=3
+        ).collect()
+    }
+    expect = {}
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1:]:
+            d = bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= 3:
+                expect[(ia, ib)] = d
+    assert out == expect and (0, 3) in out and (3, 4) in out
+    assert (0, 4) not in out  # shared-block candidate, rejected by verify
+
+
+def test_image_near_dup_pairs_fake_decode(spark):
+    """image_near_dup_pairs: groups of 4 assets sharing one payload
+    collapse to identical fake phashes -> C(4,2)=6 pairs per group at
+    distance 0; cross-group pairs (independent 64-bit hashes) never
+    land within radius 6."""
+    assets = spark.range(32).select(
+        F.col("id").alias("asset_id"),
+        F.sha2((F.col("id") - F.col("id") % 4).cast("string"), 256)
+        .cast("binary")
+        .alias("payload"),
+    )
+    out = multimodal.image_near_dup_pairs(assets, max_hamming=6, fake=True)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    expect = {
+        (a, b): 0
+        for g in range(0, 32, 4)
+        for a in range(g, g + 4)
+        for b in range(a + 1, g + 4)
+    }
+    assert pairs == expect  # 8 groups x 6 pairs, all distance 0
+
+
 def test_embedding_dim_inference_clear_errors(spark):
     from python_dtl_spark.operators.similarity import _infer_dim
 

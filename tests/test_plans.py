@@ -1322,6 +1322,22 @@ def test_repetition_flags_is_pure_map_stage(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_image_near_dup_pairs_no_all_pairs(spark):
+    """image_near_dup_pairs (staged r16 → r17): candidates come from
+    the pigeonhole (block, chunk) equi-join over the shared
+    hamming_near_pairs core — a hash join, never a nested-loop or
+    cartesian all-pairs; one Arrow-batched decode pass feeds it."""
+    from python_dtl_spark.operators import multimodal
+
+    assets = multimodal.synth_assets(spark, n=64)
+    plan = _exec_plan(multimodal.image_near_dup_pairs(assets, fake=True))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan, plan  # the (blk, chunk) candidate equi-join
+    assert plan.count("ArrowEvalPython") <= 0  # decode is mapInPandas
+    assert "MapInPandas" in plan, plan
+
+
 def test_recrawl_refresh_is_map_side_max_agg(spark):
     """pipeline_recrawl_refresh (registered r16): the keep-newest
     election and crawl-history summary are ONE canonical-url hash
