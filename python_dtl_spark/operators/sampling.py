@@ -184,6 +184,66 @@ def domain_quota(
     )
 
 
+def keep_rate_filter(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    min_rate: tuple[int, int] = (3, 4),
+    min_group_rows: int = 1,
+) -> DataFrame:
+    """Group-level quality gating (staged r16 → r17): drop ENTIRE
+    groups (domains, sources, shards) whose per-row keep-rate falls
+    below ``min_rate`` — the RefinedWeb/DCLM-style "blacklist a domain
+    by its statistics" verb, the group-grain complement of per-doc
+    flag filters (a spam farm whose pages individually straddle the
+    quality threshold is dropped wholesale once its RATE is bad).
+
+    ``min_rate`` is an exact rational ``(num, den)``: a group with
+    ``n`` rows of which ``k`` have ``flag_col`` true survives iff
+    ``n >= min_group_rows`` and ``k·den >= num·n`` (no float rate is
+    ever computed, so the cross-engine decision is exact).  NULL flags
+    count as not-kept; a NULL group value is a group like any other
+    (null-safe join back).  Returns ALL rows of surviving groups —
+    doc-level flag filtering composes downstream (gate the docs, then
+    gate the domains, then keep the flagged docs of good domains).
+
+    Scale shape: ONE group-keyed hash agg (map-side partial count +
+    count_if — a hot domain combines map-side) feeding a LEFT SEMI
+    join back on the group key; the group table is one row per group,
+    so AQE broadcasts it at real-world domain cardinalities
+    (plan-asserted at fixture scale in
+    ``test_keep_rate_filter_is_agg_plus_semi_join``).  No window —
+    a rate-over-group window would funnel each domain through one
+    task's sort."""
+    num, den = min_rate
+    if den < 1 or num < 0:
+        raise ValueError(f"min_rate must be (num>=0, den>=1), got {min_rate}")
+    for c in (group_col, flag_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in {df.columns}")
+    if "__kr_g" in df.columns:
+        raise ValueError(
+            "keep_rate_filter uses internal working column '__kr_g' "
+            "which already exists on the input; rename or drop it first"
+        )
+    groups = (
+        df.groupBy(F.col(group_col).alias("__kr_g"))
+        .agg(
+            F.count(F.lit(1)).alias("__kr_n"),
+            F.count_if(F.col(flag_col)).alias("__kr_k"),
+        )
+        .filter(
+            (F.col("__kr_n") >= F.lit(min_group_rows))
+            & (F.col("__kr_k") * den >= num * F.col("__kr_n"))
+        )
+    )
+    return df.join(
+        groups.select("__kr_g"),
+        on=df[group_col].eqNullSafe(F.col("__kr_g")),
+        how="left_semi",
+    )
+
+
 def target_mix_resample(
     df: DataFrame,
     strata_col: str,

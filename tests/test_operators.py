@@ -2816,6 +2816,40 @@ def test_image_near_dup_pairs_fake_decode(spark):
     assert pairs == expect  # 8 groups x 6 pairs, all distance 0
 
 
+def test_keep_rate_filter_exact_rational_gate(spark):
+    """keep_rate_filter: the (num, den) rate compare is exact —
+    boundary groups survive at equality, NULL flags count as
+    not-kept, NULL groups gate like any other value, min_group_rows
+    drops small groups, and ALL rows of surviving groups return."""
+    from python_dtl_spark.operators.sampling import keep_rate_filter
+
+    rows = [
+        # group a: 3/4 kept == 3/4 exactly -> survives
+        (0, "a", True), (1, "a", True), (2, "a", True), (3, "a", False),
+        # group b: 2/4 < 3/4 -> dropped
+        (4, "b", True), (5, "b", True), (6, "b", False), (7, "b", None),
+        # NULL group: 2/2 kept -> survives (null-safe join back)
+        (8, None, True), (9, None, True),
+        # group c: singleton, kept
+        (10, "c", True),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, keep boolean")
+    out = {r.doc_id for r in keep_rate_filter(df, "dom", "keep").collect()}
+    assert out == {0, 1, 2, 3, 8, 9, 10}
+    # min_group_rows drops the singleton; boundary group a still in
+    out2 = {
+        r.doc_id
+        for r in keep_rate_filter(
+            df, "dom", "keep", min_group_rows=2
+        ).collect()
+    }
+    assert out2 == {0, 1, 2, 3, 8, 9}
+    with pytest.raises(ValueError, match="min_rate"):
+        keep_rate_filter(df, "dom", "keep", min_rate=(1, 0))
+    with pytest.raises(ValueError, match="not in"):
+        keep_rate_filter(df, "nope", "keep")
+
+
 def test_embedding_dim_inference_clear_errors(spark):
     from python_dtl_spark.operators.similarity import _infer_dim
 

@@ -1338,6 +1338,27 @@ def test_image_near_dup_pairs_no_all_pairs(spark):
     assert "MapInPandas" in plan, plan
 
 
+def test_keep_rate_filter_is_agg_plus_semi_join(spark):
+    """keep_rate_filter (staged r16 → r17): ONE group-keyed hash agg
+    with map-side partial count/count_if feeding a broadcast LEFT SEMI
+    join back — no window (a rate window would funnel each domain
+    through one task), the group table is 1 row/group so it
+    broadcasts."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.sampling import keep_rate_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", (F.col("doc_id") % 3 != 0).alias("keep")
+    )
+    plan = _exec_plan(keep_rate_filter(docs, "source", "keep"))
+    assert "partial_count" in plan or "partial" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_recrawl_refresh_is_map_side_max_agg(spark):
     """pipeline_recrawl_refresh (registered r16): the keep-newest
     election and crawl-history summary are ONE canonical-url hash
