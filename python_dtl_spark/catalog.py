@@ -9405,6 +9405,16 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # hosts' rows (doc_softdedup_weights, doc_decontaminate_spans,
     # doc_dedup_spans, pipeline_floor_select families) also re-ran
     # green in the full sf0.001 sweeps on the edited tree this round.
+    #
+    # round-16 forced entry: simhash_near_pairs' pigeonhole candidate
+    # generation was extracted into the shared hamming_near_pairs core
+    # (the image-dedup staging refactor).  The blocked-join algebra is
+    # unchanged and dedup_simhash re-checked green at sf0.01 locally
+    # after the edit, but the row was NOT otherwise due this round
+    # (r14-fresh) and engine code under it changed — so it re-verifies
+    # in the r16 window rather than riding a "provably identical"
+    # argument (the r8/r9 lesson).
+    "dedup_simhash": 16,
 }
 
 
