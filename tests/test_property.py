@@ -1622,3 +1622,87 @@ def test_char_concentration_matches_bruteforce(spark, texts):
             1000 * num <= 100 * n * (n - 1) and 1000 * top <= 250 * n
         )
         assert got[i] == (n, len(c), num, top, keep), (i, text)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sigs=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    ),
+    radius=st.integers(min_value=1, max_value=8),
+)
+def test_hamming_near_pairs_matches_bruteforce_property(spark, sigs, radius):
+    """hamming_near_pairs over random signed 64-bit signatures: the
+    pigeonhole candidates + bit_count verify recover EXACTLY the
+    brute-force pair set at every radius (soundness is the pigeonhole
+    theorem; this pins completeness and the distance values)."""
+    from python_dtl_spark.operators.dedup import hamming_near_pairs
+
+    rows = list(enumerate(sigs))
+    df = spark.createDataFrame(rows, "sid long, sig long")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_near_pairs(
+            df, "sid", "sig", max_hamming=radius
+        ).collect()
+    }
+    expect = {}
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1:]:
+            d = bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= radius:
+                expect[(ia, ib)] = d
+    assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.sampled_from([True, False, None]),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    num=st.integers(min_value=0, max_value=4),
+    den=st.integers(min_value=1, max_value=4),
+    min_n=st.integers(min_value=1, max_value=3),
+)
+def test_keep_rate_filter_matches_bruteforce(spark, rows, num, den, min_n):
+    """keep_rate_filter over random groups/flags (NULLs included):
+    surviving row set equals the exact-rational brute force — NULL
+    flags not-kept, NULL group a group of its own, equality survives."""
+    from collections import defaultdict
+
+    from python_dtl_spark.operators.sampling import keep_rate_filter
+
+    data = [(i, g, f) for i, (g, f) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, dom string, keep boolean")
+    got = {
+        r.doc_id
+        for r in keep_rate_filter(
+            df, "dom", "keep", min_rate=(num, den), min_group_rows=min_n
+        ).collect()
+    }
+    stats = defaultdict(lambda: [0, 0])
+    for _, g, f in data:
+        stats[g][0] += 1
+        stats[g][1] += 1 if f is True else 0
+    expect = {
+        i
+        for i, g, _ in data
+        if stats[g][0] >= min_n and stats[g][1] * den >= num * stats[g][0]
+    }
+    assert got == expect
