@@ -193,3 +193,92 @@ def scd2_history(
         F.col(seq_col).alias("valid_from"),
         F.lead(seq_col).over(w).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Version-to-version dataset diff (staged r16 → r17): row-level
+    delta between two FULL snapshots of one table — the verb an
+    incremental pipeline runs when no changeset exists ("what changed
+    between last month's crawl and this one", "which shards must be
+    regenerated").  The changeset-driven complement of
+    :func:`apply_changes`: that operator APPLIES a known delta; this
+    one DERIVES the delta from two materialized versions.
+
+    Output: one row per key present in either snapshot, with the key
+    columns and ``diff_status`` ∈ ``'added'`` (key only in ``new``),
+    ``'removed'`` (only in ``old``), ``'changed'`` (present in both,
+    any ``compare_cols`` value differs null-safely), ``'unchanged'``
+    (dropped unless ``include_unchanged``).  ``compare_cols`` defaults
+    to every column the snapshots share beyond the keys.  NULL
+    participates exactly: NULL keys match each other (null-safe join),
+    and NULL vs non-NULL in a compare column IS a change.
+
+    Precondition: ``key_cols`` must be unique within each snapshot
+    (compose :func:`~python_dtl_spark.operators.dedup.exact_dedup`
+    upstream); duplicated keys would fan the join out and double-count
+    statuses.
+
+    Scale shape: ONE null-safe full-outer equi-join on the keys — the
+    canonical incremental-diff plan (sort-merge at 100 TB; bucketed or
+    pre-partitioned snapshots co-locate it) — with every comparison
+    row-local; no window, no second exchange beyond the join's."""
+    missing_old = [c for c in key_cols if c not in old.columns]
+    missing_new = [c for c in key_cols if c not in new.columns]
+    if not key_cols or missing_old or missing_new:
+        raise ValueError(
+            f"key_cols must name columns present in both snapshots; "
+            f"missing {missing_old} from old, {missing_new} from new"
+        )
+    if compare_cols is None:
+        compare_cols = [
+            c for c in new.columns if c in old.columns and c not in key_cols
+        ]
+    bad = [
+        c
+        for c in compare_cols
+        if c not in old.columns or c not in new.columns
+    ]
+    if bad:
+        raise ValueError(f"compare_cols {bad} not present in both snapshots")
+    o = old.select(
+        *[F.col(c).alias(f"__sd_ok_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__sd_ov_{c}") for c in compare_cols],
+        F.lit(1).alias("__sd_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__sd_nk_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__sd_nv_{c}") for c in compare_cols],
+        F.lit(1).alias("__sd_in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        clause = F.col(f"__sd_ok_{k}").eqNullSafe(F.col(f"__sd_nk_{k}"))
+        cond = clause if cond is None else (cond & clause)
+    j = o.join(n, on=cond, how="full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"__sd_ov_{c}").eqNullSafe(
+            F.col(f"__sd_nv_{c}")
+        )
+    status = (
+        F.when(F.col("__sd_in_old").isNull(), F.lit("added"))
+        .when(F.col("__sd_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *[
+            F.coalesce(F.col(f"__sd_nk_{k}"), F.col(f"__sd_ok_{k}")).alias(k)
+            for k in key_cols
+        ],
+        status.alias("diff_status"),
+    )
+    if include_unchanged:
+        return out
+    return out.filter(F.col("diff_status") != "unchanged")

@@ -2850,6 +2850,51 @@ def test_keep_rate_filter_exact_rational_gate(spark):
         keep_rate_filter(df, "nope", "keep")
 
 
+def test_snapshot_diff_statuses_and_nulls(spark):
+    """snapshot_diff: all four statuses, NULL keys match null-safely,
+    NULL vs value in a compare column IS a change, include_unchanged
+    gates the identity rows, and bad args raise."""
+    from python_dtl_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (None, "n", 5)],
+        "k long, v string, w long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # unchanged
+         (2, "B", 20),        # changed (v)
+         (3, "c", 30),        # changed (w: NULL -> 30)
+         (None, "n", 5),      # unchanged, NULL key matched null-safely
+         (4, "d", 40)],       # added
+        "k long, v string, w long",
+    )
+    got = {
+        r.k: r.diff_status
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {2: "changed", 3: "changed", 4: "added"}
+    full = {
+        r.k: r.diff_status
+        for r in snapshot_diff(old, new, ["k"], include_unchanged=True).collect()
+    }
+    assert full[1] == "unchanged" and full[None] == "unchanged"
+    # removed: key present only in old
+    got2 = {
+        r.k: r.diff_status for r in snapshot_diff(new, old, ["k"]).collect()
+    }
+    assert got2[4] == "removed"
+    # compare_cols restriction: only v -> row 3 becomes unchanged
+    got3 = {
+        r.k: r.diff_status
+        for r in snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()
+    }
+    assert 3 not in got3 and got3[2] == "changed"
+    with pytest.raises(ValueError, match="key_cols"):
+        snapshot_diff(old, new, ["nope"])
+    with pytest.raises(ValueError, match="compare_cols"):
+        snapshot_diff(old, new, ["k"], compare_cols=["nope"])
+
+
 def test_embedding_dim_inference_clear_errors(spark):
     from python_dtl_spark.operators.similarity import _infer_dim
 

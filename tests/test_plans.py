@@ -1338,6 +1338,28 @@ def test_image_near_dup_pairs_no_all_pairs(spark):
     assert "MapInPandas" in plan, plan
 
 
+def test_snapshot_diff_is_one_full_outer_join(spark):
+    """snapshot_diff (staged r16 → r17): ONE null-safe full-outer
+    SortMergeJoin on the keys with row-local status comparison — no
+    window, no nested loop, no second join; the canonical
+    incremental-diff plan that bucketing co-locates at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.cdc import snapshot_diff
+
+    old = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    new = old.withColumn(
+        "text", F.when(F.col("doc_id") % 5 == 0, F.lit("edited")).otherwise(F.col("text"))
+    )
+    plan = _exec_plan(snapshot_diff(old, new, ["doc_id"]))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert plan.count("Join") == plan.count("SortMergeJoin"), plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_keep_rate_filter_is_agg_plus_semi_join(spark):
     """keep_rate_filter (staged r16 → r17): ONE group-keyed hash agg
     with map-side partial count/count_if feeding a broadcast LEFT SEMI
