@@ -3815,9 +3815,9 @@ def _q_char_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     that must PASS (spaces included: Simpson ≈ 0.06–0.08, modal
     (space) ≈ 1/6).
 
-    Scale shape: pure map — sort each doc's char array, ONE 4-field
-    struct fold (run-length Σ run·(run−1) + max run) inside
-    whole-stage codegen; zero exchanges, zero Python
+    Scale shape: pure map — sort each doc's char array, ONE 5-field
+    struct fold (run-length Σ run·(run−1) + max run + distinct-run
+    count) inside whole-stage codegen; zero exchanges, zero Python
     (``test_char_concentration_is_pure_map_stage``)."""
     docs = (
         _read(spark, sf_dir, "documents")

@@ -178,6 +178,11 @@ def keep_newest_canonical(
             f"content_cols/key_col/time_col must name existing columns; "
             f"missing {missing} (columns: {df.columns})"
         )
+    if "__kn" in df.columns or "__kn" in (key_col, time_col, *content_cols):
+        raise ValueError(
+            "keep_newest_canonical uses internal working column '__kn' "
+            "which already exists on the input; rename or drop it first"
+        )
     kept = F.max(F.struct(F.col(time_col), F.col(key_col))).alias("__kn")
     out = df.groupBy(*[F.col(c) for c in content_cols]).agg(
         kept,
@@ -185,10 +190,12 @@ def keep_newest_canonical(
         F.min(F.col(time_col)).alias("first_fetch"),
         F.max(F.col(time_col)).alias("last_fetch"),
     )
+    # getField, not a dotted string ref: key/time names containing dots
+    # must resolve as struct fields, not nested paths
     return out.select(
         *content_cols,
-        F.col(f"__kn.{key_col}").alias(key_col),
-        F.col(f"__kn.{time_col}").alias(time_col),
+        F.col("__kn").getField(key_col).alias(key_col),
+        F.col("__kn").getField(time_col).alias(time_col),
         "n_crawls",
         "first_fetch",
         "last_fetch",

@@ -610,8 +610,10 @@ def char_concentration_flags(
     (n=0 → keep, the :func:`repetition_flags` convention).
 
     Scale shape: ENTIRELY row-local — sort the char array once and
-    fold a 4-field struct (prev glyph, run length, Σ run·(run−1), max
-    run) over it: O(n log n) per document, one pass, inside
+    fold a 5-field struct (prev glyph, run length, Σ run·(run−1), max
+    run, distinct-run count) over it: O(n log n) per document, one
+    pass (the distinct count rides the same fold — no separate
+    array_distinct build), inside
     whole-stage codegen; zero exchanges, zero Python.  At 100 TB this
     is a pure map stage that pipelines with the scan; overflow-safe to
     ~3·10⁹-char docs (1000·n² < 2⁶³)."""
@@ -632,6 +634,7 @@ def char_concentration_flags(
         zero.alias("run"),
         zero.alias("s"),
         zero.alias("mx"),
+        zero.alias("nd"),
     )
 
     def _step(a, x):
@@ -643,6 +646,8 @@ def char_concentration_flags(
             .otherwise(a["s"] + a["run"] * (a["run"] - 1))
             .alias("s"),
             F.when(same, a["mx"]).otherwise(F.greatest(a["mx"], a["run"])).alias("mx"),
+            # distinct count = number of run starts, free in the same pass
+            F.when(same, a["nd"]).otherwise(a["nd"] + 1).alias("nd"),
         )
 
     folded = F.aggregate(
@@ -652,10 +657,11 @@ def char_concentration_flags(
         lambda a: F.struct(
             (a["s"] + a["run"] * (a["run"] - 1)).alias("s"),
             F.greatest(a["mx"], a["run"]).alias("mx"),
+            a["nd"].alias("nd"),
         ),
     )
     n = F.size(arr).cast("long")
-    n_distinct = F.size(F.array_distinct(arr)).cast("long")
+    n_distinct = folded["nd"]
     num = folded["s"]
     top = folded["mx"]
     keep = (n < F.lit(min_chars).cast("long")) | (

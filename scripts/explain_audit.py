@@ -552,7 +552,7 @@ AUDITED = {
     "doc_char_concentration": (
         "character-distribution junk-blob filter (registered r16): "
         "Simpson concentration + modal-glyph share computed by ONE "
-        "row-local array_sort + 4-field struct fold in exact BIGINT "
+        "row-local array_sort + 5-field struct fold in exact BIGINT "
         "arithmetic — scan → project, ZERO Exchange, zero Python "
         "(asserted in "
         "tests/test_plans.py::test_char_concentration_is_pure_map_stage)"

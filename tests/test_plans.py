@@ -1374,7 +1374,7 @@ def test_keep_rate_filter_is_agg_plus_semi_join(spark):
         "doc_id", "source", (F.col("doc_id") % 3 != 0).alias("keep")
     )
     plan = _exec_plan(keep_rate_filter(docs, "source", "keep"))
-    assert "partial_count" in plan or "partial" in plan, plan
+    assert "partial_count" in plan, plan
     assert "LeftSemi" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
