@@ -1076,3 +1076,50 @@ def test_streaming_dsir_weights_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) == 4
+
+
+def test_streaming_keep_newest_matches_batch(spark, tmp_path):
+    """keep_newest_canonical (registered r16) on a crawl-event stream:
+    the election is one stateful hash aggregation (max-struct / count /
+    min / max — all partial-aggregable, so streaming-legal in complete
+    mode), and the complete-mode result over a readStream feed equals
+    the batch result row-for-row, including the exact-tie -> larger-id
+    break.  A live recrawl feed therefore maintains the newest-fetch
+    table without a batch rebuild."""
+    from python_dtl_spark.operators.dedup import keep_newest_canonical
+
+    crawls = spark.createDataFrame(
+        [
+            (10, "u", 5), (11, "u", 9),
+            (20, "v", 7), (22, "v", 7), (21, "v", 3),
+            (30, "w", 0),
+        ],
+        "doc_id long, canonical_url string, fetch_time long",
+    )
+    src = str(tmp_path / "recrawl_stream")
+    crawls.write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("canonical_url", T.StringType()),
+            T.StructField("fetch_time", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_stream_to_memory(
+        keep_newest_canonical(stream, "doc_id", ["canonical_url"], "fetch_time"),
+        "recrawl_stream_out",
+        mode="complete",
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.table("recrawl_stream_out").collect()}
+    finally:
+        q.stop()
+    batch = {
+        tuple(r)
+        for r in keep_newest_canonical(
+            crawls, "doc_id", ["canonical_url"], "fetch_time"
+        ).collect()
+    }
+    assert streamed == batch and len(batch) == 3
