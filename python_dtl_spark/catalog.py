@@ -3771,11 +3771,17 @@ _register(
         FROM documents d
         JOIN documents l ON l.doc_id = d.doc_id - (d.doc_id % 4)
     ), arrs AS (
+        -- content test = the explicit class [^ \\t\\n\\r], NOT trim():
+        -- trim strips spaces only, so a whitespace-only paragraph with
+        -- an interior newline would count as content (the r16
+        -- hypothesis find); matches the Spark-side rlike exactly
         SELECT doc_id,
                coalesce(list_filter(regexp_split_to_array(text, '\\n'),
-                                    x -> trim(x) <> ''), []) AS ls,
+                                    x -> regexp_matches(x, '[^ \\t\\n\\r]')),
+                        []) AS ls,
                coalesce(list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
-                                    x -> trim(x) <> ''), []) AS ps
+                                    x -> regexp_matches(x, '[^ \\t\\n\\r]')),
+                        []) AS ps
         FROM base
     ), m AS (
         SELECT doc_id,

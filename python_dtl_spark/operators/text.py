@@ -488,6 +488,13 @@ def repetition_flags(
       paragraphs (``\\n{2,}`` blocks; lines split on single
       newlines).  Whitespace-only lines/paragraphs are structural
       separators, not content — excluded from every count.
+      "Whitespace" is the explicit set space/tab/LF/CR, tested with
+      the regex class ``[^ \\t\\n\\r]`` on BOTH engines (``trim``
+      strips spaces only in Spark and DuckDB alike, which silently
+      counted a paragraph like ``"\\n "`` — whitespace-only but with
+      an interior newline — as content; hypothesis found the case,
+      r16 fix.  ``\\S`` is avoided because Java and RE2 disagree on
+      vertical tab).
 
     ``keep`` is true iff all four ratios pass their thresholds; a
     NULL/empty/newline-free doc has one paragraph and one line —
@@ -534,11 +541,12 @@ def repetition_flags(
         ).otherwise(F.lit(0.0))
         return n, dup_frac, dup_char_frac
 
+    content = "[^ \t\n\r]"
     paras_src = F.filter(
-        F.split(F.col(text_col), r"\n{2,}"), lambda p: F.trim(p) != ""
+        F.split(F.col(text_col), r"\n{2,}"), lambda p: p.rlike(content)
     )
     lines_src = F.filter(
-        F.split(F.col(text_col), r"\n"), lambda l: F.trim(l) != ""
+        F.split(F.col(text_col), r"\n"), lambda l: l.rlike(content)
     )
     staged = df.select(
         *base_cols,

@@ -1529,9 +1529,14 @@ def test_repetition_flags_matches_bruteforce(spark, texts):
         dcf = dup_chars / total if total else 0.0
         return n, dup_frac, dcf
 
+    def has_content(s):
+        # the operator's explicit whitespace set (space/tab/LF/CR) —
+        # NOT str.strip(), which also strips \x0b/\x0c/unicode spaces
+        return any(ch not in " \t\n\r" for ch in s)
+
     for i, text in enumerate(texts):
-        lines = [l for l in text.split("\n") if l.strip() != ""]
-        paras = [p for p in re.split(r"\n{2,}", text) if p.strip() != ""]
+        lines = [l for l in text.split("\n") if has_content(l)]
+        paras = [p for p in re.split(r"\n{2,}", text) if has_content(p)]
         assert got[i] == (*metrics(lines), *metrics(paras)), (i, text)
 
 
