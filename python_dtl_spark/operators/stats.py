@@ -414,6 +414,67 @@ def table_profile(
     ).select("column", "n_rows", "n_nulls", "n_distinct")
 
 
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    flag_cols: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-source corpus data card (staged r16 → r17): the one-table
+    accounting a pretraining lab monitors per ingest source — doc
+    count, NULL-text count, exact character and whitespace-token sums,
+    distinct-content count (whence the exact-dup rate), plus an exact
+    true-count for every boolean ``flag_cols`` entry (quality gates,
+    language flags, dedup keeps — compose upstream and summarize
+    here).  Every emitted metric is an exact integer, so the card is
+    fully value-oracle-able; rates are left to the reader
+    (``n_docs − n_distinct_texts`` over ``n_docs`` is the dup rate).
+
+    ``exact_distinct=False`` swaps the per-group distinct-content
+    count to HLL++ ``approx_count_distinct`` (the
+    :func:`table_profile` caveat applies: no value oracle for that
+    column).  NULL text counts in ``n_docs``/``n_null_text`` but sums
+    zero chars/tokens and is excluded from the distinct count (SQL
+    COUNT(DISTINCT) semantics).
+
+    Scale shape: ONE group-keyed aggregation; every measure except the
+    exact distinct is partial-aggregable map-side, and the exact
+    distinct is Spark's standard two-exchange partial-distinct plan —
+    the documented cost of an exact dup-rate; per-source output is one
+    row per source (tiny)."""
+    flag_cols = flag_cols or []
+    missing = [
+        c for c in [group_col, text_col, *flag_cols] if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(f"columns {missing} not in {df.columns}")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    distinct = (
+        F.count_distinct(F.col(text_col))
+        if exact_distinct
+        else F.approx_count_distinct(F.col(text_col))
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.count(F.lit(1)) - F.count(F.col(text_col)))
+        .cast("long")
+        .alias("n_null_text"),
+        F.sum(F.coalesce(F.length(F.col(text_col)), F.lit(0)))
+        .cast("long")
+        .alias("sum_chars"),
+        F.sum(F.coalesce(F.size(toks), F.lit(0)))
+        .cast("long")
+        .alias("sum_tokens"),
+        distinct.cast("long").alias("n_distinct_texts"),
+    ]
+    for c in flag_cols:
+        aggs.append(F.count_if(F.col(c)).cast("long").alias(f"n_{c}"))
+    return df.groupBy(F.col(group_col)).agg(*aggs)
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,

@@ -2850,6 +2850,35 @@ def test_keep_rate_filter_exact_rational_gate(spark):
         keep_rate_filter(df, "nope", "keep")
 
 
+def test_corpus_report_exact_accounting(spark):
+    """corpus_report: every per-source metric equals the brute force —
+    NULL text counts as a doc with zero chars/tokens and is excluded
+    from the distinct count, flag true-counts ignore NULL flags, and
+    missing columns raise."""
+    from python_dtl_spark.operators.stats import corpus_report
+
+    rows = [
+        (0, "s1", "a b  c", True),
+        (1, "s1", "a b  c", False),   # exact dup of 0
+        (2, "s1", None, None),        # NULL text, NULL flag
+        (3, "s2", "  ", True),        # whitespace-only: 0 tokens, 2 chars
+        (4, "s2", "one two three", True),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string, keep boolean")
+    out = {
+        r.source: r.asDict()
+        for r in corpus_report(df, flag_cols=["keep"]).collect()
+    }
+    assert out["s1"]["n_docs"] == 3 and out["s1"]["n_null_text"] == 1
+    assert out["s1"]["sum_chars"] == 12 and out["s1"]["sum_tokens"] == 6
+    assert out["s1"]["n_distinct_texts"] == 1 and out["s1"]["n_keep"] == 1
+    assert out["s2"]["n_docs"] == 2 and out["s2"]["n_null_text"] == 0
+    assert out["s2"]["sum_chars"] == 15 and out["s2"]["sum_tokens"] == 3
+    assert out["s2"]["n_distinct_texts"] == 2 and out["s2"]["n_keep"] == 2
+    with pytest.raises(ValueError, match="columns"):
+        corpus_report(df, flag_cols=["nope"])
+
+
 def test_snapshot_diff_statuses_and_nulls(spark):
     """snapshot_diff: all four statuses, NULL keys match null-safely,
     NULL vs value in a compare column IS a change, include_unchanged

@@ -1338,6 +1338,25 @@ def test_image_near_dup_pairs_no_all_pairs(spark):
     assert "MapInPandas" in plan, plan
 
 
+def test_corpus_report_is_single_group_agg(spark):
+    """corpus_report (staged r16 → r17): ONE source-keyed aggregation —
+    partial-aggregable sums/counts plus Spark's standard
+    partial-distinct plan for the exact dup-rate; no join, no window,
+    zero Python."""
+    from python_dtl_spark.operators.stats import corpus_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    plan = _exec_plan(corpus_report(docs))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # approx tier drops the distinct Expand: strictly one exchange
+    plan2 = _exec_plan(corpus_report(docs, exact_distinct=False))
+    assert plan2.count("Exchange") == 1, plan2
+
+
 def test_snapshot_diff_is_one_full_outer_join(spark):
     """snapshot_diff (staged r16 → r17): ONE null-safe full-outer
     SortMergeJoin on the keys with row-local status comparison — no
