@@ -9421,6 +9421,16 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     # in the r16 window rather than riding a "provably identical"
     # argument (the r8/r9 lesson).
     "dedup_simhash": 16,
+    # round-17 forced entry: keep_newest_canonical's election struct
+    # gained fixed internal field names (__kn_t/__kn_k) + backtick-
+    # quoted refs and the key_col==time_col guard (r16 advisor item).
+    # Output values are identical for every registered row and
+    # pipeline_recrawl_refresh re-checked green at sf0.01 locally
+    # after the edit, but engine code under an r16-fresh row changed —
+    # so it re-verifies in the r17 window rather than riding a
+    # "provably identical" argument (the r8/r9 lesson, same as
+    # dedup_simhash above).
+    "pipeline_recrawl_refresh": 17,
 }
 
 

@@ -178,24 +178,40 @@ def keep_newest_canonical(
             f"content_cols/key_col/time_col must name existing columns; "
             f"missing {missing} (columns: {df.columns})"
         )
+    if key_col == time_col:
+        raise ValueError(
+            f"key_col and time_col must be distinct columns, got "
+            f"{key_col!r} for both (the election struct needs two "
+            "fields; an identical pair also makes the tie-break "
+            "meaningless)"
+        )
     if "__kn" in df.columns or "__kn" in (key_col, time_col, *content_cols):
         raise ValueError(
             "keep_newest_canonical uses internal working column '__kn' "
             "which already exists on the input; rename or drop it first"
         )
-    kept = F.max(F.struct(F.col(time_col), F.col(key_col))).alias("__kn")
+    # Fixed internal field names (__kn_t/__kn_k): getField then targets
+    # known names, and a dotted key/time column can't misparse inside
+    # the struct constructor (refs are backtick-quoted like
+    # sampling._ref).
+    def _q(name: str):
+        return df["`{}`".format(name.replace("`", "``"))]
+
+    kept = F.max(
+        F.struct(_q(time_col).alias("__kn_t"), _q(key_col).alias("__kn_k"))
+    ).alias("__kn")
     out = df.groupBy(*[F.col(c) for c in content_cols]).agg(
         kept,
         F.count(F.lit(1)).alias("n_crawls"),
-        F.min(F.col(time_col)).alias("first_fetch"),
-        F.max(F.col(time_col)).alias("last_fetch"),
+        F.min(_q(time_col)).alias("first_fetch"),
+        F.max(_q(time_col)).alias("last_fetch"),
     )
-    # getField, not a dotted string ref: key/time names containing dots
-    # must resolve as struct fields, not nested paths
+    # getField on the fixed internal names, output re-aliased to the
+    # caller's (possibly dotted) key/time names
     return out.select(
         *content_cols,
-        F.col("__kn").getField(key_col).alias(key_col),
-        F.col("__kn").getField(time_col).alias(time_col),
+        F.col("__kn").getField("__kn_k").alias(key_col),
+        F.col("__kn").getField("__kn_t").alias(time_col),
         "n_crawls",
         "first_fetch",
         "last_fetch",

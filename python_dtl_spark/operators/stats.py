@@ -465,7 +465,14 @@ def corpus_report(
         F.sum(F.coalesce(F.length(F.col(text_col)), F.lit(0)))
         .cast("long")
         .alias("sum_chars"),
-        F.sum(F.coalesce(F.size(toks), F.lit(0)))
+        # explicit NULL branch, not coalesce(size(...), 0): under
+        # spark.sql.legacy.sizeOfNull=true size(NULL) is -1, which a
+        # coalesce would keep — silently decrementing the card by 1
+        # per NULL-text doc on that config.  when/otherwise is exact
+        # on every config.
+        F.sum(
+            F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(toks))
+        )
         .cast("long")
         .alias("sum_tokens"),
         distinct.cast("long").alias("n_distinct_texts"),

@@ -623,8 +623,13 @@ def char_concentration_flags(
     pass (the distinct count rides the same fold — no separate
     array_distinct build), inside
     whole-stage codegen; zero exchanges, zero Python.  At 100 TB this
-    is a pure map stage that pipelines with the scan; overflow-safe to
-    ~3·10⁹-char docs (1000·n² < 2⁶³)."""
+    is a pure map stage that pipelines with the scan; the permille
+    cross-multiplications (``1000·simpson_num`` vs ``100·n·(n−1)``)
+    stay inside BIGINT for docs up to ``√(2⁶³/1000) ≈ 9.6·10⁷``
+    chars — i.e. overflow-safe to ~10⁸-char documents, far past any
+    real web page; pathological multi-hundred-MB blobs should be
+    length-capped upstream (``gopher_quality_flags`` max length)
+    before this filter."""
     if append:
         base_cols = [F.col(c) for c in df.columns]
     else:

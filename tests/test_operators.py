@@ -56,6 +56,29 @@ def test_keep_newest_canonical_election_and_history(spark):
     assert out["w"]["doc_id"] == 30 and out["w"]["n_crawls"] == 1
     with pytest.raises(ValueError, match="missing"):
         dedup.keep_newest_canonical(df, "doc_id", ["nope"], "fetch_time")
+    # r16 advisor: key_col == time_col would build a duplicate-field
+    # struct and a meaningless tie-break — explicit ValueError
+    with pytest.raises(ValueError, match="distinct"):
+        dedup.keep_newest_canonical(df, "doc_id", ["canonical_url"], "doc_id")
+
+
+def test_keep_newest_canonical_dotted_columns(spark):
+    """r16 advisor: dotted input column names must survive the struct
+    construction (fixed internal field names + backtick-quoted refs),
+    and the output columns carry the caller's dotted names."""
+    df = spark.createDataFrame(
+        [(1, "u", 4), (2, "u", 9), (3, "v", 1)],
+        ["crawl.id", "url", "fetch.time"],
+    )
+    out = {
+        r["url"]: r.asDict()
+        for r in dedup.keep_newest_canonical(
+            df, "crawl.id", ["url"], "fetch.time"
+        ).collect()
+    }
+    assert out["u"]["crawl.id"] == 2 and out["u"]["fetch.time"] == 9
+    assert out["u"]["n_crawls"] == 2 and out["u"]["first_fetch"] == 4
+    assert out["v"]["crawl.id"] == 3 and out["v"]["n_crawls"] == 1
 
 
 def test_exact_dedup_canonical_lineage(spark):

@@ -1352,9 +1352,14 @@ def test_corpus_report_is_single_group_agg(spark):
     assert "Join" not in plan and "Window" not in plan, plan
     assert "partial_" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # approx tier drops the distinct Expand: strictly one exchange
+    # approx tier drops the exact-distinct Expand/second shuffle: the
+    # invariant is no Expand and no extra exchange beyond the group
+    # agg's own (r16 advisor: assert the invariant, don't couple the
+    # exact node count to session conf defaults)
     plan2 = _exec_plan(corpus_report(docs, exact_distinct=False))
-    assert plan2.count("Exchange") == 1, plan2
+    assert "Expand" not in plan2, plan2
+    assert "Join" not in plan2 and "Window" not in plan2, plan2
+    assert plan2.count("Exchange") <= 1, plan2
 
 
 def test_snapshot_diff_is_one_full_outer_join(spark):
@@ -1395,7 +1400,13 @@ def test_keep_rate_filter_is_agg_plus_semi_join(spark):
     plan = _exec_plan(keep_rate_filter(docs, "source", "keep"))
     assert "partial_count" in plan, plan
     assert "LeftSemi" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    # the invariant is a HASH-family semi join back (broadcast under
+    # the session's default threshold; shuffled-hash acceptable under
+    # other configs) — never a loop/cartesian fallback, never a window
+    # (r16 advisor: don't pin the test to the broadcast threshold)
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
