@@ -9143,6 +9143,311 @@ _register(
 )
 
 
+def _q_image_dedup(spark, sf_dir):
+    """Image-grain near-duplicate dedup (registered r17; staged r16):
+    perceptual hashes from the multimodal decode path fed through the
+    shared pigeonhole Hamming core — the image sibling of
+    ``dedup_simhash``, promoting the Arrow-batched decode plumbing
+    into a first-class dedup composition.  The deterministic fake
+    decoder (FNV-1a over payload bytes — no codec libs in this
+    sandbox) makes the whole composition value-oracle-able: DuckDB
+    replays the FNV fold in HUGEINT arithmetic and brute-forces the
+    exact ``bit_count(xor())`` pair set the pigeonhole join must
+    reproduce losslessly.
+
+    Fixture: ``min(2048, |documents|)`` assets in groups of 4 sharing
+    one payload (re-crawled copies of one image), so exact-payload
+    copies land at Hamming distance 0 — C(4,2) pairs per group, 750
+    at the 500-doc scales and 3,072 at sf0.1's 2048-asset cap.
+
+    Scale shape: ONE ``mapInPandas`` decode pass (payload-only
+    projection), then bucket equi-joins on (block, chunk) — never
+    all-pairs (``test_image_near_dup_pairs_no_all_pairs``); the oracle's
+    brute-force quadratic join is the luxury ONLY the oracle gets."""
+    n_docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .count()
+    )
+    n = min(2048, n_docs)
+    groups = max(1, n // 4)
+    assets = spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        F.sha2((F.col("id") % groups).cast("string"), 256)
+        .cast("binary")
+        .alias("payload"),
+    )
+    return multimodal.image_near_dup_pairs(assets, max_hamming=6, fake=True)
+
+
+_register(
+    "pipeline_image_dedup",
+    _q_image_dedup,
+    """
+    WITH params AS (
+        SELECT least(2048, count(*)) AS n
+        FROM documents WHERE doc_id IS NOT NULL
+    ), assets AS (
+        -- range() only takes constants: generate the cap and trim
+        SELECT range::BIGINT AS asset_id,
+               sha256(CAST(range % greatest(1, (SELECT n FROM params) // 4)
+                           AS VARCHAR)) AS hex
+        FROM range(2048)
+        WHERE range < (SELECT n FROM params)
+    ), fnv AS (
+        SELECT asset_id,
+               list_reduce(
+                   list_prepend(
+                       CAST(14695981039346656037 AS HUGEINT),
+                       [CAST(ord(substr(hex, i, 1)) AS HUGEINT)
+                        FOR i IN range(1, len(hex) + 1)]),
+                   (h, b) -> (xor(h, b) * 1099511628211)
+                             % 18446744073709551616
+               ) AS h
+        FROM assets
+    ), ph AS (
+        SELECT asset_id, CAST(h // 2 AS BIGINT) AS phash FROM fnv
+    )
+    SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """,
+)
+
+
+def _q_domain_quality(spark, sf_dir):
+    """Domain-level quality gating (registered r17; staged r16): drop
+    ENTIRE sources whose per-doc keep-rate falls below an exact 3/4 —
+    the RefinedWeb/DCLM "blacklist a domain by its statistics" verb,
+    composed end-to-end: char-concentration junk flags feed
+    ``sampling.keep_rate_filter`` grouped on the ingest source.
+
+    Fixture plants ``repeat('z')`` blobs so the gate is load-bearing:
+    sources src1/src7 get blobs on every ``doc_id % 3 != 0`` doc
+    (keep-rate ~1/3 → dropped WHOLESALE, clean docs included — the
+    point of the verb), and sources with ``source_num % 5 == 4`` get a
+    1-in-5 blob dose (rate 4/5 ≥ 3/4 → survive WITH their blobs, ready
+    for doc-grain filtering downstream).
+
+    Scale shape: flags are a pure map; the gate is ONE group agg
+    (map-side partial count/count_if) + a broadcast LEFT SEMI back —
+    no window, no rate floats
+    (``test_keep_rate_filter_is_agg_plus_semi_join``)."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    did = F.col("doc_id")
+    blob = ((did % 20).isin(1, 7) & (did % 3 != 0)) | (did % 25 == 4)
+    planted = F.when(
+        blob, F.repeat(F.lit("z"), (50 + (did % 5) * 30).cast("int"))
+    ).otherwise(F.col("text"))
+    flags = text.char_concentration_flags(
+        docs.withColumn("text", planted), append=True
+    )
+    kept = sampling.keep_rate_filter(flags, "source", "keep", min_rate=(3, 4))
+    return kept.select("doc_id", "source", "keep")
+
+
+_register(
+    "pipeline_domain_quality",
+    _q_domain_quality,
+    """
+    WITH fixture AS (
+        SELECT doc_id, source,
+               CASE WHEN ((doc_id % 20 IN (1, 7) AND doc_id % 3 <> 0)
+                          OR doc_id % 25 = 4)
+                    THEN repeat('z', CAST(50 + (doc_id % 5) * 30 AS INT))
+                    ELSE text END AS text
+        FROM documents WHERE doc_id IS NOT NULL
+    ), chars AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch
+        FROM fixture
+    ), counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ), m AS (
+        SELECT doc_id, sum(c) AS n, max(c) AS topc,
+               sum(c * (c - 1)) AS num
+        FROM counts GROUP BY doc_id
+    ), flags AS (
+        SELECT f.doc_id, f.source,
+               (coalesce(m.n, 0) < 20
+                OR (1000 * coalesce(m.num, 0)
+                        <= 100 * coalesce(m.n, 0) * (coalesce(m.n, 0) - 1)
+                    AND 1000 * coalesce(m.topc, 0)
+                        <= 250 * coalesce(m.n, 0))) AS keep
+        FROM fixture f LEFT JOIN m USING (doc_id)
+    ), rates AS (
+        SELECT source, count(*) AS n,
+               count(*) FILTER (WHERE keep) AS k
+        FROM flags GROUP BY source
+    )
+    SELECT fl.doc_id, fl.source, fl.keep
+    FROM flags fl JOIN rates r ON fl.source IS NOT DISTINCT FROM r.source
+    WHERE r.k * 4 >= 3 * r.n
+    """,
+    headline=True,
+)
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (registered r17; staged r16): row-level
+    added/removed/changed between two FULL corpus versions when no
+    changeset exists — "what changed between crawls", the
+    derive-the-delta complement of ``orders_apply_changes``.
+
+    Fixture builds the next crawl from documents: every 7th doc
+    removed, every 5th survivor edited (NULL-safe: an edited NULL
+    text becomes ``'edited: '`` — NULL→value IS a change), every
+    11th doc re-added under a shifted id.  At the 500-doc scales
+    that is exactly 72 removed / 85 changed / 46 added = 203 delta
+    rows.
+
+    Scale shape: ONE null-safe full-outer equi-join on the key with
+    row-local status comparison — sort-merge at 100 TB, co-located
+    by bucketing (``test_snapshot_diff_is_one_full_outer_join``)."""
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    did = F.col("doc_id")
+    new_kept = base.filter(did % 7 != 0).withColumn(
+        "text",
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("edited: "), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+    added = base.filter(did % 11 == 0).select(
+        (did + 1000000).alias("doc_id"), "text"
+    )
+    new = new_kept.unionByName(added)
+    return cdc.snapshot_diff(base, new, ["doc_id"])
+
+
+_register(
+    "pipeline_snapshot_diff",
+    _q_snapshot_diff,
+    """
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+    ), new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'edited: ' || coalesce(text, '')
+                    ELSE text END AS text
+        FROM base WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM base WHERE doc_id % 11 = 0
+    )
+    SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                ELSE 'unchanged' END AS diff_status
+    FROM base o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                ELSE 'unchanged' END) <> 'unchanged'
+    """,
+    headline=True,
+)
+
+
+def _q_corpus_report(spark, sf_dir):
+    """Per-source corpus data card (registered r17; staged r16): the
+    one-table accounting a pretraining lab monitors per ingest source
+    — doc count, NULL-text count, exact char/token sums, exact
+    distinct-content count (whence the dup rate) and the true-count
+    of a composed quality flag, every metric an exact BIGINT.
+
+    Fixture layers the realities the card must account for on the
+    documents table: junk blobs every 13th doc (single-glyph runs /
+    ``'ab '`` cycles — the cycles are IDENTICAL across docs, so the
+    distinct count genuinely collapses), empty strings, and NULL
+    texts every 17th doc (count as docs, zero chars/tokens, excluded
+    from the distinct — SQL COUNT(DISTINCT) semantics).  The flag
+    column is the r16 char-concentration ``keep``.
+
+    Scale shape: flags are a pure map feeding ONE source-keyed
+    aggregation; every measure except the exact distinct is
+    partial-aggregable map-side, and the exact distinct is Spark's
+    standard partial-distinct plan — the documented cost of an exact
+    dup rate (``test_corpus_report_is_single_group_agg``; swap
+    ``exact_distinct=False`` for the HLL tier at 100 TB)."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    did = F.col("doc_id")
+    planted = (
+        F.when(did % 17 == 3, F.lit(None).cast("string"))
+        .when(did % 13 == 0, F.repeat(F.lit("z"), ((did % 7) * 40 + 40).cast("int")))
+        .when(did % 13 == 1, F.repeat(F.lit("ab "), 40))
+        .when(did % 13 == 2, F.lit(""))
+        .otherwise(F.col("text"))
+    )
+    flags = text.char_concentration_flags(
+        docs.withColumn("text", planted), append=True
+    )
+    return stats.corpus_report(flags, "source", "text", flag_cols=["keep"])
+
+
+_register(
+    "pipeline_corpus_report",
+    _q_corpus_report,
+    """
+    WITH fixture AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 17 = 3 THEN NULL
+                    WHEN doc_id % 13 = 0
+                    THEN repeat('z', CAST(40 + (doc_id % 7) * 40 AS INT))
+                    WHEN doc_id % 13 = 1 THEN repeat('ab ', 40)
+                    WHEN doc_id % 13 = 2 THEN ''
+                    ELSE text END AS text
+        FROM documents WHERE doc_id IS NOT NULL
+    ), chars AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch
+        FROM fixture
+    ), counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ), m AS (
+        SELECT doc_id, sum(c) AS n, max(c) AS topc,
+               sum(c * (c - 1)) AS num
+        FROM counts GROUP BY doc_id
+    ), flags AS (
+        SELECT f.doc_id, f.source, f.text,
+               (coalesce(m.n, 0) < 20
+                OR (1000 * coalesce(m.num, 0)
+                        <= 100 * coalesce(m.n, 0) * (coalesce(m.n, 0) - 1)
+                    AND 1000 * coalesce(m.topc, 0)
+                        <= 250 * coalesce(m.n, 0))) AS keep
+        FROM fixture f LEFT JOIN m USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(text) AS BIGINT) AS n_null_text,
+           CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars,
+           CAST(coalesce(sum(
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> ''))), 0) AS BIGINT) AS sum_tokens,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_keep
+    FROM flags
+    GROUP BY source
+    """,
+    headline=True,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
