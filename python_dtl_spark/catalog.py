@@ -9142,6 +9142,150 @@ _register(
     headline=True,
 )
 
+def _q_index_maintenance(spark, sf_dir):
+    """Incremental-crawl index maintenance (registered r17): the
+    composition a 100 TB pipeline runs DAILY, end to end — day 1's
+    crawl probes the stored LSH index (``crawl_delta_pairs``), its
+    near-dups are dropped, the SURVIVORS' buckets are appended with
+    ``merge_crawl_into_index`` (crawl-sized work, the corpus index
+    passes through untouched), and day 2's crawl probes the MERGED
+    index.  The day-2 pairs against day-1 survivors exist ONLY if the
+    merge preserved their buckets, so the append is load-bearing in
+    the hash; merge == from-scratch rebuild is additionally asserted
+    row-for-row by ``test_merge_crawl_into_index_equals_rebuild``.
+
+    Fixture soundness (planted, structural — no empirical-recall
+    appeal for the survivor legs): day-1 crawl = exact copies of the
+    ``% 5 == 0`` corpus fifth (jaccard 1, identical signature ⇒
+    guaranteed band collision ⇒ ALL dropped) ∪ genuinely-new docs
+    (``% 5 == 1`` texts with every token prefixed by the new doc id —
+    disjoint shingles, the ``_uniquified_docs`` precedent ⇒ ALL
+    survive, and pairwise-disjoint so survivors never pair with each
+    other).  Day-2 crawl = exact copies of the ``% 7 == 3`` corpus
+    slice (its natural-near-dup legs inherit pipeline_crawl_delta's
+    re-keying recall argument) ∪ exact copies of a survivor subset
+    (identical signature against the merged index ⇒ recall 1).
+
+    Scale shape: both probes are asymmetric stored-index probes
+    (``test_crawl_delta_corpus_side_never_rebuckets``); the merge
+    itself shuffles only the survivors
+    (``test_merge_index_touches_only_crawl``)."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    did = F.col("doc_id")
+    index1 = dedup.minhash_band_buckets(docs, n=3, num_hashes=32, bands=16)
+    copies1 = docs.filter(did % 5 == 0).select(
+        (did + 300000).alias("doc_id"), "text"
+    )
+    news1 = docs.filter((did % 5 == 1) & (F.trim("text") != "")).select(
+        (did + 400000).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                text.tokens(F.lower(F.col("text"))),
+                lambda t: F.concat(
+                    F.lit("c"),
+                    (did + 400000).cast("string"),
+                    F.lit("_"),
+                    t,
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    crawl1 = copies1.unionByName(news1)
+    # index1 feeds the day-1 probe AND the merge passthrough;
+    # survivors feed three consumers (merge, verify corpus, day-2
+    # recrawl).  At 100 TB both are the parquet artifacts the daily
+    # job reads/writes; in-session, persist() stands in for index1,
+    # and survivors additionally needs its LINEAGE truncated
+    # (lazy localCheckpoint) — embedding the day-1 probe DAG three
+    # times into day-2's plan made Catalyst planning, not execution,
+    # the dominant cost (measured 18s -> 5s warm at sf0.001).
+    index1 = index1.persist()
+    pairs1 = dedup.crawl_delta_pairs(
+        docs, crawl1, corpus_buckets=index1, threshold=0.3
+    )
+    dropped = pairs1.select(F.col("crawl_id").alias("doc_id")).dropDuplicates()
+    survivors = crawl1.join(dropped, on="doc_id", how="left_anti").localCheckpoint(
+        eager=False
+    )
+    index2 = dedup.merge_crawl_into_index(
+        index1, survivors, n=3, num_hashes=32, bands=16
+    )
+    corpus2 = docs.unionByName(survivors)
+    copies2 = docs.filter(did % 7 == 3).select(
+        (did + 600000).alias("doc_id"), "text"
+    )
+    recrawl = survivors.filter(did % 3 == 0).select(
+        (did + 300000).alias("doc_id"), "text"
+    )
+    crawl2 = copies2.unionByName(recrawl)
+    out = dedup.crawl_delta_pairs(
+        corpus2, crawl2, corpus_buckets=index2, threshold=0.3
+    )
+    return dedup._release_after(out, index1)
+
+
+# Oracle: day-2 exact-Jaccard ≥ 0.3 against corpus ∪ survivors.  The
+# corpus-copy legs replay the pipeline_crawl_delta shingle SQL; the
+# survivor legs are STRUCTURAL — survivors == the id-prefixed news
+# exactly (copies all carry a jaccard-1 source; prefixed docs share no
+# shingle with the raw corpus), each survivor's only ≥0.3 partner is
+# its own day-2 exact copy (prefix includes the doc id ⇒ survivors are
+# pairwise disjoint), at jaccard exactly 1.0.
+_register(
+    "pipeline_index_maintenance",
+    _q_index_maintenance,
+    """
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id IS NOT NULL
+    ), toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '') AS t
+        FROM docs
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(t) >= 3
+                 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                       for i in range(1, len(t) - 1)]
+                 ELSE [array_to_string(t, ' ')] END) AS s
+        FROM toks
+    ), crawl2 AS (
+        SELECT doc_id + 600000 AS crawl_id, s FROM sh WHERE doc_id % 7 = 3
+    ), cex AS (
+        SELECT doc_id, unnest(s) AS f FROM sh
+    ), eex AS (
+        SELECT crawl_id, unnest(s) AS f FROM crawl2
+    ), csz AS (
+        SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM sh
+    ), esz AS (
+        SELECT crawl_id, CAST(len(s) AS BIGINT) AS sz FROM crawl2
+    ), common AS (
+        SELECT e.crawl_id, c.doc_id AS corpus_id, count(*) AS common
+        FROM eex e JOIN cex c USING (f)
+        GROUP BY 1, 2
+    )
+    SELECT crawl_id, corpus_id,
+           common / (ea.sz + ca.sz - common) AS jaccard
+    FROM common
+    JOIN esz ea USING (crawl_id)
+    JOIN csz ca ON common.corpus_id = ca.doc_id
+    WHERE common / (ea.sz + ca.sz - common) >= 0.3
+    UNION ALL
+    SELECT doc_id + 700000 AS crawl_id, doc_id + 400000 AS corpus_id,
+           1.0 AS jaccard
+    FROM docs
+    WHERE doc_id % 5 = 1 AND trim(text) <> ''
+      AND (doc_id + 400000) % 3 = 0
+    """,
+    headline=True,
+)
+
+
 
 def _q_image_dedup(spark, sf_dir):
     """Image-grain near-duplicate dedup (registered r17; staged r16):

@@ -631,6 +631,61 @@ def minhash_band_buckets(
     )
 
 
+def merge_crawl_into_index(
+    corpus_buckets: DataFrame,
+    crawl: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Index MAINTENANCE (registered r17 via
+    ``pipeline_index_maintenance``): append an accepted crawl's band
+    buckets to a stored :func:`minhash_band_buckets` index — the last
+    leg of the incremental-crawl loop a 100 TB pipeline runs daily
+    (probe the index with :func:`crawl_delta_pairs`, drop the dups,
+    merge the survivors, repeat tomorrow) without ever rebuilding the
+    index from the full corpus.
+
+    Bucket construction is strictly per-document, so the merge is
+    EQUIVALENT to a from-scratch rebuild over corpus ∪ crawl —
+    asserted row-for-row by
+    ``test_merge_crawl_into_index_equals_rebuild`` — provided both
+    sides were built with the same ``(n, num_hashes, bands)`` (an
+    index row only ever joins against signatures computed with its
+    own parameters; see :func:`minhash_band_buckets`).  Caller
+    contract, matching the index's: ``crawl`` ids are unique and
+    disjoint from the ids already indexed (dedupe upstream — an id
+    collision would chimera two documents at probe time).
+
+    Scale shape: the stored index passes through UNTOUCHED (a union
+    is narrow — zero exchange on the corpus branch, plan-asserted by
+    ``test_merge_index_touches_only_crawl``); the only shuffle is the
+    crawl's own signature aggregation, i.e. the append costs
+    crawl-sized work however large the corpus is.  At 100 TB the
+    merged output is written back partitioned/bucketed by
+    ``(band, bucket)``, which is also crawl-sized when the store
+    supports partition append."""
+    expected = {id_col, "band", "bucket"}
+    if not expected.issubset(set(corpus_buckets.columns)):
+        raise ValueError(
+            f"corpus_buckets must carry columns {sorted(expected)} (a "
+            f"minhash_band_buckets output); got {corpus_buckets.columns}"
+        )
+    crawl_buckets = minhash_band_buckets(
+        crawl,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    return corpus_buckets.select(id_col, "band", "bucket").unionByName(
+        crawl_buckets
+    )
+
+
 def crawl_delta_pairs(
     corpus: DataFrame,
     crawl: DataFrame,

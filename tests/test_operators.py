@@ -1901,6 +1901,38 @@ def test_crawl_delta_stored_index_and_valves_are_lossless(spark, tmp_path):
             assert (i + 300000, i, 1.0) in inline
 
 
+def test_merge_crawl_into_index_equals_rebuild(spark, tmp_path):
+    """merge_crawl_into_index: appending an accepted crawl's buckets to
+    a STORED index must equal a from-scratch rebuild over
+    corpus ∪ crawl, row for row — bucket construction is per-document,
+    so the merge is lossless by construction and this test enforces it
+    (the last leg of the incremental-crawl loop: probe → drop dups →
+    merge survivors → tomorrow's probe sees one equivalent index)."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+    )
+    crawl = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("fresh "), F.col("text")).alias("text"),
+    )
+    idx_path = str(tmp_path / "idx.parquet")
+    dedup.minhash_band_buckets(docs).write.parquet(idx_path)
+    merged = dedup.merge_crawl_into_index(
+        spark.read.parquet(idx_path), crawl
+    )
+    rebuilt = dedup.minhash_band_buckets(docs.unionByName(crawl))
+    m = {(r.doc_id, r.band, r.bucket) for r in merged.collect()}
+    b = {(r.doc_id, r.band, r.bucket) for r in rebuilt.collect()}
+    assert m == b and m  # identical and non-empty
+    # schema contract: a non-index frame is rejected loudly
+    with pytest.raises(ValueError, match="minhash_band_buckets"):
+        dedup.merge_crawl_into_index(docs, crawl)
+
+
 def test_crawl_delta_duplicate_crawl_ids_one_row_per_pair(spark):
     """A duplicated crawl doc_id must not chimera-blend signatures or
     fan pairs out through the shingle join-back: the crawl projection

@@ -1525,6 +1525,46 @@ def test_crawl_delta_corpus_side_never_rebuckets(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_merge_index_touches_only_crawl(spark, tmp_path):
+    """merge_crawl_into_index (registered r17): the append path costs
+    crawl-sized work however large the corpus is — the stored index
+    parquet passes through the union UNTOUCHED (a union is narrow:
+    zero exchange on the index branch), and the plan's ONLY exchange
+    is the crawl's own signature aggregation.  An index-side shuffle
+    here would turn the daily append into a corpus-sized job at
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import dedup
+
+    corpus = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx_path = str(tmp_path / "lsh_index.parquet")
+    dedup.minhash_band_buckets(corpus).write.parquet(idx_path)
+    crawl = corpus.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    merged = dedup.merge_crawl_into_index(
+        spark.read.parquet(idx_path), crawl
+    )
+    plan = _exec_plan(merged)
+    # crawl-sided exchanges only: the signature groupBy (map-side
+    # partial mins) plus _spread's round-robin input fan-out; the
+    # index branch is scan → union, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial_min" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the index relation feeds the union as a bare scan
+    import re as _re
+
+    assert _re.search(
+        r"FileScan parquet \[doc_id#\d+L,band#\d+,bucket#\d+L\]", plan
+    ), plan
+
+
 def test_ccnet_buckets_plan_shape(spark):
     """pipeline_ccnet_buckets: the |sources|-row boundary table joins
     back BROADCAST (a shuffled join would move the corpus per label);
