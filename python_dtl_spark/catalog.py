@@ -9592,6 +9592,192 @@ _register(
 )
 
 
+def _q_quality_card(spark, sf_dir):
+    """Composed quality data card (registered r17, r16 verdict item 7):
+    the monitoring table a pretraining lab actually tails — per ingest
+    source, the full r16 quality battery summarized in ONE aggregation:
+    Gopher word-shape keep, within-doc repetition keep, char-
+    concentration keep and the C4 blocklist pass, beside the exact
+    doc/NULL/char/token/distinct accounting of ``corpus_report``.
+
+    Fixture plants every reality the batteries exist to catch, all
+    ROW-LOCALLY (no fixture join — the whole pre-aggregation plan
+    stays a pure map): NULL texts every 17th doc (rejected by Gopher,
+    passed by the empty-is-keep batteries — both conventions
+    load-bearing in the true-counts), single-glyph blobs every 13th
+    (char-concentration rejects), and a duplicated-line doubling on
+    ``% 4 == 1`` docs (repetition rejects: dup_line_frac = 1/2).
+
+    Scale shape: four flag batteries fused into one codegen'd map
+    stage feeding ONE source-keyed aggregation — no join, no window;
+    the exact distinct is Spark's standard partial-distinct plan
+    (``test_quality_card_is_map_plus_single_agg``)."""
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    did = F.col("doc_id")
+    planted = (
+        F.when(did % 17 == 3, F.lit(None).cast("string"))
+        .when(
+            did % 13 == 0,
+            F.repeat(F.lit("z"), ((did % 7) * 40 + 40).cast("int")),
+        )
+        .when(did % 4 == 1, F.concat(F.col("text"), F.lit("\n"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    base = docs.withColumn("text", planted)
+    g = text.gopher_quality_flags(base, append=True).select(
+        "doc_id", "source", "text", F.col("keep").alias("keep_gopher")
+    )
+    r = text.repetition_flags(g, append=True).select(
+        "doc_id", "source", "text", "keep_gopher",
+        F.col("keep").alias("keep_repetition"),
+    )
+    c = text.char_concentration_flags(r, append=True).select(
+        "doc_id", "source", "text", "keep_gopher", "keep_repetition",
+        F.col("keep").alias("keep_charconc"),
+    )
+    b = text.blocklist_flags(c, ["dup", "skew"]).withColumn(
+        "keep_blocklist", ~F.col("blocked")
+    )
+    return stats.corpus_report(
+        b,
+        "source",
+        "text",
+        flag_cols=[
+            "keep_gopher",
+            "keep_repetition",
+            "keep_charconc",
+            "keep_blocklist",
+        ],
+    )
+
+
+_QC_FIXTURE_SQL = """
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 17 = 3 THEN NULL
+                    WHEN doc_id % 13 = 0
+                    THEN repeat('z', CAST(40 + (doc_id % 7) * 40 AS INT))
+                    WHEN doc_id % 4 = 1 THEN text || chr(10) || text
+                    ELSE text END AS text
+        FROM documents WHERE doc_id IS NOT NULL
+"""
+
+_register(
+    "pipeline_quality_card",
+    _q_quality_card,
+    f"""
+    WITH fixture AS ({_QC_FIXTURE_SQL}
+    ), toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           t -> t <> '') AS tk
+        FROM fixture
+    ), gfeat AS (
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+                   / greatest(len(tk), 1) AS mean_word_len,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                   / greatest(len(tk), 1) AS type_token_ratio,
+               CAST(list_max(list_transform(
+                       list_distinct(tk),
+                       w -> len(list_filter(tk, t -> t = w)))) AS DOUBLE)
+                   / greatest(len(tk), 1) AS top_word_frac,
+               CAST(len(list_filter(
+                       list_distinct(tk),
+                       t -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is',
+                            'it','for','on','with','as','by','at','from'],
+                           lower(t)))) AS BIGINT) AS stopword_hits
+        FROM toks
+    ), gkeep AS (
+        SELECT doc_id,
+               (coalesce(n_words >= 20 AND n_words <= 100000, false)
+                AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+                             false)
+                AND coalesce(type_token_ratio >= 0.3, false)
+                AND coalesce(top_word_frac <= 0.12, false)
+                AND coalesce(stopword_hits >= 1, false)) AS keep_gopher
+        FROM gfeat
+    ), rarrs AS (
+        SELECT doc_id,
+               coalesce(list_filter(regexp_split_to_array(text, '\\n'),
+                                    x -> regexp_matches(x, '[^ \\t\\n\\r]')),
+                        []) AS ls,
+               coalesce(list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                                    x -> regexp_matches(x, '[^ \\t\\n\\r]')),
+                        []) AS ps
+        FROM fixture
+    ), rm AS (
+        SELECT doc_id,
+        {_REP_METRIC_SQL.format(a="ls", p="lines")},
+        {_REP_METRIC_SQL.format(a="ps", p="paras")}
+        FROM rarrs
+    ), rkeep AS (
+        SELECT doc_id,
+               (coalesce(dup_lines_frac <= 0.30, false)
+                AND coalesce(dup_paras_frac <= 0.30, false)
+                AND coalesce(dup_lines_char_frac <= 0.20, false)
+                AND coalesce(dup_paras_char_frac <= 0.20, false))
+                   AS keep_repetition
+        FROM rm
+    ), cchars AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch
+        FROM fixture
+    ), ccounts AS (
+        SELECT doc_id, ch, count(*) AS c FROM cchars GROUP BY doc_id, ch
+    ), cm AS (
+        SELECT doc_id, sum(c) AS n, max(c) AS topc,
+               sum(c * (c - 1)) AS num
+        FROM ccounts GROUP BY doc_id
+    ), ckeep AS (
+        SELECT f.doc_id,
+               (coalesce(cm.n, 0) < 20
+                OR (1000 * coalesce(cm.num, 0)
+                        <= 100 * coalesce(cm.n, 0) * (coalesce(cm.n, 0) - 1)
+                    AND 1000 * coalesce(cm.topc, 0)
+                        <= 250 * coalesce(cm.n, 0))) AS keep_charconc
+        FROM fixture f LEFT JOIN cm USING (doc_id)
+    ), bkeep AS (
+        SELECT doc_id,
+               NOT coalesce(
+                   len(list_filter(
+                       list_transform(tk, x -> lower(x)),
+                       x -> list_contains(['dup', 'skew'], x))) > 0,
+                   false) AS keep_blocklist
+        FROM toks
+    )
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(f.text) AS BIGINT) AS n_null_text,
+           CAST(coalesce(sum(length(f.text)), 0) AS BIGINT) AS sum_chars,
+           CAST(coalesce(sum(
+               len(list_filter(regexp_split_to_array(trim(f.text), '\\s+'),
+                               x -> x <> ''))), 0) AS BIGINT) AS sum_tokens,
+           CAST(count(DISTINCT f.text) AS BIGINT) AS n_distinct_texts,
+           CAST(count(*) FILTER (WHERE g.keep_gopher) AS BIGINT)
+               AS n_keep_gopher,
+           CAST(count(*) FILTER (WHERE r.keep_repetition) AS BIGINT)
+               AS n_keep_repetition,
+           CAST(count(*) FILTER (WHERE c.keep_charconc) AS BIGINT)
+               AS n_keep_charconc,
+           CAST(count(*) FILTER (WHERE b.keep_blocklist) AS BIGINT)
+               AS n_keep_blocklist
+    FROM fixture f
+    JOIN gkeep g USING (doc_id)
+    JOIN rkeep r USING (doc_id)
+    JOIN ckeep c USING (doc_id)
+    JOIN bkeep b USING (doc_id)
+    GROUP BY f.source
+    """,
+    headline=True,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

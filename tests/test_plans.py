@@ -1525,6 +1525,23 @@ def test_crawl_delta_corpus_side_never_rebuckets(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_quality_card_is_map_plus_single_agg(spark):
+    """pipeline_quality_card (registered r17): FOUR flag batteries
+    (gopher, repetition, char-concentration, blocklist) fuse into one
+    codegen'd map stage feeding ONE source-keyed aggregation — no
+    join, no window, zero Python; the only exchanges are the exact
+    distinct's standard partial-distinct pair.  A fixture join or a
+    per-battery shuffle here would break the 'tail one table per
+    ingest hour' monitoring contract at 100 TB."""
+    from python_dtl_spark.catalog import QUERIES
+
+    plan = _exec_plan(QUERIES["pipeline_quality_card"].fn(spark, SF))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial_" in plan, plan
+
+
 def test_merge_index_touches_only_crawl(spark, tmp_path):
     """merge_crawl_into_index (registered r17): the append path costs
     crawl-sized work however large the corpus is — the stored index
