@@ -10101,7 +10101,13 @@ _ALWAYS_FRESH = 10**9
 # tie-break) enter the window per round — a bounded 1-slot tax that
 # guarantees no query ever goes more than ~cadence+backlog rounds
 # without driver-committed "still runs" evidence.
-_ROWS_ONLY_CADENCE = 5
+# r17: tightened 5 → 4 per the r16 verdict's cadence reading (item 4:
+# "dtl_approx_distinct_parts was last driver-checked r13 — it becomes
+# the due sketch-twin pick for r17's window"): evidence from round N
+# now covers rounds N..N+3 and the query rotates back in round N+4,
+# which also pulls the r14 sketch twins forward a round — strictly
+# tighter than the documented ≤7-round bound either way.
+_ROWS_ONLY_CADENCE = 4
 # r14: bumped 1 → 2 to clear the rows-only tail a round early — after
 # the r13 cadence start, events_winsorized_sketch and
 # orders_table_profile_sketch were still r8-stale (6 rounds); at one
