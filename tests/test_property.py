@@ -1586,6 +1586,121 @@ def test_c4_clean_lines_matches_bruteforce(spark, texts, dedup):
         )
 
 
+# Adversarial whitespace alphabets for the trim-based text filters
+# (r16 verdict item 6): the r16 hypothesis find in repetition_flags was
+# a space-only-trim vs all-whitespace divergence; the audit declared
+# the sibling operators' whitespace edges unreachable at fixture grain
+# — these properties turn that audit into an enforced pin.  The brute
+# force mirrors the OPERATOR's exact semantics: Spark trim() strips
+# U+0020 ONLY (a tab/CR survives trimming, measured), and Java \\s is
+# the ASCII class [ \\t\\n\\x0b\\f\\r] (\\x0b IS a word separator,
+# unlike RE2 — which is why the catalog oracles keep \\x0b out of
+# fixtures while THESE tests drive it on purpose).
+
+_WS_CHUNK = st.sampled_from(
+    ["ab", "cd ef", "javascript", "lorem ipsum", ".", "!", "?", '"', "{",
+     " ", "\t", "\n", "\n\n", "\x0b", "\f", "\r", ""]
+)
+_ws_doc = st.lists(_WS_CHUNK, min_size=0, max_size=14).map("".join)
+
+_SP_TRIM = " "  # Spark/DuckDB trim class: the space character, nothing else
+_JAVA_WS = "[ \t\n\x0b\f\r]+"  # Java regex \s without UNICODE_CHARACTER_CLASS
+
+
+def _java_words(s):
+    import re
+
+    return [w for w in re.split(_JAVA_WS, s) if w != ""]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_ws_doc, min_size=1, max_size=6), dedup=st.booleans())
+def test_c4_clean_lines_adversarial_whitespace(spark, texts, dedup):
+    """c4_clean_lines under hostile whitespace: lines split on \\n only;
+    a line counts as non-empty when its SPACE-trim is non-empty (so a
+    bare tab line IS a line, and is then dropped by the terminal-punct
+    rule because trim never removes the tab); kept lines are emitted
+    space-trimmed with interior/edge tabs, VTs and CRs intact; word
+    counts split on the Java ASCII \\s class."""
+    from python_dtl_spark.operators.text import c4_clean_lines
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text, r.n_lines, r.n_lines_kept, r.keep)
+        for r in c4_clean_lines(docs, dedup_lines=dedup).collect()
+    }
+    for i, text in enumerate(texts):
+        lines = [l for l in text.split("\n") if l.strip(_SP_TRIM) != ""]
+        kept = []
+        for l in lines:
+            s = l.strip(_SP_TRIM)
+            if not any(s.endswith(p) for p in (".", "!", "?", '"')):
+                continue
+            if len(_java_words(s)) < 3:
+                continue
+            if "javascript" in s.lower():
+                continue
+            kept.append(s)
+        if dedup:
+            kept = list(dict.fromkeys(kept))
+        low = text.lower()
+        keep = len(kept) >= 5 and "lorem ipsum" not in low and "{" not in low
+        assert got[i] == ("\n".join(kept), len(lines), len(kept), keep), (
+            i, repr(text),
+        )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_ws_doc, min_size=1, max_size=6))
+def test_split_sentences_adversarial_whitespace(spark, texts):
+    """split_sentences under hostile whitespace: the delimiter is
+    [.!?] followed by one-or-more Java-\\s chars (VT and FF included —
+    the boundary eats ALL of that whitespace run); only fragments
+    whose SPACE-trim is empty drop, so a bare-tab fragment SURVIVES
+    as a sentence — exactly the pin this test enforces, in both array
+    and exploded forms (n_words uses the same Java class)."""
+    import re
+
+    from python_dtl_spark.operators.text import split_sentences
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (list(r.sentences), r.n_sentences)
+        for r in split_sentences(docs).collect()
+    }
+    got_ex = {}
+    ex = split_sentences(docs, explode=True).collect()
+    for r in ex:
+        got_ex.setdefault(r.doc_id, []).append(
+            (r.sent_index, r.sentence, r.n_words)
+        )
+    for i, text in enumerate(texts):
+        marked = re.sub(r"([.!?])" + _JAVA_WS, "\\1\x01", text)
+        sents = [
+            s.strip(_SP_TRIM)
+            for s in marked.split("\x01")
+            if s.strip(_SP_TRIM) != ""
+        ]
+        assert got[i] == (sents, len(sents)), (i, repr(text))
+        expected_ex = [
+            (j, s, len(_java_words(s))) for j, s in enumerate(sents)
+        ]
+        assert sorted(got_ex.get(i, [])) == expected_ex, (i, repr(text))
+
+
+
 @settings(
     max_examples=12,
     deadline=None,
