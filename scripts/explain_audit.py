@@ -573,6 +573,53 @@ AUDITED = {
         "row-local md5 — no SinglePartition exchange, zero Python "
         "(asserted in tests/test_plans.py::test_pretrain_full_chain_plan_shape)"
     ),
+    "pipeline_image_dedup": (
+        "image near-dup dedup (registered r17): ONE Arrow-batched "
+        "mapInPandas decode pass (payload-only projection), then the "
+        "shared pigeonhole Hamming core — bucket equi-joins on "
+        "(block, chunk), exact bit_count verify, never all-pairs "
+        "(asserted in tests/test_plans.py::"
+        "test_image_near_dup_pairs_no_all_pairs)"
+    ),
+    "pipeline_domain_quality": (
+        "domain-level keep-rate gating (registered r17): char-"
+        "concentration flags are a pure map; the gate is ONE group agg "
+        "(map-side partial count/count_if) + hash-family LEFT SEMI "
+        "back — exact rational k·den >= num·n compare, no window, no "
+        "float rate (asserted in tests/test_plans.py::"
+        "test_keep_rate_filter_is_agg_plus_semi_join)"
+    ),
+    "pipeline_snapshot_diff": (
+        "full-snapshot version delta (registered r17): ONE null-safe "
+        "full-outer SortMergeJoin on the key with row-local status "
+        "CASE — no window, no second exchange beyond the join's; "
+        "bucketed snapshots co-locate it at 100 TB (asserted in "
+        "tests/test_plans.py::test_snapshot_diff_is_one_full_outer_join)"
+    ),
+    "pipeline_corpus_report": (
+        "per-source corpus data card (registered r17): ONE source-"
+        "keyed aggregation, every measure except the exact distinct "
+        "partial-aggregable map-side; the exact distinct is the "
+        "standard partial-distinct plan, the HLL tier strictly one "
+        "exchange (asserted in tests/test_plans.py::"
+        "test_corpus_report_is_single_group_agg)"
+    ),
+    "pipeline_quality_card": (
+        "composed quality data card (registered r17): FOUR flag "
+        "batteries (gopher/repetition/char-concentration/blocklist) "
+        "fused into one codegen'd map stage feeding ONE source-keyed "
+        "aggregation — no join, no window, zero Python (asserted in "
+        "tests/test_plans.py::test_quality_card_is_map_plus_single_agg)"
+    ),
+    "pipeline_index_maintenance": (
+        "incremental-crawl index maintenance (registered r17): both "
+        "probes are asymmetric stored-index probes (corpus never "
+        "re-buckets), the merge appends survivor buckets with the "
+        "index branch passing through at zero exchange — the daily "
+        "append costs crawl-sized work however large the corpus "
+        "(asserted in tests/test_plans.py::"
+        "test_merge_index_touches_only_crawl)"
+    ),
 }
 
 
