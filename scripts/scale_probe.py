@@ -1952,9 +1952,12 @@ def r17_verbs_section(spark, documents) -> list[str]:
         "Interpretation: gate/card/diff/image times must track the",
         "data ratio or better (all shuffles group- or candidate-",
         "sized); the fixed-crawl probe+merge column is the asymmetry",
-        "claim — a flat-ish time while the corpus grows 32× is what",
-        "'the 100 TB corpus never pays for the arrival of a crawl'",
-        "looks like at probe scale.",
+        "claim — its only corpus-proportional term is reading the",
+        "stored index itself (prunable by (band,bucket) partitioning",
+        "in a real store; the in-memory probe pays the full scan), so",
+        "growth far below the corpus ratio is what 'the 100 TB corpus",
+        "never pays for the arrival of a crawl' looks like at probe",
+        "scale.",
     ]
     lines.append("")
     return lines
