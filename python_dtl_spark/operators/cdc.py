@@ -246,25 +246,40 @@ def snapshot_diff(
     ]
     if bad:
         raise ValueError(f"compare_cols {bad} not present in both snapshots")
+    # backtick-quoted refs, not F.col: dotted key/compare names must
+    # resolve as literal top-level columns, not struct paths (the r16
+    # keep_newest_canonical advisor lesson, applied proactively)
+    def _q(frame, name):
+        return frame["`{}`".format(name.replace("`", "``"))]
+
+    # internal working names are INDEX-based (__sd_ok_0 …), never the
+    # caller's column text — a dotted input name embedded in an alias
+    # would just move the struct-path misparse one select downstream
     o = old.select(
-        *[F.col(c).alias(f"__sd_ok_{c}") for c in key_cols],
-        *[F.col(c).alias(f"__sd_ov_{c}") for c in compare_cols],
+        *[_q(old, c).alias(f"__sd_ok_{i}") for i, c in enumerate(key_cols)],
+        *[
+            _q(old, c).alias(f"__sd_ov_{i}")
+            for i, c in enumerate(compare_cols)
+        ],
         F.lit(1).alias("__sd_in_old"),
     )
     n = new.select(
-        *[F.col(c).alias(f"__sd_nk_{c}") for c in key_cols],
-        *[F.col(c).alias(f"__sd_nv_{c}") for c in compare_cols],
+        *[_q(new, c).alias(f"__sd_nk_{i}") for i, c in enumerate(key_cols)],
+        *[
+            _q(new, c).alias(f"__sd_nv_{i}")
+            for i, c in enumerate(compare_cols)
+        ],
         F.lit(1).alias("__sd_in_new"),
     )
     cond = None
-    for k in key_cols:
-        clause = F.col(f"__sd_ok_{k}").eqNullSafe(F.col(f"__sd_nk_{k}"))
+    for i in range(len(key_cols)):
+        clause = F.col(f"__sd_ok_{i}").eqNullSafe(F.col(f"__sd_nk_{i}"))
         cond = clause if cond is None else (cond & clause)
     j = o.join(n, on=cond, how="full_outer")
     differs = F.lit(False)
-    for c in compare_cols:
-        differs = differs | ~F.col(f"__sd_ov_{c}").eqNullSafe(
-            F.col(f"__sd_nv_{c}")
+    for i in range(len(compare_cols)):
+        differs = differs | ~F.col(f"__sd_ov_{i}").eqNullSafe(
+            F.col(f"__sd_nv_{i}")
         )
     status = (
         F.when(F.col("__sd_in_old").isNull(), F.lit("added"))
@@ -274,8 +289,8 @@ def snapshot_diff(
     )
     out = j.select(
         *[
-            F.coalesce(F.col(f"__sd_nk_{k}"), F.col(f"__sd_ok_{k}")).alias(k)
-            for k in key_cols
+            F.coalesce(F.col(f"__sd_nk_{i}"), F.col(f"__sd_ok_{i}")).alias(k)
+            for i, k in enumerate(key_cols)
         ],
         status.alias("diff_status"),
     )

@@ -227,10 +227,13 @@ def keep_rate_filter(
             "which already exists on the input; rename or drop it first"
         )
     groups = (
-        df.groupBy(F.col(group_col).alias("__kr_g"))
+        # _ref, not F.col: a dotted group/flag column name must resolve
+        # as a literal top-level column, not a struct path (the r16
+        # keep_newest_canonical advisor lesson, applied proactively)
+        df.groupBy(_ref(df, group_col).alias("__kr_g"))
         .agg(
             F.count(F.lit(1)).alias("__kr_n"),
-            F.count_if(F.col(flag_col)).alias("__kr_k"),
+            F.count_if(_ref(df, flag_col)).alias("__kr_k"),
         )
         .filter(
             (F.col("__kr_n") >= F.lit(min_group_rows))
@@ -239,7 +242,7 @@ def keep_rate_filter(
     )
     return df.join(
         groups.select("__kr_g"),
-        on=df[group_col].eqNullSafe(F.col("__kr_g")),
+        on=_ref(df, group_col).eqNullSafe(F.col("__kr_g")),
         how="left_semi",
     )
 

@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ref(df: DataFrame, name: str):
+    """Literal top-level column reference, safe for names that need
+    quoting (dots, spaces) — the sampling._ref convention."""
+    return df["`{}`".format(name.replace("`", "``"))]
+
+
 def grouped_percentiles(
     df: DataFrame,
     value_col: str,
@@ -449,20 +455,22 @@ def corpus_report(
     ]
     if missing:
         raise ValueError(f"columns {missing} not in {df.columns}")
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-    )
+    # _ref, not F.col: dotted text/group/flag names must resolve as
+    # literal top-level columns, not struct paths (the r16
+    # keep_newest_canonical advisor lesson, applied proactively)
+    txt = _ref(df, text_col)
+    toks = F.filter(F.split(F.trim(txt), r"\s+"), lambda t: t != "")
     distinct = (
-        F.count_distinct(F.col(text_col))
+        F.count_distinct(txt)
         if exact_distinct
-        else F.approx_count_distinct(F.col(text_col))
+        else F.approx_count_distinct(txt)
     )
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (F.count(F.lit(1)) - F.count(F.col(text_col)))
+        (F.count(F.lit(1)) - F.count(txt))
         .cast("long")
         .alias("n_null_text"),
-        F.sum(F.coalesce(F.length(F.col(text_col)), F.lit(0)))
+        F.sum(F.coalesce(F.length(txt), F.lit(0)))
         .cast("long")
         .alias("sum_chars"),
         # explicit NULL branch, not coalesce(size(...), 0): under
@@ -471,15 +479,15 @@ def corpus_report(
         # per NULL-text doc on that config.  when/otherwise is exact
         # on every config.
         F.sum(
-            F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(F.size(toks))
+            F.when(txt.isNull(), F.lit(0)).otherwise(F.size(toks))
         )
         .cast("long")
         .alias("sum_tokens"),
         distinct.cast("long").alias("n_distinct_texts"),
     ]
     for c in flag_cols:
-        aggs.append(F.count_if(F.col(c)).cast("long").alias(f"n_{c}"))
-    return df.groupBy(F.col(group_col)).agg(*aggs)
+        aggs.append(F.count_if(_ref(df, c)).cast("long").alias(f"n_{c}"))
+    return df.groupBy(_ref(df, group_col)).agg(*aggs)
 
 
 def winsorize(

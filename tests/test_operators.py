@@ -2934,6 +2934,47 @@ def test_corpus_report_exact_accounting(spark):
         corpus_report(df, flag_cols=["nope"])
 
 
+def test_r17_operators_accept_dotted_column_names(spark):
+    """keep_rate_filter / corpus_report / snapshot_diff with dotted
+    input column names: refs are backtick-quoted and snapshot_diff's
+    internal aliases are index-based, so dots never misparse as
+    struct paths (the r16 keep_newest advisor lesson, enforced
+    proactively on the r17 operators)."""
+    from python_dtl_spark.operators.cdc import snapshot_diff
+    from python_dtl_spark.operators.sampling import keep_rate_filter
+    from python_dtl_spark.operators.stats import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "d1", True, "x y"), (2, "d1", True, "x"), (3, "d1", False, "z"),
+         (4, "d2", False, None), (5, "d2", False, "w")],
+        ["doc.id", "my.domain", "is.keep", "the.text"],
+    )
+    kept = {
+        r["doc.id"]
+        for r in keep_rate_filter(
+            df, "my.domain", "is.keep", min_rate=(1, 2)
+        ).collect()
+    }
+    assert kept == {1, 2, 3}  # d1 at 2/3 survives, d2 at 0/2 drops
+
+    card = {
+        r["my.domain"]: r.asDict()
+        for r in corpus_report(
+            df, "my.domain", "the.text", flag_cols=["is.keep"]
+        ).collect()
+    }
+    assert card["d1"]["n_docs"] == 3 and card["d1"]["sum_tokens"] == 4
+    assert card["d2"]["n_null_text"] == 1 and card["d2"]["n_is.keep"] == 0
+
+    old = df.select("`doc.id`", "`the.text`")
+    new = old.filter(old["`doc.id`"] != 2)
+    out = {
+        r["doc.id"]: r.diff_status
+        for r in snapshot_diff(old, new, ["doc.id"]).collect()
+    }
+    assert out == {2: "removed"}
+
+
 def test_snapshot_diff_statuses_and_nulls(spark):
     """snapshot_diff: all four statuses, NULL keys match null-safely,
     NULL vs value in a compare column IS a change, include_unchanged
