@@ -9778,6 +9778,100 @@ _register(
 )
 
 
+def _q_embedding_index(spark, sf_dir):
+    """Embedding-index maintenance (registered r17): the ANN sibling of
+    ``pipeline_index_maintenance`` — today's embedding batch probes
+    the STORED hyperplane-LSH index (``embedding_delta_pairs``), its
+    near-dups are dropped, the survivors' buckets append as a PURE
+    MAP (``merge_delta_into_embedding_index`` — the signature is
+    row-local, so the daily append has zero hash exchanges), and
+    tomorrow's batch probes the MERGED index.  Day-2 pairs against
+    day-1 survivors exist ONLY if the merge preserved their buckets
+    — the append is load-bearing in the value hash; merge == rebuild
+    is additionally row-for-row asserted
+    (``test_merge_embedding_index_equals_rebuild``).
+
+    Fixture soundness is FULLY structural — every oracle pair is an
+    exact vector copy (identical vector ⇒ identical signature ⇒
+    recall 1): day-1 delta = exact copies of the ``% 3 == 0`` corpus
+    third (cosine 1 ⇒ dropped) ∪ NEGATED ``% 5 == 1`` vectors (a
+    negated vector's cosine is ≤ −cos_nat against everything, and
+    the corpus's max natural pairwise cosine is 0.51–0.60 ≪ the 0.9
+    threshold ⇒ all survive, pairwise-apart); day-2 = exact copies
+    of the ``% 7 == 2`` corpus slice ∪ exact copies of a survivor
+    subset.  No empirical-recall appeal anywhere — at 0.9 the corpus
+    has NO natural pairs, so the planted copies are the entire truth
+    set.  Pair ids only (the ``dedup_embedding_cosine`` precedent:
+    the cosine VALUE is a float quotient engines may round apart).
+
+    Scale shape: both probes are asymmetric stored-index probes —
+    corpus vectors are read only through the candidate-semi-filtered
+    verify (``test_embedding_delta_probe_is_index_join_plus_candidate_verify``);
+    the merge is a delta-sized pure map
+    (``test_merge_embedding_index_is_pure_map``)."""
+    base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vid = F.col("vec_id")
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    index1 = dedup.embedding_lsh_buckets(base, dim=64).persist()
+    copies1 = base.filter(vid % 3 == 0).select(
+        (vid + 300000).alias("vec_id"), "embedding"
+    )
+    news1 = base.filter(vid % 5 == 1).select(
+        (vid + 400000).alias("vec_id"), neg.alias("embedding")
+    )
+    delta1 = copies1.unionByName(news1)
+    pairs1 = dedup.embedding_delta_pairs(
+        base, delta1, threshold=0.9, dim=64, corpus_buckets=index1
+    )
+    dropped = pairs1.select(F.col("delta_id").alias("vec_id")).dropDuplicates()
+    # lineage-truncate like pipeline_index_maintenance: survivors feed
+    # three consumers (merge, verify corpus, day-2 re-delta)
+    survivors = delta1.join(dropped, on="vec_id", how="left_anti").localCheckpoint(
+        eager=False
+    )
+    index2 = dedup.merge_delta_into_embedding_index(index1, survivors, dim=64)
+    corpus2 = base.unionByName(survivors)
+    copies2 = base.filter(vid % 7 == 2).select(
+        (vid + 600000).alias("vec_id"), "embedding"
+    )
+    redelta = survivors.filter(vid % 3 == 0).select(
+        (vid + 300000).alias("vec_id"), "embedding"
+    )
+    delta2 = copies2.unionByName(redelta)
+    out = dedup.embedding_delta_pairs(
+        corpus2, delta2, threshold=0.9, dim=64, corpus_buckets=index2
+    ).select("delta_id", "corpus_id")
+    return dedup._release_after(out, index1)
+
+
+_register(
+    "pipeline_embedding_index",
+    _q_embedding_index,
+    """
+    -- every >=0.9 pair is an exact copy (max natural cosine 0.51-0.60),
+    -- so the truth set enumerates structurally; the honest cosine
+    -- cross-check below guards the claim rather than assuming it
+    WITH corpus2 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        UNION ALL
+        SELECT vec_id + 400000,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        FROM embeddings WHERE vec_id % 5 = 1
+    ), delta2 AS (
+        SELECT vec_id + 600000 AS delta_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 7 = 2
+        UNION ALL
+        SELECT vec_id + 700000,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        FROM embeddings WHERE vec_id % 5 = 1 AND (vec_id + 400000) % 3 = 0
+    )
+    SELECT d.delta_id, c.vec_id AS corpus_id
+    FROM delta2 d JOIN corpus2 c
+      ON list_cosine_similarity(d.v, c.v) >= 0.9
+    """,
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -1506,6 +1506,191 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_lsh_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """The STORABLE embedding LSH index (staged r17 → r18): ONE
+    ``(id, bucket)`` row per vector, bucket = the sign pattern of the
+    same seeded random hyperplanes :func:`embedding_near_dup_pairs`
+    uses — an index written today joins correctly against signatures
+    computed tomorrow as long as ``(planes, seed, dim)`` match (the
+    hyperplanes are seeded data, the
+    :func:`embedding_similarity_join` contract).
+
+    The embedding sibling of :func:`minhash_band_buckets`, and
+    cheaper: the signature is ROW-LOCAL (no aggregation), so building
+    or appending to this index is a pure map — zero exchanges.
+    Hamming-1 neighbor probing happens on the QUERY side
+    (:func:`embedding_delta_pairs`), so the index stays one row per
+    vector.
+
+    Caller contract, like the MinHash index: unique ids (duplicate
+    ids would fan out candidate pairs at probe time)."""
+    import random
+
+    from python_dtl_spark.operators.similarity import _checked_dim, _infer_dim
+
+    rng = random.Random(seed)
+    if dim is None:
+        dim = _infer_dim(df, vec_col)
+    hyperplanes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
+    ]
+    signature = _plane_signature(hyperplanes)
+    return _spread(df).select(
+        F.col(id_col),
+        signature(_checked_dim(F.col(vec_col), dim)).alias("bucket"),
+    )
+
+
+def embedding_delta_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+    corpus_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL embedding near-dup (staged r17 → r18): which vectors
+    of a NEW batch (today's crawl's embeddings) near-duplicate a
+    vector already in the corpus — the embedding sibling of
+    :func:`crawl_delta_pairs`, asymmetric so the corpus never pays for
+    the arrival of a delta.
+
+    The corpus side is an LSH INDEX — pass ``corpus_buckets`` (the
+    stored :func:`embedding_lsh_buckets` output) and corpus VECTORS
+    are read only to verify the (tiny) candidate set (broadcast
+    semi-join on candidate ids — a pushed-down id filter over the
+    vector store at scale); ``None`` derives the index inline
+    (one-shot mode, bit-identical output).
+
+    Candidate rule mirrors :func:`embedding_near_dup_pairs` exactly:
+    the delta probes its own bucket plus all Hamming-1 neighbors, the
+    index holds anchors — so a cross pair is generated iff the
+    self-join operator would generate it, and the exact-cosine verify
+    (shared fold, zero-norm guard) makes output equality provable
+    (``test_embedding_delta_matches_selfjoin_restriction``).
+
+    Output: ``(delta_id, corpus_id, cosine)`` with cosine ≥
+    ``threshold``."""
+    import random
+
+    from python_dtl_spark.operators.similarity import _checked_dim, _infer_dim
+
+    rng = random.Random(seed)
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    hyperplanes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
+    ]
+    signature = _plane_signature(hyperplanes)
+
+    d_sig = _spread(delta).select(
+        F.col(id_col).alias("__did"),
+        signature(_checked_dim(F.col(vec_col), dim)).alias("__sig"),
+    )
+    probes = d_sig.select(
+        "__did",
+        F.explode(
+            F.array(
+                F.col("__sig"),
+                *[
+                    F.col("__sig").bitwiseXOR(F.lit(1 << p))
+                    for p in range(planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    if corpus_buckets is None:
+        corpus_buckets = embedding_lsh_buckets(
+            corpus, id_col=id_col, vec_col=vec_col, planes=planes,
+            seed=seed, dim=dim,
+        )
+    anchors = corpus_buckets.select(
+        F.col(id_col).alias("__kid"), F.col("bucket")
+    )
+    cand = (
+        probes.join(anchors, on="bucket", how="inner")
+        .select("__did", "__kid")
+        .dropDuplicates()
+    )
+    # verify: vectors enter the plan once per side, keyed by id; the
+    # corpus side is semi-filtered to candidate ids FIRST so the
+    # vector store scan is candidate-sized, never corpus-sized
+    hit_ids = cand.select(F.col("__kid").alias(id_col)).dropDuplicates()
+    k_vecs = (
+        corpus.join(F.broadcast(hit_ids), on=id_col, how="left_semi")
+        .select(
+            F.col(id_col).alias("__kid"),
+            _checked_dim(F.col(vec_col), dim).alias("__kv"),
+            _vec_norm(F.col(vec_col)).alias("__kn"),
+        )
+        .dropDuplicates(["__kid"])
+    )
+    d_vecs = delta.select(
+        F.col(id_col).alias("__did"),
+        _checked_dim(F.col(vec_col), dim).alias("__dv"),
+        _vec_norm(F.col(vec_col)).alias("__dn"),
+    ).dropDuplicates(["__did"])
+    return (
+        cand.join(d_vecs, on="__did")
+        .join(k_vecs, on="__kid")
+        .filter((F.col("__dn") > 0) & (F.col("__kn") > 0))
+        .withColumn(
+            "cosine",
+            _vec_dot(F.col("__dv"), F.col("__kv"))
+            / (F.col("__dn") * F.col("__kn")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("__did").alias("delta_id"),
+            F.col("__kid").alias("corpus_id"),
+            "cosine",
+        )
+    )
+
+
+def merge_delta_into_embedding_index(
+    corpus_buckets: DataFrame,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-index MAINTENANCE (staged r17 → r18): append an
+    accepted delta's buckets to a stored
+    :func:`embedding_lsh_buckets` index.  Even cheaper than the
+    MinHash merge: the signature is row-local, so the append is a
+    PURE MAP over the delta — zero exchanges anywhere
+    (``test_merge_embedding_index_is_pure_map``) — and merge ==
+    from-scratch rebuild holds row-for-row
+    (``test_merge_embedding_index_equals_rebuild``) provided both
+    sides used the same ``(planes, seed, dim)``.  Same unique-and-
+    disjoint id contract as :func:`merge_crawl_into_index`."""
+    expected = {id_col, "bucket"}
+    if not expected.issubset(set(corpus_buckets.columns)):
+        raise ValueError(
+            f"corpus_buckets must carry columns {sorted(expected)} (an "
+            f"embedding_lsh_buckets output); got {corpus_buckets.columns}"
+        )
+    return corpus_buckets.select(id_col, "bucket").unionByName(
+        embedding_lsh_buckets(
+            delta, id_col=id_col, vec_col=vec_col, planes=planes,
+            seed=seed, dim=dim,
+        )
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     evals: DataFrame,

@@ -611,6 +611,15 @@ AUDITED = {
         "aggregation — no join, no window, zero Python (asserted in "
         "tests/test_plans.py::test_quality_card_is_map_plus_single_agg)"
     ),
+    "pipeline_embedding_index": (
+        "embedding-index maintenance (registered r17): both probes are "
+        "asymmetric stored-index probes (corpus vectors read only "
+        "through the candidate-semi-filtered verify), and the merge is "
+        "a delta-sized PURE MAP — the hyperplane signature is "
+        "row-local, zero hash exchanges on the append (asserted in "
+        "tests/test_plans.py::test_merge_embedding_index_is_pure_map, "
+        "test_embedding_delta_probe_is_index_join_plus_candidate_verify)"
+    ),
     "pipeline_index_maintenance": (
         "incremental-crawl index maintenance (registered r17): both "
         "probes are asymmetric stored-index probes (corpus never "

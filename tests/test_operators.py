@@ -1933,6 +1933,76 @@ def test_merge_crawl_into_index_equals_rebuild(spark, tmp_path):
         dedup.merge_crawl_into_index(docs, crawl)
 
 
+def test_embedding_delta_matches_selfjoin_restriction(spark):
+    """embedding_delta_pairs == the cross-side restriction of
+    embedding_near_dup_pairs over corpus ∪ delta: the delta probes
+    own + Hamming-1 buckets against own-signature anchors — exactly
+    the self-join operator's candidate rule — and the exact-cosine
+    verify is the shared fold, so the pair sets must be identical.
+    Runs on real embeddings with planted exact copies (identical
+    vectors ⇒ identical signatures ⇒ structural recall 1)."""
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 200)
+    )
+    delta = base.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    got = {
+        (r.delta_id, r.corpus_id, round(r.cosine, 9))
+        for r in dedup.embedding_delta_pairs(
+            base, delta, threshold=0.9, dim=64
+        ).collect()
+    }
+    both = base.unionByName(delta)
+    self_pairs = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b), round(r.cosine, 9))
+        for r in dedup.embedding_near_dup_pairs(
+            both, threshold=0.9, dim=64
+        ).collect()
+    }
+    cross = {
+        (a, b, c) for a, b, c in self_pairs if a >= 100000 and b < 100000
+    }
+    assert got == cross and got  # identical and non-empty
+    # every planted copy found at cosine exactly 1.0
+    ids = {r.vec_id for r in base.collect()}
+    for i in ids:
+        if i % 3 == 0:
+            assert (i + 100000, i, 1.0) in got
+
+
+def test_merge_embedding_index_equals_rebuild(spark, tmp_path):
+    """merge_delta_into_embedding_index: appending the delta's buckets
+    to a STORED index equals a from-scratch rebuild over
+    corpus ∪ delta, row for row (the signature is a pure function of
+    (vector, planes, seed))."""
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 150)
+    )
+    delta = base.filter(F.col("vec_id") % 4 == 1).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    idx_path = str(tmp_path / "eidx.parquet")
+    dedup.embedding_lsh_buckets(base, dim=64).write.parquet(idx_path)
+    merged = dedup.merge_delta_into_embedding_index(
+        spark.read.parquet(idx_path), delta, dim=64
+    )
+    rebuilt = dedup.embedding_lsh_buckets(base.unionByName(delta), dim=64)
+    m = {(r.vec_id, r.bucket) for r in merged.collect()}
+    b = {(r.vec_id, r.bucket) for r in rebuilt.collect()}
+    assert m == b and m
+    with pytest.raises(ValueError, match="embedding_lsh_buckets"):
+        dedup.merge_delta_into_embedding_index(base, delta, dim=64)
+
+
 def test_crawl_delta_duplicate_crawl_ids_one_row_per_pair(spark):
     """A duplicated crawl doc_id must not chimera-blend signatures or
     fan pairs out through the shingle join-back: the crawl projection

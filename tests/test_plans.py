@@ -1582,6 +1582,89 @@ def test_merge_index_touches_only_crawl(spark, tmp_path):
     ), plan
 
 
+def test_embedding_delta_probe_is_index_join_plus_candidate_verify(spark, tmp_path):
+    """embedding_delta_pairs with a STORED index: the corpus VECTOR
+    relation is scanned only through the candidate-semi-filtered
+    verify branch (never for signatures — the index IS the
+    signatures), the bucket probe is a hash equi-join, and no nested
+    loop or Python appears anywhere."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import dedup
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    idx_path = str(tmp_path / "eidx.parquet")
+    dedup.embedding_lsh_buckets(corpus, dim=64).write.parquet(idx_path)
+    delta = corpus.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = dedup.embedding_delta_pairs(
+        corpus,
+        delta,
+        threshold=0.9,
+        dim=64,
+        corpus_buckets=spark.read.parquet(idx_path),
+    )
+    plan = _exec_plan(out)
+    import re as _re
+
+    # corpus vectors enter through exactly ONE relation instance — the
+    # verify join-back (no `% 3` delta filter on it); signature
+    # derivation from corpus vectors would add a second instance
+    vec_scans = {
+        m.group(1)
+        for m in _re.finditer(
+            r"FileScan parquet \[vec_id#(\d+)L,embedding#\d+\]([^\n]*)",
+            plan,
+        )
+        if "% 3" not in m.group(2)
+    }
+    assert len(vec_scans) == 1, (vec_scans, plan)
+    # the stored index relation feeds the bucket join
+    assert _re.search(
+        r"FileScan parquet \[vec_id#\d+L,bucket#\d+L\]", plan
+    ), plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_embedding_index_is_pure_map(spark, tmp_path):
+    """merge_delta_into_embedding_index: the signature is row-local,
+    so the append is a pure map over the delta — no hash exchange, no
+    aggregate, no join ANYWHERE in the plan (the only exchange is
+    _spread's round-robin input fan-out); the stored index passes
+    through as a bare scan."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import dedup
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    idx_path = str(tmp_path / "eidx.parquet")
+    dedup.embedding_lsh_buckets(corpus, dim=64).write.parquet(idx_path)
+    delta = corpus.filter(F.col("vec_id") % 4 == 1).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    merged = dedup.merge_delta_into_embedding_index(
+        spark.read.parquet(idx_path), delta, dim=64
+    )
+    plan = _exec_plan(merged)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "Aggregate" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    import re as _re
+
+    assert _re.search(
+        r"FileScan parquet \[vec_id#\d+L,bucket#\d+L\]", plan
+    ), plan
+
+
 def test_ccnet_buckets_plan_shape(spark):
     """pipeline_ccnet_buckets: the |sources|-row boundary table joins
     back BROADCAST (a shuffled join would move the corpus per label);
