@@ -1963,6 +1963,85 @@ def r17_verbs_section(spark, documents) -> list[str]:
     return lines
 
 
+def r17_embed_probe(spark, factors=(1, 8, 32)):
+    """Embedding-index asymmetry under replication: the corpus (and
+    its stored index) grows n× while the DELTA stays fixed — probe +
+    survivor merge must grow far slower than the corpus; the merge
+    leg is a pure map over the fixed-size delta, so its cost should
+    be flat outright."""
+    from python_dtl_spark.operators import dedup as dedup_mod
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rows = []
+    for n in factors:
+        corpus = base if n == 1 else replicate(base, n, ["vec_id"])
+        total = corpus.count()
+        index = dedup_mod.embedding_lsh_buckets(corpus, dim=64).persist()
+        index.count()
+        delta = base.select(
+            (F.col("vec_id") + 90_000_000).alias("vec_id"), "embedding"
+        )
+        start = time.perf_counter()
+        pairs = dedup_mod.embedding_delta_pairs(
+            corpus, delta, threshold=0.9, dim=64, corpus_buckets=index
+        )
+        survivors = delta.join(
+            pairs.select(F.col("delta_id").alias("vec_id")).dropDuplicates(),
+            on="vec_id",
+            how="left_anti",
+        ).localCheckpoint(eager=False)
+        merged = dedup_mod.merge_delta_into_embedding_index(
+            index, survivors, dim=64
+        ).count()
+        dt = time.perf_counter() - start
+        index.unpersist()
+        rows.append((n, total, merged, dt))
+        print(
+            f"# r17_embed {n}x: corpus {total:,} vecs; fixed-delta "
+            f"probe+merge -> {merged:,} index rows in {dt:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_R17_EMBED_HEADER = (
+    "## r17 embedding-index asymmetry under replication "
+    "(fixed delta vs n× corpus)"
+)
+
+
+def r17_embed_section(spark, documents) -> list[str]:
+    rows = r17_embed_probe(spark)
+    lines = [
+        _R17_EMBED_HEADER,
+        "",
+        "pipeline_embedding_index's scale claim: the stored hyperplane",
+        "index grows n× while the DELTA batch stays fixed — the probe",
+        "is an index equi-join + candidate-sized vector verify, and",
+        "the merge is a pure map over the delta (zero hash exchanges),",
+        "so probe+merge must grow far below the corpus ratio:",
+        "",
+        "| probe | corpus | vecs | merged index rows | probe+merge time |",
+        "|---|---|---|---|---|",
+    ]
+    for n, total, merged, dt in rows:
+        lines.append(
+            f"| r17_embed | {n}× | {total:,} | {merged:,} | {dt:.2f}s |"
+        )
+    lines += [
+        "",
+        "Interpretation: every planted delta vector is an exact copy",
+        "of a corpus vector (identical signature ⇒ every delta row is",
+        "a dup ⇒ survivors ≈ 0), so the merged index row count tracks",
+        "the corpus — the time column growing far slower than n× is",
+        "the asymmetry evidence.",
+    ]
+    lines.append("")
+    return lines
+
+
 def main() -> None:
     scaling_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -2016,6 +2095,15 @@ def main() -> None:
             scaling_path, _R15_LATE_HEADER, r15_late_section(spark, documents)
         )
         print("SCALING.md r15-late section updated")
+        return
+    if "--r17-embed" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path, _R17_EMBED_HEADER, r17_embed_section(spark, documents)
+        )
+        print("SCALING.md r17-embed section updated")
         return
     if "--r17-verbs" in sys.argv:
         spark = get_spark("scale-probe")
