@@ -1658,6 +1658,95 @@ def embedding_delta_pairs(
     )
 
 
+def embedding_delta_pairs_stream(
+    delta: DataFrame,
+    corpus_buckets: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """STREAMING-LEGAL tier of :func:`embedding_delta_pairs`: flag
+    near-duplicates of the existing corpus on a LIVE embedding feed
+    (readStream).  The batch operator is ALREADY row-local up to its
+    joins — the hyperplane signature is a per-row projection — so this
+    tier is the same algebra verbatim: signature + own/Hamming-1 probe
+    explode (row-local), then two STREAM-STATIC inner joins (append-
+    legal): probes × the stored :func:`embedding_lsh_buckets` index,
+    and candidates × the static corpus vectors for the exact-cosine
+    verify (shared fold, zero-norm guard).
+
+    Unlike the MinHash tier, a true pair matches through EXACTLY ONE
+    probe bucket (either the signatures are equal or they differ in
+    exactly one plane), so the output carries no per-band duplicates —
+    no dedup contract is pushed onto callers.
+
+    ``dim`` is REQUIRED on a streaming frame (the batch path's
+    inference is an action); pass the model's embedding width."""
+    import random
+
+    from python_dtl_spark.operators.similarity import _checked_dim
+
+    if dim is None:
+        raise ValueError(
+            "dim is required for the streaming tier (inferring it "
+            "would run an action on an unbounded frame); pass the "
+            "embedding width"
+        )
+    rng = random.Random(seed)
+    hyperplanes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)
+    ]
+    signature = _plane_signature(hyperplanes)
+    d_sig = delta.select(
+        F.col(id_col).alias("__did"),
+        _checked_dim(F.col(vec_col), dim).alias("__dv"),
+        _vec_norm(F.col(vec_col)).alias("__dn"),
+        signature(_checked_dim(F.col(vec_col), dim)).alias("__sig"),
+    )
+    probes = d_sig.select(
+        "__did",
+        "__dv",
+        "__dn",
+        F.explode(
+            F.array(
+                F.col("__sig"),
+                *[
+                    F.col("__sig").bitwiseXOR(F.lit(1 << p))
+                    for p in range(planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    anchors = corpus_buckets.select(
+        F.col(id_col).alias("__kid"), F.col("bucket")
+    )
+    cand = probes.join(anchors, on="bucket", how="inner")
+    k_vecs = corpus.select(
+        F.col(id_col).alias("__kid"),
+        _checked_dim(F.col(vec_col), dim).alias("__kv"),
+        _vec_norm(F.col(vec_col)).alias("__kn"),
+    )
+    return (
+        cand.join(k_vecs, on="__kid", how="inner")
+        .filter((F.col("__dn") > 0) & (F.col("__kn") > 0))
+        .withColumn(
+            "cosine",
+            _vec_dot(F.col("__dv"), F.col("__kv"))
+            / (F.col("__dn") * F.col("__kn")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("__did").alias("delta_id"),
+            F.col("__kid").alias("corpus_id"),
+            "cosine",
+        )
+    )
+
+
 def merge_delta_into_embedding_index(
     corpus_buckets: DataFrame,
     delta: DataFrame,

@@ -468,6 +468,70 @@ def test_streaming_crawl_delta_matches_batch(spark, tmp_path):
     assert streamed == batch
 
 
+def test_streaming_embedding_delta_matches_batch(spark, tmp_path):
+    """embedding_delta_pairs_stream: a readStream embedding feed
+    probing the STORED hyperplane index through stream-static joins
+    must flag exactly the batch operator's pair set — identical
+    algebra (the signature is row-local in both tiers), and unlike
+    the MinHash tier each pair matches through exactly ONE probe
+    bucket, so even the multiplicities agree."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.dedup import (
+        embedding_delta_pairs,
+        embedding_delta_pairs_stream,
+        embedding_lsh_buckets,
+    )
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter("vec_id < 200")
+    )
+    delta = corpus.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    idx_path = str(tmp_path / "eidx.parquet")
+    embedding_lsh_buckets(corpus, dim=64).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    batch = [
+        (r.delta_id, r.corpus_id, round(r.cosine, 12))
+        for r in embedding_delta_pairs(
+            corpus, delta, threshold=0.9, dim=64, corpus_buckets=index
+        ).collect()
+    ]
+    assert batch  # planted copies guarantee pairs
+
+    src = str(tmp_path / "embed_stream")
+    delta.write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_stream_to_memory(
+        embedding_delta_pairs_stream(
+            stream, index, corpus, threshold=0.9, dim=64
+        ),
+        "embed_delta_stream",
+        mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        streamed = [
+            (r.delta_id, r.corpus_id, round(r.cosine, 12))
+            for r in spark.table("embed_delta_stream").collect()
+        ]
+    finally:
+        q.stop()
+    assert sorted(streamed) == sorted(batch)  # multiplicities included
+    with pytest.raises(ValueError, match="dim is required"):
+        embedding_delta_pairs_stream(stream, index, corpus)
+
+
 def test_streaming_url_canonicalize_matches_batch(spark, tmp_path):
     """URL canonicalization is a stateless map stage, so it streams
     as-is: readStream urls -> canonicalize_urls -> append sink equals
