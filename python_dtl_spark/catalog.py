@@ -9504,6 +9504,93 @@ _register(
 )
 
 
+def _q_source_drift(spark, sf_dir):
+    """Source-drift trend card (registered r17; the r18 slate's
+    trend-card item, pulled forward): per-source exact
+    added/removed/changed/unchanged counts between two full crawls —
+    "which sources churned", the monitoring row ABOVE
+    ``pipeline_snapshot_diff``, via ``cdc.source_drift_card``.
+
+    Fixture extends the snapshot-diff crawl with a SOURCE MOVE leg so
+    the card's group semantics are load-bearing: every 13th surviving
+    doc is re-labeled ``source || '-mv'`` and must count as removed
+    from its old source AND added to the new one (group-move = churn
+    on both sides); the existing removal (% 7), edit (% 5) and
+    re-add (% 11) legs land in their sources' changed/removed/added
+    columns.  Every measure is an exact BIGINT.
+
+    Scale shape: the diff's single null-safe full-outer equi-join
+    feeding ONE group aggregation, all counts map-side
+    partial-aggregable — no window, no second join
+    (``test_source_drift_card_is_join_plus_single_agg``)."""
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    did = F.col("doc_id")
+    new_kept = (
+        base.filter(did % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit("edited: "), F.coalesce(F.col("text"), F.lit(""))),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "source",
+            F.when(
+                did % 13 == 1, F.concat(F.col("source"), F.lit("-mv"))
+            ).otherwise(F.col("source")),
+        )
+    )
+    added = base.filter(did % 11 == 0).select(
+        (did + 1000000).alias("doc_id"), "source", "text"
+    )
+    new = new_kept.unionByName(added)
+    return cdc.source_drift_card(base, new, ["doc_id"], "source")
+
+
+_register(
+    "pipeline_source_drift",
+    _q_source_drift,
+    """
+    WITH base AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id IS NOT NULL
+    ), new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 1 THEN source || '-mv'
+                    ELSE source END AS source,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'edited: ' || coalesce(text, '')
+                    ELSE text END AS text
+        FROM base WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, source, text
+        FROM base WHERE doc_id % 11 = 0
+    ), st AS (
+        SELECT coalesce(n.source, o.source) AS source,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                    ELSE 'unchanged' END AS s
+        FROM base o FULL OUTER JOIN new n
+          ON o.doc_id = n.doc_id AND o.source IS NOT DISTINCT FROM n.source
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE s = 'added') AS BIGINT) AS n_added,
+           CAST(count(*) FILTER (WHERE s = 'removed') AS BIGINT) AS n_removed,
+           CAST(count(*) FILTER (WHERE s = 'changed') AS BIGINT) AS n_changed,
+           CAST(count(*) FILTER (WHERE s = 'unchanged') AS BIGINT)
+               AS n_unchanged
+    FROM st
+    GROUP BY source
+    """,
+    headline=True,
+)
+
+
 def _q_corpus_report(spark, sf_dir):
     """Per-source corpus data card (registered r17; staged r16): the
     one-table accounting a pretraining lab monitors per ingest source

@@ -297,3 +297,54 @@ def snapshot_diff(
     if include_unchanged:
         return out
     return out.filter(F.col("diff_status") != "unchanged")
+
+
+def source_drift_card(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    group_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group churn card over a snapshot diff (staged r17 → the r18
+    slate's trend-card item): "which sources churned between crawls" —
+    the monitoring aggregation ABOVE :func:`snapshot_diff`, one row
+    per group with exact BIGINT added/removed/changed/unchanged
+    counts (whence old/new totals and churn rates: n_old = removed +
+    changed + unchanged, n_new = added + changed + unchanged).
+
+    Group semantics: the group column joins WITH the keys, so a row
+    that moved between groups counts as ``removed`` from its old group
+    and ``added`` to its new one — the churn grain a per-source card
+    wants (a source that "lost" a document to re-labeling did lose
+    it).  NULL groups are a group like any other (null-safe key join,
+    null-preserving aggregation key).
+
+    Scale shape: :func:`snapshot_diff`'s single null-safe full-outer
+    equi-join with row-local status comparison, feeding ONE group
+    aggregation whose counts are all map-side partial-aggregable — no
+    window, no second join; at 100 TB the join sort-merges (bucketed
+    snapshots co-locate it) and the card table is |groups| rows.
+    """
+    if group_col in key_cols:
+        raise ValueError(
+            f"group_col {group_col!r} duplicates a key column; pass it "
+            "only as group_col (it joins with the keys automatically)"
+        )
+    diff = snapshot_diff(
+        old,
+        new,
+        [*key_cols, group_col],
+        compare_cols=compare_cols,
+        include_unchanged=True,
+    )
+    # backtick-quoted literal ref: a dotted group name must resolve as
+    # a top-level column, not a struct path (the r16 advisor lesson)
+    grp = diff["`{}`".format(group_col.replace("`", "``"))]
+    st = F.col("diff_status")
+    return diff.groupBy(grp.alias(group_col)).agg(
+        F.count_if(st == "added").alias("n_added"),
+        F.count_if(st == "removed").alias("n_removed"),
+        F.count_if(st == "changed").alias("n_changed"),
+        F.count_if(st == "unchanged").alias("n_unchanged"),
+    )
