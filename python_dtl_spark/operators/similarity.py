@@ -934,3 +934,204 @@ def cluster_balanced_sample(
     return domain_quota(
         assigned, "cluster_id", id_col, quota, seed=sample_seed
     )
+
+
+# ---------------------------------------------------------------------------
+# Centroid-index maintenance (the IVF tier of the stored-index pattern)
+# ---------------------------------------------------------------------------
+# The crawl-LSH and embedding-LSH indexes (dedup.minhash_band_buckets /
+# dedup.embedding_lsh_buckets) made "store the index once, append
+# incremental arrivals with arrival-sized work" a pattern of this
+# engine.  This is the IVF-tier instance: the fitted KMeans CENTROID
+# TABLE is the stored index artifact, and maintenance = assigning NEW
+# vectors to the EXISTING centroids — a pure row-local map, never a
+# refit (refitting on every arrival would re-shuffle the whole corpus
+# AND silently re-number every stored assignment; frozen centroids keep
+# assignments append-stable, at the cost of drift the valve below
+# measures).
+
+#: assign_to_centroids compiles the centroid table into a literal
+#: expression (nearest_centroids); past this many centroids the
+#: expression tier is mis-designed (O(k x dim) codegen per row, driver
+#: OOM measured near ~500 x 64 dims) - use fit_kmeans +
+#: model.transform (see cluster_assign) for fine-grained clustering.
+MAX_LITERAL_CENTROIDS = 512
+
+
+def _centroid_rows(centroids, cid_col: str, centroid_col: str):
+    """Normalize a centroid table (DataFrame[(cid, centroid)] or
+    list[list[float]]) to ([ids], [vectors]) sorted by cid ascending,
+    validating uniqueness, NULLs and the literal-tier size bound."""
+    if isinstance(centroids, DataFrame):
+        rows = centroids.select(cid_col, centroid_col).limit(
+            MAX_LITERAL_CENTROIDS + 1
+        ).collect()
+        if len(rows) > MAX_LITERAL_CENTROIDS:
+            raise ValueError(
+                f"centroid table exceeds MAX_LITERAL_CENTROIDS="
+                f"{MAX_LITERAL_CENTROIDS}: the literal-expression tier "
+                "is for coarse quantizers; use fit_kmeans + "
+                "model.transform for large k (see cluster_assign)"
+            )
+        pairs = [(r[0], r[1]) for r in rows]
+    else:
+        pairs = list(enumerate(centroids))
+    if not pairs:
+        raise ValueError("centroid table is empty")
+    ids = [p[0] for p in pairs]
+    if any(i is None for i in ids) or len(set(ids)) != len(ids):
+        raise ValueError(
+            f"centroid ids ({cid_col}) must be non-NULL and unique; "
+            f"got {len(ids)} rows, {len(set(ids))} distinct"
+        )
+    if any(p[1] is None for p in pairs):
+        raise ValueError("centroid vectors must be non-NULL")
+    dims = {len(p[1]) for p in pairs}
+    if len(dims) != 1:
+        raise ValueError(f"centroid vectors disagree on dimension: {sorted(dims)}")
+    pairs.sort(key=lambda p: p[0])
+    return [p[0] for p in pairs], [list(map(float, p[1])) for p in pairs]
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    cid_col: str = "cid",
+    centroid_col: str = "centroid",
+    out_col: str = "centroid_id",
+    dim: int | None = None,
+    with_distance: bool = False,
+) -> DataFrame:
+    """Assign every vector to its nearest EXISTING centroid — the
+    maintenance half of an IVF index: centroids are the stored index
+    artifact (a tiny (cid, vector) table persisted at fit time), new
+    arrivals are assigned by ONE row-local map pass and appended; the
+    corpus is never rescanned and the index is never refit.
+
+    ``centroids`` is either a DataFrame with ``cid_col``/
+    ``centroid_col`` columns (the stored artifact — bounded collect,
+    raises past :data:`MAX_LITERAL_CENTROIDS`) or a plain
+    ``list[list[float]]`` (ids = positional index, the
+    :func:`fit_centroids` output form).  Assignment is an exact
+    argmin of squared euclidean distance with deterministic ties
+    (smallest cid wins — the centroid list compiles in ascending-cid
+    order and :func:`nearest_centroids` sorts (dist, position)
+    structs lexicographically).  Rows with a NULL id or vector are
+    excluded per the sampling-module contract; ``dim`` adds the
+    fail-fast dimension guard of the query operators.
+
+    ``with_distance=True`` appends the squared distance as
+    ``sq_dist`` — the input to the DRIFT VALVE: a frozen quantizer
+    degrades as the distribution moves, and the symptom is the mean
+    assignment distance rising against its fit-time baseline
+    (:func:`centroid_assignment_stats`); refit and rebuild when it
+    crosses the budget, not on a timer.
+
+    Scale shape: pure map — zero Exchange, zero Python, centroids are
+    plan literals (O(k x dim) per row in codegen; the documented
+    coarse-quantizer tier).  Extension operator (SURVEY §2.5).
+    """
+    cids, vecs = _centroid_rows(centroids, cid_col, centroid_col)
+    emitted = [out_col] + (["sq_dist"] if with_distance else [])
+    if id_col in emitted:
+        raise ValueError(
+            f"out_col collides with id_col ({id_col!r}); rename one"
+        )
+    for c in emitted:
+        if c in df.columns:
+            raise ValueError(
+                f"assign_to_centroids emits column {c!r} which already "
+                "exists on the input; rename or drop it first"
+            )
+    qid = df["`{}`".format(id_col.replace("`", "``"))]
+    qv = df["`{}`".format(vec_col.replace("`", "``"))]
+    base = df.filter(qid.isNotNull() & qv.isNotNull()).select(
+        qid.alias("__ac_id"),
+        _checked_dim(_to_double(qv), dim).alias("__ac_v"),
+    )
+    best = nearest_centroids("__ac_v", vecs, 1)[0]
+    cid_lit = F.array(*[F.lit(c) for c in cids])
+    out = [
+        F.col("__ac_id").alias(id_col),
+        F.element_at(cid_lit, best["cid"] + 1).alias(out_col),
+    ]
+    if with_distance:
+        out.append(best["dist"].alias("sq_dist"))
+    return base.select(*out)
+
+
+def merge_into_centroid_index(
+    index: DataFrame,
+    new_vectors: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    cid_col: str = "cid",
+    centroid_col: str = "centroid",
+    out_col: str = "centroid_id",
+    dim: int | None = None,
+    with_distance: bool = False,
+) -> DataFrame:
+    """Append newly arrived vectors to a stored IVF assignment index
+    with arrival-sized work: the stored ``index`` (the
+    :func:`assign_to_centroids` output persisted as parquet) passes
+    through a narrow union UNTOUCHED — zero exchange on the index
+    branch — while the delta is assigned by the same pure map against
+    the same frozen centroid table.
+
+    Because assignment is row-local and the centroids are frozen, the
+    merged index equals a from-scratch rebuild over corpus ∪ delta
+    ROW FOR ROW (``test_merge_centroid_index_equals_rebuild``) — the
+    same merge == rebuild contract as
+    ``dedup.merge_crawl_into_index`` / ``merge_delta_into_embedding_
+    index``, completing the stored-index pattern at the IVF grain.
+    """
+    expected = [id_col, out_col] + (["sq_dist"] if with_distance else [])
+    if sorted(index.columns) != sorted(expected):
+        raise ValueError(
+            f"stored index columns {sorted(index.columns)} do not match "
+            f"the assignment schema {sorted(expected)}"
+        )
+    delta = assign_to_centroids(
+        new_vectors,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        cid_col=cid_col,
+        centroid_col=centroid_col,
+        out_col=out_col,
+        dim=dim,
+        with_distance=with_distance,
+    )
+    return index.unionByName(delta)
+
+
+def centroid_assignment_stats(
+    assignments: DataFrame,
+    *,
+    cid_col: str = "centroid_id",
+    sq_dist_col: str = "sq_dist",
+) -> DataFrame:
+    """Per-centroid occupancy and distance stats over an assignment
+    table — the DRIFT VALVE's measurement: ``(centroid_id, n_vectors,
+    sum_sq_dist, mean_sq_dist)``.
+
+    Persist this at fit time as the baseline; re-run it over the
+    merged index (assignments carried ``with_distance=True``) and
+    compare — a mean_sq_dist ratio drifting above budget (or a
+    centroid's occupancy collapsing/exploding) says the frozen
+    quantizer no longer fits the distribution and the index should be
+    refit and rebuilt.  ONE map-side-partial aggregation, |centroids|
+    output rows.
+    """
+    cid = assignments["`{}`".format(cid_col.replace("`", "``"))]
+    sd = assignments["`{}`".format(sq_dist_col.replace("`", "``"))]
+    return assignments.groupBy(cid.alias(cid_col)).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(sd).alias("sum_sq_dist"),
+        F.avg(sd).alias("mean_sq_dist"),
+    )

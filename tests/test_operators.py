@@ -3090,6 +3090,74 @@ def test_snapshot_diff_statuses_and_nulls(spark):
         snapshot_diff(old, new, ["k"], compare_cols=["nope"])
 
 
+def test_source_drift_card_counts_and_group_moves(spark):
+    """source_drift_card: exact per-group added/removed/changed/
+    unchanged counts; a row that MOVED groups counts as removed from
+    its old group and added to its new one (the churn grain); NULL
+    groups aggregate as their own group; group_col duplicated in
+    key_cols raises."""
+    import pytest as _pytest
+
+    from python_dtl_spark.operators.cdc import source_drift_card
+
+    old = spark.createDataFrame(
+        [
+            (1, "s1", "a"),   # unchanged
+            (2, "s1", "b"),   # changed text
+            (3, "s1", "c"),   # removed entirely
+            (4, "s2", "d"),   # moves s2 -> s3
+            (5, None, "e"),   # NULL group, unchanged
+        ],
+        "k long, src string, txt string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "s1", "a"),
+            (2, "s1", "B"),
+            (4, "s3", "d"),
+            (5, None, "e"),
+            (6, "s2", "f"),   # added
+        ],
+        "k long, src string, txt string",
+    )
+    got = {
+        r.src: (r.n_added, r.n_removed, r.n_changed, r.n_unchanged)
+        for r in source_drift_card(old, new, ["k"], "src").collect()
+    }
+    assert got == {
+        "s1": (0, 1, 1, 1),
+        "s2": (1, 1, 0, 0),   # k=4 left s2; k=6 arrived
+        "s3": (1, 0, 0, 0),   # k=4 arrived in s3
+        None: (0, 0, 0, 1),
+    }
+    with _pytest.raises(ValueError, match="group_col"):
+        source_drift_card(old, new, ["k", "src"], "src")
+
+
+def test_source_drift_card_dotted_names(spark):
+    """Dotted key/group names resolve as literal columns end to end
+    (the r17 dot-safety convention)."""
+    from python_dtl_spark.operators.cdc import source_drift_card
+
+    old = spark.createDataFrame([(1, "s1", "a")], "k long, src string, txt string")
+    new = spark.createDataFrame([(1, "s1", "b")], "k long, src string, txt string")
+    o = old.select(
+        F.col("k").alias("doc.id"),
+        F.col("src").alias("doc.src"),
+        F.col("txt").alias("doc.txt"),
+    )
+    n = new.select(
+        F.col("k").alias("doc.id"),
+        F.col("src").alias("doc.src"),
+        F.col("txt").alias("doc.txt"),
+    )
+    rows = source_drift_card(o, n, ["doc.id"], "doc.src").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc.src"] == "s1"
+    assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged) == (0, 0, 1, 0)
+
+
 def test_embedding_dim_inference_clear_errors(spark):
     from python_dtl_spark.operators.similarity import _infer_dim
 
@@ -6317,3 +6385,193 @@ def test_importance_resample_doc_boundary_gap(spark, sf):
     assert 0 < k < n
     gap = pri[k - 1] - pri[k]
     assert gap > 1e-6, (sf, gap)
+
+
+def test_assign_to_centroids_exact_argmin_and_ties(spark):
+    """assign_to_centroids: exact squared-distance argmin against the
+    frozen centroid table; equidistant ties break to the SMALLEST cid;
+    NULL ids/vectors are excluded; list-form centroids use positional
+    ids; validation raises on dup/NULL cids, dim disagreements and an
+    empty table."""
+    cents = spark.createDataFrame(
+        [(10, [0.0, 0.0]), (7, [4.0, 0.0]), (30, [0.0, 4.0])],
+        "cid long, centroid array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0]),    # -> 10
+            (2, [3.9, 0.2]),    # -> 7
+            (3, [0.0, 3.5]),    # -> 30
+            (4, [2.0, 2.0]),    # equidistant to ALL three -> smallest cid 7
+            (5, None),          # excluded
+            (None, [1.0, 1.0]), # excluded
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.assign_to_centroids(vecs, cents, dim=2, with_distance=True)
+    got = {r.vec_id: (r.centroid_id, r.sq_dist) for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1][0] == 10 and got[2][0] == 7 and got[3][0] == 30
+    # (2,2) is sq-dist 8 from every centroid: tie -> min cid
+    assert got[4] == (7, 8.0)
+    assert got[1][1] == pytest.approx(0.01)
+    # list form: positional ids
+    out2 = similarity.assign_to_centroids(
+        vecs, [[0.0, 0.0], [4.0, 0.0]], dim=2
+    )
+    got2 = {r.vec_id: r.centroid_id for r in out2.collect()}
+    assert got2[1] == 0 and got2[2] == 1
+    with pytest.raises(ValueError, match="unique"):
+        similarity.assign_to_centroids(
+            vecs,
+            spark.createDataFrame(
+                [(1, [0.0, 0.0]), (1, [1.0, 1.0])],
+                "cid long, centroid array<double>",
+            ),
+        )
+    with pytest.raises(ValueError, match="empty"):
+        similarity.assign_to_centroids(vecs, [])
+    with pytest.raises(ValueError, match="dimension"):
+        similarity.assign_to_centroids(vecs, [[0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="already"):
+        similarity.assign_to_centroids(
+            vecs.withColumn("centroid_id", F.lit(1)), [[0.0, 0.0]]
+        )
+
+
+def test_merge_centroid_index_equals_rebuild(spark):
+    """The stored-index contract at the IVF grain: assigning the delta
+    against the frozen centroids and appending equals a from-scratch
+    rebuild over corpus ∪ delta, row for row (assignment is row-local
+    and the centroid table is immutable — the property that makes the
+    daily append arrival-sized).  Schema drift on the stored index
+    raises."""
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    cents = (
+        corpus.filter(F.col("vec_id") % 37 == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid"))
+    )
+    delta = corpus.filter(F.col("vec_id") % 7 == 3).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    index = similarity.assign_to_centroids(corpus, cents, dim=64)
+    merged = similarity.merge_into_centroid_index(index, delta, cents, dim=64)
+    rebuilt = similarity.assign_to_centroids(
+        corpus.unionByName(delta), cents, dim=64
+    )
+    a = sorted((r.vec_id, r.centroid_id) for r in merged.collect())
+    b = sorted((r.vec_id, r.centroid_id) for r in rebuilt.collect())
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="schema"):
+        similarity.merge_into_centroid_index(
+            index.withColumnRenamed("centroid_id", "cluster"), delta, cents
+        )
+
+
+def test_centroid_assignment_stats_drift_valve(spark):
+    """centroid_assignment_stats: exact per-centroid occupancy and
+    sum/mean of the squared assignment distance — the drift valve's
+    measurement (fit-time baseline vs post-merge ratio)."""
+    assign = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 10, 3.0), (3, 20, 0.5)],
+        "vec_id long, centroid_id long, sq_dist double",
+    )
+    got = {
+        r.centroid_id: (r.n_vectors, r.sum_sq_dist, r.mean_sq_dist)
+        for r in similarity.centroid_assignment_stats(assign).collect()
+    }
+    assert got[10] == (2, 4.0, 2.0)
+    assert got[20] == (1, 0.5, 0.5)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_assign_to_centroids_matches_duckdb_replay(spark, sf):
+    """Pre-validated oracle for the staged pipeline_centroid_index row
+    (r18 slate): DuckDB recomputes the exact squared-distance argmin
+    over the REAL embeddings corpus against the same frozen centroid
+    table (vec_id % 37 members, cid = vec_id) and must agree
+    row-for-row with the engine's literal-expression assignment —
+    including the merged day-1 delta (exact vector copies re-keyed
+    +500000, which must land on their sources' centroids by
+    construction).
+
+    Hash safety is MEASURED, not assumed: the minimum relative gap
+    between each vector's best and second-best centroid distance is
+    3.5e-5 / 2.1e-6 / 2.6e-5 at sf0.001/0.01/0.1 — ≥8 orders above
+    the ~1e-14 cross-engine summation-order drift of a 64-term double
+    fold (the pipeline_lm_curate precedent) — and pinned by the
+    margin guard below."""
+    import duckdb
+
+    path = f"/root/testdata/{sf}/embeddings.parquet"
+    corpus = (
+        spark.read.parquet(path)
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    )
+    cents = corpus.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    delta = corpus.filter(F.col("vec_id") % 7 == 3).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    index = similarity.assign_to_centroids(corpus, cents, dim=64)
+    merged = similarity.merge_into_centroid_index(index, delta, cents, dim=64)
+    got = sorted((r.vec_id, r.centroid_id) for r in merged.collect())
+
+    con = duckdb.connect()
+    oracle = con.execute(f"""
+        WITH corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM '{path}'
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        ), aug AS (
+          SELECT vec_id, v FROM corpus
+          UNION ALL
+          SELECT vec_id + 500000, v FROM corpus WHERE vec_id % 7 = 3
+        ), cents AS (
+          SELECT vec_id AS cid, v AS c FROM corpus WHERE vec_id % 37 = 0
+        ), d AS (
+          SELECT aug.vec_id, cents.cid,
+                 list_sum([ (v[i]-c[i])*(v[i]-c[i])
+                            FOR i IN range(1, len(v)+1) ]) AS dist
+          FROM aug CROSS JOIN cents
+        )
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+          FROM d
+        ) WHERE rn = 1
+        ORDER BY vec_id
+    """).fetchall()
+    assert got == [(v, c) for v, c in oracle]
+    # centroid rows assign to themselves at distance 0
+    self_assign = {v: c for v, c in got}
+    for r in cents.collect():
+        assert self_assign[r.cid] == r.cid
+    # margin guard: the argmin must stay hash-safe as data regenerates
+    gap = con.execute(f"""
+        WITH corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM '{path}'
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        ), cents AS (
+          SELECT vec_id AS cid, v AS c FROM corpus WHERE vec_id % 37 = 0
+        ), d AS (
+          SELECT corpus.vec_id, cents.cid,
+                 list_sum([ (v[i]-c[i])*(v[i]-c[i])
+                            FOR i IN range(1, len(v)+1) ]) AS dist
+          FROM corpus CROSS JOIN cents
+        ), r AS (
+          SELECT vec_id, dist,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cid) AS rn
+          FROM d
+        )
+        SELECT min((b.dist - a.dist) / greatest(a.dist, 1e-30))
+        FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
+    """).fetchone()[0]
+    assert gap > 1e-7, f"argmin margin collapsed to {gap}"

@@ -1384,6 +1384,35 @@ def test_snapshot_diff_is_one_full_outer_join(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_source_drift_card_is_join_plus_single_agg(spark):
+    """source_drift_card (staged r17 → r18 slate): snapshot_diff's ONE
+    null-safe full-outer SortMergeJoin feeding ONE group aggregation
+    whose counts are map-side partial-aggregable — no window, no
+    second join, no loop fallback, zero Python.  A per-status shuffle
+    or a count window here would break the 'tail one card per crawl'
+    monitoring contract at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.cdc import source_drift_card
+
+    old = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    new = old.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("edited")).otherwise(
+            F.col("text")
+        ),
+    )
+    plan = _exec_plan(source_drift_card(old, new, ["doc_id"], "source"))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert plan.count("Join") == plan.count("SortMergeJoin"), plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan, plan
+
+
 def test_keep_rate_filter_is_agg_plus_semi_join(spark):
     """keep_rate_filter (staged r16 → r17): ONE group-keyed hash agg
     with map-side partial count/count_if feeding a broadcast LEFT SEMI
@@ -1981,3 +2010,58 @@ def test_cluster_balanced_sample_plan_shape(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_assign_to_centroids_is_pure_map(spark):
+    """assign_to_centroids (staged r17 → r18 slate): the IVF index
+    append is a PURE MAP — centroids are plan literals, assignment is
+    row-local argmin; zero Exchange, zero Python, no Join/Window.  Any
+    shuffle here would turn the daily arrival append into a
+    corpus-sized job at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.similarity import assign_to_centroids
+
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = [[float(i == j) for i in range(64)] for j in range(8)]
+    plan = _exec_plan(assign_to_centroids(corpus, cents, dim=64))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_merge_centroid_index_touches_only_delta(spark, tmp_path):
+    """merge_into_centroid_index: the stored assignment index passes
+    through the union as a BARE SCAN (narrow, zero exchange on either
+    branch) while only the delta runs the assignment map — the
+    merge == rebuild contract costs arrival-sized work however large
+    the stored index is."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.similarity import (
+        assign_to_centroids,
+        merge_into_centroid_index,
+    )
+
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = [[float(i == j) for i in range(64)] for j in range(8)]
+    idx_path = str(tmp_path / "centroid_index.parquet")
+    assign_to_centroids(corpus, cents, dim=64).write.parquet(idx_path)
+    delta = corpus.filter(F.col("vec_id") % 7 == 3).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    merged = merge_into_centroid_index(
+        spark.read.parquet(idx_path), delta, cents, dim=64
+    )
+    plan = _exec_plan(merged)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the stored index feeds the union as a bare parquet scan
+    assert _re.search(r"Union[\s\S]*FileScan parquet[\s\S]*centroid_index", plan), plan
