@@ -6575,3 +6575,74 @@ def test_assign_to_centroids_matches_duckdb_replay(spark, sf):
         FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2
     """).fetchone()[0]
     assert gap > 1e-7, f"argmin margin collapsed to {gap}"
+
+
+@pytest.mark.parametrize("n", [256, 2048])
+def test_image_keep_one_matches_duckdb_replay(spark, n):
+    """Pre-validated oracle for the staged pipeline_image_keep row
+    (r18 slate): image near-dup pairs (FNV fake-decode phash →
+    pigeonhole Hamming join) composed with keep_one_from_pairs gives
+    the multimodal stack the same keep-one semantics the text/LSH
+    stacks have.  DuckDB derives the full pair set by brute force
+    (HUGEINT FNV fold + bit_count(xor()) over all C(n,2) pairs — the
+    quadratic luxury ONLY the oracle gets) and resolves components
+    with a WITH RECURSIVE min-label closure, so the replay is sound
+    even if a stray cross-group pair ever appears at a new scale;
+    on this fixture components are exactly the payload groups of 4,
+    so cluster_id = asset_id % groups and keep = (asset_id < groups)
+    — both asserted independently."""
+    import duckdb
+
+    groups = n // 4
+    assets = spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        F.sha2((F.col("id") % groups).cast("string"), 256)
+        .cast("binary")
+        .alias("payload"),
+    )
+    pairs = multimodal.image_near_dup_pairs(assets, max_hamming=6, fake=True)
+    keep = dedup.keep_one_from_pairs(
+        assets.select("asset_id"), pairs, id_col="asset_id"
+    )
+    got = sorted(
+        (r.asset_id, r.cluster_id, r.keep) for r in keep.collect()
+    )
+    # structural ground truth: payload groups are cliques at Hamming 0
+    assert got == [(i, i % groups, i < groups) for i in range(n)]
+    oracle = duckdb.connect().execute(f"""
+        WITH RECURSIVE assets AS (
+            SELECT range::BIGINT AS asset_id,
+                   sha256(CAST(range % {groups} AS VARCHAR)) AS hex
+            FROM range({n})
+        ), fnv AS (
+            SELECT asset_id,
+                   list_reduce(
+                       list_prepend(
+                           CAST(14695981039346656037 AS HUGEINT),
+                           [CAST(ord(substr(hex, i, 1)) AS HUGEINT)
+                            FOR i IN range(1, len(hex) + 1)]),
+                       (h, b) -> (xor(h, b) * 1099511628211)
+                                 % 18446744073709551616
+                   ) AS h
+            FROM assets
+        ), ph AS (
+            SELECT asset_id, CAST(h // 2 AS BIGINT) AS phash FROM fnv
+        ), pr AS (
+            SELECT a.asset_id AS ia, b.asset_id AS ib
+            FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 6
+        ), edges AS (
+            SELECT ia AS a, ib AS b FROM pr
+            UNION ALL
+            SELECT ib, ia FROM pr
+        ), reach(a, b) AS (
+            SELECT asset_id, asset_id FROM ph
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ), labels AS (
+            SELECT a AS asset_id, min(b) AS cluster_id FROM reach GROUP BY a
+        )
+        SELECT asset_id, cluster_id, asset_id = cluster_id AS keep
+        FROM labels ORDER BY asset_id
+    """).fetchall()
+    assert got == [(a, c, k) for a, c, k in oracle]
