@@ -1187,3 +1187,60 @@ def test_streaming_keep_newest_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) == 3
+
+
+def test_streaming_centroid_assignment_matches_batch(spark, tmp_path):
+    """assign_to_centroids (staged r17 → r18): the IVF index append is
+    a pure row-local map against a frozen literal centroid table —
+    streaming-legal by construction, so the daily-arrival tier runs
+    on a live embedding feed unchanged: readStream vectors → argmin
+    assignment → append sink equals the batch assignment row-for-row
+    (the merged index is then the exactly-once sink's partitioned
+    append, no new state)."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.similarity import assign_to_centroids
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(
+            F.col("vec_id").isNotNull()
+            & F.col("embedding").isNotNull()
+            # filter, not limit: limit without an order re-evaluates
+            # per action and could hand batch and stream different rows
+            & (F.col("vec_id") < 60)
+        )
+    )
+    cents = base.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    src = str(tmp_path / "vec_stream")
+    base.write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.FloatType())
+            ),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_stream_to_memory(
+        assign_to_centroids(stream, cents, dim=64, with_distance=True),
+        "centroid_stream_out",
+        mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.vec_id, r.centroid_id)
+            for r in spark.table("centroid_stream_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.vec_id, r.centroid_id)
+        for r in assign_to_centroids(base, cents, dim=64).collect()
+    }
+    assert streamed == batch and len(batch) == 60
