@@ -2042,11 +2042,105 @@ def r17_embed_section(spark, documents) -> list[str]:
     return lines
 
 
+def r17_centroid_probe(spark, factors=(1, 8, 32)):
+    """IVF centroid-index asymmetry under replication: the corpus
+    (and its stored assignment index) grows n× while the frozen
+    centroid table and the DELTA batch stay fixed — delta assignment
+    is a pure map over the fixed-size delta (must be FLAT), and the
+    merged-index count is the one corpus-proportional term (it scans
+    the stored index, exactly like the daily job's index rewrite)."""
+    from python_dtl_spark.operators import similarity as sim
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    cents = base.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    rows = []
+    for n in factors:
+        corpus = base if n == 1 else replicate(base, n, ["vec_id"])
+        total = corpus.count()
+        index = sim.assign_to_centroids(corpus, cents, dim=64).persist()
+        index.count()
+        delta = base.select(
+            (F.col("vec_id") + 90_000_000).alias("vec_id"), "embedding"
+        )
+        start = time.perf_counter()
+        n_delta = sim.assign_to_centroids(delta, cents, dim=64).count()
+        t_assign = time.perf_counter() - start
+        start = time.perf_counter()
+        merged = sim.merge_into_centroid_index(
+            index, delta, cents, dim=64
+        ).count()
+        t_merge = time.perf_counter() - start
+        index.unpersist()
+        rows.append((n, total, n_delta, t_assign, merged, t_merge))
+        print(
+            f"# r17_centroid {n}x: corpus {total:,} vecs; fixed-delta "
+            f"assign {t_assign:.2f}s, merged-count {t_merge:.2f}s "
+            f"({merged:,} index rows)",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_R17_CENTROID_HEADER = (
+    "## r17 centroid-index asymmetry under replication "
+    "(fixed delta + frozen centroids vs n× corpus)"
+)
+
+
+def r17_centroid_section(spark, documents) -> list[str]:
+    rows = r17_centroid_probe(spark)
+    lines = [
+        _R17_CENTROID_HEADER,
+        "",
+        "assign_to_centroids / merge_into_centroid_index's scale claim",
+        "(staged pipeline_centroid_index row): the stored assignment",
+        "index grows n× while the frozen centroid table and the DELTA",
+        "batch stay fixed — delta assignment is a PURE MAP (plan-",
+        "asserted zero Exchange), so its cost must be flat outright;",
+        "the merged-index count is the one corpus-proportional term",
+        "(it scans the stored index, the daily job's index rewrite):",
+        "",
+        "| probe | corpus | vecs | delta assign | merged rows | merge count |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, total, n_delta, t_assign, merged, t_merge in rows:
+        lines.append(
+            f"| r17_centroid | {n}× | {total:,} | {t_assign:.2f}s "
+            f"({n_delta:,} rows) | {merged:,} | {t_merge:.2f}s |"
+        )
+    lines += [
+        "",
+        "Interpretation: a flat delta-assign column is the design",
+        "property — arrivals cost arrival-sized work however large",
+        "the corpus; the merge-count column may track the corpus",
+        "because COUNTING the merged index scans it (the union itself",
+        "adds zero exchanges, test_merge_centroid_index_touches_only_",
+        "delta).",
+    ]
+    lines.append("")
+    return lines
+
+
 def main() -> None:
     scaling_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.md",
     )
+    if "--r17-centroid" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path,
+            _R17_CENTROID_HEADER,
+            r17_centroid_section(spark, documents),
+        )
+        print("SCALING.md r17-centroid section updated")
+        return
     if "--bpe-tier" in sys.argv:
         spark = get_spark("scale-probe")
         spark.sparkContext.setLogLevel("ERROR")
