@@ -629,6 +629,13 @@ AUDITED = {
         "(asserted in tests/test_plans.py::"
         "test_merge_index_touches_only_crawl)"
     ),
+    "pipeline_source_drift": (
+        "source-drift trend card (registered r17): snapshot_diff's "
+        "single null-safe full-outer SortMergeJoin feeding ONE group "
+        "aggregation with map-side partial counts — no window, no "
+        "second join (asserted in tests/test_plans.py::"
+        "test_source_drift_card_is_join_plus_single_agg)"
+    ),
 }
 
 
