@@ -657,3 +657,102 @@ def mad_outliers(
 
         out = _release_after(out, base)
     return out
+
+
+def quantile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    by: list[str],
+    ps: list[float] = (0.25, 0.5, 0.75, 0.9),
+    exact: bool = True,
+) -> DataFrame:
+    """Distribution-drift card between two snapshots of one metric —
+    the third leg of the monitoring trilogy (``cdc.source_drift_card``
+    = row churn, ``similarity.centroid_assignment_stats`` = index
+    drift, this = METRIC DISTRIBUTION shift): per group, the exact
+    discrete percentiles of ``value_col`` in the old and new crawls
+    side by side, with row counts.  "Did the crawler update shift
+    source X's token-length distribution" is one row of this table.
+
+    Output: the group keys + ``n_old``/``n_new`` + ``old_p*``/
+    ``new_p*`` per requested percentile.  Percentiles are
+    ``percentile_disc`` — actual elements of the input, no
+    interpolation — so on integer metrics the whole card is exact and
+    cross-engine hash-comparable; a group present on one side only
+    reports NULLs on the other (a source appearing/disappearing IS
+    drift).  NULL group keys are a group like any other (null-safe
+    join).  ``exact=False`` switches both sides to t-digest
+    ``approx_percentile`` — the mergeable-sketch tier for huge groups
+    (no value oracle, the usual sketch caveat).
+
+    Scale shape: ONE group-keyed aggregation per side (the exact
+    percentile buffers per group inside the aggregate, spillable;
+    the sketch tier is map-side partial) + one |groups|-sized
+    equi-join that AQE broadcasts — no window, no data-grain join.
+    """
+    if not by:
+        raise ValueError("by must name at least one group column")
+    names = []
+    for p in ps:
+        if not 0.0 < p < 1.0:
+            raise ValueError(
+                f"percentiles must be in (0, 1), got {p}; use min/max "
+                "aggregates for the endpoints"
+            )
+        names.append("p" + f"{p:.10f}".rstrip("0").split(".")[1])
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate percentile labels from ps={list(ps)}")
+
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        missing = [c for c in [*by, value_col] if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"columns {missing} missing from the {prefix.rstrip('_')} "
+                "snapshot"
+            )
+        # index-based internal names: dotted group/value refs resolve
+        # as literal columns and never reach a raw expr string
+        base = df.select(
+            *[_ref(df, c).alias(f"__qd_k_{i}") for i, c in enumerate(by)],
+            _ref(df, value_col).alias("__qd_v"),
+        )
+        if exact:
+            aggs = [
+                F.expr(
+                    f"percentile_disc({p}) WITHIN GROUP (ORDER BY __qd_v)"
+                ).alias(f"{prefix}{name}")
+                for p, name in zip(ps, names)
+            ]
+        else:
+            aggs = [
+                F.expr(f"approx_percentile(__qd_v, {p!r})").alias(
+                    f"{prefix}{name}"
+                )
+                for p, name in zip(ps, names)
+            ]
+        return base.groupBy(
+            *[F.col(f"__qd_k_{i}") for i in range(len(by))]
+        ).agg(F.count("__qd_v").alias(f"n_{prefix.rstrip('_')}"), *aggs)
+
+    o = side(old, "old_")
+    n = side(new, "new_")
+    n = n.select(
+        *[F.col(f"__qd_k_{i}").alias(f"__qd_nk_{i}") for i in range(len(by))],
+        *[c for c in n.columns if not c.startswith("__qd_k_")],
+    )
+    cond = None
+    for i in range(len(by)):
+        clause = F.col(f"__qd_k_{i}").eqNullSafe(F.col(f"__qd_nk_{i}"))
+        cond = clause if cond is None else (cond & clause)
+    j = o.join(n, on=cond, how="full_outer")
+    return j.select(
+        *[
+            F.coalesce(F.col(f"__qd_k_{i}"), F.col(f"__qd_nk_{i}")).alias(k)
+            for i, k in enumerate(by)
+        ],
+        "n_old",
+        "n_new",
+        *[f"old_{name}" for name in names],
+        *[f"new_{name}" for name in names],
+    )

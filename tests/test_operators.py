@@ -6646,3 +6646,144 @@ def test_image_keep_one_matches_duckdb_replay(spark, n):
         FROM labels ORDER BY asset_id
     """).fetchall()
     assert got == [(a, c, k) for a, c, k in oracle]
+
+
+def test_quantile_drift_card(spark):
+    """quantile_drift: per-group old/new discrete percentiles side by
+    side — outputs are actual input elements; a group present on one
+    side only reports NULLs on the other; NULL group keys are a group;
+    NULL metric values drop out of both n and the percentiles (the
+    matching denominator); dotted names resolve; bad ps raise."""
+    from python_dtl_spark.operators.stats import quantile_drift
+
+    old = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]]
+        + [("gone", 100), (None, 7), ("a", None)],
+        "src string, tok long",
+    )
+    new = spark.createDataFrame(
+        [("a", v) for v in [11, 12, 13, 14, 15, 16, 17, 18, 19, 20]]
+        + [("fresh", 42), (None, 9)],
+        "src string, tok long",
+    )
+    out = quantile_drift(old, new, "tok", ["src"], ps=(0.5, 0.9))
+    got = {
+        r.src: (r.n_old, r.n_new, r.old_p5, r.new_p5, r.old_p9, r.new_p9)
+        for r in out.collect()
+    }
+    # percentile_disc(0.5) over 1..10 = 5 (smallest value with cume >= .5)
+    assert got["a"] == (10, 10, 5, 15, 9, 19)
+    assert got["gone"] == (1, None, 100, None, 100, None)
+    assert got["fresh"] == (None, 1, None, 42, None, 42)
+    assert got[None] == (1, 1, 7, 9, 7, 9)
+    # dotted names
+    o2 = old.select(F.col("src").alias("d.s"), F.col("tok").alias("d.t"))
+    n2 = new.select(F.col("src").alias("d.s"), F.col("tok").alias("d.t"))
+    out2 = quantile_drift(o2, n2, "d.t", ["d.s"], ps=(0.5,))
+    got2 = {r["d.s"]: (r.n_old, r.n_new) for r in out2.collect()}
+    assert got2["a"] == (10, 10)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="percentiles"):
+        quantile_drift(old, new, "tok", ["src"], ps=(1.5,))
+    with _pytest.raises(ValueError, match="missing"):
+        quantile_drift(old, new, "nope", ["src"])
+    with _pytest.raises(ValueError, match="group column"):
+        quantile_drift(old, new, "tok", [])
+
+
+def test_quantile_drift_matches_duckdb_replay(spark):
+    """Pre-validated oracle for the staged pipeline_quantile_drift row
+    (r18 slate): per-source char-length distribution drift between the
+    documents corpus and the standard crawl fixture (every 7th doc
+    removed, every 5th survivor edited with a prefix, every 11th
+    re-added), replayed in DuckDB via the cume_dist percentile_disc
+    recipe on both sides + a null-safe full-outer card join.  Every
+    output is an exact BIGINT (counts and discrete char lengths), so
+    the card hashes with no float caveat."""
+    import duckdb
+
+    from python_dtl_spark.operators.stats import quantile_drift
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    base = (
+        spark.read.parquet(path)
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    did = F.col("doc_id")
+    new = base.filter(did % 7 != 0).withColumn(
+        "text",
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit("edited: "), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    ).unionByName(
+        base.filter(did % 11 == 0).select(
+            (did + 1000000).alias("doc_id"), "source", "text"
+        )
+    )
+    o = base.withColumn("chars", F.length("text").cast("long"))
+    n = new.withColumn("chars", F.length("text").cast("long"))
+    out = quantile_drift(o, n, "chars", ["source"], ps=(0.25, 0.5, 0.9))
+    got = sorted(
+        (
+            r.source,
+            r.n_old,
+            r.n_new,
+            r.old_p25,
+            r.old_p5,
+            r.old_p9,
+            r.new_p25,
+            r.new_p5,
+            r.new_p9,
+        )
+        for r in out.collect()
+    )
+    oracle = duckdb.connect().execute(f"""
+        WITH base AS (
+            SELECT doc_id, source, text FROM '{path}' WHERE doc_id IS NOT NULL
+        ), new AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'edited: ' || coalesce(text, '')
+                        ELSE text END AS text
+            FROM base WHERE doc_id % 7 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, source, text
+            FROM base WHERE doc_id % 11 = 0
+        ), ro AS (
+            SELECT source, length(text)::BIGINT AS v,
+                   cume_dist() OVER (PARTITION BY source ORDER BY length(text)) AS cd
+            FROM base WHERE text IS NOT NULL
+        ), rn AS (
+            SELECT source, length(text)::BIGINT AS v,
+                   cume_dist() OVER (PARTITION BY source ORDER BY length(text)) AS cd
+            FROM new WHERE text IS NOT NULL
+        ), co AS (
+            SELECT source, count(*)::BIGINT AS n_old,
+                   min(CASE WHEN cd >= 0.25 THEN v END) AS old_p25,
+                   min(CASE WHEN cd >= 0.5 THEN v END) AS old_p5,
+                   min(CASE WHEN cd >= 0.9 THEN v END) AS old_p9
+            FROM ro GROUP BY source
+        ), cn AS (
+            SELECT source, count(*)::BIGINT AS n_new,
+                   min(CASE WHEN cd >= 0.25 THEN v END) AS new_p25,
+                   min(CASE WHEN cd >= 0.5 THEN v END) AS new_p5,
+                   min(CASE WHEN cd >= 0.9 THEN v END) AS new_p9
+            FROM rn GROUP BY source
+        )
+        SELECT coalesce(co.source, cn.source) AS source,
+               n_old, n_new, old_p25, old_p5, old_p9, new_p25, new_p5, new_p9
+        FROM co FULL OUTER JOIN cn ON co.source IS NOT DISTINCT FROM cn.source
+        ORDER BY 1
+    """).fetchall()
+    # replay precondition FIRST (engine vs oracle divergence edge): a
+    # source whose texts are ALL NULL would emit n=0 from the engine
+    # but vanish from the oracle's cume_dist CTE — guard that the
+    # fixture never grows one, so a regenerated corpus fails HERE with
+    # a cause rather than in the row compare below
+    assert all(r[1] is None or r[1] > 0 for r in got)
+    assert all(r[2] is None or r[2] > 0 for r in got)
+    assert got == [tuple(r) for r in oracle]
+    assert len(got) >= 10  # a real per-source card, not a degenerate one

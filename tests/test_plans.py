@@ -2065,3 +2065,29 @@ def test_merge_centroid_index_touches_only_delta(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the stored index feeds the union as a bare parquet scan
     assert _re.search(r"Union[\s\S]*FileScan parquet[\s\S]*centroid_index", plan), plan
+
+
+def test_quantile_drift_is_two_aggs_plus_card_join(spark):
+    """quantile_drift (staged r17 → r18 slate): ONE group-keyed
+    aggregation per snapshot (percentile buffers inside the aggregate)
+    and one |groups|-sized full-outer card join — no window, no
+    data-grain join, no loop fallback, zero Python.  The sketch tier
+    must additionally keep map-side partials (t-digest is mergeable)."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.stats import quantile_drift
+
+    old = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", F.length("text").cast("long").alias("chars")
+    )
+    new = old.withColumn("chars", F.col("chars") + 1)
+    plan = _exec_plan(quantile_drift(old, new, "chars", ["source"]))
+    assert plan.count("Join") == 1 and "FullOuter" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan2 = _exec_plan(
+        quantile_drift(old, new, "chars", ["source"], exact=False)
+    )
+    assert "partial_approx_percentile" in plan2, plan2
+    assert "Window" not in plan2, plan2
