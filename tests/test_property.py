@@ -1826,3 +1826,78 @@ def test_keep_rate_filter_matches_bruteforce(spark, rows, num, den, min_n):
         if stats[g][0] >= min_n and stats[g][1] * den >= num * stats[g][0]
     }
     assert got == expect
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    old=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    new=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "c", None]),
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    ps=st.lists(
+        st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_quantile_drift_matches_bruteforce(spark, old, new, ps):
+    """quantile_drift vs a literal reference: per group and side,
+    percentile_disc(p) must equal the smallest non-NULL value whose
+    cumulative share reaches p (ties, duplicates, NULL metrics, NULL
+    group keys, one-sided groups all drawn by hypothesis); n counts
+    non-NULL metrics only; a side with no rows for the group reports
+    NULL everywhere including n."""
+    import math as _math
+
+    from python_dtl_spark.operators.stats import quantile_drift
+
+    def ref_card(rows):
+        by_grp = {}
+        for g, v in rows:
+            by_grp.setdefault(g, []).append(v)
+        card = {}
+        for g, vals in by_grp.items():
+            nn = sorted(v for v in vals if v is not None)
+            pcts = {}
+            for p in ps:
+                if not nn:
+                    pcts[p] = None
+                else:
+                    # smallest value whose cume_dist reaches p
+                    idx = _math.ceil(p * len(nn)) - 1
+                    pcts[p] = nn[max(idx, 0)]
+            card[g] = (len(nn), pcts)
+        return card
+
+    schema = "g string, v long"
+    df_o = spark.createDataFrame(old, schema)
+    df_n = spark.createDataFrame(new, schema)
+    out = quantile_drift(df_o, df_n, "v", ["g"], ps=tuple(ps)).collect()
+    ro, rn = ref_card(old), ref_card(new)
+    assert {r.g for r in out} == set(ro) | set(rn)
+    names = ["p" + f"{p:.10f}".rstrip("0").split(".")[1] for p in ps]
+    for r in out:
+        eo = ro.get(r.g)
+        en = rn.get(r.g)
+        assert r.n_old == (eo[0] if eo else None)
+        assert r.n_new == (en[0] if en else None)
+        for p, name in zip(ps, names):
+            assert r[f"old_{name}"] == (eo[1][p] if eo else None), (r.g, p)
+            assert r[f"new_{name}"] == (en[1][p] if en else None), (r.g, p)
