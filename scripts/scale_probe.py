@@ -2125,11 +2125,80 @@ def r17_centroid_section(spark, documents) -> list[str]:
     return lines
 
 
+def r17_qdrift_probe(spark, factors=(1, 8, 32)):
+    """Distribution-drift card under replication: BOTH crawls grow n×
+    while the source count stays fixed — the two percentile
+    aggregations grow with the data (per-group buffers spill-bounded),
+    the card join stays |sources|-sized, so wall time must grow far
+    below n×."""
+    from python_dtl_spark.operators.stats import quantile_drift
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).filter(F.col("doc_id").isNotNull())
+    rows = []
+    for n in factors:
+        docs = base if n == 1 else replicate(base, n, ["doc_id"])
+        old = docs.withColumn("chars", F.length("text").cast("long"))
+        new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+            "chars", F.length("text").cast("long") + 8
+        )
+        total = docs.count()
+        start = time.perf_counter()
+        card = quantile_drift(old, new, "chars", ["source"]).count()
+        dt = time.perf_counter() - start
+        rows.append((n, total, card, dt))
+        print(
+            f"# r17_qdrift {n}x: {total:,} docs/side -> {card} card rows "
+            f"in {dt:.2f}s",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_R17_QDRIFT_HEADER = (
+    "## r17 quantile-drift card under replication (n× crawls, fixed sources)"
+)
+
+
+def r17_qdrift_section(spark, documents) -> list[str]:
+    rows = r17_qdrift_probe(spark)
+    lines = [
+        _R17_QDRIFT_HEADER,
+        "",
+        "quantile_drift's scale claim (staged pipeline_quantile_drift",
+        "row): one percentile aggregation per crawl (per-group buffers",
+        "inside the aggregate, spillable) + a |sources|-sized card",
+        "join — the card row count is CONSTANT under n× data, so wall",
+        "time must grow far below n×:",
+        "",
+        "| probe | crawls | docs/side | card rows | time |",
+        "|---|---|---|---|---|",
+    ]
+    for n, total, card, dt in rows:
+        lines.append(
+            f"| r17_qdrift | {n}x | {total:,} | {card} | {dt:.2f}s |"
+        )
+    lines.append("")
+    return lines
+
+
 def main() -> None:
     scaling_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.md",
     )
+    if "--r17-qdrift" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path,
+            _R17_QDRIFT_HEADER,
+            r17_qdrift_section(spark, documents),
+        )
+        print("SCALING.md r17-qdrift section updated")
+        return
     if "--r17-centroid" in sys.argv:
         spark = get_spark("scale-probe")
         spark.sparkContext.setLogLevel("ERROR")
