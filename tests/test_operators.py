@@ -6787,3 +6787,135 @@ def test_quantile_drift_matches_duckdb_replay(spark):
     assert all(r[2] is None or r[2] > 0 for r in got)
     assert got == [tuple(r) for r in oracle]
     assert len(got) >= 10  # a real per-source card, not a degenerate one
+
+
+def test_edit_distance_pairs_semantics(spark):
+    """edit_distance_pairs: exact duplicates (0), one substitution /
+    insertion / deletion (1) all found; 'ab' vs 'ba' share a deletion
+    variant but verify at distance 2 and are NOT emitted; NULLs are
+    excluded; duplicated ids collapse; radius 2 and over-long strings
+    refuse."""
+    df = spark.createDataFrame(
+        [
+            (1, "spark"),
+            (2, "spark"),    # exact dup of 1 -> distance 0
+            (3, "sperk"),    # substitution  -> distance 1
+            (4, "sparks"),   # insertion     -> distance 1
+            (5, "spak"),     # deletion      -> distance 1
+            (6, "ab"),
+            (7, "ba"),       # shares variant 'a'/'b' with 6, dist 2: dropped
+            (8, None),
+            (None, "spark"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in dedup.edit_distance_pairs(df).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 4)] == 1 and got[(2, 4)] == 1
+    assert got[(1, 5)] == 1 and got[(2, 5)] == 1
+    assert (6, 7) not in got
+    # sperk/sparks, sperk/spak, sparks/spak are all distance 2: absent
+    assert (3, 4) not in got and (3, 5) not in got and (4, 5) not in got
+    assert all(a != 8 and b != 8 for a, b in got)
+    # duplicated id collapses to one row (no fan-out duplicates)
+    dup = spark.createDataFrame(
+        [(1, "aaa"), (1, "aaa"), (2, "aab")], "doc_id long, text string"
+    )
+    rows = dedup.edit_distance_pairs(dup).collect()
+    assert len(rows) == 1 and (rows[0].id_a, rows[0].id_b) == (1, 2)
+    with pytest.raises(ValueError, match="max_edit"):
+        dedup.edit_distance_pairs(df, max_edit=2)
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="key-grain"):
+        long_df = spark.createDataFrame(
+            [(1, "x" * 600)], "doc_id long, text string"
+        )
+        dedup.edit_distance_pairs(long_df).collect()
+
+
+def test_edit_distance_pairs_bucket_valve(spark):
+    """max_bucket_size drops hot variant buckets BEFORE the self-join
+    (the MinHash valve): single-char strings all share the empty-string
+    variant — valving it keeps the join bucket-bounded at the cost of
+    those pairs (they still match through their own-string variants
+    only when equal)."""
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate("abcdefgh")]
+        + [(100, "aa"), (101, "ab")],
+        "doc_id long, text string",
+    )
+    # unvalved: every distinct single char pairs with every other?  no —
+    # distance('a','b') = 1 via substitution, all C(8,2) single-char
+    # pairs are distance 1 and share the '' variant
+    full = dedup.edit_distance_pairs(df).collect()
+    assert sum(1 for r in full if r.id_a < 8 and r.id_b < 8) == 28
+    # valved at 4: the 10-member '' bucket is dropped; single-char
+    # pairs vanish, aa/ab (distance 1 via variants 'a'/'b') survive
+    valved = {
+        (r.id_a, r.id_b)
+        for r in dedup.edit_distance_pairs(df, max_bucket_size=4).collect()
+    }
+    assert (100, 101) in valved
+    assert not any(a < 8 and b < 8 for a, b in valved)
+
+
+def test_edit_distance_pairs_matches_duckdb_replay(spark):
+    """Pre-validated oracle for the staged dedup_edit_distance row
+    (r18 slate): 24-char document title prefixes plus planted
+    one-substitution typo rows (+1000000 ids on every 5th ≡ 2 doc),
+    replayed in DuckDB by BRUTE-FORCE levenshtein over all C(n,2)
+    pairs — the quadratic luxury only the oracle gets; the engine's
+    deletion-neighborhood join must reproduce the distance-≤1 pair
+    set losslessly, natural near-titles and exact-duplicate prefixes
+    included."""
+    import duckdb
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    base = (
+        spark.read.parquet(path)
+        .select(
+            "doc_id",
+            F.lower(F.substring(F.trim("text"), 1, 24)).alias("title"),
+        )
+        .filter(F.col("doc_id").isNotNull() & F.col("title").isNotNull())
+    )
+    typos = base.filter(
+        (F.col("doc_id") % 5 == 2) & (F.length("title") >= 4)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 2),
+            F.lit("~"),
+            F.expr("substring(title, 4)"),
+        ).alias("title"),
+    )
+    df = base.unionByName(typos)
+    got = sorted(
+        (r.id_a, r.id_b, r.edit_distance)
+        for r in dedup.edit_distance_pairs(df, "doc_id", "title").collect()
+    )
+    oracle = duckdb.connect().execute(f"""
+        WITH base AS (
+            SELECT doc_id, lower(substr(trim(text), 1, 24)) AS title
+            FROM '{path}'
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ), aug AS (
+            SELECT doc_id, title FROM base
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   substr(title, 1, 2) || '~' || substr(title, 4)
+            FROM base WHERE doc_id % 5 = 2 AND length(title) >= 4
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.title, b.title) AS INTEGER) AS d
+        FROM aug a JOIN aug b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.title, b.title) <= 1
+        ORDER BY 1, 2
+    """).fetchall()
+    assert got == [tuple(r) for r in oracle]
+    assert len(got) >= 50  # planted typos + natural title collisions

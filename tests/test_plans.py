@@ -2091,3 +2091,22 @@ def test_quantile_drift_is_two_aggs_plus_card_join(spark):
     )
     assert "partial_approx_percentile" in plan2, plan2
     assert "Window" not in plan2, plan2
+
+
+def test_edit_distance_pairs_no_all_pairs(spark):
+    """edit_distance_pairs (staged r17 → r18 slate): candidates come
+    from hash equi-joins on deletion variants and id-keyed verify
+    joins — never a cartesian/nested-loop scan, zero Python; the
+    levenshtein verify runs JVM-side on candidates only."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.lower(F.substring(F.trim("text"), 1, 24)).alias("title")
+    )
+    plan = _exec_plan(edit_distance_pairs(docs, "doc_id", "title"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "levenshtein" in plan, plan

@@ -1901,3 +1901,53 @@ def test_quantile_drift_matches_bruteforce(spark, old, new, ps):
         for p, name in zip(ps, names):
             assert r[f"old_{name}"] == (eo[1][p] if eo else None), (r.g, p)
             assert r[f"new_{name}"] == (en[1][p] if en else None), (r.g, p)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_edit_distance_pairs_matches_bruteforce(spark, texts):
+    """edit_distance_pairs vs the literal DP reference over adversarial
+    tiny-alphabet strings (duplicates, empty strings, heavy variant
+    collisions): the deletion-neighborhood candidates + levenshtein
+    verify must emit EXACTLY the distance-≤1 pairs — FastSS
+    completeness and verify soundness in one property."""
+    from python_dtl_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in edit_distance_pairs(df).collect()
+    }
+    want = {
+        (i, j): _lev(texts[i], texts[j])
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if _lev(texts[i], texts[j]) <= 1
+    }
+    assert got == want
