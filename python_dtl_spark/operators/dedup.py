@@ -2202,6 +2202,44 @@ def embedding_similarity_join(
     )
 
 
+def _deletion_neighborhood(col):
+    """FastSS radius-1 candidate keys, row-locally: the string itself
+    plus every single-character deletion, deduped (deleting either
+    'a' of 'aa' yields one 'a').  Shared by the self-join operator,
+    the storable index and the delta probe so all three provably use
+    ONE blocking algebra."""
+    return F.array_distinct(
+        F.concat(
+            F.array(col),
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    F.substring(col, F.lit(1), i - 1),
+                    col.substr(i + 1, F.length(col)),
+                ),
+            ),
+        )
+    )
+
+
+def _key_grain_guard(col, max_len: int):
+    """Row-side fail-fast for over-long strings (the ``_checked_dim``
+    convention): variant fan-out is length+1 rows per input, so a
+    document-length string is a mis-use, not a slow path."""
+    return F.when(F.length(col) <= max_len, col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("edit-distance operators are key-grain: string of length "),
+                F.length(col).cast("string"),
+                F.lit(
+                    f" exceeds max_len={max_len} (truncate or key on a "
+                    "shorter column)"
+                ),
+            )
+        )
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2266,47 +2304,14 @@ def edit_distance_pairs(
     qt = df["`{}`".format(text_col.replace("`", "``"))]
     base = df.filter(qid.isNotNull() & qt.isNotNull()).select(
         qid.alias("__ed_id"),
-        F.when(F.length(qt) <= max_len, qt)
-        .otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"edit_distance_pairs is key-grain: string of "
-                        f"length "
-                    ),
-                    F.length(qt).cast("string"),
-                    F.lit(
-                        f" exceeds max_len={max_len} (truncate or key "
-                        "on a shorter column)"
-                    ),
-                )
-            )
-        )
-        .alias("__ed_t"),
+        _key_grain_guard(qt, max_len).alias("__ed_t"),
     )
     if not assume_unique_ids:
         base = base.dropDuplicates(["__ed_id"])
-    # deletion neighborhood: the string itself + every 1-deletion,
-    # deduped row-locally (deleting either 'a' of 'aa' gives one 'a')
     variants = base.select(
         "__ed_id",
         "__ed_t",
-        F.explode(
-            F.array_distinct(
-                F.concat(
-                    F.array(F.col("__ed_t")),
-                    F.transform(
-                        F.sequence(F.lit(1), F.length("__ed_t")),
-                        lambda i: F.concat(
-                            F.substring(F.col("__ed_t"), F.lit(1), i - 1),
-                            F.col("__ed_t").substr(
-                                i + 1, F.length("__ed_t")
-                            ),
-                        ),
-                    ),
-                )
-            )
-        ).alias("__ed_v"),
+        F.explode(_deletion_neighborhood(F.col("__ed_t"))).alias("__ed_v"),
     )
     if max_bucket_size is not None:
         keep = (
@@ -2345,5 +2350,174 @@ def edit_distance_pairs(
             F.col("__ed_ida").alias("id_a"),
             F.col("__ed_idb").alias("id_b"),
             "edit_distance",
+        )
+    )
+
+
+def title_variant_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 512,
+    assume_unique_ids: bool = False,
+) -> DataFrame:
+    """STORABLE deletion-variant index for incremental edit-distance
+    dedup — the character-grain instance of this engine's stored-index
+    pattern (tokens → ``minhash_band_buckets``, vectors →
+    ``embedding_lsh_buckets``, characters → THIS): persist
+    ``(id, variant)`` once, and every future crawl's typo probe costs
+    crawl-sized work (:func:`edit_distance_delta_pairs`) instead of
+    re-exploding the corpus.
+
+    Building/appending is ROW-LOCAL (one explode per row, length+1
+    fan-out on key-grain strings) — a pure map, zero exchanges under
+    ``assume_unique_ids=True`` (``test_title_variant_index_is_pure_
+    map``); by default duplicated ids collapse first, the one safety
+    exchange (the MinHash-family convention)."""
+    qid = df["`{}`".format(id_col.replace("`", "``"))]
+    qt = df["`{}`".format(text_col.replace("`", "``"))]
+    base = df.filter(qid.isNotNull() & qt.isNotNull()).select(
+        qid.alias(id_col), _key_grain_guard(qt, max_len).alias("__tv_t")
+    )
+    if not assume_unique_ids:
+        base = base.dropDuplicates([id_col])
+    return base.select(
+        id_col,
+        F.explode(_deletion_neighborhood(F.col("__tv_t"))).alias("variant"),
+    )
+
+
+def edit_distance_delta_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_edit: int = 1,
+    max_len: int = 512,
+    corpus_index: DataFrame | None = None,
+    assume_unique_ids: bool = False,
+) -> DataFrame:
+    """INCREMENTAL edit-distance dedup: which strings of a NEW batch
+    (today's crawl's titles/URLs) sit within one edit of a string
+    already in the corpus — the character-grain sibling of
+    :func:`crawl_delta_pairs` / :func:`embedding_delta_pairs`,
+    asymmetric so the corpus never pays for the arrival of a delta.
+
+    The corpus side is the stored :func:`title_variant_index` — pass
+    ``corpus_index`` and corpus TEXTS are read only to verify the
+    (tiny) candidate set (broadcast semi-join on candidate ids — a
+    pushed-down id filter over the title store at scale); ``None``
+    derives the index inline (one-shot mode, bit-identical output).
+
+    The candidate rule is the SAME FastSS algebra as the self-join
+    operator (both sides carry their full deletion neighborhood, via
+    the shared :func:`_deletion_neighborhood`), so a cross pair is
+    generated iff :func:`edit_distance_pairs` would generate it over
+    corpus ∪ delta — pinned by
+    ``test_edit_distance_delta_matches_selfjoin_restriction``.  Ids
+    must be unique within each side and disjoint across sides (the
+    stored-index family contract).
+
+    Output: ``(delta_id, corpus_id, edit_distance)`` with distance ≤
+    ``max_edit``.
+
+    Scale shape: delta-sized variant explode → ONE index equi-join →
+    distinct candidate ids → candidate-sized verify joins; the stored
+    index passes through untouched and the corpus title store is
+    semi-filtered before its scan."""
+    if max_edit != 1:
+        raise ValueError(
+            f"max_edit={max_edit} unsupported: the deletion-neighborhood "
+            "guarantee implemented here is exact for radius 1"
+        )
+    qid = delta["`{}`".format(id_col.replace("`", "``"))]
+    qt = delta["`{}`".format(text_col.replace("`", "``"))]
+    d_base = delta.filter(qid.isNotNull() & qt.isNotNull()).select(
+        qid.alias("__dd_id"), _key_grain_guard(qt, max_len).alias("__dd_t")
+    )
+    if not assume_unique_ids:
+        d_base = d_base.dropDuplicates(["__dd_id"])
+    probes = d_base.select(
+        "__dd_id",
+        F.explode(_deletion_neighborhood(F.col("__dd_t"))).alias("variant"),
+    )
+    if corpus_index is None:
+        corpus_index = title_variant_index(
+            corpus,
+            id_col=id_col,
+            text_col=text_col,
+            max_len=max_len,
+            assume_unique_ids=assume_unique_ids,
+        )
+    expected = {id_col, "variant"}
+    if not expected.issubset(set(corpus_index.columns)):
+        raise ValueError(
+            f"corpus_index must carry columns {sorted(expected)} (a "
+            f"title_variant_index output); got {corpus_index.columns}"
+        )
+    anchors = corpus_index.select(
+        F.col(id_col).alias("__dd_kid"), "variant"
+    )
+    cand = (
+        probes.join(anchors, on="variant")
+        .select("__dd_id", "__dd_kid")
+        .dropDuplicates()
+    )
+    # verify: corpus titles semi-filtered to candidate ids FIRST so the
+    # title-store scan is candidate-sized, never corpus-sized
+    hit_ids = cand.select(F.col("__dd_kid").alias(id_col)).dropDuplicates()
+    kqid = corpus["`{}`".format(id_col.replace("`", "``"))]
+    kqt = corpus["`{}`".format(text_col.replace("`", "``"))]
+    k_titles = (
+        corpus.join(F.broadcast(hit_ids), on=id_col, how="left_semi")
+        .filter(kqid.isNotNull() & kqt.isNotNull())
+        .select(
+            kqid.alias("__dd_kid"),
+            _key_grain_guard(kqt, max_len).alias("__dd_kt"),
+        )
+        .dropDuplicates(["__dd_kid"])
+    )
+    return (
+        cand.join(d_base, on="__dd_id")
+        .join(k_titles, on="__dd_kid")
+        .withColumn("edit_distance", F.levenshtein("__dd_t", "__dd_kt"))
+        .filter(F.col("edit_distance") <= max_edit)
+        .select(
+            F.col("__dd_id").alias("delta_id"),
+            F.col("__dd_kid").alias("corpus_id"),
+            "edit_distance",
+        )
+    )
+
+
+def merge_delta_into_variant_index(
+    corpus_index: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 512,
+    assume_unique_ids: bool = False,
+) -> DataFrame:
+    """Variant-index MAINTENANCE: append an accepted delta's deletion
+    variants to a stored :func:`title_variant_index`.  The append is a
+    PURE MAP over the delta (the variant explode is row-local) and the
+    stored index passes through the union untouched — zero exchanges
+    anywhere (``test_merge_variant_index_is_pure_map``); merge ==
+    from-scratch rebuild holds row-for-row
+    (``test_merge_variant_index_equals_rebuild``).  Same unique-and-
+    disjoint id contract as the other stored-index merges."""
+    expected = {id_col, "variant"}
+    if not expected.issubset(set(corpus_index.columns)):
+        raise ValueError(
+            f"corpus_index must carry columns {sorted(expected)} (a "
+            f"title_variant_index output); got {corpus_index.columns}"
+        )
+    return corpus_index.select(id_col, "variant").unionByName(
+        title_variant_index(
+            delta,
+            id_col=id_col,
+            text_col=text_col,
+            max_len=max_len,
+            assume_unique_ids=assume_unique_ids,
         )
     )

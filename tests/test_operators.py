@@ -6919,3 +6919,81 @@ def test_edit_distance_pairs_matches_duckdb_replay(spark):
     """).fetchall()
     assert got == [tuple(r) for r in oracle]
     assert len(got) >= 50  # planted typos + natural title collisions
+
+
+def test_edit_distance_delta_matches_selfjoin_restriction(spark, tmp_path):
+    """edit_distance_delta_pairs == the cross-side restriction of the
+    self-join operator over corpus ∪ delta (the stored-index family
+    contract, pinned the same way as the embedding tier), and the
+    STORED index path (parquet round-trip) is bit-identical to the
+    inline one."""
+    corpus = spark.createDataFrame(
+        [(1, "spark"), (2, "sparc"), (3, "duckdb"), (4, "flink")],
+        "doc_id long, title string",
+    )
+    delta = spark.createDataFrame(
+        [(101, "spark"),    # exact dup of 1, dist 1 of 2
+         (102, "fink"),     # deletion of flink
+         (103, "presto")],  # no match
+        "doc_id long, title string",
+    )
+    got_inline = sorted(
+        (r.delta_id, r.corpus_id, r.edit_distance)
+        for r in dedup.edit_distance_delta_pairs(
+            corpus, delta, "doc_id", "title"
+        ).collect()
+    )
+    assert got_inline == [(101, 1, 0), (101, 2, 1), (102, 4, 1)]
+    # restriction of the self-join over the union
+    both = corpus.unionByName(delta)
+    cross = sorted(
+        (r.id_b, r.id_a, r.edit_distance)
+        for r in dedup.edit_distance_pairs(both, "doc_id", "title").collect()
+        if (r.id_a <= 4) != (r.id_b <= 4)
+    )
+    assert got_inline == cross
+    # stored index path: parquet round-trip, bit-identical
+    idx_path = str(tmp_path / "variant_index.parquet")
+    dedup.title_variant_index(corpus, "doc_id", "title").write.parquet(idx_path)
+    got_stored = sorted(
+        (r.delta_id, r.corpus_id, r.edit_distance)
+        for r in dedup.edit_distance_delta_pairs(
+            corpus,
+            delta,
+            "doc_id",
+            "title",
+            corpus_index=spark.read.parquet(idx_path),
+        ).collect()
+    )
+    assert got_stored == got_inline
+    with pytest.raises(ValueError, match="corpus_index"):
+        dedup.edit_distance_delta_pairs(
+            corpus, delta, "doc_id", "title",
+            corpus_index=corpus.select("doc_id"),
+        )
+
+
+def test_merge_variant_index_equals_rebuild(spark):
+    """merge == from-scratch rebuild row-for-row (multiset compare):
+    appending an accepted delta's variants to the stored index is
+    exactly the index the full corpus ∪ delta build would produce."""
+    corpus = spark.createDataFrame(
+        [(1, "spark"), (2, "duckdb")], "doc_id long, title string"
+    )
+    delta = spark.createDataFrame(
+        [(10, "sparky"), (11, "trino")], "doc_id long, title string"
+    )
+    idx = dedup.title_variant_index(corpus, "doc_id", "title")
+    merged = sorted(
+        (r.doc_id, r.variant)
+        for r in dedup.merge_delta_into_variant_index(
+            idx, delta, "doc_id", "title"
+        ).collect()
+    )
+    rebuilt = sorted(
+        (r.doc_id, r.variant)
+        for r in dedup.title_variant_index(
+            corpus.unionByName(delta), "doc_id", "title"
+        ).collect()
+    )
+    assert merged == rebuilt and len(merged) > 0

@@ -2110,3 +2110,99 @@ def test_edit_distance_pairs_no_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "levenshtein" in plan, plan
+
+
+def test_title_variant_index_is_pure_map(spark):
+    """title_variant_index (staged r17 → r18 slate): building/appending
+    the character-grain stored index is a row-local explode — zero
+    Exchange under the unique-id contract, zero Python; the default
+    duplicate-id collapse is the ONE permitted safety exchange."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.dedup import title_variant_index
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.lower(F.substring(F.trim("text"), 1, 24)).alias("title")
+    )
+    plan = _exec_plan(
+        title_variant_index(docs, "doc_id", "title", assume_unique_ids=True)
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan_safe = _exec_plan(title_variant_index(docs, "doc_id", "title"))
+    assert plan_safe.count("Exchange hashpartitioning") <= 1, plan_safe
+
+
+def test_merge_variant_index_is_pure_map(spark, tmp_path):
+    """merge_delta_into_variant_index: the stored index passes through
+    the union as a BARE SCAN and the delta append is a row-local
+    explode — zero exchanges anywhere under the unique-id contract."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.dedup import (
+        merge_delta_into_variant_index,
+        title_variant_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.lower(F.substring(F.trim("text"), 1, 24)).alias("title")
+    )
+    idx_path = str(tmp_path / "variant_index.parquet")
+    title_variant_index(docs, "doc_id", "title").write.parquet(idx_path)
+    delta = docs.filter(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "title"
+    )
+    merged = merge_delta_into_variant_index(
+        spark.read.parquet(idx_path), delta, "doc_id", "title",
+        assume_unique_ids=True,
+    )
+    plan = _exec_plan(merged)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert _re.search(r"Union[\s\S]*FileScan parquet[\s\S]*variant_index", plan), plan
+
+
+def test_edit_distance_delta_is_index_probe_plus_candidate_verify(spark, tmp_path):
+    """edit_distance_delta_pairs against a STORED index: the only
+    variant explode in the plan is the DELTA's (the corpus never
+    re-explodes — its variants come off the index scan), and the
+    corpus title store is semi-filtered to candidate ids before its
+    scan; no cartesian/loop join anywhere."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators.dedup import (
+        edit_distance_delta_pairs,
+        title_variant_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.lower(F.substring(F.trim("text"), 1, 24)).alias("title")
+    )
+    idx_path = str(tmp_path / "variant_index.parquet")
+    title_variant_index(docs, "doc_id", "title").write.parquet(idx_path)
+    delta = docs.filter(F.col("doc_id") % 5 == 2).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "title"
+    )
+    plan = _exec_plan(
+        edit_distance_delta_pairs(
+            docs, delta, "doc_id", "title",
+            corpus_index=spark.read.parquet(idx_path),
+        )
+    )
+    # every variant explode in the plan is the DELTA's (__dd_t): the
+    # corpus side arrives pre-exploded off the index scan.  (The delta
+    # subtree may appear more than once physically — candidate lineage
+    # is embedded in both the semi-filter and the output join — but
+    # each instance is delta-sized.)
+    explode_lines = [
+        ln for ln in plan.splitlines() if "Generate explode" in ln
+    ]
+    assert explode_lines and all("__dd_t" in ln for ln in explode_lines), plan
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
