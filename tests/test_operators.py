@@ -6997,3 +6997,109 @@ def test_merge_variant_index_equals_rebuild(spark):
         ).collect()
     )
     assert merged == rebuilt and len(merged) > 0
+
+
+def test_title_delta_daily_loop_matches_duckdb_replay(spark):
+    """Pre-validated oracle for the staged pipeline_title_delta row
+    (r18 slate): the full character-grain daily loop — day-1 typo
+    batch probes the STORED variant index → duplicates dropped →
+    survivors merged → day-2 batch (typos OF day-1 rows) probes the
+    MERGED index.  A day-2 pair against a day-1 survivor exists ONLY
+    if the merge preserved its variants, so the append is load-bearing
+    in the value compare (the pipeline_index_maintenance shape);
+    DuckDB replays every leg with brute-force levenshtein."""
+    import duckdb
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    corpus = (
+        spark.read.parquet(path)
+        .select(
+            "doc_id",
+            F.lower(F.substring(F.trim("text"), 1, 24)).alias("title"),
+        )
+        .filter(F.col("doc_id").isNotNull() & F.col("title").isNotNull())
+    )
+    eligible = corpus.filter(F.length("title") >= 7)
+    # two day-1 legs: typos of corpus titles (distance 1 — dropped as
+    # dups) and genuinely-NEW titles (a 4-char prepend, distance ≥ 4
+    # from their source — these survive and must be merged)
+    day1 = (
+        eligible.filter(F.col("doc_id") % 5 == 2)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.substring("title", 1, 2),
+                F.lit("~"),
+                F.expr("substring(title, 4)"),
+            ).alias("title"),
+        )
+        .unionByName(
+            eligible.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("qq# "), F.col("title")).alias("title"),
+            )
+        )
+    )
+    index = dedup.title_variant_index(corpus, "doc_id", "title")
+    p1 = dedup.edit_distance_delta_pairs(
+        corpus, day1, "doc_id", "title", corpus_index=index
+    )
+    survivors = day1.join(
+        p1.select(F.col("delta_id").alias("doc_id")).dropDuplicates(),
+        on="doc_id",
+        how="left_anti",
+    )
+    merged_index = dedup.merge_delta_into_variant_index(
+        index, survivors, "doc_id", "title"
+    )
+    merged_titles = corpus.unionByName(survivors)
+    day2 = day1.filter(F.col("doc_id") >= 2000000).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 5), F.lit("~"), F.expr("substring(title, 7)")
+        ).alias("title"),
+    )
+    p2 = dedup.edit_distance_delta_pairs(
+        merged_titles, day2, "doc_id", "title", corpus_index=merged_index
+    )
+    got = sorted(
+        (r.delta_id, r.corpus_id, r.edit_distance) for r in p2.collect()
+    )
+    oracle = duckdb.connect().execute(f"""
+        WITH corpus AS (
+            SELECT doc_id, lower(substr(trim(text), 1, 24)) AS title
+            FROM '{path}'
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ), day1 AS (
+            SELECT doc_id + 1000000 AS doc_id,
+                   substr(title, 1, 2) || '~' || substr(title, 4) AS title
+            FROM corpus WHERE doc_id % 5 = 2 AND length(title) >= 7
+            UNION ALL
+            SELECT doc_id + 2000000, 'qq# ' || title
+            FROM corpus WHERE doc_id % 7 = 3 AND length(title) >= 7
+        ), p1 AS (
+            SELECT DISTINCT d.doc_id AS delta_id
+            FROM day1 d JOIN corpus c
+              ON levenshtein(d.title, c.title) <= 1
+        ), survivors AS (
+            SELECT * FROM day1 WHERE doc_id NOT IN (SELECT delta_id FROM p1)
+        ), merged AS (
+            SELECT doc_id, title FROM corpus
+            UNION ALL
+            SELECT doc_id, title FROM survivors
+        ), day2 AS (
+            SELECT doc_id + 2000000 AS doc_id,
+                   substr(title, 1, 5) || '~' || substr(title, 7) AS title
+            FROM day1 WHERE doc_id >= 2000000
+        )
+        SELECT d.doc_id AS delta_id, m.doc_id AS corpus_id,
+               CAST(levenshtein(d.title, m.title) AS INTEGER) AS d
+        FROM day2 d JOIN merged m ON levenshtein(d.title, m.title) <= 1
+        ORDER BY 1, 2
+    """).fetchall()
+    assert got == [tuple(r) for r in oracle]
+    # the append must be load-bearing: at least one day-2 pair lands on
+    # a day-1 SURVIVOR (the new-title band), and at least one day-1
+    # row was dropped as a dup (so the anti-join leg is exercised too)
+    assert any(2000000 <= c < 3000000 for _, c, _ in got), got[:5]
+    assert p1.count() > 0
