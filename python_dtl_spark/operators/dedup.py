@@ -2521,3 +2521,79 @@ def merge_delta_into_variant_index(
             assume_unique_ids=assume_unique_ids,
         )
     )
+
+
+def edit_distance_delta_pairs_stream(
+    delta: DataFrame,
+    corpus_index: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_edit: int = 1,
+    max_len: int = 512,
+) -> DataFrame:
+    """STREAMING-LEGAL tier of :func:`edit_distance_delta_pairs`: flag
+    typo-variants of the existing corpus on a LIVE feed of titles/URLs
+    (readStream) — the character grain of the streaming stored-index
+    family (MinHash → :func:`crawl_delta_pairs_stream`, vectors →
+    :func:`embedding_delta_pairs_stream`, characters → THIS).
+
+    The deletion-neighborhood explode is ROW-LOCAL, so the only
+    non-map operators are two STREAM-STATIC inner joins (both legal in
+    append mode): delta variants × the stored
+    :func:`title_variant_index`, then candidates × the static corpus
+    title store for the exact levenshtein verify.  Same blocking
+    algebra as the batch path (the shared
+    :func:`_deletion_neighborhood`) — a pair flagged here is flagged
+    there.
+
+    Output: ``(delta_id, corpus_id, edit_distance ≤ max_edit)``.  A
+    pair may repeat once per SHARED VARIANT (identical values —
+    equal-string pairs repeat most, length+1 times): batch consumers
+    ``dropDuplicates``, stream consumers
+    ``dropDuplicatesWithinWatermark`` — statefully deduping here would
+    force a watermark contract onto every caller (the
+    ``crawl_delta_pairs_stream`` convention).  The candidate-id
+    semi-prefilter of the batch tier is unavailable against a stream;
+    the corpus title store joins directly (static build side)."""
+    if max_edit != 1:
+        raise ValueError(
+            f"max_edit={max_edit} unsupported: the deletion-neighborhood "
+            "guarantee implemented here is exact for radius 1"
+        )
+    expected = {id_col, "variant"}
+    if not expected.issubset(set(corpus_index.columns)):
+        raise ValueError(
+            f"corpus_index must carry columns {sorted(expected)} (a "
+            f"title_variant_index output); got {corpus_index.columns}"
+        )
+    qid = delta["`{}`".format(id_col.replace("`", "``"))]
+    qt = delta["`{}`".format(text_col.replace("`", "``"))]
+    probes = delta.filter(qid.isNotNull() & qt.isNotNull()).select(
+        qid.alias("__dd_id"),
+        _key_grain_guard(qt, max_len).alias("__dd_t"),
+    ).select(
+        "__dd_id",
+        "__dd_t",
+        F.explode(_deletion_neighborhood(F.col("__dd_t"))).alias("variant"),
+    )
+    anchors = corpus_index.select(
+        F.col(id_col).alias("__dd_kid"), "variant"
+    )
+    kqid = corpus["`{}`".format(id_col.replace("`", "``"))]
+    kqt = corpus["`{}`".format(text_col.replace("`", "``"))]
+    k_titles = corpus.filter(kqid.isNotNull() & kqt.isNotNull()).select(
+        kqid.alias("__dd_kid"),
+        _key_grain_guard(kqt, max_len).alias("__dd_kt"),
+    )
+    return (
+        probes.join(anchors, on="variant")
+        .join(k_titles, on="__dd_kid")
+        .withColumn("edit_distance", F.levenshtein("__dd_t", "__dd_kt"))
+        .filter(F.col("edit_distance") <= max_edit)
+        .select(
+            F.col("__dd_id").alias("delta_id"),
+            F.col("__dd_kid").alias("corpus_id"),
+            "edit_distance",
+        )
+    )

@@ -1244,3 +1244,66 @@ def test_streaming_centroid_assignment_matches_batch(spark, tmp_path):
         for r in assign_to_centroids(base, cents, dim=64).collect()
     }
     assert streamed == batch and len(batch) == 60
+
+
+def test_streaming_edit_distance_delta_matches_batch(spark, tmp_path):
+    """edit_distance_delta_pairs_stream: a readStream title feed
+    probing the STORED variant index through two stream-static joins
+    must flag exactly the pair set the batch operator verifies — same
+    deletion-neighborhood algebra, duplicates (one per shared variant,
+    identical values) collapse at set-compare per the
+    crawl_delta_pairs_stream convention."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import dedup
+
+    corpus = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            "doc_id",
+            F.lower(F.substring(F.trim("text"), 1, 24)).alias("title"),
+        )
+        .filter(F.col("doc_id").isNotNull() & F.col("title").isNotNull())
+    )
+    delta = corpus.filter(
+        (F.col("doc_id") % 5 == 2) & (F.length("title") >= 4)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 2), F.lit("~"), F.expr("substring(title, 4)")
+        ).alias("title"),
+    )
+    idx_path = str(tmp_path / "variant_index.parquet")
+    dedup.title_variant_index(corpus, "doc_id", "title").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    src = str(tmp_path / "title_stream")
+    delta.write.parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = run_stream_to_memory(
+        dedup.edit_distance_delta_pairs_stream(
+            stream, index, corpus, "doc_id", "title"
+        ),
+        "ed_delta_stream_out",
+        mode="append",
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.delta_id, r.corpus_id, r.edit_distance)
+            for r in spark.table("ed_delta_stream_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.delta_id, r.corpus_id, r.edit_distance)
+        for r in dedup.edit_distance_delta_pairs(
+            corpus, delta, "doc_id", "title", corpus_index=index
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 100
