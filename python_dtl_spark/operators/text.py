@@ -2214,3 +2214,68 @@ def dedup_paragraphs(
         F.col("__fp").alias("fp"),
     )
     return result, mapping
+
+
+#: html_to_text regexes — the Java-regex/RE2-common subset (the
+#: pii_scrub convention): (?is) flags, non-greedy block bodies, no
+#: backreferences/lookaround, so DuckDB replays byte-for-byte.
+HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"(?s)<[^>]*>"
+
+#: Named entities decoded (amp LAST so '&amp;lt;' yields the literal
+#: '&lt;' instead of double-decoding into '<').  Numeric character
+#: references stay as-is: decoding them needs per-codepoint chr(), a
+#: different cost class than a fixed replace chain — documented scope.
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Crawl-front HTML → text extraction (the WET step): drop
+    script/style blocks and comments, strip every remaining tag to a
+    space, decode the common named entities, collapse whitespace to
+    the single-space normal form and trim.
+
+    Deliberately a FIXED REGEX PIPELINE, not a parser: the patterns
+    are the Java-regex/RE2-common subset (the ``pii_scrub``
+    convention) so the whole stage is engine-exact and DuckDB-
+    replayable — the honest scope of tagged-text cleanup, not a
+    browser (malformed nesting degrades to extra whitespace, never an
+    error; numeric character references pass through undecoded —
+    ``HTML_ENTITIES`` documents the decode table, amp-last so
+    double-escaped entities single-decode like a real parser).  NULL
+    text stays NULL.
+
+    Scale shape: pure row-local map — chained ``regexp_replace`` +
+    ``replace`` in one codegen'd stage, zero Exchange, zero Python
+    (``test_html_to_text_is_pure_map``); fuses into the ingest scan.
+    """
+    t = df["`{}`".format(text_col.replace("`", "``"))]
+    out = F.regexp_replace(t, HTML_SCRIPT_RE, " ")
+    out = F.regexp_replace(out, HTML_STYLE_RE, " ")
+    out = F.regexp_replace(out, HTML_COMMENT_RE, " ")
+    out = F.regexp_replace(out, HTML_TAG_RE, " ")
+    for entity, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(entity), F.lit(ch))
+    # explicit whitespace class, never \s: Java and RE2 disagree on
+    # vertical tab inside \s (the repetition_flags r16 lesson) — hex
+    # escapes mean the same thing in both engines
+    out = F.trim(F.regexp_replace(out, "[ \\t\\n\\r\\f\\x0B]+", " "))
+    name = out_col or text_col
+    return df.select(
+        *[c for c in df.columns if c != name],
+        out.alias(name),
+    )

@@ -7103,3 +7103,123 @@ def test_title_delta_daily_loop_matches_duckdb_replay(spark):
     # row was dropped as a dup (so the anti-join leg is exercised too)
     assert any(2000000 <= c < 3000000 for _, c, _ in got), got[:5]
     assert p1.count() > 0
+
+
+def test_html_to_text_semantics(spark):
+    """html_to_text: script/style bodies and comments vanish, tags
+    strip to spaces, the named entities decode amp-LAST (a
+    double-escaped '&amp;lt;' single-decodes to the literal '&lt;'
+    like a real parser), numeric references pass through, whitespace
+    collapses to the single-space normal form, NULL stays NULL."""
+    from python_dtl_spark.operators.text import html_to_text
+
+    rows = [
+        (1, "<html><body><h1>Title</h1><p>Hello   <b>world</b>!</p>"
+            "<script type='text/javascript'>var x = '<p>not text</p>';"
+            "</script><style>.c { color: red }</style>"
+            "<!-- secret\ncomment --><p>Bye</p></body></html>"),
+        (2, "Fish &amp; chips &lt;now&gt; &quot;cheap&quot; &#39;y&#39;"
+            " &amp;lt;literal&amp;gt; &#8217;num&#8217; &nbsp;end"),
+        (3, "no markup at all"),
+        (4, "  \t\n lots\fof\r\nspace \x0b here  "),
+        (5, None),
+        (6, "<br><br/>line<BR>breaks</ br>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in html_to_text(df).collect()}
+    assert got[1] == "Title Hello world ! Bye"
+    assert got[2] == (
+        'Fish & chips <now> "cheap" \'y\' &lt;literal&gt; '
+        "&#8217;num&#8217; end"
+    )
+    assert got[3] == "no markup at all"
+    assert got[4] == "lots of space here"
+    assert got[5] is None
+    assert got[6] == "line breaks"
+    # out_col keeps the original
+    with_both = html_to_text(df, out_col="clean").collect()
+    assert {r.doc_id: r.clean for r in with_both}[3] == "no markup at all"
+    assert {r.doc_id: r.text for r in with_both}[1].startswith("<html>")
+
+
+def test_html_to_text_matches_duckdb_replay(spark):
+    """Pre-validated oracle for the staged doc_html_extract row (r18
+    slate): HTML synthesized ROW-LOCALLY from the real documents table
+    (tag wrapping, planted script/style/comment blocks, entity-escaped
+    text, numeric refs) extracted by the engine and replayed in DuckDB
+    with the SAME Java/RE2-common regex chain — md5-exact per doc."""
+    import duckdb
+
+    from python_dtl_spark.operators.text import (
+        HTML_COMMENT_RE,
+        HTML_ENTITIES,
+        HTML_SCRIPT_RE,
+        HTML_STYLE_RE,
+        HTML_TAG_RE,
+        html_to_text,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    base = (
+        spark.read.parquet(path)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    did = F.col("doc_id")
+    page = F.concat(
+        F.lit("<html><head><title>doc </title>"
+              "<style>.x{k:v}</style>"
+              "<script>ignore('<b>me</b>')</script></head><body><p>"),
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("</p><!-- c -->"),
+        F.when(did % 3 == 0, F.lit("<div>extra &lt;tail&gt;</div>"))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    html = base.withColumn("text", page)
+    got = sorted(
+        (r.doc_id, r.text) for r in html_to_text(html).collect()
+    )
+    ent_chain = "p"
+    for entity, ch in HTML_ENTITIES:
+        lit = entity.replace("'", "''")
+        chl = ch.replace("'", "''")
+        ent_chain = f"replace({ent_chain}, '{lit}', '{chl}')"
+    oracle = duckdb.connect().execute(f"""
+        WITH base AS (
+            SELECT doc_id,
+                   '<html><head><title>doc </title><style>.x{{k:v}}</style>'
+                   || '<script>ignore(''<b>me</b>'')</script></head><body><p>'
+                   || replace(text, '&', '&amp;') || '</p><!-- c -->'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '<div>extra &lt;tail&gt;</div>' ELSE '' END
+                   || '</body></html>' AS page
+            FROM '{path}'
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ), stripped AS (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(page, '{HTML_SCRIPT_RE}', ' ', 'g'),
+                         '{HTML_STYLE_RE}', ' ', 'g'),
+                       '{HTML_COMMENT_RE}', ' ', 'g'),
+                     '{HTML_TAG_RE}', ' ', 'g') AS p
+            FROM base
+        )
+        SELECT doc_id,
+               trim(regexp_replace({ent_chain},
+                    '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' ') AS text
+        FROM stripped
+        ORDER BY doc_id
+    """).fetchall()
+    assert got == [tuple(r) for r in oracle]
+    assert len(got) > 400
+    # no markup remnants (decoded entities may legitimately yield bare
+    # '<'/'&' — document text containing '&lt;' should — so check for
+    # the fixture's actual wrapper tags, not the characters)
+    assert all(
+        "<html>" not in t and "</p>" not in t and "<script>" not in t
+        for _, t in got
+        if t
+    )

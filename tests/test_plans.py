@@ -2206,3 +2206,18 @@ def test_edit_distance_delta_is_index_probe_plus_candidate_verify(spark, tmp_pat
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_html_to_text_is_pure_map(spark):
+    """html_to_text (staged r17 → r18 slate): the whole extraction is
+    one codegen'd chain of regexp_replace/replace — zero Exchange,
+    zero Python; it must fuse into the ingest scan."""
+    from python_dtl_spark.operators.text import html_to_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _exec_plan(html_to_text(docs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
