@@ -324,3 +324,54 @@ def registrable_domains_psl(
         )
         .drop("__h", "__exc", "__reg")
     )
+
+
+#: Conservative outlink matcher, Java-regex/RE2-common (the pii_scrub
+#: convention — no lookaround/backreferences): an http(s) scheme
+#: followed by everything up to whitespace or a character that
+#: overwhelmingly means "the sentence resumed" (quote, bracket, angle).
+URL_RE = r"""https?://[^\s<>"'\)\]\}]+"""
+
+#: Trailing sentence punctuation stripped AFTER matching ('see
+#: https://a.com/x.' — the dot belongs to the prose, not the path).
+URL_TRAIL_RE = r"[.,;:!?]+$"
+
+
+def extract_urls(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """Outlink extraction — the link-graph front half every crawl
+    pipeline runs: pull every http(s) URL out of free text, one output
+    row per occurrence (``(id, url)``; duplicates per doc preserved —
+    an outlink census weights repeated links, dedupe downstream if
+    not).  Trailing sentence punctuation is stripped from each match
+    (documented in ``URL_TRAIL_RE``); rows with a NULL id or text are
+    excluded; docs with no URL emit nothing (LEFT-join back for a
+    zero-count census).
+
+    Deliberately a FIXED REGEX (Java/RE2-common, the ``pii_scrub``
+    convention), not a parser: engine-exact and DuckDB-replayable.
+    Composes with :func:`canonicalize_urls` →
+    ``registrable_domains_psl`` → ``sampling.domain_quota`` for the
+    full outlink-census / link-spam-cap chain.
+
+    Scale shape: row-local ``regexp_extract_all`` + explode — zero
+    Exchange, zero Python (``test_extract_urls_is_pure_map``)."""
+    qid = df["`{}`".format(id_col.replace("`", "``"))]
+    qt = df["`{}`".format(text_col.replace("`", "``"))]
+    return (
+        df.filter(qid.isNotNull() & qt.isNotNull())
+        .select(
+            qid.alias(id_col),
+            F.explode(
+                F.regexp_extract_all(qt, F.lit(URL_RE), F.lit(0))
+            ).alias("__xu"),
+        )
+        .select(
+            id_col,
+            F.regexp_replace(F.col("__xu"), URL_TRAIL_RE, "").alias(url_col),
+        )
+    )

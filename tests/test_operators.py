@@ -7223,3 +7223,133 @@ def test_html_to_text_matches_duckdb_replay(spark):
         for _, t in got
         if t
     )
+
+
+def test_extract_urls_semantics(spark):
+    """extract_urls: every http(s) occurrence emits one row (duplicates
+    preserved), trailing sentence punctuation strips, brackets/quotes
+    terminate the match, NULLs excluded, URL-free docs emit nothing."""
+    from python_dtl_spark.operators.urls import extract_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://a.com/x. and (http://b.org/p?q=1) twice: "
+                "https://a.com/x."),
+            (2, "quoted \"https://c.net/y\" and <https://d.io/z>"),
+            (3, "no links here"),
+            (4, None),
+            (None, "https://ghost.com/"),
+            (5, "ftp://not.http/ and https://ok.com/path,"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.url) for r in extract_urls(df).collect()
+    )
+    assert got == [
+        (1, "http://b.org/p?q=1"),
+        (1, "https://a.com/x"),
+        (1, "https://a.com/x"),
+        (2, "https://c.net/y"),
+        (2, "https://d.io/z"),
+        (5, "https://ok.com/path"),
+    ]
+
+
+def test_outlink_census_matches_duckdb_replay(spark):
+    """Pre-validated oracle for the staged pipeline_outlink_census row
+    (r18 slate): URLs planted row-locally in document text (tracking
+    params, www/port/fragment variants, trailing punctuation) →
+    extract_urls → canonicalize_urls → per-registrable-domain census
+    (occurrences + distinct linking docs); DuckDB replays extraction
+    regex, canonicalization and census exactly."""
+    import duckdb
+
+    from python_dtl_spark.operators.urls import canonicalize_urls, extract_urls
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    base = (
+        spark.read.parquet(path)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" see https://WWW.Site"),
+        (did % 7).cast("string"),
+        F.lit(".example.com:443/a//b/?utm_source=x&id="),
+        (did % 13).cast("string"),
+        F.lit("#frag."),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" also (http://mirror"),
+                (did % 5).cast("string"),
+                F.lit(".org/path/)"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = base.withColumn("text", planted)
+    links = canonicalize_urls(extract_urls(docs))
+    out = links.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    got = sorted(
+        (r.registrable_domain, r.n_links, r.n_docs) for r in out.collect()
+    )
+    oracle = duckdb.connect().execute(f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   text || ' see https://WWW.Site' || (doc_id % 7)
+                        || '.example.com:443/a//b/?utm_source=x&id='
+                        || (doc_id % 13) || '#frag.'
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN ' also (http://mirror' || (doc_id % 5)
+                                     || '.org/path/)'
+                                ELSE '' END AS text
+            FROM '{path}'
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ), hits AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       unnest(regexp_extract_all(
+                           text,
+                           'https?://[^\\s<>"''\\)\\]\\}}]+')),
+                       '[.,;:!?]+$', '') AS url
+            FROM docs
+        ), parsed AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS hostport
+            FROM hits
+        ), hosts AS (
+            SELECT doc_id,
+                   CASE WHEN starts_with(
+                            regexp_replace(hostport, ':[0-9]+$', ''), 'www.')
+                        THEN substr(regexp_replace(hostport, ':[0-9]+$', ''), 5)
+                        ELSE regexp_replace(hostport, ':[0-9]+$', '') END AS host
+            FROM parsed
+        ), doms AS (
+            SELECT doc_id,
+                   CASE WHEN len(string_split(host, '.')) >= 2
+                        THEN array_to_string(
+                            string_split(host, '.')[-2:], '.')
+                        ELSE host END AS registrable_domain
+            FROM hosts
+        )
+        SELECT registrable_domain,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM doms
+        GROUP BY registrable_domain
+        ORDER BY 1
+    """).fetchall()
+    assert got == [tuple(r) for r in oracle]
+    # both planted families present with the right grain: the seven
+    # site{0..6} subdomains COLLAPSE to one registrable example.com
+    # (the census' point), the five mirrorN.org stay distinct
+    census = {d: (links, docs_) for d, links, docs_ in got}
+    assert census["example.com"] == (500, 500)
+    assert sum(census[f"mirror{i}.org"][0] for i in range(5)) == 167
+    assert len(got) == 6

@@ -2221,3 +2221,18 @@ def test_html_to_text_is_pure_map(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extract_urls_is_pure_map(spark):
+    """extract_urls (staged r17 → r18 slate): regexp_extract_all +
+    explode, one codegen'd stage — zero Exchange, zero Python; the
+    outlink front half fuses into the ingest scan."""
+    from python_dtl_spark.operators.urls import extract_urls
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _exec_plan(extract_urls(docs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
