@@ -2270,11 +2270,88 @@ def r17_editdist_section(spark, documents) -> list[str]:
     return lines
 
 
+def r17_wave2_maps_probe(spark, factors=(1, 8, 32)):
+    """The second-wave pure-map verbs under replication: html_to_text
+    (fixed regex extraction chain) and extract_urls (outlink explode)
+    are zero-exchange codegen stages — wall time must track the scan,
+    far below any shuffle-bound shape."""
+    from python_dtl_spark.operators.text import html_to_text
+    from python_dtl_spark.operators.urls import extract_urls
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    rows = []
+    for n in factors:
+        docs = base if n == 1 else replicate(base, n, ["doc_id"])
+        page = F.concat(
+            F.lit("<html><head><style>.x{k:v}</style>"
+                  "<script>s('<b>x</b>')</script></head><body><p>"),
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("</p><!-- c --> see https://www.site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/a?utm_source=x#f.</body></html>"),
+        )
+        html = docs.withColumn("text", page)
+        total = html.count()
+        start = time.perf_counter()
+        n_ext = html_to_text(html).count()
+        t_html = time.perf_counter() - start
+        start = time.perf_counter()
+        n_urls = extract_urls(html).count()
+        t_urls = time.perf_counter() - start
+        rows.append((n, total, t_html, n_urls, t_urls))
+        print(
+            f"# r17_wave2 {n}x: {total:,} pages; html_to_text "
+            f"{t_html:.2f}s, extract_urls {t_urls:.2f}s ({n_urls:,} links)",
+            file=sys.stderr,
+        )
+    return rows
+
+
+_R17_WAVE2_HEADER = (
+    "## r17 second-wave map verbs under replication "
+    "(html_to_text / extract_urls)"
+)
+
+
+def r17_wave2_section(spark, documents) -> list[str]:
+    rows = r17_wave2_maps_probe(spark)
+    lines = [
+        _R17_WAVE2_HEADER,
+        "",
+        "Both staged extraction verbs are zero-exchange codegen map",
+        "stages (plan-asserted); under n× pages wall time must track",
+        "the scan:",
+        "",
+        "| probe | pages | rows | html_to_text | extract_urls | links |",
+        "|---|---|---|---|---|---|",
+    ]
+    for n, total, t_html, n_urls, t_urls in rows:
+        lines.append(
+            f"| r17_wave2 | {n}x | {total:,} | {t_html:.2f}s "
+            f"| {t_urls:.2f}s | {n_urls:,} |"
+        )
+    lines.append("")
+    return lines
+
+
 def main() -> None:
     scaling_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.md",
     )
+    if "--r17-wave2" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _replace_or_append_section(
+            scaling_path,
+            _R17_WAVE2_HEADER,
+            r17_wave2_section(spark, documents),
+        )
+        print("SCALING.md r17-wave2 section updated")
+        return
     if "--r17-editdist" in sys.argv:
         spark = get_spark("scale-probe")
         spark.sparkContext.setLogLevel("ERROR")
