@@ -1951,3 +1951,134 @@ def test_edit_distance_pairs_matches_bruteforce(spark, texts):
         if _lev(texts[i], texts[j]) <= 1
     }
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="<>&;/! \t\n\"'abps-#" + "0123456789",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_html_to_text_cross_engine_fuzz(spark, texts):
+    """Adversarial tag-soup fuzz of the html_to_text regex chain:
+    random strings dense in '<', '>', '&', quotes, digits and
+    whitespace must extract IDENTICALLY in Spark (Java regex) and
+    DuckDB (RE2) — the staged row's engine-exactness claim, enforced
+    on hostile input rather than asserted (malformed nesting must
+    degrade to whitespace, never diverge)."""
+    import duckdb
+    import pyarrow as pa
+
+    from python_dtl_spark.operators.text import (
+        HTML_COMMENT_RE,
+        HTML_ENTITIES,
+        HTML_SCRIPT_RE,
+        HTML_STYLE_RE,
+        HTML_TAG_RE,
+        html_to_text,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text for r in html_to_text(df).collect()}
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+    )
+    ent_chain = "p"
+    for entity, ch in HTML_ENTITIES:
+        lit = entity.replace("'", "''")
+        chl = ch.replace("'", "''")
+        ent_chain = f"replace({ent_chain}, '{lit}', '{chl}')"
+    want = dict(
+        con.execute(f"""
+        WITH stripped AS (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, '{HTML_SCRIPT_RE}', ' ', 'g'),
+                         '{HTML_STYLE_RE}', ' ', 'g'),
+                       '{HTML_COMMENT_RE}', ' ', 'g'),
+                     '{HTML_TAG_RE}', ' ', 'g') AS p
+            FROM t
+        )
+        SELECT doc_id,
+               trim(regexp_replace({ent_chain},
+                    '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' ')
+        FROM stripped
+        """).fetchall()
+    )
+    assert got == want, texts
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="htps:/.co m\"'()<>[]{},;!?&=x123",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_extract_urls_cross_engine_fuzz(spark, texts):
+    """extract_urls on adversarial URL-soup: the match + trailing-
+    punctuation strip must agree byte-for-byte between Spark (Java
+    regex) and DuckDB (RE2) including multiplicities per doc."""
+    import duckdb
+    import pyarrow as pa
+
+    from python_dtl_spark.operators.urls import extract_urls
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.url) for r in extract_urls(df).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute("""
+        SELECT doc_id,
+               regexp_replace(
+                   unnest(regexp_extract_all(
+                       text, 'https?://[^\\s<>"''\\)\\]\\}]+')),
+                   '[.,;:!?]+$', '') AS url
+        FROM t
+        """).fetchall()
+    )
+    assert got == want, texts
