@@ -6692,7 +6692,8 @@ def test_quantile_drift_card(spark):
         quantile_drift(old, new, "tok", [])
 
 
-def test_quantile_drift_matches_duckdb_replay(spark):
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_quantile_drift_matches_duckdb_replay(spark, sf):
     """Pre-validated oracle for the staged pipeline_quantile_drift row
     (r18 slate): per-source char-length distribution drift between the
     documents corpus and the standard crawl fixture (every 7th doc
@@ -6705,7 +6706,7 @@ def test_quantile_drift_matches_duckdb_replay(spark):
 
     from python_dtl_spark.operators.stats import quantile_drift
 
-    path = "/root/testdata/sf0.001/documents.parquet"
+    path = f"/root/testdata/{sf}/documents.parquet"
     base = (
         spark.read.parquet(path)
         .select("doc_id", "source", "text")
@@ -6864,7 +6865,8 @@ def test_edit_distance_pairs_bucket_valve(spark):
     assert not any(a < 8 and b < 8 for a, b in valved)
 
 
-def test_edit_distance_pairs_matches_duckdb_replay(spark):
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_edit_distance_pairs_matches_duckdb_replay(spark, sf):
     """Pre-validated oracle for the staged dedup_edit_distance row
     (r18 slate): 24-char document title prefixes plus planted
     one-substitution typo rows (+1000000 ids on every 5th ≡ 2 doc),
@@ -6875,7 +6877,7 @@ def test_edit_distance_pairs_matches_duckdb_replay(spark):
     included."""
     import duckdb
 
-    path = "/root/testdata/sf0.001/documents.parquet"
+    path = f"/root/testdata/{sf}/documents.parquet"
     base = (
         spark.read.parquet(path)
         .select(
@@ -6999,7 +7001,8 @@ def test_merge_variant_index_equals_rebuild(spark):
     assert merged == rebuilt and len(merged) > 0
 
 
-def test_title_delta_daily_loop_matches_duckdb_replay(spark):
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_title_delta_daily_loop_matches_duckdb_replay(spark, sf):
     """Pre-validated oracle for the staged pipeline_title_delta row
     (r18 slate): the full character-grain daily loop — day-1 typo
     batch probes the STORED variant index → duplicates dropped →
@@ -7010,7 +7013,7 @@ def test_title_delta_daily_loop_matches_duckdb_replay(spark):
     DuckDB replays every leg with brute-force levenshtein."""
     import duckdb
 
-    path = "/root/testdata/sf0.001/documents.parquet"
+    path = f"/root/testdata/{sf}/documents.parquet"
     corpus = (
         spark.read.parquet(path)
         .select(
@@ -7142,7 +7145,8 @@ def test_html_to_text_semantics(spark):
     assert {r.doc_id: r.text for r in with_both}[1].startswith("<html>")
 
 
-def test_html_to_text_matches_duckdb_replay(spark):
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_html_to_text_matches_duckdb_replay(spark, sf):
     """Pre-validated oracle for the staged doc_html_extract row (r18
     slate): HTML synthesized ROW-LOCALLY from the real documents table
     (tag wrapping, planted script/style/comment blocks, entity-escaped
@@ -7159,7 +7163,7 @@ def test_html_to_text_matches_duckdb_replay(spark):
         html_to_text,
     )
 
-    path = "/root/testdata/sf0.001/documents.parquet"
+    path = f"/root/testdata/{sf}/documents.parquet"
     base = (
         spark.read.parquet(path)
         .select("doc_id", "text")
@@ -7256,7 +7260,8 @@ def test_extract_urls_semantics(spark):
     ]
 
 
-def test_outlink_census_matches_duckdb_replay(spark):
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_outlink_census_matches_duckdb_replay(spark, sf):
     """Pre-validated oracle for the staged pipeline_outlink_census row
     (r18 slate): URLs planted row-locally in document text (tracking
     params, www/port/fragment variants, trailing punctuation) →
@@ -7267,7 +7272,7 @@ def test_outlink_census_matches_duckdb_replay(spark):
 
     from python_dtl_spark.operators.urls import canonicalize_urls, extract_urls
 
-    path = "/root/testdata/sf0.001/documents.parquet"
+    path = f"/root/testdata/{sf}/documents.parquet"
     base = (
         spark.read.parquet(path)
         .select("doc_id", "text")
