@@ -869,3 +869,59 @@ def test_lineage_walks_three_worlds_stream_dtl_pipeline(spark, tmp_path):
     )
     origin = reader.why("deduped", "stream_src", kept0)
     assert sorted(r["__rid"] for r in origin.collect()) == [0, 6]
+
+
+def test_edit_distance_keep_one_lineage_walk(spark, tmp_path):
+    """The character grain joins the provenance story: typo-cluster
+    pairs (edit_distance_pairs) → keep_one_from_pairs(with_lineage) →
+    record_pipeline_step, and TraceReader.why() answers "why was this
+    title dropped" exactly as it does for the MinHash flagship —
+    every typo variant maps to its cluster's surviving minimum id."""
+    from python_dtl_spark.lineage import record_pipeline_step
+    from python_dtl_spark.operators.dedup import (
+        edit_distance_pairs,
+        keep_one_from_pairs,
+    )
+
+    titles = spark.createDataFrame(
+        [
+            (0, "spark engine"),
+            (1, "spark engine"),   # typo of 0
+            (2, "spark enginee"),  # typo of 1 (chain: 0-1-2 transitive)
+            (3, "duckdb oracle"),
+            (4, "duckdb oracle"),  # exact dup of 3
+            (5, "unrelated"),
+        ],
+        "doc_id long, title string",
+    )
+    pairs = edit_distance_pairs(titles, "doc_id", "title")
+    result, mapping = keep_one_from_pairs(
+        titles.select("doc_id"), pairs, id_col="doc_id", with_lineage=True
+    )
+    trace_dir = os.path.join(str(tmp_path), "edtrace")
+    tracer = FileSystemTracer(trace_dir)
+    record_pipeline_step(
+        tracer,
+        src_name="titles",
+        tgt_name="kept",
+        src_df=titles,
+        tgt_df=result.filter(F.col("keep")),
+        mapping=mapping,
+        src_key="doc_id",
+        tgt_key="doc_id",
+    )
+    tracer.write_manifest()
+    reader = TraceReader(spark, trace_dir)
+    # the transitive typo chain 0-1-2 all trace to survivor 0
+    kept0 = reader.snapshot("kept").filter(F.col("__rid") == 0)
+    origin = reader.why("kept", "titles", kept0)
+    assert sorted(r["__rid"] for r in origin.collect()) == [0, 1, 2]
+    # exact-dup cluster 3-4 traces to 3; singleton 5 to itself
+    kept3 = reader.snapshot("kept").filter(F.col("__rid") == 3)
+    assert sorted(
+        r["__rid"] for r in reader.why("kept", "titles", kept3).collect()
+    ) == [3, 4]
+    kept5 = reader.snapshot("kept").filter(F.col("__rid") == 5)
+    assert [
+        r["__rid"] for r in reader.why("kept", "titles", kept5).collect()
+    ] == [5]
