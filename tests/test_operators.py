@@ -7358,3 +7358,93 @@ def test_outlink_census_matches_duckdb_replay(spark, sf):
     assert census["example.com"] == (500, 500)
     assert sum(census[f"mirror{i}.org"][0] for i in range(5)) == 167
     assert len(got) == 6
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_html_ingest_card_matches_duckdb_replay(spark, sf):
+    """Pre-validated oracle for the optional pipeline_html_ingest row
+    (r18/r19 slate): the crawl ingest front composed end to end —
+    row-locally synthesized HTML pages (NULL text stays a NULL page)
+    → html_to_text extraction → corpus_report per-source accounting
+    of the EXTRACTED text.  One hash verifies the regex chain and the
+    card arithmetic together; every metric is an exact BIGINT."""
+    import duckdb
+
+    from python_dtl_spark.operators.stats import corpus_report
+    from python_dtl_spark.operators.text import (
+        HTML_COMMENT_RE,
+        HTML_ENTITIES,
+        HTML_SCRIPT_RE,
+        HTML_STYLE_RE,
+        HTML_TAG_RE,
+        html_to_text,
+    )
+
+    path = f"/root/testdata/{sf}/documents.parquet"
+    base = (
+        spark.read.parquet(path)
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    # the raw table has zero NULL texts at these scales — plant them
+    # (every 17th doc, the pipeline_corpus_report convention) so the
+    # card's NULL-page accounting is load-bearing
+    page = F.when(
+        F.col("text").isNotNull() & (F.col("doc_id") % 17 != 3),
+        F.concat(
+            F.lit("<html><head><style>.x{k:v}</style>"
+                  "<script>s('<p>skip</p>')</script></head><body><p>"),
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("</p><!-- c --></body></html>"),
+        ),
+    )
+    extracted = html_to_text(base.withColumn("text", page))
+    card = corpus_report(extracted, "source", "text")
+    got = sorted(tuple(r) for r in card.collect())
+    ent_chain = "p"
+    for entity, ch in HTML_ENTITIES:
+        lit = entity.replace("'", "''")
+        chl = ch.replace("'", "''")
+        ent_chain = f"replace({ent_chain}, '{lit}', '{chl}')"
+    oracle = duckdb.connect().execute(f"""
+        WITH pages AS (
+            SELECT doc_id, source,
+                   CASE WHEN text IS NULL OR doc_id % 17 = 3 THEN NULL
+                        ELSE '<html><head><style>.x{{k:v}}</style>'
+                             || '<script>s(''<p>skip</p>'')</script>'
+                             || '</head><body><p>'
+                             || replace(text, '&', '&amp;')
+                             || '</p><!-- c --></body></html>' END AS page
+            FROM '{path}' WHERE doc_id IS NOT NULL
+        ), stripped AS (
+            SELECT doc_id, source,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(page, '{HTML_SCRIPT_RE}', ' ', 'g'),
+                         '{HTML_STYLE_RE}', ' ', 'g'),
+                       '{HTML_COMMENT_RE}', ' ', 'g'),
+                     '{HTML_TAG_RE}', ' ', 'g') AS p
+            FROM pages
+        ), extracted AS (
+            SELECT doc_id, source,
+                   trim(regexp_replace({ent_chain},
+                        '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' ') AS text
+            FROM stripped
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) - count(text) AS BIGINT) AS n_null_text,
+               CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars,
+               CAST(coalesce(sum(
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> ''))), 0) AS BIGINT)
+                   AS sum_tokens,
+               CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+        FROM extracted
+        GROUP BY source
+        ORDER BY source
+    """).fetchall()
+    assert got == [tuple(r) for r in oracle]
+    assert len(got) >= 10
+    assert any(r[2] > 0 for r in got)  # NULL pages accounted
