@@ -2360,6 +2360,7 @@ def title_variant_index(
     text_col: str = "text",
     max_len: int = 512,
     assume_unique_ids: bool = False,
+    hash_variants: bool = False,
 ) -> DataFrame:
     """STORABLE deletion-variant index for incremental edit-distance
     dedup — the character-grain instance of this engine's stored-index
@@ -2373,7 +2374,14 @@ def title_variant_index(
     fan-out on key-grain strings) — a pure map, zero exchanges under
     ``assume_unique_ids=True`` (``test_title_variant_index_is_pure_
     map``); by default duplicated ids collapse first, the one safety
-    exchange (the MinHash-family convention)."""
+    exchange (the MinHash-family convention).
+
+    ``hash_variants=True`` stores ``xxhash64(variant)`` (LONG) instead
+    of the variant string — the 100 TB tier: ~4× smaller index bytes
+    and 8-byte probe-join keys, LOSSLESS because hash collisions only
+    add candidates that die in the exact levenshtein verify (pinned by
+    ``test_hashed_variant_index_equals_string_tier``).  The probe and
+    merge auto-detect the tier from the stored column's type."""
     qid = df["`{}`".format(id_col.replace("`", "``"))]
     qt = df["`{}`".format(text_col.replace("`", "``"))]
     base = df.filter(qid.isNotNull() & qt.isNotNull()).select(
@@ -2381,10 +2389,12 @@ def title_variant_index(
     )
     if not assume_unique_ids:
         base = base.dropDuplicates([id_col])
-    return base.select(
-        id_col,
-        F.explode(_deletion_neighborhood(F.col("__tv_t"))).alias("variant"),
-    )
+    variant = F.explode(_deletion_neighborhood(F.col("__tv_t")))
+    if hash_variants:
+        return base.select(id_col, variant.alias("__tv_v")).select(
+            id_col, F.xxhash64("__tv_v").alias("variant")
+        )
+    return base.select(id_col, variant.alias("variant"))
 
 
 def edit_distance_delta_pairs(
@@ -2458,6 +2468,13 @@ def edit_distance_delta_pairs(
     anchors = corpus_index.select(
         F.col(id_col).alias("__dd_kid"), "variant"
     )
+    # auto-detect the hashed-index tier (variant stored as LONG): hash
+    # the probe side identically — lossless, collisions die in the
+    # exact verify below
+    if dict(corpus_index.dtypes).get("variant") == "bigint":
+        probes = probes.select(
+            "__dd_id", F.xxhash64("variant").alias("variant")
+        )
     cand = (
         probes.join(anchors, on="variant")
         .select("__dd_id", "__dd_kid")
@@ -2519,6 +2536,8 @@ def merge_delta_into_variant_index(
             text_col=text_col,
             max_len=max_len,
             assume_unique_ids=assume_unique_ids,
+            hash_variants=dict(corpus_index.dtypes).get("variant")
+            == "bigint",
         )
     )
 
@@ -2580,6 +2599,12 @@ def edit_distance_delta_pairs_stream(
     anchors = corpus_index.select(
         F.col(id_col).alias("__dd_kid"), "variant"
     )
+    if dict(corpus_index.dtypes).get("variant") == "bigint":
+        probes = probes.select(
+            "__dd_id",
+            "__dd_t",
+            F.xxhash64("variant").alias("variant"),
+        )
     kqid = corpus["`{}`".format(id_col.replace("`", "``"))]
     kqt = corpus["`{}`".format(text_col.replace("`", "``"))]
     k_titles = corpus.filter(kqid.isNotNull() & kqt.isNotNull()).select(

@@ -7448,3 +7448,59 @@ def test_html_ingest_card_matches_duckdb_replay(spark, sf):
     assert got == [tuple(r) for r in oracle]
     assert len(got) >= 10
     assert any(r[2] > 0 for r in got)  # NULL pages accounted
+
+
+def test_hashed_variant_index_equals_string_tier(spark, tmp_path):
+    """The 100 TB tier of the variant index: storing xxhash64(variant)
+    (8-byte join keys, ~4× smaller index) changes NOTHING in the
+    output — collisions only add candidates that die in the exact
+    levenshtein verify.  Probe and merge auto-detect the tier from the
+    stored column type; merge == rebuild holds within the hashed tier
+    too."""
+    corpus = spark.createDataFrame(
+        [(1, "spark"), (2, "sparc"), (3, "duckdb"), (4, "flink")],
+        "doc_id long, title string",
+    )
+    delta = spark.createDataFrame(
+        [(101, "spark"), (102, "fink"), (103, "presto")],
+        "doc_id long, title string",
+    )
+    s_idx = dedup.title_variant_index(corpus, "doc_id", "title")
+    h_idx = dedup.title_variant_index(
+        corpus, "doc_id", "title", hash_variants=True
+    )
+    assert dict(h_idx.dtypes)["variant"] == "bigint"
+    want = sorted(
+        (r.delta_id, r.corpus_id, r.edit_distance)
+        for r in dedup.edit_distance_delta_pairs(
+            corpus, delta, "doc_id", "title", corpus_index=s_idx
+        ).collect()
+    )
+    # hashed tier through a parquet round-trip (the stored artifact)
+    idx_path = str(tmp_path / "hashed_index.parquet")
+    h_idx.write.parquet(idx_path)
+    got = sorted(
+        (r.delta_id, r.corpus_id, r.edit_distance)
+        for r in dedup.edit_distance_delta_pairs(
+            corpus,
+            delta,
+            "doc_id",
+            "title",
+            corpus_index=spark.read.parquet(idx_path),
+        ).collect()
+    )
+    assert got == want and len(got) == 3
+    # merge inherits the hashed tier and still equals a rebuild
+    merged = sorted(
+        (r.doc_id, r.variant)
+        for r in dedup.merge_delta_into_variant_index(
+            spark.read.parquet(idx_path), delta, "doc_id", "title"
+        ).collect()
+    )
+    rebuilt = sorted(
+        (r.doc_id, r.variant)
+        for r in dedup.title_variant_index(
+            corpus.unionByName(delta), "doc_id", "title", hash_variants=True
+        ).collect()
+    )
+    assert merged == rebuilt
