@@ -330,7 +330,10 @@ def registrable_domains_psl(
 #: convention — no lookaround/backreferences): an http(s) scheme
 #: followed by everything up to whitespace or a character that
 #: overwhelmingly means "the sentence resumed" (quote, bracket, angle).
-URL_RE = r"""https?://[^\s<>"'\)\]\}]+"""
+#: Whitespace is the EXPLICIT class, not ``\s`` — Java's ``\s``
+#: includes ``\x0B`` while RE2's does not (the html_to_text VT
+#: lesson), and this regex must extract byte-identically in both.
+URL_RE = r"""https?://[^ \t\n\r\f\x0B<>"'\)\]\}]+"""
 
 #: Trailing sentence punctuation stripped AFTER matching ('see
 #: https://a.com/x.' — the dot belongs to the prose, not the path).

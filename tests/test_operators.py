@@ -7321,7 +7321,7 @@ def test_outlink_census_matches_duckdb_replay(spark, sf):
                    regexp_replace(
                        unnest(regexp_extract_all(
                            text,
-                           'https?://[^\\s<>"''\\)\\]\\}}]+')),
+                           'https?://[^ \\t\\n\\r\\f\\x0B<>"''\\)\\]\\}}]+')),
                        '[.,;:!?]+$', '') AS url
             FROM docs
         ), parsed AS (

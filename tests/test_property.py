@@ -1961,7 +1961,7 @@ def test_edit_distance_pairs_matches_bruteforce(spark, texts):
 @given(
     texts=st.lists(
         st.text(
-            alphabet="<>&;/! \t\n\"'abps-#" + "0123456789",
+            alphabet="<>&;/! \t\n\x0B\f\"'abps-#" + "0123456789",
             min_size=0,
             max_size=60,
         ),
@@ -2037,7 +2037,7 @@ def test_html_to_text_cross_engine_fuzz(spark, texts):
 @given(
     texts=st.lists(
         st.text(
-            alphabet="htps:/.co m\"'()<>[]{},;!?&=x123",
+            alphabet="htps:/.co m\"'()<>[]{},;!?&=x123\t\n\x0B\f",
             min_size=0,
             max_size=60,
         ),
@@ -2076,7 +2076,7 @@ def test_extract_urls_cross_engine_fuzz(spark, texts):
         SELECT doc_id,
                regexp_replace(
                    unnest(regexp_extract_all(
-                       text, 'https?://[^\\s<>"''\\)\\]\\}]+')),
+                       text, 'https?://[^ \\t\\n\\r\\f\\x0B<>"''\\)\\]\\}]+')),
                    '[.,;:!?]+$', '') AS url
         FROM t
         """).fetchall()
