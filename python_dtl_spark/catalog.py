@@ -9960,6 +9960,692 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Round-18 registrations: the staged r18 slate (pre-validated in r17 —
+# every oracle below is the DuckDB replay SQL of a green
+# tests/test_operators.py::test_*_matches_duckdb_replay, re-pointed at
+# the driver's pre-registered table views)
+# ---------------------------------------------------------------------------
+
+
+def _q_edit_distance(spark, sf_dir):
+    """Character-grain near-dup dedup (registered r18; staged r17):
+    FastSS deletion-neighborhood blocking (provably complete at edit
+    distance 1) + exact JVM ``levenshtein`` verify on candidates only
+    — the fourth grain of the near-dup family (tokens → MinHash, bits
+    → SimHash, vectors → hyperplane LSH, characters → THIS).
+
+    Fixture: 24-char document title prefixes plus planted
+    one-substitution typos (+1000000 ids on every ``% 5 == 2`` doc),
+    so the truth set mixes planted typos, natural near-titles and
+    exact-duplicate prefixes.  Oracle is BRUTE-FORCE levenshtein over
+    all C(n,2) pairs — the quadratic luxury only the oracle gets
+    (pre-validated at sf0.001/0.01 in-suite and one-off at sf0.1:
+    1,390 pairs).
+
+    Scale shape: variant explode is row-local (length+1 fan-out on
+    KEY-GRAIN strings — ``max_len`` raises on document-length
+    misuse), candidates come from an equi-join on variants, never an
+    all-pairs scan (``test_edit_distance_pairs_is_variant_join``);
+    32× replication probe: pairs 32.0×, wall 2.3× (SCALING.md)."""
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.lower(F.substring(F.trim("text"), 1, 24)).alias("title"),
+        )
+        .filter(F.col("doc_id").isNotNull() & F.col("title").isNotNull())
+    )
+    typos = base.filter(
+        (F.col("doc_id") % 5 == 2) & (F.length("title") >= 4)
+    ).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 2),
+            F.lit("~"),
+            F.expr("substring(title, 4)"),
+        ).alias("title"),
+    )
+    return dedup.edit_distance_pairs(base.unionByName(typos), "doc_id", "title")
+
+
+_register(
+    "dedup_edit_distance",
+    _q_edit_distance,
+    """
+    WITH base AS (
+        SELECT doc_id, lower(substr(trim(text), 1, 24)) AS title
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), aug AS (
+        SELECT doc_id, title FROM base
+        UNION ALL
+        SELECT doc_id + 1000000,
+               substr(title, 1, 2) || '~' || substr(title, 4)
+        FROM base WHERE doc_id % 5 = 2 AND length(title) >= 4
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.title, b.title) AS INTEGER) AS edit_distance
+    FROM aug a JOIN aug b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 1
+    """,
+)
+
+
+def _q_title_delta(spark, sf_dir):
+    """Character-grain stored-index daily loop (registered r18; staged
+    r17): day-1 typo batch probes the STORED variant index →
+    duplicates dropped → survivors merged (pure-map append) → day-2
+    batch probes the MERGED index.  A day-2 pair against a day-1
+    survivor exists ONLY if the merge preserved its variants, so the
+    append is load-bearing in the value hash (the
+    ``pipeline_index_maintenance`` shape).  The stored-index pattern
+    now spans ALL FOUR grains (tokens / bits / vectors / characters).
+
+    This row stores the index in the HASHED tier
+    (``hash_variants=True`` — xxhash64 8-byte join keys, ~4× smaller
+    index bytes): lossless because hash collisions only add
+    candidates that die in the exact levenshtein verify, and the
+    probe/merge auto-detect the tier from the stored column type
+    (``test_hashed_variant_index_equals_string_tier``) — so the
+    driver's value hash covers the 100 TB tier, not just the string
+    tier.
+
+    Scale shape: both probes are asymmetric — only the delta explodes
+    variants, corpus titles are read solely through the
+    candidate-semi-filtered verify; the merge is a delta-sized pure
+    map.  The index persists and survivors lineage-truncate (the
+    catalog.py:9205 planning-cost pattern) because the in-session
+    composition embeds the probe DAG twice — the 100 TB shape (stored
+    parquet artifacts) sidesteps this entirely."""
+    corpus = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.lower(F.substring(F.trim("text"), 1, 24)).alias("title"),
+        )
+        .filter(F.col("doc_id").isNotNull() & F.col("title").isNotNull())
+    )
+    eligible = corpus.filter(F.length("title") >= 7)
+    day1 = (
+        eligible.filter(F.col("doc_id") % 5 == 2)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.substring("title", 1, 2),
+                F.lit("~"),
+                F.expr("substring(title, 4)"),
+            ).alias("title"),
+        )
+        .unionByName(
+            eligible.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.lit("qq# "), F.col("title")).alias("title"),
+            )
+        )
+    )
+    index = dedup.title_variant_index(
+        corpus, "doc_id", "title", hash_variants=True
+    ).persist()
+    p1 = dedup.edit_distance_delta_pairs(
+        corpus, day1, "doc_id", "title", corpus_index=index
+    )
+    survivors = day1.join(
+        p1.select(F.col("delta_id").alias("doc_id")).dropDuplicates(),
+        on="doc_id",
+        how="left_anti",
+    ).localCheckpoint(eager=False)
+    merged_index = dedup.merge_delta_into_variant_index(
+        index, survivors, "doc_id", "title"
+    )
+    merged_titles = corpus.unionByName(survivors)
+    day2 = day1.filter(F.col("doc_id") >= 2000000).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.substring("title", 1, 5),
+            F.lit("~"),
+            F.expr("substring(title, 7)"),
+        ).alias("title"),
+    )
+    out = dedup.edit_distance_delta_pairs(
+        merged_titles, day2, "doc_id", "title", corpus_index=merged_index
+    )
+    return dedup._release_after(out, index)
+
+
+_register(
+    "pipeline_title_delta",
+    _q_title_delta,
+    """
+    WITH corpus AS (
+        SELECT doc_id, lower(substr(trim(text), 1, 24)) AS title
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), day1 AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               substr(title, 1, 2) || '~' || substr(title, 4) AS title
+        FROM corpus WHERE doc_id % 5 = 2 AND length(title) >= 7
+        UNION ALL
+        SELECT doc_id + 2000000, 'qq# ' || title
+        FROM corpus WHERE doc_id % 7 = 3 AND length(title) >= 7
+    ), p1 AS (
+        SELECT DISTINCT d.doc_id AS delta_id
+        FROM day1 d JOIN corpus c ON levenshtein(d.title, c.title) <= 1
+    ), survivors AS (
+        SELECT * FROM day1 WHERE doc_id NOT IN (SELECT delta_id FROM p1)
+    ), merged AS (
+        SELECT doc_id, title FROM corpus
+        UNION ALL
+        SELECT doc_id, title FROM survivors
+    ), day2 AS (
+        SELECT doc_id + 2000000 AS doc_id,
+               substr(title, 1, 5) || '~' || substr(title, 7) AS title
+        FROM day1 WHERE doc_id >= 2000000
+    )
+    SELECT d.doc_id AS delta_id, m.doc_id AS corpus_id,
+           CAST(levenshtein(d.title, m.title) AS INTEGER) AS edit_distance
+    FROM day2 d JOIN merged m ON levenshtein(d.title, m.title) <= 1
+    """,
+)
+
+
+def _q_image_keep(spark, sf_dir):
+    """Image-grain keep-one canonical election (registered r18; staged
+    r17): ``image_near_dup_pairs`` (FNV fake-decode phash → pigeonhole
+    Hamming join — same fixture as ``pipeline_image_dedup``) composed
+    with ``keep_one_from_pairs``, giving the multimodal stack the same
+    keep-one semantics the text/LSH stacks have.
+
+    Oracle derives the pair set by BRUTE FORCE (HUGEINT FNV fold +
+    ``bit_count(xor())`` over all C(n,2) pairs) and resolves
+    components with a WITH RECURSIVE min-label closure — sound even if
+    a stray cross-group pair appears at a new scale; on this fixture
+    components are exactly the payload groups of 4
+    (``test_image_keep_one_matches_duckdb_replay`` asserts the
+    structural ground truth independently).
+
+    Scale shape: ONE ``mapInPandas`` decode pass, bucket equi-joins
+    for candidates, then min-label propagation rounds-bounded on the
+    edge list — never all-pairs, no driver-side closure."""
+    n_docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .count()
+    )
+    n = min(2048, n_docs)
+    groups = max(1, n // 4)
+    assets = spark.range(n).select(
+        F.col("id").alias("asset_id"),
+        F.sha2((F.col("id") % groups).cast("string"), 256)
+        .cast("binary")
+        .alias("payload"),
+    )
+    pairs = multimodal.image_near_dup_pairs(assets, max_hamming=6, fake=True)
+    return dedup.keep_one_from_pairs(
+        assets.select("asset_id"), pairs, id_col="asset_id"
+    )
+
+
+_register(
+    "pipeline_image_keep",
+    _q_image_keep,
+    """
+    WITH RECURSIVE params AS (
+        SELECT least(2048, count(*)) AS n
+        FROM documents WHERE doc_id IS NOT NULL
+    ), assets AS (
+        SELECT range::BIGINT AS asset_id,
+               sha256(CAST(range % greatest(1, (SELECT n FROM params) // 4)
+                           AS VARCHAR)) AS hex
+        FROM range(2048)
+        WHERE range < (SELECT n FROM params)
+    ), fnv AS (
+        SELECT asset_id,
+               list_reduce(
+                   list_prepend(
+                       CAST(14695981039346656037 AS HUGEINT),
+                       [CAST(ord(substr(hex, i, 1)) AS HUGEINT)
+                        FOR i IN range(1, len(hex) + 1)]),
+                   (h, b) -> (xor(h, b) * 1099511628211)
+                             % 18446744073709551616
+               ) AS h
+        FROM assets
+    ), ph AS (
+        SELECT asset_id, CAST(h // 2 AS BIGINT) AS phash FROM fnv
+    ), pr AS (
+        SELECT a.asset_id AS ia, b.asset_id AS ib
+        FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    ), edges AS (
+        SELECT ia AS a, ib AS b FROM pr
+        UNION ALL
+        SELECT ib, ia FROM pr
+    ), reach(a, b) AS (
+        SELECT asset_id, asset_id FROM ph
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), labels AS (
+        SELECT a AS asset_id, min(b) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT asset_id, cluster_id, asset_id = cluster_id AS keep
+    FROM labels
+    """,
+)
+
+
+def _q_centroid_index(spark, sf_dir):
+    """IVF-tier index maintenance (registered r18; staged r17): assign
+    the embeddings corpus to its nearest stored centroid, then append
+    a day-1 delta with arrival-sized work
+    (``merge_into_centroid_index`` — the corpus is never rescanned,
+    the quantizer never refit).  Centroids are the ``% 37`` corpus
+    rows (cid = vec_id, 14/14/55 at the three scales — inside the
+    512-row literal tier; ``fit_kmeans`` is the tier beyond); the
+    delta is the ``% 7 == 3`` slice re-keyed +500000, exact vector
+    copies that must land on their sources' centroids by
+    construction.
+
+    Oracle recomputes the exact squared-distance argmin; the argmin
+    is hash-safe because the min relative best/second-best gap is
+    ≥2.1e-6 across scales — ≥8 orders above cross-engine double-fold
+    drift — and PINNED by the margin guard in
+    ``test_assign_to_centroids_matches_duckdb_replay``.  ``sq_dist``
+    stays OUT of the output (the float-quotient hashing precedent).
+
+    Scale shape: pure map — centroids compile into the plan as
+    literals (O(k×dim) per row in codegen), zero Exchange, zero
+    Python (``test_assign_to_centroids_is_pure_map``)."""
+    corpus = (
+        _read(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    )
+    cents = corpus.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centroid")
+    )
+    delta = corpus.filter(F.col("vec_id") % 7 == 3).select(
+        (F.col("vec_id") + 500000).alias("vec_id"), "embedding"
+    )
+    index = similarity.assign_to_centroids(corpus, cents, dim=64)
+    return similarity.merge_into_centroid_index(index, delta, cents, dim=64)
+
+
+_register(
+    "pipeline_centroid_index",
+    _q_centroid_index,
+    """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    ), aug AS (
+      SELECT vec_id, v FROM corpus
+      UNION ALL
+      SELECT vec_id + 500000, v FROM corpus WHERE vec_id % 7 = 3
+    ), cents AS (
+      SELECT vec_id AS cid, v AS c FROM corpus WHERE vec_id % 37 = 0
+    ), d AS (
+      SELECT aug.vec_id, cents.cid,
+             list_sum([ (v[i]-c[i])*(v[i]-c[i])
+                        FOR i IN range(1, len(v)+1) ]) AS dist
+      FROM aug CROSS JOIN cents
+    )
+    SELECT vec_id, cid AS centroid_id FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cid) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """,
+)
+
+
+def _q_quantile_drift(spark, sf_dir):
+    """Metric-distribution drift card (registered r18; staged r17) —
+    the third leg of the monitoring trilogy (``pipeline_snapshot_diff``
+    = row churn, ``pipeline_source_drift`` = source mix, THIS =
+    distribution shift): per-source exact discrete percentiles of
+    document char-length in two crawls side by side, with counts.
+    Fixture is the standard crawl churn (every 7th doc removed, every
+    5th survivor edited with a prefix, every 11th re-added).  Every
+    output is an exact BIGINT (counts and ``percentile_disc``
+    elements), so the card hashes with no float caveat; the replay
+    test guards the one divergence edge (an all-NULL-text source).
+
+    Scale shape: ONE group-keyed aggregation per side (exact
+    percentile buffers spill; ``exact=False`` is the mergeable
+    t-digest tier for huge groups) + one |groups|-sized broadcast
+    card join — no window, no data-grain join; 32× probe 1.1×
+    (SCALING.md)."""
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    did = F.col("doc_id")
+    new = (
+        base.filter(did % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit("edited: "), F.coalesce(F.col("text"), F.lit(""))
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            base.filter(did % 11 == 0).select(
+                (did + 1000000).alias("doc_id"), "source", "text"
+            )
+        )
+    )
+    o = base.withColumn("chars", F.length("text").cast("long"))
+    n = new.withColumn("chars", F.length("text").cast("long"))
+    return stats.quantile_drift(o, n, "chars", ["source"], ps=(0.25, 0.5, 0.9))
+
+
+_register(
+    "pipeline_quantile_drift",
+    _q_quantile_drift,
+    """
+    WITH base AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id IS NOT NULL
+    ), new AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'edited: ' || coalesce(text, '')
+                    ELSE text END AS text
+        FROM base WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, source, text
+        FROM base WHERE doc_id % 11 = 0
+    ), ro AS (
+        SELECT source, length(text)::BIGINT AS v,
+               cume_dist() OVER (PARTITION BY source
+                                 ORDER BY length(text)) AS cd
+        FROM base WHERE text IS NOT NULL
+    ), rn AS (
+        SELECT source, length(text)::BIGINT AS v,
+               cume_dist() OVER (PARTITION BY source
+                                 ORDER BY length(text)) AS cd
+        FROM new WHERE text IS NOT NULL
+    ), co AS (
+        SELECT source, count(*)::BIGINT AS n_old,
+               min(CASE WHEN cd >= 0.25 THEN v END) AS old_p25,
+               min(CASE WHEN cd >= 0.5 THEN v END) AS old_p5,
+               min(CASE WHEN cd >= 0.9 THEN v END) AS old_p9
+        FROM ro GROUP BY source
+    ), cn AS (
+        SELECT source, count(*)::BIGINT AS n_new,
+               min(CASE WHEN cd >= 0.25 THEN v END) AS new_p25,
+               min(CASE WHEN cd >= 0.5 THEN v END) AS new_p5,
+               min(CASE WHEN cd >= 0.9 THEN v END) AS new_p9
+        FROM rn GROUP BY source
+    )
+    SELECT coalesce(co.source, cn.source) AS source,
+           n_old, n_new, old_p25, old_p5, old_p9, new_p25, new_p5, new_p9
+    FROM co FULL OUTER JOIN cn ON co.source IS NOT DISTINCT FROM cn.source
+    """,
+)
+
+
+def _duck_ent_chain(expr: str) -> str:
+    """The DuckDB replay of html_to_text's fixed entity-decode chain
+    (amp LAST — the documented single-decode semantics)."""
+    chain = expr
+    for entity, ch in text.HTML_ENTITIES:
+        lit = entity.replace("'", "''")
+        chl = ch.replace("'", "''")
+        chain = f"replace({chain}, '{lit}', '{chl}')"
+    return chain
+
+
+def _q_html_extract(spark, sf_dir):
+    """Crawl-front HTML → text extraction (registered r18; staged
+    r17): the WET step every crawl pipeline runs before any quality /
+    dedup verb.  HTML is synthesized ROW-LOCALLY from the real
+    documents table (tag wrapping, planted script/style/comment
+    blocks, entity-escaped text), extracted by the engine's FIXED
+    Java/RE2-common regex chain (explicit whitespace class — the VT
+    lesson; amp-last entity decode) and replayed by DuckDB with the
+    SAME chain — byte-exact per doc, an honest engine-exactness scope
+    rather than a parser claim.
+
+    Scale shape: pure map — regexp_replace chain + trim, zero
+    Exchange, zero Python (``test_html_to_text_is_pure_map``);
+    adversarial Java/RE2 fuzz incl. whitespace-class divergences in
+    ``test_html_to_text_cross_engine_fuzz``."""
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    did = F.col("doc_id")
+    page = F.concat(
+        F.lit(
+            "<html><head><title>doc </title>"
+            "<style>.x{k:v}</style>"
+            "<script>ignore('<b>me</b>')</script></head><body><p>"
+        ),
+        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+        F.lit("</p><!-- c -->"),
+        F.when(did % 3 == 0, F.lit("<div>extra &lt;tail&gt;</div>")).otherwise(
+            F.lit("")
+        ),
+        F.lit("</body></html>"),
+    )
+    return text.html_to_text(base.withColumn("text", page))
+
+
+_register(
+    "doc_html_extract",
+    _q_html_extract,
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               '<html><head><title>doc </title><style>.x{{k:v}}</style>'
+               || '<script>ignore(''<b>me</b>'')</script></head><body><p>'
+               || replace(text, '&', '&amp;') || '</p><!-- c -->'
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '<div>extra &lt;tail&gt;</div>' ELSE '' END
+               || '</body></html>' AS page
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), stripped AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(page, '{text.HTML_SCRIPT_RE}', ' ', 'g'),
+                     '{text.HTML_STYLE_RE}', ' ', 'g'),
+                   '{text.HTML_COMMENT_RE}', ' ', 'g'),
+                 '{text.HTML_TAG_RE}', ' ', 'g') AS p
+        FROM base
+    )
+    SELECT doc_id,
+           trim(regexp_replace({_duck_ent_chain("p")},
+                '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' ') AS text
+    FROM stripped
+    """,
+)
+
+
+def _q_outlink_census(spark, sf_dir):
+    """Outlink census (registered r18; staged r17): the link-graph
+    front half — ``extract_urls`` (fixed Java/RE2-common regex,
+    explicit whitespace class) → ``canonicalize_urls`` (tracking
+    params, default ports, www, fragments, path normal form) →
+    per-registrable-domain (n_links, n_docs) census.  URLs are
+    planted row-locally: the seven ``site{N}.example.com`` subdomains
+    must COLLAPSE to one registrable domain while the five
+    ``mirror{N}.org`` domains stay distinct — both load-bearing in
+    the value hash.
+
+    Scale shape: extraction is a row-local
+    ``regexp_extract_all``+explode (zero Exchange, zero Python —
+    ``test_extract_urls_is_pure_map``); canonicalization is a pure
+    map; the census is ONE map-side-partial group agg."""
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" see https://WWW.Site"),
+        (did % 7).cast("string"),
+        F.lit(".example.com:443/a//b/?utm_source=x&id="),
+        (did % 13).cast("string"),
+        F.lit("#frag."),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" also (http://mirror"),
+                (did % 5).cast("string"),
+                F.lit(".org/path/)"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = base.withColumn("text", planted)
+    links = urls.canonicalize_urls(urls.extract_urls(docs))
+    return links.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+_register(
+    "pipeline_outlink_census",
+    _q_outlink_census,
+    """
+    WITH docs AS (
+        SELECT doc_id,
+               text || ' see https://WWW.Site' || (doc_id % 7)
+                    || '.example.com:443/a//b/?utm_source=x&id='
+                    || (doc_id % 13) || '#frag.'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' also (http://mirror' || (doc_id % 5)
+                                 || '.org/path/)'
+                            ELSE '' END AS text
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), hits AS (
+        SELECT doc_id,
+               regexp_replace(
+                   unnest(regexp_extract_all(
+                       text,
+                       'https?://[^ \\t\\n\\r\\f\\x0B<>"''\\)\\]\\}]+')),
+                   '[.,;:!?]+$', '') AS url
+        FROM docs
+    ), parsed AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS hostport
+        FROM hits
+    ), hosts AS (
+        SELECT doc_id,
+               CASE WHEN starts_with(
+                        regexp_replace(hostport, ':[0-9]+$', ''), 'www.')
+                    THEN substr(regexp_replace(hostport, ':[0-9]+$', ''), 5)
+                    ELSE regexp_replace(hostport, ':[0-9]+$', '') END AS host
+        FROM parsed
+    ), doms AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(host, '.')) >= 2
+                    THEN array_to_string(
+                        string_split(host, '.')[-2:], '.')
+                    ELSE host END AS registrable_domain
+        FROM hosts
+    )
+    SELECT registrable_domain,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM doms
+    GROUP BY registrable_domain
+    """,
+)
+
+
+def _q_html_ingest(spark, sf_dir):
+    """Crawl ingest front composed end to end (registered r18; the
+    optional 8th slate row): row-locally synthesized HTML pages (NULL
+    text stays a NULL page, plus every 17th doc planted NULL — the
+    ``pipeline_corpus_report`` convention, so the card's NULL-page
+    accounting is load-bearing) → ``html_to_text`` extraction →
+    ``corpus_report`` per-source card of the EXTRACTED text.  One
+    hash verifies the regex chain and the card arithmetic together —
+    the extraction verb is load-bearing inside a registered
+    composition the way ``pipeline_quality_card`` is for the flag
+    batteries; every metric is an exact BIGINT.
+
+    Scale shape: extraction is a pure map; the card is ONE group agg
+    (map-side partials; n_distinct_texts is the one exact-distinct
+    leg — the documented card cost)."""
+    base = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("doc_id").isNotNull())
+    )
+    page = F.when(
+        F.col("text").isNotNull() & (F.col("doc_id") % 17 != 3),
+        F.concat(
+            F.lit(
+                "<html><head><style>.x{k:v}</style>"
+                "<script>s('<p>skip</p>')</script></head><body><p>"
+            ),
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("</p><!-- c --></body></html>"),
+        ),
+    )
+    extracted = text.html_to_text(base.withColumn("text", page))
+    return stats.corpus_report(extracted, "source", "text")
+
+
+_register(
+    "pipeline_html_ingest",
+    _q_html_ingest,
+    f"""
+    WITH pages AS (
+        SELECT doc_id, source,
+               CASE WHEN text IS NULL OR doc_id % 17 = 3 THEN NULL
+                    ELSE '<html><head><style>.x{{k:v}}</style>'
+                         || '<script>s(''<p>skip</p>'')</script>'
+                         || '</head><body><p>'
+                         || replace(text, '&', '&amp;')
+                         || '</p><!-- c --></body></html>' END AS page
+        FROM documents WHERE doc_id IS NOT NULL
+    ), stripped AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(page, '{text.HTML_SCRIPT_RE}', ' ', 'g'),
+                     '{text.HTML_STYLE_RE}', ' ', 'g'),
+                   '{text.HTML_COMMENT_RE}', ' ', 'g'),
+                 '{text.HTML_TAG_RE}', ' ', 'g') AS p
+        FROM pages
+    ), extracted AS (
+        SELECT doc_id, source,
+               trim(regexp_replace({_duck_ent_chain("p")},
+                    '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' ') AS text
+        FROM stripped
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(text) AS BIGINT) AS n_null_text,
+           CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars,
+           CAST(coalesce(sum(
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> ''))), 0) AS BIGINT)
+               AS sum_tokens,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+    FROM extracted
+    GROUP BY source
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks only the FIRST 50 entries of

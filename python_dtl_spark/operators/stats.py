@@ -718,10 +718,18 @@ def quantile_drift(
             _ref(df, value_col).alias("__qd_v"),
         )
         if exact:
+            # percentile_disc outputs are actual elements of the input,
+            # but Spark types the aggregate DOUBLE regardless — cast
+            # back to the metric's own dtype so an integer metric yields
+            # an integer card (lossless by the discrete-element
+            # contract; no-op for double metrics)
+            vtype = base.schema["__qd_v"].dataType
             aggs = [
                 F.expr(
                     f"percentile_disc({p}) WITHIN GROUP (ORDER BY __qd_v)"
-                ).alias(f"{prefix}{name}")
+                )
+                .cast(vtype)
+                .alias(f"{prefix}{name}")
                 for p, name in zip(ps, names)
             ]
         else:
