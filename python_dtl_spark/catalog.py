@@ -9985,7 +9985,7 @@ def _q_edit_distance(spark, sf_dir):
     Scale shape: variant explode is row-local (length+1 fan-out on
     KEY-GRAIN strings — ``max_len`` raises on document-length
     misuse), candidates come from an equi-join on variants, never an
-    all-pairs scan (``test_edit_distance_pairs_is_variant_join``);
+    all-pairs scan (``test_edit_distance_pairs_no_all_pairs``);
     32× replication probe: pairs 32.0×, wall 2.3× (SCALING.md)."""
     base = (
         _read(spark, sf_dir, "documents")
@@ -10145,6 +10145,7 @@ _register(
            CAST(levenshtein(d.title, m.title) AS INTEGER) AS edit_distance
     FROM day2 d JOIN merged m ON levenshtein(d.title, m.title) <= 1
     """,
+    headline=True,
 )
 
 
@@ -10386,6 +10387,7 @@ _register(
            n_old, n_new, old_p25, old_p5, old_p9, new_p25, new_p5, new_p9
     FROM co FULL OUTER JOIN cn ON co.source IS NOT DISTINCT FROM cn.source
     """,
+    headline=True,
 )
 
 
@@ -10467,6 +10469,7 @@ _register(
                 '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' ') AS text
     FROM stripped
     """,
+    headline=True,
 )
 
 
