@@ -576,6 +576,16 @@ _register(
 )
 
 _register(
+    # r18: grew the bytes-literal leg (`sig`) — the last grammar
+    # element promoted to a real feature (reference nodes.py:42-44
+    # declares the Bytes node; its eval crashes at eval.py:119 and its
+    # lexer never emits the token).  The b'..' literal is load-bearing
+    # against real data: prepended to encode(lang) and hex'd, so a
+    # wrong byte value, a broken escape decode, or TEXT<->BYTES
+    # coercion all change the hash.  Spark's hex(binary) and DuckDB's
+    # hex(BLOB) are both uppercase — byte-exact cross-engine.  The row
+    # is in the r18 window anyway (r14-stale), so the change round
+    # itself records the evidence (the freshness rule).
     "dtl_scalar_functions",
     _dtl(
         """
@@ -583,13 +593,15 @@ _register(
         WITH output AS
             SELECT doc_id, upper(lang) AS lang_u, length(text) AS len,
                    substr(text, 1, 20) AS head,
-                   concat(lang, '-', source) AS tag
+                   concat(lang, '-', source) AS tag,
+                   hex(concat(b'\\xD7L\\x00~', encode(lang))) AS sig
             FROM documents;
         EXPORT output TO 'output';
         """
     ),
     "SELECT doc_id, upper(lang) AS lang_u, CAST(length(text) AS BIGINT) AS len, "
-    "substr(text, 1, 20) AS head, concat(lang, '-', source) AS tag FROM documents",
+    "substr(text, 1, 20) AS head, concat(lang, '-', source) AS tag, "
+    "hex('\\xD7\\x4C\\x00\\x7E'::BLOB || encode(lang)) AS sig FROM documents",
 )
 
 _register(
@@ -10777,7 +10789,11 @@ _CHANGED_IN_ROUND: dict[str, int] = {
     "dtl_union": 8,
     "dtl_intersect": 8,
     "dtl_except": 8,
-    "dtl_scalar_functions": 8,
+    # dtl_scalar_functions: r8 (round() double cast) then r18 (bytes-
+    # literal leg added to the script + oracle) — single last-wins
+    # entry per the advisor-r11 rule; the row was r14-stale and thus
+    # in the r18 window regardless, so the force costs no extra slot
+    "dtl_scalar_functions": 18,
     "trace_provenance": 8,
     # NOT listed despite round-8 oracle edits (deliberate):
     # events_value_percentiles, decontaminate_train_test,

@@ -168,6 +168,12 @@ class ExprCompiler:
             return F.lit(node.value), DType.TEXT
         if node.kind == "bool":
             return F.lit(node.value), DType.BOOL
+        if node.kind == "bytes":
+            # the reference declares the Bytes node (nodes.py:42-44) but
+            # its eval crashes on pa.bytes() (eval.py:119) and its lexer
+            # never emits the token — promoted here to a real literal
+            # (F.lit(bytes) -> BinaryType), closing SURVEY §2.2
+            return F.lit(node.value), DType.BYTES
         raise DtlNameError(f"compilation error: bad literal kind {node.kind!r}")
 
     def _binary(self, node: n.BinaryOp) -> tuple[Column, DType]:

@@ -174,9 +174,13 @@ _scalar(
 
 
 def _check_concat(dtypes: list[DType]) -> DType:
-    if not dtypes or any(d != DType.TEXT for d in dtypes):
-        raise _fail("concat", dtypes)
-    return DType.TEXT
+    # all-TEXT or all-BYTES (Spark's concat supports binary natively);
+    # mixing the two is a type error — encode/decode to cross
+    if dtypes and all(d == DType.TEXT for d in dtypes):
+        return DType.TEXT
+    if dtypes and all(d == DType.BYTES for d in dtypes):
+        return DType.BYTES
+    raise _fail("concat", dtypes)
 
 
 _scalar("concat", _check_concat, F.concat)
@@ -206,6 +210,41 @@ _scalar(
     lambda s, p: s.rlike(p),
 )
 _scalar("md5", _check_text_unary("md5"), lambda s: F.md5(s.cast("binary")))
+
+# --- bytes -------------------------------------------------------------------
+# The BYTES dtype companions of the string library (bytes literals are
+# the round-18 grammar completion — reference nodes.py:42-44 declares
+# the node, its eval crashes at eval.py:119; columns were already
+# end-to-end).  Strict same-dtype discipline like everything else: no
+# implicit TEXT<->BYTES coercion, cross the boundary with encode/decode.
+
+
+def _check_bytes_unary(name: str, result: DType = DType.BYTES):
+    def check(dtypes: list[DType]) -> DType:
+        _arity(name, dtypes, 1)
+        if dtypes[0] != DType.BYTES:
+            raise _fail(name, dtypes)
+        return result
+
+    return check
+
+
+_scalar(
+    "encode",
+    _check_text_unary("encode", DType.BYTES),
+    lambda s: F.encode(s, "UTF-8"),
+)
+_scalar(
+    "decode",
+    _check_bytes_unary("decode", DType.TEXT),
+    lambda b: F.decode(b, "UTF-8"),
+)
+_scalar("hex", _check_bytes_unary("hex", DType.TEXT), F.hex)
+_scalar(
+    "octet_length",
+    _check_bytes_unary("octet_length", DType.INT64),
+    lambda b: F.octet_length(b).cast("long"),
+)
 
 # --- temporal --------------------------------------------------------------
 

@@ -69,7 +69,9 @@ KEYWORDS = {
 
 @dataclass(frozen=True)
 class Token:
-    kind: str  # keyword (upper), or: NAME QNAME INT FLOAT STRING OP EOF
+    kind: str  # keyword (upper), or: NAME QNAME INT FLOAT STRING
+    #            BYTESTRING (text = RAW inner body; the parser calls
+    #            unescape_bytes — bytes don't fit a str field) OP EOF
     text: str
     lineno: int
     column: int
@@ -85,6 +87,7 @@ _TOKEN_RE = re.compile(
     | (?P<block_comment>/\*(?:[^*]|\*(?!/))*\*/)
     | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
     | (?P<int>\d+)
+    | (?P<bytestring>[bB]'(?:\\.|[^'\\])*')
     | (?P<string>'(?:\\.|[^'\\])*')
     | (?P<qname>"(?:\\.|[^"\\])*")
     | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
@@ -94,6 +97,61 @@ _TOKEN_RE = re.compile(
 )
 
 _ESCAPES = {"n": "\n", "t": "\t", "\\": "\\", "'": "'", '"': '"'}
+
+
+def unescape_bytes(body: str, lineno: int = 1, column: int = 1) -> bytes:
+    """Decode the inner body of a ``b'...'`` literal to bytes.
+
+    Same escapes as strings plus ``\\xHH`` for arbitrary byte values;
+    bare characters must be ASCII (the Python/Rust bytes-literal rule —
+    a non-ASCII character has no single unambiguous byte encoding, so
+    it must be spelled ``\\xHH``).  The reference declares ByteString
+    tokens and a Bytes AST node but never lexes them
+    (/root/reference/src/dtl/tokens.py:39, nodes.py:42-44 — and its
+    eval crashes on the nonexistent ``pa.bytes()``, eval.py:119), so
+    the surface syntax here is this repo's choice, promoted to a real
+    feature like the rest of grammar tier 2.
+    """
+    out = bytearray()
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt in ("x", "X"):
+                hexpart = body[i + 2 : i + 4]
+                if len(hexpart) != 2 or any(
+                    c not in "0123456789abcdefABCDEF" for c in hexpart
+                ):
+                    raise DtlSyntaxError(
+                        r"invalid \xHH escape in bytes literal",
+                        lineno=lineno,
+                        column=column,
+                    )
+                out.append(int(hexpart, 16))
+                i += 4
+                continue
+            esc = _ESCAPES.get(nxt, nxt)
+            if any(ord(c) > 127 for c in esc):
+                raise DtlSyntaxError(
+                    f"non-ASCII escape {nxt!r} in bytes literal; spell "
+                    r"it as \xHH escapes",
+                    lineno=lineno,
+                    column=column,
+                )
+            out.extend(esc.encode("ascii"))
+            i += 2
+            continue
+        if ord(ch) > 127:
+            raise DtlSyntaxError(
+                f"non-ASCII character {ch!r} in bytes literal; spell it "
+                r"as \xHH escapes",
+                lineno=lineno,
+                column=column,
+            )
+        out.append(ord(ch))
+        i += 1
+    return bytes(out)
 
 
 def _unescape(body: str) -> str:
@@ -150,6 +208,8 @@ def tokenize(source: str) -> list[Token]:
                 tokens.append(Token(upper, text, lineno, column))
             else:
                 tokens.append(Token("NAME", text, lineno, column))
+        elif kind == "bytestring":
+            tokens.append(Token("BYTESTRING", text[2:-1], lineno, column))
         elif kind == "string":
             tokens.append(Token("STRING", _unescape(text[1:-1]), lineno, column))
         elif kind == "qname":

@@ -33,7 +33,7 @@ class Expression(Node):
 @dataclass(frozen=True)
 class Literal(Expression):
     value: object
-    kind: str  # "int" | "float" | "string" | "bool"
+    kind: str  # "int" | "float" | "string" | "bool" | "bytes"
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from python_dtl_spark.errors import DtlSyntaxError
 from python_dtl_spark.lang import nodes as n
-from python_dtl_spark.lang.lexer import Token, tokenize
+from python_dtl_spark.lang.lexer import Token, tokenize, unescape_bytes
 
 _CMP_OPS = {"=", "==", "!=", "<", "<=", ">", ">="}
 _JOIN_STARTERS = {"JOIN", "LEFT", "RIGHT", "FULL", "CROSS", "SEMI", "ANTI"}
@@ -397,6 +397,12 @@ class _Parser:
         if tok.kind == "STRING":
             self._advance()
             return n.Literal(value=tok.text, kind="string")
+        if tok.kind == "BYTESTRING":
+            self._advance()
+            return n.Literal(
+                value=unescape_bytes(tok.text, tok.lineno, tok.column),
+                kind="bytes",
+            )
         if tok.kind == "TRUE":
             self._advance()
             return n.Literal(value=True, kind="bool")

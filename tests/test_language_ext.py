@@ -755,3 +755,59 @@ def test_same_root_import_export_overlap_rejected(spark, tmp_path):
             input_dir=root,
             output_dir=root,
         )
+
+
+def test_bytes_literals_and_functions(run_dtl):
+    """Bytes literals flow through the engine as BinaryType and the
+    bytes function family is strict-typed: encode/decode cross the
+    TEXT<->BYTES boundary, concat/hex/octet_length work on BYTES, and
+    equality against a bytes literal filters real data.  The reference
+    declares all of this and evaluates none of it (nodes.py:42-44,
+    eval.py:119 crashes on pa.bytes())."""
+    out = run1(
+        run_dtl,
+        """
+        WITH input AS IMPORT 'input';
+        WITH output AS
+            SELECT s,
+                   hex(concat(b'\\x00\\xAb', encode(s))) AS sig,
+                   octet_length(encode(s)) AS n,
+                   decode(encode(s)) AS back,
+                   encode(s) = b'hi' AS is_hi
+            FROM input;
+        EXPORT output TO 'output';
+        """,
+        {"input": {"s": ["hi", "yo!"]}},
+    )
+    assert out == pa.table(
+        {
+            "s": ["hi", "yo!"],
+            "sig": ["00AB6869", "00AB796F21"],
+            "n": [2, 3],
+            "back": ["hi", "yo!"],
+            "is_hi": [True, False],
+        }
+    )
+
+
+def test_bytes_strict_typing(run_dtl):
+    """No implicit TEXT<->BYTES coercion anywhere: mixing the dtypes in
+    concat, equality or the unary bytes functions is a DtlTypeError."""
+    data = {"input": {"s": ["a"]}}
+    for body in [
+        "SELECT concat(s, b'x') AS c FROM input;",
+        "SELECT (s = b'x') AS c FROM input;",
+        "SELECT hex(s) AS c FROM input;",
+        "SELECT octet_length(s) AS c FROM input;",
+        "SELECT decode(s) AS c FROM input;",
+        "SELECT encode(b'x') AS c FROM input;",
+        "SELECT (b'x' < b'y') AS c FROM input;",
+    ]:
+        with pytest.raises(DtlTypeError):
+            run1(
+                run_dtl,
+                "WITH input AS IMPORT 'input';\nWITH output AS "
+                + body
+                + "\nEXPORT output TO 'output';",
+                data,
+            )

@@ -221,3 +221,35 @@ def test_delete_insert_soft_keywords_usable_as_names():
         "INSERT INTO o SELECT delete FROM delete;\n"
     )
     assert len(stmts.statements) == 5
+
+
+def test_bytes_literal_production():
+    """b'..' lexes to a bytes Literal: standard escapes, \\xHH for
+    arbitrary bytes, case-insensitive prefix; the reference declares
+    the Bytes node but never lexes it (tokens.py:39, nodes.py:42-44),
+    so this is the promoted-to-real form."""
+    stmt = only_stmt("WITH o AS SELECT b'a\\x00\\xff\\t\\'' AS c FROM t;")
+    lit = stmt.expression.columns[0].expression
+    assert lit == n.Literal(value=b"a\x00\xff\t'", kind="bytes")
+    up = only_stmt("WITH o AS SELECT B'Up' AS c FROM t;")
+    assert up.expression.columns[0].expression.value == b"Up"
+    # empty bytes are legal
+    assert only_stmt(
+        "WITH o AS SELECT b'' AS c FROM t;"
+    ).expression.columns[0].expression.value == b""
+
+
+def test_bytes_literal_errors():
+    """Non-ASCII raw characters and malformed \\x escapes fail at parse
+    time with a DtlSyntaxError, not a silent mis-encode."""
+    with pytest.raises(DtlSyntaxError, match="non-ASCII"):
+        parse("WITH o AS SELECT b'é' AS c FROM t;")
+    with pytest.raises(DtlSyntaxError, match="xHH"):
+        parse("WITH o AS SELECT b'\\xZ9' AS c FROM t;")
+    with pytest.raises(DtlSyntaxError, match="xHH"):
+        parse("WITH o AS SELECT b'\\x4' AS c FROM t;")
+    # a bare b away from a quote is still a plain NAME
+    stmt = only_stmt("WITH o AS SELECT b FROM t;")
+    assert stmt.expression.columns[0].expression == n.ColumnRef(
+        namespace=None, name="b"
+    )
