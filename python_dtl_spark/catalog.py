@@ -10054,13 +10054,16 @@ def _q_title_delta(spark, sf_dir):
     now spans ALL FOUR grains (tokens / bits / vectors / characters).
 
     This row stores the index in the HASHED tier
-    (``hash_variants=True`` — xxhash64 8-byte join keys, ~4× smaller
-    index bytes): lossless because hash collisions only add
-    candidates that die in the exact levenshtein verify, and the
-    probe/merge auto-detect the tier from the stored column type
+    (``hash_variants=True`` — fixed 8-byte xxhash64 join keys):
+    lossless because hash collisions only add candidates that die in
+    the exact levenshtein verify, and the probe/merge auto-detect the
+    tier from the stored column type
     (``test_hashed_variant_index_equals_string_tier``) — so the
-    driver's value hash covers the 100 TB tier, not just the string
-    tier.
+    driver's value hash covers the hashed tier, not just the string
+    tier.  (Bytes caveat measured in SCALING.md's r18 probe: parquet
+    compresses short string variants BETTER than high-entropy longs,
+    so the hashed artifact is larger on disk at sf0.1 — the tier's
+    case is key width in the probe shuffle, and it stays opt-in.)
 
     Scale shape: both probes are asymmetric — only the delta explodes
     variants, corpus titles are read solely through the

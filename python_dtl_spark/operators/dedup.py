@@ -2377,11 +2377,18 @@ def title_variant_index(
     exchange (the MinHash-family convention).
 
     ``hash_variants=True`` stores ``xxhash64(variant)`` (LONG) instead
-    of the variant string — the 100 TB tier: ~4× smaller index bytes
-    and 8-byte probe-join keys, LOSSLESS because hash collisions only
-    add candidates that die in the exact levenshtein verify (pinned by
-    ``test_hashed_variant_index_equals_string_tier``).  The probe and
-    merge auto-detect the tier from the stored column's type."""
+    of the variant string: fixed 8-byte probe-join keys and ~4× less
+    raw key width in the shuffle, LOSSLESS because hash collisions
+    only add candidates that die in the exact levenshtein verify
+    (pinned by ``test_hashed_variant_index_equals_string_tier``).  The
+    probe and merge auto-detect the tier from the stored column's
+    type.  Measured caveat (SCALING.md r18 probe): the PARQUET
+    artifact is 1.15–1.4× LARGER than the string tier at sf0.1 —
+    high-entropy longs defeat the dictionary/prefix compression short
+    title variants enjoy — and probe wall is parity at local scale, so
+    the tier earns its keep only where keys are long/high-entropy
+    (URLs, paths) or where fixed-width shuffle keys matter more than
+    stored bytes; it stays opt-in."""
     qid = df["`{}`".format(id_col.replace("`", "``"))]
     qt = df["`{}`".format(text_col.replace("`", "``"))]
     base = df.filter(qid.isNotNull() & qt.isNotNull()).select(

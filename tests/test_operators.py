@@ -7452,7 +7452,7 @@ def test_html_ingest_card_matches_duckdb_replay(spark, sf):
 
 def test_hashed_variant_index_equals_string_tier(spark, tmp_path):
     """The 100 TB tier of the variant index: storing xxhash64(variant)
-    (8-byte join keys, ~4× smaller index) changes NOTHING in the
+    (fixed 8-byte join keys) changes NOTHING in the
     output — collisions only add candidates that die in the exact
     levenshtein verify.  Probe and merge auto-detect the tier from the
     stored column type; merge == rebuild holds within the hashed tier
