@@ -636,6 +636,39 @@ AUDITED = {
         "second join (asserted in tests/test_plans.py::"
         "test_source_drift_card_is_join_plus_single_agg)"
     ),
+    "dedup_edit_distance": (
+        "character-grain near-dup (registered r18): deletion-variant "
+        "explode is row-local; candidates come from an EQUI-join on "
+        "variants (never a nested-loop/all-pairs stage); exact "
+        "levenshtein verify runs on candidates only (asserted in "
+        "tests/test_plans.py::test_edit_distance_pairs_no_all_pairs)"
+    ),
+    "pipeline_title_delta": (
+        "stored-index daily loop, hashed tier (registered r18): both "
+        "probes are asymmetric — only the delta explodes variants, "
+        "corpus titles enter via the candidate-semi-filtered verify; "
+        "the merge is a delta-sized pure map appended under a union "
+        "(asserted in tests/test_plans.py::"
+        "test_edit_distance_delta_is_index_probe_plus_candidate_verify "
+        "and ::test_merge_variant_index_is_pure_map)"
+    ),
+    "pipeline_centroid_index": (
+        "IVF assignment + merge (registered r18): centroids compile "
+        "into the plan as literals — pure map, ZERO Exchange, zero "
+        "Python; the merge unions an arrival-sized map pass (asserted "
+        "in tests/test_plans.py::test_assign_to_centroids_is_pure_map)"
+    ),
+    "doc_html_extract": (
+        "crawl-front WET step (registered r18): fixed regexp_replace "
+        "chain + trim — pure map, ZERO Exchange, zero Python "
+        "(asserted in tests/test_plans.py::test_html_to_text_is_pure_map)"
+    ),
+    "pipeline_outlink_census": (
+        "outlink census (registered r18): regexp_extract_all + explode "
+        "+ canonicalization are all row-local; the census is ONE "
+        "hash aggregation with map-side partials (count + distinct "
+        "doc_id partial) — a single exchange end to end"
+    ),
 }
 
 
