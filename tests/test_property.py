@@ -2082,3 +2082,55 @@ def test_extract_urls_cross_engine_fuzz(spark, texts):
         """).fetchall()
     )
     assert got == want, texts
+
+
+@settings(max_examples=200, deadline=None)
+@given(value=st.binary(min_size=0, max_size=64))
+def test_bytes_literal_roundtrip(value):
+    """Any byte string survives render-as-\\xHH → lex → parse: the
+    bytes literal's value path (lexer raw body + unescape_bytes) is a
+    bijection on the \\xHH normal form, including quotes, backslashes,
+    NULs and high bytes."""
+    from python_dtl_spark.lang import nodes as n
+    from python_dtl_spark.lang.parser import parse
+
+    rendered = "".join(f"\\x{b:02x}" for b in value)
+    script = parse(f"WITH o AS SELECT b'{rendered}' AS c FROM t;")
+    lit = script.statements[0].expression.columns[0].expression
+    assert lit == n.Literal(value=value, kind="bytes")
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    body=st.text(
+        alphabet=st.sampled_from("ab\\'x09AF \t"), min_size=0, max_size=20
+    )
+)
+def test_bytes_literal_never_misencodes(body):
+    """Fuzz the raw literal body: every outcome is either a clean parse
+    whose value round-trips through the \\xHH normal form, or a
+    DtlSyntaxError — never a crash, never a value that re-renders
+    differently (no silent mis-encode)."""
+    from python_dtl_spark.errors import DtlSyntaxError
+    from python_dtl_spark.lang.parser import parse
+
+    # a body containing a quote that ISN'T escaped changes the token
+    # boundary — build source and let the parser decide; we only claim
+    # no crash + round-trip on success
+    src = f"WITH o AS SELECT b'{body}' AS c FROM t;"
+    try:
+        script = parse(src)
+    except DtlSyntaxError:
+        return
+    exprs = [
+        c.expression
+        for s in script.statements
+        if hasattr(s, "expression") and hasattr(s.expression, "columns")
+        for c in s.expression.columns
+    ]
+    for lit in exprs:
+        if getattr(lit, "kind", None) == "bytes":
+            rerendered = "".join(f"\\x{b:02x}" for b in lit.value)
+            script2 = parse(f"WITH o AS SELECT b'{rerendered}' AS c FROM t;")
+            lit2 = script2.statements[0].expression.columns[0].expression
+            assert lit2.value == lit.value
