@@ -10385,22 +10385,38 @@ _register(
                cume_dist() OVER (PARTITION BY source
                                  ORDER BY length(text)) AS cd
         FROM new WHERE text IS NOT NULL
-    ), co AS (
-        SELECT source, count(*)::BIGINT AS n_old,
+    ), po AS (
+        SELECT source,
                min(CASE WHEN cd >= 0.25 THEN v END) AS old_p25,
                min(CASE WHEN cd >= 0.5 THEN v END) AS old_p5,
                min(CASE WHEN cd >= 0.9 THEN v END) AS old_p9
         FROM ro GROUP BY source
-    ), cn AS (
-        SELECT source, count(*)::BIGINT AS n_new,
+    ), pn AS (
+        SELECT source,
                min(CASE WHEN cd >= 0.25 THEN v END) AS new_p25,
                min(CASE WHEN cd >= 0.5 THEN v END) AS new_p5,
                min(CASE WHEN cd >= 0.9 THEN v END) AS new_p9
         FROM rn GROUP BY source
+    ), co AS (
+        -- counts come from the UNFILTERED side, like the engine's
+        -- count(value): a source whose metric is all-NULL reports
+        -- n=0 with NULL percentiles instead of vanishing (r18 review
+        -- hardening of the documented divergence edge)
+        SELECT source, count(text)::BIGINT AS n_old
+        FROM base GROUP BY source
+    ), cn AS (
+        SELECT source, count(text)::BIGINT AS n_new
+        FROM new GROUP BY source
+    ), o2 AS (
+        SELECT co.source, n_old, old_p25, old_p5, old_p9
+        FROM co LEFT JOIN po ON co.source IS NOT DISTINCT FROM po.source
+    ), n2 AS (
+        SELECT cn.source, n_new, new_p25, new_p5, new_p9
+        FROM cn LEFT JOIN pn ON cn.source IS NOT DISTINCT FROM pn.source
     )
-    SELECT coalesce(co.source, cn.source) AS source,
+    SELECT coalesce(o2.source, n2.source) AS source,
            n_old, n_new, old_p25, old_p5, old_p9, new_p25, new_p5, new_p9
-    FROM co FULL OUTER JOIN cn ON co.source IS NOT DISTINCT FROM cn.source
+    FROM o2 FULL OUTER JOIN n2 ON o2.source IS NOT DISTINCT FROM n2.source
     """,
     headline=True,
 )
@@ -10509,8 +10525,18 @@ def _q_outlink_census(spark, sf_dir):
         .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     )
     did = F.col("doc_id")
+    # scrub any NATURAL lowercase 'http' from the raw text before
+    # planting (an identical literal replace on both engines): the
+    # oracle replays registrable-domain derivation with the simple
+    # last-two-labels rule, which is exact for the PLANTED hosts but
+    # not for arbitrary corpus URLs (ccTLD second-levels, parse
+    # rejects) — the fixture guarantees planted-only extraction, so
+    # the row stays green under any future corpus regeneration
+    # (r18 review find; the extraction regex is case-sensitive, so
+    # only lowercase 'http' can match)
+    scrubbed = F.replace(F.col("text"), F.lit("http"), F.lit("hxxp"))
     planted = F.concat(
-        F.col("text"),
+        scrubbed,
         F.lit(" see https://WWW.Site"),
         (did % 7).cast("string"),
         F.lit(".example.com:443/a//b/?utm_source=x&id="),
@@ -10539,7 +10565,8 @@ _register(
     """
     WITH docs AS (
         SELECT doc_id,
-               text || ' see https://WWW.Site' || (doc_id % 7)
+               replace(text, 'http', 'hxxp')
+                    || ' see https://WWW.Site' || (doc_id % 7)
                     || '.example.com:443/a//b/?utm_source=x&id='
                     || (doc_id % 13) || '#frag.'
                     || CASE WHEN doc_id % 3 = 0

@@ -721,8 +721,14 @@ def quantile_drift(
             # percentile_disc outputs are actual elements of the input,
             # but Spark types the aggregate DOUBLE regardless — cast
             # back to the metric's own dtype so an integer metric yields
-            # an integer card (lossless by the discrete-element
-            # contract; no-op for double metrics)
+            # an integer card.  Exact for integer metrics within
+            # double's 2^53 exact range (chars/tokens/counts — the
+            # intended domain); a long metric holding values past 2^53
+            # (nanosecond epochs, hash-derived ids) already lost
+            # precision inside Spark's DOUBLE-typed aggregate and this
+            # cast cannot restore it — the caveat is Spark's, inherited,
+            # and now stated instead of papered over.  No-op for double
+            # metrics.
             vtype = base.schema["__qd_v"].dataType
             aggs = [
                 F.expr(

@@ -2219,8 +2219,12 @@ def dedup_paragraphs(
 #: html_to_text regexes — the Java-regex/RE2-common subset (the
 #: pii_scrub convention): (?is) flags, non-greedy block bodies, no
 #: backreferences/lookaround, so DuckDB replays byte-for-byte.
-HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
-HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+#: Whitespace in the closing tags is the EXPLICIT class, never ``\s``
+#: (Java's ``\s`` includes ``\x0B``, RE2's does not — the same VT
+#: divergence fixed in URL_RE; ``</script\x0B>`` must close the block
+#: in both engines or neither).
+HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script[ \t\n\r\f\x0B]*>"
+HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style[ \t\n\r\f\x0B]*>"
 HTML_COMMENT_RE = r"(?s)<!--.*?-->"
 HTML_TAG_RE = r"(?s)<[^>]*>"
 
