@@ -1960,22 +1960,36 @@ def test_edit_distance_pairs_matches_bruteforce(spark, texts):
 )
 @given(
     texts=st.lists(
-        st.text(
-            alphabet="<>&;/! \t\n\x0B\f\"'abps-#" + "0123456789",
+        st.lists(
+            # FRAGMENT alphabet, not characters: a char-level alphabet
+            # can never spontaneously spell 'script', so the
+            # script/style block rules (incl. their closing-tag
+            # whitespace class — the Java-vs-RE2 \x0B divergence) were
+            # unreachable by the old fuzz (r18 review find)
+            st.sampled_from(
+                [
+                    "<script>", "</script>", "</script\x0b>", "</script >",
+                    "<style>", "</style>", "</style\t>", "<script a=b>",
+                    "<!--", "-->", "<", ">", "&", ";", "/", "!", " ",
+                    "\t", "\n", "\x0b", "\f", '"', "'", "ab", "ps", "-",
+                    "#", "&amp;", "&lt;", "0", "9",
+                ]
+            ),
             min_size=0,
-            max_size=60,
-        ),
+            max_size=12,
+        ).map("".join),
         min_size=1,
         max_size=8,
     )
 )
 def test_html_to_text_cross_engine_fuzz(spark, texts):
     """Adversarial tag-soup fuzz of the html_to_text regex chain:
-    random strings dense in '<', '>', '&', quotes, digits and
-    whitespace must extract IDENTICALLY in Spark (Java regex) and
-    DuckDB (RE2) — the staged row's engine-exactness claim, enforced
-    on hostile input rather than asserted (malformed nesting must
-    degrade to whitespace, never diverge)."""
+    random FRAGMENT compositions dense in real tags (script/style
+    openers and whitespace-bearing closers), comments, entities,
+    quotes and whitespace must extract IDENTICALLY in Spark (Java
+    regex) and DuckDB (RE2) — the registered row's engine-exactness
+    claim, enforced on hostile input rather than asserted (malformed
+    nesting must degrade to whitespace, never diverge)."""
     import duckdb
     import pyarrow as pa
 
