@@ -10,6 +10,8 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import pytest
+
 from python_dtl_spark.catalog import (
     QUERIES,
     _correctness_history,
@@ -247,3 +249,29 @@ def test_floor_select_plateau_precondition_holds(spark):
         assert band == {500.0}, (
             f"{sf}: GK band ranks [{lo},{hi}] leave the plateau: {band}"
         )
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_corpus_has_no_vt_ff_whitespace(sf):
+    """Corpus precondition for the \\s-based tokenization oracles: many
+    registered rows split tokens with ``\\s+`` on BOTH engines, and
+    Java's ``\\s`` includes ``\\x0B``/``\\f`` handling identical to
+    RE2's for them EXCEPT vertical tab (``\\x0B`` is Java-\\s but not
+    RE2-\\s).  Every such row is green because the driver corpus
+    contains neither character — pin that fact, so a regenerated
+    corpus that grows a VT fails HERE with a named cause instead of
+    reddening twenty token-count oracles at once.  (New operators use
+    explicit whitespace classes — URL_RE, html_to_text — and are
+    immune; rewriting every established tokenization oracle would
+    force a window-overflowing mass re-verify for zero behavior
+    change on this corpus.)"""
+    import duckdb
+
+    n = duckdb.sql(
+        f"""
+        SELECT count(*) FROM '/root/testdata/{sf}/documents.parquet'
+        WHERE text LIKE '%' || chr(11) || '%'
+           OR text LIKE '%' || chr(12) || '%'
+        """
+    ).fetchone()[0]
+    assert n == 0
