@@ -1213,6 +1213,15 @@ def ngram_dominance(
 PII_EMAIL_RE = r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
 PII_PHONE_RE = r"\b555-[0-9]{3,10}\b"
 
+#: Card-number CANDIDATE runs: 13-16 digits, optionally grouped by
+#: single spaces or dashes, word-bounded (``\b`` is the ASCII word
+#: boundary in BOTH Java and RE2 — engine-common like the rest of the
+#: pii_scrub regex convention; digit runs embedded in identifiers
+#: never match).  Candidates are only the cheap half: a run is
+#: redacted by :func:`card_scrub` ONLY if its Luhn checksum verifies,
+#: so order numbers and timestamps survive.
+PII_CARD_RE = r"\b[0-9](?:[ -]?[0-9]){12,15}\b"
+
 
 def pii_scrub(
     df: DataFrame,
@@ -1247,6 +1256,74 @@ def pii_scrub(
         )
         .cast("long")
         .alias("n_phones"),
+        scrubbed.alias(text_col),
+    )
+
+
+def _luhn_valid(cand):
+    """Luhn checksum over a candidate card run (separators stripped),
+    as pure JVM column arithmetic: from the RIGHT, double every second
+    digit (subtracting 9 when the double exceeds 9) and require the
+    sum ≡ 0 (mod 10).  Exact integers end to end, so DuckDB replays
+    the fold bit-for-bit."""
+    clean = F.regexp_replace(cand, "[ -]", "")
+    n = F.length(clean)
+    digit = lambda i: clean.substr(i, F.lit(1)).cast("int")  # noqa: E731
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when((n - i) % 2 == 0, digit(i)).otherwise(
+            digit(i) * 2 - F.when(digit(i) >= 5, 9).otherwise(0)
+        ),
+    )
+    return total % 10 == 0
+
+
+def card_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    card_token: str = "<CARD>",
+) -> DataFrame:
+    """Redact Luhn-valid payment-card numbers (13–16 digits, optional
+    single space/dash grouping), recording how many were found — the
+    PAN leg of the PII battery (every privacy-compliant curation stack
+    scrubs card numbers; C4/CCNet-era pipelines drop or mask them).
+
+    Candidates come from :data:`PII_CARD_RE`; a candidate is redacted
+    ONLY if its Luhn checksum verifies, so 16-digit order ids and
+    timestamps survive while any actual card number (whose final digit
+    IS a Luhn check digit) is replaced.  Adds ``n_cards`` (redacted
+    occurrences — duplicates of the same number each count) and
+    replaces ``text_col`` with the scrubbed text; NULL text stays
+    NULL with ``n_cards`` NULL (the pii_scrub convention is followed
+    except counts: pii_scrub counts regex matches, this counts
+    LUHN-VERIFIED matches only).
+
+    Redaction is a fold of literal ``replace`` calls over the verified
+    candidate list, so every occurrence of a verified number is
+    replaced — including, deliberately, an occurrence embedded where
+    the regex alone would not re-match (over-redaction is the safe
+    direction for a scrub; documented scope).
+
+    Scale shape: ``regexp_extract_all`` + a per-candidate integer fold
+    + a replace fold — pure map, zero Exchange, zero Python
+    (``test_card_scrub_is_pure_map``); Luhn arithmetic is exact
+    integers, so the whole operator is DuckDB-replayable
+    (``test_card_scrub_matches_duckdb_replay``).
+
+    Extension operator (SURVEY §2.5 scalar library); no reference
+    counterpart.
+    """
+    t = F.col(text_col)
+    cands = F.regexp_extract_all(t, F.lit(PII_CARD_RE), F.lit(0))
+    valid = F.filter(cands, _luhn_valid)
+    scrubbed = F.aggregate(
+        valid, t, lambda acc, m: F.replace(acc, m, F.lit(card_token))
+    )
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.size(valid).cast("long").alias("n_cards"),
         scrubbed.alias(text_col),
     )
 

@@ -7564,3 +7564,122 @@ def test_html_to_text_vt_closing_tag_cross_engine(spark):
     # and the blocks really closed: their bodies are gone in BOTH
     assert got[1] == "a b" and got[2] == "c d"
     assert got[3] == "e f" and got[4] == "g h"
+
+
+def test_card_scrub_semantics(spark):
+    """card_scrub: Luhn-valid 13-16 digit runs (plain, space- or
+    dash-grouped) redact and count per occurrence; bad check digits,
+    short runs, over-long runs and embedded-in-word runs survive;
+    NULL text stays NULL with NULL count; other columns pass through."""
+    from python_dtl_spark.operators.text import card_scrub
+
+    rows = [
+        (1, "pay 4111111111111111 now"),
+        (2, "pay 4111111111111112 now"),
+        (3, "card 4111 1111 1111 1111 and 5500-0000-0000-0004 "
+            "twice 4111 1111 1111 1111"),
+        (4, "order 123456789012 id"),
+        (5, "ts 12345678901234567890"),
+        (6, "x4111111111111111 embedded"),
+        (7, None),
+        (8, "amex 378282246310005 ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_cards, r.text) for r in card_scrub(df).collect()}
+    assert got[1] == (1, "pay <CARD> now")
+    assert got[2] == (0, "pay 4111111111111112 now")
+    assert got[3] == (3, "card <CARD> and <CARD> twice <CARD>")
+    assert got[4] == (0, "order 123456789012 id")
+    assert got[5] == (0, "ts 12345678901234567890")
+    assert got[6] == (0, "x4111111111111111 embedded")
+    assert got[7] == (None, None)
+    assert got[8] == (1, "amex <CARD> ok")
+    # custom token + column passthrough
+    out = card_scrub(df.withColumn("keep", F.lit(7)), card_token="[PAN]")
+    r1 = {r.doc_id: r for r in out.collect()}[1]
+    assert r1.text == "pay [PAN] now" and r1.keep == 7
+
+
+_CARD_LUHN_SQL = """
+    list_sum(list_transform(
+        range(1, length(regexp_replace({x}, '[ -]', '', 'g')) + 1),
+        i -> CASE WHEN (length(regexp_replace({x}, '[ -]', '', 'g')) - i)
+                       % 2 = 0
+                  THEN CAST(substr(regexp_replace({x}, '[ -]', '', 'g'),
+                                   i, 1) AS INTEGER)
+                  ELSE 2 * CAST(substr(regexp_replace({x}, '[ -]', '', 'g'),
+                                       i, 1) AS INTEGER)
+                       - CASE WHEN CAST(substr(regexp_replace({x}, '[ -]',
+                                                              '', 'g'),
+                                              i, 1) AS INTEGER) >= 5
+                              THEN 9 ELSE 0 END
+             END)) % 10 = 0
+"""
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_card_scrub_matches_duckdb_replay(spark, sf):
+    """Pre-validated oracle for the staged doc_card_scrub row (r20
+    slot): known-valid PANs (Visa/Amex/MC test numbers, grouped and
+    plain), a bad-check-digit twin and a too-short run planted
+    row-locally over the real documents table; DuckDB replays the
+    ENTIRE algorithm — candidate regex, the exact-integer Luhn fold,
+    the verified-only replace fold and the count — so the oracle is
+    algorithm-complete, not a planted-truth shortcut (natural digit
+    runs in the corpus are judged identically by both engines)."""
+    import duckdb
+
+    from python_dtl_spark.operators.text import PII_CARD_RE, card_scrub
+
+    path = f"/root/testdata/{sf}/documents.parquet"
+    base = (
+        spark.read.parquet(path)
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+    )
+    did = F.col("doc_id")
+    plant = (
+        F.when(did % 5 == 0, F.lit(" pay 4111111111111111."))
+        .when(did % 5 == 1, F.lit(" card 5500-0000-0000-0004 x"))
+        .when(did % 5 == 2, F.lit(" ref 4111111111111112 (bad)"))
+        .when(did % 5 == 3, F.lit(" amex 378282246310005"))
+        .otherwise(F.lit(" order 123456789012"))
+    )
+    docs = base.withColumn("text", F.concat(F.col("text"), plant))
+    got = sorted(
+        (r.doc_id, r.n_cards, r.text) for r in card_scrub(docs).collect()
+    )
+    luhn = _CARD_LUHN_SQL.format(x="x")
+    oracle = duckdb.connect().execute(f"""
+        WITH docs AS (
+            SELECT doc_id,
+                   text || CASE doc_id % 5
+                       WHEN 0 THEN ' pay 4111111111111111.'
+                       WHEN 1 THEN ' card 5500-0000-0000-0004 x'
+                       WHEN 2 THEN ' ref 4111111111111112 (bad)'
+                       WHEN 3 THEN ' amex 378282246310005'
+                       ELSE ' order 123456789012' END AS text
+            FROM '{path}'
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        ), v AS (
+            SELECT doc_id, text,
+                   list_filter(
+                       regexp_extract_all(text,
+                           '\\b[0-9](?:[ -]?[0-9]){{12,15}}\\b'),
+                       x -> {luhn}) AS valid
+            FROM docs
+        )
+        SELECT doc_id,
+               CAST(len(valid) AS BIGINT) AS n_cards,
+               list_reduce(list_prepend(text, valid),
+                           (acc, m) -> replace(acc, m, '<CARD>')) AS text
+        FROM v
+        ORDER BY doc_id
+    """).fetchall()
+    assert got == [tuple(r) for r in oracle]
+    # the fixture is load-bearing in all three directions
+    n = {d: c for d, c, _ in got}
+    assert sum(1 for d, c in n.items() if d % 5 in (0, 1, 3) and c >= 1) > 50
+    assert all("4111111111111111" not in t for _, _, t in got if t)
+    assert any("4111111111111112" in t for _, _, t in got if t)
+    assert any("123456789012" in t for _, _, t in got if t)

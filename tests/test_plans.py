@@ -2236,3 +2236,20 @@ def test_extract_urls_is_pure_map(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_card_scrub_is_pure_map(spark):
+    """card_scrub (staged r18 → r20 slot): candidate regex + the
+    per-candidate Luhn integer fold + the verified-replace fold are
+    all row-local higher-order-function expressions — zero Exchange,
+    zero Python; the PAN leg fuses into the ingest scan like the rest
+    of the PII battery."""
+    from python_dtl_spark.operators.text import card_scrub
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _exec_plan(card_scrub(docs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

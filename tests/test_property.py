@@ -2148,3 +2148,80 @@ def test_bytes_literal_never_misencodes(body):
             script2 = parse(f"WITH o AS SELECT b'{rerendered}' AS c FROM t;")
             lit2 = script2.statements[0].expression.columns[0].expression
             assert lit2.value == lit.value
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            # fragment alphabet (the html-fuzz lesson): real PAN-shaped
+            # runs, separators, boundaries and digit noise compose so
+            # the candidate regex, the Luhn verify and the replace fold
+            # are all reachable — incl. Java-vs-RE2 \b and
+            # leftmost/greedy extraction agreement on grouped runs
+            st.sampled_from(
+                [
+                    "4111111111111111", "4111 1111 1111 1111",
+                    "5500-0000-0000-0004", "378282246310005",
+                    "4111111111111112", "123456789012", "0",
+                    "9", "99", " ", "-", "x", ".", "(", ")", "\n",
+                ]
+            ),
+            min_size=0,
+            max_size=8,
+        ).map("".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_card_scrub_cross_engine_fuzz(spark, texts):
+    """Adversarial PAN-soup fuzz: random compositions of valid/invalid
+    card runs, separators and digit noise must scrub IDENTICALLY in
+    Spark (Java regex + JVM fold) and DuckDB (RE2 + list fold) — the
+    candidate extraction, Luhn arithmetic and replace fold agree
+    byte-for-byte or the staged row's oracle claim is void."""
+    import duckdb
+    import pyarrow as pa
+
+    from tests.test_operators import _CARD_LUHN_SQL
+    from python_dtl_spark.operators.text import card_scrub
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.n_cards, r.text) for r in card_scrub(df).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+    )
+    luhn = _CARD_LUHN_SQL.format(x="x")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+        WITH v AS (
+            SELECT doc_id, text,
+                   list_filter(
+                       regexp_extract_all(text,
+                           '\\b[0-9](?:[ -]?[0-9]){{12,15}}\\b'),
+                       x -> {luhn}) AS valid
+            FROM t
+        )
+        SELECT doc_id, CAST(len(valid) AS BIGINT),
+               list_reduce(list_prepend(text, valid),
+                           (acc, m) -> replace(acc, m, '<CARD>'))
+        FROM v
+        """).fetchall()
+    )
+    assert got == want, texts
