@@ -811,3 +811,29 @@ def test_bytes_strict_typing(run_dtl):
                 + "\nEXPORT output TO 'output';",
                 data,
             )
+
+
+def test_bytes_literal_parquet_round_trip(spark, tmp_path):
+    """A bytes literal survives the full user flow: DTL script →
+    BinaryType column → EXPORT to parquet → read back byte-identical
+    (the reference's Bytes node could never reach its io layer — eval
+    crashed first)."""
+    from python_dtl_spark.runtime import run_files
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    spark.createDataFrame([("a",), ("b",)], "k string").write.parquet(
+        str(indir / "t.parquet")
+    )
+    run_files(
+        "WITH t AS IMPORT 't';\n"
+        "WITH o AS SELECT k, b'\\x00raw\\xff' AS blob FROM t;\n"
+        "EXPORT o TO 'o';\n",
+        spark=spark,
+        input_dir=str(indir),
+        output_dir=str(outdir),
+    )
+    back = spark.read.parquet(str(outdir / "o.parquet"))
+    assert dict(back.dtypes)["blob"] == "binary"
+    vals = {bytes(r.blob) for r in back.collect()}
+    assert vals == {b"\x00raw\xff"}
