@@ -10003,7 +10003,19 @@ def _q_edit_distance(spark, sf_dir):
         _read(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.lower(F.substring(F.trim("text"), 1, 24)).alias("title"),
+            # non-ASCII stripped FIRST (identical literal class both engines):
+            # DuckDB levenshtein is BYTE-based while Spark's is
+            # codepoint-based, so the oracle is exact only over ASCII —
+            # a no-op on today's corpus, immunity if it regenerates
+            F.lower(
+                F.substring(
+                    F.trim(
+                        F.regexp_replace("text", "[^\\x00-\\x7F]", "")
+                    ),
+                    1,
+                    24,
+                )
+            ).alias("title"),
         )
         .filter(F.col("doc_id").isNotNull() & F.col("title").isNotNull())
     )
@@ -10025,7 +10037,7 @@ _register(
     _q_edit_distance,
     """
     WITH base AS (
-        SELECT doc_id, lower(substr(trim(text), 1, 24)) AS title
+        SELECT doc_id, lower(substr(trim(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')), 1, 24)) AS title
         FROM documents
         WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ), aug AS (
@@ -10076,7 +10088,19 @@ def _q_title_delta(spark, sf_dir):
         _read(spark, sf_dir, "documents")
         .select(
             "doc_id",
-            F.lower(F.substring(F.trim("text"), 1, 24)).alias("title"),
+            # non-ASCII stripped FIRST (identical literal class both engines):
+            # DuckDB levenshtein is BYTE-based while Spark's is
+            # codepoint-based, so the oracle is exact only over ASCII —
+            # a no-op on today's corpus, immunity if it regenerates
+            F.lower(
+                F.substring(
+                    F.trim(
+                        F.regexp_replace("text", "[^\\x00-\\x7F]", "")
+                    ),
+                    1,
+                    24,
+                )
+            ).alias("title"),
         )
         .filter(F.col("doc_id").isNotNull() & F.col("title").isNotNull())
     )
@@ -10132,7 +10156,7 @@ _register(
     _q_title_delta,
     """
     WITH corpus AS (
-        SELECT doc_id, lower(substr(trim(text), 1, 24)) AS title
+        SELECT doc_id, lower(substr(trim(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')), 1, 24)) AS title
         FROM documents
         WHERE doc_id IS NOT NULL AND text IS NOT NULL
     ), day1 AS (
