@@ -275,3 +275,27 @@ def test_corpus_has_no_vt_ff_whitespace(sf):
         """
     ).fetchone()[0]
     assert n == 0
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_corpus_text_is_ascii(sf):
+    """Corpus precondition for every unicode-sensitive oracle pair:
+    established oracles rely on Spark/DuckDB AGREEMENT of lower(),
+    length(), substr() slicing and (for the edit-distance rows,
+    already made immune by an explicit strip) levenshtein — semantics
+    that are known or plausible divergence classes on non-ASCII input
+    (DuckDB levenshtein is byte-based vs Spark's codepoint-based;
+    case-mapping tables can differ per ICU version).  The driver
+    corpus is 100% ASCII across documents.text/source/lang — pin it,
+    so a regenerated corpus with unicode content fails HERE with a
+    named cause instead of reddening string oracles diffusely."""
+    import duckdb
+
+    for col in ("text", "source", "lang"):
+        n = duckdb.sql(
+            f"""
+            SELECT count(*) FROM '/root/testdata/{sf}/documents.parquet'
+            WHERE {col} ~ '[^\\x00-\\x7F]'
+            """
+        ).fetchone()[0]
+        assert n == 0, f"{col} has {n} non-ASCII rows at {sf}"
