@@ -1228,6 +1228,11 @@ _LITERAL_DTYPES = {
     "float": DType.DOUBLE,
     "string": DType.TEXT,
     "bool": DType.BOOL,
+    # kept in lockstep with ExprCompiler._literal: a literal kind
+    # missing here crashes literal_args positions with a raw KeyError
+    # instead of the type check's DtlTypeError (r18 review find —
+    # `round_to(x, b'ab')` must type-fail, not crash)
+    "bytes": DType.BYTES,
 }
 
 

@@ -1300,15 +1300,19 @@ def card_scrub(
     except counts: pii_scrub counts regex matches, this counts
     LUHN-VERIFIED matches only).
 
-    Redaction is a fold of literal ``replace`` calls over the verified
-    candidate list, so every occurrence of a verified number is
-    replaced — including, deliberately, an occurrence embedded where
-    the regex alone would not re-match (over-redaction is the safe
-    direction for a scrub; documented scope).
+    Redaction is a WORD-ANCHORED alternation of the verified values
+    (``\\b(?:v1|v2|…)\\b`` — safe to build literally: candidates
+    contain only digits, spaces and dashes, none of which are regex
+    metacharacters in an alternation), so a verified number embedded
+    inside a LONGER digit run is never partially rewritten — a naive
+    literal replace would turn ``ref <PAN>2345`` order ids into
+    ``ref <CARD>2345``, mangling a non-card identifier (r18 review
+    find); anchored, the identifier survives untouched and every
+    replaced site is exactly one counted candidate occurrence.
 
     Scale shape: ``regexp_extract_all`` + a per-candidate integer fold
-    + a replace fold — pure map, zero Exchange, zero Python
-    (``test_card_scrub_is_pure_map``); Luhn arithmetic is exact
+    + one anchored ``regexp_replace`` — pure map, zero Exchange, zero
+    Python (``test_card_scrub_is_pure_map``); Luhn arithmetic is exact
     integers, so the whole operator is DuckDB-replayable
     (``test_card_scrub_matches_duckdb_replay``).
 
@@ -1318,9 +1322,18 @@ def card_scrub(
     t = F.col(text_col)
     cands = F.regexp_extract_all(t, F.lit(PII_CARD_RE), F.lit(0))
     valid = F.filter(cands, _luhn_valid)
-    scrubbed = F.aggregate(
-        valid, t, lambda acc, m: F.replace(acc, m, F.lit(card_token))
-    )
+    # guard the empty list: '\b(?:)\b' would match the empty string at
+    # every word boundary and spray tokens through clean text
+    scrubbed = F.when(
+        F.size(valid) > 0,
+        F.regexp_replace(
+            t,
+            F.concat(
+                F.lit(r"\b(?:"), F.array_join(valid, "|"), F.lit(r")\b")
+            ),
+            F.lit(card_token),
+        ),
+    ).otherwise(t)
     return df.select(
         *[c for c in df.columns if c != text_col],
         F.size(valid).cast("long").alias("n_cards"),

@@ -291,11 +291,37 @@ def test_corpus_text_is_ascii(sf):
     named cause instead of reddening string oracles diffusely."""
     import duckdb
 
+    # regexp_matches (PARTIAL match), not ``~`` — DuckDB's ``~`` is
+    # regexp_full_match, which would only flag values that ARE a
+    # single non-ASCII char, making the pin vacuous (r18 review find:
+    # 'héllo' ~ '[^\x00-\x7F]' is FALSE)
     for col in ("text", "source", "lang"):
         n = duckdb.sql(
             f"""
             SELECT count(*) FROM '/root/testdata/{sf}/documents.parquet'
-            WHERE {col} ~ '[^\\x00-\\x7F]'
+            WHERE regexp_matches({col}, '[^\\x00-\\x7F]')
             """
         ).fetchone()[0]
         assert n == 0, f"{col} has {n} non-ASCII rows at {sf}"
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_corpus_ids_below_fixture_offsets(sf):
+    """Corpus precondition for every planted-id fixture: catalog rows
+    synthesize delta/typo/re-added rows by re-keying with +300000 /
+    +500000 / +1000000 / +2000000 offsets, and several operators
+    (edit-distance delta, the stored-index merges) carry a
+    unique-and-disjoint id contract whose violation is a
+    NONDETERMINISTIC dropDuplicates pick vs an oracle that keeps both
+    (r18 review find).  Natural ids are 0..4999 across the driver
+    scales — pin ids >= 0 and < 300000 (the smallest offset in use),
+    so a regenerated corpus with big ids fails HERE with a named cause
+    instead of flaking a fixture hash."""
+    import duckdb
+
+    for tbl, col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        lo, hi = duckdb.sql(
+            f"SELECT min({col}), max({col}) "
+            f"FROM '/root/testdata/{sf}/{tbl}.parquet'"
+        ).fetchone()
+        assert lo >= 0 and hi < 300000, (tbl, lo, hi)

@@ -7607,6 +7607,10 @@ def test_card_scrub_semantics(spark):
         (6, "x4111111111111111 embedded"),
         (7, None),
         (8, "amex 378282246310005 ok"),
+        # a verified PAN elsewhere must NOT partially rewrite its
+        # occurrence inside a longer digit run (anchored replace —
+        # the naive literal-replace fold mangled this to <CARD>2345)
+        (9, "pay 4111111111111111; ref 41111111111111112345"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: (r.n_cards, r.text) for r in card_scrub(df).collect()}
@@ -7618,6 +7622,7 @@ def test_card_scrub_semantics(spark):
     assert got[6] == (0, "x4111111111111111 embedded")
     assert got[7] == (None, None)
     assert got[8] == (1, "amex <CARD> ok")
+    assert got[9] == (1, "pay <CARD>; ref 41111111111111112345")
     # custom token + column passthrough
     out = card_scrub(df.withColumn("keep", F.lit(7)), card_token="[PAN]")
     r1 = {r.doc_id: r for r in out.collect()}[1]
@@ -7695,8 +7700,11 @@ def test_card_scrub_matches_duckdb_replay(spark, sf):
         )
         SELECT doc_id,
                CAST(len(valid) AS BIGINT) AS n_cards,
-               list_reduce(list_prepend(text, valid),
-                           (acc, m) -> replace(acc, m, '<CARD>')) AS text
+               CASE WHEN len(valid) > 0
+                    THEN regexp_replace(text,
+                        '\\b(?:' || array_to_string(valid, '|') || ')\\b',
+                        '<CARD>', 'g')
+                    ELSE text END AS text
         FROM v
         ORDER BY doc_id
     """).fetchall()

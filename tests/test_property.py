@@ -2219,8 +2219,11 @@ def test_card_scrub_cross_engine_fuzz(spark, texts):
             FROM t
         )
         SELECT doc_id, CAST(len(valid) AS BIGINT),
-               list_reduce(list_prepend(text, valid),
-                           (acc, m) -> replace(acc, m, '<CARD>'))
+               CASE WHEN len(valid) > 0
+                    THEN regexp_replace(text,
+                        '\\b(?:' || array_to_string(valid, '|') || ')\\b',
+                        '<CARD>', 'g')
+                    ELSE text END
         FROM v
         """).fetchall()
     )
