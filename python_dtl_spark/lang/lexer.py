@@ -111,9 +111,18 @@ def unescape_bytes(body: str, lineno: int = 1, column: int = 1) -> bytes:
     eval crashes on the nonexistent ``pa.bytes()``, eval.py:119), so
     the surface syntax here is this repo's choice, promoted to a real
     feature like the rest of grammar tier 2.
+
+    ``lineno``/``column`` are the TOKEN's start; errors report the
+    offending escape's own position (``column + 2 + i`` — the ``b'``
+    prefix plus the offset within the body; bytes literals cannot span
+    lines, so only the column shifts).
     """
     out = bytearray()
     i = 0
+
+    def _err_col() -> int:
+        return column + 2 + i
+
     while i < len(body):
         ch = body[i]
         if ch == "\\" and i + 1 < len(body):
@@ -126,7 +135,7 @@ def unescape_bytes(body: str, lineno: int = 1, column: int = 1) -> bytes:
                     raise DtlSyntaxError(
                         r"invalid \xHH escape in bytes literal",
                         lineno=lineno,
-                        column=column,
+                        column=_err_col(),
                     )
                 out.append(int(hexpart, 16))
                 i += 4
@@ -137,7 +146,7 @@ def unescape_bytes(body: str, lineno: int = 1, column: int = 1) -> bytes:
                     f"non-ASCII escape {nxt!r} in bytes literal; spell "
                     r"it as \xHH escapes",
                     lineno=lineno,
-                    column=column,
+                    column=_err_col(),
                 )
             out.extend(esc.encode("ascii"))
             i += 2
@@ -147,7 +156,7 @@ def unescape_bytes(body: str, lineno: int = 1, column: int = 1) -> bytes:
                 f"non-ASCII character {ch!r} in bytes literal; spell it "
                 r"as \xHH escapes",
                 lineno=lineno,
-                column=column,
+                column=_err_col(),
             )
         out.append(ord(ch))
         i += 1

@@ -1280,6 +1280,70 @@ def _luhn_valid(cand):
     return total % 10 == 0
 
 
+def _card_site_scrub(cand, token: str):
+    """Rebuild ONE extractor-matched candidate site: redact the
+    leftmost-longest Luhn-valid separator-bounded digit run of 13–16
+    digits inside it (the full run included), or return the site
+    unchanged.  Returns ``struct(site string, hit int)``.
+
+    Scanning sub-runs closes the r18-advisor false-negative class: a
+    real PAN immediately followed by a separator and more digits (e.g.
+    ``4111111111119 000``) forms a single maximal Luhn-INVALID
+    candidate under greedy extraction, so whole-candidate verification
+    let the PAN escape.  Sub-runs are spans of whole separator-bounded
+    digit GROUPS — at most one span can verify per site (two
+    non-overlapping 13-digit runs need ≥26 digits, candidates have
+    ≤16), so "leftmost, then longest" is a total choice rule shared
+    bit-for-bit with the DuckDB replay.
+    """
+    groups = F.split(cand, "[ -]")
+    k = F.size(groups)
+
+    def dsum(i, j):  # total digits in groups i..j (empty slice -> 0)
+        return F.aggregate(
+            F.slice(groups, i, j - i + 1),
+            F.lit(0),
+            lambda a, g: a + F.length(g),
+        )
+
+    def span(i, j):
+        # struct field order IS the choice rule: array_sort compares
+        # lexicographically, so (i ASC, neg_dl ASC) = leftmost-longest
+        dl = dsum(i, j)
+        return F.struct(
+            i.alias("i"),
+            (-dl).alias("neg_dl"),
+            (i + dsum(F.lit(1), i - 1)).alias("start"),
+            (dl + (j - i)).alias("clen"),
+            dl.alias("dl"),
+        )
+
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.transform(F.sequence(i, k), lambda j: span(i, j)),
+        )
+    )
+    valid = F.filter(
+        spans,
+        lambda s: (s["dl"] >= 13)
+        & (s["dl"] <= 16)
+        & _luhn_valid(cand.substr(s["start"], s["clen"])),
+    )
+    # F.get: 0-based and NULL on out-of-bounds (ANSI-safe on the empty
+    # no-valid-span array, unlike element_at)
+    pick = F.get(F.array_sort(valid), F.lit(0))
+    site = F.when(pick.isNull(), cand).otherwise(
+        F.concat(
+            cand.substr(F.lit(1), pick["start"] - 1),
+            F.lit(token),
+            cand.substr(pick["start"] + pick["clen"], F.length(cand)),
+        )
+    )
+    hit = F.when(pick.isNull(), F.lit(0)).otherwise(F.lit(1))
+    return F.struct(site.alias("site"), hit.alias("hit"))
+
+
 def card_scrub(
     df: DataFrame,
     text_col: str = "text",
@@ -1290,29 +1354,36 @@ def card_scrub(
     PAN leg of the PII battery (every privacy-compliant curation stack
     scrubs card numbers; C4/CCNet-era pipelines drop or mask them).
 
-    Candidates come from :data:`PII_CARD_RE`; a candidate is redacted
-    ONLY if its Luhn checksum verifies, so 16-digit order ids and
-    timestamps survive while any actual card number (whose final digit
-    IS a Luhn check digit) is replaced.  Adds ``n_cards`` (redacted
-    occurrences — duplicates of the same number each count) and
-    replaces ``text_col`` with the scrubbed text; NULL text stays
-    NULL with ``n_cards`` NULL (the pii_scrub convention is followed
-    except counts: pii_scrub counts regex matches, this counts
-    LUHN-VERIFIED matches only).
+    Candidate SITES come from :data:`PII_CARD_RE` (maximal greedy
+    13–16-digit runs; runs longer than 16 digits never match, so
+    digit runs embedded in identifiers survive).  Within each site the
+    leftmost-longest Luhn-valid separator-bounded sub-run of 13–16
+    digits is redacted (the full site included); sites with no valid
+    run — 16-digit order ids, timestamps — pass through unchanged.
+    Adds ``n_cards`` (redacted sites — duplicates of the same number
+    each count) and replaces ``text_col`` with the scrubbed text; NULL
+    text stays NULL with ``n_cards`` NULL (the pii_scrub convention is
+    followed except counts: pii_scrub counts regex matches, this
+    counts LUHN-VERIFIED sites only).
 
-    Redaction is a WORD-ANCHORED alternation of the verified values
-    (``\\b(?:v1|v2|…)\\b`` — safe to build literally: candidates
-    contain only digits, spaces and dashes, none of which are regex
-    metacharacters in an alternation), so a verified number embedded
-    inside a LONGER digit run is never partially rewritten — a naive
-    literal replace would turn ``ref <PAN>2345`` order ids into
-    ``ref <CARD>2345``, mangling a non-card identifier (r18 review
-    find); anchored, the identifier survives untouched and every
-    replaced site is exactly one counted candidate occurrence.
+    The output text is REBUILT by splitting on the candidate regex and
+    folding scrubbed sites back between the segments, so replacement
+    happens exactly at extractor-matched sites and nowhere else.  Two
+    r18-advisor classes are closed by this structure, both pinned in
+    ``test_card_scrub_semantics``: (1) an anchored-alternation replace
+    re-matched verified values at OTHER sites because separators
+    create internal ``\\b`` boundaries (``ref 4111111111119 000``
+    contains ``\\b4111111111119\\b``), double-redacting and breaking
+    the count invariant; (2) a real PAN absorbed into a longer
+    Luhn-invalid maximal candidate escaped whole-candidate
+    verification — the sub-run scan in :func:`_card_site_scrub`
+    catches it.  Invariant: every inserted token is exactly one
+    counted Luhn-verified run at one extractor-matched site.
 
-    Scale shape: ``regexp_extract_all`` + a per-candidate integer fold
-    + one anchored ``regexp_replace`` — pure map, zero Exchange, zero
-    Python (``test_card_scrub_is_pure_map``); Luhn arithmetic is exact
+    Scale shape: ``regexp_extract_all`` + ``split`` + per-site
+    higher-order-function folds (≤ C(k+1,2) ≤ 136 span checks of a
+    ≤16-digit integer fold per site) — pure map, zero Exchange, zero
+    Python (``test_card_scrub_is_pure_map``); all arithmetic is exact
     integers, so the whole operator is DuckDB-replayable
     (``test_card_scrub_matches_duckdb_replay``).
 
@@ -1321,23 +1392,29 @@ def card_scrub(
     """
     t = F.col(text_col)
     cands = F.regexp_extract_all(t, F.lit(PII_CARD_RE), F.lit(0))
-    valid = F.filter(cands, _luhn_valid)
-    # guard the empty list: '\b(?:)\b' would match the empty string at
-    # every word boundary and spray tokens through clean text
-    scrubbed = F.when(
-        F.size(valid) > 0,
-        F.regexp_replace(
-            t,
-            F.concat(
-                F.lit(r"\b(?:"), F.array_join(valid, "|"), F.lit(r")\b")
+    # n candidates split the text into exactly n+1 segments (the
+    # pattern cannot match empty); Java split(limit=-1) and DuckDB
+    # regexp_split_to_array both keep trailing empty segments
+    parts = F.split(t, PII_CARD_RE)
+    sites = F.transform(cands, lambda c: _card_site_scrub(c, card_token))
+    n_cards = F.aggregate(
+        sites, F.lit(0), lambda a, s: a + s["hit"]
+    ).cast("long")
+    rebuilt = F.concat(
+        F.element_at(parts, 1),
+        F.array_join(
+            F.zip_with(
+                sites,
+                F.slice(parts, 2, F.size(cands)),
+                lambda s, p: F.concat(s["site"], p),
             ),
-            F.lit(card_token),
+            "",
         ),
-    ).otherwise(t)
+    )
     return df.select(
         *[c for c in df.columns if c != text_col],
-        F.size(valid).cast("long").alias("n_cards"),
-        scrubbed.alias(text_col),
+        n_cards.alias("n_cards"),
+        rebuilt.alias(text_col),
     )
 
 

@@ -7611,6 +7611,23 @@ def test_card_scrub_semantics(spark):
         # occurrence inside a longer digit run (anchored replace —
         # the naive literal-replace fold mangled this to <CARD>2345)
         (9, "pay 4111111111111111; ref 41111111111111112345"),
+        # r18-advisor class 1 (separator boundary): the second PAN's
+        # site is the 16-digit Luhn-INVALID run '4111111111119 000';
+        # the old anchored-alternation replace re-matched the verified
+        # value INSIDE it (separators make internal \b boundaries),
+        # yielding n_cards=1 with TWO token sites and mangling ' 000'.
+        # Split-rebuild + sub-run scan: two counted sites, 000 intact.
+        (10, "pay 4111111111119 and ref 4111111111119 000"),
+        # r18-advisor class 2 (absorbed PAN): the maximal candidate
+        # '4111111111119 000' is Luhn-invalid as a whole, so
+        # whole-candidate verification let the real PAN escape; the
+        # separator-bounded sub-run scan redacts it.
+        (11, "card 4111111111119 000."),
+        (12, "000 4111111111119"),  # whole 16-digit run Luhn-valid
+        # 17 digits: no 16-digit \b run from the zeros, PAN matches
+        # standalone starting at the '4'
+        (13, "0000 4111111111119"),
+        (14, ""),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: (r.n_cards, r.text) for r in card_scrub(df).collect()}
@@ -7623,6 +7640,11 @@ def test_card_scrub_semantics(spark):
     assert got[7] == (None, None)
     assert got[8] == (1, "amex <CARD> ok")
     assert got[9] == (1, "pay <CARD>; ref 41111111111111112345")
+    assert got[10] == (2, "pay <CARD> and ref <CARD> 000")
+    assert got[11] == (1, "card <CARD> 000.")
+    assert got[12] == (1, "<CARD>")
+    assert got[13] == (1, "0000 <CARD>")
+    assert got[14] == (0, "")
     # custom token + column passthrough
     out = card_scrub(df.withColumn("keep", F.lit(7)), card_token="[PAN]")
     r1 = {r.doc_id: r for r in out.collect()}[1]
@@ -7632,18 +7654,101 @@ def test_card_scrub_semantics(spark):
 _CARD_LUHN_SQL = """
     list_sum(list_transform(
         range(1, length(regexp_replace({x}, '[ -]', '', 'g')) + 1),
-        i -> CASE WHEN (length(regexp_replace({x}, '[ -]', '', 'g')) - i)
+        li -> CASE WHEN (length(regexp_replace({x}, '[ -]', '', 'g')) - li)
                        % 2 = 0
                   THEN CAST(substr(regexp_replace({x}, '[ -]', '', 'g'),
-                                   i, 1) AS INTEGER)
+                                   li, 1) AS INTEGER)
                   ELSE 2 * CAST(substr(regexp_replace({x}, '[ -]', '', 'g'),
-                                       i, 1) AS INTEGER)
+                                       li, 1) AS INTEGER)
                        - CASE WHEN CAST(substr(regexp_replace({x}, '[ -]',
                                                               '', 'g'),
-                                              i, 1) AS INTEGER) >= 5
+                                              li, 1) AS INTEGER) >= 5
                               THEN 9 ELSE 0 END
              END)) % 10 = 0
 """
+
+
+def _card_dsum_sql(g: str, i: str, j: str) -> str:
+    """Digits in separator-bounded groups ``i..j`` of group-list ``g``
+    (empty slice -> 0; cast because DuckDB list_sum yields HUGEINT)."""
+    return (
+        f"CAST(coalesce(list_sum(list_transform(({g})[({i}):({j})], "
+        f"gx -> length(gx))), 0) AS BIGINT)"
+    )
+
+
+def card_scrub_replay_sql(src: str, token: str = "<CARD>") -> str:
+    """DuckDB replay of the ENTIRE card_scrub algorithm over relation
+    ``src`` (columns doc_id, text) -> (doc_id, n_cards, text).
+
+    Mirrors :func:`python_dtl_spark.operators.text.card_scrub` leg for
+    leg: maximal greedy candidate extraction, split-rebuild at
+    extractor-matched sites only, and per-site leftmost-longest
+    Luhn-valid separator-bounded sub-run scan (struct field order
+    (i, neg_dl, ...) + list_sort IS the shared choice rule).  This is
+    the staged doc_card_scrub row's oracle — r20's registration block
+    reuses this builder verbatim.
+
+    Cross-engine pins: DuckDB array_to_string([], '') is NULL where
+    Spark array_join([], '') is '' (coalesced); list_sum([]) is NULL
+    where Spark aggregate init 0 holds (coalesced in _card_dsum_sql);
+    both engines keep trailing empty split segments.
+    """
+    g = "grp[ix]"
+    span = (
+        "struct_pack(i := i, neg_dl := -(" + _card_dsum_sql(g, "i", "j") + "), "
+        "start := i + " + _card_dsum_sql(g, "1", "i - 1") + ", "
+        "clen := " + _card_dsum_sql(g, "i", "j") + " + (j - i), "
+        "dl := " + _card_dsum_sql(g, "i", "j") + ")"
+    )
+    luhn = _CARD_LUHN_SQL.format(x="substr(cands[ix], s.start, s.clen)")
+    pick = f"""
+        list_sort(list_filter(
+            flatten(list_transform(range(1, len({g}) + 1),
+                i -> list_transform(range(i, len({g}) + 1),
+                    j -> {span}))),
+            s -> s.dl BETWEEN 13 AND 16 AND {luhn}
+        ))[1]
+    """
+    card_re = r"\b[0-9](?:[ -]?[0-9]){12,15}\b"
+    return f"""
+    WITH card_d AS (
+        SELECT doc_id, text,
+               regexp_extract_all(text, '{card_re}') AS cands,
+               regexp_split_to_array(text, '{card_re}') AS parts
+        FROM {src}
+    ), card_g AS (
+        SELECT doc_id, text, cands, parts,
+               list_transform(cands,
+                              c -> string_split_regex(c, '[ -]')) AS grp
+        FROM card_d
+    ), card_p AS (
+        SELECT doc_id, text, cands, parts,
+               list_transform(range(1, len(cands) + 1),
+                              ix -> {pick}) AS picks
+        FROM card_g
+    ), card_s AS (
+        SELECT doc_id, text, parts,
+               len(list_filter(picks, x -> x IS NOT NULL)) AS n_valid,
+               list_transform(range(1, len(cands) + 1),
+                   ix -> CASE WHEN picks[ix] IS NULL THEN cands[ix]
+                              ELSE substr(cands[ix], 1,
+                                          picks[ix].start - 1)
+                                   || '{token}'
+                                   || substr(cands[ix],
+                                             picks[ix].start
+                                             + picks[ix].clen)
+                         END) AS sites
+        FROM card_p
+    )
+    SELECT doc_id,
+           CAST(n_valid AS BIGINT) AS n_cards,
+           parts[1] || coalesce(array_to_string(
+               list_transform(range(1, len(sites) + 1),
+                              ix -> sites[ix] || parts[ix + 1]), ''),
+               '') AS text
+    FROM card_s
+    """
 
 
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
@@ -7658,7 +7763,7 @@ def test_card_scrub_matches_duckdb_replay(spark, sf):
     runs in the corpus are judged identically by both engines)."""
     import duckdb
 
-    from python_dtl_spark.operators.text import PII_CARD_RE, card_scrub
+    from python_dtl_spark.operators.text import card_scrub
 
     path = f"/root/testdata/{sf}/documents.parquet"
     base = (
@@ -7668,53 +7773,55 @@ def test_card_scrub_matches_duckdb_replay(spark, sf):
     )
     did = F.col("doc_id")
     plant = (
-        F.when(did % 5 == 0, F.lit(" pay 4111111111111111."))
-        .when(did % 5 == 1, F.lit(" card 5500-0000-0000-0004 x"))
-        .when(did % 5 == 2, F.lit(" ref 4111111111111112 (bad)"))
-        .when(did % 5 == 3, F.lit(" amex 378282246310005"))
+        F.when(did % 7 == 0, F.lit(" pay 4111111111111111."))
+        .when(did % 7 == 1, F.lit(" card 5500-0000-0000-0004 x"))
+        .when(did % 7 == 2, F.lit(" ref 4111111111111112 (bad)"))
+        .when(did % 7 == 3, F.lit(" amex 378282246310005"))
+        # advisor class 2: PAN absorbed into a Luhn-invalid maximal
+        # candidate — the sub-run scan must still redact it
+        .when(did % 7 == 4, F.lit(" card 4111111111119 000."))
+        # advisor class 1: verified value at one site recurs inside a
+        # longer invalid run at another — exactly-one-site replace
+        .when(did % 7 == 5,
+              F.lit(" pay 4111111111119 and ref 4111111111119 000"))
         .otherwise(F.lit(" order 123456789012"))
     )
     docs = base.withColumn("text", F.concat(F.col("text"), plant))
     got = sorted(
         (r.doc_id, r.n_cards, r.text) for r in card_scrub(docs).collect()
     )
-    luhn = _CARD_LUHN_SQL.format(x="x")
-    oracle = duckdb.connect().execute(f"""
-        WITH docs AS (
+    docs_src = f"""(
             SELECT doc_id,
-                   text || CASE doc_id % 5
+                   text || CASE doc_id % 7
                        WHEN 0 THEN ' pay 4111111111111111.'
                        WHEN 1 THEN ' card 5500-0000-0000-0004 x'
                        WHEN 2 THEN ' ref 4111111111111112 (bad)'
                        WHEN 3 THEN ' amex 378282246310005'
+                       WHEN 4 THEN ' card 4111111111119 000.'
+                       WHEN 5 THEN ' pay 4111111111119 and '
+                                   || 'ref 4111111111119 000'
                        ELSE ' order 123456789012' END AS text
             FROM '{path}'
             WHERE doc_id IS NOT NULL AND text IS NOT NULL
-        ), v AS (
-            SELECT doc_id, text,
-                   list_filter(
-                       regexp_extract_all(text,
-                           '\\b[0-9](?:[ -]?[0-9]){{12,15}}\\b'),
-                       x -> {luhn}) AS valid
-            FROM docs
-        )
-        SELECT doc_id,
-               CAST(len(valid) AS BIGINT) AS n_cards,
-               CASE WHEN len(valid) > 0
-                    THEN regexp_replace(text,
-                        '\\b(?:' || array_to_string(valid, '|') || ')\\b',
-                        '<CARD>', 'g')
-                    ELSE text END AS text
-        FROM v
-        ORDER BY doc_id
-    """).fetchall()
+        )"""
+    oracle = duckdb.connect().execute(
+        card_scrub_replay_sql(docs_src) + " ORDER BY doc_id"
+    ).fetchall()
     assert got == [tuple(r) for r in oracle]
-    # the fixture is load-bearing in all three directions
+    # the fixture is load-bearing in every direction
     n = {d: c for d, c, _ in got}
-    assert sum(1 for d, c in n.items() if d % 5 in (0, 1, 3) and c >= 1) > 50
+    assert sum(1 for d, c in n.items() if d % 7 in (0, 1, 3) and c >= 1) > 50
     assert all("4111111111111111" not in t for _, _, t in got if t)
     assert any("4111111111111112" in t for _, _, t in got if t)
     assert any("123456789012" in t for _, _, t in got if t)
+    # absorbed PAN redacted, its trailing digits intact
+    assert all(c >= 1 for d, c in n.items() if d % 7 == 4)
+    assert any("<CARD> 000." in t for d, _, t in got if t and d % 7 == 4)
+    # two sites, two counts, the non-card run's tail intact
+    assert all(c >= 2 for d, c in n.items() if d % 7 == 5)
+    assert any(
+        "ref <CARD> 000" in t for d, _, t in got if t and d % 7 == 5
+    )
 
 
 def test_levenshtein_unicode_divergence_is_real(spark):

@@ -248,6 +248,12 @@ def test_bytes_literal_errors():
         parse("WITH o AS SELECT b'\\xZ9' AS c FROM t;")
     with pytest.raises(DtlSyntaxError, match="xHH"):
         parse("WITH o AS SELECT b'\\x4' AS c FROM t;")
+    # the reported column is the OFFENDING ESCAPE's position, not the
+    # token start (r18 advisor): src.index points at the backslash
+    src = "WITH o AS SELECT b'abcd\\xZ9' AS c FROM t;"
+    with pytest.raises(DtlSyntaxError) as exc:
+        parse(src)
+    assert exc.value.column == src.index("\\xZ9") + 1  # 1-based columns
     # a bare b away from a quote is still a plain NAME
     stmt = only_stmt("WITH o AS SELECT b FROM t;")
     assert stmt.expression.columns[0].expression == n.ColumnRef(

@@ -2169,6 +2169,12 @@ def test_bytes_literal_never_misencodes(body):
                     "5500-0000-0000-0004", "378282246310005",
                     "4111111111111112", "123456789012", "0",
                     "9", "99", " ", "-", "x", ".", "(", ")", "\n",
+                    # 13-digit PAN + short digit groups: composes the
+                    # two r18-advisor classes (PAN absorbed into a
+                    # longer invalid candidate; verified value
+                    # recurring inside another site) so the sub-run
+                    # scan and split-rebuild are fuzz-reachable
+                    "4111111111119", "000", "00",
                 ]
             ),
             min_size=0,
@@ -2187,7 +2193,7 @@ def test_card_scrub_cross_engine_fuzz(spark, texts):
     import duckdb
     import pyarrow as pa
 
-    from tests.test_operators import _CARD_LUHN_SQL
+    from tests.test_operators import card_scrub_replay_sql
     from python_dtl_spark.operators.text import card_scrub
 
     df = spark.createDataFrame(
@@ -2206,25 +2212,7 @@ def test_card_scrub_cross_engine_fuzz(spark, texts):
             }
         ),
     )
-    luhn = _CARD_LUHN_SQL.format(x="x")
     want = sorted(
-        tuple(r)
-        for r in con.execute(f"""
-        WITH v AS (
-            SELECT doc_id, text,
-                   list_filter(
-                       regexp_extract_all(text,
-                           '\\b[0-9](?:[ -]?[0-9]){{12,15}}\\b'),
-                       x -> {luhn}) AS valid
-            FROM t
-        )
-        SELECT doc_id, CAST(len(valid) AS BIGINT),
-               CASE WHEN len(valid) > 0
-                    THEN regexp_replace(text,
-                        '\\b(?:' || array_to_string(valid, '|') || ')\\b',
-                        '<CARD>', 'g')
-                    ELSE text END
-        FROM v
-        """).fetchall()
+        tuple(r) for r in con.execute(card_scrub_replay_sql("t")).fetchall()
     )
     assert got == want, texts
