@@ -7765,16 +7765,67 @@ _register("events_winsorized_sketch", _q_winsorize_sketch, None)
 
 
 def _q_table_profile_sketch(spark, sf_dir):
-    """Sketch-tier profile: HLL++ approx_count_distinct per column —
-    one pass, no Expand blowup, +/-2%; engine-private sketch, so
-    rows-only (the exact twin above is the value-checked one)."""
+    """Sketch-tier profile with ORACLE TEETH (r19 verdict item 4): the
+    operator tier under test is HLL++ ``approx_count_distinct``
+    (one pass, no Expand blowup, engine-private sketch state), but the
+    catalog projection no longer ships the raw estimate — it joins the
+    exact twin and emits ``n_distinct_ok`` = |sketch − exact| ≤
+    15 %·exact + 2 (3 sigma of the default rsd=0.05; measured error on
+    these columns ≤ 7.3 % at all three scales, and Spark's HLL++ is
+    deterministic for fixed input).  With the exact legs (n_rows,
+    n_nulls) hashed directly and the sketch leg hashed as the
+    tolerance flag, this row graduates from rows-only to a full
+    hash-green driver check — a broken sketch flips the flag and
+    reddens the row.  The user-facing operator tier
+    (``table_profile(exact_distinct=False)``) is unchanged and
+    single-pass; the exact-twin join is this verification harness's
+    cost, not the operator's."""
     o = _read(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
-    return stats.table_profile(o, exact_distinct=False)
+    sk = stats.table_profile(o, exact_distinct=False)
+    ex = stats.table_profile(o).select(
+        "column", F.col("n_distinct").alias("__nd_exact")
+    )
+    return (
+        sk.join(ex, "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            (
+                F.abs(
+                    F.col("n_distinct").cast("double")
+                    - F.col("__nd_exact").cast("double")
+                )
+                <= 0.15 * F.col("__nd_exact").cast("double") + 2.0
+            ).alias("n_distinct_ok"),
+        )
+    )
 
 
-_register("orders_table_profile_sketch", _q_table_profile_sketch, None)
+_register(
+    "orders_table_profile_sketch",
+    _q_table_profile_sketch,
+    """
+    SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           TRUE AS n_distinct_ok
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT), TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT), TRUE
+    FROM orders
+    """,
+)
 
 
 def _q_table_profile(spark, sf_dir):
