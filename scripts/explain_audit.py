@@ -216,6 +216,14 @@ AUDITED = {
         "Expand with per-column partial aggregates — never one scan "
         "per column"
     ),
+    "orders_table_profile_sketch": (
+        "sketch-tier profile with oracle teeth (r19): HLL++ single-"
+        "pass agg joined to the exact twin for the n_distinct_ok "
+        "tolerance flag — the second scan is this verification "
+        "harness's documented cost, NOT the operator tier's "
+        "(table_profile(exact_distinct=False) alone is one pass); "
+        "both sides are single-row aggregates so the join is trivial"
+    ),
     "events_ohlc": (
         "OHLC rollup: one hash aggregation keyed (group, bucket), "
         "struct min/max pick first/last deterministically, all fields "

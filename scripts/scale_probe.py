@@ -2336,11 +2336,119 @@ def r17_wave2_section(spark, documents) -> list[str]:
     return lines
 
 
+def r19_verbs_probe(spark, factors=(1, 8, 32)):
+    """Replication probes for three window/join shapes that had plan
+    evidence (PLANS.md) but no measured SCALING row (r18 verdict item
+    7): as-of join (union + running window, one shuffle on the by
+    key), batch sessionization (two windows sharing one Exchange) and
+    CDC apply_changes (latest-change window + full-outer merge join).
+    Replicas shift the KEY columns, so key count grows n× while
+    per-key partition size stays constant — each shape's claim is
+    per-key-linear work, so wall must grow ≲ n×."""
+    from python_dtl_spark.catalog import _read, _read_events
+    from python_dtl_spark.operators import cdc
+    from python_dtl_spark.operators.joins import asof_join
+    from python_dtl_spark.operators.windows import sessionize
+
+    ev_base = _read_events(spark, SF_DIR).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    orders_base = _read(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    li_base = _read(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_partkey",
+        "l_linestatus", "l_extendedprice",
+    )
+    rows = []
+    for n in factors:
+        ev = (
+            ev_base
+            if n == 1
+            else replicate(ev_base, n, ["event_id", "user_id"])
+        )
+        n_ev = ev.count()
+        # as-of: every event picks the latest reference tick (every
+        # 10th event of the same user, still 1/10 after replication —
+        # the shift is a multiple of 10) at or before its timestamp
+        right = ev.filter(F.col("event_id") % 10 == 0).select(
+            "user_id", "ts", F.col("value").alias("ref_value")
+        )
+        t_asof, _ = timed(
+            f"r19 asof {n}x",
+            asof_join(ev, right, on="ts", by="user_id",
+                      value_cols=["ref_value"]),
+        )
+        t_sess, n_sess = timed(
+            f"r19 sessionize {n}x", sessionize(ev.select("user_id", "ts"))
+        )
+        snap = (
+            orders_base
+            if n == 1
+            else replicate(orders_base, n, ["o_orderkey"])
+        )
+        li = li_base if n == 1 else replicate(li_base, n, ["l_orderkey"])
+        ch = li.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("l_linenumber").cast("long").alias("seq"),
+            F.when(F.col("l_returnflag") == "R", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            F.col("l_partkey").alias("o_custkey"),
+            F.col("l_linestatus").alias("o_orderstatus"),
+            F.col("l_extendedprice").alias("o_totalprice"),
+        )
+        t_cdc, n_cdc = timed(
+            f"r19 apply_changes {n}x",
+            cdc.apply_changes(
+                snap, ch, keys=["o_orderkey"], seq_col="seq", op_col="op"
+            ),
+        )
+        rows.append((n, n_ev, t_asof, t_sess, n_sess, t_cdc, n_cdc))
+    return rows
+
+
+_R19_VERBS_HEADER = (
+    "## r19 window/join shapes under replication (as-of, sessionize, CDC merge)"
+)
+
+
+def r19_verbs_section(spark, documents) -> list[str]:
+    rows = r19_verbs_probe(spark)
+    lines = [
+        _R19_VERBS_HEADER,
+        "",
+        "Three shapes whose scale evidence was plan-only until r19.",
+        "Keys shift per replica, so key count grows n× at constant",
+        "per-key history — per-key-linear shapes must grow ≲ n×:",
+        "",
+        "| probe | events | asof | sessionize | sessions | apply_changes | merged rows |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for n, n_ev, t_asof, t_sess, n_sess, t_cdc, n_cdc in rows:
+        lines.append(
+            f"| r19_verbs {n}x | {n_ev:,} | {t_asof:.2f}s | {t_sess:.2f}s "
+            f"| {n_sess:,} | {t_cdc:.2f}s | {n_cdc:,} |"
+        )
+    lines.append("")
+    return lines
+
+
 def main() -> None:
     scaling_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALING.md",
     )
+    if "--r19-verbs" in sys.argv:
+        spark = get_spark("scale-probe")
+        spark.sparkContext.setLogLevel("ERROR")
+        _replace_or_append_section(
+            scaling_path,
+            _R19_VERBS_HEADER,
+            r19_verbs_section(spark, None),
+        )
+        print("SCALING.md r19-verbs section updated")
+        return
     if "--r17-wave2" in sys.argv:
         spark = get_spark("scale-probe")
         spark.sparkContext.setLogLevel("ERROR")
