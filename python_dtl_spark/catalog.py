@@ -7764,6 +7764,20 @@ def _q_winsorize_sketch(spark, sf_dir):
 _register("events_winsorized_sketch", _q_winsorize_sketch, None)
 
 
+def _sketch_within_tolerance(est, exact):
+    """|est − exact| ≤ 15 %·exact + 2 — the sketch-verification
+    predicate of the graduated rows-only rows (3 σ of HLL++'s default
+    rsd = 0.05 plus small-cardinality slack; HLL++ is EXACT below its
+    sparse-mode threshold, so tiny columns must pass by equality).
+    Factored out so ``test_sketch_tolerance_flag_is_not_vacuous`` can
+    pin that the flag actually flips on an out-of-band estimate — a
+    TRUE-constant oracle with a never-false engine flag would be a
+    vacuous check (the r18 de-vacuumed-pin lesson)."""
+    e = est.cast("double")
+    x = exact.cast("double")
+    return F.abs(e - x) <= 0.15 * x + 2.0
+
+
 def _q_table_profile_sketch(spark, sf_dir):
     """Sketch-tier profile with ORACLE TEETH (r19 verdict item 4): the
     operator tier under test is HLL++ ``approx_count_distinct``
@@ -7793,12 +7807,8 @@ def _q_table_profile_sketch(spark, sf_dir):
             "column",
             "n_rows",
             "n_nulls",
-            (
-                F.abs(
-                    F.col("n_distinct").cast("double")
-                    - F.col("__nd_exact").cast("double")
-                )
-                <= 0.15 * F.col("__nd_exact").cast("double") + 2.0
+            _sketch_within_tolerance(
+                F.col("n_distinct"), F.col("__nd_exact")
             ).alias("n_distinct_ok"),
         )
     )

@@ -325,3 +325,40 @@ def test_corpus_ids_below_fixture_offsets(sf):
             f"FROM '/root/testdata/{sf}/{tbl}.parquet'"
         ).fetchone()
         assert lo >= 0 and hi < 300000, (tbl, lo, hi)
+
+
+def test_sketch_tolerance_flag_is_not_vacuous(spark):
+    """The graduated orders_table_profile_sketch row hashes
+    n_distinct_ok against a TRUE-constant oracle — that is only a real
+    check if the engine-side flag CAN go false.  Pin the factored
+    predicate on literals: in-band estimates (incl. the exact-equality
+    small-cardinality case and the empty-table 0/0 case) pass,
+    out-of-band estimates FAIL, and the boundary sits exactly at
+    15%·exact + 2."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.catalog import _sketch_within_tolerance
+
+    cases = [
+        # (est, exact, expected)
+        (100, 100, True),     # exact agreement
+        (3, 3, True),         # sparse-mode tiny column: equality
+        (0, 0, True),         # empty table / all-NULL column
+        (4, 3, True),         # within the +2 absolute slack
+        (6, 3, False),        # |6-3|=3 > 0.15*3+2=2.45
+        (117, 100, True),     # boundary: 17 <= 15+2
+        (118, 100, False),    # just past the boundary
+        (83, 100, True),      # symmetric low side
+        (82, 100, False),
+        (154_790, 149_743, True),   # the measured sf0.1 o_totalprice pair
+        (14_240, 14_999, True),     # the measured sf0.1 o_custkey pair
+    ]
+    df = spark.createDataFrame(
+        [(e, x) for e, x, _ in cases], "est long, exact long"
+    ).select(
+        "est", "exact",
+        _sketch_within_tolerance(F.col("est"), F.col("exact")).alias("ok"),
+    )
+    got = {(r.est, r.exact): r.ok for r in df.collect()}
+    for e, x, want in cases:
+        assert got[(e, x)] is want, (e, x, want)
