@@ -7651,104 +7651,14 @@ def test_card_scrub_semantics(spark):
     assert r1.text == "pay [PAN] now" and r1.keep == 7
 
 
-_CARD_LUHN_SQL = """
-    list_sum(list_transform(
-        range(1, length(regexp_replace({x}, '[ -]', '', 'g')) + 1),
-        li -> CASE WHEN (length(regexp_replace({x}, '[ -]', '', 'g')) - li)
-                       % 2 = 0
-                  THEN CAST(substr(regexp_replace({x}, '[ -]', '', 'g'),
-                                   li, 1) AS INTEGER)
-                  ELSE 2 * CAST(substr(regexp_replace({x}, '[ -]', '', 'g'),
-                                       li, 1) AS INTEGER)
-                       - CASE WHEN CAST(substr(regexp_replace({x}, '[ -]',
-                                                              '', 'g'),
-                                              li, 1) AS INTEGER) >= 5
-                              THEN 9 ELSE 0 END
-             END)) % 10 = 0
-"""
-
-
-def _card_dsum_sql(g: str, i: str, j: str) -> str:
-    """Digits in separator-bounded groups ``i..j`` of group-list ``g``
-    (empty slice -> 0; cast because DuckDB list_sum yields HUGEINT)."""
-    return (
-        f"CAST(coalesce(list_sum(list_transform(({g})[({i}):({j})], "
-        f"gx -> length(gx))), 0) AS BIGINT)"
-    )
-
-
-def card_scrub_replay_sql(src: str, token: str = "<CARD>") -> str:
-    """DuckDB replay of the ENTIRE card_scrub algorithm over relation
-    ``src`` (columns doc_id, text) -> (doc_id, n_cards, text).
-
-    Mirrors :func:`python_dtl_spark.operators.text.card_scrub` leg for
-    leg: maximal greedy candidate extraction, split-rebuild at
-    extractor-matched sites only, and per-site leftmost-longest
-    Luhn-valid separator-bounded sub-run scan (struct field order
-    (i, neg_dl, ...) + list_sort IS the shared choice rule).  This is
-    the staged doc_card_scrub row's oracle — r20's registration block
-    reuses this builder verbatim.
-
-    Cross-engine pins: DuckDB array_to_string([], '') is NULL where
-    Spark array_join([], '') is '' (coalesced); list_sum([]) is NULL
-    where Spark aggregate init 0 holds (coalesced in _card_dsum_sql);
-    both engines keep trailing empty split segments.
-    """
-    g = "grp[ix]"
-    span = (
-        "struct_pack(i := i, neg_dl := -(" + _card_dsum_sql(g, "i", "j") + "), "
-        "start := i + " + _card_dsum_sql(g, "1", "i - 1") + ", "
-        "clen := " + _card_dsum_sql(g, "i", "j") + " + (j - i), "
-        "dl := " + _card_dsum_sql(g, "i", "j") + ")"
-    )
-    luhn = _CARD_LUHN_SQL.format(x="substr(cands[ix], s.start, s.clen)")
-    pick = f"""
-        list_sort(list_filter(
-            flatten(list_transform(range(1, len({g}) + 1),
-                i -> list_transform(range(i, len({g}) + 1),
-                    j -> {span}))),
-            s -> s.dl BETWEEN 13 AND 16 AND {luhn}
-        ))[1]
-    """
-    card_re = r"\b[0-9](?:[ -]?[0-9]){12,15}\b"
-    return f"""
-    WITH card_d AS (
-        SELECT doc_id, text,
-               regexp_extract_all(text, '{card_re}') AS cands,
-               regexp_split_to_array(text, '{card_re}') AS parts
-        FROM {src}
-    ), card_g AS (
-        SELECT doc_id, text, cands, parts,
-               list_transform(cands,
-                              c -> string_split_regex(c, '[ -]')) AS grp
-        FROM card_d
-    ), card_p AS (
-        SELECT doc_id, text, cands, parts,
-               list_transform(range(1, len(cands) + 1),
-                              ix -> {pick}) AS picks
-        FROM card_g
-    ), card_s AS (
-        SELECT doc_id, text, parts,
-               len(list_filter(picks, x -> x IS NOT NULL)) AS n_valid,
-               list_transform(range(1, len(cands) + 1),
-                   ix -> CASE WHEN picks[ix] IS NULL THEN cands[ix]
-                              ELSE substr(cands[ix], 1,
-                                          picks[ix].start - 1)
-                                   || '{token}'
-                                   || substr(cands[ix],
-                                             picks[ix].start
-                                             + picks[ix].clen)
-                         END) AS sites
-        FROM card_p
-    )
-    SELECT doc_id,
-           CAST(n_valid AS BIGINT) AS n_cards,
-           parts[1] || coalesce(array_to_string(
-               list_transform(range(1, len(sites) + 1),
-                              ix -> sites[ix] || parts[ix + 1]), ''),
-               '') AS text
-    FROM card_s
-    """
+# The card_scrub DuckDB-replay builder lives next to the operator
+# (python_dtl_spark/operators/text.py) so the r20 catalog block and
+# these tests share ONE source of oracle SQL; re-exported here for
+# the test modules that import it.
+from python_dtl_spark.operators.text import (  # noqa: F401
+    _CARD_LUHN_SQL,
+    card_scrub_replay_sql,
+)
 
 
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
