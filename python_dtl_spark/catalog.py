@@ -4142,6 +4142,62 @@ _register(
 )
 
 
+def _q_card_scrub(spark, sf_dir):
+    """Luhn-verified payment-card redaction (the PAN leg of the PII
+    battery): plant the %7 fixture arms — valid Visa/MC/Amex plain and
+    grouped, a bad-check-digit twin, a too-short run, and BOTH
+    r18-advisor classes (absorbed PAN `4111111111119 000`; a verified
+    value recurring inside a longer invalid run) — row-locally over
+    the real documents table, then scrub.  The oracle replays the
+    ENTIRE algorithm (candidate regex, split-rebuild, separator-
+    bounded sub-run scan, exact-integer Luhn fold) via
+    ``text.card_scrub_replay_sql``, so natural corpus digit runs are
+    judged identically by construction — algorithm-complete, not a
+    planted-truth shortcut."""
+    did = F.col("doc_id")
+    plant = (
+        F.when(did % 7 == 0, F.lit(" pay 4111111111111111."))
+        .when(did % 7 == 1, F.lit(" card 5500-0000-0000-0004 x"))
+        .when(did % 7 == 2, F.lit(" ref 4111111111111112 (bad)"))
+        .when(did % 7 == 3, F.lit(" amex 378282246310005"))
+        .when(did % 7 == 4, F.lit(" card 4111111111119 000."))
+        .when(
+            did % 7 == 5,
+            F.lit(" pay 4111111111119 and ref 4111111111119 000"),
+        )
+        .otherwise(F.lit(" order 123456789012"))
+    )
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .withColumn("text", F.concat(F.col("text"), plant))
+    )
+    return text.card_scrub(docs)
+
+
+_CARD_SCRUB_DOCS_SRC = """(
+    SELECT doc_id,
+           text || CASE doc_id % 7
+               WHEN 0 THEN ' pay 4111111111111111.'
+               WHEN 1 THEN ' card 5500-0000-0000-0004 x'
+               WHEN 2 THEN ' ref 4111111111111112 (bad)'
+               WHEN 3 THEN ' amex 378282246310005'
+               WHEN 4 THEN ' card 4111111111119 000.'
+               WHEN 5 THEN ' pay 4111111111119 and '
+                           || 'ref 4111111111119 000'
+               ELSE ' order 123456789012' END AS text
+    FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL
+)"""
+
+_register(
+    "doc_card_scrub",
+    _q_card_scrub,
+    text.card_scrub_replay_sql(_CARD_SCRUB_DOCS_SRC),
+)
+
+
 def _q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate REMOVAL (``text.remove_duplicated_
     spans`` — the cut half of Lee et al. 2022, composing with the

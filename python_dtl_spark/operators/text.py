@@ -1480,7 +1480,13 @@ def card_scrub_replay_sql(src: str, token: str = "<CARD>") -> str:
             s -> s.dl BETWEEN 13 AND 16 AND {luhn}
         ))[1]
     """
-    card_re = r"\b[0-9](?:[ -]?[0-9]){12,15}\b"
+    # the operator's own candidate pattern, interpolated — not a
+    # duplicated literal, so the oracle can never drift from
+    # card_scrub if PII_CARD_RE changes (r19 advisor).  The pattern is
+    # engine-common (no quotes/escapes beyond \b, safe in a DuckDB
+    # single-quoted literal); the fragment fuzz test re-checks the
+    # replay against the operator on every run either way.
+    card_re = PII_CARD_RE
     return f"""
     WITH card_d AS (
         SELECT doc_id, text,
