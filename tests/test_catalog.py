@@ -362,3 +362,120 @@ def test_sketch_tolerance_flag_is_not_vacuous(spark):
     got = {(r.est, r.exact): r.ok for r in df.collect()}
     for e, x, want in cases:
         assert got[(e, x)] is want, (e, x, want)
+
+
+def _staged_r21():
+    """Import the staged r21/r22 graduation module by path (scripts/ is
+    not a package).  When the blocks are pasted into catalog.py in
+    their due rounds, these imports flip to catalog imports and the
+    tests keep running unchanged against the landed predicates."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "staged_r21_sketch_graduations",
+        REPO / "scripts" / "staged_r21_sketch_graduations.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_approx_distinct_tolerance_flag_is_not_vacuous(spark):
+    """The staged dtl_approx_distinct_parts graduation hashes approx_ok
+    against a TRUE-constant oracle — a real check only if the flag CAN
+    flip.  The predicate is the shared _sketch_within_tolerance (its
+    boundary is pinned by test_sketch_tolerance_flag_is_not_vacuous);
+    here pin the ROW's own measured pairs in-band and an out-of-band
+    HLL++ failure mode (a sketch stuck at a stale lower cardinality)
+    flipping the flag."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.catalog import _sketch_within_tolerance
+
+    cases = [
+        # (est, exact, expected)
+        (1947, 2000, True),    # measured sf0.01 pair (2.7% err, in-band)
+        (19459, 19998, True),  # measured sf0.1 worst pair
+        (19998, 19998, True),  # exact agreement
+        (16896, 19998, False), # just past 15%+2: |Δ|=3102 > 3001.7
+        (25000, 19998, False), # inflated estimate flips too
+    ]
+    df = spark.createDataFrame(
+        [(e, x) for e, x, _ in cases], "est long, exact long"
+    ).select(
+        "est", "exact",
+        _sketch_within_tolerance(F.col("est"), F.col("exact")).alias("ok"),
+    )
+    got = {(r.est, r.exact): r.ok for r in df.collect()}
+    for e, x, want in cases:
+        assert got[(e, x)] is want, (e, x, want)
+
+
+def test_histogram_sketch_tolerance_flag_is_not_vacuous(spark):
+    """Pin _hist_n_within_tolerance: in-band per-bucket deviations pass
+    (incl. the measured sf0.1 worst case of 13 at n_total=100k),
+    drained buckets past max(2, 0.1%·n_total) fail, and a VANISHED
+    sketch bucket (NULL n_sk) fails rather than passing vacuously."""
+    from pyspark.sql import functions as F
+
+    mod = _staged_r21()
+    cases = [
+        # (n_sk, n_exact, n_total, expected)
+        (10000, 10000, 100000, True),   # exact agreement
+        (9987, 10000, 100000, True),    # measured sf0.1 worst dev (13)
+        (9900, 10000, 100000, True),    # boundary: tol = 100
+        (9899, 10000, 100000, False),   # just past
+        (100, 98, 1000, True),          # small-N absolute slack: tol=2
+        (101, 98, 1000, False),         # past the +2 floor
+        (None, 10000, 100000, False),   # vanished sketch bucket
+    ]
+    df = spark.createDataFrame(
+        [(s, x, t) for s, x, t, _ in cases],
+        "n_sk long, n_exact long, n_total long",
+    ).select(
+        "n_sk", "n_exact", "n_total",
+        mod._hist_n_within_tolerance(
+            F.col("n_sk"), F.col("n_exact"), F.col("n_total")
+        ).alias("ok"),
+    )
+    got = {(r.n_sk, r.n_exact, r.n_total): r.ok for r in df.collect()}
+    for s, x, t, want in cases:
+        assert got[(s, x, t)] is want, (s, x, t, want)
+
+
+def test_winsorize_sketch_tolerance_flag_is_not_vacuous(spark):
+    """Pin _winsorize_within_band on literals with bands
+    lo=[10,12] hi=[88,92]: every MUST leg flips on a broken sketch —
+    a below-band row passed through unclipped, a certain-middle row
+    that got clipped, an above-band row clipped to an out-of-band
+    bound — while correct clip decisions and free band rows pass, and
+    NULL value requires NULL output."""
+    from pyspark.sql import functions as F
+
+    mod = _staged_r21()
+    cases = [
+        # (v, w, expected)
+        (5.0, 11.0, True),    # below band, clipped into [10,12]
+        (5.0, 5.0, False),    # below band, broken sketch passed it
+        (5.0, 9.0, False),    # clipped to an out-of-band bound
+        (50.0, 50.0, True),   # certain middle, untouched
+        (50.0, 48.0, False),  # certain middle, wrongly clipped
+        (95.0, 90.0, True),   # above band, clipped into [88,92]
+        (95.0, 95.0, False),  # above band, passed through
+        (11.0, 11.0, True),   # inside the low band: free either way
+        (11.0, 10.5, True),
+        (None, None, True),   # NULL stays NULL
+        (None, 10.0, False),  # NULL fabricated into a bound
+    ]
+    df = spark.createDataFrame(
+        [(v, w) for v, w, _ in cases], "v double, w double"
+    ).select(
+        "v", "w",
+        mod._winsorize_within_band(
+            F.col("v"), F.col("w"),
+            F.lit(10.0), F.lit(12.0), F.lit(88.0), F.lit(92.0),
+        ).alias("ok"),
+    )
+    got = {(r.v, r.w): r.ok for r in df.collect()}
+    for v, w, want in cases:
+        assert got[(v, w)] is want, (v, w, want)
