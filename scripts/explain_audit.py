@@ -143,6 +143,13 @@ AUDITED = {
         "redaction is regexp work in ONE codegen'd map stage — zero "
         "Exchange, zero Python; pipelines into any scan at 100 TB"
     ),
+    "doc_card_scrub": (
+        "Luhn-verified PAN redaction (registered r20) stays a pure map "
+        "like the pii battery: candidate extraction, split-rebuild and "
+        "the per-site sub-run Luhn scan are all row-local higher-order "
+        "functions — zero Exchange, zero Python (also plan-asserted in "
+        "test_card_scrub_is_pure_map)"
+    ),
     "pipeline_curate_corpus": (
         "four-operator composition (gopher filter, dup census, token "
         "count, packing) over ONE shared tokenization: documents is "
