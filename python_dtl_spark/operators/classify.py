@@ -208,133 +208,162 @@ def nb_apply(
         # alpha = 0 puts log(0) on every out-of-vocabulary token —
         # -inf scores that poison the argmax silently
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    stats = sorted(
-        class_stats.collect(), key=lambda r: r["label"]
-    )  # tiny: one row per class (scalar model, see docstring)
-    if not stats:
-        raise ValueError("class_stats is empty — nothing was fit")
-    labels = [r["label"] for r in stats]
-    vocab_size = token_counts.select("token").distinct().count()
-    denoms = {
-        r["label"]: float(r["n_tokens"]) + alpha * (vocab_size + 1)
-        for r in stats
-    }
-    priors = {r["label"]: math.log(r["n_docs"]) for r in stats}
+    # Persist both model tables (the dsir_weights r14 precedent,
+    # extended here in r20): token_counts is a full-corpus
+    # tokenize+explode+agg plus the vocabulary-rank join, and without
+    # the cache it runs once for the vocab_size count below, and again
+    # inside the pivot feeding the scoring plan; class_stats likewise
+    # for the collect here.  Both are model-bounded (≤ max_vocab rows /
+    # one row per class).  The row_local tier unpersists inline once
+    # its literals are collected; the join tier registers with the
+    # shared release registry the bench/oracle harnesses drain.
+    from python_dtl_spark.operators.dedup import _release_after
 
-    # Pivot output columns are renamed POSITIONALLY (pivot with an
-    # explicit value list emits one column per value, in list order,
-    # after the grouping column): addressing them by label text would
-    # break on a label containing a backtick and collide on a label
-    # literally named "token" (advisor r11).
-    wide = (
-        token_counts.groupBy("token")
-        .pivot("label", labels)
-        .agg(F.first("freq"))
-        .toDF("token", *[f"__nb_c{i}" for i in range(len(labels))])
-    )
-    toks_expr = (
-        F.col(tokens_col)
-        if tokens_col is not None
-        else tokens(F.lower(F.col(text_col)))
-    )
-    if row_local:
-        # guard BEFORE collecting: vocab_size is already computed above
-        # (one count job), so an oversized model is refused without
-        # ever pulling its rows to the driver
-        cells = vocab_size * len(labels)
-        if cells > max_literal_cells:
-            raise ValueError(
-                f"row_local model has {cells} literal cells "
-                f"({vocab_size} tokens x {len(labels)} classes) > "
-                f"max_literal_cells={max_literal_cells}; use the default "
-                "broadcast-join path (foreachBatch on streams) or raise "
-                "the cap"
-            )
-        model_rows = wide.collect()  # bounded: <= max_vocab rows
-        if model_rows:
-            entries = []
-            for r in model_rows:
-                entries.append(F.lit(r["token"]))
-                entries.append(
-                    F.array(
-                        *[
-                            F.lit(int(r[f"__nb_c{i}"] or 0))
-                            for i in range(len(labels))
-                        ]
-                    )
-                )
-            model_map = F.create_map(*entries)
-        else:
-            model_map = F.lit(None).cast("map<string,array<bigint>>")
-        score_cols = [
-            F.coalesce(
-                F.aggregate(
-                    toks_expr,
-                    F.lit(0.0),
-                    lambda acc, t: acc
-                    + F.log(
-                        (
-                            F.coalesce(
-                                F.element_at(
-                                    F.element_at(model_map, t), i + 1
-                                ),
-                                F.lit(0),
-                            )
-                            + F.lit(alpha)
-                        )
-                        / F.lit(denoms[c])
-                    ),
-                ),
-                F.lit(0.0),
-            )
-            + F.lit(priors[c])
-            for i, c in enumerate(labels)
-        ]
-        scored = df
-    else:
-        toks = df.select(
-            F.col(id_col).alias("__nb_id"),
-            F.explode(toks_expr).alias("token"),
+    token_counts = token_counts.persist()
+    class_stats = class_stats.persist()
+    try:
+        stats = sorted(
+            class_stats.collect(), key=lambda r: r["label"]
+        )  # tiny: one row per class (scalar model, see docstring)
+        if not stats:
+            raise ValueError("class_stats is empty — nothing was fit")
+        labels = [r["label"] for r in stats]
+        vocab_size = token_counts.select("token").distinct().count()
+        denoms = {
+            r["label"]: float(r["n_tokens"]) + alpha * (vocab_size + 1)
+            for r in stats
+        }
+        priors = {r["label"]: math.log(r["n_docs"]) for r in stats}
+
+        # Pivot output columns are renamed POSITIONALLY (pivot with an
+        # explicit value list emits one column per value, in list order,
+        # after the grouping column): addressing them by label text would
+        # break on a label containing a backtick and collide on a label
+        # literally named "token" (advisor r11).
+        wide = (
+            token_counts.groupBy("token")
+            .pivot("label", labels)
+            .agg(F.first("freq"))
+            .toDF("token", *[f"__nb_c{i}" for i in range(len(labels))])
         )
-        joined = toks.join(F.broadcast(wide), on="token", how="left")
-        sums = joined.groupBy("__nb_id").agg(
-            *[
-                F.sum(
-                    F.log(
-                        (F.coalesce(F.col(f"__nb_c{i}"), F.lit(0)) + F.lit(alpha))
-                        / F.lit(denoms[c])
+        toks_expr = (
+            F.col(tokens_col)
+            if tokens_col is not None
+            else tokens(F.lower(F.col(text_col)))
+        )
+        if row_local:
+            # guard BEFORE collecting: vocab_size is already computed above
+            # (one count job), so an oversized model is refused without
+            # ever pulling its rows to the driver
+            cells = vocab_size * len(labels)
+            if cells > max_literal_cells:
+                raise ValueError(
+                    f"row_local model has {cells} literal cells "
+                    f"({vocab_size} tokens x {len(labels)} classes) > "
+                    f"max_literal_cells={max_literal_cells}; use the default "
+                    "broadcast-join path (foreachBatch on streams) or raise "
+                    "the cap"
+                )
+            model_rows = wide.collect()  # bounded: <= max_vocab rows
+            if model_rows:
+                entries = []
+                for r in model_rows:
+                    entries.append(F.lit(r["token"]))
+                    entries.append(
+                        F.array(
+                            *[
+                                F.lit(int(r[f"__nb_c{i}"] or 0))
+                                for i in range(len(labels))
+                            ]
+                        )
                     )
-                ).alias(f"__nb_s{i}")
+                model_map = F.create_map(*entries)
+            else:
+                model_map = F.lit(None).cast("map<string,array<bigint>>")
+            score_cols = [
+                F.coalesce(
+                    F.aggregate(
+                        toks_expr,
+                        F.lit(0.0),
+                        lambda acc, t: acc
+                        + F.log(
+                            (
+                                F.coalesce(
+                                    F.element_at(
+                                        F.element_at(model_map, t), i + 1
+                                    ),
+                                    F.lit(0),
+                                )
+                                + F.lit(alpha)
+                            )
+                            / F.lit(denoms[c])
+                        ),
+                    ),
+                    F.lit(0.0),
+                )
+                + F.lit(priors[c])
                 for i, c in enumerate(labels)
             ]
-        )
-        scored = df.join(
-            sums, on=df[id_col] == sums["__nb_id"], how="left"
-        ).drop("__nb_id")
-        score_cols = [
-            (F.coalesce(F.col(f"__nb_s{i}"), F.lit(0.0)) + F.lit(priors[c]))
-            for i, c in enumerate(labels)
-        ]
-    # row-local argmax, tie-break (score DESC, label ASC): sort the
-    # (–score, label) structs ascending and take the head
-    best = F.element_at(
-        F.array_sort(
-            F.array(
+            scored = df
+        else:
+            toks = df.select(
+                F.col(id_col).alias("__nb_id"),
+                F.explode(toks_expr).alias("token"),
+            )
+            joined = toks.join(F.broadcast(wide), on="token", how="left")
+            sums = joined.groupBy("__nb_id").agg(
                 *[
-                    F.struct(
-                        (-s).alias("ns"), F.lit(c).alias("l")
-                    )
-                    for s, c in zip(score_cols, labels)
+                    F.sum(
+                        F.log(
+                            (F.coalesce(F.col(f"__nb_c{i}"), F.lit(0)) + F.lit(alpha))
+                            / F.lit(denoms[c])
+                        )
+                    ).alias(f"__nb_s{i}")
+                    for i, c in enumerate(labels)
                 ]
             )
-        ),
-        1,
-    )
-    return scored.select(
-        *[F.col(c) for c in df.columns],
-        best["l"].alias(out_col),
-        (-best["ns"]).alias(score_col),
-    )
+            scored = df.join(
+                sums, on=df[id_col] == sums["__nb_id"], how="left"
+            ).drop("__nb_id")
+            score_cols = [
+                (F.coalesce(F.col(f"__nb_s{i}"), F.lit(0.0)) + F.lit(priors[c]))
+                for i, c in enumerate(labels)
+            ]
+        # row-local argmax, tie-break (score DESC, label ASC): sort the
+        # (–score, label) structs ascending and take the head
+        best = F.element_at(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            (-s).alias("ns"), F.lit(c).alias("l")
+                        )
+                        for s, c in zip(score_cols, labels)
+                    ]
+                )
+            ),
+            1,
+        )
+        out = scored.select(
+            *[F.col(c) for c in df.columns],
+            best["l"].alias(out_col),
+            (-best["ns"]).alias(score_col),
+        )
+        if row_local:
+            # literals are embedded in the returned plan; the model
+            # caches have no further reader
+            token_counts.unpersist()
+            class_stats.unpersist()
+            return out
+        return _release_after(out, token_counts, class_stats)
+    except BaseException:
+        # a failing eager pass (collect/count/analysis error) must not
+        # leak the model persists until session end (the top_fraction
+        # r14 precedent)
+        token_counts.unpersist()
+        class_stats.unpersist()
+        raise
+
 
 
 def _bigram_pairs(toks):
@@ -616,6 +645,22 @@ def lm_perplexity(
             )
     if not alpha > 0:
         raise ValueError(f"alpha must be > 0, got {alpha}")
+    # Persist the UNIGRAM model table (the dsir_weights r14 precedent,
+    # extended here in r20): its computation is a full-corpus
+    # tokenize+explode+agg + vocabulary rank, and without the cache it
+    # runs once for the vocab_size count here and THREE more times
+    # inside the scoring plan (the v1/v2 vocabulary joins trimming the
+    # bigram table, plus the ctx broadcast).  The bigram table is NOT
+    # persisted on the join path — it appears exactly once in the
+    # scoring plan, so a cache would add a materialization job with no
+    # reuse (measured +0.5 s on doc_lm_score at sf0.1); the row_local
+    # tier persists it too (count + collect = two reads) and
+    # unpersists both inline once its literals are collected.  The
+    # join tier registers the cache with the shared release registry
+    # the bench/oracle harnesses drain.
+    from python_dtl_spark.operators.dedup import _release_after
+
+    unigram_counts = unigram_counts.persist()
     vocab_size = unigram_counts.count()  # scalar model size
     toks_expr = (
         F.col(tokens_col)
@@ -623,10 +668,17 @@ def lm_perplexity(
         else tokens(F.lower(F.col(text_col)))
     )
     if row_local:
-        return _lm_perplexity_row_local(
-            df, bigram_counts, unigram_counts, toks_expr, vocab_size,
-            alpha, out_col, max_literal_cells,
-        )
+        bigram_counts = bigram_counts.persist()
+        try:
+            return _lm_perplexity_row_local(
+                df, bigram_counts, unigram_counts, toks_expr, vocab_size,
+                alpha, out_col, max_literal_cells,
+            )
+        finally:
+            # literals are embedded in the returned plan; the model
+            # caches have no further reader
+            bigram_counts.unpersist()
+            unigram_counts.unpersist()
     tr = df.select(
         F.col(id_col).alias("__lm_id"),
         F.explode(_bigram_pairs(toks_expr)).alias("p"),
@@ -665,7 +717,7 @@ def lm_perplexity(
     scored = df.join(
         sums, on=df[id_col] == sums["__lm_id"], how="left"
     ).drop("__lm_id")
-    return scored.select(
+    out = scored.select(
         *[F.col(c) for c in df.columns],
         F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
         F.coalesce("n_unseen", F.lit(0)).cast("long").alias("n_unseen"),
@@ -680,6 +732,7 @@ def lm_perplexity(
             F.col("n_trans") > 0, F.exp(-F.col("__ll") / F.col("n_trans"))
         ).alias(out_col),
     )
+    return _release_after(out, unigram_counts)
 
 
 def _dsir_features(toks):

@@ -1110,7 +1110,21 @@ def test_lm_perplexity_is_broadcast_model_joins_single_doc_agg(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     bi, uni = classify.lm_fit(docs, max_vocab=300)
     out = classify.lm_perplexity(docs, bi, uni)
-    plan = _exec_plan(out)
+    # r20: the model tables are persisted (redundant-fit removal), and
+    # a cached relation's size statistics make the initial plan's
+    # doc-grain join-back conservatively sort-merge; AQE converts it
+    # from runtime sizes, so assert on the FINAL adaptive plan (the
+    # join-back is broadcast at small scale, co-partitioned equi-join
+    # at corpus scale — the operator's documented contract).  collect()
+    # (not count()) drives THIS Dataset's own QueryExecution, so the
+    # AdaptiveSparkPlan below is the executed one; slice out the
+    # "== Final Plan ==" section so the pre-conversion initial plan's
+    # text cannot trip the negative assertions.
+    out.collect()
+    full = _exec_plan(out)
+    assert "isFinalPlan=true" in full, full
+    start = full.index("== Final Plan ==")
+    plan = full[start : full.index("== Initial Plan ==", start)]
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan
