@@ -1062,20 +1062,26 @@ def keep_one_from_pairs(
             .groupBy("__dst")
             .agg(F.min("__lbl").alias("__nmin"))
         )
+        # carry the per-row changed flag THROUGH the truncated frame:
+        # the convergence check is then a filter+count over the
+        # already-materialized checkpoint instead of a second
+        # full-universe join of new labels against old — one
+        # corpus-sized join and shuffle fewer per round (r20; the flag
+        # is equivalent to new != old because the new label is
+        # least(old, nmin), which differs from old iff nmin < old)
         new_labels = _truncate(
             labels.join(nbr_min, on=[labels["__id"] == nbr_min["__dst"]], how="left")
             .select(
                 "__id",
                 F.least(F.col("__lbl"), F.coalesce("__nmin", "__lbl")).alias("__lbl"),
+                (
+                    F.col("__nmin").isNotNull()
+                    & (F.col("__nmin") < F.col("__lbl"))
+                ).alias("__chg"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="__id")
-            .filter(F.col("n.__lbl") != F.col("o.__lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.select("__id", "__lbl")
         if changed == 0:
             break
     else:

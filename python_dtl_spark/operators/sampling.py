@@ -981,26 +981,48 @@ def top_fraction(
             return _release_after(
                 base.filter(_ref(base, score_col) >= F.lit(t)), cached
             )
-        n = base.count()
+        # ONE eager pass for row count AND the coarse GK floor (r20;
+        # was two jobs: count() then approxQuantile).  percentile_approx
+        # is the same QuantileSummaries sketch as approxQuantile with
+        # accuracy = 1/err, so it carries the same rank guarantee — and
+        # the kept SET is floor-invariant anyway: the exact rank below
+        # runs on whatever slice survives, with the undershoot guard
+        # falling back to the full input.
+        t = None
+        if prefilter_quantile_error is not None:
+            err = prefilter_quantile_error
+            prob = max(0.0, 1.0 - float(frac) - 2.0 * err)
+            if prob > 0.0:
+                row = base.select(
+                    _ref(base, score_col).alias("__tf_score")
+                ).agg(
+                    F.count(F.lit(1)).alias("__tf_n"),
+                    F.percentile_approx(
+                        F.col("__tf_score"),
+                        F.lit(prob),
+                        F.lit(max(2, int(round(1.0 / err)))),
+                    ).alias("__tf_floor"),
+                ).collect()[0]
+                n, t = int(row["__tf_n"]), row["__tf_floor"]
+            else:
+                n = base.count()
+        else:
+            n = base.count()
         if n == 0:
             return _release_after(base, cached)
         p, q = frac.numerator, frac.denominator
         k = (n * p + q - 1) // q
         if k >= n:
             # fraction == 1 (or rounding reached n): everything
-            # survives — skip the quantile pass and the rank entirely
+            # survives — skip the rank entirely
             return _release_after(base, cached)
         cand = base
-        if prefilter_quantile_error is not None and 0 < k < n:
-            err = prefilter_quantile_error
-            prob = max(0.0, 1.0 - float(frac) - 2.0 * err)
-            if prob > 0.0:
-                t = _quantile_floor(base, score_col, prob, err)
-                sliced = base.filter(_ref(base, score_col) >= F.lit(t))
-                # quantile guarantee ⇒ |sliced| ≥ k; guarded, not
-                # assumed
-                if sliced.count() >= k:
-                    cand = sliced
+        if t is not None and 0 < k < n:
+            sliced = base.filter(_ref(base, score_col) >= F.lit(t))
+            # quantile guarantee ⇒ |sliced| ≥ k; guarded, not
+            # assumed
+            if sliced.count() >= k:
+                cand = sliced
         w = Window.orderBy(
             _ref(cand, score_col).desc(), _ref(cand, tie_col).asc()
         )
