@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from python_dtl_spark.operators.embeddings import _dot as _vec_dot
 from python_dtl_spark.operators.partitioning import spread as _spread
@@ -968,6 +969,45 @@ def crawl_delta_pairs_stream(
     )
 
 
+# Candidate-graph size valve for the driver union-find tier of
+# keep_one_from_pairs / lsh_dedup_keep (the MAX_LITERAL_CENTROIDS
+# pattern, r20): at or below this many edge rows the near-duplicate
+# candidate graph is collected (guarded by an explicit count FIRST)
+# and its connected components solved in one pass on the driver — two
+# small jobs instead of O(diameter) iterative join+checkpoint rounds.
+# Above the valve the distributed min-label propagation loop runs
+# unchanged.  Candidate edges are a tiny fraction of the corpus by
+# construction (banded LSH / pigeonhole blocking), but the valve keeps
+# the collect bounded no matter what the data does.
+MAX_DRIVER_COMPONENT_EDGES = 1_000_000
+
+
+def _component_minima(edges, skip_nodes=frozenset()):
+    """Union-find with path compression over an edge iterable; returns
+    ``{node: component_minimum}`` for every non-skipped node seen.
+    ``component_minimum`` is the min over the component's nodes that
+    are comparable (all ids — bucket tuple nodes are filtered by the
+    caller).  Nodes in ``skip_nodes`` (and None) relay nothing, exactly
+    like a node with no label row in the distributed loop."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        if a is None or b is None or a in skip_nodes or b in skip_nodes:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return parent, find
+
+
 def _plan_truncator(spark, checkpoint_dir: str | None):
     """Return a function that truncates a DataFrame's logical plan.
 
@@ -992,12 +1032,18 @@ def _plan_truncator(spark, checkpoint_dir: str | None):
             _LAST_CHECKPOINT_DIR[ctx_key] = checkpoint_dir
 
         def _truncate(d: DataFrame) -> DataFrame:
+            # reliable checkpoint must stay EAGER: a lazy checkpoint()
+            # writes its files in a separate job that re-runs the whole
+            # lineage, doubling the compute it is meant to save
             return d.checkpoint(eager=True)
 
     else:
 
         def _truncate(d: DataFrame) -> DataFrame:
-            return d.localCheckpoint(eager=True)
+            # lazy: the plan is truncated immediately (LogicalRDD), the
+            # blocks are computed and cached by the caller's next action
+            # (the convergence count) — one job per round, not two (r20)
+            return d.localCheckpoint(eager=False)
 
     return _truncate
 
@@ -1011,6 +1057,7 @@ def keep_one_from_pairs(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     with_lineage: bool = False,
+    max_driver_edges: int | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Connected components over an explicit near-duplicate edge list:
     (id, cluster_id, keep) with ``keep`` true for each cluster's
@@ -1051,10 +1098,65 @@ def keep_one_from_pairs(
         .persist()
     )
     _truncate = _plan_truncator(ids.sparkSession, checkpoint_dir)
-    labels = _truncate(
-        ids.select(F.col(id_col).alias("__id")).distinct().withColumn(
-            "__lbl", F.col("__id")
+    universe = _truncate(ids.select(F.col(id_col).alias("__id")).distinct())
+    # The candidate graph (edge-incident nodes) is the only place a
+    # label can move: everything else is a singleton spliced back at
+    # the end (r20).  At or below the valve, solve its components in
+    # one union-find pass on the driver — the count() guard runs
+    # BEFORE the collect, the r11/r14 bounded-collect discipline —
+    # replacing O(diameter) join+checkpoint+count rounds with two
+    # small jobs.  Above the valve, distributed min-label propagation
+    # with pointer jumping (O(log diameter) rounds) over the incident
+    # nodes only.
+    n_edges = edges.count()
+    cap = MAX_DRIVER_COMPONENT_EDGES if max_driver_edges is None else max_driver_edges
+    if n_edges <= cap:
+        nodes = edges.select("__src").distinct()
+        # only in-universe endpoints may relay labels (an
+        # out-of-universe node has no label row in the loop tier)
+        in_u = universe.join(
+            nodes, on=[universe["__id"] == nodes["__src"]], how="left_semi"
         )
+        uset = {r["__id"] for r in in_u.collect()}  # bounded: <= 2*cap
+        parent, find = _component_minima(
+            (r["__src"], r["__dst"])
+            for r in edges.collect()  # bounded: <= cap, guarded above
+            if r["__src"] in uset and r["__dst"] in uset
+        )
+        best: dict = {}
+        for x in uset:
+            r = find(x)
+            if r not in best or x < best[r]:
+                best[r] = x
+        id_type = universe.schema["__id"].dataType
+        labels = ids.sparkSession.createDataFrame(
+            [(x, best[find(x)]) for x in uset],
+            StructType(
+                [StructField("__id", id_type), StructField("__lbl", id_type)]
+            ),
+        )
+        # splice: broadcast is exact here (valve-bounded), so the
+        # corpus-sized universe is never shuffled
+        full = universe.join(F.broadcast(labels), on="__id", how="left").select(
+            "__id", F.coalesce("__lbl", F.col("__id")).alias("__lbl")
+        )
+        out = full.select(
+            F.col("__id").alias(id_col),
+            F.col("__lbl").alias("cluster_id"),
+            (F.col("__id") == F.col("__lbl")).alias("keep"),
+        )
+        if with_lineage:
+            mapping = full.select(
+                F.col("__id").alias(f"src_{id_col}"),
+                F.col("__lbl").alias(f"kept_{id_col}"),
+            )
+            return _release_after(out, edges), mapping
+        return _release_after(out, edges)
+    labels = _truncate(
+        edges.select(F.col("__src").alias("__id"))
+        .distinct()
+        .join(universe, on="__id", how="left_semi")
+        .withColumn("__lbl", F.col("__id"))
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -1062,22 +1164,37 @@ def keep_one_from_pairs(
             .groupBy("__dst")
             .agg(F.min("__lbl").alias("__nmin"))
         )
-        # carry the per-row changed flag THROUGH the truncated frame:
-        # the convergence check is then a filter+count over the
-        # already-materialized checkpoint instead of a second
-        # full-universe join of new labels against old — one
-        # corpus-sized join and shuffle fewer per round (r20; the flag
-        # is equivalent to new != old because the new label is
-        # least(old, nmin), which differs from old iff nmin < old)
-        new_labels = _truncate(
+        # one-hop propagation, truncated so the self-join below reads
+        # cached blocks instead of recomputing the join+agg twice
+        hop = _truncate(
             labels.join(nbr_min, on=[labels["__id"] == nbr_min["__dst"]], how="left")
             .select(
                 "__id",
-                F.least(F.col("__lbl"), F.coalesce("__nmin", "__lbl")).alias("__lbl"),
-                (
-                    F.col("__nmin").isNotNull()
-                    & (F.col("__nmin") < F.col("__lbl"))
-                ).alias("__chg"),
+                F.col("__lbl").alias("__old"),
+                F.least(F.col("__lbl"), F.coalesce("__nmin", "__lbl")).alias(
+                    "__mid"
+                ),
+            )
+        )
+        # pointer-jumping shortcut (r20): follow the label one more
+        # step through the label table itself (label := label(label)).
+        # Labels are monotonically non-increasing and always stay
+        # inside the component, so the fixpoint (component minimum) is
+        # unchanged while the distance to it roughly HALVES per round
+        # — O(log diameter) rounds instead of O(diameter).  The carried
+        # changed flag keeps the convergence check a filter+count on
+        # the truncated frame: final <= mid <= old, so changed iff
+        # final < old.
+        jump = hop.select(
+            F.col("__id").alias("__jid"), F.col("__mid").alias("__jlbl")
+        )
+        final = F.least(F.col("__mid"), F.coalesce("__jlbl", F.col("__mid")))
+        new_labels = _truncate(
+            hop.join(jump, on=[F.col("__mid") == F.col("__jid")], how="left")
+            .select(
+                "__id",
+                final.alias("__lbl"),
+                (final < F.col("__old")).alias("__chg"),
             )
         )
         changed = new_labels.filter(F.col("__chg")).count()
@@ -1092,13 +1209,18 @@ def keep_one_from_pairs(
             "longer than max_iter hops — raise max_iter (labels move one "
             "hop per round)"
         )
-    out = labels.select(
+    # splice the singletons back: every universe id absent from the
+    # incident-node labels kept its own label by construction
+    full = universe.join(labels, on="__id", how="left").select(
+        "__id", F.coalesce("__lbl", F.col("__id")).alias("__lbl")
+    )
+    out = full.select(
         F.col("__id").alias(id_col),
         F.col("__lbl").alias("cluster_id"),
         (F.col("__id") == F.col("__lbl")).alias("keep"),
     )
     if with_lineage:
-        mapping = labels.select(
+        mapping = full.select(
             F.col("__id").alias(f"src_{id_col}"),
             F.col("__lbl").alias(f"kept_{id_col}"),
         )
@@ -1116,6 +1238,7 @@ def lsh_dedup_keep(
     max_iter: int = 10,
     checkpoint_dir: str | None = None,
     with_lineage: bool = False,
+    max_driver_edges: int | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Near-dup dedup with LINEAR output: (doc_id, cluster_id, keep).
 
@@ -1176,58 +1299,142 @@ def lsh_dedup_keep(
         )
         .persist()
     )
+    # Propagate over MULTI-MEMBER buckets only (r20): a singleton
+    # bucket hands its sole member its own label back — a no-op — so
+    # restricting the bipartite graph to buckets with ≥ 2 members (and
+    # to the docs that touch one) leaves every label trajectory
+    # identical while the per-round joins, plan-truncating checkpoints
+    # and convergence counts shrink from O(corpus × bands) to
+    # O(co-bucketed docs); untouched singletons are spliced back once
+    # at the end.  Both frames are served from the buckets cache.
+    active = buckets.join(
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("band", "bucket"),
+        on=["band", "bucket"],
+    ).persist()
+    # At or below the valve, solve the candidate graph's components in
+    # one union-find pass on the driver (count() guard BEFORE the
+    # collect — the keep_one_from_pairs r20 tier); bucket nodes are
+    # (band, bucket) tuples, disjoint from doc ids by type.
+    n_active = active.count()
+    cap = MAX_DRIVER_COMPONENT_EDGES if max_driver_edges is None else max_driver_edges
+    if n_active <= cap:
+        rows = active.collect()  # bounded: <= cap, guarded above
+        # a NULL doc id equi-joins nothing in the loop tier, so it
+        # relays nothing here either
+        parent, find = _component_minima(
+            (r["__id"], (r["band"], r["bucket"]))
+            for r in rows
+            if r["__id"] is not None
+        )
+        doc_set = {r["__id"] for r in rows if r["__id"] is not None}
+        best: dict = {}
+        for x in doc_set:
+            rt = find(x)
+            if rt not in best or x < best[rt]:
+                best[rt] = x
+        id_type = buckets.schema["__id"].dataType
+        labels = df.sparkSession.createDataFrame(
+            [(x, best[find(x)]) for x in doc_set],
+            StructType(
+                [StructField("__id", id_type), StructField("__lbl", id_type)]
+            ),
+        )
+        full = (
+            buckets.select("__id")
+            .distinct()
+            .join(F.broadcast(labels), on="__id", how="left")
+            .select("__id", F.coalesce("__lbl", F.col("__id")).alias("__lbl"))
+        )
+        out = full.select(
+            F.col("__id").alias(id_col),
+            F.col("__lbl").alias("cluster_id"),
+            (F.col("__id") == F.col("__lbl")).alias("keep"),
+        )
+        if with_lineage:
+            mapping = full.select(
+                F.col("__id").alias(f"src_{id_col}"),
+                F.col("__lbl").alias(f"kept_{id_col}"),
+            )
+            return _release_after(out, buckets, active), mapping
+        return _release_after(out, buckets, active)
     # iterative label propagation: checkpoint each round to TRUNCATE the
     # logical plan — persist alone caches data but the plan still grows
     # exponentially with iterations
     _truncate = _plan_truncator(df.sparkSession, checkpoint_dir)
     labels = _truncate(
-        buckets.select("__id").distinct().withColumn("__lbl", F.col("__id"))
+        active.select("__id").distinct().withColumn("__lbl", F.col("__id"))
     )
     for _ in range(max_iter):
         bucket_min = (
-            buckets.join(labels, on="__id")
+            active.join(labels, on="__id")
             .groupBy("band", "bucket")
             .agg(F.min("__lbl").alias("__bmin"))
         )
         doc_min = (
-            buckets.join(bucket_min, on=["band", "bucket"])
+            active.join(bucket_min, on=["band", "bucket"])
             .groupBy("__id")
             .agg(F.min("__bmin").alias("__new"))
         )
-        new_labels = _truncate(
+        # one-hop (doc -> bucket -> doc) propagation, truncated so the
+        # pointer-jumping self-join reads cached blocks; then the
+        # shortcut label := label(label) — same O(log diameter) round
+        # bound and carried changed flag as keep_one_from_pairs (r20)
+        hop = _truncate(
             labels.join(doc_min, on="__id", how="left").select(
                 "__id",
-                F.least(F.col("__lbl"), F.coalesce("__new", "__lbl")).alias("__lbl"),
+                F.col("__lbl").alias("__old"),
+                F.least(F.col("__lbl"), F.coalesce("__new", "__lbl")).alias(
+                    "__mid"
+                ),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="__id")
-            .filter(F.col("n.__lbl") != F.col("o.__lbl"))
-            .count()
+        jump = hop.select(
+            F.col("__id").alias("__jid"), F.col("__mid").alias("__jlbl")
         )
-        labels = new_labels
+        final = F.least(F.col("__mid"), F.coalesce("__jlbl", F.col("__mid")))
+        new_labels = _truncate(
+            hop.join(jump, on=[F.col("__mid") == F.col("__jid")], how="left")
+            .select(
+                "__id",
+                final.alias("__lbl"),
+                (final < F.col("__old")).alias("__chg"),
+            )
+        )
+        changed = new_labels.filter(F.col("__chg")).count()
+        labels = new_labels.select("__id", "__lbl")
         if changed == 0:
             break
     else:
         buckets.unpersist()
+        active.unpersist()
         raise RuntimeError(
             f"lsh_dedup_keep did not converge in {max_iter} rounds "
             f"({changed} labels still changing): a duplicate chain is "
             "longer than max_iter bucket hops — raise max_iter"
         )
-    out = labels.select(
+    # splice the singletons back: every doc absent from the active
+    # labels kept its own label by construction
+    full = (
+        buckets.select("__id")
+        .distinct()
+        .join(labels, on="__id", how="left")
+        .select("__id", F.coalesce("__lbl", F.col("__id")).alias("__lbl"))
+    )
+    out = full.select(
         F.col("__id").alias(id_col),
         F.col("__lbl").alias("cluster_id"),
         (F.col("__id") == F.col("__lbl")).alias("keep"),
     )
     if with_lineage:
-        mapping = labels.select(
+        mapping = full.select(
             F.col("__id").alias(f"src_{id_col}"),
             F.col("__lbl").alias(f"kept_{id_col}"),
         )
-        return _release_after(out, buckets), mapping
-    return _release_after(out, buckets)
+        return _release_after(out, buckets, active), mapping
+    return _release_after(out, buckets, active)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:

@@ -346,8 +346,12 @@ def test_lsh_dedup_keep_reliable_checkpoint(spark, tmp_path):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     ckpt = os.path.join(str(tmp_path), "ckpt")
     # max_iter high enough that the fixpoint loop truncates the plan
-    # through the reliable checkpoint at least twice
-    out = lsh_dedup_keep(docs, n=3, checkpoint_dir=ckpt, max_iter=5).collect()
+    # through the reliable checkpoint at least twice; max_driver_edges=0
+    # forces the distributed loop tier (the driver union-find tier
+    # never touches the checkpoint dir)
+    out = lsh_dedup_keep(
+        docs, n=3, checkpoint_dir=ckpt, max_iter=5, max_driver_edges=0
+    ).collect()
     assert len(out) == 6
     keepers = sorted(r.doc_id for r in out if r.keep)
     assert keepers == [0, 1]
@@ -910,6 +914,59 @@ def test_keep_one_from_pairs_transitive_chain(spark):
            dedup.keep_one_from_pairs(ids, pairs).collect()}
     assert out == {0: (0, True), 1: (0, False), 2: (0, False),
                    3: (0, False), 4: (4, True)}
+
+
+def test_keep_one_driver_and_loop_tiers_agree(spark):
+    """r20: below MAX_DRIVER_COMPONENT_EDGES the components are solved
+    by a guarded driver union-find; above it by distributed min-label
+    propagation.  Both tiers must produce identical labels — including
+    the out-of-universe-endpoint guard (an endpoint absent from ``ids``
+    must not bridge two in-universe components)."""
+    ids = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 5, 6, 9)], "vec_id long"
+    )
+    pairs = spark.createDataFrame(
+        # 0-1-2 one component; 5-6 another; 9 singleton; the 2-100-5
+        # path runs through id 100 which is NOT in the universe, so it
+        # must NOT merge the two components
+        [(0, 1), (1, 2), (5, 6), (2, 100), (100, 5)],
+        "id_a long, id_b long",
+    )
+    expect = {0: (0, True), 1: (0, False), 2: (0, False),
+              5: (5, True), 6: (5, False), 9: (9, True)}
+    for cap in (0, None):  # 0 forces the loop tier; None the driver tier
+        out = {
+            r.vec_id: (r.cluster_id, r.keep)
+            for r in dedup.keep_one_from_pairs(
+                ids, pairs, max_driver_edges=cap
+            ).collect()
+        }
+        assert out == expect, f"max_driver_edges={cap}: {out}"
+
+
+def test_lsh_dedup_driver_and_loop_tiers_agree(spark):
+    """r20 tier equivalence for lsh_dedup_keep: same clusters and
+    keepers from the driver union-find and the distributed loop."""
+    from python_dtl_spark.operators.dedup import lsh_dedup_keep
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different content about spark adaptive query execution plans",
+        "a third unrelated document mentioning minhash signatures and shingles",
+    ]
+    rows = []
+    for rep in range(4):
+        for i, t in enumerate(texts):
+            rows.append((rep * 10 + i, t + f" v{rep}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {}
+    for cap in (0, None):
+        res[cap] = sorted(
+            (r.doc_id, r.cluster_id, r.keep)
+            for r in lsh_dedup_keep(docs, n=3, max_driver_edges=cap).collect()
+        )
+    assert res[0] == res[None]
+    assert len(res[0]) == 12
 
 
 def test_grouped_percentiles_discrete_elements(spark):
@@ -2828,15 +2885,23 @@ def test_keep_one_raises_on_nonconvergence_instead_of_wrong_clusters(spark):
     """A duplicate chain longer than max_iter hops must raise: falling
     through silently emitted clusters whose cluster_id was not any
     keeper's id."""
-    ids = spark.createDataFrame([(i,) for i in range(6)], "vec_id long")
+    # loop tier forced (max_driver_edges=0): the driver union-find tier
+    # has no iteration to time out.  The chain must be long enough that
+    # pointer jumping (O(log diameter) rounds) still cannot finish in 2
+    # rounds.
+    ids = spark.createDataFrame([(i,) for i in range(65)], "vec_id long")
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.keep_one_from_pairs(ids, chain, max_iter=2).collect()
+        dedup.keep_one_from_pairs(
+            ids, chain, max_iter=2, max_driver_edges=0
+        ).collect()
     out = {
         r.vec_id: (r.cluster_id, r.keep)
-        for r in dedup.keep_one_from_pairs(ids, chain, max_iter=10).collect()
+        for r in dedup.keep_one_from_pairs(
+            ids, chain, max_iter=10, max_driver_edges=0
+        ).collect()
     }
     assert all(c == 0 for c, _ in out.values())
     assert [k for k, (_, keep) in sorted(out.items()) if keep] == [0]
