@@ -801,6 +801,64 @@ def dsir_fit(
     )
 
 
+def dsir_fit_split(
+    df: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+    tokens_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit BOTH DSIR models in ONE corpus pass (r20): the common
+    "target = a condition over the raw corpus" case (e.g. ``source ==
+    'src1'``) called :func:`dsir_fit` twice — once on the filtered
+    slice, once on the full frame — tokenizing the target slice's
+    documents twice and running two full explode+agg jobs.  One pass
+    counts every feature once with a target flag; the target model is
+    the ``freq_t > 0`` slice, the raw model the full count.  Row sets,
+    values and dtypes are identical to the two-call form by
+    construction (a bucket appears in the target model iff a target
+    document contributed a feature to it; NULL conditions count as
+    false, exactly like the filter).
+
+    Returns ``(target_counts, raw_counts)``.  The shared bucket table
+    (≤ 10,000 rows) is persisted and registered with the release
+    registry the bench/oracle harnesses drain, so the two totals
+    collects inside :func:`dsir_weights` trigger one fit pass, not
+    two.
+    """
+    from python_dtl_spark.operators.dedup import _release_after
+    from python_dtl_spark.operators.sampling import hash_bucket
+
+    toks_expr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.lower(F.col(text_col)))
+    )
+    both = (
+        df.select(
+            F.explode(_dsir_features(toks_expr)).alias("__feat"),
+            F.coalesce(target_cond, F.lit(False)).alias("__is_t"),
+        )
+        .select(
+            hash_bucket(F.col("__feat"), seed=seed).alias("bucket"), "__is_t"
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__freq_all"),
+            F.sum(F.when(F.col("__is_t"), 1).otherwise(0))
+            .cast("long")
+            .alias("__freq_t"),
+        )
+        .persist()
+    )
+    tc = both.filter(F.col("__freq_t") > 0).select(
+        "bucket", F.col("__freq_t").alias("freq")
+    )
+    rc = both.select("bucket", F.col("__freq_all").alias("freq"))
+    return _release_after(tc, both), rc
+
+
 def _dsir_weights_row_local(
     df: DataFrame,
     target_counts: DataFrame,

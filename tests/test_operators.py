@@ -5223,6 +5223,33 @@ def test_lm_curate_threshold_margin_is_wide(spark, sf):
     assert margin > 1e-6, margin
 
 
+def test_dsir_fit_split_matches_two_call_fit(spark):
+    """r20: dsir_fit_split(df, cond) must produce byte-identical model
+    tables to dsir_fit(df.where(cond)) + dsir_fit(df) — including the
+    bucket row SET (target buckets exist iff a target doc contributed)
+    and NULL-condition docs counting as raw-only."""
+    from python_dtl_spark.operators import classify
+
+    rows = [
+        (0, "src1", "the cat sat on the mat"),
+        (1, "src1", "the cat ran to the mat"),
+        (2, "src2", "stock prices fell sharply today"),
+        (3, None, "buy cheap pills online now"),
+        (4, "src2", "the cat sat on the mat"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    from pyspark.sql import functions as F
+
+    tc0 = classify.dsir_fit(docs.where(F.col("source") == "src1"), seed="s1")
+    rc0 = classify.dsir_fit(docs, seed="s1")
+    tc1, rc1 = classify.dsir_fit_split(
+        docs, F.col("source") == "src1", seed="s1"
+    )
+    assert tc0.dtypes == tc1.dtypes and rc0.dtypes == rc1.dtypes
+    assert sorted(map(tuple, tc0.collect())) == sorted(map(tuple, tc1.collect()))
+    assert sorted(map(tuple, rc0.collect())) == sorted(map(tuple, rc1.collect()))
+
+
 def test_dsir_weights_match_bruteforce_reference(spark):
     """DSIR importance weights (Xie et al. 2023) vs a literal Python
     reference: hashed unigram+bigram bucket counts for target and raw,
