@@ -9344,12 +9344,15 @@ def _q_index_maintenance(spark, sf_dir):
     # index1 feeds the day-1 probe AND the merge passthrough;
     # survivors feed three consumers (merge, verify corpus, day-2
     # recrawl).  At 100 TB both are the parquet artifacts the daily
-    # job reads/writes; in-session, persist() stands in for index1,
-    # and survivors additionally needs its LINEAGE truncated
-    # (lazy localCheckpoint) — embedding the day-1 probe DAG three
-    # times into day-2's plan made Catalyst planning, not execution,
-    # the dominant cost (measured 18s -> 5s warm at sf0.001).
-    index1 = index1.persist()
+    # job reads/writes; in-session, a lazy localCheckpoint stands in
+    # for index1 (r20: was persist(), which computes once but leaves
+    # the full bucket-build DAG embedded at every reference — plan
+    # analysis, not execution, dominated this query), and survivors
+    # additionally needs its LINEAGE truncated (lazy localCheckpoint)
+    # — embedding the day-1 probe DAG three times into day-2's plan
+    # made Catalyst planning the dominant cost (measured 18s -> 5s
+    # warm at sf0.001).
+    index1 = index1.localCheckpoint(eager=False)
     pairs1 = dedup.crawl_delta_pairs(
         docs, crawl1, corpus_buckets=index1, threshold=0.3
     )
@@ -9371,7 +9374,7 @@ def _q_index_maintenance(spark, sf_dir):
     out = dedup.crawl_delta_pairs(
         corpus2, crawl2, corpus_buckets=index2, threshold=0.3
     )
-    return dedup._release_after(out, index1)
+    return out
 
 
 # Oracle: day-2 exact-Jaccard ≥ 0.3 against corpus ∪ survivors.  The

@@ -434,6 +434,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = None,
     prefilter_margin: float | None = 0.25,
     assume_unique_ids: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -460,9 +461,22 @@ def minhash_lsh_pairs(
       ``None`` (default) keeps everything.
 
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold, id_a < id_b.
+
+    ``checkpoint_dir``: the shingle / signature / bucket intermediates
+    below are each referenced 2-3× by the downstream plan; embedding
+    the ~500-expression signature subtree 5-7× into the final DAG made
+    Catalyst analysis itself the dominant cost of the composed
+    pipelines (measured r20 — guide §3.3: very wide plans make
+    planning the bottleneck; truncate with a materialised
+    intermediate).  They are therefore materialised through
+    :func:`_plan_truncator`: reliable ``checkpoint()`` when a dir is
+    given (survives executor loss — pass it on a real cluster),
+    ``localCheckpoint`` otherwise (fine single-node / test scale, same
+    compute-once semantics the previous ``persist()`` had).
     """
     rows_per_band = num_hashes // bands
-    # single persisted shingle projection feeds BOTH signature
+    _truncate = _plan_truncator(df.sparkSession, checkpoint_dir)
+    # single materialised shingle projection feeds BOTH signature
     # generation and the exact-Jaccard verification — shingling (the
     # priciest per-row step) runs once per pipeline
     # dropDuplicates on the id: a duplicated doc_id would otherwise
@@ -477,14 +491,14 @@ def minhash_lsh_pairs(
     )
     if not assume_unique_ids:
         sh = sh.dropDuplicates(["__sid"])
-    sh = sh.persist()
+    sh = _truncate(sh)
     hashed = sh.select(F.col("__sid"), F.explode("__sh").alias("__f")).select(
         F.col("__sid"), F.xxhash64("__f").alias("__h")
     )
-    # persisted: consumed up to three times (banding + both prefilter
+    # materialised: consumed up to three times (banding + both prefilter
     # sides), each of which would otherwise replay the explode + hash +
     # 64-way min aggregation
-    sigs = (
+    sigs = _truncate(
         hashed.groupBy("__sid")
         .agg(
             *[
@@ -493,7 +507,6 @@ def minhash_lsh_pairs(
             ]
         )
         .withColumnRenamed("__sid", id_col)
-        .persist()
     )
     band_cols = []
     for b in range(bands):
@@ -513,9 +526,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # the self-join below references `buckets` twice — persist the narrow
-    # (id, band, bucket) projection so shingling + signatures run once
-    buckets = buckets_cached = buckets.persist()
+    # the self-join below references `buckets` twice — materialise the
+    # narrow (id, band, bucket) projection so shingling + signatures
+    # run once
+    buckets = _truncate(buckets)
     if max_bucket_size is not None:
         ok = (
             buckets.groupBy("band", "bucket")
@@ -567,7 +581,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return _release_after(verified, sh, sigs, buckets_cached)
+    return verified
 
 
 def minhash_band_buckets(
@@ -700,6 +714,7 @@ def crawl_delta_pairs(
     prefilter_buckets: int | None = 1 << 16,
     max_bucket_size: int | None = None,
     assume_unique_ids: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup dedup: which documents of a NEW crawl
     near-duplicate (MinHash grain, exact-Jaccard verified) a document
@@ -746,14 +761,23 @@ def crawl_delta_pairs(
     is deduplicated by id unless ``assume_unique_ids=True`` skips
     that exchange.  The corpus side's contract is the INDEX's: build
     ``corpus_buckets`` from a unique-id corpus (the inline derivation
-    inherits whatever the corpus contains)."""
-    # crawl shingles persisted: feed bucket generation AND verification
+    inherits whatever the corpus contains).
+
+    ``checkpoint_dir``: the crawl-side intermediates below are each
+    referenced 2-3× downstream; as in :func:`minhash_lsh_pairs` they
+    are materialised through :func:`_plan_truncator` so the composed
+    daily-loop plans (probe → merge → probe) stay analysis-cheap —
+    reliable ``checkpoint()`` when a dir is given (real cluster),
+    ``localCheckpoint`` otherwise."""
+    _truncate = _plan_truncator(crawl.sparkSession, checkpoint_dir)
+    # crawl shingles materialised: feed bucket generation AND
+    # verification
     c_sh = _spread(crawl).select(
         F.col(id_col).alias("__cid"), _shingles(F.col(text_col), n).alias("__csh")
     )
     if not assume_unique_ids:
         c_sh = c_sh.dropDuplicates(["__cid"])
-    c_sh = c_sh.persist()
+    c_sh = _truncate(c_sh)
     # crawl buckets from the persisted shingles (minhash_band_buckets
     # would re-tokenize; this replays only its hash algebra on __csh)
     rows_per_band = num_hashes // bands
@@ -793,8 +817,8 @@ def crawl_delta_pairs(
             F.col("__bb.band").alias("band"),
             F.col("__bb.bucket").alias("bucket"),
         )
-        .persist()
     )
+    crawl_buckets = _truncate(crawl_buckets)
     if corpus_buckets is None:
         corpus_buckets = minhash_band_buckets(
             corpus,
@@ -828,6 +852,11 @@ def crawl_delta_pairs(
             == F.col("__pb"),
             "left_semi",
         )
+    # cand stays a persist() (not a checkpoint): its subtree is already
+    # small once c_sh / crawl_buckets are truncated, and truncating it
+    # would hide the stored-index FileScan from the final plan — the
+    # incremental contract (corpus text never re-bucketed) is asserted
+    # against that plan by test_crawl_delta_corpus_side_never_rebuckets
     cand = (
         crawl_buckets.join(k_buckets, on=["band", "bucket"], how="inner")
         .select(F.col("__cid"), F.col("__kid"))
@@ -862,7 +891,7 @@ def crawl_delta_pairs(
             "jaccard",
         )
     )
-    return _release_after(verified, c_sh, crawl_buckets, cand)
+    return _release_after(verified, cand)
 
 
 def crawl_delta_pairs_stream(
