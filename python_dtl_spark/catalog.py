@@ -5793,13 +5793,19 @@ def _q_dsir_weights(spark, sf_dir):
     ONE doc-grain agg + id join-back; zero Python (plan-asserted in
     tests/test_plans.py)."""
     docs = _read(spark, sf_dir, "documents")
-    # one-pass split fit (r20): both bucket models from a single
-    # tokenize+explode+agg over the corpus — identical tables to the
-    # two dsir_fit calls this replaced
-    tc, rc = classify.dsir_fit_split(
+    # one-pass split fit over a SHARED pre-bucketed feature table
+    # (r20): fit and scoring tokenize + md5-bucket the corpus ONCE
+    # between them — identical tables to the two dsir_fit calls this
+    # replaced
+    feats = classify.dsir_features(
         docs, F.col("source") == "src1", seed="ds1"
     )
-    return classify.dsir_weights(docs, tc, rc, seed="ds1").select(
+    tc, rc = classify.dsir_fit_split(
+        docs, F.col("source") == "src1", seed="ds1", features=feats
+    )
+    return classify.dsir_weights(
+        docs, tc, rc, seed="ds1", features=feats
+    ).select(
         "doc_id", "n_feats", "sum_target_freq", "sum_raw_freq",
         "n_unseen_target", "n_unseen_raw",
     )
@@ -5845,16 +5851,22 @@ def _q_dsir_select(spark, sf_dir):
     output is exactly the true top-k regardless of the prefilter
     (guarded fallback)."""
     docs = _read(spark, sf_dir, "documents")
-    # one-pass split fit (r20): both bucket models from a single
-    # tokenize+explode+agg over the corpus — identical tables to the
-    # two dsir_fit calls this replaced
-    tc, rc = classify.dsir_fit_split(
+    # one-pass split fit over a SHARED pre-bucketed feature table
+    # (r20): fit and scoring tokenize + md5-bucket the corpus ONCE
+    # between them — identical tables to the two dsir_fit calls this
+    # replaced
+    feats = classify.dsir_features(
         docs, F.col("source") == "src1", seed="ds1"
+    )
+    tc, rc = classify.dsir_fit_split(
+        docs, F.col("source") == "src1", seed="ds1", features=feats
     )
     # project BEFORE the selection: top_fraction persists its input
     # for the count/quantile/rank passes, and the rank only needs the
     # id + hashed diagnostics + weight — never the text column
-    scored = classify.dsir_weights(docs, tc, rc, seed="ds1").select(
+    scored = classify.dsir_weights(
+        docs, tc, rc, seed="ds1", features=feats
+    ).select(
         "doc_id", "n_feats", "sum_target_freq", "sum_raw_freq",
         "log_weight",
     )
@@ -6032,13 +6044,19 @@ def _q_dsir_resample(spark, sf_dir):
     floor + TakeOrderedAndProject (no SinglePartition exchange);
     probed sublinear at 32× (SCALING.md staged-r15 section)."""
     docs = _read(spark, sf_dir, "documents")
-    # one-pass split fit (r20): both bucket models from a single
-    # tokenize+explode+agg over the corpus — identical tables to the
-    # two dsir_fit calls this replaced
-    tc, rc = classify.dsir_fit_split(
+    # one-pass split fit over a SHARED pre-bucketed feature table
+    # (r20): fit and scoring tokenize + md5-bucket the corpus ONCE
+    # between them — identical tables to the two dsir_fit calls this
+    # replaced
+    feats = classify.dsir_features(
         docs, F.col("source") == "src1", seed="ds1"
     )
-    scored = classify.dsir_weights(docs, tc, rc, seed="ds1").select(
+    tc, rc = classify.dsir_fit_split(
+        docs, F.col("source") == "src1", seed="ds1", features=feats
+    )
+    scored = classify.dsir_weights(
+        docs, tc, rc, seed="ds1", features=feats
+    ).select(
         "doc_id", "n_feats", "sum_target_freq", "sum_raw_freq",
         "log_weight",
     )
@@ -7039,15 +7057,21 @@ def _q_dsir_emit(spark, sf_dir):
     tests/test_plans.py::test_dsir_emit_chain_plan_shape).  Zero
     Python end-to-end."""
     docs = _read(spark, sf_dir, "documents")
-    # one-pass split fit (r20): both bucket models from a single
-    # tokenize+explode+agg over the corpus — identical tables to the
-    # two dsir_fit calls this replaced
-    tc, rc = classify.dsir_fit_split(
+    # one-pass split fit over a SHARED pre-bucketed feature table
+    # (r20): fit and scoring tokenize + md5-bucket the corpus ONCE
+    # between them — identical tables to the two dsir_fit calls this
+    # replaced
+    feats = classify.dsir_features(
         docs, F.col("source") == "src1", seed="ds1"
+    )
+    tc, rc = classify.dsir_fit_split(
+        docs, F.col("source") == "src1", seed="ds1", features=feats
     )
     # narrow projection before the persisted selection (see
     # _q_dsir_select): the emission tail needs only (doc_id, source)
-    scored = classify.dsir_weights(docs, tc, rc, seed="ds1").select(
+    scored = classify.dsir_weights(
+        docs, tc, rc, seed="ds1", features=feats
+    ).select(
         "doc_id", "source", "log_weight"
     )
     sel = sampling.top_fraction(

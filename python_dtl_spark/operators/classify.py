@@ -801,6 +801,58 @@ def dsir_fit(
     )
 
 
+def dsir_features(
+    df: DataFrame,
+    target_cond=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "dsir",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """The SHARED pre-bucketed DSIR feature table (r20): one
+    ``(__ds_id, bucket[, __is_t])`` row per unigram/bigram feature
+    occurrence, hashed with exactly the expressions
+    :func:`dsir_fit_split` and :func:`dsir_weights` use internally —
+    so a fit and a scoring pass fed the same table (their
+    ``features=`` parameter) tokenize + md5-bucket the corpus ONCE
+    instead of twice (the md5 per feature string is the dominant
+    per-row cost of both passes; measured r20).  ``__is_t`` is
+    emitted only when ``target_cond`` is given (NULL conditions count
+    as false, exactly like :func:`dsir_fit_split`'s filter).
+
+    The table is persisted here (MEMORY_AND_DISK — evictable,
+    spillable) and registered with the release registry the
+    bench/oracle harnesses drain; the fit's totals collect
+    materialises it and the scoring plan reads the cache.  At extreme
+    scale the cache is feature-occurrence-sized — callers who would
+    rather re-tokenize than spill it simply keep ``features=None``
+    (the default two-pass behaviour, bit-identical output)."""
+    from python_dtl_spark.operators.dedup import _release_after
+    from python_dtl_spark.operators.sampling import hash_bucket
+
+    toks_expr = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens(F.lower(F.col(text_col)))
+    )
+    cols = [
+        F.col(id_col).alias("__ds_id"),
+        F.explode(_dsir_features(toks_expr)).alias("__feat"),
+    ]
+    flag = (
+        [F.coalesce(target_cond, F.lit(False)).alias("__is_t")]
+        if target_cond is not None
+        else []
+    )
+    out = df.select(*cols, *flag).select(
+        "__ds_id",
+        hash_bucket(F.col("__feat"), seed=seed).alias("bucket"),
+        *(["__is_t"] if target_cond is not None else []),
+    )
+    out = out.persist()
+    return _release_after(out, out)
+
+
 def dsir_fit_split(
     df: DataFrame,
     target_cond,
@@ -808,6 +860,7 @@ def dsir_fit_split(
     id_col: str = "doc_id",
     seed: str = "dsir",
     tokens_col: str | None = None,
+    features: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit BOTH DSIR models in ONE corpus pass (r20): the common
     "target = a condition over the raw corpus" case (e.g. ``source ==
@@ -826,24 +879,37 @@ def dsir_fit_split(
     registry the bench/oracle harnesses drain, so the two totals
     collects inside :func:`dsir_weights` trigger one fit pass, not
     two.
+
+    ``features``: a :func:`dsir_features` table (MUST carry
+    ``__is_t``, i.e. be built with the same ``target_cond``, and the
+    same ``seed``) — the fit then aggregates the pre-bucketed rows
+    instead of re-tokenizing ``df``, sharing the explode+md5 pass
+    with the :func:`dsir_weights` call fed the same table.
     """
     from python_dtl_spark.operators.dedup import _release_after
     from python_dtl_spark.operators.sampling import hash_bucket
 
-    toks_expr = (
-        F.col(tokens_col)
-        if tokens_col is not None
-        else tokens(F.lower(F.col(text_col)))
-    )
-    both = (
-        df.select(
+    if features is not None:
+        if "__is_t" not in features.columns:
+            raise ValueError(
+                "dsir_fit_split(features=...) needs the __is_t flag — "
+                "build the table with dsir_features(df, target_cond)"
+            )
+        bucketed = features.select("bucket", "__is_t")
+    else:
+        toks_expr = (
+            F.col(tokens_col)
+            if tokens_col is not None
+            else tokens(F.lower(F.col(text_col)))
+        )
+        bucketed = df.select(
             F.explode(_dsir_features(toks_expr)).alias("__feat"),
             F.coalesce(target_cond, F.lit(False)).alias("__is_t"),
-        )
-        .select(
+        ).select(
             hash_bucket(F.col("__feat"), seed=seed).alias("bucket"), "__is_t"
         )
-        .groupBy("bucket")
+    both = (
+        bucketed.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("long").alias("__freq_all"),
             F.sum(F.when(F.col("__is_t"), 1).otherwise(0))
@@ -987,6 +1053,7 @@ def dsir_weights(
     tokens_col: str | None = None,
     row_local: bool = False,
     max_literal_cells: int = 65_536,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document's DSIR log importance weight under fitted
     target/raw bucket models, appending ``out_col`` plus the
@@ -1029,6 +1096,11 @@ def dsir_weights(
     ``max_literal_cells``.  Identical output to the join tier
     (integer diagnostics exactly, the float to summation-order
     precision — equality-tested).
+
+    ``features``: a :func:`dsir_features` table built from THIS ``df``
+    with the same ``seed`` — the scoring explode+md5 pass then reads
+    the shared pre-bucketed rows instead of re-tokenizing (ignored by
+    the ``row_local`` tier, which embeds models in expressions).
     """
     from python_dtl_spark.operators.sampling import _BUCKETS
 
@@ -1091,12 +1163,15 @@ def dsir_weights(
     )
     from python_dtl_spark.operators.sampling import hash_bucket
 
-    feats = df.select(
-        F.col(id_col).alias("__ds_id"),
-        F.explode(_dsir_features(toks_expr)).alias("__feat"),
-    ).select(
-        "__ds_id", hash_bucket(F.col("__feat"), seed=seed).alias("bucket")
-    )
+    if features is not None:
+        feats = features.select("__ds_id", "bucket")
+    else:
+        feats = df.select(
+            F.col(id_col).alias("__ds_id"),
+            F.explode(_dsir_features(toks_expr)).alias("__feat"),
+        ).select(
+            "__ds_id", hash_bucket(F.col("__feat"), seed=seed).alias("bucket")
+        )
     tgt = target_counts.select("bucket", F.col("freq").alias("__tf"))
     raw = raw_counts.select("bucket", F.col("freq").alias("__rf"))
     joined = feats.join(F.broadcast(tgt), on="bucket", how="left").join(

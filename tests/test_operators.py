@@ -5250,6 +5250,43 @@ def test_dsir_fit_split_matches_two_call_fit(spark):
     assert sorted(map(tuple, rc0.collect())) == sorted(map(tuple, rc1.collect()))
 
 
+def test_dsir_shared_features_match_two_pass(spark):
+    """r20: fit + scoring fed one shared dsir_features table must be
+    byte-identical to the default two-pass path — model tables, row
+    sets, integer diagnostics and the float weight alike (same
+    expressions, so the float is bit-equal, not merely close)."""
+    from pyspark.sql import functions as F
+
+    from python_dtl_spark.operators import classify
+
+    rows = [
+        (0, "src1", "the cat sat on the mat"),
+        (1, "src1", "the cat ran to the mat"),
+        (2, "src2", "stock prices fell sharply today"),
+        (3, None, "buy cheap pills online now"),
+        (4, "src2", "the cat sat on the mat"),
+        (5, "src2", ""),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    cond = F.col("source") == "src1"
+    tc0, rc0 = classify.dsir_fit_split(docs, cond, seed="s1")
+    w0 = classify.dsir_weights(docs, tc0, rc0, seed="s1")
+    feats = classify.dsir_features(docs, cond, seed="s1")
+    tc1, rc1 = classify.dsir_fit_split(docs, cond, seed="s1", features=feats)
+    w1 = classify.dsir_weights(docs, tc1, rc1, seed="s1", features=feats)
+    assert sorted(map(tuple, tc0.collect())) == sorted(map(tuple, tc1.collect()))
+    assert sorted(map(tuple, rc0.collect())) == sorted(map(tuple, rc1.collect()))
+    assert w0.dtypes == w1.dtypes
+    assert sorted(map(tuple, w0.collect())) == sorted(map(tuple, w1.collect()))
+    # missing __is_t flag (built without target_cond) is refused loudly
+    bare = classify.dsir_features(docs, seed="s1")
+    try:
+        classify.dsir_fit_split(docs, cond, seed="s1", features=bare)
+        raise AssertionError("expected ValueError for missing __is_t")
+    except ValueError:
+        pass
+
+
 def test_dsir_weights_match_bruteforce_reference(spark):
     """DSIR importance weights (Xie et al. 2023) vs a literal Python
     reference: hashed unigram+bigram bucket counts for target and raw,
