@@ -413,11 +413,34 @@ def gopher_quality_flags(
     ttr = F.size(distinct_toks).cast("double") / F.greatest(n_words, F.lit(1)).cast(
         "double"
     )
-    top_count = F.array_max(
-        F.transform(
-            distinct_toks,
-            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+    # top-word count = longest run of equal values in the SORTED token
+    # array — one O(n log n) sort + one O(n) fold, replacing the r3
+    # O(distinct × n) transform(distinct, w -> size(filter(toks, ==w)))
+    # (higher-order lambdas are interpreted per element, so the
+    # quadratic form dominated every gopher pass; measured r20 at
+    # sf0.1: 0.90 s -> 0.52 s for this column alone, value-identical
+    # corpus-wide).  NULL/empty arrays keep the old NULL result (the
+    # emitted top_word_frac must stay NULL, not 0.0).
+    sorted_toks = F.array_sort(toks)
+    _run0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _run_step(acc, t):
+        run = F.when(
+            acc["prev"].eqNullSafe(t), acc["run"] + F.lit(1).cast("long")
+        ).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
         )
+
+    top_count = F.when(
+        F.size(toks) > 0,
+        F.aggregate(sorted_toks, _run0, _run_step, lambda acc: acc["best"]),
     )
     top_frac = top_count.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
