@@ -10071,7 +10071,12 @@ def _q_embedding_index(spark, sf_dir):
     base = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     vid = F.col("vec_id")
     neg = F.transform(F.col("embedding"), lambda x: -x)
-    index1 = dedup.embedding_lsh_buckets(base, dim=64).persist()
+    # lazy localCheckpoint, not persist (r20): the
+    # pipeline_index_maintenance plan-truncation pattern — index1 is
+    # referenced by the day-1 probe, the merge passthrough and day-2
+    index1 = dedup.embedding_lsh_buckets(base, dim=64).localCheckpoint(
+        eager=False
+    )
     copies1 = base.filter(vid % 3 == 0).select(
         (vid + 300000).alias("vec_id"), "embedding"
     )
@@ -10100,7 +10105,7 @@ def _q_embedding_index(spark, sf_dir):
     out = dedup.embedding_delta_pairs(
         corpus2, delta2, threshold=0.9, dim=64, corpus_buckets=index2
     ).select("delta_id", "corpus_id")
-    return dedup._release_after(out, index1)
+    return out
 
 
 _register(
@@ -10282,9 +10287,14 @@ def _q_title_delta(spark, sf_dir):
             )
         )
     )
+    # lazy localCheckpoint, not persist (r20): the index is referenced
+    # by probe 1, the merge passthrough and probe 2 — truncating its
+    # plan keeps the composed day-1/day-2 DAG analysis-cheap (the
+    # pipeline_index_maintenance pattern; at 100 TB the index is a
+    # stored parquet artifact and this is a no-op)
     index = dedup.title_variant_index(
         corpus, "doc_id", "title", hash_variants=True
-    ).persist()
+    ).localCheckpoint(eager=False)
     p1 = dedup.edit_distance_delta_pairs(
         corpus, day1, "doc_id", "title", corpus_index=index
     )
@@ -10308,7 +10318,7 @@ def _q_title_delta(spark, sf_dir):
     out = dedup.edit_distance_delta_pairs(
         merged_titles, day2, "doc_id", "title", corpus_index=merged_index
     )
-    return dedup._release_after(out, index)
+    return out
 
 
 _register(
