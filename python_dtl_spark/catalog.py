@@ -5343,13 +5343,23 @@ def _q_nb_classify(spark, sf_dir):
     prune; apply = explode -> ONE broadcast model join -> one doc-grain
     agg + id join-back; zero Python."""
     docs = _read(spark, sf_dir, "documents")
+    # ONE tokenize pass shared by fit and scoring (r20): both default
+    # to tokens(lower(text)) per document; staging the array once and
+    # passing tokens_col halves the regex-split work (fit-at-sample +
+    # full-corpus score would otherwise each re-tokenize).  Persisted
+    # (MEMORY_AND_DISK, release-registered) — the curate_corpus staged-
+    # tokens precedent.
+    docs = docs.withColumn(
+        "__toks", text.tokens(F.lower(F.col("text")))
+    ).persist()
     tc, cs = classify.nb_fit(
         docs, "lang", sample_fraction=0.5, sample_seed="nb-l",
-        min_count=1, max_vocab=200,
+        min_count=1, max_vocab=200, tokens_col="__toks",
     )
-    return classify.nb_apply(docs, tc, cs, alpha=1.0).select(
-        "doc_id", "predicted_label"
-    )
+    out = classify.nb_apply(
+        docs, tc, cs, alpha=1.0, tokens_col="__toks"
+    ).select("doc_id", "predicted_label")
+    return dedup._release_after(out, docs)
 
 
 _register(
@@ -5376,15 +5386,25 @@ def _q_nb_curate(spark, sf_dir):
     both sides (plan-asserted) — the classifier filter only SHRINKS
     the rows entering the cap's shuffle."""
     docs = _read(spark, sf_dir, "documents")
+    # ONE tokenize pass shared by fit and scoring (r20): both default
+    # to tokens(lower(text)) per document; staging the array once and
+    # passing tokens_col halves the regex-split work (fit-at-sample +
+    # full-corpus score would otherwise each re-tokenize).  Persisted
+    # (MEMORY_AND_DISK, release-registered) — the curate_corpus staged-
+    # tokens precedent.
+    docs = docs.withColumn(
+        "__toks", text.tokens(F.lower(F.col("text")))
+    ).persist()
     tc, cs = classify.nb_fit(
         docs, "lang", sample_fraction=0.5, sample_seed="nb-l",
-        min_count=1, max_vocab=200,
+        min_count=1, max_vocab=200, tokens_col="__toks",
     )
-    scored = classify.nb_apply(docs, tc, cs, alpha=1.0)
+    scored = classify.nb_apply(docs, tc, cs, alpha=1.0, tokens_col="__toks")
     kept = scored.filter(F.col("predicted_label") == "en")
-    return sampling.domain_quota(
+    out = sampling.domain_quota(
         kept, "source", "doc_id", quota=10, seed="c1"
     ).select("doc_id", "source")
+    return dedup._release_after(out, docs)
 
 
 _register(
@@ -5502,14 +5522,26 @@ def _q_lm_score(spark, sf_dir):
     broadcast unigram join -> one doc-grain agg + id join-back; zero
     Python."""
     docs = _read(spark, sf_dir, "documents")
+    # ONE tokenize pass shared by fit and scoring (r20): both default
+    # to tokens(lower(text)) per document; staging the array once and
+    # passing tokens_col halves the regex-split work (fit-at-sample +
+    # full-corpus score would otherwise each re-tokenize).  Persisted
+    # (MEMORY_AND_DISK, release-registered) — the curate_corpus staged-
+    # tokens precedent.
+    docs = docs.withColumn(
+        "__toks", text.tokens(F.lower(F.col("text")))
+    ).persist()
     bi, uni = classify.lm_fit(
         docs, sample_fraction=0.5, sample_seed="lm-l",
-        min_count=1, max_vocab=300,
+        min_count=1, max_vocab=300, tokens_col="__toks",
     )
-    return classify.lm_perplexity(docs, bi, uni).select(
+    out = classify.lm_perplexity(
+        docs, bi, uni, tokens_col="__toks"
+    ).select(
         "doc_id", "n_trans", "n_unseen", "n_oov_ctx",
         "sum_bigram_freq", "sum_context_freq",
     )
+    return dedup._release_after(out, docs)
 
 
 _register(
@@ -5578,17 +5610,27 @@ def _q_lm_curate(spark, sf_dir):
     WindowGroupLimit-pruned hash exchange (the pipeline_nb_curate
     plan shape)."""
     docs = _read(spark, sf_dir, "documents")
+    # ONE tokenize pass shared by fit and scoring (r20): both default
+    # to tokens(lower(text)) per document; staging the array once and
+    # passing tokens_col halves the regex-split work (fit-at-sample +
+    # full-corpus score would otherwise each re-tokenize).  Persisted
+    # (MEMORY_AND_DISK, release-registered) — the curate_corpus staged-
+    # tokens precedent.
+    docs = docs.withColumn(
+        "__toks", text.tokens(F.lower(F.col("text")))
+    ).persist()
     bi, uni = classify.lm_fit(
         docs, sample_fraction=0.5, sample_seed="lm-l",
-        min_count=1, max_vocab=300,
+        min_count=1, max_vocab=300, tokens_col="__toks",
     )
-    scored = classify.lm_perplexity(docs, bi, uni)
+    scored = classify.lm_perplexity(docs, bi, uni, tokens_col="__toks")
     kept = scored.filter(
         (F.col("n_trans") > 0) & (F.col("perplexity") <= 30.0)
     )
-    return sampling.domain_quota(
+    out = sampling.domain_quota(
         kept, "source", "doc_id", quota=10, seed="lc1"
     ).select("doc_id", "source")
+    return dedup._release_after(out, docs)
 
 
 _register(
@@ -6384,21 +6426,30 @@ def _q_ppl_delta_select(spark, sf_dir):
     precedent); selection = top_fraction's coarse floor +
     TakeOrderedAndProject, no SinglePartition exchange."""
     docs = _read(spark, sf_dir, "documents")
+    # ONE tokenize pass shared by fit and scoring (r20): both default
+    # to tokens(lower(text)) per document; staging the array once and
+    # passing tokens_col halves the regex-split work (fit-at-sample +
+    # full-corpus score would otherwise each re-tokenize).  Persisted
+    # (MEMORY_AND_DISK, release-registered) — the curate_corpus staged-
+    # tokens precedent.
+    docs = docs.withColumn(
+        "__toks", text.tokens(F.lower(F.col("text")))
+    ).persist()
     tbi, tuni = classify.lm_fit(
         docs.where(F.col("source") == "src1"),
-        min_count=1, max_vocab=300,
+        min_count=1, max_vocab=300, tokens_col="__toks",
     )
     rbi, runi = classify.lm_fit(
         docs, sample_fraction=0.5, sample_seed="lm-l",
-        min_count=1, max_vocab=300,
+        min_count=1, max_vocab=300, tokens_col="__toks",
     )
-    st = classify.lm_perplexity(docs, tbi, tuni).select(
+    st = classify.lm_perplexity(docs, tbi, tuni, tokens_col="__toks").select(
         "doc_id", "n_trans", "perplexity",
         F.col("n_unseen").alias("n_unseen_t"),
         F.col("sum_bigram_freq").alias("sum_bigram_freq_t"),
         F.col("sum_context_freq").alias("sum_context_freq_t"),
     )
-    sr = classify.lm_perplexity(docs, rbi, runi).select(
+    sr = classify.lm_perplexity(docs, rbi, runi, tokens_col="__toks").select(
         F.col("doc_id").alias("__rid"),
         F.col("perplexity").alias("__ppl_r"),
         F.col("n_unseen").alias("n_unseen_r"),
@@ -6418,7 +6469,7 @@ def _q_ppl_delta_select(spark, sf_dir):
         )
     )
     kept = sampling.top_fraction(joined, "__delta", Fraction(1, 4), "doc_id")
-    return kept.drop("__delta")
+    return dedup._release_after(kept.drop("__delta"), docs)
 
 
 _register(
@@ -6490,9 +6541,18 @@ def _q_ccnet_buckets(spark, sf_dir):
     spillable buffers) and joins back BROADCAST; the label is a
     row-local CASE.  Zero Python."""
     docs = _read(spark, sf_dir, "documents")
+    # ONE tokenize pass shared by fit and scoring (r20): both default
+    # to tokens(lower(text)) per document; staging the array once and
+    # passing tokens_col halves the regex-split work (fit-at-sample +
+    # full-corpus score would otherwise each re-tokenize).  Persisted
+    # (MEMORY_AND_DISK, release-registered) — the curate_corpus staged-
+    # tokens precedent.
+    docs = docs.withColumn(
+        "__toks", text.tokens(F.lower(F.col("text")))
+    ).persist()
     bi, uni = classify.lm_fit(
         docs, sample_fraction=0.5, sample_seed="lm-l",
-        min_count=1, max_vocab=300,
+        min_count=1, max_vocab=300, tokens_col="__toks",
     )
     # PERSIST the scored frame: it feeds both the percentile boundary
     # aggregation and the label join-back, and perplexity is a
@@ -6506,7 +6566,7 @@ def _q_ccnet_buckets(spark, sf_dir):
     from python_dtl_spark.operators.dedup import _release_after
 
     scored = (
-        classify.lm_perplexity(docs, bi, uni)
+        classify.lm_perplexity(docs, bi, uni, tokens_col="__toks")
         .filter(F.col("n_trans") > 0)
         .select(
             "doc_id", "source", "perplexity", "n_trans", "n_unseen",
@@ -6536,6 +6596,7 @@ def _q_ccnet_buckets(spark, sf_dir):
             "sum_bigram_freq", "sum_context_freq",
         ),
         scored,
+        docs,
     )
 
 
