@@ -1612,22 +1612,43 @@ def _plane_signature(hyperplanes):
     packed into a long — the LSH bucket id shared by
     :func:`embedding_near_dup_pairs` and
     :func:`embedding_similarity_join` (both sides of a join MUST hash
-    with the same planes, which is why the planes are seeded data)."""
+    with the same planes, which is why the planes are seeded data).
+
+    The planes ship as ONE nested-array literal folded with
+    higher-order functions (r20): the previous per-element
+    ``F.array(*[F.lit(w) ...])`` form built planes×dim Column objects
+    through the Python↔JVM bridge and 3 lambda resolutions per plane,
+    and Catalyst re-analyzed that ~1,700-node subtree at every
+    reference — plan construction, not execution, dominated every
+    consumer (measured 11.0 s of dedup_embedding_cosine's 14.4 s wall
+    at sf0.1).  This form is 5 lambdas + 2 literals total.  The math
+    is term-for-term identical: same zip_with padding, same
+    left-to-right double fold per plane (the cross-engine determinism
+    contract), and the bit packing is an exact integer sum in either
+    order — asserted corpus-wide by
+    ``test_plane_signature_matches_per_plane_literal_form``.
+    """
+    bits = F.lit([1 << p for p in range(len(hyperplanes))])
+    planes_lit = F.lit([[float(w) for w in plane] for plane in hyperplanes])
 
     def signature(vec):
-        sig = F.lit(0).cast("long")
-        for p, plane in enumerate(hyperplanes):
-            dot = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(w) for w in plane]),
-                    lambda a, b: a.cast("double") * b,
-                ),
+        dots = F.transform(
+            planes_lit,
+            lambda plane: F.aggregate(
+                F.zip_with(vec, plane, lambda a, b: a.cast("double") * b),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-            sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
-        return sig
+            ),
+        )
+        return F.aggregate(
+            F.zip_with(
+                dots,
+                bits,
+                lambda d, b: F.when(d > 0, b).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
 
     return signature
 

@@ -164,12 +164,26 @@ def lsh_bucketed_topk(
         dim = _infer_dim(corpus, vec_col)
     hyperplanes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
 
+    # ONE nested-array literal + 5 lambdas instead of planes×dim
+    # Column-API literal calls and 3 lambdas per plane (r20): plan
+    # construction dominated consumers of this builder — see
+    # dedup._plane_signature, the same rewrite with the same
+    # bit-for-bit value-identity argument (inner fold unchanged via
+    # _dot; bit packing is an exact integer sum).
+    bits = F.lit([1 << p for p in range(planes)])
+    planes_lit = F.lit([[float(w) for w in plane] for plane in hyperplanes])
+
     def signature(vec):
-        sig = F.lit(0).cast("long")
-        for p, plane in enumerate(hyperplanes):
-            dot = _dot(vec, F.array(*[F.lit(w) for w in plane]))
-            sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
-        return sig
+        dots = F.transform(planes_lit, lambda plane: _dot(vec, plane))
+        return F.aggregate(
+            F.zip_with(
+                dots,
+                bits,
+                lambda d, b: F.when(d > 0, b).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
 
     c = (
         _spread(corpus).select(

@@ -215,6 +215,49 @@ def test_embedding_near_dup(embeddings):
     assert (0, 2) not in pairs
 
 
+def test_plane_signature_matches_per_plane_literal_form(spark):
+    # r20 rewrite pin: the HOF nested-literal signature must be
+    # bit-identical to the original per-plane-literal chain on every
+    # edge the builder can see — normal vectors, a NULL vector, a
+    # too-short vector (zip_with NULL-pads), and an empty array.
+    import random
+
+    rng = random.Random(7)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(4)] for _ in range(12)]
+
+    def old_form(vec):
+        sig = F.lit(0).cast("long")
+        for p, plane in enumerate(planes):
+            dot = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(0)
+        return sig
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, -0.2, 0.3]),
+        (2, [-1.0, 2.0, -3.0, 4.0]),
+        (3, None),
+        (4, [1.0, 2.0]),  # short: zip_with NULL-pads every dot
+        (5, []),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    new_sig = dedup._plane_signature(planes)
+    out = df.select(
+        old_form(F.col("embedding")).alias("old"),
+        new_sig(F.col("embedding")).alias("new"),
+    )
+    assert dict(out.dtypes)["new"] == dict(out.dtypes)["old"] == "bigint"
+    assert out.filter(~F.col("old").eqNullSafe(F.col("new"))).count() == 0
+
+
 def test_plan_construction_is_action_free(spark, embeddings):
     # With dim passed, building the similarity/dedup DataFrames must not
     # run any Spark job (VERDICT r01 #4: a .first()/count() per call is
