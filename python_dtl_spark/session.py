@@ -46,6 +46,14 @@ def get_spark(
         # truncation) are reclaimed when their RDD is GC'd instead of
         # accumulating for the session's lifetime
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # origin capture decorates JVM error messages with the Python
+        # call site at the cost of ~3 extra py4j round-trips on EVERY
+        # DataFrame/Column API call (getActiveSession + conf.get +
+        # PySparkCurrentOrigin.set per call) — pure client-side
+        # plan-construction overhead, no effect on results or on which
+        # exceptions are raised (measured r20: dtl_q5 compile
+        # 2.8 s -> 1.1 s, dtl_q6 1.2 s -> 0.2 s)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
