@@ -10,7 +10,7 @@ from types import SimpleNamespace
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import measure_queries
+from bench import measure_queries, write_full_results
 
 
 def _q(fn):
@@ -56,3 +56,38 @@ def test_mid_warm_failure_keeps_no_partial_samples_in_medians(spark):
     reported = {n for n, ts in warm.items() if ts and n not in errors}
     assert reported == {"ok"}
     assert "flaky" in timings  # the complete cold sample stays a cold row
+
+
+def test_full_results_artifact_is_complete_and_unelied(tmp_path):
+    """The stdout tail contract forces the compact line to elide cheap
+    queries; the r21 file artifact must carry EVERY query with full
+    precision so the driver's per-query comparison (PERF per_query /
+    geomean / scaling) has a complete source."""
+    import json
+
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": 1.234,
+        "queries": {f"q{i:03d}": 0.001 * i for i in range(120)},
+        "queries_warm_median": {f"q{i:03d}": 0.002 * i for i in range(120)},
+        "errors": {},
+        "sf": 0.1,
+        "cpus": "32",
+    }
+    extra = tmp_path / "custom_out.json"
+    written = write_full_results(
+        full, str(tmp_path), env={"SPARK_GRAFT_BENCH_OUT": str(extra)}
+    )
+    assert written == [str(tmp_path / "BENCH_LAST.json"), str(extra)]
+    for p in written:
+        got = json.loads(Path(p).read_text())
+        assert len(got["queries"]) == 120  # no elision
+        assert "_elided_cheapest_n" not in got["queries_warm_median"]
+        assert got["queries"]["q077"] == 0.077  # full precision
+
+
+def test_full_results_write_failure_never_raises(tmp_path, capsys):
+    written = write_full_results(
+        {"queries": {}}, str(tmp_path / "missing_dir"), env={}
+    )
+    assert written == []
