@@ -907,15 +907,20 @@ def top_fraction(
     ≈``(fraction + 3·err)``-sized survivor slice only — and because
     ``k`` is a plan literal, Catalyst rewrites the rank into
     ``TakeOrderedAndProject`` (per-partition top-k + merge: every
-    task prunes to ``k`` rows BEFORE anything moves, no
-    SinglePartition exchange, no global range sort — plan-asserted
-    in tests/test_plans.py).  The output is EXACTLY the true top-k
-    whatever the prefilter returns (a guard falls back to ranking
-    the full input if the slice ever undershoots ``k`` — impossible
-    under the quantile guarantee, but guarded, not assumed).  The
-    remaining 100 TB bound is the take's merge holding ``k`` rows:
-    fine for any selection that fits one machine's output budget
-    (ranked-id columns are small); for a ``k`` beyond that, pass
+    task prunes BEFORE anything moves, no SinglePartition exchange,
+    no global range sort — plan-asserted in tests/test_plans.py).
+    The output is EXACTLY the true top-k whatever the prefilter
+    returns (a guard falls back to ranking the full input if the
+    slice ever undershoots ``k`` — impossible under the quantile
+    guarantee, but guarded, not assumed).  r21 refinement: the same
+    sketch pass also takes a HIGH cut at ``1 − fraction + 2·err``;
+    rows above it (exactly counted ``c ≤ k``) are inside the top-k by
+    the score order alone and bypass the rank through a plain filter,
+    so only the ~``4·err``-sized boundary band is ranked for the last
+    ``k − c`` rows.  The 100 TB bound is therefore the take's merge
+    holding ``≈4·err·n`` boundary rows, not ``fraction·n`` (shrink
+    ``err`` to tighten it; the GK sketch grows as ``1/err``); for a
+    corpus beyond even that, pass
     ``floor_only=True`` to keep everything ≥ the coarse floor instead
     — accept approximate count, skip phase 2 entirely (no window, no
     TakeOrderedAndProject, no k-row merge: the plan is one quantile
@@ -981,17 +986,33 @@ def top_fraction(
             return _release_after(
                 base.filter(_ref(base, score_col) >= F.lit(t)), cached
             )
-        # ONE eager pass for row count AND the coarse GK floor (r20;
+        # ONE eager pass for row count AND the coarse GK floors (r20;
         # was two jobs: count() then approxQuantile).  percentile_approx
         # is the same QuantileSummaries sketch as approxQuantile with
         # accuracy = 1/err, so it carries the same rank guarantee — and
         # the kept SET is floor-invariant anyway: the exact rank below
         # runs on whatever slice survives, with the undershoot guard
         # falling back to the full input.
-        t = None
+        # r21 (threshold refinement, guide §2 single-partition bound):
+        # the same sketch also yields a HIGH cut ``t_hi`` at quantile
+        # ``1 − fraction + 2·err``.  Rows scoring ABOVE t_hi are
+        # provably inside the top-k once their exact count ``c ≤ k`` is
+        # verified (score is the primary sort key, so every such row
+        # outranks every row at or below t_hi — including NaN scores,
+        # which Spark orders greatest) and ship through a plain filter
+        # with NO sort; only the boundary band [t_lo, t_hi] is ranked,
+        # for the remaining ``k − c`` rows.  The global top-k merge
+        # therefore holds ~4·err·n rows instead of fraction·n (err is
+        # the knob: 0.01 default ⇒ 25×-smaller merge at fraction=1/4),
+        # while the kept set stays bit-identical — both counts are
+        # EXACT (second eager pass below, replacing the old slice-guard
+        # count job: same job count as r20), and every guard falls back
+        # to the unrefined path.
+        t = t_hi = None
         if prefilter_quantile_error is not None:
             err = prefilter_quantile_error
             prob = max(0.0, 1.0 - float(frac) - 2.0 * err)
+            prob_hi = min(1.0, 1.0 - float(frac) + 2.0 * err)
             if prob > 0.0:
                 row = base.select(
                     _ref(base, score_col).alias("__tf_score")
@@ -999,11 +1020,13 @@ def top_fraction(
                     F.count(F.lit(1)).alias("__tf_n"),
                     F.percentile_approx(
                         F.col("__tf_score"),
-                        F.lit(prob),
+                        F.array(F.lit(prob), F.lit(prob_hi)),
                         F.lit(max(2, int(round(1.0 / err)))),
-                    ).alias("__tf_floor"),
+                    ).alias("__tf_floors"),
                 ).collect()[0]
-                n, t = int(row["__tf_n"]), row["__tf_floor"]
+                n = int(row["__tf_n"])
+                if row["__tf_floors"] is not None:
+                    t, t_hi = row["__tf_floors"]
             else:
                 n = base.count()
         else:
@@ -1017,21 +1040,43 @@ def top_fraction(
             # survives — skip the rank entirely
             return _release_after(base, cached)
         cand = base
+        limit = k
+        sure = None
         if t is not None and 0 < k < n:
-            sliced = base.filter(_ref(base, score_col) >= F.lit(t))
-            # quantile guarantee ⇒ |sliced| ≥ k; guarded, not
-            # assumed
-            if sliced.count() >= k:
-                cand = sliced
+            score = _ref(base, score_col)
+            counts = base.agg(
+                F.count(F.when(score >= F.lit(t), True)).alias("__tf_ge_lo"),
+                F.count(F.when(score > F.lit(t_hi), True)).alias("__tf_gt_hi"),
+            ).collect()[0]
+            n_ge_lo = int(counts["__tf_ge_lo"])
+            n_gt_hi = int(counts["__tf_gt_hi"])
+            # quantile guarantee ⇒ |slice| ≥ k; guarded, not assumed
+            if n_ge_lo >= k:
+                if n_gt_hi == k:
+                    # the high cut alone is exactly the top-k: no
+                    # window, no merge — one pushed filter
+                    return _release_after(
+                        base.filter(score > F.lit(t_hi)), cached
+                    )
+                if 0 < n_gt_hi < k:
+                    sure = base.filter(score > F.lit(t_hi))
+                    cand = base.filter(
+                        (score >= F.lit(t)) & (score <= F.lit(t_hi))
+                    )
+                    limit = k - n_gt_hi
+                else:
+                    # t_hi degenerate (maximum / NaN): unrefined slice
+                    cand = base.filter(score >= F.lit(t))
         w = Window.orderBy(
             _ref(cand, score_col).desc(), _ref(cand, tie_col).asc()
         )
-        return _release_after(
+        ranked = (
             cand.withColumn("__tf_rank", F.row_number().over(w))
-            .filter(F.col("__tf_rank") <= F.lit(k))
-            .drop("__tf_rank"),
-            cached,
+            .filter(F.col("__tf_rank") <= F.lit(limit))
+            .drop("__tf_rank")
         )
+        out = ranked if sure is None else sure.unionByName(ranked)
+        return _release_after(out, cached)
     except BaseException:
         # advisor r14: without this, an eager pass throwing (analysis
         # error, job cancellation) leaked the persist until session end

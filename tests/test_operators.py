@@ -258,6 +258,18 @@ def test_plane_signature_matches_per_plane_literal_form(spark):
     assert out.filter(~F.col("old").eqNullSafe(F.col("new"))).count() == 0
 
 
+def test_plane_signature_rejects_zero_planes(spark, embeddings):
+    # r20 advice: F.lit([]) types as array<null> and lambdas over a
+    # NullType variable fail ANALYSIS (an opaque JVM error far from the
+    # call site); a 0-plane LSH is meaningless, so both builders refuse
+    # it eagerly.
+    with pytest.raises(ValueError, match="at least 1 plane"):
+        dedup._plane_signature([])
+    queries = embeddings.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="at least 1 plane"):
+        similarity.lsh_bucketed_topk(embeddings, queries, k=2, dim=4, planes=0)
+
+
 def test_plan_construction_is_action_free(spark, embeddings):
     # With dim passed, building the similarity/dedup DataFrames must not
     # run any Spark job (VERDICT r01 #4: a .first()/count() per call is
@@ -5704,6 +5716,51 @@ def test_top_fraction_semantics(spark):
         sampling.top_fraction(
             df.withColumn("__tf_rank", F.lit(1)), "w", 0.5, "doc_id"
         )
+
+
+def test_top_fraction_threshold_refinement_is_exact(spark):
+    """r21 threshold refinement: rows above the high GK cut bypass the
+    rank through a plain filter and only the boundary band is ranked —
+    the kept SET must stay bit-identical to the unrefined exact rank
+    under every boundary shape: unique scores, heavy ties AT the cut
+    (t_lo == t_hi collapse), plateau-only scores, and tiny inputs where
+    the sketch cuts are degenerate."""
+    import random
+
+    from fractions import Fraction
+
+    from python_dtl_spark.operators import sampling
+
+    rng = random.Random(7)
+
+    def _check(rows, frac):
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        got = sorted(
+            r.doc_id
+            for r in sampling.top_fraction(df, "w", frac, "doc_id").collect()
+        )
+        want = sorted(
+            r.doc_id
+            for r in sampling.top_fraction(
+                df, "w", frac, "doc_id", prefilter_quantile_error=None
+            ).collect()
+        )
+        assert got == want, (frac, got[:10], want[:10])
+        return got
+
+    # unique scores, several fractions (band refinement fires)
+    uniq = [(i, rng.uniform(-5.0, 5.0)) for i in range(500)]
+    for frac in (Fraction(1, 4), Fraction(1, 2), Fraction(9, 10)):
+        _check(uniq, frac)
+    # heavy ties: 10 distinct plateaus of 50 rows — the GK cuts land ON
+    # a plateau, t_lo == t_hi, and the tie column decides the boundary
+    ties = [(i, float(i % 10)) for i in range(500)]
+    for frac in (Fraction(1, 4), Fraction(13, 100)):
+        _check(ties, frac)
+    # single plateau: every score equal, selection is pure tie order
+    _check([(i, 1.0) for i in range(97)], Fraction(1, 3))
+    # tiny inputs
+    _check([(0, 2.0), (1, 1.0), (2, 3.0)], Fraction(1, 3))
 
 
 @pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])

@@ -1883,6 +1883,18 @@ def test_top_fraction_plans_prefiltered_take_ordered(spark):
     assert "Exchange rangepartitioning" not in plan, plan
     assert "(score" in plan and ">=" in plan, plan  # the coarse floor
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # r21 threshold refinement: the take's merge must hold only the
+    # boundary band (~4·err·n rows), NOT the full fraction·n top-k —
+    # the sure-keep slice above the high cut ships through a plain
+    # filtered union branch with no sort of any kind.
+    import re as _re
+
+    n = docs.count()
+    k = -(-n // 4)  # ceil(n/4)
+    m = _re.search(r"TakeOrderedAndProject\(limit=(\d+)", plan)
+    assert m, plan
+    assert int(m.group(1)) < k, (m.group(1), k)
+    assert "Union" in plan, plan
 
 
 def test_top_fraction_floor_only_plan_is_filter_only(spark):
