@@ -15,6 +15,7 @@ name before hashing values.
 from __future__ import annotations
 
 import json
+import os
 import re
 from collections.abc import Callable
 from fractions import Fraction
@@ -49,6 +50,21 @@ from python_dtl_spark.streaming import (
     sliding_event_counts,
     tumbling_event_stats,
 )
+
+
+def _lineage_truncate(spark):
+    """Catalog-level plan-truncation valve for the stored-index daily
+    loops (r21, verdict item 5): lazy ``localCheckpoint`` by default
+    (single-node / bench — identical to the r20 behaviour), but
+    fault-tolerant reliable ``checkpoint()`` when
+    ``$SPARK_GRAFT_CHECKPOINT_DIR`` is set.  On a real cluster a lost
+    executor silently invalidates localCheckpoint blocks mid-loop
+    (recompute-from-nothing); the operator layer already takes a
+    ``checkpoint_dir`` param for this — these catalog compositions
+    plumb the same valve."""
+    return dedup._plan_truncator(
+        spark, os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
+    )
 
 
 @dataclass(frozen=True)
@@ -9436,15 +9452,16 @@ def _q_index_maintenance(spark, sf_dir):
     # additionally needs its LINEAGE truncated (lazy localCheckpoint)
     # — embedding the day-1 probe DAG three times into day-2's plan
     # made Catalyst planning the dominant cost (measured 18s -> 5s
-    # warm at sf0.001).
-    index1 = index1.localCheckpoint(eager=False)
+    # warm at sf0.001).  r21: routed through _lineage_truncate so a
+    # cluster run with $SPARK_GRAFT_CHECKPOINT_DIR gets the reliable-
+    # checkpoint tier (default behaviour unchanged).
+    _trunc = _lineage_truncate(spark)
+    index1 = _trunc(index1)
     pairs1 = dedup.crawl_delta_pairs(
         docs, crawl1, corpus_buckets=index1, threshold=0.3
     )
     dropped = pairs1.select(F.col("crawl_id").alias("doc_id")).dropDuplicates()
-    survivors = crawl1.join(dropped, on="doc_id", how="left_anti").localCheckpoint(
-        eager=False
-    )
+    survivors = _trunc(crawl1.join(dropped, on="doc_id", how="left_anti"))
     index2 = dedup.merge_crawl_into_index(
         index1, survivors, n=3, num_hashes=32, bands=16
     )
@@ -10134,10 +10151,10 @@ def _q_embedding_index(spark, sf_dir):
     neg = F.transform(F.col("embedding"), lambda x: -x)
     # lazy localCheckpoint, not persist (r20): the
     # pipeline_index_maintenance plan-truncation pattern — index1 is
-    # referenced by the day-1 probe, the merge passthrough and day-2
-    index1 = dedup.embedding_lsh_buckets(base, dim=64).localCheckpoint(
-        eager=False
-    )
+    # referenced by the day-1 probe, the merge passthrough and day-2;
+    # r21: via _lineage_truncate ($SPARK_GRAFT_CHECKPOINT_DIR valve)
+    _trunc = _lineage_truncate(spark)
+    index1 = _trunc(dedup.embedding_lsh_buckets(base, dim=64))
     copies1 = base.filter(vid % 3 == 0).select(
         (vid + 300000).alias("vec_id"), "embedding"
     )
@@ -10151,9 +10168,7 @@ def _q_embedding_index(spark, sf_dir):
     dropped = pairs1.select(F.col("delta_id").alias("vec_id")).dropDuplicates()
     # lineage-truncate like pipeline_index_maintenance: survivors feed
     # three consumers (merge, verify corpus, day-2 re-delta)
-    survivors = delta1.join(dropped, on="vec_id", how="left_anti").localCheckpoint(
-        eager=False
-    )
+    survivors = _trunc(delta1.join(dropped, on="vec_id", how="left_anti"))
     index2 = dedup.merge_delta_into_embedding_index(index1, survivors, dim=64)
     corpus2 = base.unionByName(survivors)
     copies2 = base.filter(vid % 7 == 2).select(
@@ -10352,18 +10367,22 @@ def _q_title_delta(spark, sf_dir):
     # by probe 1, the merge passthrough and probe 2 — truncating its
     # plan keeps the composed day-1/day-2 DAG analysis-cheap (the
     # pipeline_index_maintenance pattern; at 100 TB the index is a
-    # stored parquet artifact and this is a no-op)
-    index = dedup.title_variant_index(
-        corpus, "doc_id", "title", hash_variants=True
-    ).localCheckpoint(eager=False)
+    # stored parquet artifact and this is a no-op); r21: via
+    # _lineage_truncate ($SPARK_GRAFT_CHECKPOINT_DIR valve)
+    _trunc = _lineage_truncate(spark)
+    index = _trunc(
+        dedup.title_variant_index(corpus, "doc_id", "title", hash_variants=True)
+    )
     p1 = dedup.edit_distance_delta_pairs(
         corpus, day1, "doc_id", "title", corpus_index=index
     )
-    survivors = day1.join(
-        p1.select(F.col("delta_id").alias("doc_id")).dropDuplicates(),
-        on="doc_id",
-        how="left_anti",
-    ).localCheckpoint(eager=False)
+    survivors = _trunc(
+        day1.join(
+            p1.select(F.col("delta_id").alias("doc_id")).dropDuplicates(),
+            on="doc_id",
+            how="left_anti",
+        )
+    )
     merged_index = dedup.merge_delta_into_variant_index(
         index, survivors, "doc_id", "title"
     )

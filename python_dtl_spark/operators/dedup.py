@@ -1008,6 +1008,16 @@ def crawl_delta_pairs_stream(
 # unchanged.  Candidate edges are a tiny fraction of the corpus by
 # construction (banded LSH / pigeonhole blocking), but the valve keeps
 # the collect bounded no matter what the data does.
+#
+# SIZING (r20 verdict item 4 — the cap and the driver heap are a
+# PAIR): at the cap the collect holds ≤ 1M edge Rows plus ≤ 2M node
+# ids as Python objects — ~0.5–1 GiB of driver RSS on top of the JVM.
+# The default assumes the default SPARK_GRAFT_DRIVER_MEM=8g (session.py)
+# and a similarly-sized Python driver budget; if you shrink the driver
+# (or embed in a memory-tight service), scale ``max_driver_edges`` down
+# proportionally — e.g. ≤100_000 edges for a 1g driver.  Setting
+# ``max_driver_edges=0`` disables the driver tier entirely (pure
+# distributed path).
 MAX_DRIVER_COMPONENT_EDGES = 1_000_000
 
 
@@ -1621,13 +1631,22 @@ def _plane_signature(hyperplanes):
     and Catalyst re-analyzed that ~1,700-node subtree at every
     reference — plan construction, not execution, dominated every
     consumer (measured 11.0 s of dedup_embedding_cosine's 14.4 s wall
-    at sf0.1).  This form is 5 lambdas + 2 literals total.  The math
-    is term-for-term identical: same zip_with padding, same
-    left-to-right double fold per plane (the cross-engine determinism
-    contract), and the bit packing is an exact integer sum in either
-    order — asserted corpus-wide by
+    at sf0.1).  In this form the nested literal is built once per
+    builder (``F.lit`` of a nested list still expands element-wise
+    through py4j, but only HERE, not at every reference) and the
+    analyzed tree is one constant-folded nested array consumed by 5
+    lambdas, instead of per-plane literal columns with 3 lambda
+    resolutions each.  The math is term-for-term identical: same
+    zip_with padding, same left-to-right double fold per plane (the
+    cross-engine determinism contract), and the bit packing is an
+    exact integer sum in either order — asserted corpus-wide by
     ``test_plane_signature_matches_per_plane_literal_form``.
     """
+    if len(hyperplanes) < 1:
+        # F.lit([]) types as array<null>; lambdas over a NullType
+        # variable fail analysis (the old per-plane loop degraded to a
+        # constant bucket instead) — and a 0-plane LSH is meaningless
+        raise ValueError("hyperplane LSH needs at least 1 plane")
     bits = F.lit([1 << p for p in range(len(hyperplanes))])
     planes_lit = F.lit([[float(w) for w in plane] for plane in hyperplanes])
 

@@ -164,12 +164,18 @@ def lsh_bucketed_topk(
         dim = _infer_dim(corpus, vec_col)
     hyperplanes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
 
-    # ONE nested-array literal + 5 lambdas instead of planes×dim
-    # Column-API literal calls and 3 lambdas per plane (r20): plan
-    # construction dominated consumers of this builder — see
-    # dedup._plane_signature, the same rewrite with the same
-    # bit-for-bit value-identity argument (inner fold unchanged via
-    # _dot; bit packing is an exact integer sum).
+    # ONE nested-array literal (built once here — F.lit of a nested
+    # list still expands element-wise through py4j, but only at this
+    # site, and the analyzed tree is one constant-folded nested array)
+    # + 5 lambdas, instead of per-plane literal Columns with 3 lambda
+    # resolutions each (r20): plan construction dominated consumers of
+    # this builder — see dedup._plane_signature, the same rewrite with
+    # the same bit-for-bit value-identity argument (inner fold
+    # unchanged via _dot; bit packing is an exact integer sum).
+    if planes < 1:
+        # F.lit([]) types as array<null>; lambdas over a NullType
+        # variable fail analysis — and a 0-plane LSH is meaningless
+        raise ValueError("hyperplane LSH needs at least 1 plane")
     bits = F.lit([1 << p for p in range(planes)])
     planes_lit = F.lit([[float(w) for w in plane] for plane in hyperplanes])
 

@@ -52,8 +52,16 @@ def get_spark(
         # PySparkCurrentOrigin.set per call) — pure client-side
         # plan-construction overhead, no effect on results or on which
         # exceptions are raised (measured r20: dtl_q5 compile
-        # 2.8 s -> 1.1 s, dtl_q6 1.2 s -> 0.2 s)
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # 2.8 s -> 1.1 s, dtl_q6 1.2 s -> 0.2 s).
+        # SPARK_GRAFT_DF_DEBUGGING=true re-enables call-site-decorated
+        # errors for debugging (r20 advice).  Caveat: pyspark caches
+        # is_debugging_enabled() process-globally on the first
+        # Column-API call, so either value only sticks when get_spark
+        # builds the process's FIRST session.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
