@@ -82,12 +82,74 @@ def _register(name: str, fn, oracle: str | None, headline: bool = False) -> None
     QUERIES[name] = CatalogQuery(name=name, fn=fn, oracle=oracle, headline=headline)
 
 
+# ---------------------------------------------------------------------------
+# Cross-query table-handle memo (r21, verdict item 4; guide §6 file
+# listing).  Every catalog query re-runs ``spark.read.parquet`` for its
+# input tables, paying file listing + parquet footer schema inference
+# per query (~0.1-0.15 s × 1-3 tables × 99 headline queries locally;
+# against object storage the listing round-trips are the real cost —
+# a production deployment holds table handles in a catalog service).
+# OPT-IN via SPARK_GRAFT_TABLE_MEMO=1 because sharing handles across
+# queries blurs the bench's per-query isolation (later queries would
+# skip listing work the historical numbers include); default behaviour
+# is bit-identical to r20.  The memo holds LAZY scan plans only — no
+# data, no results — and is keyed by (applicationId, sf_dir, table) so
+# a new session or data dir never sees a stale handle.  If a table is
+# rewritten in-session with the memo on, call _clear_table_memo()
+# (registered in sources.INVALIDATION_HOOKS).
+_TABLE_MEMO: dict = {}
+
+
+def _table_memo_on() -> bool:
+    return os.environ.get("SPARK_GRAFT_TABLE_MEMO", "").lower() in (
+        "1",
+        "true",
+        "yes",
+    )
+
+
+def _clear_table_memo() -> None:
+    _TABLE_MEMO.clear()
+
+
+from python_dtl_spark import sources as _sources_mod  # noqa: E402
+
+_sources_mod.INVALIDATION_HOOKS.append(_clear_table_memo)
+
+
+def _memoized(spark: SparkSession, sf_dir: str, table: str, build):
+    key = (spark.sparkContext.applicationId, sf_dir, table)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = build()
+        _TABLE_MEMO[key] = df
+    return df
+
+
 def _dtl(script: str, output: str = "output"):
     """Build a (spark, sf_dir) callable that runs a DTL script through
     the full engine (lexer → parser → compiler → Catalyst)."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        engine = Engine(spark, FileSystemImporter(spark, sf_dir), ordered=False)
+        importer = FileSystemImporter(spark, sf_dir)
+        if _table_memo_on():
+            # widen the importer's per-instance handle memo to the
+            # catalog: pre-seed it from the shared memo and capture new
+            # handles back, so repeated IMPORTs of the same table across
+            # queries list/footer-read once per session
+            key_prefix = (spark.sparkContext.applicationId, sf_dir)
+            for (app, root, tbl), df in _TABLE_MEMO.items():
+                if (app, root) == key_prefix:
+                    importer._memo[tbl] = df
+            orig_import = importer.import_table
+
+            def import_table(name):
+                df = orig_import(name)
+                _TABLE_MEMO.setdefault((*key_prefix, name), df)
+                return df
+
+            importer.import_table = import_table
+        engine = Engine(spark, importer, ordered=False)
         exports = dict(engine.run_script(script))
         return exports[output].public_df()
 
@@ -110,6 +172,13 @@ def _dtl_ordered(script: str, output: str = "output"):
 
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if _table_memo_on():
+        return _memoized(
+            spark,
+            sf_dir,
+            table,
+            lambda: spark.read.parquet(f"{sf_dir}/{table}.parquet"),
+        )
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -125,19 +194,28 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame stays valid, and later parquet reads in the same session
     see nanosecond timestamps unchanged rather than silently becoming
     longs."""
-    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "true")
-    try:
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes)["ts"] in ("bigint", "long"):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    finally:
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
-    return df
+    def build() -> DataFrame:
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/events.parquet")
+            if dict(df.dtypes)["ts"] in ("bigint", "long"):
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+        return df
+
+    if _table_memo_on():
+        # distinct memo key: this handle carries the nanos→micros
+        # conversion and must never be confused with a plain read
+        return _memoized(spark, sf_dir, "events@nanos_as_micros", build)
+    return build()
 
 
 # ---------------------------------------------------------------------------
@@ -9457,13 +9535,30 @@ def _q_index_maintenance(spark, sf_dir):
     # checkpoint tier (default behaviour unchanged).
     _trunc = _lineage_truncate(spark)
     index1 = _trunc(index1)
-    pairs1 = dedup.crawl_delta_pairs(
-        docs, crawl1, corpus_buckets=index1, threshold=0.3
+    pairs1, crawl1_buckets = dedup.crawl_delta_pairs(
+        docs,
+        crawl1,
+        corpus_buckets=index1,
+        threshold=0.3,
+        return_crawl_buckets=True,
     )
     dropped = pairs1.select(F.col("crawl_id").alias("doc_id")).dropDuplicates()
     survivors = _trunc(crawl1.join(dropped, on="doc_id", how="left_anti"))
+    # r21 (guide §1.2): the merge appends the SURVIVORS' buckets from
+    # the probe's already-banded crawl (a semi-join restriction of
+    # crawl1_buckets) instead of re-shingling the survivor text — one
+    # fewer crawl-sized signature pass per day, bucket-for-bucket
+    # identical because banding is strictly per-document (operator pin
+    # test + merge==rebuild test unchanged).
     index2 = dedup.merge_crawl_into_index(
-        index1, survivors, n=3, num_hashes=32, bands=16
+        index1,
+        survivors,
+        n=3,
+        num_hashes=32,
+        bands=16,
+        crawl_buckets=crawl1_buckets.join(
+            survivors.select("doc_id"), on="doc_id", how="left_semi"
+        ),
     )
     corpus2 = docs.unionByName(survivors)
     copies2 = docs.filter(did % 7 == 3).select(

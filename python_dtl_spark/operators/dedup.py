@@ -654,6 +654,7 @@ def merge_crawl_into_index(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 16,
+    crawl_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Index MAINTENANCE (registered r17 via
     ``pipeline_index_maintenance``): append an accepted crawl's band
@@ -681,23 +682,41 @@ def merge_crawl_into_index(
     crawl-sized work however large the corpus is.  At 100 TB the
     merged output is written back partitioned/bucketed by
     ``(band, bucket)``, which is also crawl-sized when the store
-    supports partition append."""
+    supports partition append.
+
+    ``crawl_buckets`` (r21, guide §1.2 "don't compute things twice"):
+    the daily loop's probe (:func:`crawl_delta_pairs` with
+    ``return_crawl_buckets=True``) has ALREADY banded the crawl; pass
+    those rows (restricted to the accepted ids) and the merge skips
+    the redundant crawl-sized shingle+hash+aggregate pass entirely —
+    the append becomes a pure union.  Caller contract: the rows must
+    be a :func:`minhash_band_buckets`-equivalent banding of exactly
+    ``crawl``'s rows under the same ``(n, num_hashes, bands)``
+    (bucket construction is strictly per-document, so the probe's
+    banding of the same text IS that — pinned by
+    ``test_crawl_delta_returned_buckets_equal_band_index``)."""
     expected = {id_col, "band", "bucket"}
     if not expected.issubset(set(corpus_buckets.columns)):
         raise ValueError(
             f"corpus_buckets must carry columns {sorted(expected)} (a "
             f"minhash_band_buckets output); got {corpus_buckets.columns}"
         )
-    crawl_buckets = minhash_band_buckets(
-        crawl,
-        id_col=id_col,
-        text_col=text_col,
-        n=n,
-        num_hashes=num_hashes,
-        bands=bands,
-    )
+    if crawl_buckets is None:
+        crawl_buckets = minhash_band_buckets(
+            crawl,
+            id_col=id_col,
+            text_col=text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+    elif not expected.issubset(set(crawl_buckets.columns)):
+        raise ValueError(
+            f"crawl_buckets must carry columns {sorted(expected)} (a "
+            f"minhash_band_buckets output); got {crawl_buckets.columns}"
+        )
     return corpus_buckets.select(id_col, "band", "bucket").unionByName(
-        crawl_buckets
+        crawl_buckets.select(id_col, "band", "bucket")
     )
 
 
@@ -715,7 +734,8 @@ def crawl_delta_pairs(
     max_bucket_size: int | None = None,
     assume_unique_ids: bool = False,
     checkpoint_dir: str | None = None,
-) -> DataFrame:
+    return_crawl_buckets: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """INCREMENTAL near-dup dedup: which documents of a NEW crawl
     near-duplicate (MinHash grain, exact-Jaccard verified) a document
     already in the corpus — the delta sibling of
@@ -768,7 +788,18 @@ def crawl_delta_pairs(
     are materialised through :func:`_plan_truncator` so the composed
     daily-loop plans (probe → merge → probe) stay analysis-cheap —
     reliable ``checkpoint()`` when a dir is given (real cluster),
-    ``localCheckpoint`` otherwise."""
+    ``localCheckpoint`` otherwise.
+
+    ``return_crawl_buckets=True`` (r21) additionally returns the
+    already-materialised crawl banding as ``(id_col, band, bucket)``,
+    so the daily loop's merge step
+    (:func:`merge_crawl_into_index`) can append the accepted ids'
+    buckets WITHOUT re-shingling the crawl — one fewer crawl-sized
+    pass per day.  The rows are exactly
+    ``minhash_band_buckets(crawl)`` for a unique-id crawl (pinned by
+    ``test_crawl_delta_returned_buckets_equal_band_index``); under
+    ``assume_unique_ids=False`` they follow the internally
+    id-deduplicated crawl, matching the index's unique-id contract."""
     _truncate = _plan_truncator(crawl.sparkSession, checkpoint_dir)
     # crawl shingles materialised: feed bucket generation AND
     # verification
@@ -891,7 +922,12 @@ def crawl_delta_pairs(
             "jaccard",
         )
     )
-    return _release_after(verified, cand)
+    verified = _release_after(verified, cand)
+    if return_crawl_buckets:
+        return verified, crawl_buckets.select(
+            F.col("__cid").alias(id_col), "band", "bucket"
+        )
+    return verified
 
 
 def crawl_delta_pairs_stream(

@@ -2045,6 +2045,61 @@ def test_merge_crawl_into_index_equals_rebuild(spark, tmp_path):
         dedup.merge_crawl_into_index(docs, crawl)
 
 
+def test_crawl_delta_returned_buckets_equal_band_index(spark, tmp_path):
+    """r21 merge reuse: the crawl banding crawl_delta_pairs already
+    materialises for its probe must equal minhash_band_buckets(crawl)
+    row for row (same shingles, same seeded hash algebra), and feeding
+    it back into merge_crawl_into_index via ``crawl_buckets`` must
+    yield the identical merged index with NO re-shingling — the 'one
+    fewer crawl-sized pass per day' contract of the daily loop."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    crawl = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.lit("probe "), F.col("text")).alias("text"),
+    )
+    pairs, buckets = dedup.crawl_delta_pairs(
+        docs, crawl, threshold=0.3, return_crawl_buckets=True
+    )
+    assert list(buckets.columns) == ["doc_id", "band", "bucket"]
+    got = {(r.doc_id, r.band, r.bucket) for r in buckets.collect()}
+    want = {
+        (r.doc_id, r.band, r.bucket)
+        for r in dedup.minhash_band_buckets(crawl).collect()
+    }
+    assert got == want and got
+    # merge fed with the probe's buckets == merge recomputing them
+    idx_path = str(tmp_path / "idx.parquet")
+    dedup.minhash_band_buckets(docs).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    via_reuse = {
+        (r.doc_id, r.band, r.bucket)
+        for r in dedup.merge_crawl_into_index(
+            stored, crawl, crawl_buckets=buckets
+        ).collect()
+    }
+    via_recompute = {
+        (r.doc_id, r.band, r.bucket)
+        for r in dedup.merge_crawl_into_index(stored, crawl).collect()
+    }
+    assert via_reuse == via_recompute
+    # a malformed reuse frame is rejected loudly
+    with pytest.raises(ValueError, match="crawl_buckets"):
+        dedup.merge_crawl_into_index(stored, crawl, crawl_buckets=docs)
+    # default return shape unchanged (a bare DataFrame)
+    from pyspark.sql import DataFrame
+
+    assert isinstance(
+        dedup.crawl_delta_pairs(docs, crawl, threshold=0.3), DataFrame
+    )
+    dedup.release_all_cached(spark)
+
+
 def test_embedding_delta_matches_selfjoin_restriction(spark):
     """embedding_delta_pairs == the cross-side restriction of
     embedding_near_dup_pairs over corpus ∪ delta: the delta probes
