@@ -244,9 +244,21 @@ def tfidf_top_terms(
     in as a broadcast single-row aggregate (no driver action) → rank
     per doc by score with deterministic (score DESC, term ASC)
     tie-breaking.  Three shuffles — the (doc, term) aggregation, the
-    join on term, and the per-doc ranking window — which is the
-    standard distributed TF-IDF shape: document frequency is corpus-
-    wide, so it cannot stay co-partitioned with the per-doc data.
+    per-term repartition, and the per-doc ranking window: document
+    frequency is corpus-wide, so it cannot stay co-partitioned with
+    the per-doc data.
+
+    Document frequency is an unordered ``count(*) OVER (PARTITION BY
+    term)`` on the tf rows rather than a ``groupBy(term)`` + join back
+    (r21): the grouped form re-derived tf on its aggregate branch —
+    Catalyst prunes the count column there, so the two tf subtrees are
+    canonically different and the exchange is NOT reused (probed r20:
+    forcing ``count(tf)`` produced no ReusedExchange, and persisting
+    tf measured as a loss) — which ran the corpus tokenize+explode+
+    aggregate TWICE per query.  The window computes the identical df
+    on the single tf pass (count over an unordered partition — no
+    sort, no join), one fewer corpus pass and one fewer exchange at
+    any scale.
 
     Deliberately NOT ``spread()`` (round-6 tried it, round-7 probed
     it): unlike the census, whose md5-per-window map stage dominates
@@ -263,12 +275,11 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(
         F.countDistinct(F.col(id_col)).alias("__n")
     )
     scored = (
-        tf.join(docfreq, on="term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .join(broadcast(n_docs), how="cross")
         .withColumn(
             "tfidf",

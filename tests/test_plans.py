@@ -2279,3 +2279,21 @@ def test_card_scrub_is_pure_map(spark):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan and "Window" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_plans_single_tokenize_pass(spark):
+    """r21: document frequency as an unordered per-term window on the
+    tf rows — the plan must contain exactly ONE tokenize+explode
+    subtree (the old groupBy+join form re-derived tf on the pruned
+    docfreq branch, re-running the corpus tokenize) and no join on
+    term (only the broadcast n_docs cross join remains)."""
+    from python_dtl_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = text.tfidf_top_terms(docs)
+    plan = _exec_plan(out)
+    assert plan.count("Generate explode") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
