@@ -517,3 +517,37 @@ def test_lineage_truncate_reliable_checkpoint_valve(spark, tmp_path, monkeypatch
         for f in files
     ]
     assert found, "reliable checkpoint() wrote no files under the dir"
+
+
+def test_table_memo_is_opt_in_and_result_preserving(spark, monkeypatch):
+    """r21 (verdict item 4): the cross-query table-handle memo must be
+    OFF by default (per-query bench isolation — each query pays its own
+    listing/footer work exactly as in r20), share only LAZY scan
+    handles when enabled, key by (app, sf_dir, table), clear through
+    the sources invalidation hooks, and never change query results."""
+    from python_dtl_spark import catalog as cat
+
+    sf_dir = "/root/testdata/sf0.001"
+    monkeypatch.delenv("SPARK_GRAFT_TABLE_MEMO", raising=False)
+    cat._clear_table_memo()
+    a = cat._read(spark, sf_dir, "region")
+    b = cat._read(spark, sf_dir, "region")
+    assert a is not b and not cat._TABLE_MEMO  # off: no sharing, no memo
+    baseline = sorted(tuple(r) for r in a.collect())
+
+    monkeypatch.setenv("SPARK_GRAFT_TABLE_MEMO", "1")
+    c = cat._read(spark, sf_dir, "region")
+    d = cat._read(spark, sf_dir, "region")
+    assert c is d  # on: one listing/footer pass per (app, dir, table)
+    assert cat._read(spark, "/root/testdata/sf0.01", "region") is not c
+    assert sorted(tuple(r) for r in d.collect()) == baseline
+    # events keeps its nanos→micros conversion under its own key
+    e1 = cat._read_events(spark, sf_dir)
+    assert cat._read_events(spark, sf_dir) is e1
+    assert dict(e1.dtypes)["ts"].startswith("timestamp")
+    # rewriting a table invalidates through the shared hooks
+    from python_dtl_spark.sources import FileSystemImporter
+
+    FileSystemImporter(spark, sf_dir).invalidate()
+    assert not cat._TABLE_MEMO
+    cat._clear_table_memo()
