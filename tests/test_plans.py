@@ -1786,12 +1786,16 @@ def test_dsir_emit_chain_plan_shape(spark):
     anywhere, and the global selection rank planned as
     TakeOrderedAndProject — Catalyst rewrites the literal-limit
     row_number into a per-partition top-k + merge, so there is NO
-    SinglePartition exchange at all; the only data exchanges left in
-    the whole chain are the three model-building hash aggregations
-    (two bucket fits + the doc-grain scoring agg).  Downstream of the
-    take, the mix/shard windows inherit the single-partition slice
-    (a SinglePartition child satisfies any clustering), so at test
-    scale they add zero exchanges too."""
+    SinglePartition exchange at all; the data exchanges left are the
+    three model-building hash aggregations (two bucket fits + the
+    doc-grain scoring agg) plus, since the r21 top_fraction
+    threshold refinement, the k-row repartitions of the mix/shard
+    windows: the selection output is now a Union of the filtered
+    sure-keep slice with the boundary-band take (no longer one
+    partition), so the downstream windows shuffle their
+    selection-sized input — deliberately traded for removing the
+    O(fraction·n) single-partition merge from the selection
+    itself."""
     from fractions import Fraction
 
     from pyspark.sql import functions as F
@@ -1828,7 +1832,11 @@ def test_dsir_emit_chain_plan_shape(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
     hash_exchanges = _re.findall(r"Exchange hashpartitioning\((\w+)", plan)
-    assert set(hash_exchanges) <= {"__ds_id", "bucket", "doc_id"}, plan
+    # source/shard: the post-selection window repartitions — inputs are
+    # selection-sized (k rows), not corpus-sized (see docstring)
+    assert set(hash_exchanges) <= {
+        "__ds_id", "bucket", "doc_id", "source", "shard",
+    }, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
